@@ -1,0 +1,241 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Reference-parity analytics queries.
+  *
+  * The reference's analytics job is specified (not coded) in
+  * `/root/reference/README.md:13-26`: join two bucket-partitioned fact
+  * tables plus explicitly-broadcast small dimensions, then answer four
+  * "which X most" group-by/argmax questions, with automatic broadcast
+  * disabled so the physical strategies are deliberate. The Halo schema has
+  * no data in this harness, so each query re-targets the same semantics
+  * onto the isomorphic TPC-H-ish star schema (SURVEY.md §7.1):
+  * `lineitem`≈`match_details` (big fact), `orders`≈`matches` (bridge fact),
+  * `customer`/`part`/`supplier`/`nation`/`region` ≈ the broadcastable dims.
+  *
+  * Scale posture: fact⋈fact joins shuffle on the join key (at 100 TB this
+  * is the co-bucketed/bucket-join path — see graft.sources.Ddl for the
+  * shuffle-free layout and its plan-shape test); every dim join carries an
+  * explicit `broadcast()` hint so the plan stays correct even with
+  * `spark.sql.autoBroadcastJoinThreshold=-1` (README.md:16-17) and never
+  * shuffles the fact side for a dimension lookup.
+  */
+object RefQueries {
+
+  /** Flagship (SURVEY §7.2): "which customer averages the highest quantity
+    * per order line" — the A1 analog ("which player averages the most kills
+    * per game", README.md:20). lineitem⋈orders on the shared key (bucket-join
+    * analog), broadcast customer, aggregate, argmax. */
+  def flagship(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o  = Tables.orders(s, dir)
+    val c  = Tables.customer(s, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(round(avg("l_quantity"), 4).as("avg_qty"),
+           count(lit(1)).as("n_lines"))
+      .orderBy(col("avg_qty").desc, col("c_custkey").asc)
+      .limit(1)
+  }
+
+  private val flagshipSql =
+    """SELECT c_custkey, c_name, round(avg(l_quantity), 4) AS avg_qty,
+      |       count(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_custkey, c_name
+      |ORDER BY avg_qty DESC, c_custkey LIMIT 1""".stripMargin
+
+  /** Pricing-summary scan+agg (TPC-H Q1 shape): single wide fact, predicate
+    * pushed to the parquet scan, hash aggregate with partial/final phases
+    * (SURVEY §2.4 A5). At 100 TB this is scan-bound: the shipdate filter and
+    * 7-column ReadSchema must reach the scan — asserted in PlanShapeSpec. */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= to_timestamp(lit("2001-09-01")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val pricingSummarySql =
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 4) AS sum_qty,
+      |       round(sum(l_extendedprice), 4) AS sum_base_price,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+      |       round(avg(l_quantity), 4) AS avg_qty,
+      |       round(avg(l_discount), 4) AS avg_disc,
+      |       count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Fact⋈fact join + agg — the bucket-join analog (README.md:18,
+    * `match_details ⋈ matches` on match_id → `lineitem ⋈ orders` on
+    * orderkey). In catalog form both sides are bucketed 16-way on the key
+    * (graft.sources.Ddl) and the exchange is elided; reading raw parquet the
+    * join shuffles both sides once on the key, which AQE sizes. */
+  def bucketJoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o  = Tables.orders(s, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val bucketJoinAggSql =
+    """SELECT o_orderpriority,
+      |       round(sum(l_quantity), 4) AS sum_qty,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+      |       count(*) AS n_lines
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Explicit broadcast of two small dims onto the fact (README.md:17:
+    * "Explicitly broadcast JOINs medals and maps"). part and supplier stand
+    * in for the dims; the fact side never shuffles. */
+  def broadcastDims(s: SparkSession, dir: String): DataFrame = {
+    val li  = Tables.lineitem(s, dir)
+    val p   = Tables.part(s, dir)
+    val sup = Tables.supplier(s, dir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .groupBy("p_brand")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        countDistinct("s_suppkey").as("n_suppliers"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("p_brand")
+  }
+
+  private val broadcastDimsSql =
+    """SELECT p_brand,
+      |       round(sum(l_quantity), 4) AS sum_qty,
+      |       count(DISTINCT s_suppkey) AS n_suppliers,
+      |       count(*) AS n_lines
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  /** A2 analog ("which playlist gets played the most", README.md:21):
+    * distinct-count + count by a low-cardinality attribute. countDistinct
+    * expands to a two-phase shuffle; at 100 TB swap in
+    * approx_count_distinct when exactness isn't required (q_rollup shows
+    * the sketch variant). */
+  def priorityDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(countDistinct("o_custkey").as("n_customers"),
+           count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  private val priorityDistinctSql =
+    """SELECT o_orderpriority,
+      |       count(DISTINCT o_custkey) AS n_customers,
+      |       count(*) AS n_orders
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** A3 analog ("which map gets played the most", README.md:22): fact rolled
+    * up through a broadcast dim hierarchy (customer→nation→region). */
+  def dimHierarchy(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_customers"),
+           round(avg("c_acctbal"), 4).as("avg_bal"))
+      .orderBy("r_name", "n_name")
+  }
+
+  private val dimHierarchySql =
+    """SELECT r_name, n_name, count(*) AS n_customers,
+      |       round(avg(c_acctbal), 4) AS avg_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** A4 analog ("which map do players get the most Killing Spree medals on",
+    * README.md:23): filter a dim attribute, then roll the fact up a second
+    * hierarchy. The p_brand predicate is applied under the broadcast, so only
+    * matching part rows ship to executors. */
+  def filteredDimAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val p  = Tables.part(s, dir).filter(col("p_brand") === "Brand#13")
+    val o  = Tables.orders(s, dir)
+    val c  = Tables.customer(s, dir)
+    val n  = Tables.nation(s, dir)
+    val r  = Tables.region(s, dir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name")
+      .agg(round(sum("l_quantity"), 4).as("sum_qty"),
+           count(lit(1)).as("n_lines"))
+      .orderBy("r_name")
+  }
+
+  private val filteredDimAggSql =
+    """SELECT r_name, round(sum(l_quantity), 4) AS sum_qty, count(*) AS n_lines
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#13'
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin
+
+  /** O2: global top-k — Spark plans orderBy+limit as
+    * TakeOrderedAndProject (per-partition heap + driver merge of k rows),
+    * never a full global sort; this is the argmax shape of README.md:19-23
+    * and stays O(k) in driver memory at any scale. */
+  def topLineitems(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_extendedprice"), col("l_quantity"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+               col("l_linenumber").asc)
+      .limit(100)
+
+  private val topLineitemsSql =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+      |FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q_flagship_top_customer", flagship, Some(flagshipSql)),
+    Q("q_pricing_summary", pricingSummary, Some(pricingSummarySql)),
+    Q("q_bucket_join_agg", bucketJoinAgg, Some(bucketJoinAggSql)),
+    Q("q_broadcast_dims", broadcastDims, Some(broadcastDimsSql)),
+    Q("q_priority_distinct", priorityDistinct, Some(priorityDistinctSql)),
+    Q("q_dim_hierarchy", dimHierarchy, Some(dimHierarchySql)),
+    Q("q_filtered_dim_agg", filteredDimAgg, Some(filteredDimAggSql)),
+    Q("q_top_lineitems", topLineitems, Some(topLineitemsSql)))
+}

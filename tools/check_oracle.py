@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate (dev tool only, not part of
+the library): run graft.Verify first (sbt "runMain graft.Verify <sfDir>
+<outDir>"), then this script loads each <outDir>/<name> parquet result,
+runs the matching oracle SQL from oracle_sql.json in DuckDB against the
+same sf parquet tables, sorts columns by name, and compares values.
+
+Usage: python3 tools/check_oracle.py <sfDir> <outDir>
+"""
+import glob
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no result parquet")
+            n_bad += 1
+            continue
+        try:
+            mine = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
+            ref = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_bad += 1
+            continue
+        mine = mine[sorted(mine.columns)]
+        ref = ref[sorted(ref.columns)]
+        if list(mine.columns) != list(ref.columns):
+            print(f"FAIL {name}: columns {list(mine.columns)} != "
+                  f"{list(ref.columns)}")
+            n_bad += 1
+            continue
+        if len(mine) != len(ref):
+            print(f"FAIL {name}: rows {len(mine)} != {len(ref)}")
+            n_bad += 1
+            continue
+        a = [tuple(norm(v) for v in row) for row in mine.itertuples(False)]
+        b = [tuple(norm(v) for v in row) for row in ref.itertuples(False)]
+        if a != b:
+            bad = next(i for i, (x, y) in enumerate(zip(a, b)) if x != y)
+            print(f"FAIL {name}: first diff at row {bad}:")
+            print(f"  mine: {a[bad]}")
+            print(f"  ref : {b[bad]}")
+            n_bad += 1
+            continue
+        print(f"OK   {name} ({len(mine)} rows)")
+    print(f"{'PASS' if n_bad == 0 else 'FAIL'}: "
+          f"{len(oracle) - n_bad}/{len(oracle)} queries match")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
