@@ -22,6 +22,22 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet").alias(name)
 
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses natively
+    * (PARQUET_TYPE_ILLEGAL). Read nanos as Long, then floor-divide to µs —
+    * integer division, since ns-epoch (~1.7e18) exceeds double's 2^53
+    * mantissa — which is exactly DuckDB's ns→µs truncation, keeping the
+    * oracle comparable. */
+  private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val df =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      else raw
+    df.alias("events")
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")
@@ -29,7 +45,7 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = t(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame    = loadEvents(s, d)
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 

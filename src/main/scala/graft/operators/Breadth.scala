@@ -1,0 +1,249 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Capability-parity breadth beyond the reference's own operator set
+  * (SURVEY.md §2.6): window functions (ranking + frames), event-time
+  * windows, JSON property extraction, set operations, rollup, and
+  * sessionization. The reference has none of these (README.md specifies
+  * only joins + group-by argmax), but a user of a general analytics engine
+  * expects them; all are Spark built-ins, chosen so Catalyst keeps the
+  * whole plan codegen'd.
+  */
+object Breadth {
+
+  /** Ranking window: top-3 customers by average line quantity within each
+    * nation — the windowed generalization of the reference's A1 argmax
+    * (README.md:20). Two-level: hash-aggregate per customer first (shrinks
+    * 100 TB of lines to one row per customer), then a window over the
+    * small per-customer frame — never a window over raw fact rows. */
+  def windowRank(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o  = Tables.orders(s, dir)
+    val c  = Tables.customer(s, dir)
+    val n  = Tables.nation(s, dir)
+    val perCust = li
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("n_name", "c_custkey", "c_name")
+      .agg(round(avg("l_quantity"), 4).as("avg_qty"))
+    val w = Window.partitionBy("n_name")
+      .orderBy(col("avg_qty").desc, col("c_custkey").asc)
+    perCust
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy("n_name", "rnk")
+  }
+
+  private val windowRankSql =
+    """WITH per_cust AS (
+      |  SELECT n_name, c_custkey, c_name, round(avg(l_quantity), 4) AS avg_qty
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name, c_custkey, c_name)
+      |SELECT * FROM (
+      |  SELECT n_name, c_custkey, c_name, avg_qty,
+      |         row_number() OVER (PARTITION BY n_name
+      |                            ORDER BY avg_qty DESC, c_custkey) AS rnk
+      |  FROM per_cust)
+      |WHERE rnk <= 3
+      |ORDER BY n_name, rnk""".stripMargin
+
+  /** Frame window: per-user running total of event value over time
+    * (SURVEY §2.6 "running total"). Partitioned by user so state stays
+    * bounded per key; the sort is per-partition after a hash exchange on
+    * user_id — no global sort of the event log. */
+  def runningTotal(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("running_value", round(sum("value").over(w), 4))
+      .select("user_id", "event_id", "running_value")
+      .orderBy("user_id", "event_id")
+  }
+
+  private val runningTotalSql =
+    """SELECT user_id, event_id,
+      |       round(sum(value) OVER (PARTITION BY user_id
+      |             ORDER BY ts, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+      |         AS running_value
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** Tumbling event-time window aggregation — the batch expression of the
+    * Structured Streaming pipeline in graft.streaming.StreamOps (identical
+    * `window()` call works under readStream + watermark). Window start is
+    * emitted as a formatted string so the oracle compare is precision-proof
+    * (events.ts is ns in parquet; both engines truncate to µs). */
+  def hourlyWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+              col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("hour_start", "event_type")
+
+  private val hourlyWindowSql =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+      |       event_type, count(*) AS n_events,
+      |       round(sum(value), 4) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour_start, event_type""".stripMargin
+
+  /** JSON property extraction (SURVEY §2.6 "multimodal props"):
+    * events.props is a JSON string column; pull a typed field out and
+    * aggregate. get_json_object is codegen'd; for a fixed schema,
+    * from_json(col, schema) gives a struct column instead. */
+  def jsonProps(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           round(avg("k"), 4).as("avg_k"),
+           min("k").as("min_k"),
+           max("k").as("max_k"),
+           sum("k").cast("long").as("sum_k"))
+      .orderBy("event_type")
+
+  private val jsonPropsSql =
+    """SELECT event_type, count(*) AS n,
+      |       round(avg(k), 4) AS avg_k,
+      |       min(k) AS min_k, max(k) AS max_k,
+      |       CAST(sum(k) AS BIGINT) AS sum_k
+      |FROM (SELECT event_type,
+      |             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      |      FROM events)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Set operations (SURVEY §2.6): distinct-union / intersect / except of
+    * the urgent vs low-priority customer key sets, reported as one row of
+    * cardinalities. */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    val low    = o.filter(col("o_orderpriority") === "5-LOW").select("o_custkey")
+    val u = urgent.union(low).distinct().agg(count(lit(1)).as("union_n"))
+    val i = urgent.intersect(low).agg(count(lit(1)).as("intersect_n"))
+    val e = urgent.except(low).agg(count(lit(1)).as("except_n"))
+    u.crossJoin(i).crossJoin(e)
+  }
+
+  private val setOpsSql =
+    """SELECT
+      |  (SELECT count(*) FROM (
+      |     SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |     UNION
+      |     SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')) AS union_n,
+      |  (SELECT count(*) FROM (
+      |     SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |     INTERSECT
+      |     SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')) AS intersect_n,
+      |  (SELECT count(*) FROM (
+      |     SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |     EXCEPT
+      |     SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')) AS except_n""".stripMargin
+
+  /** Rollup (SURVEY §2.4 "grouping sets"): subtotals over
+    * (returnflag, linestatus) with NULL grouping keys coalesced to 'ALL'
+    * so the oracle compare is null-ordering-proof. */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 4).as("sum_qty"), count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+              col("sum_qty"), col("n"))
+      .orderBy("returnflag", "linestatus")
+
+  private val rollupAggSql =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |       coalesce(l_linestatus, 'ALL') AS linestatus,
+      |       round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** Sessionization in batch form: a session ends after a 30-minute
+    * inactivity gap. lag + cumulative-sum-of-boundaries — the classic
+    * shuffle-once pattern (one hash exchange on user_id, then two
+    * per-partition window passes). The streaming twin (stateful
+    * flatMapGroupsWithState) lives in graft.streaming.StreamOps. */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val ev = Tables.events(s, dir)
+      .withColumn("sec", col("ts").cast("double"))
+      .withColumn("prev_sec", lag("sec", 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_sec").isNull || col("sec") - col("prev_sec") > 1800d, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum("is_new").over(byUser.rowsBetween(Window.unboundedPreceding,
+                                              Window.currentRow)))
+    ev.groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+           (max("sec") - min("sec")).as("dur"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+           max("n_events").as("max_session_events"),
+           round(avg("dur"), 4).as("avg_session_seconds"))
+      .orderBy("user_id")
+  }
+
+  private val sessionizeSql =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, epoch(ts) AS sec,
+      |         CASE WHEN lag(epoch(ts)) OVER w IS NULL
+      |                   OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+      |              THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, sec,
+      |         sum(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM marked),
+      |per_session AS (
+      |  SELECT user_id, session_id, count(*) AS n_events,
+      |         max(sec) - min(sec) AS dur
+      |  FROM sessions GROUP BY user_id, session_id)
+      |SELECT user_id, count(*) AS n_sessions,
+      |       max(n_events) AS max_session_events,
+      |       round(avg(dur), 4) AS avg_session_seconds
+      |FROM per_session
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** Sketch-based distinct (the 100 TB substitute for exact countDistinct):
+    * HyperLogLog++ via approx_count_distinct. No DuckDB oracle — sketch
+    * estimates are engine-specific — so the driver records a rows-only
+    * check; determinism within Spark is still guaranteed (HLL++ is
+    * deterministic for a given input multiset). */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct("l_partkey", 0.02).as("approx_parts"),
+           count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  val all: Seq[Q] = Seq(
+    Q("q_window_rank", windowRank, Some(windowRankSql)),
+    Q("q_running_total", runningTotal, Some(runningTotalSql)),
+    Q("q_hourly_window", hourlyWindow, Some(hourlyWindowSql)),
+    Q("q_json_props", jsonProps, Some(jsonPropsSql)),
+    Q("q_setops", setOps, Some(setOpsSql)),
+    Q("q_rollup", rollupAgg, Some(rollupAggSql)),
+    Q("q_sessionize", sessionize, Some(sessionizeSql)),
+    Q("q_approx_distinct", approxDistinct, None))
+}
