@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.functions.TextFns
+
+/** Text-analysis operators for a training-data pipeline (north-star [N]
+  * in SURVEY.md §2.8): language ID, quality scoring, token counting,
+  * term frequency, and document fingerprinting — all over the `documents`
+  * table, all as single-pass scan+aggregate plans (no UDFs, no shuffles
+  * beyond the final group-by), so a 100 TB corpus is one scan.
+  */
+object TextAnalysis {
+
+  /** Per-language marker-word lists for the n-gram/stopword language-ID
+    * heuristic. Disjoint 4-word lists drawn from the corpus vocabulary so
+    * the classifier is exercised with non-degenerate scores. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("join", "merge", "hash", "sort"),
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "es" -> Seq("data", "table", "row", "column"),
+    "fr" -> Seq("query", "filter", "scan", "group"),
+    "zh" -> Seq("spark", "stream", "batch", "window"))
+
+  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  /** Language ID: score = marker-word occurrence count per language;
+    * predicted = first language (in `langMarkers` order) whose score is >=
+    * all others — an ordered-CASE argmax, deterministic under ties.
+    * Output: confusion counts actual-vs-predicted. */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val scoreCols = langMarkers.map { case (l, ws) =>
+      expr(s"size(filter(split(text, ' '), x -> array_contains(array(${sqlList(ws)}), x)))")
+        .as(s"s_$l")
+    }
+    val langs = langMarkers.map(_._1)
+    val caseExpr = langs.map { l =>
+      val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $geAll THEN '$l'"
+    }.mkString("CASE ", " ", " END")
+    Tables.documents(s, dir)
+      .select((col("lang") +: scoreCols): _*)
+      .withColumn("predicted", expr(caseExpr))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted")
+  }
+
+  private val langIdSql = {
+    val scores = langMarkers.map { case (l, ws) =>
+      s"len(list_filter(string_split(text, ' '), x -> list_contains([${sqlList(ws)}], x))) AS s_$l"
+    }.mkString(",\n         ")
+    val langs = langMarkers.map(_._1)
+    val cases = langs.map { l =>
+      val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $geAll THEN '$l'"
+    }.mkString(" ")
+    s"""WITH scored AS (
+       |  SELECT lang,
+       |         $scores
+       |  FROM documents)
+       |SELECT lang, CASE $cases END AS predicted, count(*) AS n_docs
+       |FROM scored
+       |GROUP BY lang, predicted
+       |ORDER BY lang, predicted""".stripMargin
+  }
+
+  /** Quality scoring: length, mean word length, stopword ratio, composite
+    * score — the standard cheap heuristics used to filter pretraining
+    * text. Aggregated per language. */
+  def quality(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("double"))
+      .withColumn("avg_wlen",
+        (length(col("text")) - col("n_tok") + 1d) / col("n_tok"))
+      .withColumn("stop_ratio",
+        expr("size(filter(split(text, ' '), x -> x = 'the' OR x = 'a'))")
+          .cast("double") / col("n_tok"))
+      .withColumn("quality",
+        lit(0.5) * col("stop_ratio")
+          + lit(0.3) * least(col("n_tok") / 100d, lit(1d))
+          + lit(0.2) * when(col("avg_wlen").between(3d, 8d), 1d).otherwise(0d))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg("n_tok"), 4).as("avg_tokens"),
+           round(avg("avg_wlen"), 4).as("avg_word_len"),
+           round(avg("stop_ratio"), 4).as("avg_stop_ratio"),
+           round(avg("quality"), 4).as("avg_quality"))
+      .orderBy("lang")
+
+  private val qualitySql =
+    """WITH m AS (
+      |  SELECT lang,
+      |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+      |         (length(text) - CAST(len(string_split(text, ' ')) AS DOUBLE) + 1)
+      |           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_wlen,
+      |         CAST(len(list_filter(string_split(text, ' '),
+      |                              x -> x = 'the' OR x = 'a')) AS DOUBLE)
+      |           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
+      |  FROM documents),
+      |q AS (
+      |  SELECT lang, n_tok, avg_wlen, stop_ratio,
+      |         0.5 * stop_ratio
+      |           + 0.3 * least(n_tok / 100, 1.0)
+      |           + 0.2 * (CASE WHEN avg_wlen BETWEEN 3 AND 8 THEN 1.0 ELSE 0.0 END)
+      |           AS quality
+      |  FROM m)
+      |SELECT lang, count(*) AS n_docs,
+      |       round(avg(n_tok), 4) AS avg_tokens,
+      |       round(avg(avg_wlen), 4) AS avg_word_len,
+      |       round(avg(stop_ratio), 4) AS avg_stop_ratio,
+      |       round(avg(quality), 4) AS avg_quality
+      |FROM q GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Token counting two ways: whitespace split and a BPE-ish regex
+    * (letter runs / digit runs / single other-chars) — the pretraining
+    * "how many tokens is this corpus" estimator. */
+  def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("ws_tok", size(split(col("text"), " ")))
+      .withColumn("re_tok",
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("ws_tok").cast("long").as("total_ws_tokens"),
+           sum("re_tok").cast("long").as("total_re_tokens"),
+           round(avg("ws_tok"), 4).as("avg_ws_tokens"))
+      .orderBy("lang")
+
+  private val tokenCountsSql =
+    """SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+      |       CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
+      |         AS total_re_tokens,
+      |       round(avg(len(string_split(text, ' '))), 4) AS avg_ws_tokens
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Term frequency via explode (Spark's Generator / UDTF analog): top-20
+    * corpus terms. The explode shuffles only (term, partial count) pairs
+    * thanks to partial aggregation — not raw tokens. */
+  def termFreq(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(20)
+
+  private val termFreqSql =
+    """SELECT term, count(*) AS cnt
+      |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      |GROUP BY term
+      |ORDER BY cnt DESC, term LIMIT 20""".stripMargin
+
+  /** Document fingerprinting: min-md5 over word 3-shingles (TextFns
+    * .fingerprint) — one stable hash per doc; grouped per source with
+    * distinct-fingerprint counts (collisions = near-identical docs). */
+  def fingerprints(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", TextFns.tokens(col("text")))
+      .withColumn("fp", TextFns.fingerprint("toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct("fp").as("n_distinct_fp"),
+           min("fp").as("min_fp"))
+      .orderBy("source")
+
+  private val fingerprintsSql =
+    """WITH fps AS (
+      |  SELECT source,
+      |         list_aggregate(
+      |           list_transform(
+      |             list_distinct(
+      |               list_transform(
+      |                 generate_series(1, len(string_split(text, ' ')) - 2),
+      |                 i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))),
+      |             x -> md5('0:' || x)),
+      |           'min') AS fp
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |       count(DISTINCT fp) AS n_distinct_fp,
+      |       min(fp) AS min_fp
+      |FROM fps GROUP BY source ORDER BY source""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q_text_langid", langId, Some(langIdSql)),
+    Q("q_text_quality", quality, Some(qualitySql)),
+    Q("q_text_tokens", tokenCounts, Some(tokenCountsSql)),
+    Q("q_term_freq", termFreq, Some(termFreqSql)),
+    Q("q_text_fingerprint", fingerprints, Some(fingerprintsSql)))
+}
