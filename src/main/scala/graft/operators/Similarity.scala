@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.functions.VectorFns
+
+/** Similarity search over the `embeddings` table (north-star [N]):
+  * brute-force cosine top-k as the exactness baseline, and a
+  * random-hyperplane LSH prefilter as the scale path.
+  *
+  * Scale posture: the query vector (or a small batch of query vectors) is
+  * a broadcast side — the corpus never shuffles. Brute force is one scan
+  * with a TakeOrderedAndProject top-k (O(k) driver memory); the LSH
+  * variant computes a 16-bit signature per vector in the scan (literal
+  * hyperplane weights — no per-row hashing) and prunes to
+  * hamming-distance≤4 buckets before exact rescoring, which is the
+  * standard recall/throughput trade at 10^9+ vectors. At full scale the
+  * signature is precomputed at ingest and the candidate probe becomes a
+  * bucket join on signature bands instead of a broadcast compare.
+  */
+object Similarity {
+
+  private val BITS = 16
+  private val DIM = 64
+
+  /** embeddings with double-widened vector + norm. */
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .withColumn("emb", expr(VectorFns.asDoubleSql("embedding")))
+      .withColumn("nrm", VectorFns.norm("emb"))
+      .select("vec_id", "label", "emb", "nrm")
+
+  /** Brute-force cosine top-10 against the vec_id=0 query vector
+    * (self excluded). */
+  def bruteTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = corpus(s, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    e.filter(col("vec_id") =!= 0)
+      .join(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(VectorFns.cosineWithNorms("emb", "q_emb", "nrm", "q_nrm"), 4)
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  private val bruteTopKSql =
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+      |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings),
+      |q AS (SELECT emb AS q_emb, nrm AS q_nrm FROM e WHERE vec_id = 0)
+      |SELECT vec_id, label,
+      |       round(list_dot_product(emb, q_emb) / (nrm * q_nrm), 4) AS cos_sim
+      |FROM e, q
+      |WHERE vec_id <> 0
+      |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+
+  /** ANN via random-hyperplane LSH: 16-bit signatures, candidates =
+    * hamming(sig, query_sig) <= 4, then exact cosine rescore, top-5. */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = corpus(s, dir)
+      .withColumn("sig", expr(VectorFns.lshSignatureSql("emb", BITS, DIM)))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("emb").as("q_emb"), col("nrm").as("q_nrm"),
+        col("sig").as("q_sig"))
+    e.filter(col("vec_id") =!= 0)
+      .join(broadcast(q))
+      .withColumn("hamming", expr("bit_count(sig ^ q_sig)").cast("long"))
+      .filter(col("hamming") <= 4)
+      .select(col("vec_id"), col("label"), col("hamming"),
+        round(VectorFns.cosineWithNorms("emb", "q_emb", "nrm", "q_nrm"), 4)
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(5)
+  }
+
+  private val annLshSql = {
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings),
+       |w AS (
+       |  SELECT m, j,
+       |         CASE WHEN strpos('0123456789abcdef', substr(md5(m || ':' || j), 1, 1)) - 1 >= 8
+       |              THEN 1.0 ELSE -1.0 END AS wt
+       |  FROM (SELECT unnest(generate_series(0, ${BITS - 1})) AS m),
+       |       (SELECT unnest(generate_series(0, ${DIM - 1})) AS j)),
+       |comp AS (
+       |  SELECT vec_id, m, sum(emb[j + 1] * wt) AS d
+       |  FROM e, w
+       |  GROUP BY vec_id, m),
+       |sig AS (
+       |  SELECT vec_id,
+       |         CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << CAST(m AS INTEGER))
+       |                       ELSE 0 END) AS BIGINT) AS sig
+       |  FROM comp GROUP BY vec_id),
+       |es AS (
+       |  SELECT e.vec_id, label, emb, nrm, sig FROM e JOIN sig ON e.vec_id = sig.vec_id),
+       |q AS (SELECT emb AS q_emb, nrm AS q_nrm, sig AS q_sig FROM es WHERE vec_id = 0)
+       |SELECT vec_id, label,
+       |       CAST(bit_count(xor(sig, q_sig)) AS BIGINT) AS hamming,
+       |       round(list_dot_product(emb, q_emb) / (nrm * q_nrm), 4) AS cos_sim
+       |FROM es, q
+       |WHERE vec_id <> 0 AND bit_count(xor(sig, q_sig)) <= 4
+       |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q_sim_topk", bruteTopK, Some(bruteTopKSql)),
+    Q("q_sim_ann_lsh", annLsh, Some(annLshSql)))
+}
