@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** One opaque media blob with typed metadata — the multimodal storage
+  * model: binary payload + relational columns beside it. */
+final case class MediaRow(doc_id: Long, media_type: String,
+                          payload: Array[Byte])
+
+/** Decoder output: per-blob typed metadata + a small feature vector. */
+final case class DecodedMedia(doc_id: Long, media_type: String, width: Int,
+                              height: Int, n_frames: Int, n_sampled: Int,
+                              brightness: Double, feature: Array[Float])
+
+/** Multimodal-column plumbing (north-star [N], SURVEY.md §2.8): treat
+  * image/audio/video as opaque `binary` columns with typed metadata, and
+  * run decode / feature-extract / frame-sample as per-partition batch
+  * functions over a typed Dataset — the Scala analog of mapInPandas
+  * (an Iterator of rows per partition = one batch; Tungsten encoders
+  * handle (de)serialization at the partition boundary only).
+  *
+  * The decode itself is a STUB — image/audio codecs are not in this
+  * environment — but a deterministic one (pure arithmetic over payload
+  * bytes), so the whole pipeline is testable end-to-end and even
+  * oracle-checkable. The Spark-side plumbing is real: binary column
+  * synthesis, repartition-by-modality (batch homogeneity on a cluster:
+  * co-locates same-codec blobs so a real decoder's model/codec state is
+  * reused within a partition), typed mapPartitions, downstream relational
+  * aggregation.
+  */
+object Multimodal {
+
+  /** Synthesized media table: documents.text re-cast as an opaque binary
+    * payload with a modality assigned by doc_id (no real media ships with
+    * the harness; at 100 TB this is the parquet `binary` column written by
+    * ingest). */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      expr("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' " +
+        "WHEN 1 THEN 'audio' ELSE 'video' END").as("media_type"),
+      col("text").cast("binary").as("payload"))
+
+  /** Deterministic fake decode — the `???` boundary where a real codec
+    * (pillow/ffmpeg-equivalent JNI lib) would run. Shapes and dtypes are
+    * what a real decoder would produce; values are pure functions of the
+    * payload so tests and the oracle can verify the plumbing. */
+  def decodeStub(rows: Iterator[MediaRow]): Iterator[DecodedMedia] =
+    rows.map { r =>
+      val len = r.payload.length
+      val width = 64 + len % 640
+      val height = 64 + (len * 7) % 480
+      val nFrames = (1 + r.doc_id % 24).toInt
+      val nSampled = (nFrames + 5) / 6 // every-6th frame sampling
+      val brightness = (r.payload(0) & 0xff).toDouble
+      val feature =
+        Array.tabulate(8)(i => (r.payload(i % len) & 0xff).toFloat / 255f)
+      DecodedMedia(r.doc_id, r.media_type, width, height, nFrames, nSampled,
+        brightness, feature)
+    }
+
+  /** The batch-decode pipeline: repartition by modality, then one
+    * decode batch per partition. */
+  def decoded(s: SparkSession, dir: String): Dataset[DecodedMedia] = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .repartition(col("media_type"))
+      .as[MediaRow]
+      .mapPartitions(decodeStub _)
+  }
+
+  /** Relational aggregation over decoded metadata — the query a user runs
+    * after decode ("how much video, at what resolution, how many sampled
+    * frames"). */
+  def metaAgg(s: SparkSession, dir: String): DataFrame =
+    decoded(s, dir)
+      .groupBy("media_type")
+      .agg(count(lit(1)).as("n"),
+           round(avg("width"), 4).as("avg_width"),
+           round(avg("height"), 4).as("avg_height"),
+           sum("n_frames").cast("long").as("total_frames"),
+           sum("n_sampled").cast("long").as("total_sampled"),
+           round(avg("brightness"), 4).as("avg_brightness"))
+      .orderBy("media_type")
+
+  /** Oracle recomputes the stub arithmetic straight from documents.text —
+    * identical values because payload == utf8(text) and text is ASCII. */
+  private val metaAggSql =
+    """SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+      |            WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |       count(*) AS n,
+      |       round(avg(64 + length(text) % 640), 4) AS avg_width,
+      |       round(avg(64 + (length(text) * 7) % 480), 4) AS avg_height,
+      |       CAST(sum(1 + doc_id % 24) AS BIGINT) AS total_frames,
+      |       CAST(sum((1 + doc_id % 24 + 5) // 6) AS BIGINT) AS total_sampled,
+      |       round(avg(ascii(substr(text, 1, 1))), 4) AS avg_brightness
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY media_type""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q_multimodal_meta", metaAgg, Some(metaAggSql)))
+}
