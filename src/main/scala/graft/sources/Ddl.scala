@@ -1,0 +1,81 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Catalog-table layout module — the Spark-native re-expression of the
+  * reference's job1 (`/root/reference/job1-DDL_Load_Data_Spark_Iceberg.py`):
+  *
+  *  - declared-schema catalog tables under a namespace (`job1:184-275`,
+  *    `bootcamp.*`) → `CREATE DATABASE` + `saveAsTable`
+  *  - `PARTITIONED BY (bucket(16, match_id))` Iceberg transform
+  *    (`job1:224,239,248`) → Hive-style `bucketBy(16, key)` +
+  *    `sortBy(key)`: same hash-co-location property, no Iceberg jar needed
+  *  - identity partitioning for dims (`job1:256,273`) → `partitionBy`
+  *  - overwrite table writes (`job1:295,305,...`) → SaveMode.Overwrite
+  *
+  * Why it matters at 100 TB: two facts bucketed the same way on the join
+  * key make every future fact⋈fact join shuffle-free (EnsureRequirements
+  * sees matching HashClusteredDistributions from the bucketed scans and
+  * elides both exchanges) — the shuffle is paid ONCE at write time, then
+  * amortized over every downstream query. This is the property
+  * README.md:16-18 builds its whole exercise around; DdlSpec asserts it
+  * on the physical plan.
+  */
+object Ddl {
+
+  /** Write the bucketed-facts + partitioned-dim warehouse. 16 buckets
+    * mirrors the reference; at cluster scale set buckets ≈ a small
+    * multiple of total executor cores so each bucket-join task gets one
+    * bucket pair. */
+  def createWarehouse(spark: SparkSession, dir: String,
+                      db: String = "bootcamp", buckets: Int = 16): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    Tables.lineitem(spark, dir).write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable(s"$db.lineitem_bucketed")
+    Tables.orders(spark, dir).write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable(s"$db.orders_bucketed")
+    Tables.nation(spark, dir).write.mode(SaveMode.Overwrite)
+      .partitionBy("n_regionkey")
+      .saveAsTable(s"$db.nation_part")
+  }
+
+  /** The shuffle-free fact⋈fact join over the bucketed tables
+    * (README.md:18's bucket join). */
+  def bucketJoin(spark: SparkSession, db: String = "bootcamp"): DataFrame = {
+    val li = spark.table(s"$db.lineitem_bucketed")
+    val o = spark.table(s"$db.orders_bucketed")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+  }
+
+  /** README.md:25's experiment: write the same data with different
+    * sortWithinPartitions keys and measure on-disk size — low-cardinality
+    * sort keys give parquet RLE/dictionary runs. Returns variant → bytes. */
+  def writeSizeExperiment(spark: SparkSession, dir: String,
+                          out: String): Seq[(String, Long)] = {
+    val li = Tables.lineitem(spark, dir).repartition(8, col("l_orderkey"))
+    val variants: Seq[(String, DataFrame)] = Seq(
+      "unsorted" -> li,
+      "sorted_lowcard" -> li.sortWithinPartitions("l_returnflag", "l_linestatus", "l_suppkey"),
+      "sorted_highcard" -> li.sortWithinPartitions("l_extendedprice"))
+    variants.map { case (name, df) =>
+      val path = s"$out/$name"
+      df.write.mode(SaveMode.Overwrite).parquet(path)
+      name -> dirBytes(Paths.get(path))
+    }
+  }
+
+  private def dirBytes(p: Path): Long = {
+    val s = Files.walk(p)
+    try s.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum()
+    finally s.close()
+  }
+}
