@@ -35,6 +35,16 @@ object Ddl {
   def createWarehouse(spark: SparkSession, dir: String,
                       db: String = "bootcamp", buckets: Int = 16): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    // An in-memory catalog forgets tables across JVMs but their files
+    // survive in the warehouse dir; saveAsTable then fails with
+    // LOCATION_ALREADY_EXISTS. Drop both the entry and any stale location.
+    Seq("lineitem_bucketed", "orders_bucketed", "nation_part").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $db.$t")
+      val loc = Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+        s"$db.db", t)
+      if (Files.exists(loc)) deleteRecursively(loc)
+    }
     Tables.lineitem(spark, dir).write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable(s"$db.lineitem_bucketed")
@@ -71,6 +81,13 @@ object Ddl {
       df.write.mode(SaveMode.Overwrite).parquet(path)
       name -> dirBytes(Paths.get(path))
     }
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    val s = Files.walk(p)
+    try s.sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(Files.delete(_))
+    finally s.close()
   }
 
   private def dirBytes(p: Path): Long = {

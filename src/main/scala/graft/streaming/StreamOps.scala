@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Typed event for the stateful operators. */
+final case class UserEvent(user_id: Long, ts: java.sql.Timestamp,
+                           event_type: String, value: Double)
+
+/** Accumulated per-user state/output of runningUserTotals. */
+final case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
+
+/** Structured Streaming operators (SURVEY.md §2.7). The reference is
+  * batch-only, so these provide the streaming capability a general engine
+  * needs; every transform is written against an unbound DataFrame so the
+  * SAME function runs in batch (events parquet) and streaming (readStream /
+  * MemoryStream) — asserted by StreamOpsSpec.
+  *
+  * Scale posture: watermarks bound state (an hourly window with a
+  * 10-minute watermark keeps ~1 window of state per key); stateful ops key
+  * by user_id so state shards across executors with the shuffle; session
+  * windows use the built-in session_window operator (state-store-backed
+  * merge) rather than a hand-rolled mapGroups buffer.
+  */
+object StreamOps {
+
+  /** Tumbling hourly aggregation — identical in batch and streaming; the
+    * watermark is a no-op in batch and bounds state in streaming. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Custom keyed state: running per-user event count + value total via
+    * mapGroupsWithState (the arbitrary-state API; use this shape when the
+    * built-in aggregations can't express the state machine). */
+  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserAgg] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[UserEvent], state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(uid, 0L, 0d))
+          var n = prev.n_events
+          var tot = prev.total_value
+          evs.foreach { e => n += 1; tot += e.value }
+          val next = UserAgg(uid, n, tot)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Gap-based sessions via the built-in session_window (state-store
+    * merge in streaming; plain aggregation in batch). 30-minute gap
+    * matches the batch q_sessionize operator. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+}

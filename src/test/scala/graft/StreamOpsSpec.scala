@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.{StreamOps, UserAgg, UserEvent}
+
+/** StreamOps (SURVEY.md §2.7): the same transform function must produce
+  * identical results on a batch DataFrame and on a stream of the same rows —
+  * that unification is the whole point of Structured Streaming.
+  */
+class StreamOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(h: Int, m: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+
+  private val sample = Seq(
+    UserEvent(1L, ts(0, 5), "click", 1.0),
+    UserEvent(1L, ts(0, 45), "click", 2.0),
+    UserEvent(2L, ts(0, 10), "view", 0.5),
+    UserEvent(1L, ts(1, 20), "click", 4.0),
+    UserEvent(2L, ts(2, 0), "view", 1.5))
+
+  test("hourlyCounts: stream over MemoryStream equals batch on same rows") {
+    val batch = StreamOps.hourlyCounts(sample.toDF())
+      .orderBy("hour_start", "event_type").collect().toSeq
+
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    mem.addData(sample: _*)
+    val q = StreamOps.hourlyCounts(mem.toDF())
+      .writeStream.format("memory").queryName("hourly_sink")
+      .outputMode(OutputMode.Complete()).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("hourly_sink")
+      .orderBy("hour_start", "event_type").collect().toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("runningUserTotals: state accumulates across triggers") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val q = StreamOps.runningUserTotals(mem.toDS())
+      .writeStream.format("memory").queryName("totals_sink")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(sample.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(sample.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // Update mode emits one row per key per trigger; final state = max n.
+    val finals = spark.table("totals_sink").as[UserAgg].collect()
+      .groupBy(_.user_id).map { case (k, v) => k -> v.maxBy(_.n_events) }
+    assert(finals(1L).n_events == 3 && math.abs(finals(1L).total_value - 7.0) < 1e-9)
+    assert(finals(2L).n_events == 2 && math.abs(finals(2L).total_value - 2.0) < 1e-9)
+  }
+
+  test("sessionWindows: batch sessions on events parquet; stream emits sessions") {
+    val batchSessions = StreamOps.sessionWindows(Tables.events(spark, sfDir))
+    val n = batchSessions.count()
+    assert(n > 0)
+    assert(batchSessions.columns.toSeq ==
+      Seq("user_id", "session_start", "session_end", "n_events"))
+
+    // Streaming session_window requires Append mode: sessions emit only
+    // once the watermark passes their end, so advance it with a late batch.
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val q = StreamOps.sessionWindows(mem.toDF())
+      .writeStream.format("memory").queryName("session_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(sample: _*)
+      q.processAllAvailable()
+      mem.addData(UserEvent(9L, ts(23, 0), "click", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("session_sink").count() > 0)
+  }
+}
