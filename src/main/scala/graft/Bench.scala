@@ -1,23 +1,46 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs every registered query on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
+  *
+  * Each query is forced through the `noop` sink rather than `count()`:
+  * count() lets Catalyst prune the aggregate/projection columns, which
+  * under-measures the work a real consumer pays; noop evaluates every
+  * output column and discards it (the honest "execute the full plan"
+  * measurement, same idea as a 100 TB job writing parquet minus the IO).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Warm the JVM/codegen/parquet-reader paths once so first-query timings
+    // measure the query, not classloading (a real cluster amortizes this
+    // over hours; a 30-query bench run must not bill it to one query).
+    spark.range(1000).selectExpr("sum(id)").write
+      .format("noop").mode("overwrite").save()
+    spark.read.parquet(s"$sfDir/region.parquet").write
+      .format("noop").mode("overwrite").save()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // isolate queries: drop caches a query created so the next one isn't
+      // measured under its memory pressure
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -47,6 +47,19 @@ object TextFns {
   def minhash(shingleSet: String, seed: Int): Column =
     expr(s"array_min(transform($shingleSet, x -> md5(concat('$seed:', x))))")
 
+  /** Per-shingle base hash for sliced MinHash: md5(x) ++ md5('s:'+x) =
+    * 64 hex chars = 128 bits twice. k minhash functions are then 8-char
+    * slices of this (see [[minhashSlice]]) — 2 md5 calls per shingle
+    * instead of k, the standard one-strong-hash-many-fragments trick
+    * (each 32-bit fragment of md5 is an independent uniform hash). */
+  def minhashBase(shingleSet: String): Column =
+    expr(s"transform($shingleSet, x -> concat(md5(x), md5(concat('s:', x))))")
+
+  /** MinHash function i (0-based, i < 8) over a [[minhashBase]] column:
+    * lexicographic min of the i-th 8-hex-char slice. */
+  def minhashSlice(baseCol: String, i: Int): Column =
+    expr(s"array_min(transform($baseCol, h -> substring(h, ${1 + 8 * i}, 8)))")
+
   /** LSH band key: hash of the concatenation of one band's MinHash values.
     * Docs agreeing on all hashes in any band become candidate pairs. */
   def bandKey(hashes: Seq[Column]): Column = md5(concat(hashes: _*))
@@ -78,11 +91,12 @@ object TextFns {
          |    cast(0 as bigint), (s, x) -> s + x))""".stripMargin)
 
   /** Set Jaccard similarity of two string-array columns (assumed already
-    * distinct), as Double. */
+    * distinct), as Double. Union size comes from |a|+|b|-|a∩b| — exact for
+    * distinct inputs and half the cost of also materializing array_union. */
   def jaccard(a: String, b: String): Column =
     expr(
       s"""cast(size(array_intersect($a, $b)) as double) /
-         |  cast(size(array_union($a, $b)) as double)""".stripMargin)
+         |  cast(size($a) + size($b) - size(array_intersect($a, $b)) as double)""".stripMargin)
 
   /** Document fingerprint (winnowing-lite): the minimum md5 over the doc's
     * word 3-shingles — a single stable representative hash per document.

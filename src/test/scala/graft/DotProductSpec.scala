@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** DotProductD: the codegen'd dot product must be bit-identical to the
+  * higher-order-function fold it replaced (same left-to-right order). */
+class DotProductSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val hof =
+    "aggregate(zip_with(a, b, (p, q) -> p * q), cast(0 as double), (s, v) -> s + v)"
+
+  test("dot_d equals the HOF fold bit-for-bit on random vectors") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(50)((
+      Array.fill(64)(rnd.nextDouble() * 2 - 1),
+      Array.fill(64)(rnd.nextDouble() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+      .select(expr("dot_d(a, b)").as("fast"), expr(hof).as("ref"))
+    // exact equality, not tolerance: the fold order is identical
+    assert(df.filter(col("fast") =!= col("ref")).count() == 0)
+  }
+
+  test("dot_d: nulls propagate, mismatched lengths use the shorter") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT dot_d(cast(null as array<double>), array(1d)) AS n,
+        |       dot_d(array(1d, 2d, 3d), array(2d)) AS short""".stripMargin)
+      .collect()(0)
+    assert(r.isNullAt(0))
+    assert(r.getDouble(1) == 2.0)
+  }
+
+  test("simhash32_d equals the portable-SQL simhash32 on real documents") {
+    GraftFunctions.register(spark)
+    val d = Tables.documents(spark, sfDir)
+      .withColumn("dtoks", array_distinct(split(col("text"), " ")))
+      .withColumn("fast", expr("simhash32_d(dtoks)"))
+      .withColumn("ref", graft.functions.TextFns.simhash32("dtoks"))
+    assert(d.filter(col("fast") =!= col("ref")).count() == 0)
+    assert(d.count() > 0)
+  }
+
+  test("dot_d rejects non-double-array inputs at analysis") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception](spark.sql("SELECT dot_d('x', 'y')").collect())
+    assert(e.getMessage.contains("dot_d"))
+  }
+
+  test("dot_d runs inside whole-stage codegen") {
+    GraftFunctions.register(spark)
+    val df = spark.range(100)
+      .selectExpr("dot_d(array(cast(id as double)), array(2d)) AS v")
+    // "*(n)" prefixes mark operators inside a WholeStageCodegen span
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [dot_d"))
+    assert(df.agg(sum("v")).collect()(0).getDouble(0) == 9900.0)
+  }
+}
