@@ -13,8 +13,8 @@ object SparkEntry {
 
   /** Every registered query, one per implemented operator (SURVEY.md §2). */
   private lazy val registry: Seq[Q] =
-    RefQueries.all ++ Breadth.all ++ TextAnalysis.all ++ Dedup.all ++
-      Similarity.all ++ Multimodal.all
+    RefQueries.all ++ Breadth.all ++ JoinsPlus.all ++ TextAnalysis.all ++
+      Dedup.all ++ Similarity.all ++ Multimodal.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.run).toMap

@@ -1,0 +1,260 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Join-algebra and analytics breadth beyond the reference (SURVEY.md §2.3
+  * "Not present in the reference ... we still expose them"): semi/anti
+  * joins, cube, pivot, as-of join, range join, exact percentiles, and the
+  * salted two-phase aggregation pattern for skewed keys.
+  *
+  * Scale notes per operator are on each method; the common theme is that
+  * every shape here stays a single hash/sort-merge exchange on the
+  * partition key — nothing materializes a per-key cross product except
+  * where the semantics demand it (range join, bounded by the time window).
+  */
+object JoinsPlus {
+
+  /** Semi + anti join: per nation, customers with ≥1 urgent order vs
+    * customers with no orders at all. left_semi/left_anti never duplicate
+    * or widen rows — at scale they shuffle only the join keys of the
+    * probe side (and an anti join against a broadcast dim is free). */
+  def semiAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val n = Tables.nation(s, dir)
+    val urgentKeys = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey")
+    val withUrgent = c.join(urgentKeys, c("c_custkey") === col("o_custkey"), "left_semi")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").agg(count(lit(1)).as("n_urgent_customers"))
+    val orderless = c.join(o.select("o_custkey"), c("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").agg(count(lit(1)).as("n_orderless_customers"))
+    n.select("n_name").distinct()
+      .join(withUrgent, Seq("n_name"), "left")
+      .join(orderless, Seq("n_name"), "left")
+      .select(col("n_name"),
+        coalesce(col("n_urgent_customers"), lit(0L)).as("n_urgent_customers"),
+        coalesce(col("n_orderless_customers"), lit(0L)).as("n_orderless_customers"))
+      .orderBy("n_name")
+  }
+
+  private val semiAntiSql =
+    """SELECT n_name,
+      |  (SELECT count(*) FROM customer c
+      |   WHERE c.c_nationkey = n.n_nationkey
+      |     AND EXISTS (SELECT 1 FROM orders o
+      |                 WHERE o.o_custkey = c.c_custkey
+      |                   AND o.o_orderpriority = '1-URGENT')) AS n_urgent_customers,
+      |  (SELECT count(*) FROM customer c
+      |   WHERE c.c_nationkey = n.n_nationkey
+      |     AND NOT EXISTS (SELECT 1 FROM orders o
+      |                     WHERE o.o_custkey = c.c_custkey)) AS n_orderless_customers
+      |FROM nation n
+      |ORDER BY n_name""".stripMargin
+
+  /** Cube: all 2^2 grouping-set combinations over (priority, status).
+    * Exact integer measures only (count / distinct count) so the oracle
+    * compare is FP-proof across grouping levels. */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+           countDistinct("o_custkey").as("n_customers"))
+      .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+              coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+              col("n_orders"), col("n_customers"))
+      .orderBy("priority", "status")
+
+  private val cubeAggSql =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+      |       coalesce(o_orderstatus, 'ALL') AS status,
+      |       count(*) AS n_orders,
+      |       count(DISTINCT o_custkey) AS n_customers
+      |FROM orders
+      |GROUP BY CUBE(o_orderpriority, o_orderstatus)
+      |ORDER BY priority, status""".stripMargin
+
+  /** Pivot with an EXPLICIT value list (never the infer-values variant,
+    * which runs an extra distinct job over 100 TB before planning):
+    * events per day × event_type. */
+  def pivotDaily(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = Tables.events(s, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy("day")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    p.select(col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy("day")
+  }
+
+  private val pivotDailySql =
+    """SELECT strftime(ts, '%Y-%m-%d') AS day,
+      |       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+      |       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+      |       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+      |       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+      |       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY day""".stripMargin
+
+  /** As-of join (purchase → most recent prior view per user), by the
+    * union-tag formulation: tag both streams, one hash exchange on the
+    * key, one per-partition sort, then last(ignoreNulls) carries the
+    * latest left-side time forward. This is THE scalable as-of shape —
+    * no per-key collect, no range cross product, state is one value per
+    * row regardless of history length. */
+  def asofAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("tag"),
+        col("ts").cast("double").as("v_sec"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("tag"),
+        lit(null).cast("double").as("v_sec"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("tag").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(buys)
+      .withColumn("last_view_sec", last("v_sec", ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .withColumn("delay", col("ts").cast("double") - col("last_view_sec"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+           count(col("last_view_sec")).as("n_attributed"),
+           round(avg("delay"), 4).as("avg_delay_sec"))
+      .orderBy("user_id")
+  }
+
+  private val asofAttributionSql =
+    """WITH uni AS (
+      |  SELECT user_id, ts, event_id, 0 AS tag, epoch(ts) AS v_sec
+      |  FROM events WHERE event_type = 'view'
+      |  UNION ALL
+      |  SELECT user_id, ts, event_id, 1 AS tag, NULL
+      |  FROM events WHERE event_type = 'purchase'),
+      |att AS (
+      |  SELECT user_id, tag, epoch(ts) AS sec,
+      |         last_value(v_sec IGNORE NULLS) OVER (
+      |           PARTITION BY user_id ORDER BY ts, tag, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_sec
+      |  FROM uni)
+      |SELECT user_id, count(*) AS n_purchases,
+      |       count(last_view_sec) AS n_attributed,
+      |       round(avg(sec - last_view_sec), 4) AS avg_delay_sec
+      |FROM att WHERE tag = 1
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** Range (interval) join: purchases within 24 h after each signup of
+    * the same user. Equi-key on user_id keeps it a hash/SMJ join; the
+    * range predicate filters within the key group, so the blow-up is
+    * bounded by events-per-user-per-day, not corpus size. */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("sec", col("ts").cast("double"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("s_id"), col("sec").as("s_sec"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("sec").as("b_sec"))
+    signups.join(buys,
+        col("user_id") === col("b_user") &&
+          col("b_sec") >= col("s_sec") &&
+          col("b_sec") < col("s_sec") + 86400d,
+        "left")
+      .groupBy("user_id", "s_id")
+      .agg(count(col("b_sec")).as("n_buys_24h"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_signups"),
+           sum("n_buys_24h").cast("long").as("total_buys_24h"),
+           max("n_buys_24h").as("max_buys_24h"))
+      .orderBy("user_id")
+  }
+
+  private val rangeJoinSql =
+    """WITH s AS (
+      |  SELECT user_id, event_id AS s_id, epoch(ts) AS s_sec
+      |  FROM events WHERE event_type = 'signup'),
+      |b AS (
+      |  SELECT user_id AS b_user, epoch(ts) AS b_sec
+      |  FROM events WHERE event_type = 'purchase'),
+      |per_signup AS (
+      |  SELECT s.user_id, s.s_id, count(b.b_sec) AS n_buys_24h
+      |  FROM s LEFT JOIN b
+      |    ON s.user_id = b.b_user
+      |   AND b.b_sec >= s.s_sec AND b.b_sec < s.s_sec + 86400
+      |  GROUP BY s.user_id, s.s_id)
+      |SELECT user_id, count(*) AS n_signups,
+      |       CAST(sum(n_buys_24h) AS BIGINT) AS total_buys_24h,
+      |       max(n_buys_24h) AS max_buys_24h
+      |FROM per_signup
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** Exact interpolated percentiles (quartiles + p95 of extended price per
+    * return flag). Spark's `percentile` and DuckDB's `quantile_cont` share
+    * the linear-interpolation definition. At 100 TB swap for
+    * percentile_approx (t-digest sketch, one pass, mergeable). */
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+      .orderBy("l_returnflag")
+
+  private val percentilesSql =
+    """SELECT l_returnflag,
+      |       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+      |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+      |       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Salted two-phase aggregation — the skew-mitigation pattern: a hot
+    * group key is split across `SALTS` reducers by a deterministic salt
+    * (key-derived, NOT rand(): re-execution of a lost task must produce
+    * the same row), partially aggregated, then merged. Result is
+    * identical to the direct group-by (oracle = plain GROUP BY); the win
+    * at scale is that no single reducer owns a hot key. AQE's
+    * skewJoin/skewedPartition handling does this adaptively for joins;
+    * this is the explicit form for aggregations. */
+  def saltedAgg(s: SparkSession, dir: String): DataFrame = {
+    val SALTS = 8
+    Tables.lineitem(s, dir)
+      .withColumn("salt", pmod(col("l_orderkey"), lit(SALTS)))
+      .groupBy("l_returnflag", "salt")
+      .agg(sum("l_quantity").as("partial_qty"), count(lit(1)).as("partial_n"))
+      .groupBy("l_returnflag")
+      .agg(round(sum("partial_qty"), 4).as("sum_qty"),
+           sum("partial_n").cast("long").as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  private val saltedAggSql =
+    """SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty,
+      |       count(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q_semi_anti", semiAnti, Some(semiAntiSql)),
+    Q("q_cube", cubeAgg, Some(cubeAggSql)),
+    Q("q_pivot", pivotDaily, Some(pivotDailySql)),
+    Q("q_asof_join", asofAttribution, Some(asofAttributionSql)),
+    Q("q_range_join", rangeJoin, Some(rangeJoinSql)),
+    Q("q_percentiles", percentiles, Some(percentilesSql)),
+    Q("q_salted_agg", saltedAgg, Some(saltedAggSql)))
+}
