@@ -205,11 +205,15 @@ object JoinsPlus {
   def percentiles(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+      // ONE percentile agg with an array of percentages — four separate
+      // calls would each buffer the whole group's values (4× memory and
+      // time); the array form shares one buffer and one sort.
+      .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))").as("ps"))
+      .select(col("l_returnflag"),
+        round(col("ps").getItem(0), 4).as("p25"),
+        round(col("ps").getItem(1), 4).as("p50"),
+        round(col("ps").getItem(2), 4).as("p75"),
+        round(col("ps").getItem(3), 4).as("p95"))
       .orderBy("l_returnflag")
 
   private val percentilesSql =
