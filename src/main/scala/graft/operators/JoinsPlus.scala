@@ -253,8 +253,62 @@ object JoinsPlus {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Argmax as an AGGREGATE (max_by), not sort+limit: per region, the
+    * nation with the most customers. One hash aggregate — no sort at all —
+    * which is the preferred argmax shape when the result is per-group
+    * rather than global. Ties are impossible by construction: the compared
+    * value composes (count, nationkey) into one number. */
+  def argmax(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name", "n_nationkey")
+      .agg(count(lit(1)).as("n_customers"))
+      .groupBy("r_name")
+      .agg(expr("max_by(n_name, n_customers * 1000 + n_nationkey)").as("top_nation"),
+           max("n_customers").as("max_customers"))
+      .orderBy("r_name")
+  }
+
+  private val argmaxSql =
+    """WITH per_nation AS (
+      |  SELECT r_name, n_name, n_nationkey, count(*) AS n_customers
+      |  FROM customer
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY r_name, n_name, n_nationkey)
+      |SELECT r_name,
+      |       arg_max(n_name, n_customers * 1000 + n_nationkey) AS top_nation,
+      |       max(n_customers) AS max_customers
+      |FROM per_nation
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin
+
+  /** Custom typed UDAF ([[graft.functions.WeightedMean]]): price-weighted
+    * mean quantity per return flag. */
+  def udafWeighted(s: SparkSession, dir: String): DataFrame = {
+    val wmean = udaf(graft.functions.WeightedMean)
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(round(wmean(col("l_quantity"), col("l_extendedprice")), 4)
+        .as("wavg_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  private val udafWeightedSql =
+    """SELECT l_returnflag,
+      |       round(sum(l_quantity * l_extendedprice) / sum(l_extendedprice), 4)
+      |         AS wavg_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_semi_anti", semiAnti, Some(semiAntiSql)),
+    Q("q_argmax", argmax, Some(argmaxSql)),
+    Q("q_udaf_weighted", udafWeighted, Some(udafWeightedSql)),
     Q("q_cube", cubeAgg, Some(cubeAggSql)),
     Q("q_pivot", pivotDaily, Some(pivotDailySql)),
     Q("q_asof_join", asofAttribution, Some(asofAttributionSql)),
