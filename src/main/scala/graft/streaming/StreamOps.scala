@@ -54,6 +54,17 @@ object StreamOps {
       }
   }
 
+  /** Streaming exact dedup — the streaming twin of the batch dedup family
+    * (graft.operators.Dedup): drop re-deliveries of the same event id.
+    * dropDuplicatesWithinWatermark keeps state only for the watermark
+    * horizon (vs dropDuplicates, whose key state grows forever on an
+    * unbounded stream) — the only viable exact-dedup shape at 100 TB/day
+    * ingest. */
+  def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Gap-based sessions via the built-in session_window (state-store
     * merge in streaming; plain aggregation in batch). 30-minute gap
     * matches the batch q_sessionize operator. */

@@ -62,6 +62,25 @@ class StreamOpsSpec extends SparkTestBase {
     assert(finals(2L).n_events == 2 && math.abs(finals(2L).total_value - 2.0) < 1e-9)
   }
 
+  test("dedupEvents: re-delivered events within the watermark are dropped") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    // UserEvent has no event_id; reuse user_id as the dedup key via rename
+    val q = StreamOps.dedupEvents(
+        mem.toDF().withColumnRenamed("user_id", "event_id"))
+      .writeStream.format("memory").queryName("dedup_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(sample.take(2): _*) // user 1 twice -> one survivor
+      q.processAllAvailable()
+      mem.addData(sample.take(1): _*) // re-delivery of user 1, same batch window
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_sink").select("event_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(1L))
+  }
+
   test("sessionWindows: batch sessions on events parquet; stream emits sessions") {
     val batchSessions = StreamOps.sessionWindows(Tables.events(spark, sfDir))
     val n = batchSessions.count()
