@@ -34,9 +34,11 @@ object JoinsPlus {
     val orderless = c.join(o.select("o_custkey"), c("c_custkey") === col("o_custkey"), "left_anti")
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name").agg(count(lit(1)).as("n_orderless_customers"))
+    // the per-nation aggregates are dim-sized (≤ |nation| rows) at any
+    // scale — broadcast them onto the nation spine instead of SMJ
     n.select("n_name").distinct()
-      .join(withUrgent, Seq("n_name"), "left")
-      .join(orderless, Seq("n_name"), "left")
+      .join(broadcast(withUrgent), Seq("n_name"), "left")
+      .join(broadcast(orderless), Seq("n_name"), "left")
       .select(col("n_name"),
         coalesce(col("n_urgent_customers"), lit(0L)).as("n_urgent_customers"),
         coalesce(col("n_orderless_customers"), lit(0L)).as("n_orderless_customers"))
