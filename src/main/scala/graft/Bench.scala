@@ -30,9 +30,14 @@ object Bench {
       .format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
+      // failed queries report negative elapsed so they can't masquerade
+      // as fast successes in BENCH_r{N}.json
+      val dt = (System.nanoTime() - t0) / 1e9 * (if (ok) 1 else -1)
       // isolate queries: drop caches a query created so the next one isn't
       // measured under its memory pressure
       spark.catalog.clearCache()

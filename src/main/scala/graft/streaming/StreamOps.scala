@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Typed event for the stateful operators. */
 final case class UserEvent(user_id: Long, ts: java.sql.Timestamp,
@@ -51,6 +51,45 @@ object StreamOps {
           val next = UserAgg(uid, n, tot)
           state.update(next)
           next
+      }
+  }
+
+  /** Finished session emitted by [[sessionFlush]] when a user's
+    * inactivity timeout fires. */
+  final case class SessionSummary(user_id: Long, start_sec: Double,
+                                  end_sec: Double, n_events: Long)
+
+  /** Arbitrary-state session flushing via flatMapGroupsWithState — the
+    * state machine built-in aggregations can't express: a session emits
+    * ONLY when its inactivity timeout fires (event-time timeout driven by
+    * the watermark), producing zero rows on ordinary triggers. State per
+    * key is one (start, end, n) triple; the timeout clears it, so state
+    * size is bounded by the number of concurrently-active users. */
+  def sessionFlush(events: Dataset[UserEvent],
+                   gapSeconds: Long = 1800L): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionSummary, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, evs: Iterator[UserEvent], state: GroupState[SessionSummary]) =>
+          if (state.hasTimedOut) {
+            val out = state.get
+            state.remove()
+            Iterator.single(out)
+          } else {
+            val secs = evs.map(_.ts.getTime / 1000.0).toSeq
+            val prev = state.getOption
+              .getOrElse(SessionSummary(uid, secs.min, secs.min, 0L))
+            val next = SessionSummary(uid,
+              math.min(prev.start_sec, secs.min),
+              math.max(prev.end_sec, secs.max),
+              prev.n_events + secs.size)
+            state.update(next)
+            state.setTimeoutTimestamp((next.end_sec * 1000).toLong + gapSeconds * 1000)
+            Iterator.empty
+          }
       }
   }
 

@@ -62,6 +62,29 @@ class StreamOpsSpec extends SparkTestBase {
     assert(finals(2L).n_events == 2 && math.abs(finals(2L).total_value - 2.0) < 1e-9)
   }
 
+  test("sessionFlush: a session emits only after its event-time timeout fires") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val q = StreamOps.sessionFlush(mem.toDS(), gapSeconds = 1800L)
+      .writeStream.format("memory").queryName("flush_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(sample.filter(_.user_id == 1L).take(2): _*) // 00:05, 00:45
+      q.processAllAvailable()
+      assert(spark.table("flush_sink").count() == 0) // session still open
+      // a much later event advances the watermark past 00:45 + 30min gap
+      mem.addData(UserEvent(9L, ts(12, 0), "click", 0.0))
+      q.processAllAvailable()
+      mem.addData(UserEvent(9L, ts(13, 0), "click", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    import org.apache.spark.sql.functions.col
+    val flushed = spark.table("flush_sink").filter(col("user_id") === 1L)
+      .collect()
+    assert(flushed.length == 1)
+    assert(flushed(0).getLong(3) == 2L) // both events in one session
+  }
+
   test("dedupEvents: re-delivered events within the watermark are dropped") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[UserEvent]
