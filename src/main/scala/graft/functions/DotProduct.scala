@@ -88,6 +88,10 @@ object GraftFunctions {
       FunctionIdentifier("simhash32_d"),
       new ExpressionInfo(classOf[SimHash32D].getName, "simhash32_d"),
       exprs => SimHash32D(exprs(0)))
+    reg.registerFunction(
+      FunctionIdentifier("minhash_slices"),
+      new ExpressionInfo(classOf[MinHashSlicesD].getName, "minhash_slices"),
+      exprs => MinHashSlicesD(exprs(0)))
   }
 }
 
@@ -101,5 +105,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash32_d"),
       new ExpressionInfo(classOf[SimHash32D].getName, "simhash32_d"),
       (exprs: Seq[Expression]) => SimHash32D(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_slices"),
+      new ExpressionInfo(classOf[MinHashSlicesD].getName, "minhash_slices"),
+      (exprs: Seq[Expression]) => MinHashSlicesD(exprs(0))))
   }
 }

@@ -57,13 +57,17 @@ object Dedup {
   private val BANDS = 4
 
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val docs = docsWithShingles(s, dir).select("doc_id", "sh").cache()
-    // 2 md5 calls per shingle (not K=8): the 8 hash functions are 8-char
-    // slices of md5(x)++md5('s:'+x) — measured 3× on the signature stage.
+    // All 8 hash fns in one compiled pass over the shingles (codegen'd
+    // MinHashSlicesD): 2 md5 calls per shingle, one buffer, vs the HOF
+    // form's ~16 intermediate strings per shingle across 8 lambdas.
+    // Bit-identical to the sliced-md5 SQL form (asserted in
+    // DotProductSpec) and to the DuckDB oracle.
     val sigs = docs
-      .withColumn("hs", TextFns.minhashBase("sh"))
+      .withColumn("mh", expr("minhash_slices(sh)"))
       .select(
-        (col("doc_id") +: (0 until K).map(i => TextFns.minhashSlice("hs", i).as(s"h$i"))): _*)
+        (col("doc_id") +: (0 until K).map(i => col("mh").getItem(i).as(s"h$i"))): _*)
     val bandCols = (0 until BANDS).map(b =>
       md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as(s"b$b"))
     // kv is cached: it feeds BOTH sides of the self-join and would

@@ -44,6 +44,24 @@ class DotProductSpec extends SparkTestBase {
     assert(d.count() > 0)
   }
 
+  test("minhash_slices equals the sliced-md5 SQL form on real documents") {
+    GraftFunctions.register(spark)
+    val d = Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("sh", array_distinct(graft.functions.TextFns.shingles("toks", 3)))
+      .withColumn("mh", expr("minhash_slices(sh)"))
+      .withColumn("hs", graft.functions.TextFns.minhashBase("sh"))
+    val checks = (0 until 8).map(i =>
+      (col("mh").getItem(i) =!= graft.functions.TextFns.minhashSlice("hs", i)) ||
+        (col("mh").getItem(i).isNull =!=
+          graft.functions.TextFns.minhashSlice("hs", i).isNull))
+    assert(d.filter(checks.reduce(_ || _)).count() == 0)
+    // empty shingle set -> null signature in both forms
+    val e = spark.sql(
+      "SELECT minhash_slices(cast(array() as array<string>)) AS m").collect()(0)
+    assert(e.isNullAt(0))
+  }
+
   test("dot_d rejects non-double-array inputs at analysis") {
     GraftFunctions.register(spark)
     val e = intercept[Exception](spark.sql("SELECT dot_d('x', 'y')").collect())
