@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL-text entry point — the reference drives its whole DDL layer through
+  * `spark.sql(ddl)` (`job1:281`), so the engine exposes the same surface
+  * for analytics: register the harness tables as temp views (plus graft's
+  * native functions) and run any SQL text against them.
+  */
+object GraftSql {
+
+  /** Register every harness table as a temp view named after the table,
+    * and graft's custom expressions (dot_d, simhash32_d, minhash_slices)
+    * so SQL text can call them. Idempotent. */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    functions.GraftFunctions.register(spark)
+    // events can't go through the generic reader: its raw parquet schema
+    // (TIMESTAMP(NANOS)) throws at read time, so use the repairing loader
+    Tables.names.filterNot(_ == "events").foreach { t =>
+      Tables.t(spark, dir, t).createOrReplaceTempView(t)
+    }
+    Tables.events(spark, dir).createOrReplaceTempView("events")
+  }
+
+  def sql(spark: SparkSession, dir: String, text: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(text)
+  }
+}

@@ -307,8 +307,29 @@ object JoinsPlus {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** SQL-text entry (the reference's own interface — it drives everything
+    * through spark.sql, job1:281): a TPC-H-Q5-ish revenue rollup run as
+    * raw SQL via GraftSql. The SAME text is the DuckDB oracle — the
+    * strongest possible ANSI-parity statement. */
+  private val sqlTextQuery =
+    """SELECT n_name,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+      |       count(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  def sqlText(s: SparkSession, dir: String): DataFrame =
+    graft.GraftSql.sql(s, dir, sqlTextQuery)
+
   val all: Seq[Q] = Seq(
     Q("q_semi_anti", semiAnti, Some(semiAntiSql)),
+    Q("q_sql_text", sqlText, Some(sqlTextQuery)),
     Q("q_argmax", argmax, Some(argmaxSql)),
     Q("q_udaf_weighted", udafWeighted, Some(udafWeightedSql)),
     Q("q_cube", cubeAgg, Some(cubeAggSql)),

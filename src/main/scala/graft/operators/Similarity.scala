@@ -111,7 +111,76 @@ object Similarity {
        |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin
   }
 
+  /** IVF-style ANN: corpus vectors are inverted-file-partitioned by their
+    * nearest coarse centroid; a query probes only its NPROBE nearest
+    * centroid lists and rescores exactly within them. Centroids here are
+    * FIXED (vec_id < NLIST) so DuckDB can re-derive the whole structure —
+    * production IVF k-means-trains them, but the partition/probe/rescore
+    * mechanics (the scale path: a query touches NPROBE/NLIST of the
+    * corpus) are identical. At 100 TB the assignment is precomputed at
+    * ingest and the corpus is bucketed BY list id, so a probe is a
+    * partition-pruned scan, not a join. */
+  def ivf(s: SparkSession, dir: String): DataFrame = {
+    val NLIST = 16
+    val NPROBE = 4
+    val e = corpus(s, dir)
+    val cents = e.filter(col("vec_id") < NLIST)
+      .select(col("vec_id").as("cid"), col("emb").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    val scored = e.join(broadcast(cents))
+      .withColumn("ccos",
+        VectorFns.cosineWithNorms("emb", "c_emb", "nrm", "c_nrm"))
+    val byVec = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
+    val assign = scored
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("emb"), col("nrm"), col("cid"))
+    val probes = scored.filter(col("vec_id") === 0)
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") <= NPROBE)
+      .select(col("cid"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    assign.join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= 0)
+      .join(broadcast(q))
+      .select(col("vec_id"), col("label"), col("cid").as("probe_list"),
+        round(VectorFns.cosineWithNorms("emb", "q_emb", "nrm", "q_nrm"), 4)
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(5)
+  }
+
+  private val ivfSql =
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+      |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings),
+      |cents AS (
+      |  SELECT vec_id AS cid, emb AS c_emb, nrm AS c_nrm FROM e WHERE vec_id < 16),
+      |scored AS (
+      |  SELECT e.vec_id, e.label, e.emb, e.nrm, c.cid,
+      |         list_dot_product(e.emb, c.c_emb) / (e.nrm * c.c_nrm) AS ccos
+      |  FROM e CROSS JOIN cents c),
+      |assign AS (
+      |  SELECT vec_id, label, emb, nrm, cid FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |                                 ORDER BY ccos DESC, cid) AS rn
+      |    FROM scored) WHERE rn = 1),
+      |probes AS (
+      |  SELECT cid FROM (
+      |    SELECT cid, row_number() OVER (ORDER BY ccos DESC, cid) AS rn
+      |    FROM scored WHERE vec_id = 0) WHERE rn <= 4),
+      |q AS (SELECT emb AS q_emb, nrm AS q_nrm FROM e WHERE vec_id = 0)
+      |SELECT a.vec_id, a.label, a.cid AS probe_list,
+      |       round(list_dot_product(a.emb, q.q_emb) / (a.nrm * q.q_nrm), 4) AS cos_sim
+      |FROM assign a JOIN probes p ON a.cid = p.cid CROSS JOIN q
+      |WHERE a.vec_id <> 0
+      |ORDER BY cos_sim DESC, a.vec_id LIMIT 5""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_sim_topk", bruteTopK, Some(bruteTopKSql)),
-    Q("q_sim_ann_lsh", annLsh, Some(annLshSql)))
+    Q("q_sim_ann_lsh", annLsh, Some(annLshSql)),
+    Q("q_sim_ivf", ivf, Some(ivfSql)))
 }
