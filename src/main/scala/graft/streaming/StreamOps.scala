@@ -25,6 +25,27 @@ final case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
   */
 object StreamOps {
 
+  /** File-source stream over the harness events parquet — the real
+    * `readStream` path (MemoryStream is for tests). Streaming sources
+    * need an explicit schema; events.ts is parquet TIMESTAMP(NANOS),
+    * which Spark 4 only reads as Long (nanosAsLong), so the stream
+    * applies the same ns→µs floor-conversion as the batch loader
+    * (graft.Tables.events) — keeping batch and stream bit-identical. */
+  def eventsFileStream(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // events.parquet is a single FILE; FileStreamSource only accepts a
+    // directory or a glob, so the trailing [t] forces glob mode (matching
+    // exactly that file) with the parent dir as basePath
+    spark.readStream.schema(schema).parquet(s"$dir/events.parque[t]")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
   /** Tumbling hourly aggregation — identical in batch and streaming; the
     * watermark is a no-op in batch and bounds state in streaming. */
   def hourlyCounts(events: DataFrame): DataFrame =

@@ -62,6 +62,18 @@ class StreamOpsSpec extends SparkTestBase {
     assert(finals(2L).n_events == 2 && math.abs(finals(2L).total_value - 2.0) < 1e-9)
   }
 
+  test("file-source stream: hourlyCounts over readStream(events) equals batch") {
+    val batch = StreamOps.hourlyCounts(Tables.events(spark, sfDir))
+      .orderBy("hour_start", "event_type").collect().toSeq
+    val q = StreamOps.hourlyCounts(StreamOps.eventsFileStream(spark, sfDir))
+      .writeStream.format("memory").queryName("file_hourly_sink")
+      .outputMode(OutputMode.Complete()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("file_hourly_sink")
+      .orderBy("hour_start", "event_type").collect().toSeq
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("sessionFlush: a session emits only after its event-time timeout fires") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[UserEvent]
