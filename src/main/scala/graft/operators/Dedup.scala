@@ -33,22 +33,26 @@ object Dedup {
       .withColumn("toks", TextFns.tokens(col("text")))
       .withColumn("sh", array_distinct(TextFns.shingles("toks", 3)))
 
-  /** Exact dedup: normalize then count distinct per language. The
-    * deterministic keep-one variant is groupBy(norm).agg(min(doc_id)) —
-    * never dropDuplicates, whose survivor is partition-order-dependent. */
+  /** Exact dedup: normalize → md5 → count distinct per language. The
+    * distinct runs over the 32-char digest, NOT the normalized text, so
+    * the two-phase distinct aggregation shuffles 32-byte keys instead of
+    * multi-KB documents — at 100 TB that is the difference between
+    * shuffling the corpus and shuffling ~1% of it. The deterministic
+    * keep-one variant is groupBy(hash).agg(min(doc_id)) — never
+    * dropDuplicates, whose survivor is partition-order-dependent. */
   def exact(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .withColumn("norm", TextFns.normalize(col("text")))
+      .withColumn("h", md5(TextFns.normalize(col("text"))))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
-           countDistinct("norm").as("n_unique"),
-           (count(lit(1)) - countDistinct("norm")).as("n_dupes"))
+           countDistinct("h").as("n_unique"),
+           (count(lit(1)) - countDistinct("h")).as("n_dupes"))
       .orderBy("lang")
 
   private val exactSql =
     """SELECT lang, count(*) AS n_docs,
-      |       count(DISTINCT regexp_replace(lower(trim(text)), '[^a-z0-9 ]+', ' ', 'g')) AS n_unique,
-      |       count(*) - count(DISTINCT regexp_replace(lower(trim(text)), '[^a-z0-9 ]+', ' ', 'g')) AS n_dupes
+      |       count(DISTINCT md5(regexp_replace(lower(trim(text)), '[^a-z0-9 ]+', ' ', 'g'))) AS n_unique,
+      |       count(*) - count(DISTINCT md5(regexp_replace(lower(trim(text)), '[^a-z0-9 ]+', ' ', 'g'))) AS n_dupes
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   /** MinHash signature length and LSH banding: 8 hashes, 4 bands of 2.
