@@ -72,6 +72,60 @@ object Multimodal {
       .mapPartitions(decodeStub _)
   }
 
+  /** Resize stage (aspect-fit into a 224×224 box) — the second batch
+    * stage of the pipeline, chained after decode as another typed
+    * mapPartitions pass. Integer-exact arithmetic (scale via integer
+    * division on the long side) so the oracle reproduces it; a real
+    * implementation swaps the arithmetic for the codec call, keeping the
+    * same (Iterator → Iterator) shape. */
+  final case class ResizedMedia(doc_id: Long, media_type: String,
+                                width: Int, height: Int,
+                                r_width: Int, r_height: Int)
+
+  def resizeStub(target: Int)(rows: Iterator[DecodedMedia]): Iterator[ResizedMedia] =
+    rows.map { d =>
+      val (rw, rh) =
+        if (d.width >= d.height) (target, d.height * target / d.width)
+        else (d.width * target / d.height, target)
+      ResizedMedia(d.doc_id, d.media_type, d.width, d.height, rw, rh)
+    }
+
+  /** Decode → resize, both as per-partition batch stages. */
+  def resized(s: SparkSession, dir: String): Dataset[ResizedMedia] = {
+    import s.implicits._
+    decoded(s, dir).mapPartitions(resizeStub(224) _)
+  }
+
+  def resizeAgg(s: SparkSession, dir: String): DataFrame =
+    resized(s, dir)
+      .groupBy("media_type")
+      .agg(count(lit(1)).as("n"),
+           round(avg("r_width"), 4).as("avg_r_width"),
+           round(avg("r_height"), 4).as("avg_r_height"),
+           max("r_width").as("max_r_width"),
+           max("r_height").as("max_r_height"))
+      .orderBy("media_type")
+
+  private val resizeAggSql =
+    """WITH dec AS (
+      |  SELECT doc_id,
+      |         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+      |              WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |         CAST(64 + length(text) % 640 AS INTEGER) AS w,
+      |         CAST(64 + (length(text) * 7) % 480 AS INTEGER) AS h
+      |  FROM documents),
+      |r AS (
+      |  SELECT media_type,
+      |         CASE WHEN w >= h THEN 224 ELSE w * 224 // h END AS r_width,
+      |         CASE WHEN w >= h THEN h * 224 // w ELSE 224 END AS r_height
+      |  FROM dec)
+      |SELECT media_type, count(*) AS n,
+      |       round(avg(r_width), 4) AS avg_r_width,
+      |       round(avg(r_height), 4) AS avg_r_height,
+      |       CAST(max(r_width) AS INTEGER) AS max_r_width,
+      |       CAST(max(r_height) AS INTEGER) AS max_r_height
+      |FROM r GROUP BY media_type ORDER BY media_type""".stripMargin
+
   /** Relational aggregation over decoded metadata — the query a user runs
     * after decode ("how much video, at what resolution, how many sampled
     * frames"). */
@@ -102,5 +156,6 @@ object Multimodal {
       |ORDER BY media_type""".stripMargin
 
   val all: Seq[Q] = Seq(
-    Q("q_multimodal_meta", metaAgg, Some(metaAggSql)))
+    Q("q_multimodal_meta", metaAgg, Some(metaAggSql)),
+    Q("q_multimodal_resize", resizeAgg, Some(resizeAggSql)))
 }
