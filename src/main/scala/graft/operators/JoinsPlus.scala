@@ -327,9 +327,26 @@ object JoinsPlus {
   def sqlText(s: SparkSession, dir: String): DataFrame =
     graft.GraftSql.sql(s, dir, sqlTextQuery)
 
+  /** Correlated scalar subquery — customers above their own nation's
+    * average balance. Catalyst decorrelates this
+    * (RewriteCorrelatedScalarSubquery) into the aggregate-then-join plan
+    * you would hand-write, so the subquery form is scale-free sugar. */
+  private val correlatedQuery =
+    """SELECT n_name, count(*) AS n_above,
+      |       round(avg(c_acctbal), 4) AS avg_above_bal
+      |FROM customer c JOIN nation n ON c_nationkey = n_nationkey
+      |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+      |                   WHERE c2.c_nationkey = c.c_nationkey)
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  def correlated(s: SparkSession, dir: String): DataFrame =
+    graft.GraftSql.sql(s, dir, correlatedQuery)
+
   val all: Seq[Q] = Seq(
     Q("q_semi_anti", semiAnti, Some(semiAntiSql)),
     Q("q_sql_text", sqlText, Some(sqlTextQuery)),
+    Q("q_correlated", correlated, Some(correlatedQuery)),
     Q("q_argmax", argmax, Some(argmaxSql)),
     Q("q_udaf_weighted", udafWeighted, Some(udafWeightedSql)),
     Q("q_cube", cubeAgg, Some(cubeAggSql)),

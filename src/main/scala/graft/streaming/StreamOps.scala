@@ -75,6 +75,27 @@ object StreamOps {
       }
   }
 
+  /** Stream-stream interval join: purchases matched to views of the same
+    * user within the preceding hour. Both sides are watermarked, and the
+    * join condition bounds event-time distance, so each side's state store
+    * holds only ~1 h + watermark of rows per key — the prerequisite for an
+    * unbounded two-stream join. The same function body is the batch range
+    * join (graft.operators.JoinsPlus.rangeJoin shape). */
+  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+      col("event_id").as("view_id"))
+      .withWatermark("v_ts", "10 minutes")
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+      col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "10 minutes")
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("view_id"), col("value"))
+  }
+
   /** Finished session emitted by [[sessionFlush]] when a user's
     * inactivity timeout fires. */
   final case class SessionSummary(user_id: Long, start_sec: Double,

@@ -7,6 +7,10 @@ import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.{StreamOps, UserAgg, UserEvent}
 
+/** Event carrying its own id, for the stream-stream join test. */
+final case class IdEvent(user_id: Long, ts: java.sql.Timestamp,
+                         event_id: Long, value: Double)
+
 /** StreamOps (SURVEY.md §2.7): the same transform function must produce
   * identical results on a batch DataFrame and on a stream of the same rows —
   * that unification is the whole point of Structured Streaming.
@@ -95,6 +99,35 @@ class StreamOpsSpec extends SparkTestBase {
       .collect()
     assert(flushed.length == 1)
     assert(flushed(0).getLong(3) == 2L) // both events in one session
+  }
+
+  test("stream-stream interval join matches the batch join on the same rows") {
+    val views = Seq(
+      IdEvent(1L, ts(1, 0), 100L, 0.0),
+      IdEvent(1L, ts(1, 30), 101L, 0.0),
+      IdEvent(2L, ts(2, 0), 102L, 0.0))
+    val buys = Seq(
+      IdEvent(1L, ts(1, 45), 200L, 9.0), // joins both views of user 1
+      IdEvent(2L, ts(4, 0), 201L, 5.0))  // >1h after user 2's view
+
+    val batch = StreamOps.viewPurchaseJoin(views.toDF(), buys.toDF())
+      .orderBy("purchase_id", "view_id").collect().toSeq
+
+    implicit val ctx = spark.sqlContext
+    val vMem = MemoryStream[IdEvent]
+    val bMem = MemoryStream[IdEvent]
+    val q = StreamOps.viewPurchaseJoin(vMem.toDF(), bMem.toDF())
+      .writeStream.format("memory").queryName("ssj_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      vMem.addData(views: _*)
+      bMem.addData(buys: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ssj_sink").orderBy("purchase_id", "view_id")
+      .collect().toSeq
+    assert(streamed == batch)
+    assert(batch.length == 2) // user 1's purchase x 2 views; user 2 out of window
   }
 
   test("dedupEvents: re-delivered events within the watermark are dropped") {
