@@ -92,6 +92,10 @@ object GraftFunctions {
       FunctionIdentifier("minhash_slices"),
       new ExpressionInfo(classOf[MinHashSlicesD].getName, "minhash_slices"),
       exprs => MinHashSlicesD(exprs(0)))
+    reg.registerFunction(
+      FunctionIdentifier("rolling_fingerprint"),
+      new ExpressionInfo(classOf[RollingFingerprint].getName, "rolling_fingerprint"),
+      exprs => RollingFingerprint(exprs(0)))
   }
 }
 
@@ -109,5 +113,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_slices"),
       new ExpressionInfo(classOf[MinHashSlicesD].getName, "minhash_slices"),
       (exprs: Seq[Expression]) => MinHashSlicesD(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_fingerprint"),
+      new ExpressionInfo(classOf[RollingFingerprint].getName, "rolling_fingerprint"),
+      (exprs: Seq[Expression]) => RollingFingerprint(exprs(0))))
   }
 }

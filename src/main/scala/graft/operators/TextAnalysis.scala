@@ -185,8 +185,26 @@ object TextAnalysis {
       |       min(fp) AS min_fp
       |FROM fps GROUP BY source ORDER BY source""".stripMargin
 
+  /** Rolling-hash (Karp-Rabin) fingerprinting — the O(1)-per-position
+    * sliding-window complement to the shingle-md5 fingerprint: per source,
+    * distinct min-window-hash count and the minimum fingerprint. No DuckDB
+    * oracle (modular polynomial hashing isn't expressible there without
+    * modpow), so the driver records the rows-only check; correctness is
+    * pinned by a reference implementation in DotProductSpec. */
+  def rollingFingerprint(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, dir)
+      .withColumn("fp", expr("rolling_fingerprint(text)"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct("fp").as("n_distinct_fp"),
+           min("fp").as("min_fp"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_text_langid", langId, Some(langIdSql)),
+    Q("q_text_rollinghash", rollingFingerprint, None),
     Q("q_text_quality", quality, Some(qualitySql)),
     Q("q_text_tokens", tokenCounts, Some(tokenCountsSql)),
     Q("q_term_freq", termFreq, Some(termFreqSql)),

@@ -62,6 +62,26 @@ class DotProductSpec extends SparkTestBase {
     assert(e.isNullAt(0))
   }
 
+  test("rolling_fingerprint equals a naive per-window reference hash") {
+    GraftFunctions.register(spark)
+    import graft.functions.RollingHashKernel.{B, M, W}
+    def naive(s: String): Long = {
+      val b = s.getBytes("UTF-8")
+      if (b.isEmpty) 0L
+      else {
+        val windows =
+          if (b.length < W) Seq(b.toSeq) else b.toSeq.sliding(W).toSeq
+        windows.map(_.foldLeft(0L)((h, c) => (h * B + (c & 0xff)) % M)).min
+      }
+    }
+    val texts = Tables.documents(spark, sfDir).select("text")
+      .limit(50).collect().map(_.getString(0)) ++
+      Seq("", "a", "short", "x" * 16, "y" * 17)
+    val got = texts.toSeq.toDF("t")
+      .selectExpr("rolling_fingerprint(t)").collect().map(_.getLong(0))
+    assert(got.toSeq == texts.map(naive).toSeq)
+  }
+
   test("dot_d rejects non-double-array inputs at analysis") {
     GraftFunctions.register(spark)
     val e = intercept[Exception](spark.sql("SELECT dot_d('x', 'y')").collect())
