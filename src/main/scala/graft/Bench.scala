@@ -45,7 +45,9 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // total counts SUCCESSFUL queries only — a failure (negative marker)
+    // must never make the headline number smaller
+    val total = results.map(_._2).filter(_ > 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

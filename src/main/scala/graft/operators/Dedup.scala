@@ -56,7 +56,9 @@ object Dedup {
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   /** MinHash signature length and LSH banding: 8 hashes, 4 bands of 2.
-    * For threshold t≈(1/b)^(1/r) this targets t≈0.25 Jaccard. */
+    * S-curve midpoint t≈(1/b)^(1/r) = (1/4)^(1/2) = 0.5 Jaccard — pairs
+    * well below that (incl. the 0.3 verify cutoff) are caught with lower
+    * probability; production raises K/BANDS to move the midpoint down. */
   private val K = 8
   private val BANDS = 4
 
@@ -73,7 +75,7 @@ object Dedup {
       .select(
         (col("doc_id") +: (0 until K).map(i => col("mh").getItem(i).as(s"h$i"))): _*)
     val bandCols = (0 until BANDS).map(b =>
-      md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as(s"b$b"))
+      TextFns.bandKey(Seq(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as(s"b$b"))
     // kv is cached: it feeds BOTH sides of the self-join and would
     // otherwise recompute the md5 signature stage once per use (profiled
     // 4× recompute = ~75% of this query's runtime before caching). It is
@@ -242,12 +244,8 @@ object Dedup {
     * widened first; DuckDB's list_cosine_similarity stays in float32 and
     * would diverge in the 7th digit). */
   def embedCosine(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
     import graft.functions.VectorFns
-    val e = Tables.embeddings(s, dir)
-      .withColumn("emb", expr(VectorFns.asDoubleSql("embedding")))
-      .withColumn("nrm", VectorFns.norm("emb"))
-      .select("vec_id", "label", "emb", "nrm")
+    val e = Similarity.corpus(s, dir)
     e.as("x").join(e.as("y"),
         col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.label").as("label"),

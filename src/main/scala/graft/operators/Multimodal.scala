@@ -55,19 +55,26 @@ object Multimodal {
       val height = 64 + (len * 7) % 480
       val nFrames = (1 + r.doc_id % 24).toInt
       val nSampled = (nFrames + 5) / 6 // every-6th frame sampling
-      val brightness = (r.payload(0) & 0xff).toDouble
+      // empty payloads decode to zeros rather than killing the task —
+      // a corrupt/empty blob must never fail a 100 TB batch
+      val brightness = if (len == 0) 0.0 else (r.payload(0) & 0xff).toDouble
       val feature =
-        Array.tabulate(8)(i => (r.payload(i % len) & 0xff).toFloat / 255f)
+        if (len == 0) Array.fill(8)(0f)
+        else Array.tabulate(8)(i => (r.payload(i % len) & 0xff).toFloat / 255f)
       DecodedMedia(r.doc_id, r.media_type, width, height, nFrames, nSampled,
         brightness, feature)
     }
 
-  /** The batch-decode pipeline: repartition by modality, then one
-    * decode batch per partition. */
+  /** The batch-decode pipeline: repartition by (modality, salt), then one
+    * decode batch per partition. The salt matters: hashing on media_type
+    * alone would collapse decode to ≤3 non-empty partitions at ANY corpus
+    * size; the doc_id-derived salt spreads each modality across the
+    * cluster while keeping every partition single-modality (codec/model
+    * state still reused within a batch). */
   def decoded(s: SparkSession, dir: String): Dataset[DecodedMedia] = {
     import s.implicits._
     mediaTable(s, dir)
-      .repartition(col("media_type"))
+      .repartition(col("media_type"), pmod(col("doc_id"), lit(8)))
       .as[MediaRow]
       .mapPartitions(decodeStub _)
   }

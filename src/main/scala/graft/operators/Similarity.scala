@@ -25,8 +25,9 @@ object Similarity {
   private val BITS = 16
   private val DIM = 64
 
-  /** embeddings with double-widened vector + norm. */
-  private def corpus(s: SparkSession, dir: String): DataFrame = {
+  /** embeddings with double-widened vector + norm (shared with
+    * Dedup.embedCosine — one definition of the corpus projection). */
+  private[operators] def corpus(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.embeddings(s, dir)
       .withColumn("emb", expr(VectorFns.asDoubleSql("embedding")))
@@ -81,20 +82,24 @@ object Similarity {
   }
 
   private val annLshSql = {
+    // Weights per plane are materialized as a LIST and the projection is
+    // list_dot_product — a sequential left-to-right fold, bit-identical
+    // to Spark's dot_d over the inlined literal array. (A GROUP BY
+    // sum(emb[j]*wt) would leave the summation order to the aggregate
+    // engine and could flip a near-zero sign bit.)
     s"""WITH e AS (
        |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
        |  FROM embeddings),
        |w AS (
-       |  SELECT m, j,
-       |         CASE WHEN strpos('0123456789abcdef', substr(md5(m || ':' || j), 1, 1)) - 1 >= 8
-       |              THEN 1.0 ELSE -1.0 END AS wt
-       |  FROM (SELECT unnest(generate_series(0, ${BITS - 1})) AS m),
-       |       (SELECT unnest(generate_series(0, ${DIM - 1})) AS j)),
+       |  SELECT m,
+       |         list_transform(generate_series(0, ${DIM - 1}), j ->
+       |           CASE WHEN strpos('0123456789abcdef', substr(md5(m || ':' || j), 1, 1)) - 1 >= 8
+       |                THEN 1.0 ELSE -1.0 END) AS wt
+       |  FROM (SELECT unnest(generate_series(0, ${BITS - 1})) AS m)),
        |comp AS (
-       |  SELECT vec_id, m, sum(emb[j + 1] * wt) AS d
-       |  FROM e, w
-       |  GROUP BY vec_id, m),
+       |  SELECT vec_id, m, list_dot_product(emb, wt) AS d
+       |  FROM e, w),
        |sig AS (
        |  SELECT vec_id,
        |         CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << CAST(m AS INTEGER))

@@ -121,16 +121,27 @@ object StreamOps {
             state.remove()
             Iterator.single(out)
           } else {
-            val secs = evs.map(_.ts.getTime / 1000.0).toSeq
-            val prev = state.getOption
-              .getOrElse(SessionSummary(uid, secs.min, secs.min, 0L))
-            val next = SessionSummary(uid,
-              math.min(prev.start_sec, secs.min),
-              math.max(prev.end_sec, secs.max),
-              prev.n_events + secs.size)
-            state.update(next)
-            state.setTimeoutTimestamp((next.end_sec * 1000).toLong + gapSeconds * 1000)
-            Iterator.empty
+            // Walk the batch in time order, SPLITTING on every gap >
+            // gapSeconds — a single batch can both close old sessions
+            // (emitted immediately) and open a new one (kept in state for
+            // the timeout to flush). Without the split, events more than
+            // a gap apart would silently merge into one session whenever
+            // they beat the watermark.
+            val secs = evs.map(_.ts.getTime / 1000.0).toArray.sorted
+            val done = scala.collection.mutable.Buffer.empty[SessionSummary]
+            var cur = state.getOption.orNull
+            secs.foreach { t =>
+              if (cur == null) cur = SessionSummary(uid, t, t, 1L)
+              else if (t - cur.end_sec > gapSeconds) {
+                done += cur
+                cur = SessionSummary(uid, t, t, 1L)
+              } else cur = SessionSummary(uid,
+                math.min(cur.start_sec, t), math.max(cur.end_sec, t),
+                cur.n_events + 1)
+            }
+            state.update(cur)
+            state.setTimeoutTimestamp((cur.end_sec * 1000).toLong + gapSeconds * 1000)
+            done.iterator
           }
       }
   }

@@ -78,6 +78,25 @@ class StreamOpsSpec extends SparkTestBase {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("sessionFlush: an in-batch gap splits sessions and emits the closed one") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val q = StreamOps.sessionFlush(mem.toDS(), gapSeconds = 1800L)
+      .writeStream.format("memory").queryName("flush_split_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // one batch: events at 00:05, 00:10, then 05:00 — a 4h50m gap
+      mem.addData(
+        UserEvent(1L, ts(0, 5), "click", 0.0),
+        UserEvent(1L, ts(0, 10), "click", 0.0),
+        UserEvent(1L, ts(5, 0), "click", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("flush_split_sink").collect()
+    assert(rows.length == 1) // first session closed immediately by the gap
+    assert(rows(0).getLong(3) == 2L) // it held the two 00:0x events
+  }
+
   test("sessionFlush: a session emits only after its event-time timeout fires") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[UserEvent]
@@ -85,7 +104,9 @@ class StreamOpsSpec extends SparkTestBase {
       .writeStream.format("memory").queryName("flush_sink")
       .outputMode(OutputMode.Append()).start()
     try {
-      mem.addData(sample.filter(_.user_id == 1L).take(2): _*) // 00:05, 00:45
+      // two events 20 min apart — inside the 30-min gap, one open session
+      mem.addData(UserEvent(1L, ts(0, 5), "click", 1.0),
+        UserEvent(1L, ts(0, 25), "click", 2.0))
       q.processAllAvailable()
       assert(spark.table("flush_sink").count() == 0) // session still open
       // a much later event advances the watermark past 00:45 + 30min gap
