@@ -96,6 +96,16 @@ object GraftFunctions {
       FunctionIdentifier("rolling_fingerprint"),
       new ExpressionInfo(classOf[RollingFingerprint].getName, "rolling_fingerprint"),
       exprs => RollingFingerprint(exprs(0)))
+    reg.registerFunction(
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      exprs => WordShingles(exprs(0), extractIntLiteral(exprs(1), "word_shingles")))
+  }
+
+  private[functions] def extractIntLiteral(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: second argument must be an integer literal, got $other")
   }
 }
 
@@ -117,5 +127,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("rolling_fingerprint"),
       new ExpressionInfo(classOf[RollingFingerprint].getName, "rolling_fingerprint"),
       (exprs: Seq[Expression]) => RollingFingerprint(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (exprs: Seq[Expression]) =>
+        WordShingles(exprs(0), GraftFunctions.extractIntLiteral(exprs(1), "word_shingles"))))
   }
 }

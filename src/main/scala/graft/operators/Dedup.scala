@@ -27,11 +27,15 @@ import graft.functions.TextFns
   */
 object Dedup {
 
-  /** documents + distinct word-3-shingle set column `sh`. */
-  private def docsWithShingles(s: SparkSession, dir: String): DataFrame =
+  /** documents + distinct word-3-shingle set column `sh` (compiled
+    * word_shingles kernel; bit-identical to TextFns.shingles — asserted
+    * in DotProductSpec). */
+  private def docsWithShingles(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)
       .withColumn("toks", TextFns.tokens(col("text")))
-      .withColumn("sh", array_distinct(TextFns.shingles("toks", 3)))
+      .withColumn("sh", array_distinct(expr("word_shingles(toks, 3)")))
+  }
 
   /** Exact dedup: normalize → md5 → count distinct per language. The
     * distinct runs over the 32-char digest, NOT the normalized text, so
@@ -190,9 +194,10 @@ object Dedup {
     * Zero-overlap pairs (jac = 0 by definition) don't appear, which cannot
     * affect a most-similar top-k. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val d = Tables.documents(s, dir)
       .withColumn("toks", TextFns.tokens(col("text")))
-      .withColumn("sh2", array_distinct(TextFns.shingles("toks", 2)))
+      .withColumn("sh2", array_distinct(expr("word_shingles(toks, 2)")))
       .select("lang", "source", "doc_id", "sh2")
       .cache()
     val sizes = d.select(col("doc_id"), size(col("sh2")).as("sz"))

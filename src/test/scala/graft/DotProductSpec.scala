@@ -62,6 +62,23 @@ class DotProductSpec extends SparkTestBase {
     assert(e.isNullAt(0))
   }
 
+  test("word_shingles equals the SQL shingle form, incl. short docs") {
+    GraftFunctions.register(spark)
+    val d = Tables.documents(spark, sfDir).select("text")
+      .union(Seq("one two", "solo", "").toDF("text"))
+      .withColumn("toks", split(col("text"), " "))
+    Seq(2, 3).foreach { n =>
+      val bad = d
+        .withColumn("fast", expr(s"word_shingles(toks, $n)"))
+        .withColumn("ref", graft.functions.TextFns.shingles("toks", n))
+        .filter(col("fast") =!= col("ref"))
+      assert(bad.count() == 0, s"n=$n mismatch")
+    }
+    val e = intercept[Exception](
+      spark.sql("SELECT word_shingles(array('a'), 1 + 1)").collect())
+    assert(e.getMessage.contains("literal"))
+  }
+
   test("rolling_fingerprint equals a naive per-window reference hash") {
     GraftFunctions.register(spark)
     import graft.functions.RollingHashKernel.{B, M, W}
