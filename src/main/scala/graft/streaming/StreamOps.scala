@@ -96,6 +96,20 @@ object StreamOps {
         col("view_id"), col("value"))
   }
 
+  /** foreachBatch parquet sink: land each micro-batch in a parquet
+    * directory (append), reusing the full batch DataFrameWriter — the
+    * standard way to attach a streaming pipeline to a batch table when no
+    * native sink fits (e.g. the bucketed warehouse of graft.sources.Ddl).
+    * Returns the started query; caller manages lifecycle/checkpointing. */
+  def parquetBatchSink(df: DataFrame, outDir: String,
+                       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .start()
+
   /** Finished session emitted by [[sessionFlush]] when a user's
     * inactivity timeout fires. */
   final case class SessionSummary(user_id: Long, start_sec: Double,

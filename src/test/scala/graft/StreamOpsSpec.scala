@@ -122,6 +122,24 @@ class StreamOpsSpec extends SparkTestBase {
     assert(flushed(0).getLong(3) == 2L) // both events in one session
   }
 
+  test("foreachBatch parquet sink lands micro-batches readable as a batch table") {
+    implicit val ctx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val mem = MemoryStream[UserEvent]
+    val q = StreamOps.parquetBatchSink(
+      mem.toDF(), s"$tmp/out", s"$tmp/ckpt")
+    try {
+      mem.addData(sample.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(sample.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val landed = spark.read.parquet(s"$tmp/out")
+    assert(landed.count() == sample.size)
+    assert(landed.columns.sorted.sameElements(
+      Array("event_type", "ts", "user_id", "value")))
+  }
+
   test("stream-stream interval join matches the batch join on the same rows") {
     val views = Seq(
       IdEvent(1L, ts(1, 0), 100L, 0.0),
