@@ -237,8 +237,85 @@ object Breadth {
            count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** lead/lag: inter-event-time statistics per user — the offset-window
+    * complement to frames (same single exchange on user_id). */
+  def interEventTime(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, dir)
+      .withColumn("gap",
+        col("ts").cast("double") - lag(col("ts").cast("double"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+           round(avg("gap"), 4).as("avg_gap_sec"),
+           round(max("gap"), 4).as("max_gap_sec"))
+      .orderBy("user_id")
+  }
+
+  private val interEventTimeSql =
+    """WITH g AS (
+      |  SELECT user_id,
+      |         epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id
+      |                                          ORDER BY ts, event_id) AS gap
+      |  FROM events)
+      |SELECT user_id, count(*) AS n_gaps,
+      |       round(avg(gap), 4) AS avg_gap_sec,
+      |       round(max(gap), 4) AS max_gap_sec
+      |FROM g WHERE gap IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** ntile: quartile-bucket customers by account balance, one row per
+    * bucket. Deterministic: ntile ties broken by the unique custkey in
+    * the ORDER BY (both engines assign by row position). */
+  def balanceQuartiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    Tables.customer(s, dir)
+      .withColumn("q", ntile(4).over(w).cast("long"))
+      .groupBy("q")
+      .agg(count(lit(1)).as("n"),
+           round(min("c_acctbal"), 4).as("min_bal"),
+           round(max("c_acctbal"), 4).as("max_bal"))
+      .orderBy("q")
+  }
+
+  private val balanceQuartilesSql =
+    """WITH t AS (
+      |  SELECT c_acctbal,
+      |         ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS q
+      |  FROM customer)
+      |SELECT q, count(*) AS n,
+      |       round(min(c_acctbal), 4) AS min_bal,
+      |       round(max(c_acctbal), 4) AS max_bal
+      |FROM t GROUP BY q ORDER BY q""".stripMargin
+
+  /** Fuzzy matching: the most-similar supplier-name pairs by Levenshtein
+    * distance — the classic entity-resolution primitive. All-pairs here
+    * (supplier is a dim-sized table); at 100 TB candidate pairs come from
+    * blocking — length bands (edit distance ≥ length difference), prefix
+    * buckets, or q-gram MinHash-LSH (the Dedup pipeline) — never the raw
+    * cross product. */
+  def fuzzyNames(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_name")
+    sup.as("a").join(sup.as("b"),
+        col("a.s_suppkey") < col("b.s_suppkey"))
+      .select(col("a.s_suppkey").as("ka"), col("b.s_suppkey").as("kb"),
+        levenshtein(col("a.s_name"), col("b.s_name")).cast("long").as("dist"))
+      .orderBy(col("dist").asc, col("ka").asc, col("kb").asc)
+      .limit(15)
+  }
+
+  private val fuzzyNamesSql =
+    """SELECT a.s_suppkey AS ka, b.s_suppkey AS kb,
+      |       CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+      |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+      |ORDER BY dist, ka, kb LIMIT 15""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_window_rank", windowRank, Some(windowRankSql)),
+    Q("q_inter_event", interEventTime, Some(interEventTimeSql)),
+    Q("q_ntile", balanceQuartiles, Some(balanceQuartilesSql)),
+    Q("q_fuzzy_names", fuzzyNames, Some(fuzzyNamesSql)),
     Q("q_running_total", runningTotal, Some(runningTotalSql)),
     Q("q_hourly_window", hourlyWindow, Some(hourlyWindowSql)),
     Q("q_json_props", jsonProps, Some(jsonPropsSql)),
