@@ -267,7 +267,13 @@ object Breadth {
 
   /** ntile: quartile-bucket customers by account balance, one row per
     * bucket. Deterministic: ntile ties broken by the unique custkey in
-    * the ORDER BY (both engines assign by row position). */
+    * the ORDER BY (both engines assign by row position).
+    *
+    * Scale caveat — a GLOBAL window (no partitionBy) funnels all rows
+    * through one task's sort; acceptable only for bounded inputs. For
+    * exact-rank bucketing over an unbounded fact, compute percentile
+    * cutoffs first (q_percentiles) and bucket by comparison — one
+    * aggregation instead of a global sort. */
   def balanceQuartiles(s: SparkSession, dir: String): DataFrame = {
     val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
     Tables.customer(s, dir)
