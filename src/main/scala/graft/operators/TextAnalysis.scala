@@ -202,8 +202,35 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Deterministic hash split — reproducible train/test assignment by the
+    * last hex digit of md5(doc_id): digits 0–3 → test (25%), else train.
+    * Unlike df.sample() (RNG per partition, changes under repartition or
+    * re-execution), a key-hash split is stable across runs, engines, and
+    * cluster layouts — the only sane way to hold out eval data in a
+    * recurring 100 TB pipeline. */
+  def hashSplit(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("split",
+        when(substring(md5(col("doc_id").cast("string")), 32, 1) < "4", "test")
+          .otherwise("train"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg(size(split(col("text"), " "))), 4).as("avg_tokens"))
+      .orderBy("lang", "split")
+
+  private val hashSplitSql =
+    """SELECT lang,
+      |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) < '4'
+      |            THEN 'test' ELSE 'train' END AS split,
+      |       count(*) AS n_docs,
+      |       round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
+      |FROM documents
+      |GROUP BY 1, 2
+      |ORDER BY lang, split""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_text_langid", langId, Some(langIdSql)),
+    Q("q_hash_split", hashSplit, Some(hashSplitSql)),
     Q("q_text_rollinghash", rollingFingerprint, None),
     Q("q_text_quality", quality, Some(qualitySql)),
     Q("q_text_tokens", tokenCounts, Some(tokenCountsSql)),
