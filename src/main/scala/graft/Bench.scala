@@ -28,20 +28,37 @@ object Bench {
       .format("noop").mode("overwrite").save()
     spark.read.parquet(s"$sfDir/region.parquet").write
       .format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
-        }
-      // failed queries report negative elapsed so they can't masquerade
-      // as fast successes in BENCH_r{N}.json
-      val dt = (System.nanoTime() - t0) / 1e9 * (if (ok) 1 else -1)
-      // isolate queries: drop caches a query created so the next one isn't
-      // measured under its memory pressure
-      spark.catalog.clearCache()
-      name -> dt
+    // Contention-proofing: a shared host can slow this JVM 4-6x for the
+    // duration of a competing job, which says nothing about the plans. Run
+    // PASSES full passes over the query set and report each query's MINIMUM.
+    // Passes are interleaved (q1..qN, q1..qN, ...) rather than back-to-back
+    // per query, so a contention burst shorter than one pass (~45 s at
+    // sf0.1) cannot hit every sample of any single query.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = (1 to passes).flatMap { _ =>
+      names.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+          }
+        // failed queries report negative elapsed so they can't masquerade
+        // as fast successes in BENCH_r{N}.json
+        val dt = (System.nanoTime() - t0) / 1e9 * (if (ok) 1 else -1)
+        // isolate queries: drop caches a query created so the next one isn't
+        // measured under its memory pressure
+        spark.catalog.clearCache()
+        name -> dt
+      }
+    }
+    // Per-query: min over successful samples; if a query never succeeded,
+    // keep a negative marker so the failure stays visible downstream.
+    val results = names.map { case (name, _) =>
+      val ts = samples.collect { case (`name`, dt) => dt }
+      val good = ts.filter(_ > 0)
+      name -> (if (good.nonEmpty) good.min else ts.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

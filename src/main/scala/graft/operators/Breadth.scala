@@ -266,18 +266,52 @@ object Breadth {
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** ntile: quartile-bucket customers by account balance, one row per
-    * bucket. Deterministic: ntile ties broken by the unique custkey in
-    * the ORDER BY (both engines assign by row position).
+    * bucket — computed as a DISTRIBUTED exact rank, never a global window.
     *
-    * Scale caveat — a GLOBAL window (no partitionBy) funnels all rows
-    * through one task's sort; acceptable only for bounded inputs. For
-    * exact-rank bucketing over an unbounded fact, compute percentile
-    * cutoffs first (q_percentiles) and bucket by comparison — one
-    * aggregation instead of a global sort. */
+    * A bare `ntile(4).over(Window.orderBy(...))` funnels every row through
+    * one task's sort (the canonical window scale-killer). Instead:
+    *   1. repartitionByRange on the total-order key (acctbal, custkey) —
+    *      Spark's sampled range exchange, fully parallel;
+    *   2. row_number per range partition (window partitioned by
+    *      spark_partition_id — each window group is one data partition);
+    *   3. global rank = per-partition offset + local row number, where the
+    *      offsets come from a triangular self-join over the per-partition
+    *      counts (≤ #partitions rows — cluster-bounded, not data-bounded);
+    *   4. the exact ntile formula over (rank, N): with base = N div 4 and
+    *      rem = N mod 4, buckets 1..rem hold base+1 rows, the rest base.
+    * The custkey tiebreak makes the total order unique, so the result is
+    * identical to the single-task window at every scale. */
   def balanceQuartiles(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
-    Tables.customer(s, dir)
-      .withColumn("q", ntile(4).over(w).cast("long"))
+    val nb = 4
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val keyed = Tables.customer(s, dir)
+      .select(col("c_acctbal"), col("c_custkey"))
+      .repartitionByRange(parts, col("c_acctbal").asc, col("c_custkey").asc)
+      .withColumn("pid", spark_partition_id())
+    // per-range-partition counts: tiny (≤ `parts` rows); offsets = rows in
+    // all lower-ranged partitions (left join keeps the pid=0 offset row)
+    val counts = keyed.groupBy("pid").agg(count(lit(1)).as("cnt"))
+    val offsets = counts.as("a")
+      .join(counts.as("b"), col("b.pid") < col("a.pid"), "left")
+      .groupBy(col("a.pid").as("pid"))
+      .agg(coalesce(sum("b.cnt"), lit(0L)).as("off"))
+    val total = counts.agg(sum("cnt").as("n_total"))
+    val localW = Window.partitionBy("pid")
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    val ranked = keyed
+      .withColumn("rn", row_number().over(localW).cast("long"))
+      .join(broadcast(offsets), "pid")
+      .crossJoin(broadcast(total))
+      .withColumn("rnk", col("off") + col("rn"))
+    val base = floor(col("n_total") / nb).cast("long")
+    val rem  = (col("n_total") % nb).cast("long")
+    val head = rem * (base + lit(1L)) // rows covered by the base+1 buckets
+    ranked
+      .withColumn("q",
+        when(col("rnk") <= head,
+             floor((col("rnk") - 1) / (base + lit(1L))).cast("long") + 1L)
+          .otherwise(
+             rem + floor((col("rnk") - head - 1) / base).cast("long") + 1L))
       .groupBy("q")
       .agg(count(lit(1)).as("n"),
            round(min("c_acctbal"), 4).as("min_bal"),
@@ -295,26 +329,65 @@ object Breadth {
       |       round(max(c_acctbal), 4) AS max_bal
       |FROM t GROUP BY q ORDER BY q""".stripMargin
 
-  /** Fuzzy matching: the most-similar supplier-name pairs by Levenshtein
-    * distance — the classic entity-resolution primitive. All-pairs here
-    * (supplier is a dim-sized table); at 100 TB candidate pairs come from
-    * blocking — length bands (edit distance ≥ length difference), prefix
-    * buckets, or q-gram MinHash-LSH (the Dedup pipeline) — never the raw
-    * cross product. */
+  /** Fuzzy matching: closest supplier-name pairs within Levenshtein
+    * distance ≤ 2 — the classic entity-resolution primitive, BLOCKED so the
+    * plan is an equi-join, never a cross product.
+    *
+    * Candidate generation is the ED-Join positional q-gram prefix filter
+    * (Xiao et al., VLDB'08 — public algorithm): if edit(a,b) ≤ D, the two
+    * strings must share a positional q-gram (position shift ≤ D, length
+    * difference ≤ D) among the qD+1 lexicographically-smallest grams of
+    * each. Each name therefore emits only its qD+1 = 5 prefix bigrams; the
+    * join is keyed on the gram text, with position/length bands and the
+    * exact levenshtein ≤ D check as post-filters. The guarantee needs
+    * len ≥ q(D+1); shorter strings (none in this schema) fall back to a
+    * tiny length-banded block so completeness holds unconditionally.
+    * The all-pairs form survives only in the DuckDB oracle SQL. */
   def fuzzyNames(s: SparkSession, dir: String): DataFrame = {
-    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_name")
-    sup.as("a").join(sup.as("b"),
-        col("a.s_suppkey") < col("b.s_suppkey"))
-      .select(col("a.s_suppkey").as("ka"), col("b.s_suppkey").as("kb"),
-        levenshtein(col("a.s_name"), col("b.s_name")).cast("long").as("dist"))
+    val D = 2; val qg = 2; val pref = qg * D + 1
+    val sup = Tables.supplier(s, dir)
+      .select(col("s_suppkey").as("k"), col("s_name").as("nm"))
+      .withColumn("len", length(col("nm")))
+    val ex = sup
+      .withColumn("grams", expr(
+        s"""slice(array_sort(transform(sequence(1, greatest(len - 1, 1)),
+           |  i -> struct(substring(nm, i, $qg) AS g, i AS p))), 1, $pref)"""
+          .stripMargin))
+      .select(col("k"), col("nm"), col("len"), explode(col("grams")).as("gp"))
+      .select(col("k"), col("nm"), col("len"),
+              col("gp.g").as("g"), col("gp.p").as("p"))
+    val gramPairs = ex.as("a").join(ex.as("b"),
+        col("a.g") === col("b.g") &&
+        col("a.k") < col("b.k") &&
+        abs(col("a.p") - col("b.p")) <= D &&
+        abs(col("a.len") - col("b.len")) <= D)
+      .select(col("a.k").as("ka"), col("b.k").as("kb"),
+              col("a.nm").as("na"), col("b.nm").as("nb"))
+    // completeness fallback: strings below the gram-guarantee length pair
+    // within a single (empty here, always tiny) length-banded block
+    val shorts = sup.filter(col("len") < qg * (D + 1) + D)
+      .withColumn("blk", lit(1))
+    val shortPairs = shorts.as("a").join(shorts.as("b"),
+        col("a.blk") === col("b.blk") &&
+        col("a.k") < col("b.k") &&
+        (col("a.len") < qg * (D + 1) || col("b.len") < qg * (D + 1)) &&
+        abs(col("a.len") - col("b.len")) <= D)
+      .select(col("a.k").as("ka"), col("b.k").as("kb"),
+              col("a.nm").as("na"), col("b.nm").as("nb"))
+    gramPairs.union(shortPairs).distinct()
+      .select(col("ka"), col("kb"),
+        levenshtein(col("na"), col("nb")).cast("long").as("dist"))
+      .filter(col("dist") <= D)
       .orderBy(col("dist").asc, col("ka").asc, col("kb").asc)
       .limit(15)
   }
 
   private val fuzzyNamesSql =
-    """SELECT a.s_suppkey AS ka, b.s_suppkey AS kb,
-      |       CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
-      |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+    """SELECT ka, kb, dist FROM (
+      |  SELECT a.s_suppkey AS ka, b.s_suppkey AS kb,
+      |         CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+      |  FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey)
+      |WHERE dist <= 2
       |ORDER BY dist, ka, kb LIMIT 15""".stripMargin
 
   val all: Seq[Q] = Seq(

@@ -1,11 +1,14 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SortExec
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
 import org.apache.spark.sql.types.ArrayType
 
-import graft.operators.{Dedup, JoinsPlus}
+import graft.operators.{Breadth, Dedup, JoinsPlus}
 
 /** Physical-plan assertions for the SCALE claims the result oracle cannot
   * see: what the shuffles actually carry, and how many there are. These are
@@ -13,10 +16,15 @@ import graft.operators.{Dedup, JoinsPlus}
   */
 class PlanShapeSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
 
-  private def exchanges(df: DataFrame): Seq[ShuffleExchangeExec] = {
-    df.write.format("noop").mode("overwrite").save()
-    collect(df.queryExecution.executedPlan) { case e: ShuffleExchangeExec => e }
+  // collect() (not a noop write) so AQE finalizes THIS df's QueryExecution —
+  // a write spawns a separate execution and the asserted plan never runs
+  private def executed(df: DataFrame) = {
+    df.collect()
+    df.queryExecution.executedPlan
   }
+
+  private def exchanges(df: DataFrame): Seq[ShuffleExchangeExec] =
+    collect(executed(df)) { case e: ShuffleExchangeExec => e }
 
   test("minhash dedup never shuffles shingle arrays (ids and band keys only)") {
     val ex = exchanges(Dedup.minhashLsh(spark, sfDir))
@@ -53,5 +61,32 @@ class PlanShapeSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     val shuffledCols = ex.flatMap(_.output.map(_.name))
     assert(!shuffledCols.contains("norm") && !shuffledCols.contains("text"),
       s"shuffled columns: $shuffledCols")
+  }
+
+  test("ntile quartiles: every window is key-partitioned, no global data sort") {
+    val plan = executed(Breadth.balanceQuartiles(spark, sfDir))
+    val windows = collect(plan) { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"global (unpartitioned) window found — single-task sort:\n$w")
+    }
+    // the only global sorts allowed are over post-aggregation rows (the
+    // 4-row presentation ORDER BY), never over the customer scan itself
+    val globalSorts = collect(plan) { case s: SortExec if s.global => s }
+    globalSorts.foreach { s =>
+      assert(!s.output.exists(_.name == "c_custkey"),
+        s"global sort over raw customer rows:\n$s")
+    }
+  }
+
+  test("fuzzy match joins are key-blocked, never a cross product") {
+    val plan = executed(Breadth.fuzzyNames(spark, sfDir))
+    val cartesian = collect(plan) {
+      case c: CartesianProductExec => c
+      case b: BroadcastNestedLoopJoinExec => b
+    }
+    assert(cartesian.isEmpty,
+      s"non-equi join in blocked fuzzy-match plan:\n${cartesian.headOption}")
   }
 }
