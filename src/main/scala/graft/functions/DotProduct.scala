@@ -100,6 +100,10 @@ object GraftFunctions {
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       exprs => WordShingles(exprs(0), extractIntLiteral(exprs(1), "word_shingles")))
+    reg.registerFunction(
+      FunctionIdentifier("fingerprint_min"),
+      new ExpressionInfo(classOf[FingerprintMin].getName, "fingerprint_min"),
+      exprs => FingerprintMin(exprs(0), extractIntLiteral(exprs(1), "fingerprint_min")))
   }
 
   private[functions] def extractIntLiteral(e: Expression, fn: String): Int = e match {
@@ -132,5 +136,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (exprs: Seq[Expression]) =>
         WordShingles(exprs(0), GraftFunctions.extractIntLiteral(exprs(1), "word_shingles"))))
+    ext.injectFunction((
+      FunctionIdentifier("fingerprint_min"),
+      new ExpressionInfo(classOf[FingerprintMin].getName, "fingerprint_min"),
+      (exprs: Seq[Expression]) =>
+        FingerprintMin(exprs(0), GraftFunctions.extractIntLiteral(exprs(1), "fingerprint_min"))))
   }
 }

@@ -7,42 +7,55 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Compiled MinHash kernel: all 8 sliced-md5 minimum hashes in ONE pass
-  * over the shingle array.
+/** Compiled MinHash kernel: all K = 24 sliced-md5 minimum hashes in ONE
+  * pass over the shingle array.
   *
   * Semantics are EXACTLY the portable-SQL form in TextFns
   * (minhashBase + minhashSlice, mirrored by the DuckDB oracle): per
-  * shingle x the base hash is hex(md5(x)) ++ hex(md5("s:"+x)) — 64 hex
-  * chars — and hash function i is the lexicographic minimum of slice
-  * [8i, 8i+8) over all shingles. The SQL form allocates ~16 intermediate
-  * strings per shingle across the 8 transform lambdas; this kernel
-  * allocates one 64-char buffer per shingle and 8 result strings per ROW.
+  * shingle x the base hash is the concatenation of
+  * hex(md5(p + x)) for prefixes p in ("", "s:", "t:", "u:", "v:", "w:")
+  * — 192 hex chars — and hash function i is the lexicographic minimum of
+  * slice [8i, 8i+8) over all shingles (each 32-bit md5 fragment is an
+  * independent uniform hash). The SQL form allocates ~2K intermediate
+  * strings per shingle across the K transform lambdas; this kernel
+  * allocates one 192-char buffer per shingle and K result strings per ROW.
+  *
+  * K = 24 feeds 12 LSH bands of 2 rows (Dedup.minhashLsh): S-curve
+  * midpoint (1/12)^(1/2) ≈ 0.29 Jaccard, below the 0.3 verify threshold,
+  * so mid-similarity duplicates are caught with high probability
+  * (PropertiesSpec plants one and asserts it).
   */
 object MinHashKernel {
   private val HEX = "0123456789abcdef".toCharArray
+  /** digest prefixes; K = 4 slices per digest × 6 digests = 24 */
+  private val PREFIXES =
+    Array("", "s:", "t:", "u:", "v:", "w:").map(_.getBytes("UTF-8"))
+  val K: Int = 4 * PREFIXES.length
 
   def slices(shingles: ArrayData): ArrayData = {
     val n = shingles.numElements()
     if (n == 0) return null
-    val mins = new Array[String](8)
-    val hex = new Array[Char](64)
+    val mins = new Array[String](K)
+    val hex = new Array[Char](32 * PREFIXES.length)
     val md = java.security.MessageDigest.getInstance("MD5")
     var i = 0
     while (i < n) {
       val s = shingles.getUTF8String(i).getBytes
-      md.reset()
-      val d1 = md.digest(s)
-      md.reset()
-      md.update("s:".getBytes)
-      val d2 = md.digest(s)
-      var j = 0
-      while (j < 16) {
-        hex(2 * j) = HEX((d1(j) >> 4) & 0xf); hex(2 * j + 1) = HEX(d1(j) & 0xf)
-        hex(32 + 2 * j) = HEX((d2(j) >> 4) & 0xf); hex(33 + 2 * j) = HEX(d2(j) & 0xf)
-        j += 1
+      var d = 0
+      while (d < PREFIXES.length) {
+        md.reset()
+        if (PREFIXES(d).length > 0) md.update(PREFIXES(d))
+        val dig = md.digest(s)
+        var j = 0
+        while (j < 16) {
+          hex(32 * d + 2 * j) = HEX((dig(j) >> 4) & 0xf)
+          hex(32 * d + 2 * j + 1) = HEX(dig(j) & 0xf)
+          j += 1
+        }
+        d += 1
       }
       var k = 0
-      while (k < 8) {
+      while (k < K) {
         val sl = new String(hex, 8 * k, 8)
         if (mins(k) == null || sl.compareTo(mins(k)) < 0) mins(k) = sl
         k += 1
@@ -53,8 +66,8 @@ object MinHashKernel {
   }
 }
 
-/** Codegen'd 8-way sliced-md5 MinHash signature over array<string>
-  * shingles: returns array<string> of the 8 minimum slices, or NULL for an
+/** Codegen'd K-way sliced-md5 MinHash signature over array<string>
+  * shingles: returns array<string> of the K minimum slices, or NULL for an
   * empty shingle set (matching array_min-over-empty in the SQL form). */
 case class MinHashSlicesD(child: Expression) extends UnaryExpression {
 

@@ -47,15 +47,19 @@ object TextFns {
   def minhash(shingleSet: String, seed: Int): Column =
     expr(s"array_min(transform($shingleSet, x -> md5(concat('$seed:', x))))")
 
-  /** Per-shingle base hash for sliced MinHash: md5(x) ++ md5('s:'+x) =
-    * 64 hex chars = 128 bits twice. k minhash functions are then 8-char
-    * slices of this (see [[minhashSlice]]) — 2 md5 calls per shingle
-    * instead of k, the standard one-strong-hash-many-fragments trick
-    * (each 32-bit fragment of md5 is an independent uniform hash). */
+  /** Per-shingle base hash for sliced MinHash: the concatenation of
+    * md5(p + x) for p in ("", "s:", "t:", "u:", "v:", "w:") = 192 hex
+    * chars. The K = 24 minhash functions are then 8-char slices of this
+    * (see [[minhashSlice]]) — 6 md5 calls per shingle instead of K, the
+    * standard one-strong-hash-many-fragments trick (each 32-bit fragment
+    * of md5 is an independent uniform hash). Portable twin of the compiled
+    * [[MinHashKernel]] (bit-equality asserted in DotProductSpec). */
   def minhashBase(shingleSet: String): Column =
-    expr(s"transform($shingleSet, x -> concat(md5(x), md5(concat('s:', x))))")
+    expr(s"transform($shingleSet, x -> concat(md5(x), " +
+      Seq("s", "t", "u", "v", "w")
+        .map(p => s"md5(concat('$p:', x))").mkString(", ") + "))")
 
-  /** MinHash function i (0-based, i < 8) over a [[minhashBase]] column:
+  /** MinHash function i (0-based, i < 24) over a [[minhashBase]] column:
     * lexicographic min of the i-th 8-hex-char slice. */
   def minhashSlice(baseCol: String, i: Int): Column =
     expr(s"array_min(transform($baseCol, h -> substring(h, ${1 + 8 * i}, 8)))")

@@ -30,7 +30,7 @@ object Dedup {
   /** documents + distinct word-3-shingle set column `sh` (compiled
     * word_shingles kernel; bit-identical to TextFns.shingles — asserted
     * in DotProductSpec). */
-  private def docsWithShingles(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def docsWithShingles(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)
       .withColumn("toks", TextFns.tokens(col("text")))
@@ -59,53 +59,85 @@ object Dedup {
       |       count(*) - count(DISTINCT md5(regexp_replace(lower(trim(text)), '[^a-z0-9 ]+', ' ', 'g'))) AS n_dupes
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
-  /** MinHash signature length and LSH banding: 8 hashes, 4 bands of 2.
-    * S-curve midpoint t≈(1/b)^(1/r) = (1/4)^(1/2) = 0.5 Jaccard — pairs
-    * well below that (incl. the 0.3 verify cutoff) are caught with lower
-    * probability; production raises K/BANDS to move the midpoint down. */
-  private val K = 8
-  private val BANDS = 4
+  /** MinHash signature length and LSH banding: 24 hashes, 12 bands of 2.
+    * S-curve midpoint t≈(1/b)^(1/r) = (1/12)^(1/2) ≈ 0.289 Jaccard — BELOW
+    * the 0.3 verify cutoff, so mid-similarity duplicates are caught with
+    * high probability (PropertiesSpec plants a 0.35-Jaccard pair and
+    * asserts it survives). */
+  private val K = 24
+  private val BANDS = 12
 
-  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    val docs = docsWithShingles(s, dir).select("doc_id", "sh").cache()
-    // All 8 hash fns in one compiled pass over the shingles (codegen'd
-    // MinHashSlicesD): 2 md5 calls per shingle, one buffer, vs the HOF
-    // form's ~16 intermediate strings per shingle across 8 lambdas.
-    // Bit-identical to the sliced-md5 SQL form (asserted in
-    // DotProductSpec) and to the DuckDB oracle.
+  /** Hot-band guard: a band bucket larger than this (boilerplate shingles —
+    * headers, licenses) is dropped from candidate generation; its pairs are
+    * O(cap²)-bounded instead of quadratic in corpus size. Mirrored by the
+    * DuckDB oracle, so the cap is part of the checked semantics. */
+  private[graft] val BUCKET_CAP = 64L
+
+  /** Banded-LSH candidate pairs (columns a < b) over a (doc_id, sh) frame.
+    * All K hash fns run in one compiled pass per doc (codegen'd
+    * MinHashSlicesD; bit-identical to the sliced-md5 SQL form — asserted in
+    * DotProductSpec). The self-join shuffles only (doc_id, band, key) rows
+    * — never shingle arrays (asserted in PlanShapeSpec) — which is the
+    * 100 TB property: candidate generation is linear in corpus size,
+    * quadratic only within a (capped) bucket.
+    *
+    * With `cached = false` the returned frame is a pure lazy plan (what
+    * PlanShapeSpec/PropertiesSpec inspect); with `cached = true` it comes
+    * back MATERIALIZED (cached + counted, intermediate caches released) so
+    * multi-use callers don't recompute the signature stage — those callers
+    * unpersist it when done. */
+  private[graft] def minhashCandidates(docs: DataFrame,
+                                       cached: Boolean = false): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val sigs = docs
       .withColumn("mh", expr("minhash_slices(sh)"))
       .select(
         (col("doc_id") +: (0 until K).map(i => col("mh").getItem(i).as(s"h$i"))): _*)
     val bandCols = (0 until BANDS).map(b =>
       TextFns.bandKey(Seq(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as(s"b$b"))
-    // kv is cached: it feeds BOTH sides of the self-join and would
-    // otherwise recompute the md5 signature stage once per use (profiled
-    // 4× recompute = ~75% of this query's runtime before caching). It is
-    // tiny — (doc_id, band, key) only, never the shingle arrays — which is
-    // also the 100 TB property: candidate generation shuffles 50-byte rows,
-    // not documents.
     val kv = sigs.select((col("doc_id") +: bandCols): _*)
       .select(col("doc_id"),
         posexplode(array((0 until BANDS).map(b => col(s"b$b")): _*)))
       .toDF("doc_id", "band", "key")
-      .cache()
-    val cand = kv.as("x").join(kv.as("y"),
+    // kept is cached while the self-join runs: it feeds BOTH sides and
+    // would otherwise recompute the signature stage once per side
+    // (profiled 4× recompute = ~75% of this query's runtime uncached)
+    val sizes = kv.groupBy("band", "key")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= BUCKET_CAP)
+      .select("band", "key")
+    val kept0 = kv.join(sizes, Seq("band", "key"))
+    val kept = if (cached) kept0.cache() else kept0
+    val cand = kept.as("x").join(kept.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-      .cache()
+    if (!cached) cand
+    else {
+      val c = cand.cache()
+      c.count() // materialize while kept is cached
+      kept.unpersist()
+      c
+    }
+  }
+
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = docsWithShingles(s, dir).select("doc_id", "sh").cache()
+    val cand = minhashCandidates(docs, cached = true)
     val verified = cand
       .join(docs.as("sa"), col("a") === col("sa.doc_id"))
       .join(docs.as("sb"), col("b") === col("sb.doc_id"))
       .withColumn("jac", TextFns.jaccard("sa.sh", "sb.sh"))
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
-    val nVer = verified.filter(col("jac") >= 0.3)
-      .agg(count(lit(1)).as("n_verified"))
-    nDocs.crossJoin(nCand).crossJoin(nVer)
+    // eager counts so every cache this query created can be released
+    // HERE (library callers must not depend on a session-wide clearCache)
+    val nDocs = docs.count()
+    val nCand = cand.count()
+    val nVer = verified.filter(col("jac") >= 0.3).count()
+    docs.unpersist()
+    cand.unpersist()
+    Seq((nDocs, nCand, nVer)).toDF("n_docs", "n_candidates", "n_verified")
   }
 
   private val minhashLshSql = {
@@ -122,7 +154,9 @@ object Dedup {
        |           i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS sh
        |  FROM documents),
        |based AS (
-       |  SELECT doc_id, list_transform(sh, x -> md5(x) || md5('s:' || x)) AS hs
+       |  SELECT doc_id, list_transform(sh, x ->
+       |    md5(x) || md5('s:' || x) || md5('t:' || x) ||
+       |    md5('u:' || x) || md5('v:' || x) || md5('w:' || x)) AS hs
        |  FROM docs),
        |sigs AS (
        |  SELECT doc_id,
@@ -130,9 +164,15 @@ object Dedup {
        |  FROM based),
        |bands AS (
        |  $bandSelects),
+       |bsize AS (
+       |  SELECT band, key FROM bands GROUP BY band, key
+       |  HAVING count(*) <= $BUCKET_CAP),
+       |kept AS (
+       |  SELECT b.doc_id, b.band, b.key
+       |  FROM bands b JOIN bsize s ON b.band = s.band AND b.key = s.key),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-       |  FROM bands x JOIN bands y
+       |  FROM kept x JOIN kept y
        |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
        |ver AS (
        |  SELECT a, b,
@@ -184,26 +224,51 @@ object Dedup {
       |       max(c) AS max_cluster
       |FROM clusters GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Stop-shingle guard for the inverted index: a shingle whose posting
+    * list within a block exceeds this many documents is dropped from the
+    * index ("of the"-style boilerplate grams — at corpus scale their
+    * postings are millions long and the posting self-join on them is the
+    * quadratic hot spot). Mirrored by the DuckDB oracle, so the cap is
+    * part of the checked semantics; PropertiesSpec asserts the fixture
+    * top-k is unchanged by it. */
+  private[graft] val POSTING_CAP = 64L
+
   /** Exact n-gram Jaccard within (lang, source) blocks: the top-10 most
     * similar pairs, via an INVERTED INDEX rather than a block cross-product.
     * Postings (block, shingle) → doc_id self-join on the shingle, so
     * |a∩b| falls out of a groupBy count and only pairs sharing ≥1 shingle
     * are ever materialized. This is the 100 TB shape: work is
-    * Σ_term |posting|² (bounded by term frequency), not Σ_block |block|²,
-    * and the shuffle keys are (block, shingle) strings — never documents.
-    * Zero-overlap pairs (jac = 0 by definition) don't appear, which cannot
-    * affect a most-similar top-k. */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    * Σ_term |posting|² (posting length capped at POSTING_CAP), not
+    * Σ_block |block|², and the shuffle keys are (block, shingle) strings —
+    * never documents. Zero-overlap pairs (jac = 0 by definition) don't
+    * appear, which cannot affect a most-similar top-k.
+    *
+    * `cap` is overridable (PropertiesSpec compares capped vs uncapped);
+    * `cached` as in [[minhashCandidates]]. */
+  /** documents projected to (lang, source, doc_id, sh2) for the inverted
+    * index (distinct word-2-shingles per doc). */
+  private[graft] def ngramDocs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val d = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .withColumn("toks", TextFns.tokens(col("text")))
       .withColumn("sh2", array_distinct(expr("word_shingles(toks, 2)")))
       .select("lang", "source", "doc_id", "sh2")
-      .cache()
+  }
+
+  /** The inverted-index top-10 plan over a prebuilt ngramDocs frame;
+    * `cap` is overridable so PropertiesSpec can compare capped vs
+    * uncapped. */
+  private[graft] def ngramJaccardPlan(d: DataFrame,
+                                      cap: Long = POSTING_CAP): DataFrame = {
     val sizes = d.select(col("doc_id"), size(col("sh2")).as("sz"))
     val posts = d.select(col("lang"), col("source"), col("doc_id"),
       explode(col("sh2")).as("g"))
-    val inter = posts.as("x").join(posts.as("y"),
+    val shortPostings = posts.groupBy("lang", "source", "g")
+      .agg(count(lit(1)).as("pn"))
+      .filter(col("pn") <= cap)
+      .select("lang", "source", "g")
+    val kept = posts.join(shortPostings, Seq("lang", "source", "g"))
+    val inter = kept.as("x").join(kept.as("y"),
         col("x.lang") === col("y.lang") &&
           col("x.source") === col("y.source") &&
           col("x.g") === col("y.g") &&
@@ -221,6 +286,21 @@ object Dedup {
       .limit(10)
   }
 
+  /** Lazy uncached form for plan-shape inspection. */
+  private[graft] def ngramJaccardLazy(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardPlan(ngramDocs(s, dir))
+
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    // d feeds sizes AND both posting sides — cache it for the one action,
+    // materialize the top-10 eagerly (bounded by the LIMIT), then release
+    // the cache before returning (no session-wide clearCache dependence)
+    val d = ngramDocs(s, dir).cache()
+    val top = ngramJaccardPlan(d)
+    val rows = top.collect().toSeq
+    d.unpersist()
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), top.schema)
+  }
+
   private val ngramJaccardSql =
     """WITH d AS (
       |  SELECT lang, source, doc_id,
@@ -229,10 +309,17 @@ object Dedup {
       |           i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))) AS sh2
       |  FROM documents),
       |posts AS (SELECT lang, source, doc_id, unnest(sh2) AS g FROM d),
+      |short_postings AS (
+      |  SELECT lang, source, g FROM posts GROUP BY lang, source, g
+      |  HAVING count(*) <= 64),
+      |kept AS (
+      |  SELECT p.lang, p.source, p.doc_id, p.g
+      |  FROM posts p JOIN short_postings s
+      |    ON p.lang = s.lang AND p.source = s.source AND p.g = s.g),
       |inter AS (
       |  SELECT x.lang AS lang, x.source AS source,
       |         x.doc_id AS a, y.doc_id AS b, count(*) AS c
-      |  FROM posts x JOIN posts y
+      |  FROM kept x JOIN kept y
       |    ON x.lang = y.lang AND x.source = y.source AND x.g = y.g
       |   AND x.doc_id < y.doc_id
       |  GROUP BY 1, 2, 3, 4)
@@ -244,32 +331,86 @@ object Dedup {
       |JOIN (SELECT doc_id, len(sh2) AS len_sh FROM d) sb ON b = sb.doc_id
       |ORDER BY jac DESC, a, b LIMIT 10""".stripMargin
 
-  /** Embedding cosine near-dup: top-10 most similar vector pairs within
-    * label blocks, double-precision math end to end (float32 inputs are
-    * widened first; DuckDB's list_cosine_similarity stays in float32 and
-    * would diverge in the 7th digit). */
+  /** Embedding cosine near-dup: top-10 most similar candidate pairs, where
+    * candidates come from random-hyperplane LSH BANDING — never an
+    * all-pairs join. Each vector gets a 16-bit hyperplane signature (the
+    * deterministic md5-weight planes of [[graft.functions.VectorFns]],
+    * shared with q_sim_ann_lsh), split into 4 bands of 4 bits; a pair is a
+    * candidate iff it matches on (label, band, nibble) for ≥1 band — an
+    * equi-join on small integer keys, quadratic only within a band bucket,
+    * linear in corpus size overall. Candidates are then exactly rescored in
+    * double precision (float32 inputs widened; DuckDB's
+    * list_cosine_similarity stays float32 and would diverge in the 7th
+    * digit). The DuckDB oracle re-derives signatures, bands, and rescore
+    * from the same md5 formula, so the check stays exact. */
   def embedCosine(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFns
+    val bands = 4; val bits = 4
     val e = Similarity.corpus(s, dir)
-    e.as("x").join(e.as("y"),
-        col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
+      .withColumn("sig", expr(VectorFns.lshSignatureSql("emb", bands * bits, 64)))
+    // (vec_id, label, band, nib): 4 small-int rows per vector — the only
+    // thing the candidate self-join shuffles (never the embeddings)
+    val keyed = e.select(col("vec_id"), col("label"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("sig"), b * bits).bitwiseAND(lit((1 << bits) - 1))): _*)))
+      .toDF("vec_id", "label", "band", "nib")
+    val cand = keyed.as("x").join(keyed.as("y"),
+        col("x.label") === col("y.label") &&
+        col("x.band") === col("y.band") &&
+        col("x.nib") === col("y.nib") &&
+        col("x.vec_id") < col("y.vec_id"))
       .select(col("x.label").as("label"),
-        col("x.vec_id").as("va"), col("y.vec_id").as("vb"),
-        round(VectorFns.cosineWithNorms("x.emb", "y.emb", "x.nrm", "y.nrm"), 4)
+        col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id"), col("emb").as("ea"), col("nrm").as("na")),
+        col("va") === col("vec_id")).drop("vec_id")
+      .join(e.select(col("vec_id"), col("emb").as("eb"), col("nrm").as("nb")),
+        col("vb") === col("vec_id")).drop("vec_id")
+      .select(col("label"), col("va"), col("vb"),
+        round(VectorFns.cosineWithNorms("ea", "eb", "na", "nb"), 4)
           .as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("va").asc, col("vb").asc)
       .limit(10)
   }
 
-  private val embedCosineSql =
+  private val embedCosineSql = {
+    // same derivation as q_sim_ann_lsh's oracle: per-plane ±1 weights from
+    // md5(plane:dim), sequential list_dot_product folds (bit-identical to
+    // Spark's dot_d over the inlined literals)
     """WITH e AS (
-      |  SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
-      |n AS (
-      |  SELECT vec_id, label, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e)
-      |SELECT a.label AS label, a.vec_id AS va, b.vec_id AS vb,
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+      |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings),
+      |w AS (
+      |  SELECT m,
+      |         list_transform(generate_series(0, 63), j ->
+      |           CASE WHEN strpos('0123456789abcdef', substr(md5(m || ':' || j), 1, 1)) - 1 >= 8
+      |                THEN 1.0 ELSE -1.0 END) AS wt
+      |  FROM (SELECT unnest(generate_series(0, 15)) AS m)),
+      |sig AS (
+      |  SELECT vec_id,
+      |         CAST(sum(CASE WHEN list_dot_product(emb, wt) > 0
+      |                       THEN (CAST(1 AS BIGINT) << CAST(m AS INTEGER))
+      |                       ELSE 0 END) AS BIGINT) AS sig
+      |  FROM e, w GROUP BY vec_id),
+      |keyed AS (
+      |  SELECT e.vec_id, e.label, b.band,
+      |         CAST((sig.sig >> (4 * b.band)) & 15 AS INTEGER) AS nib
+      |  FROM e JOIN sig ON e.vec_id = sig.vec_id
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b),
+      |cand AS (
+      |  SELECT DISTINCT x.label AS label, x.vec_id AS va, y.vec_id AS vb
+      |  FROM keyed x JOIN keyed y
+      |    ON x.label = y.label AND x.band = y.band AND x.nib = y.nib
+      |   AND x.vec_id < y.vec_id)
+      |SELECT c.label AS label, va, vb,
       |       round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS cos_sim
-      |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      |FROM cand c
+      |JOIN e a ON va = a.vec_id
+      |JOIN e b ON vb = b.vec_id
       |ORDER BY cos_sim DESC, va, vb LIMIT 10""".stripMargin
+  }
 
   val all: Seq[Q] = Seq(
     Q("q_dedup_exact", exact, Some(exactSql)),

@@ -155,18 +155,23 @@ object TextAnalysis {
       |GROUP BY term
       |ORDER BY cnt DESC, term LIMIT 20""".stripMargin
 
-  /** Document fingerprinting: min-md5 over word 3-shingles (TextFns
-    * .fingerprint) — one stable hash per doc; grouped per source with
-    * distinct-fingerprint counts (collisions = near-identical docs). */
-  def fingerprints(s: SparkSession, dir: String): DataFrame =
+  /** Document fingerprinting: min-md5 over word 3-shingles — one stable
+    * hash per doc; grouped per source with distinct-fingerprint counts
+    * (collisions = near-identical docs). Uses the compiled
+    * [[graft.functions.FingerprintMin]] kernel (one fused pass per doc,
+    * stays in whole-stage codegen; bit-identical to the portable-SQL
+    * TextFns.fingerprint — asserted in DotProductSpec). */
+  def fingerprints(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)
       .withColumn("toks", TextFns.tokens(col("text")))
-      .withColumn("fp", TextFns.fingerprint("toks"))
+      .withColumn("fp", expr("fingerprint_min(toks, 3)"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
            countDistinct("fp").as("n_distinct_fp"),
            min("fp").as("min_fp"))
       .orderBy("source")
+  }
 
   private val fingerprintsSql =
     """WITH fps AS (

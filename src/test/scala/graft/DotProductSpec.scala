@@ -51,7 +51,7 @@ class DotProductSpec extends SparkTestBase {
       .withColumn("sh", array_distinct(graft.functions.TextFns.shingles("toks", 3)))
       .withColumn("mh", expr("minhash_slices(sh)"))
       .withColumn("hs", graft.functions.TextFns.minhashBase("sh"))
-    val checks = (0 until 8).map(i =>
+    val checks = (0 until graft.functions.MinHashKernel.K).map(i =>
       (col("mh").getItem(i) =!= graft.functions.TextFns.minhashSlice("hs", i)) ||
         (col("mh").getItem(i).isNull =!=
           graft.functions.TextFns.minhashSlice("hs", i).isNull))
@@ -77,6 +77,20 @@ class DotProductSpec extends SparkTestBase {
     val e = intercept[Exception](
       spark.sql("SELECT word_shingles(array('a'), 1 + 1)").collect())
     assert(e.getMessage.contains("literal"))
+  }
+
+  test("fingerprint_min equals the HOF min-md5-over-shingles form") {
+    GraftFunctions.register(spark)
+    val d = Tables.documents(spark, sfDir).select("text")
+      .union(Seq("one two", "one two three", "solo", "").toDF("text"))
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("fast", expr("fingerprint_min(toks, 3)"))
+      .withColumn("ref", graft.functions.TextFns.fingerprint("toks"))
+    val bad = d.filter(
+      (col("fast") =!= col("ref")) || (col("fast").isNull =!= col("ref").isNull))
+    assert(bad.count() == 0)
+    // short docs (< 3 tokens) -> NULL in both forms
+    assert(d.filter(col("text") === "solo").select("fast").collect()(0).isNullAt(0))
   }
 
   test("rolling_fingerprint equals a naive per-window reference hash") {

@@ -4,7 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SortExec
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
 import org.apache.spark.sql.types.ArrayType
 
@@ -27,7 +28,8 @@ class PlanShapeSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     collect(executed(df)) { case e: ShuffleExchangeExec => e }
 
   test("minhash dedup never shuffles shingle arrays (ids and band keys only)") {
-    val ex = exchanges(Dedup.minhashLsh(spark, sfDir))
+    val docs = Dedup.docsWithShingles(spark, sfDir).select("doc_id", "sh")
+    val ex = exchanges(Dedup.minhashCandidates(docs))
     assert(ex.nonEmpty)
     ex.foreach { e =>
       val arrayCols = e.output.filter(_.dataType.isInstanceOf[ArrayType])
@@ -38,7 +40,7 @@ class PlanShapeSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
   }
 
   test("inverted-index ngram dedup shuffles postings, not shingle arrays") {
-    val ex = exchanges(Dedup.ngramJaccard(spark, sfDir))
+    val ex = exchanges(Dedup.ngramJaccardLazy(spark, sfDir))
     assert(ex.nonEmpty)
     ex.foreach { e =>
       val arrayCols = e.output.filter(_.dataType.isInstanceOf[ArrayType])
@@ -77,6 +79,32 @@ class PlanShapeSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     globalSorts.foreach { s =>
       assert(!s.output.exists(_.name == "c_custkey"),
         s"global sort over raw customer rows:\n$s")
+    }
+  }
+
+  test("ivf probe partition-prunes the ingest-time list layout") {
+    val plan = executed(graft.operators.Similarity.ivf(spark, sfDir))
+    val scans = collect(plan) {
+      case f: FileSourceScanExec
+        if f.tableIdentifier.exists(_.table.startsWith("ivf_")) => f
+    }
+    assert(scans.nonEmpty, s"no scan of the ivf table in:\n$plan")
+    scans.foreach { sc =>
+      assert(sc.partitionFilters.nonEmpty,
+        s"ivf probe reads every list partition (no partition filter):\n$sc")
+    }
+  }
+
+  test("embedding near-dup joins on (label, band, nibble), never label alone") {
+    val plan = executed(Dedup.embedCosine(spark, sfDir))
+    val joins = collect(plan) { case j: BaseJoinExec => j }
+    val bandJoin = joins.filter(
+      _.leftKeys.flatMap(_.references.map(_.name)).contains("band"))
+    assert(bandJoin.nonEmpty,
+      s"candidate join is not keyed on the LSH band:\n${joins.mkString("\n")}")
+    bandJoin.foreach { j =>
+      assert(j.leftKeys.size >= 3,
+        s"band join should key on (label, band, nib), got ${j.leftKeys}")
     }
   }
 

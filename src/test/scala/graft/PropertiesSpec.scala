@@ -60,6 +60,50 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("banded minhash-LSH catches a planted 0.35-Jaccard pair") {
+    // 21 shingles per doc, 11 shared: J = 11/31 ≈ 0.355 — ABOVE the 0.3
+    // verify cutoff but below the old 4-band S-curve midpoint (0.5). With
+    // 12 bands of 2 (midpoint ≈ 0.289) this pair must surface as a
+    // candidate. md5 is deterministic, so this is a fixed property, not a
+    // flaky probabilistic one.
+    val shared = (0 until 11).map(i => s"shared shingle number $i")
+    val a = shared ++ (0 until 10).map(i => s"alpha only piece $i")
+    val b = shared ++ (0 until 10).map(i => s"beta other chunk $i")
+    val noise = (0 until 20).map(d =>
+      (100L + d, (0 until 21).map(i => s"noise $d block $i")))
+    val docs = (Seq((1L, a), (2L, b)) ++ noise).toDF("doc_id", "sh")
+    val cand = graft.operators.Dedup.minhashCandidates(docs)
+    assert(cand.filter(col("a") === 1L && col("b") === 2L).count() == 1,
+      "planted mid-similarity pair was not caught by the banding")
+  }
+
+  test("hot-band bucket cap drops a degenerate boilerplate bucket") {
+    // 200 identical docs (one band bucket of 200 > cap 64) plus the
+    // planted pair: the degenerate bucket must contribute ZERO candidate
+    // pairs (it would be ~20k), while a small legitimate bucket survives.
+    val boiler = (0 until 200).map(d =>
+      (1000L + d, (0 until 5).map(i => s"same license header $i")))
+    val pair = Seq(
+      (1L, (0 until 21).map(i => s"planted shingle $i")),
+      (2L, (0 until 21).map(i => s"planted shingle $i")))
+    val docs = (pair ++ boiler).toDF("doc_id", "sh")
+    val cand = graft.operators.Dedup.minhashCandidates(docs)
+    assert(cand.filter(col("a") >= 1000L).count() == 0,
+      "over-cap bucket leaked candidate pairs")
+    assert(cand.filter(col("a") === 1L && col("b") === 2L).count() == 1,
+      "identical pair below the cap must remain a candidate")
+  }
+
+  test("posting-length cap leaves the fixture ngram top-10 unchanged") {
+    val s = spark
+    val top = graft.operators.Dedup.ngramJaccardLazy(s, sfDir).collect().toSeq
+    val uncapped = graft.operators.Dedup.ngramJaccardPlan(
+      graft.operators.Dedup.ngramDocs(s, sfDir), cap = Long.MaxValue)
+      .collect().toSeq
+    assert(top == uncapped,
+      "the stop-shingle cap changed the fixture corpus top-10")
+  }
+
   test("jaccard is symmetric and bounded in [0,1]; self-similarity is 1") {
     forAll(docGen) { docs =>
       val d = docs.filter(_.nonEmpty).distinct
