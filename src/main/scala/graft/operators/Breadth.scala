@@ -333,36 +333,143 @@ object Breadth {
     * distance ≤ 2 — the classic entity-resolution primitive, BLOCKED so the
     * plan is an equi-join, never a cross product.
     *
-    * Candidate generation is the ED-Join positional q-gram prefix filter
-    * (Xiao et al., VLDB'08 — public algorithm): if edit(a,b) ≤ D, the two
-    * strings must share a positional q-gram (position shift ≤ D, length
-    * difference ≤ D) among the qD+1 lexicographically-smallest grams of
-    * each. Each name therefore emits only its qD+1 = 5 prefix bigrams; the
-    * join is keyed on the gram text, with position/length bands and the
-    * exact levenshtein ≤ D check as post-filters. The guarantee needs
-    * len ≥ q(D+1); shorter strings (none in this schema) fall back to a
-    * tiny length-banded block so completeness holds unconditionally.
-    * The all-pairs form survives only in the DuckDB oracle SQL. */
+    * Candidate generation is ADAPTIVE TWO-PATH, and lossless:
+    *
+    * Selective path — the ED-Join positional q-gram prefix filter (Xiao et
+    * al., VLDB'08 — public algorithm): if edit(a,b) ≤ D, the two strings
+    * share a positional q-gram (position shift ≤ D, length difference ≤ D)
+    * among the qD+1 FIRST grams of each under any global total order on the
+    * gram universe. The order that makes the blocking selective is
+    * document-frequency order — RAREST grams first (round 2's lexicographic
+    * order put the shared '#0'/'00' template grams of every TPC-H supplier
+    * name in the prefix, so one bucket held the whole table). Grams with
+    * df > HOT_GRAM_CAP are dropped from the join entirely, so every
+    * remaining bucket is ≤ cap and the join is provably skew-free.
+    *
+    * Dense path — dropping hot grams can only lose pairs whose EVERY
+    * shared prefix gram is hot; both such names have a hot gram in their
+    * prefix. Those "hot" names (set H) are paired exhaustively instead,
+    * via a balanced C×C upper-triangular chunk grid: each name hashes to a
+    * chunk, each grid cell is one chunk-pair nested loop, so the quadratic
+    * work — when the data forces it — spreads evenly over C(C+1)/2
+    * reducers instead of one hot key. Proof of completeness: a dist-≤D
+    * pair either shares a non-hot prefix gram (selective path finds it —
+    * the theorem puts the gram in BOTH prefixes, and non-hot rows are
+    * kept) or shares only hot prefix grams (both names land in H).
+    *
+    * Why adaptive matters: with high-entropy keys H is empty and the
+    * operator is a pure O(n)-candidate blocked join. With templated
+    * low-entropy keys (TPC-H names at sf0.1: 17 grams/name but only ~3
+    * carry entropy, and ~27% of ALL pairs are true dist-≤2 matches) the
+    * true-match set is itself Θ(n²/k), so NO lossless blocker can emit
+    * o(n²) candidates — the only winnable fight is even distribution,
+    * which the chunk grid provides. The per-gram df table is bounded by
+    * the gram universe (≤|Σ|^q, corpus-independent), so it is collected
+    * once and inlined as a map literal — bounded metadata, like the stats
+    * that size a broadcast. At larger corpus scale,
+    * q should grow with log_|Σ|(n) so gram entropy keeps up — q is a
+    * parameter here for that reason.
+    *
+    * The guarantee needs len ≥ q(D+1); shorter strings (none in this
+    * schema) fall back to a tiny length-banded block so completeness holds
+    * unconditionally. The composition is LOSSLESS, so the DuckDB oracle
+    * stays the simple all-pairs form — a full-strength completeness check
+    * at every sf. CandidateGuardSpec asserts candidate cardinality is O(n)
+    * on a templated-but-high-entropy fixture AND exact completeness on a
+    * dense sequential fixture (a plan-node assertion alone cannot see a
+    * degenerate join key — round-2 lesson). */
   def fuzzyNames(s: SparkSession, dir: String): DataFrame = {
-    val D = 2; val qg = 2; val pref = qg * D + 1
+    val D = 2; val qg = 2
     val sup = Tables.supplier(s, dir)
       .select(col("s_suppkey").as("k"), col("s_name").as("nm"))
       .withColumn("len", length(col("nm")))
-    val ex = sup
-      .withColumn("grams", expr(
-        s"""slice(array_sort(transform(sequence(1, greatest(len - 1, 1)),
-           |  i -> struct(substring(nm, i, $qg) AS g, i AS p))), 1, $pref)"""
-          .stripMargin))
-      .select(col("k"), col("nm"), col("len"), explode(col("grams")).as("gp"))
+    fuzzyCandidates(sup, D, qg)
+      .select(col("ka"), col("kb"),
+        levenshtein(col("na"), col("nb")).cast("long").as("dist"))
+      .filter(col("dist") <= D)
+      .orderBy(col("dist").asc, col("ka").asc, col("kb").asc)
+      .limit(15)
+  }
+
+  /** Grams with corpus-wide occurrence count above this are useless as join
+    * keys (a df-d bucket makes d²/2 pairs): they leave the selective gram
+    * join and route their names through the balanced dense path instead. */
+  private[graft] val HOT_GRAM_CAP = 64L
+
+  /** Chunk-grid width for the dense path: quadratic work over the hot-name
+    * set spreads across C(C+1)/2 ≈ 528 independent chunk-pair cells. */
+  private val DENSE_CHUNKS = 32
+
+  /** Candidate pairs (ka < kb, with name columns na/nb) for edit-distance ≤ D
+    * matching over a (k, nm, len) frame — the adaptive two-path block
+    * described at [[fuzzyNames]]. Exposed so CandidateGuardSpec can bound
+    * the candidate count on adversarial fixtures. */
+  private[graft] def fuzzyCandidates(sup: DataFrame, D: Int, qg: Int): DataFrame = {
+    val pref = qg * D + 1
+    val gramsExpr =
+      s"""transform(sequence(1, greatest(len - 1, 1)),
+         |  i -> struct(substring(nm, i, $qg) AS g, i AS p))""".stripMargin
+    // Per-gram-text occurrence counts, collected once and inlined as a map
+    // literal. The gram universe is ≤ |Σ|^q — corpus-INDEPENDENT — so this
+    // is bounded metadata at any data scale (same footing as the eager
+    // stats that size a broadcast or a salt map), and inlining it makes
+    // every downstream branch a narrow scan: prefix selection runs inside
+    // the scan's codegen stage with zero exchanges (no explode-shuffle, no
+    // per-name window, and no per-branch recompute of the df aggregate —
+    // a joined df table was rebuilt once per self-join branch). A
+    // rarest-first order needs only a (df, g, p) lexicographic struct sort
+    // within the row. Grams absent from the map cannot occur downstream
+    // (it is built from the same frame); the MaxValue default just routes
+    // any such row to the lossless dense path.
+    val dfMap: Map[String, Long] = sup
+      .select(explode(expr(gramsExpr)).as("gp"))
+      .groupBy(col("gp.g").as("g")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dfmLit = typedLit(dfMap)
+    val scored = sup
+      .withColumn("pref", slice(array_sort(transform(expr(gramsExpr), x =>
+        struct(
+          coalesce(element_at(dfmLit, x.getField("g")), lit(Long.MaxValue))
+            .as("df"),
+          x.getField("g").as("g"), x.getField("p").as("p")))), 1, pref))
+      .withColumn("is_hot",
+        exists(col("pref"), x => x.getField("df") > HOT_GRAM_CAP))
+    // selective path: hot grams leave the join, so every bucket is ≤ cap
+    val exKeep = scored
       .select(col("k"), col("nm"), col("len"),
-              col("gp.g").as("g"), col("gp.p").as("p"))
-    val gramPairs = ex.as("a").join(ex.as("b"),
+        explode(expr(s"filter(pref, x -> x.df <= $HOT_GRAM_CAP)")).as("x"))
+      .select(col("k"), col("nm"), col("len"),
+              col("x.g").as("g"), col("x.p").as("p"))
+    val gramPairs = exKeep.as("a").join(exKeep.as("b"),
         col("a.g") === col("b.g") &&
         col("a.k") < col("b.k") &&
         abs(col("a.p") - col("b.p")) <= D &&
         abs(col("a.len") - col("b.len")) <= D)
       .select(col("a.k").as("ka"), col("b.k").as("kb"),
               col("a.nm").as("na"), col("b.nm").as("nb"))
+    // dense path: names with a hot prefix gram pair exhaustively over a
+    // balanced upper-triangular chunk grid (no single hot reducer);
+    // is_hot is a row-local predicate, so membership costs no exchange
+    val hc = scored.filter(col("is_hot"))
+      .select("k", "nm", "len")
+      .withColumn("c", pmod(hash(col("k")), lit(DENSE_CHUNKS)))
+    val cells = sup.sparkSession.range(DENSE_CHUNKS.toLong * DENSE_CHUNKS)
+      .select((col("id") / DENSE_CHUNKS).cast("int").as("ci"),
+              (col("id") % DENSE_CHUNKS).cast("int").as("cj"))
+      .filter(col("ci") <= col("cj"))
+    val densePairs = hc.as("a")
+      .join(broadcast(cells), col("a.c") === col("ci"))
+      .join(hc.as("b"),
+        col("b.c") === col("cj") &&
+        (col("ci") < col("cj") || col("a.k") < col("b.k")) &&
+        abs(col("a.len") - col("b.len")) <= D)
+      .select(
+        least(struct(col("a.k"), col("a.nm")),
+              struct(col("b.k"), col("b.nm"))).as("lo"),
+        greatest(struct(col("a.k"), col("a.nm")),
+                 struct(col("b.k"), col("b.nm"))).as("hi"))
+      .select(col("lo.k").as("ka"), col("hi.k").as("kb"),
+              col("lo.nm").as("na"), col("hi.nm").as("nb"))
     // completeness fallback: strings below the gram-guarantee length pair
     // within a single (empty here, always tiny) length-banded block
     val shorts = sup.filter(col("len") < qg * (D + 1) + D)
@@ -374,12 +481,7 @@ object Breadth {
         abs(col("a.len") - col("b.len")) <= D)
       .select(col("a.k").as("ka"), col("b.k").as("kb"),
               col("a.nm").as("na"), col("b.nm").as("nb"))
-    gramPairs.union(shortPairs).distinct()
-      .select(col("ka"), col("kb"),
-        levenshtein(col("na"), col("nb")).cast("long").as("dist"))
-      .filter(col("dist") <= D)
-      .orderBy(col("dist").asc, col("ka").asc, col("kb").asc)
-      .limit(15)
+    gramPairs.union(densePairs).union(shortPairs).distinct()
   }
 
   private val fuzzyNamesSql =

@@ -255,12 +255,11 @@ object Dedup {
       .select("lang", "source", "doc_id", "sh2")
   }
 
-  /** The inverted-index top-10 plan over a prebuilt ngramDocs frame;
-    * `cap` is overridable so PropertiesSpec can compare capped vs
-    * uncapped. */
-  private[graft] def ngramJaccardPlan(d: DataFrame,
-                                      cap: Long = POSTING_CAP): DataFrame = {
-    val sizes = d.select(col("doc_id"), size(col("sh2")).as("sz"))
+  /** Candidate pairs (a < b, with shared-shingle count `c`) from the
+    * inverted index over a prebuilt ngramDocs frame — exposed so
+    * CandidateGuardSpec can bound candidate cardinality on fixtures. */
+  private[graft] def ngramCandidates(d: DataFrame,
+                                     cap: Long = POSTING_CAP): DataFrame = {
     val posts = d.select(col("lang"), col("source"), col("doc_id"),
       explode(col("sh2")).as("g"))
     val shortPostings = posts.groupBy("lang", "source", "g")
@@ -268,7 +267,7 @@ object Dedup {
       .filter(col("pn") <= cap)
       .select("lang", "source", "g")
     val kept = posts.join(shortPostings, Seq("lang", "source", "g"))
-    val inter = kept.as("x").join(kept.as("y"),
+    kept.as("x").join(kept.as("y"),
         col("x.lang") === col("y.lang") &&
           col("x.source") === col("y.source") &&
           col("x.g") === col("y.g") &&
@@ -276,7 +275,15 @@ object Dedup {
       .groupBy(col("x.lang").as("lang"), col("x.source").as("source"),
         col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .agg(count(lit(1)).as("c"))
-    inter
+  }
+
+  /** The inverted-index top-10 plan over a prebuilt ngramDocs frame;
+    * `cap` is overridable so PropertiesSpec can compare capped vs
+    * uncapped. */
+  private[graft] def ngramJaccardPlan(d: DataFrame,
+                                      cap: Long = POSTING_CAP): DataFrame = {
+    val sizes = d.select(col("doc_id"), size(col("sh2")).as("sz"))
+    ngramCandidates(d, cap)
       .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
       .select(col("lang"), col("source"), col("a"), col("b"),
@@ -286,23 +293,17 @@ object Dedup {
       .limit(10)
   }
 
-  /** Lazy uncached form for plan-shape inspection. */
-  private[graft] def ngramJaccardLazy(s: SparkSession, dir: String): DataFrame =
+  /** Fully lazy plan — the shingle stage recomputes once per branch
+    * (sizes + both posting sides) rather than being cached: shingling is a
+    * compiled scan-local kernel, so the recompute costs extra scans, while
+    * a cache either leaks past the query or forces an eager driver-side
+    * materialization. A caller that reuses the frame can `.cache()` it and
+    * manage the lifetime itself. */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     ngramJaccardPlan(ngramDocs(s, dir))
 
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    // d feeds sizes AND both posting sides — cache it for the one action,
-    // materialize the top-10 eagerly (bounded by the LIMIT), then release
-    // the cache before returning (no session-wide clearCache dependence)
-    val d = ngramDocs(s, dir).cache()
-    val top = ngramJaccardPlan(d)
-    val rows = top.collect().toSeq
-    d.unpersist()
-    s.createDataFrame(s.sparkContext.parallelize(rows, 1), top.schema)
-  }
-
   private val ngramJaccardSql =
-    """WITH d AS (
+    s"""WITH d AS (
       |  SELECT lang, source, doc_id,
       |         list_distinct(list_transform(
       |           generate_series(1, len(string_split(text, ' ')) - 1),
@@ -311,7 +312,7 @@ object Dedup {
       |posts AS (SELECT lang, source, doc_id, unnest(sh2) AS g FROM d),
       |short_postings AS (
       |  SELECT lang, source, g FROM posts GROUP BY lang, source, g
-      |  HAVING count(*) <= 64),
+      |  HAVING count(*) <= $POSTING_CAP),
       |kept AS (
       |  SELECT p.lang, p.source, p.doc_id, p.g
       |  FROM posts p JOIN short_postings s
@@ -342,19 +343,26 @@ object Dedup {
     * double precision (float32 inputs widened; DuckDB's
     * list_cosine_similarity stays float32 and would diverge in the 7th
     * digit). The DuckDB oracle re-derives signatures, bands, and rescore
-    * from the same md5 formula, so the check stays exact. */
-  def embedCosine(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFns
-    val bands = 4; val bits = 4
-    val e = Similarity.corpus(s, dir)
-      .withColumn("sig", expr(VectorFns.lshSignatureSql("emb", bands * bits, 64)))
+    * from the same md5 formula, so the check stays exact — it verifies
+    * implementation equivalence, not recall. Banding recall is tuned for
+    * the near-duplicate regime (cos ≥ ~0.95, where ≥1-of-4 bands match
+    * with probability ≈1) and is guarded by CandidateGuardSpec's
+    * planted-near-dup test; in low-similarity regimes (the fixture's
+    * organic top pairs sit at cos ~0.4) banded top-k intentionally differs
+    * from exact top-k — exact low-threshold search needs the brute path
+    * (q_sim_topk). */
+  /** Banded-LSH candidate pairs (label, va < vb) over a corpus frame with a
+    * hyperplane signature column `sig` — exposed so CandidateGuardSpec can
+    * bound candidate cardinality on fixtures. */
+  private[graft] def embedCandidates(e: DataFrame,
+                                     bands: Int = 4, bits: Int = 4): DataFrame = {
     // (vec_id, label, band, nib): 4 small-int rows per vector — the only
     // thing the candidate self-join shuffles (never the embeddings)
     val keyed = e.select(col("vec_id"), col("label"),
         posexplode(array((0 until bands).map(b =>
           shiftright(col("sig"), b * bits).bitwiseAND(lit((1 << bits) - 1))): _*)))
       .toDF("vec_id", "label", "band", "nib")
-    val cand = keyed.as("x").join(keyed.as("y"),
+    keyed.as("x").join(keyed.as("y"),
         col("x.label") === col("y.label") &&
         col("x.band") === col("y.band") &&
         col("x.nib") === col("y.nib") &&
@@ -362,6 +370,14 @@ object Dedup {
       .select(col("x.label").as("label"),
         col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
       .distinct()
+  }
+
+  def embedCosine(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFns
+    val bands = 4; val bits = 4
+    val e = Similarity.corpus(s, dir)
+      .withColumn("sig", expr(VectorFns.lshSignatureSql("emb", bands * bits, 64)))
+    val cand = embedCandidates(e, bands, bits)
     cand
       .join(e.select(col("vec_id"), col("emb").as("ea"), col("nrm").as("na")),
         col("va") === col("vec_id")).drop("vec_id")

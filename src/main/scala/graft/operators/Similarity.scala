@@ -27,7 +27,7 @@ object Similarity {
 
   /** embeddings with double-widened vector + norm (shared with
     * Dedup.embedCosine — one definition of the corpus projection). */
-  private[operators] def corpus(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def corpus(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.embeddings(s, dir)
       .withColumn("emb", expr(VectorFns.asDoubleSql("embedding")))

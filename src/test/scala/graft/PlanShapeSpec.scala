@@ -40,7 +40,7 @@ class PlanShapeSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
   }
 
   test("inverted-index ngram dedup shuffles postings, not shingle arrays") {
-    val ex = exchanges(Dedup.ngramJaccardLazy(spark, sfDir))
+    val ex = exchanges(Dedup.ngramJaccard(spark, sfDir))
     assert(ex.nonEmpty)
     ex.foreach { e =>
       val arrayCols = e.output.filter(_.dataType.isInstanceOf[ArrayType])

@@ -96,7 +96,7 @@ class PropertiesSpec extends SparkTestBase {
 
   test("posting-length cap leaves the fixture ngram top-10 unchanged") {
     val s = spark
-    val top = graft.operators.Dedup.ngramJaccardLazy(s, sfDir).collect().toSeq
+    val top = graft.operators.Dedup.ngramJaccard(s, sfDir).collect().toSeq
     val uncapped = graft.operators.Dedup.ngramJaccardPlan(
       graft.operators.Dedup.ngramDocs(s, sfDir), cap = Long.MaxValue)
       .collect().toSeq
