@@ -1,0 +1,130 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** The composed end-to-end ingestion job — parity with the reference's only
+  * real program, job1's `main()`
+  * (`/root/reference/job1-DDL_Load_Data_Spark_Iceberg.py:120-177,278-340`):
+  * load a set of header'd CSVs → validate ALL of them → fail fast before
+  * any write if any is invalid → create the namespace → overwrite-write
+  * each table in its declared layout (bucketed facts, identity-partitioned
+  * dims, plain smalls).
+  *
+  * Deliberate differences from the reference:
+  *  - validation is collected for EVERY table first and the job aborts
+  *    before the first write (the reference validates, then re-validates
+  *    inside an `all(...)`, and exits mid-sequence on write errors —
+  *    `job1:171-177` — which can leave a half-written warehouse);
+  *  - per-table layout is part of the declaration (the reference splits
+  *    layout into separate hand-written DDL strings, `job1:184-275`);
+  *  - failures raise a typed exception carrying every failing report, so a
+  *    scheduler can retry/alert without scraping logs (`job1:114` is
+  *    log-and-sys.exit).
+  *
+  * At 100 TB the expensive part is the write shuffle for bucketed facts —
+  * paid once here, amortized over every later shuffle-free fact⋈fact join
+  * (see [[Ddl]]'s rationale). Validation is metadata + a limit-1 probe per
+  * table, so the fail-fast path costs no full scan.
+  */
+object IngestJob {
+
+  /** One table of the ingestion manifest. */
+  final case class TableSpec(
+      name: String,
+      path: String,
+      expectedColumns: Seq[String],
+      layout: Layout = Plain)
+
+  sealed trait Layout
+  /** Hash-bucketed on a join key — the fact layout (`job1:224,239,248`'s
+    * `bucket(16, ...)` transform, as Hive bucketing). */
+  final case class Bucketed(key: String, buckets: Int = 16) extends Layout
+  /** Identity-partitioned on a low-cardinality column — the dim layout
+    * (`job1:256`'s `PARTITIONED BY (completion_date)` analogue). */
+  final case class IdentityPartitioned(key: String) extends Layout
+  /** Unpartitioned — small dims (`job1:262-275`). */
+  case object Plain extends Layout
+
+  final case class ValidationFailed(reports: Seq[Ingest.ValidationReport])
+      extends RuntimeException(
+        "ingestion aborted before any write; invalid tables: " +
+          reports.map(r => s"${r.alias}(empty=${r.isEmpty}, " +
+            s"missing=${r.missingColumns.mkString(",")})").mkString("; "))
+
+  /** Load, validate (all tables, fail-fast before any write), create the
+    * namespace, and overwrite-write every table in its declared layout.
+    * Returns the per-table validation reports on success. */
+  def run(spark: SparkSession, specs: Seq[TableSpec],
+          db: String = "bootcamp"): Seq[Ingest.ValidationReport] = {
+    val loaded: Seq[(TableSpec, DataFrame)] =
+      specs.map(t => t -> Ingest.loadCsv(spark, t.path, t.name))
+    val reports = loaded.map { case (t, df) =>
+      Ingest.validate(df, t.name, t.expectedColumns)
+    }
+    val bad = reports.filterNot(_.ok)
+    if (bad.nonEmpty) throw ValidationFailed(bad)
+
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    loaded.foreach { case (t, df) =>
+      dropStale(spark, db, t.name)
+      val w = df.write.mode(SaveMode.Overwrite)
+      t.layout match {
+        case Bucketed(key, n) =>
+          w.bucketBy(n, key).sortBy(key).saveAsTable(s"$db.${t.name}")
+        case IdentityPartitioned(key) =>
+          w.partitionBy(key).saveAsTable(s"$db.${t.name}")
+        case Plain =>
+          w.saveAsTable(s"$db.${t.name}")
+      }
+    }
+    reports
+  }
+
+  /** An in-memory catalog forgets tables across JVMs but their files
+    * survive in the warehouse dir; saveAsTable then fails with
+    * LOCATION_ALREADY_EXISTS. Drop both the entry and any stale location
+    * (same repair as [[Ddl.createWarehouse]]). */
+  private def dropStale(spark: SparkSession, db: String, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $db.$table")
+    val loc = Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      s"$db.db", table)
+    if (Files.exists(loc)) {
+      val s = Files.walk(loc)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(Files.delete(_))
+      finally s.close()
+    }
+  }
+
+  /** The harness-schema manifest mirroring the reference's five-table job:
+    * two bucketed facts on the join key, one identity-partitioned dim, two
+    * plain dims. `csvDir` holds `<name>.csv` exports. */
+  def harnessManifest(csvDir: String): Seq[TableSpec] = Seq(
+    TableSpec(s"lineitem_w", s"$csvDir/lineitem.csv",
+      Seq("l_orderkey", "l_quantity"), Bucketed("l_orderkey")),
+    TableSpec(s"orders_w", s"$csvDir/orders.csv",
+      Seq("o_orderkey", "o_orderpriority"), Bucketed("o_orderkey")),
+    TableSpec(s"nation_w", s"$csvDir/nation.csv",
+      Seq("n_nationkey", "n_regionkey"), IdentityPartitioned("n_regionkey")),
+    TableSpec(s"region_w", s"$csvDir/region.csv", Seq("r_regionkey")),
+    TableSpec(s"supplier_w", s"$csvDir/supplier.csv", Seq("s_suppkey")))
+
+  /** CLI parity with the reference's `main()`: args = csvDir [db]. */
+  def main(args: Array[String]): Unit = {
+    val csvDir = args.headOption.getOrElse(
+      sys.error("usage: IngestJob <csvDir> [db]"))
+    val db = args.lift(1).getOrElse("bootcamp")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .appName("graft-ingest").getOrCreate()
+    try {
+      val reports = run(spark, harnessManifest(csvDir), db)
+      reports.foreach(r => println(s"INGEST OK ${r.alias}"))
+    } finally spark.stop()
+  }
+}
