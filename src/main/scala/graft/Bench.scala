@@ -53,12 +53,16 @@ object Bench {
         name -> dt
       }
     }
-    // Per-query: min over successful samples; if a query never succeeded,
-    // keep a negative marker so the failure stays visible downstream.
+    // Per-query: min over samples, but if ANY pass failed the query is
+    // flaky and reports a negative marker — min-over-passes must not let
+    // an intermittent failure masquerade as a clean fast success.
     val results = names.map { case (name, _) =>
       val ts = samples.collect { case (`name`, dt) => dt }
       val good = ts.filter(_ > 0)
-      name -> (if (good.nonEmpty) good.min else ts.min)
+      val clean = good.size == ts.size && good.nonEmpty
+      name -> (if (clean) good.min
+               else if (good.nonEmpty) -good.min
+               else ts.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

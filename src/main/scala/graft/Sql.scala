@@ -9,18 +9,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object GraftSql {
 
+  // view registration is per (session, LAST dir): re-registering the same
+  // dir is a no-op, but a different dir must overwrite the views (they
+  // keep the same names), so memoize on the latest dir per session
+  private val lastDir =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
   /** Register every harness table as a temp view named after the table,
     * and graft's custom expressions (dot_d, simhash32_d, minhash_slices)
-    * so SQL text can call them. Idempotent. */
-  def registerViews(spark: SparkSession, dir: String): Unit = {
-    functions.GraftFunctions.register(spark)
-    // events can't go through the generic reader: its raw parquet schema
-    // (TIMESTAMP(NANOS)) throws at read time, so use the repairing loader
-    Tables.names.filterNot(_ == "events").foreach { t =>
-      Tables.t(spark, dir, t).createOrReplaceTempView(t)
+    * so SQL text can call them. Idempotent and memoized per
+    * (session, dir) — repeat calls with the same dir cost nothing. */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    if (lastDir.put(spark, dir) != dir) {
+      functions.GraftFunctions.register(spark)
+      // events can't go through the generic reader: its raw parquet schema
+      // (TIMESTAMP(NANOS)) throws at read time, so use the repairing loader
+      Tables.names.filterNot(_ == "events").foreach { t =>
+        Tables.t(spark, dir, t).createOrReplaceTempView(t)
+      }
+      Tables.events(spark, dir).createOrReplaceTempView("events")
     }
-    Tables.events(spark, dir).createOrReplaceTempView("events")
-  }
 
   def sql(spark: SparkSession, dir: String, text: String): DataFrame = {
     registerViews(spark, dir)

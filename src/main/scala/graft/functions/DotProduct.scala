@@ -78,7 +78,17 @@ case class DotProductD(left: Expression, right: Expression)
   *    for cluster deployments where the session is built from conf.
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit = {
+  // registerFunction logs a "replaced a previously registered function"
+  // WARN on every repeat call; operators call register defensively from
+  // every entry point, so memoize per session (keyed on identity — a
+  // stopped session just stays in the map, there are O(1) per JVM)
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
+  def register(spark: SparkSession): Unit =
+    if (registered.add(spark)) doRegister(spark)
+
+  private def doRegister(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.registerFunction(
       FunctionIdentifier("dot_d"),

@@ -100,6 +100,48 @@ object Breadth {
       |GROUP BY 1, 2
       |ORDER BY hour_start, event_type""".stripMargin
 
+  /** Gap-based sessions via the built-in session_window, batch form (the
+    * streaming twin with watermark + state-store merge is
+    * [[graft.streaming.StreamOps.sessionWindows]]). A session's window is
+    * [first event, last event + gap); events merge into a session while
+    * they start strictly before the current window end, i.e. a new
+    * session begins when the inter-event gap reaches 30 minutes. One hash
+    * exchange on the grouping key, then per-partition sort + merge —
+    * the same shuffle shape at any scale. Output timestamps format to
+    * whole seconds on both sides of the oracle. */
+  def sessionWindowAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+
+  private val sessionWindowAggSql =
+    """WITH marked AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+      |                      >= 1800 * 1000000
+      |              THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked)
+      |SELECT user_id,
+      |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |       strftime(max(ts) + INTERVAL 30 MINUTE,
+      |                '%Y-%m-%d %H:%M:%S') AS session_end,
+      |       count(*) AS n_events
+      |FROM sessions
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** JSON property extraction (SURVEY §2.6 "multimodal props"):
     * events.props is a JSON string column; pull a typed field out and
     * aggregate. get_json_object is codegen'd; for a fixed schema,
@@ -503,5 +545,6 @@ object Breadth {
     Q("q_setops", setOps, Some(setOpsSql)),
     Q("q_rollup", rollupAgg, Some(rollupAggSql)),
     Q("q_sessionize", sessionize, Some(sessionizeSql)),
+    Q("q_session_window", sessionWindowAgg, Some(sessionWindowAggSql)),
     Q("q_approx_distinct", approxDistinct, None))
 }

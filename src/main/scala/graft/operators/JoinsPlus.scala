@@ -228,6 +228,25 @@ object JoinsPlus {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** The 100 TB percentile path [[percentiles]]'s Scaladoc promises:
+    * percentile_approx (a mergeable one-pass sketch with bounded memory
+    * per group) instead of the exact form's full-group buffer. No DuckDB
+    * oracle — sketch estimates are engine-specific — so the driver
+    * records a rows-only check; within Spark the result is deterministic
+    * for a given input multiset and accuracy parameter. */
+  def percentilesApprox(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(expr(
+        "percentile_approx(l_extendedprice, array(0.25, 0.5, 0.75, 0.95), 10000)")
+        .as("ps"))
+      .select(col("l_returnflag"),
+        round(col("ps").getItem(0), 4).as("p25"),
+        round(col("ps").getItem(1), 4).as("p50"),
+        round(col("ps").getItem(2), 4).as("p75"),
+        round(col("ps").getItem(3), 4).as("p95"))
+      .orderBy("l_returnflag")
+
   /** Salted two-phase aggregation — the skew-mitigation pattern: a hot
     * group key is split across `SALTS` reducers by a deterministic salt
     * (key-derived, NOT rand(): re-execution of a lost task must produce
@@ -354,5 +373,6 @@ object JoinsPlus {
     Q("q_asof_join", asofAttribution, Some(asofAttributionSql)),
     Q("q_range_join", rangeJoin, Some(rangeJoinSql)),
     Q("q_percentiles", percentiles, Some(percentilesSql)),
+    Q("q_percentile_approx", percentilesApprox, None),
     Q("q_salted_agg", saltedAgg, Some(saltedAggSql)))
 }

@@ -83,6 +83,23 @@ object Ddl {
     }
   }
 
+  /** [[writeSizeExperiment]] as a driver-visible query: variant → on-disk
+    * bytes, one row per layout variant. Rows-only check (no oracle) —
+    * byte counts depend on the parquet writer's encoder decisions, which
+    * is exactly the point of the experiment. The temp output is removed
+    * after sizes are measured; the returned frame is driver-local. */
+  def sortWithinSizes(spark: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_sizes")
+    try {
+      import spark.implicits._
+      writeSizeExperiment(spark, dir, out.toString)
+        .toDF("variant", "bytes").orderBy("variant")
+    } finally deleteRecursively(out)
+  }
+
+  val all: Seq[graft.Q] = Seq(
+    graft.Q("q_sortwithin_sizes", sortWithinSizes, None))
+
   private def deleteRecursively(p: Path): Unit = {
     val s = Files.walk(p)
     try s.sorted(java.util.Comparator.reverseOrder[Path]())
