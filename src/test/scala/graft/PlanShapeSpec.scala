@@ -95,6 +95,19 @@ class PlanShapeSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("ann-lsh probe partition-prunes the ingest-time band index") {
+    val plan = executed(graft.operators.Similarity.annLsh(spark, sfDir))
+    val scans = collect(plan) {
+      case f: FileSourceScanExec
+        if f.tableIdentifier.exists(_.table.startsWith("lsh_")) => f
+    }
+    assert(scans.nonEmpty, s"no scan of the lsh band index in:\n$plan")
+    scans.foreach { sc =>
+      assert(sc.partitionFilters.nonEmpty,
+        s"lsh probe reads every band partition (no partition filter):\n$sc")
+    }
+  }
+
   test("embedding near-dup joins on (label, band, nibble), never label alone") {
     val plan = executed(Dedup.embedCosine(spark, sfDir))
     val joins = collect(plan) { case j: BaseJoinExec => j }
