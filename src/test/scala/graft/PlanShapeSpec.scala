@@ -95,6 +95,21 @@ class PlanShapeSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("multimodal decode repartitions by (modality, salt), not modality alone") {
+    // modality-only hashing collapses decode to ≤3 partitions at ANY
+    // corpus size; the salt spreads each modality across the cluster
+    // while keeping every partition single-modality for codec-state reuse
+    val ex = exchanges(
+      graft.operators.Multimodal.decoded(spark, sfDir).toDF())
+    val parts = ex.flatMap(_.outputPartitioning match {
+      case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+        Some(h.expressions.flatMap(_.references.map(_.name)))
+      case _ => None
+    })
+    assert(parts.exists(p => p.contains("media_type") && p.size >= 2),
+      s"decode exchange must key on (media_type, salt): $parts")
+  }
+
   test("ann-lsh probe partition-prunes the ingest-time band index") {
     val plan = executed(graft.operators.Similarity.annLsh(spark, sfDir))
     val scans = collect(plan) {
