@@ -255,13 +255,17 @@ object Dedup {
       .select("lang", "source", "doc_id", "sh2")
   }
 
-  /** Candidate pairs (a < b, with shared-shingle count `c`) from the
-    * inverted index over a prebuilt ngramDocs frame — exposed so
-    * CandidateGuardSpec can bound candidate cardinality on fixtures. */
+  /** Candidate pairs (a < b, shared-shingle count `c`, shingle-set sizes
+    * `sza`/`szb`) from the inverted index over a prebuilt ngramDocs frame —
+    * exposed so CandidateGuardSpec can bound candidate cardinality on
+    * fixtures. The per-doc size rides the postings explode (one int per
+    * posting row) and falls out of the pair aggregation as min() of a
+    * per-group constant — this saves two doc-table joins, each of which
+    * would re-scan and re-shingle the corpus. */
   private[graft] def ngramCandidates(d: DataFrame,
                                      cap: Long = POSTING_CAP): DataFrame = {
     val posts = d.select(col("lang"), col("source"), col("doc_id"),
-      explode(col("sh2")).as("g"))
+      size(col("sh2")).as("sz"), explode(col("sh2")).as("g"))
     val shortPostings = posts.groupBy("lang", "source", "g")
       .agg(count(lit(1)).as("pn"))
       .filter(col("pn") <= cap)
@@ -274,24 +278,21 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.lang").as("lang"), col("x.source").as("source"),
         col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c"),
+        min(col("x.sz")).as("sza"), min(col("y.sz")).as("szb"))
   }
 
   /** The inverted-index top-10 plan over a prebuilt ngramDocs frame;
     * `cap` is overridable so PropertiesSpec can compare capped vs
     * uncapped. */
   private[graft] def ngramJaccardPlan(d: DataFrame,
-                                      cap: Long = POSTING_CAP): DataFrame = {
-    val sizes = d.select(col("doc_id"), size(col("sh2")).as("sz"))
+                                      cap: Long = POSTING_CAP): DataFrame =
     ngramCandidates(d, cap)
-      .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
       .select(col("lang"), col("source"), col("a"), col("b"),
         round(col("c").cast("double") /
-          (col("sa.sz") + col("sb.sz") - col("c")).cast("double"), 4).as("jac"))
+          (col("sza") + col("szb") - col("c")).cast("double"), 4).as("jac"))
       .orderBy(col("jac").desc, col("a").asc, col("b").asc)
       .limit(10)
-  }
 
   /** Fully lazy plan — the shingle stage recomputes once per branch
     * (sizes + both posting sides) rather than being cached: shingling is a
@@ -331,6 +332,114 @@ object Dedup {
       |JOIN (SELECT doc_id, len(sh2) AS len_sh FROM d) sa ON a = sa.doc_id
       |JOIN (SELECT doc_id, len(sh2) AS len_sh FROM d) sb ON b = sb.doc_id
       |ORDER BY jac DESC, a, b LIMIT 10""".stripMargin
+
+  /** Similarity edges for cluster formation: candidate pairs whose word-
+    * 2-shingle Jaccard clears `threshold`, from the same capped inverted
+    * index as [[ngramJaccard]]. (a, b) with a < b. */
+  private[graft] def similarityEdges(d: DataFrame,
+                                     threshold: Double): DataFrame =
+    ngramCandidates(d)
+      .filter(col("c").cast("double") /
+        (col("sza") + col("szb") - col("c")).cast("double") >= threshold)
+      .select("a", "b")
+
+  /** Jaccard threshold above which two documents are duplicate-cluster
+    * edges — mirrored into the DuckDB oracle. */
+  private val CLUSTER_JACCARD = 0.5
+
+  /** Near-dup CLUSTER formation — the step a real dedup pipeline runs
+    * after pair generation: pairs alone cannot dedupe a corpus, because
+    * similarity is not transitive-closed (A~B, B~C ⇒ A,B,C must share a
+    * fate even when A~C is below threshold). Connected components over
+    * the jaccard ≥ 0.5 edge set, labeled by min doc_id — the canonical
+    * "keep the representative, drop the rest" structure.
+    *
+    * Implementation is iterative min-label propagation: each round every
+    * node takes the min of its own label and its neighbors' labels; the
+    * unique fixpoint labels every node with its component's min doc_id.
+    * The driver LOOP is inherent to iterative graph algorithms on Spark
+    * (Pregel/GraphX are driver-coordinated supersteps too); per-round work
+    * is one join + one aggregate on the EDGE set (never the corpus — only
+    * nodes that appear in an edge participate; everything else is a
+    * singleton by definition), rounds are bounded by component diameter,
+    * and `localCheckpoint` truncates lineage each round so the plan stays
+    * flat. Convergence is detected by an exact changed-label count.
+    *
+    * The DuckDB oracle re-derives the same edges, then computes the same
+    * components via a recursive transitive closure — an entirely
+    * different algorithm arriving at the same unique fixpoint, which
+    * makes this check stronger than a re-implementation twin. */
+  def dupClusters(s: SparkSession, dir: String): DataFrame =
+    dupClustersFrom(ngramDocs(s, dir))
+
+  private[graft] def dupClustersFrom(d: DataFrame): DataFrame = {
+    // checkpoint the edge set BEFORE symmetrizing: the union's two
+    // branches would otherwise each run the whole inverted-index pipeline
+    val edges = similarityEdges(d, CLUSTER_JACCARD).localCheckpoint()
+    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+    var labels = sym.select(col("a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val nbMin = sym.join(labels, sym("b") === labels("doc_id"))
+        .groupBy(sym("a").as("doc_id"))
+        .agg(min("label").as("nb_min"))
+      val next = labels.as("l")
+        .join(nbMin.as("n"), col("l.doc_id") === col("n.doc_id"), "left")
+        .select(col("l.doc_id").as("doc_id"),
+          least(col("l.label"),
+            coalesce(col("n.nb_min"), col("l.label"))).as("label"))
+        .localCheckpoint()
+      changed = next.as("x").join(labels.as("y"), col("x.doc_id") === col("y.doc_id"))
+        .filter(col("x.label") =!= col("y.label")).count()
+      labels = next
+      rounds += 1
+    }
+    labels.groupBy(col("label").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_docs"),
+        concat_ws(",", sort_array(collect_list(col("doc_id"))))
+          .as("members"))
+      .orderBy("cluster_rep")
+  }
+
+  private val dupClustersSql =
+    s"""WITH RECURSIVE d AS (
+      |  SELECT lang, source, doc_id,
+      |         list_distinct(list_transform(
+      |           generate_series(1, len(string_split(text, ' ')) - 1),
+      |           i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))) AS sh2
+      |  FROM documents),
+      |posts AS (SELECT lang, source, doc_id, unnest(sh2) AS g FROM d),
+      |short_postings AS (
+      |  SELECT lang, source, g FROM posts GROUP BY lang, source, g
+      |  HAVING count(*) <= $POSTING_CAP),
+      |kept AS (
+      |  SELECT p.lang, p.source, p.doc_id, p.g
+      |  FROM posts p JOIN short_postings s
+      |    ON p.lang = s.lang AND p.source = s.source AND p.g = s.g),
+      |inter AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+      |  FROM kept x JOIN kept y
+      |    ON x.lang = y.lang AND x.source = y.source AND x.g = y.g
+      |   AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2),
+      |edges AS (
+      |  SELECT a, b FROM inter i
+      |  JOIN (SELECT doc_id, len(sh2) AS sz FROM d) sa ON a = sa.doc_id
+      |  JOIN (SELECT doc_id, len(sh2) AS sz FROM d) sb ON b = sb.doc_id
+      |  WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE)
+      |        >= $CLUSTER_JACCARD),
+      |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+      |reach(src, node) AS (
+      |  SELECT a, a FROM sym
+      |  UNION
+      |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.node = s.a),
+      |lab AS (SELECT src AS doc_id, min(node) AS label FROM reach GROUP BY src)
+      |SELECT label AS cluster_rep, count(*) AS n_docs,
+      |       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS members
+      |FROM lab GROUP BY label ORDER BY cluster_rep""".stripMargin
 
   /** Embedding cosine near-dup: top-10 most similar candidate pairs, where
     * candidates come from random-hyperplane LSH BANDING — never an
@@ -433,5 +542,6 @@ object Dedup {
     Q("q_dedup_minhash", minhashLsh, Some(minhashLshSql)),
     Q("q_dedup_simhash", simhash, Some(simhashSql)),
     Q("q_dedup_ngram", ngramJaccard, Some(ngramJaccardSql)),
+    Q("q_dedup_clusters", dupClusters, Some(dupClustersSql)),
     Q("q_dedup_embed", embedCosine, Some(embedCosineSql)))
 }

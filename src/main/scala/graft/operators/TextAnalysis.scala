@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -233,8 +234,48 @@ object TextAnalysis {
       |GROUP BY 1, 2
       |ORDER BY lang, split""".stripMargin
 
+  /** Deterministic stratified sample: exactly k docs per language
+    * stratum, chosen by md5(doc_id) order — the subsampling primitive of
+    * a training-data pipeline (df.sample is RNG-per-partition and changes
+    * under repartition; a hash order is stable across runs, engines, and
+    * layouts, same property as [[hashSplit]]). Selection is an exact
+    * TWO-LEVEL top-k: top-k by hash within each (stratum, salt) cell,
+    * then top-k of the ≤ 32k survivors per stratum — every window
+    * partition stays bounded at any corpus size, instead of one window
+    * partition holding an entire 100 TB stratum. The union of per-cell
+    * top-ks contains the per-stratum top-k, so the result is identical
+    * to the single-window form the DuckDB oracle runs. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val d = Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"))
+      .withColumn("hk",
+        md5(concat(col("doc_id").cast("string"), lit(":strat"))))
+      .withColumn("salt", pmod(hash(col("doc_id")), lit(32)))
+    val bySalt = Window.partitionBy("lang", "salt")
+      .orderBy(col("hk").asc, col("doc_id").asc)
+    val byLang = Window.partitionBy("lang")
+      .orderBy(col("hk").asc, col("doc_id").asc)
+    d.withColumn("r1", row_number().over(bySalt)).filter(col("r1") <= k)
+      .withColumn("r2", row_number().over(byLang)).filter(col("r2") <= k)
+      .select("lang", "doc_id")
+      .orderBy("lang", "doc_id")
+  }
+
+  private val stratifiedSampleSql =
+    """SELECT lang, doc_id FROM (
+      |  SELECT lang, doc_id,
+      |         row_number() OVER (
+      |           PARTITION BY lang
+      |           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':strat'), doc_id)
+      |           AS r
+      |  FROM documents)
+      |WHERE r <= 5
+      |ORDER BY lang, doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_text_langid", langId, Some(langIdSql)),
+    Q("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     Q("q_hash_split", hashSplit, Some(hashSplitSql)),
     Q("q_text_rollinghash", rollingFingerprint, None),
     Q("q_text_quality", quality, Some(qualitySql)),

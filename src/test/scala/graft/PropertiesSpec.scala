@@ -94,6 +94,25 @@ class PropertiesSpec extends SparkTestBase {
       "identical pair below the cap must remain a candidate")
   }
 
+  test("dup clusters close transitively: A~B, B~C => one {A,B,C} cluster") {
+    // shingle overlap: A and B share 4/6, B and C share 4/6 (jac 0.5),
+    // A and C share only 2/8 (jac 0.25 < 0.5) — the cluster must still
+    // contain all three, which pair-level output alone cannot express
+    import spark.implicits._
+    val d = Seq(
+      (1L, Seq("a1", "a2", "s1", "s2", "s3", "s4")),
+      (2L, Seq("s1", "s2", "s3", "s4", "t1", "t2")),
+      (3L, Seq("t1", "t2", "s3", "s4", "c1", "c2")),
+      (4L, Seq("x1", "x2", "x3", "x4", "x5", "x6")))
+      .toDF("doc_id", "sh2")
+      .withColumn("lang", lit("en")).withColumn("source", lit("web"))
+    val rows = graft.operators.Dedup.dupClustersFrom(d).collect()
+    assert(rows.length == 1, s"expected one cluster, got ${rows.toSeq}")
+    assert(rows(0).getLong(0) == 1L && rows(0).getLong(1) == 3L &&
+      rows(0).getString(2) == "1,2,3",
+      s"expected cluster {1,2,3} labeled 1, got ${rows(0)}")
+  }
+
   test("posting-length cap leaves the fixture ngram top-10 unchanged") {
     val s = spark
     val top = graft.operators.Dedup.ngramJaccard(s, sfDir).collect().toSeq
