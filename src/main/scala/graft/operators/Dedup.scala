@@ -377,8 +377,10 @@ object Dedup {
     // branches would otherwise each run the whole inverted-index pipeline
     val edges = similarityEdges(d, CLUSTER_JACCARD).localCheckpoint()
     val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
-    var labels = sym.select(col("a").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
+    // first propagation round fused into initialization: label(x) =
+    // min(x, neighbors(x)) — one aggregation instead of init + round 1
+    var labels = sym.groupBy(col("a").as("doc_id"))
+      .agg(least(col("a"), min(col("b"))).as("label"))
       .localCheckpoint()
     var changed = 1L
     var rounds = 0

@@ -30,12 +30,17 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object IngestJob {
 
-  /** One table of the ingestion manifest. */
+  /** One table of the ingestion manifest. `schemaDdl` is an optional
+    * Spark DDL string ("a INT, b STRING") — the analog of the reference's
+    * typed CREATE TABLE column lists (`job1:184-275`). When present the
+    * CSV read uses it directly, skipping inference's extra full scan of
+    * the file (the right call for any recurring production load). */
   final case class TableSpec(
       name: String,
       path: String,
       expectedColumns: Seq[String],
-      layout: Layout = Plain)
+      layout: Layout = Plain,
+      schemaDdl: Option[String] = None)
 
   sealed trait Layout
   /** Hash-bucketed on a join key — the fact layout (`job1:224,239,248`'s
@@ -59,7 +64,11 @@ object IngestJob {
   def run(spark: SparkSession, specs: Seq[TableSpec],
           db: String = "bootcamp"): Seq[Ingest.ValidationReport] = {
     val loaded: Seq[(TableSpec, DataFrame)] =
-      specs.map(t => t -> Ingest.loadCsv(spark, t.path, t.name))
+      specs.map { t =>
+        val schema = t.schemaDdl.map(
+          org.apache.spark.sql.types.StructType.fromDDL)
+        t -> Ingest.loadCsv(spark, t.path, t.name, schema = schema)
+      }
     val reports = loaded.map { case (t, df) =>
       Ingest.validate(df, t.name, t.expectedColumns)
     }

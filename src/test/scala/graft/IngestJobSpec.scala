@@ -66,6 +66,20 @@ class IngestJobSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("declared DDL schema skips inference and fixes column types") {
+    val db = "ingestjob_ddl"
+    val manifest = Seq(
+      TableSpec("region_t", s"$csvDir/region.csv",
+        Seq("r_regionkey", "r_name"),
+        schemaDdl = Some("r_regionkey BIGINT, r_name STRING, r_comment STRING")))
+    IngestJob.run(spark, manifest, db)
+    val sch = spark.table(s"$db.region_t").schema
+    assert(sch("r_regionkey").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(sch("r_name").dataType ==
+      org.apache.spark.sql.types.StringType)
+  }
+
   test("validation failure aborts before ANY write") {
     val db = "ingestjob_fail"
     // supplier demands a column that does not exist; lineitem is valid —
