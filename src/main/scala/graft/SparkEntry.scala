@@ -14,7 +14,8 @@ object SparkEntry {
   /** Every registered query, one per implemented operator (SURVEY.md §2). */
   private lazy val registry: Seq[Q] =
     RefQueries.all ++ Breadth.all ++ JoinsPlus.all ++ TextAnalysis.all ++
-      Dedup.all ++ Similarity.all ++ Multimodal.all ++ sources.Ddl.all
+      Dedup.all ++ Similarity.all ++ Multimodal.all ++ TrainPipeline.all ++
+      sources.Ddl.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.run).toMap
