@@ -18,9 +18,12 @@ object GraftSql {
   /** Register every harness table as a temp view named after the table,
     * and graft's custom expressions (dot_d, simhash32_d, minhash_slices)
     * so SQL text can call them. Idempotent and memoized per
-    * (session, dir) — repeat calls with the same dir cost nothing. */
+    * (session, dir) — repeat calls with the same dir cost nothing. The
+    * dir is recorded only AFTER every view registers: a partial failure
+    * (e.g. a transient read error) must leave the memo unset so the next
+    * call retries instead of serving a half-registered catalog forever. */
   def registerViews(spark: SparkSession, dir: String): Unit =
-    if (lastDir.put(spark, dir) != dir) {
+    if (lastDir.get(spark) != dir) {
       functions.GraftFunctions.register(spark)
       // events can't go through the generic reader: its raw parquet schema
       // (TIMESTAMP(NANOS)) throws at read time, so use the repairing loader
@@ -28,6 +31,7 @@ object GraftSql {
         Tables.t(spark, dir, t).createOrReplaceTempView(t)
       }
       Tables.events(spark, dir).createOrReplaceTempView("events")
+      lastDir.put(spark, dir)
     }
 
   def sql(spark: SparkSession, dir: String, text: String): DataFrame = {

@@ -121,7 +121,7 @@ object Breadth {
 
   private val sessionWindowAggSql =
     """WITH marked AS (
-      |  SELECT user_id, ts,
+      |  SELECT user_id, ts, event_id,
       |         CASE WHEN lag(ts) OVER w IS NULL
       |                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
       |                      >= 1800 * 1000000
@@ -130,7 +130,7 @@ object Breadth {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |sessions AS (
       |  SELECT user_id, ts,
-      |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       |  FROM marked)
       |SELECT user_id,

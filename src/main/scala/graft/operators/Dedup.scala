@@ -347,6 +347,18 @@ object Dedup {
     * edges — mirrored into the DuckDB oracle. */
   private val CLUSTER_JACCARD = 0.5
 
+  /** Cluster output lists at most this many member ids — the full census
+    * is `n_docs`. On a real corpus the largest near-dup cluster
+    * (boilerplate/template families) has millions of members; an
+    * unbounded `collect_list` there is one multi-GB row on one reducer.
+    * Mirrored into the DuckDB oracle, so the cap is checked semantics. */
+  private[graft] val MEMBER_CAP = 20
+
+  /** Components larger than this are flagged `is_giant` — at corpus scale
+    * they are boilerplate families that belong to the exact-hash pass,
+    * not near-dup handling. Mirrored into the oracle. */
+  private[graft] val COMPONENT_CAP = 1000L
+
   /** Near-dup CLUSTER formation — the step a real dedup pipeline runs
     * after pair generation: pairs alone cannot dedupe a corpus, because
     * similarity is not transitive-closed (A~B, B~C ⇒ A,B,C must share a
@@ -372,10 +384,22 @@ object Dedup {
   def dupClusters(s: SparkSession, dir: String): DataFrame =
     dupClustersFrom(ngramDocs(s, dir))
 
-  private[graft] def dupClustersFrom(d: DataFrame): DataFrame = {
+  private[graft] def dupClustersFrom(d: DataFrame): DataFrame =
     // checkpoint the edge set BEFORE symmetrizing: the union's two
     // branches would otherwise each run the whole inverted-index pipeline
-    val edges = similarityEdges(d, CLUSTER_JACCARD).localCheckpoint()
+    clustersFromEdges(similarityEdges(d, CLUSTER_JACCARD).localCheckpoint())
+
+  /** Connected components over an (a, b) edge frame via min-label
+    * propagation WITH pointer jumping: each round every node takes the min
+    * of (its label, its neighbors' labels), then follows its label one hop
+    * (label(x) ← label(label(x)) — labels are node ids, so the target is
+    * always present). The jump halves remaining chain depth every round,
+    * so rounds are O(log diameter) — a million-node chain-shaped component
+    * converges in ~20 rounds, where plain propagation needs a round per
+    * hop. Non-convergence within `maxRounds` THROWS rather than returning
+    * silently-split clusters (a wrong answer is worse than a loud one). */
+  private[graft] def clustersFromEdges(edges: DataFrame,
+                                       maxRounds: Int = 50): DataFrame = {
     val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
     // first propagation round fused into initialization: label(x) =
     // min(x, neighbors(x)) — one aggregation instead of init + round 1
@@ -384,25 +408,50 @@ object Dedup {
       .localCheckpoint()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    while (changed > 0 && rounds < maxRounds) {
       val nbMin = sym.join(labels, sym("b") === labels("doc_id"))
         .groupBy(sym("a").as("doc_id"))
         .agg(min("label").as("nb_min"))
-      val next = labels.as("l")
+      val prop = labels.as("l")
         .join(nbMin.as("n"), col("l.doc_id") === col("n.doc_id"), "left")
         .select(col("l.doc_id").as("doc_id"),
           least(col("l.label"),
             coalesce(col("n.nb_min"), col("l.label"))).as("label"))
+        .localCheckpoint() // feeds both sides of the jump join below
+      val next = prop.as("x")
+        .join(prop.select(col("doc_id").as("ld"), col("label").as("ll")).as("p"),
+          col("x.label") === col("p.ld"), "left")
+        .select(col("x.doc_id").as("doc_id"),
+          least(col("x.label"),
+            coalesce(col("p.ll"), col("x.label"))).as("label"))
         .localCheckpoint()
       changed = next.as("x").join(labels.as("y"), col("x.doc_id") === col("y.doc_id"))
         .filter(col("x.label") =!= col("y.label")).count()
       labels = next
       rounds += 1
     }
-    labels.groupBy(col("label").as("cluster_rep"))
-      .agg(count(lit(1)).as("n_docs"),
-        concat_ws(",", sort_array(collect_list(col("doc_id"))))
-          .as("members"))
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dup-cluster label propagation did not converge in $maxRounds " +
+          "rounds — component structure exceeds the round budget")
+    // Bounded output: full census (n_docs) + at most MEMBER_CAP member ids.
+    // The member list is pre-capped with a per-cluster row_number window
+    // (key-partitioned — no global sort) so no aggregation buffer ever
+    // holds an unbounded cluster; giants are flagged for the exact-hash
+    // pass rather than materialized.
+    val counts = labels.groupBy(col("label").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_docs"))
+    val byCluster = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy("doc_id")
+    val capped = labels
+      .withColumn("rn", row_number().over(byCluster))
+      .filter(col("rn") <= MEMBER_CAP)
+      .groupBy(col("label").as("cluster_rep"))
+      .agg(concat_ws(",", sort_array(collect_list(col("doc_id"))))
+        .as("members"))
+    counts.join(capped, "cluster_rep")
+      .select(col("cluster_rep"), col("n_docs"), col("members"),
+        (col("n_docs") > COMPONENT_CAP).as("is_giant"))
       .orderBy("cluster_rep")
   }
 
@@ -440,7 +489,8 @@ object Dedup {
       |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.node = s.a),
       |lab AS (SELECT src AS doc_id, min(node) AS label FROM reach GROUP BY src)
       |SELECT label AS cluster_rep, count(*) AS n_docs,
-      |       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS members
+      |       array_to_string((list_sort(list(doc_id)))[1:$MEMBER_CAP], ',') AS members,
+      |       count(*) > $COMPONENT_CAP AS is_giant
       |FROM lab GROUP BY label ORDER BY cluster_rep""".stripMargin
 
   /** Embedding cosine near-dup: top-10 most similar candidate pairs, where

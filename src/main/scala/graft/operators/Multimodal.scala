@@ -65,16 +65,33 @@ object Multimodal {
         brightness, feature)
     }
 
+  /** Modalities the synthetic corpus carries — the salt key-space divides
+    * the cluster between them. */
+  private val N_MODALITIES = 3
+
+  /** Salt modulus for the decode repartition, derived from the session's
+    * shuffle parallelism: ≈ partitions / modalities non-empty (modality,
+    * salt) keys fill every shuffle partition, so decode parallelism SCALES
+    * with the configured cluster width instead of hard-capping at a
+    * constant (a fixed `lit(8)` salt caps decode at 3 × 8 = 24 tasks on a
+    * 1000-core cluster). Floor of 8 keeps tiny local runs multi-task. */
+  private[graft] def decodeSaltModulus(s: SparkSession): Int =
+    math.max(8, s.conf.get("spark.sql.shuffle.partitions").toInt / N_MODALITIES)
+
   /** The batch-decode pipeline: repartition by (modality, salt), then one
     * decode batch per partition. The salt matters: hashing on media_type
     * alone would collapse decode to ≤3 non-empty partitions at ANY corpus
     * size; the doc_id-derived salt spreads each modality across the
     * cluster while keeping every partition single-modality (codec/model
-    * state still reused within a batch). */
+    * state still reused within a batch). The salt modulus tracks
+    * spark.sql.shuffle.partitions (see [[decodeSaltModulus]]) so the
+    * decode stage widens with the cluster; results are salt-invariant
+    * (the stub is row-local), which the oracle checks. */
   def decoded(s: SparkSession, dir: String): Dataset[DecodedMedia] = {
     import s.implicits._
     mediaTable(s, dir)
-      .repartition(col("media_type"), pmod(col("doc_id"), lit(8)))
+      .repartition(col("media_type"),
+        pmod(col("doc_id"), lit(decodeSaltModulus(s).toLong)))
       .as[MediaRow]
       .mapPartitions(decodeStub _)
   }

@@ -187,11 +187,15 @@ object Similarity {
     val tbl = s"$db.$name"
     if (!s.catalog.tableExists(tbl)) {
       s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-      // stale variants of this index (other fingerprints) are garbage now
+      // stale variants of this index (other fingerprints) are garbage now.
+      // Match the EXACT tag boundary — a bare startsWith would let a dir
+      // whose tag is a prefix of another's (sf1 vs sf10) drop the other
+      // dir's live index (tag is sanitized to [A-Za-z0-9_], regex-safe)
+      val stale = s"${kind}_${tag}_[0-9a-f]{1,8}"
       if (s.catalog.databaseExists(db)) {
         s.catalog.listTables(db).collect()
           .map(_.name)
-          .filter(t => t.startsWith(s"${kind}_$tag") && t != name)
+          .filter(t => t.matches(stale) && t != name)
           .foreach(t => s.sql(s"DROP TABLE IF EXISTS $db.$t"))
       }
       // in-memory catalog forgets tables across JVMs but their files

@@ -68,10 +68,19 @@ object Ddl {
 
   /** README.md:25's experiment: write the same data with different
     * sortWithinPartitions keys and measure on-disk size — low-cardinality
-    * sort keys give parquet RLE/dictionary runs. Returns variant → bytes. */
+    * sort keys give parquet RLE/dictionary runs. Returns variant → bytes.
+    *
+    * Runs over a deterministic ~10% orderkey slice: the layout conclusion
+    * (low-card sort < unsorted < high-card sort) is scale-free, and the
+    * experiment writes the data 3× — benchmarking 9 full-corpus writes per
+    * pass alongside compute queries taxed every bench run for no extra
+    * signal. The slice keeps whole orders together (orderkey-keyed), so
+    * run-length structure per partition is representative. */
   def writeSizeExperiment(spark: SparkSession, dir: String,
                           out: String): Seq[(String, Long)] = {
-    val li = Tables.lineitem(spark, dir).repartition(8, col("l_orderkey"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(pmod(col("l_orderkey"), lit(10)) === 0)
+      .repartition(8, col("l_orderkey"))
     val variants: Seq[(String, DataFrame)] = Seq(
       "unsorted" -> li,
       "sorted_lowcard" -> li.sortWithinPartitions("l_returnflag", "l_linestatus", "l_suppkey"),

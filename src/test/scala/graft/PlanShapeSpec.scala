@@ -110,6 +110,38 @@ class PlanShapeSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       s"decode exchange must key on (media_type, salt): $parts")
   }
 
+  test("multimodal decode salt key-space tracks spark.sql.shuffle.partitions") {
+    // the salt modulus must scale with the configured shuffle width — a
+    // constant salt caps decode parallelism at (modalities × constant)
+    // tasks no matter how wide the cluster is. Assert the pmod literal in
+    // the exchange's partitioning expressions equals the derived modulus
+    // at two different settings.
+    def saltLiteral(): Option[Long] = {
+      val ex = exchanges(
+        graft.operators.Multimodal.decoded(spark, sfDir).toDF())
+      ex.flatMap(_.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+          h.expressions.flatMap(_.collect {
+            case org.apache.spark.sql.catalyst.expressions.Pmod(
+                _, org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _), _) => v
+          })
+        case _ => Nil
+      }).headOption
+    }
+    val orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "30")
+      assert(saltLiteral().contains(10L),
+        "salt modulus at 30 shuffle partitions must be 30/3 = 10")
+      spark.conf.set("spark.sql.shuffle.partitions", "300")
+      assert(saltLiteral().contains(100L),
+        "salt modulus at 300 shuffle partitions must be 300/3 = 100")
+      spark.conf.set("spark.sql.shuffle.partitions", "6")
+      assert(saltLiteral().contains(8L),
+        "salt modulus floors at 8 for tiny local runs")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", orig)
+  }
+
   test("ann-lsh probe partition-prunes the ingest-time band index") {
     val plan = executed(graft.operators.Similarity.annLsh(spark, sfDir))
     val scans = collect(plan) {

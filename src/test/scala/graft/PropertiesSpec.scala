@@ -109,8 +109,50 @@ class PropertiesSpec extends SparkTestBase {
     val rows = graft.operators.Dedup.dupClustersFrom(d).collect()
     assert(rows.length == 1, s"expected one cluster, got ${rows.toSeq}")
     assert(rows(0).getLong(0) == 1L && rows(0).getLong(1) == 3L &&
-      rows(0).getString(2) == "1,2,3",
+      rows(0).getString(2) == "1,2,3" && !rows(0).getBoolean(3),
       s"expected cluster {1,2,3} labeled 1, got ${rows(0)}")
+  }
+
+  test("giant components are flagged and member lists capped") {
+    // a planted star component above COMPONENT_CAP: output must flag it,
+    // list only MEMBER_CAP ids, and still report the exact census
+    import spark.implicits._
+    val n = graft.operators.Dedup.COMPONENT_CAP.toInt + 200
+    val edges = (1 until n).map(i => (0L, i.toLong)).toDF("a", "b")
+    val rows = graft.operators.Dedup.clustersFromEdges(edges).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getLong(0) == 0L && r.getLong(1) == n.toLong,
+      s"census must stay exact: $r")
+    assert(r.getBoolean(3), "over-cap component must be flagged is_giant")
+    val members = r.getString(2).split(",")
+    assert(members.length == graft.operators.Dedup.MEMBER_CAP,
+      s"member list must cap at MEMBER_CAP, got ${members.length}")
+    assert(members.head == "0" && members(1) == "1",
+      s"capped members must be the smallest ids: ${r.getString(2)}")
+  }
+
+  test("pointer jumping converges on a long chain in O(log n) rounds") {
+    // a 300-node chain has diameter 299: plain min-label propagation needs
+    // ~300 rounds; propagate+jump must finish within 12 (log2(300) ≈ 8.2,
+    // plus slack) — this is what keeps driver rounds bounded on
+    // chain-shaped mega-components at corpus scale
+    import spark.implicits._
+    val edges = (0 until 299).map(i => (i.toLong, i.toLong + 1)).toDF("a", "b")
+    val rows = graft.operators.Dedup.clustersFromEdges(edges, maxRounds = 12)
+      .collect()
+    assert(rows.length == 1 && rows(0).getLong(0) == 0L &&
+      rows(0).getLong(1) == 300L,
+      s"chain must collapse to one cluster labeled 0: ${rows.toSeq}")
+  }
+
+  test("non-convergence within the round budget throws, never returns") {
+    import spark.implicits._
+    val edges = (0 until 299).map(i => (i.toLong, i.toLong + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      graft.operators.Dedup.clustersFromEdges(edges, maxRounds = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
   }
 
   test("posting-length cap leaves the fixture ngram top-10 unchanged") {
