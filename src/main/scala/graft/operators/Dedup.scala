@@ -589,11 +589,135 @@ object Dedup {
       |ORDER BY cos_sim DESC, va, vb LIMIT 10""".stripMargin
   }
 
+  /** Batch-membership predicate for the incremental-dedup demonstration:
+    * doc_id % 17 == 3 plays the "newly arriving batch"; everything else is
+    * the already-ingested corpus. Mirrored into the DuckDB oracle. */
+  private val BATCH_MOD = 17L
+  private val BATCH_REM = 3L
+
+  /** Ingest-time MinHash band index over the CORPUS documents: one row per
+    * (doc, band) carrying the doc's full K-component signature plus its
+    * (band, key) bucket, partitioned by (band, nib). Built once per
+    * (dir, data fingerprint) via the same scaffold as the ANN index tables
+    * — the corpus is shingled exactly once, at ingest. Hot buckets
+    * (> BUCKET_CAP corpus docs) are dropped at build time, same semantics
+    * as [[minhashCandidates]]. */
+  private[graft] def ensureMinhashIndexTable(s: SparkSession,
+                                             dir: String): String =
+    Similarity.ensureIndexTable(s, dir, "mhidx", srcTable = "documents") {
+      val docs = docsWithShingles(s, dir)
+        .filter(pmod(col("doc_id"), lit(BATCH_MOD)) =!= BATCH_REM)
+      val sigs = docs
+        .withColumn("mh", expr("minhash_slices(sh)"))
+        .select(col("doc_id") +:
+          (0 until K).map(i => col("mh").getItem(i).as(s"h$i")): _*)
+      val kv = sigs.select(
+          (col("doc_id") +: (0 until K).map(i => col(s"h$i"))) :+
+            posexplode(array((0 until BANDS).map(b =>
+              TextFns.bandKey(Seq(col(s"h${2 * b}"), col(s"h${2 * b + 1}")))): _*)): _*)
+        .toDF(("doc_id" +: (0 until K).map(i => s"h$i")) ++ Seq("band", "key"): _*)
+        .withColumn("nib", substring(col("key"), 1, 1))
+      val sizes = kv.groupBy("band", "key")
+        .agg(count(lit(1)).as("bn"))
+        .filter(col("bn") <= BUCKET_CAP)
+        .select("band", "key")
+      kv.join(sizes, Seq("band", "key"))
+    }(Seq("band", "nib"))
+
+  /** Incremental dedup — the operation an appending lake runs on every
+    * load: probe a NEW batch of documents against the ingest-time band
+    * index WITHOUT rescanning or re-shingling the existing corpus (the
+    * reference only ever overwrites its tables, `job1:295-335`; this is
+    * the append-side complement). The batch is shingled and signed; its
+    * band keys join the index's (band, nib, key) bucket columns; matched
+    * pairs are scored by SIGNATURE-estimated Jaccard (matching components
+    * / K) — everything the verify needs rides in the index row, so the
+    * corpus text is never touched. Top-20 most similar (batch, corpus)
+    * pairs; est_jac is deterministic md5 arithmetic, so the DuckDB oracle
+    * replays it exactly. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val tbl = ensureMinhashIndexTable(s, dir)
+    val batch = docsWithShingles(s, dir)
+      .filter(pmod(col("doc_id"), lit(BATCH_MOD)) === BATCH_REM)
+      .withColumn("mh", expr("minhash_slices(sh)"))
+      .select(col("doc_id").as("b_doc") +:
+        (0 until K).map(i => col("mh").getItem(i).as(s"q$i")): _*)
+    val probes = batch.select(
+        (col("b_doc") +: (0 until K).map(i => col(s"q$i"))) :+
+          posexplode(array((0 until BANDS).map(b =>
+            TextFns.bandKey(Seq(col(s"q${2 * b}"), col(s"q${2 * b + 1}")))): _*)): _*)
+      .toDF(("b_doc" +: (0 until K).map(i => s"q$i")) ++ Seq("band", "key"): _*)
+      .withColumn("nib", substring(col("key"), 1, 1))
+    val nMatch = (0 until K)
+      .map(i => when(col(s"h$i") === col(s"q$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    s.table(tbl)
+      .join(probes, Seq("band", "nib", "key"))
+      .dropDuplicates("b_doc", "doc_id")
+      .withColumn("est_jac", round(nMatch.cast("double") / lit(K), 4))
+      .select(col("b_doc").as("batch_doc"),
+        col("doc_id").as("corpus_doc"), col("est_jac"))
+      .orderBy(col("est_jac").desc, col("batch_doc").asc,
+        col("corpus_doc").asc)
+      .limit(20)
+  }
+
+  private val dedupIncrementalSql = {
+    val sigCols = (0 until K).map(i =>
+      s"list_aggregate(list_transform(hs, h -> substr(h, ${1 + 8 * i}, 8)), 'min') AS h$i")
+      .mkString(",\n         ")
+    val corpBands = (0 until BANDS).map(b =>
+      s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS key FROM corp")
+      .mkString("\n  UNION ALL ")
+    val batBands = (0 until BANDS).map(b =>
+      s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS key FROM bat")
+      .mkString("\n  UNION ALL ")
+    val matchSum = (0 until K).map(i =>
+      s"CASE WHEN cs.h$i = bs.h$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(
+       |           generate_series(1, len(string_split(text, ' ')) - 2),
+       |           i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS sh
+       |  FROM documents),
+       |based AS (
+       |  SELECT doc_id, list_transform(sh, x ->
+       |    md5(x) || md5('s:' || x) || md5('t:' || x) ||
+       |    md5('u:' || x) || md5('v:' || x) || md5('w:' || x)) AS hs
+       |  FROM docs),
+       |sigs AS (
+       |  SELECT doc_id,
+       |         $sigCols
+       |  FROM based),
+       |corp AS (SELECT * FROM sigs WHERE doc_id % $BATCH_MOD <> $BATCH_REM),
+       |bat AS (SELECT * FROM sigs WHERE doc_id % $BATCH_MOD = $BATCH_REM),
+       |cbands AS (
+       |  $corpBands),
+       |bsize AS (
+       |  SELECT band, key FROM cbands GROUP BY band, key
+       |  HAVING count(*) <= $BUCKET_CAP),
+       |ckept AS (
+       |  SELECT c.doc_id, c.band, c.key
+       |  FROM cbands c JOIN bsize s ON c.band = s.band AND c.key = s.key),
+       |bbands AS (
+       |  $batBands),
+       |cand AS (
+       |  SELECT DISTINCT b.doc_id AS b_doc, c.doc_id AS c_doc
+       |  FROM bbands b JOIN ckept c ON b.band = c.band AND b.key = c.key)
+       |SELECT b_doc AS batch_doc, c_doc AS corpus_doc,
+       |       round(($matchSum) / ${K}.0, 4) AS est_jac
+       |FROM cand JOIN corp cs ON c_doc = cs.doc_id
+       |          JOIN bat bs ON b_doc = bs.doc_id
+       |ORDER BY est_jac DESC, batch_doc, corpus_doc LIMIT 20""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_dedup_exact", exact, Some(exactSql)),
     Q("q_dedup_minhash", minhashLsh, Some(minhashLshSql)),
     Q("q_dedup_simhash", simhash, Some(simhashSql)),
     Q("q_dedup_ngram", ngramJaccard, Some(ngramJaccardSql)),
     Q("q_dedup_clusters", dupClusters, Some(dupClustersSql)),
-    Q("q_dedup_embed", embedCosine, Some(embedCosineSql)))
+    Q("q_dedup_embed", embedCosine, Some(embedCosineSql)),
+    Q("q_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)))
 }

@@ -177,12 +177,14 @@ object Similarity {
     * cost lands outside the per-query path by design — bench numbers for
     * the probe queries are probe-only, which is the documented
     * ingest/query split. */
-  private def ensureIndexTable(s: SparkSession, dir: String, kind: String)
-                              (build: => DataFrame)
-                              (partCols: Seq[String]): String = synchronized {
+  private[graft] def ensureIndexTable(s: SparkSession, dir: String,
+                                      kind: String,
+                                      srcTable: String = "embeddings")
+                                     (build: => DataFrame)
+                                     (partCols: Seq[String]): String = synchronized {
     val db = "graft_ann"
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_").stripPrefix("_")
-    val fp = dataFingerprint(dir, "embeddings")
+    val fp = dataFingerprint(dir, srcTable)
     val name = s"${kind}_${tag}_$fp"
     val tbl = s"$db.$name"
     if (!s.catalog.tableExists(tbl)) {

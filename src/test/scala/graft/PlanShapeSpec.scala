@@ -168,6 +168,26 @@ class PlanShapeSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("incremental dedup probes the prebuilt index; only the batch scans documents") {
+    // the append-side contract: the existing corpus is served by the
+    // ingest-time minhash band index — re-shingling it per batch would be
+    // a full-corpus scan on every load
+    val plan = executed(Dedup.dedupIncremental(spark, sfDir))
+    val idxScans = collect(plan) {
+      case f: FileSourceScanExec
+        if f.tableIdentifier.exists(_.table.startsWith("mhidx_")) => f
+    }
+    assert(idxScans.nonEmpty, s"no scan of the minhash band index in:\n$plan")
+    val docScans = collect(plan) {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(
+          _.toString.contains("documents.parquet")) => f
+    }
+    assert(docScans.size == 1,
+      s"expected exactly one documents scan (the batch side), got " +
+        s"${docScans.size} — the corpus must come from the index")
+  }
+
   test("fuzzy match joins are key-blocked, never a cross product") {
     val plan = executed(Breadth.fuzzyNames(spark, sfDir))
     val cartesian = collect(plan) {
