@@ -164,11 +164,134 @@ object Similarity {
 
   /** Coarse centroids: FIXED (vec_id < NLIST) so DuckDB can re-derive the
     * whole structure — production IVF k-means-trains them, but the
-    * partition/probe/rescore mechanics are identical. */
+    * partition/probe/rescore mechanics are identical. The trained variant
+    * is [[trainCentroids]] / q_sim_ivf_trained. */
   private def centroids(e: DataFrame): DataFrame =
     e.filter(col("vec_id") < NLIST)
       .select(col("vec_id").cast("int").as("cid"), col("emb").as("c_emb"),
         col("nrm").as("c_nrm"))
+
+  private val LLOYD_ITERS = 3
+
+  /** A centroid list as a (cid, c_emb, c_nrm) frame — centroid vectors are
+    * k×DIM driver metadata (same footing as a broadcast dim table), norms
+    * precomputed driver-side. */
+  private[graft] def centroidFrame(s: SparkSession,
+                                   cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    import s.implicits._
+    cents.map { case (cid, v) =>
+      (cid, v, math.sqrt(v.map(x => x * x).sum)) }
+      .toDF("cid", "c_emb", "c_nrm")
+  }
+
+  /** Nearest-centroid assignment of a corpus frame against a (small,
+    * broadcast) centroid frame: argmax cosine via a per-vec_id window — a
+    * hash exchange on vec_id, no global sort. */
+  private[graft] def assignToCentroids(e: DataFrame, cdf: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(e.sparkSession)
+    val scored = e.join(broadcast(cdf))
+      .withColumn("ccos",
+        VectorFns.cosineWithNorms("emb", "c_emb", "nrm", "c_nrm"))
+    val byVec = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
+    scored
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("emb"), col("nrm"),
+        col("cid"), col("ccos"))
+  }
+
+  /** Deterministic spherical-k-means training: seed = the first k vectors
+    * by vec_id (the fixed-centroid layout, so trained stays reproducible),
+    * then `iters` Lloyd rounds of assign → per-list mean DIRECTION (mean
+    * of norm-scaled vectors — the update that provably does not increase
+    * the spherical k-means objective). Each round is one broadcast-join
+    * assignment pass over the corpus plus a (k × DIM)-row aggregate; the
+    * collected means are k×DIM driver metadata, not data. A list that
+    * loses all members keeps its previous centroid. */
+  private[graft] def trainCentroids(e: DataFrame, k: Int = NLIST,
+                                    iters: Int = LLOYD_ITERS): Seq[(Int, Seq[Double])] = {
+    var cents: Seq[(Int, Seq[Double])] = e.filter(col("vec_id") < k)
+      .orderBy("vec_id").select("emb").collect()
+      .toSeq.zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0)) }
+    for (_ <- 1 to iters) {
+      val cdf = centroidFrame(e.sparkSession, cents)
+      val dirSums = assignToCentroids(e, cdf)
+        .select(col("cid"), posexplode(expr("transform(emb, v -> v / nrm)")))
+        .toDF("cid", "j", "v")
+        .groupBy("cid", "j").agg(sum("v").as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      val byCid = dirSums.groupBy(_._1).map { case (cid, xs) =>
+        cid -> xs.sortBy(_._2).map(_._3).toSeq }
+      cents = cents.map { case (cid, old) => (cid, byCid.getOrElse(cid, old)) }
+    }
+    cents
+  }
+
+  /** Ingest-time TRAINED IVF layout: a 16-row centroid table (`ivfc_*`,
+    * the converged Lloyd centroids) plus the corpus assignment table
+    * (`ivft_*`) PARTITIONED BY cid — same probe mechanics as the
+    * fixed-centroid table, but list boundaries follow the data. Both carry
+    * the source fingerprint, so regenerated data retrains. */
+  private[graft] def ensureIvfTrainedTables(s: SparkSession,
+                                            dir: String): (String, String) = {
+    val cTbl = ensureIndexTable(s, dir, "ivfc") {
+      centroidFrame(s, trainCentroids(corpus(s, dir)))
+    }(Seq.empty)
+    val tTbl = ensureIndexTable(s, dir, "ivft") {
+      assignToCentroids(corpus(s, dir), s.table(cTbl))
+        .select("vec_id", "label", "emb", "nrm", "cid")
+    }(Seq("cid"))
+    (cTbl, tTbl)
+  }
+
+  /** Shared probe: best-NPROBE lists by centroid cosine, then exact
+    * rescore inside only those partitions of the assignment table. */
+  private def ivfProbe(s: SparkSession, tbl: String, cents: DataFrame,
+                       e: DataFrame, queryId: Long): DataFrame = {
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val probes = cents.join(broadcast(q))
+      .select(col("cid"),
+        VectorFns.cosineWithNorms("c_emb", "q_emb", "c_nrm", "q_nrm")
+          .as("ccos"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+      .limit(NPROBE)
+      .select("cid")
+    s.table(tbl).join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= queryId)
+      .join(broadcast(q))
+      .select(col("vec_id"), col("label"), col("cid").cast("long").as("probe_list"),
+        round(VectorFns.cosineWithNorms("emb", "q_emb", "nrm", "q_nrm"), 4)
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(5)
+  }
+
+  /** Trained-IVF ANN probe (rows-only for the driver: DuckDB cannot
+    * cheaply replay k-means, so correctness is held by the recall /
+    * objective specs in SimilarityTrainingSpec plus the plan-pruning
+    * assert; the fixed-centroid q_sim_ivf keeps the exact oracle for the
+    * probe mechanics). */
+  def ivfTrained(s: SparkSession, dir: String): DataFrame = {
+    val (cTbl, tTbl) = ensureIvfTrainedTables(s, dir)
+    ivfProbe(s, tTbl, s.table(cTbl), corpus(s, dir), queryId = 0L)
+  }
+
+  /** Fixture recall@5 vs the brute-force ground truth for one query, over
+    * either assignment table — used by SimilarityTrainingSpec to compare
+    * trained vs fixed. */
+  private[graft] def ivfRecallProbe(s: SparkSession, dir: String,
+                                    trained: Boolean, queryId: Long): Set[Long] = {
+    val e = corpus(s, dir)
+    val df =
+      if (trained) {
+        val (cTbl, tTbl) = ensureIvfTrainedTables(s, dir)
+        ivfProbe(s, tTbl, s.table(cTbl), e, queryId)
+      } else
+        ivfProbe(s, ensureIvfTable(s, dir), centroids(e), e, queryId)
+    df.collect().map(_.getLong(0)).toSet
+  }
 
   /** Shared ingest-time index-table scaffold: the table name carries a
     * fingerprint of the source parquet (sizes + mtimes), so regenerated
@@ -256,16 +379,8 @@ object Similarity {
   private[graft] def ensureIvfTable(s: SparkSession, dir: String): String =
     ensureIndexTable(s, dir, "ivf") {
       val e = corpus(s, dir)
-      val scored = e.join(broadcast(centroids(e)))
-        .withColumn("ccos",
-          VectorFns.cosineWithNorms("emb", "c_emb", "nrm", "c_nrm"))
-      val byVec = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
-      scored
-        .withColumn("rn", row_number().over(byVec))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("label"), col("emb"), col("nrm"),
-          col("cid"))
+      assignToCentroids(e, centroids(e))
+        .select("vec_id", "label", "emb", "nrm", "cid")
     }(Seq("cid"))
 
   /** IVF-style ANN probe: score the query against the NLIST centroids,
@@ -276,23 +391,7 @@ object Similarity {
   def ivf(s: SparkSession, dir: String): DataFrame = {
     val tbl = ensureIvfTable(s, dir)
     val e = corpus(s, dir)
-    val q = e.filter(col("vec_id") === 0)
-      .select(col("emb").as("q_emb"), col("nrm").as("q_nrm"))
-    val probes = centroids(e).join(broadcast(q))
-      .select(col("cid"),
-        VectorFns.cosineWithNorms("c_emb", "q_emb", "c_nrm", "q_nrm")
-          .as("ccos"))
-      .orderBy(col("ccos").desc, col("cid").asc)
-      .limit(NPROBE)
-      .select("cid")
-    s.table(tbl).join(broadcast(probes), "cid")
-      .filter(col("vec_id") =!= 0)
-      .join(broadcast(q))
-      .select(col("vec_id"), col("label"), col("cid").cast("long").as("probe_list"),
-        round(VectorFns.cosineWithNorms("emb", "q_emb", "nrm", "q_nrm"), 4)
-          .as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
-      .limit(5)
+    ivfProbe(s, tbl, centroids(e), e, queryId = 0L)
   }
 
   private val ivfSql =
@@ -325,5 +424,6 @@ object Similarity {
   val all: Seq[Q] = Seq(
     Q("q_sim_topk", bruteTopK, Some(bruteTopKSql)),
     Q("q_sim_ann_lsh", annLsh, Some(annLshSql)),
-    Q("q_sim_ivf", ivf, Some(ivfSql)))
+    Q("q_sim_ivf", ivf, Some(ivfSql)),
+    Q("q_sim_ivf_trained", ivfTrained, None))
 }

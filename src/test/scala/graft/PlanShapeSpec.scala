@@ -142,6 +142,19 @@ class PlanShapeSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     } finally spark.conf.set("spark.sql.shuffle.partitions", orig)
   }
 
+  test("trained ivf probe partition-prunes the trained assignment table") {
+    val plan = executed(graft.operators.Similarity.ivfTrained(spark, sfDir))
+    val scans = collect(plan) {
+      case f: FileSourceScanExec
+        if f.tableIdentifier.exists(_.table.startsWith("ivft_")) => f
+    }
+    assert(scans.nonEmpty, s"no scan of the trained ivf table in:\n$plan")
+    scans.foreach { sc =>
+      assert(sc.partitionFilters.nonEmpty,
+        s"trained ivf probe reads every list partition:\n$sc")
+    }
+  }
+
   test("ann-lsh probe partition-prunes the ingest-time band index") {
     val plan = executed(graft.operators.Similarity.annLsh(spark, sfDir))
     val scans = collect(plan) {

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+import graft.operators.Similarity
+
+/** Correctness of the trained-IVF path, which has no DuckDB oracle
+  * (k-means is impractical to replay in SQL): planted-cluster recovery and
+  * recall for the Lloyd trainer, and the provable objective monotonicity
+  * on the fixture corpus.
+  */
+class SimilarityTrainingSpec extends SparkTestBase {
+
+  /** Planted corpus: 4 orthogonal cluster directions in 8 dims, 80
+    * members carrying a deterministic per-member perturbation on the
+    * upper axes. Seeds (vec_id 0..3) are one-per-cluster but NOISY — each
+    * leans heavily onto a wrong axis — so training has real work to do. */
+  private def planted = {
+    import spark.implicits._
+    val dim = 8
+    val rows = (0 until 80).map { i =>
+      val c = i % 4
+      val v = Array.fill(dim)(0.0)
+      v(c) = 1.0
+      if (i < 4) {
+        // noisy seed: strong spurious component on the next cluster's axis
+        v((c + 1) % 4) = 1.5
+      } else {
+        // member jitter: small deterministic perturbation, mean ~0 across
+        // the cluster so the true mean direction is the axis itself
+        v(4 + (i % 4)) = 0.2 * ((i / 4) % 5 - 2)
+      }
+      (i.toLong, s"c$c", v.toSeq, math.sqrt(v.map(x => x * x).sum))
+    }
+    rows.toDF("vec_id", "label", "emb", "nrm")
+  }
+
+  test("Lloyd training recovers planted cluster directions from noisy seeds") {
+    val e = planted
+    val seeds: Seq[(Int, Seq[Double])] =
+      Similarity.trainCentroids(e, k = 4, iters = 0)
+    val trained = Similarity.trainCentroids(e, k = 4, iters = 3)
+
+    def bestAlignment(cents: Seq[(Int, Seq[Double])], axis: Int): Double =
+      cents.map { case (_, v) =>
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        v(axis) / nrm
+      }.max
+
+    (0 until 4).foreach { axis =>
+      val s0 = bestAlignment(seeds, axis)
+      val s1 = bestAlignment(trained, axis)
+      assert(s1 >= s0 - 1e-12,
+        s"training degraded alignment with planted axis $axis: $s0 -> $s1")
+      assert(s1 > 0.98,
+        s"trained centroids must recover planted axis $axis, best cos = $s1")
+    }
+    // the noisy seeds do NOT already solve the problem (cos ≈ 0.55)
+    assert(bestAlignment(seeds, 0) < 0.9,
+      "fixture is too easy: seeds already aligned")
+  }
+
+  /** Frame-level IVF probe (no catalog tables): assign `e` to `cents`,
+    * probe the best list for the query, return found neighbor ids. */
+  private def frameProbe(e: DataFrame, cents: Seq[(Int, Seq[Double])],
+                         qid: Long, k: Int): Set[Long] = {
+    val cdf = Similarity.centroidFrame(spark, cents)
+    val assigned = Similarity.assignToCentroids(e, cdf)
+    val q = e.filter(col("vec_id") === qid)
+      .select(col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val lists = cdf.join(broadcast(q))
+      .select(col("cid"),
+        VectorFns.cosineWithNorms("c_emb", "q_emb", "c_nrm", "q_nrm").as("c"))
+      .orderBy(col("c").desc, col("cid").asc).limit(1).select("cid")
+    assigned.join(broadcast(lists), "cid")
+      .filter(col("vec_id") =!= qid)
+      .join(broadcast(q))
+      .select(col("vec_id"),
+        VectorFns.cosineWithNorms("emb", "q_emb", "nrm", "q_nrm").as("c"))
+      .orderBy(col("c").desc, col("vec_id").asc).limit(k)
+      .collect().map(_.getLong(0)).toSet
+  }
+
+  test("trained probe finds at least the fixed probe's true neighbors (planted)") {
+    val e = planted.cache()
+    try {
+      val seeds = Similarity.trainCentroids(e, k = 4, iters = 0)
+      val trained = Similarity.trainCentroids(e, k = 4, iters = 3)
+      def brute(qid: Long): Set[Long] = {
+        val q = e.filter(col("vec_id") === qid)
+          .select(col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+        e.filter(col("vec_id") =!= qid).join(broadcast(q))
+          .select(col("vec_id"),
+            VectorFns.cosineWithNorms("emb", "q_emb", "nrm", "q_nrm").as("c"))
+          .orderBy(col("c").desc, col("vec_id").asc).limit(5)
+          .collect().map(_.getLong(0)).toSet
+      }
+      // one mid-cluster query per planted cluster
+      val (fixedHits, trainedHits) = (40L to 43L).map { qid =>
+        val truth = brute(qid)
+        val f = (frameProbe(e, seeds, qid, 5) & truth).size
+        val t = (frameProbe(e, trained, qid, 5) & truth).size
+        (f, t)
+      }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+      info(s"planted recall@5: fixed $fixedHits, trained $trainedHits (max 20)")
+      assert(trainedHits >= fixedHits,
+        s"trained recall $trainedHits fell below fixed $fixedHits")
+      assert(trainedHits >= 16,
+        s"trained probe must find nearly all planted neighbors: $trainedHits/20")
+    } finally e.unpersist()
+  }
+
+  test("training does not increase the spherical k-means objective") {
+    // mean-direction updates provably never increase Σ(1 - cos(x, c(x)));
+    // compare the fixture corpus objective under fixed vs trained centroids
+    val e = Similarity.corpus(spark, sfDir).cache()
+    try {
+      def objective(cents: Seq[(Int, Seq[Double])]): Double =
+        Similarity.assignToCentroids(e, Similarity.centroidFrame(spark, cents))
+          .agg(sum(lit(1.0) - col("ccos"))).collect()(0).getDouble(0)
+      val fixedObj = objective(Similarity.trainCentroids(e, iters = 0))
+      val trainedObj = objective(Similarity.trainCentroids(e))
+      assert(trainedObj <= fixedObj + 1e-9,
+        s"objective increased: fixed $fixedObj -> trained $trainedObj")
+      info(f"objective: fixed $fixedObj%.4f -> trained $trainedObj%.4f")
+    } finally e.unpersist()
+  }
+
+  test("q_sim_ivf_trained returns top-5 rows with sane scores") {
+    val rows = Similarity.ivfTrained(spark, sfDir).collect()
+    assert(rows.length == 5)
+    val sims = rows.map(_.getDouble(3))
+    assert(sims.sameElements(sims.sorted.reverse), "rows must be cos-desc")
+    assert(sims.forall(s => s >= -1.0 && s <= 1.0))
+  }
+}
