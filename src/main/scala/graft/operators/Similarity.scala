@@ -66,6 +66,73 @@ object Similarity {
       |WHERE vec_id <> 0
       |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
 
+  /** Batch size for the multi-query demonstration (vec_id < QBATCH is the
+    * query batch) and per-query result depth. */
+  private val QBATCH = 8
+  private val BATCH_TOPK = 3
+
+  /** Salt width for the two-level per-query top-k: level 1 ranks within
+    * (q_id, salt) — QBATCH × TOPK_SALTS balanced keys — level 2 ranks the
+    * surviving ≤ TOPK_SALTS × k rows per query. No single reducer ever
+    * sees a whole query's scored corpus. */
+  private val TOPK_SALTS = 32
+
+  /** Batched multi-query brute-force similarity: top-k per query for a
+    * broadcast batch of Q query vectors in ONE corpus scan — the shape a
+    * pipeline needs when deduping/linking a batch per pass rather than one
+    * probe at a time. The corpus never shuffles: queries broadcast, the
+    * scored rows that do shuffle are narrow (q_id, vec_id, label, cos)
+    * tuples — never embeddings — and the exact per-query top-k runs as a
+    * two-level rank (per-(q_id, salt), then per-q_id) so a query's whole
+    * candidate set never lands on one reducer. Ranking is over the
+    * 4-decimal-rounded cosine with a vec_id tiebreak, which is what makes
+    * the DuckDB oracle row-exact. */
+  def bruteTopKBatch(s: SparkSession, dir: String): DataFrame = {
+    val e = corpus(s, dir)
+    val qs = e.filter(col("vec_id") < QBATCH)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val scored = e.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("label"),
+        round(VectorFns.cosineWithNorms("emb", "q_emb", "nrm", "q_nrm"), 4)
+          .as("cos_sim"),
+        pmod(col("vec_id"), lit(TOPK_SALTS.toLong)).as("salt"))
+    val bySalt = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id", "salt")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val byQuery = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored
+      .withColumn("srn", row_number().over(bySalt))
+      .filter(col("srn") <= BATCH_TOPK)
+      .withColumn("rn", row_number().over(byQuery))
+      .filter(col("rn") <= BATCH_TOPK)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("label"),
+        col("cos_sim"))
+      .orderBy("q_id", "rn")
+  }
+
+  private val bruteTopKBatchSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm
+       |      FROM e WHERE vec_id < $QBATCH),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id, e.label,
+       |         round(list_dot_product(e.emb, q.q_emb) / (e.nrm * q.q_nrm), 4)
+       |           AS cos_sim
+       |  FROM e JOIN q ON e.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |                               ORDER BY cos_sim DESC, vec_id) AS rn
+       |  FROM scored)
+       |SELECT q_id, rn, vec_id, label, cos_sim
+       |FROM ranked WHERE rn <= $BATCH_TOPK
+       |ORDER BY q_id, rn""".stripMargin
+
   private val LSH_BANDS = 4
   private val LSH_BAND_BITS = BITS / LSH_BANDS
 
@@ -425,5 +492,6 @@ object Similarity {
     Q("q_sim_topk", bruteTopK, Some(bruteTopKSql)),
     Q("q_sim_ann_lsh", annLsh, Some(annLshSql)),
     Q("q_sim_ivf", ivf, Some(ivfSql)),
-    Q("q_sim_ivf_trained", ivfTrained, None))
+    Q("q_sim_ivf_trained", ivfTrained, None),
+    Q("q_sim_topk_batch", bruteTopKBatch, Some(bruteTopKBatchSql)))
 }

@@ -142,6 +142,26 @@ class PlanShapeSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     } finally spark.conf.set("spark.sql.shuffle.partitions", orig)
   }
 
+  test("batched top-k: queries broadcast, corpus embeddings never shuffle") {
+    val df = graft.operators.Similarity.bruteTopKBatch(spark, sfDir)
+    val plan = executed(df)
+    // every shuffle carries only narrow scored tuples — no vector columns
+    val ex = collect(plan) { case e: ShuffleExchangeExec => e }
+    ex.foreach { e =>
+      val arrayCols = e.output.filter(_.dataType.isInstanceOf[ArrayType])
+      assert(arrayCols.isEmpty,
+        s"shuffle carries vector columns ${arrayCols.map(_.name)} — " +
+          "the corpus must be scored in place, queries broadcast")
+    }
+    // the query batch joins as a broadcast, never a shuffle join
+    val joins = collect(plan) { case j: BaseJoinExec => j }
+    assert(joins.nonEmpty)
+    joins.foreach { j =>
+      assert(j.nodeName.toLowerCase.contains("broadcast"),
+        s"non-broadcast join in batched top-k plan: ${j.nodeName}")
+    }
+  }
+
   test("trained ivf probe partition-prunes the trained assignment table") {
     val plan = executed(graft.operators.Similarity.ivfTrained(spark, sfDir))
     val scans = collect(plan) {
