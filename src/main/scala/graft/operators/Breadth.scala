@@ -442,11 +442,23 @@ object Breadth {
     * set spreads across C(C+1)/2 ≈ 528 independent chunk-pair cells. */
   private val DENSE_CHUNKS = 32
 
+  /** The inlined gram-df map is bounded metadata only while the gram
+    * universe is small (|Σ|^q for ASCII q-grams). Above this many distinct
+    * grams (a wide-alphabet/unicode corpus) the collect would be a
+    * driver-side OOM risk, so the prefix selection falls back to a
+    * broadcast JOIN against the df table — one extra exchange, same
+    * semantics. The guard makes the documented universe-bounded claim
+    * ENFORCED rather than assumed. */
+  private[graft] val DF_MAP_CAP = 1 << 16
+
   /** Candidate pairs (ka < kb, with name columns na/nb) for edit-distance ≤ D
     * matching over a (k, nm, len) frame — the adaptive two-path block
     * described at [[fuzzyNames]]. Exposed so CandidateGuardSpec can bound
-    * the candidate count on adversarial fixtures. */
-  private[graft] def fuzzyCandidates(sup: DataFrame, D: Int, qg: Int): DataFrame = {
+    * the candidate count on adversarial fixtures; `dfMapCap` is
+    * overridable so the spec can force the wide-alphabet fallback on a
+    * small fixture. */
+  private[graft] def fuzzyCandidates(sup: DataFrame, D: Int, qg: Int,
+                                     dfMapCap: Int = DF_MAP_CAP): DataFrame = {
     val pref = qg * D + 1
     val gramsExpr =
       s"""transform(sequence(1, greatest(len - 1, 1)),
@@ -462,22 +474,42 @@ object Breadth {
     // rarest-first order needs only a (df, g, p) lexicographic struct sort
     // within the row. Grams absent from the map cannot occur downstream
     // (it is built from the same frame); the MaxValue default just routes
-    // any such row to the lossless dense path.
-    val dfMap: Map[String, Long] = sup
+    // any such row to the lossless dense path. The limit-probe collects at
+    // most dfMapCap + 1 rows, so an unexpectedly wide gram universe can
+    // never OOM the driver — it routes to the join fallback below instead.
+    val dfAgg = sup
       .select(explode(expr(gramsExpr)).as("gp"))
       .groupBy(col("gp.g").as("g")).agg(count(lit(1)).as("df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val dfmLit = typedLit(dfMap)
-    val scored = sup
-      .withColumn("pref", slice(array_sort(transform(expr(gramsExpr), x =>
-        struct(
-          coalesce(element_at(dfmLit, x.getField("g")), lit(Long.MaxValue))
-            .as("df"),
-          x.getField("g").as("g"), x.getField("p").as("p")))), 1, pref))
+    val dfHead = dfAgg.limit(dfMapCap + 1).collect()
+    val scored =
+      if (dfHead.length <= dfMapCap) {
+        val dfmLit = typedLit(
+          dfHead.map(r => r.getString(0) -> r.getLong(1)).toMap)
+        sup.withColumn("pref", slice(array_sort(transform(expr(gramsExpr), x =>
+          struct(
+            coalesce(element_at(dfmLit, x.getField("g")), lit(Long.MaxValue))
+              .as("df"),
+            x.getField("g").as("g"), x.getField("p").as("p")))), 1, pref))
+      } else {
+        // wide-alphabet fallback: same (df, g, p) rarest-first prefix, but
+        // df arrives by broadcast-joining the df table onto the exploded
+        // grams and the prefix is rebuilt per name — one hash exchange on
+        // the name key, no driver-side gram universe
+        sup.select(col("k"), col("nm"), col("len"),
+            explode(expr(gramsExpr)).as("gp"))
+          .select(col("k"), col("nm"), col("len"),
+            col("gp.g").as("g"), col("gp.p").as("p"))
+          .join(broadcast(dfAgg), Seq("g"), "left")
+          .withColumn("df", coalesce(col("df"), lit(Long.MaxValue)))
+          .groupBy("k", "nm", "len")
+          .agg(slice(array_sort(collect_list(
+            struct(col("df"), col("g"), col("p")))), 1, pref).as("pref"))
+      }
+    val withHot = scored
       .withColumn("is_hot",
         exists(col("pref"), x => x.getField("df") > HOT_GRAM_CAP))
     // selective path: hot grams leave the join, so every bucket is ≤ cap
-    val exKeep = scored
+    val exKeep = withHot
       .select(col("k"), col("nm"), col("len"),
         explode(expr(s"filter(pref, x -> x.df <= $HOT_GRAM_CAP)")).as("x"))
       .select(col("k"), col("nm"), col("len"),
@@ -492,7 +524,7 @@ object Breadth {
     // dense path: names with a hot prefix gram pair exhaustively over a
     // balanced upper-triangular chunk grid (no single hot reducer);
     // is_hot is a row-local predicate, so membership costs no exchange
-    val hc = scored.filter(col("is_hot"))
+    val hc = withHot.filter(col("is_hot"))
       .select("k", "nm", "len")
       .withColumn("c", pmod(hash(col("k")), lit(DENSE_CHUNKS)))
     val cells = sup.sparkSession.range(DENSE_CHUNKS.toLong * DENSE_CHUNKS)

@@ -66,6 +66,29 @@ class CandidateGuardSpec extends SparkTestBase {
         s"added ${(got -- brute).size} phantom pairs")
   }
 
+  test("fuzzy gram-df guard: over-cap universes take the join fallback losslessly") {
+    // force the wide-alphabet fallback (dfMapCap below the fixture's gram
+    // count) and assert it reproduces the inlined-map path's candidates
+    // exactly — the guard must change the PLAN, never the ANSWER. This is
+    // what protects a future caller on unicode documents.text from a
+    // driver-side gram-universe collect.
+    val n = 300
+    val sup = (1 to n)
+      .map(i => (i.toLong, f"Supplier#${(i.toLong * 48271L) % 999999937L}%09d"))
+      .toDF("k", "nm")
+      .withColumn("len", length(col("nm")))
+    def pairs(cap: Int): Set[(Long, Long)] =
+      Breadth.fuzzyCandidates(sup, D = 2, qg = 2, dfMapCap = cap)
+        .select("ka", "kb")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inline = pairs(Breadth.DF_MAP_CAP)
+    val fallback = pairs(4) // far below the fixture's distinct-gram count
+    assert(inline.nonEmpty)
+    assert(fallback == inline,
+      s"fallback path diverged: lost ${(inline -- fallback).size}, " +
+        s"added ${(fallback -- inline).size}")
+  }
+
   test("fuzzy blocking on the real supplier fixture is far below all-pairs") {
     val sup = Tables.supplier(spark, sfDir)
       .select(col("s_suppkey").as("k"), col("s_name").as("nm"))
