@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.functions.expr
 
 import graft.operators.RefQueries
 
@@ -42,6 +43,36 @@ class RefQueriesSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(math.abs(BigDecimal(expected).setScale(4,
       BigDecimal.RoundingMode.HALF_UP).toDouble - row._3) < 1e-9)
     assert(joined.count() == row._4)
+  }
+
+  test("approx percentiles land within sketch tolerance of the exact values") {
+    // the driver's check for q_percentile_approx is rows-only (sketch
+    // estimates are engine-specific), so the accuracy claim is held here:
+    // with accuracy=10000, percentile_approx guarantees a rank error of
+    // at most n/10000 — compare each estimate against the exact
+    // percentiles at a VALUE tolerance derived generously from the group
+    // spread (the fixture groups are ~thousands of rows, so estimates
+    // should sit essentially on top of the exact values)
+    val approx = operators.JoinsPlus.percentilesApprox(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val exact: Map[String, (Seq[Double], Double)] = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))")
+        .as("ps"),
+        expr("max(l_extendedprice) - min(l_extendedprice)").as("spread"))
+      .collect().map(r =>
+        r.getString(0) -> ((r.getSeq[Double](1), r.getDouble(2)))).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (flag, est) =>
+      val (ex, spread) = exact(flag)
+      est.zip(ex).zipWithIndex.foreach { case ((a, e), i) =>
+        assert(math.abs(a - e) <= 0.02 * spread,
+          s"approx p$i for group $flag off by ${math.abs(a - e)} " +
+            s"(exact $e, approx $a, spread $spread)")
+      }
+    }
   }
 
   test("dim joins use broadcast hash join even with auto-broadcast disabled") {
