@@ -591,37 +591,78 @@ object Dedup {
 
   /** Batch-membership predicate for the incremental-dedup demonstration:
     * doc_id % 17 == 3 plays the "newly arriving batch"; everything else is
-    * the already-ingested corpus. Mirrored into the DuckDB oracle. */
-  private val BATCH_MOD = 17L
-  private val BATCH_REM = 3L
+    * the already-ingested corpus. Mirrored into the DuckDB oracle and
+    * shared by [[graft.sources.AppendJob]]. */
+  private[graft] val BATCH_MOD = 17L
+  private[graft] val BATCH_REM = 3L
 
-  /** Ingest-time MinHash band index over the CORPUS documents: one row per
+  /** MinHash band-index rows for a (doc_id, sh) frame: one row per
     * (doc, band) carrying the doc's full K-component signature plus its
-    * (band, key) bucket, partitioned by (band, nib). Built once per
-    * (dir, data fingerprint) via the same scaffold as the ANN index tables
-    * — the corpus is shingled exactly once, at ingest. Hot buckets
-    * (> BUCKET_CAP corpus docs) are dropped at build time, same semantics
-    * as [[minhashCandidates]]. */
+    * (band, key, nib) bucket. `cap` drops hot buckets (boilerplate
+    * shingle families) with the [[BUCKET_CAP]] semantics; pass None when
+    * extending an existing index incrementally (re-capping across
+    * old+new rows is a compaction concern, not an append concern). */
+  private[graft] def minhashBandRows(docs: DataFrame,
+                                     cap: Option[Long]): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sigs = docs
+      .withColumn("mh", expr("minhash_slices(sh)"))
+      .select(col("doc_id") +:
+        (0 until K).map(i => col("mh").getItem(i).as(s"h$i")): _*)
+    val kv = sigs.select(
+        (col("doc_id") +: (0 until K).map(i => col(s"h$i"))) :+
+          posexplode(array((0 until BANDS).map(b =>
+            TextFns.bandKey(Seq(col(s"h${2 * b}"), col(s"h${2 * b + 1}")))): _*)): _*)
+      .toDF(("doc_id" +: (0 until K).map(i => s"h$i")) ++ Seq("band", "key"): _*)
+      .withColumn("nib", substring(col("key"), 1, 1))
+    cap.fold(kv) { c =>
+      val sizes = kv.groupBy("band", "key")
+        .agg(count(lit(1)).as("bn"))
+        .filter(col("bn") <= c)
+        .select("band", "key")
+      kv.join(sizes, Seq("band", "key"))
+    }
+  }
+
+  /** Probe a batch of (doc_id, sh) documents against a band-index frame:
+    * (b_doc, doc_id, est_jac) for every (batch, indexed) pair sharing ≥1
+    * band bucket, scored by signature-estimated Jaccard. Everything the
+    * verify needs rides in the index row — the indexed corpus text is
+    * never touched. */
+  private[graft] def probeMinhashIndex(idx: DataFrame,
+                                       batch: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(batch.sparkSession)
+    val bsigs = batch
+      .withColumn("mh", expr("minhash_slices(sh)"))
+      .select(col("doc_id").as("b_doc") +:
+        (0 until K).map(i => col("mh").getItem(i).as(s"q$i")): _*)
+    val probes = bsigs.select(
+        (col("b_doc") +: (0 until K).map(i => col(s"q$i"))) :+
+          posexplode(array((0 until BANDS).map(b =>
+            TextFns.bandKey(Seq(col(s"q${2 * b}"), col(s"q${2 * b + 1}")))): _*)): _*)
+      .toDF(("b_doc" +: (0 until K).map(i => s"q$i")) ++ Seq("band", "key"): _*)
+      .withColumn("nib", substring(col("key"), 1, 1))
+    val nMatch = (0 until K)
+      .map(i => when(col(s"h$i") === col(s"q$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    idx.join(probes, Seq("band", "nib", "key"))
+      .dropDuplicates("b_doc", "doc_id")
+      .withColumn("est_jac", round(nMatch.cast("double") / lit(K), 4))
+      .select("b_doc", "doc_id", "est_jac")
+  }
+
+  /** Ingest-time MinHash band index over the CORPUS documents, partitioned
+    * by (band, nib). Built once per (dir, data fingerprint) via the same
+    * scaffold as the ANN index tables — the corpus is shingled exactly
+    * once, at ingest. Hot buckets (> BUCKET_CAP corpus docs) are dropped
+    * at build time, same semantics as [[minhashCandidates]]. */
   private[graft] def ensureMinhashIndexTable(s: SparkSession,
                                              dir: String): String =
     Similarity.ensureIndexTable(s, dir, "mhidx", srcTable = "documents") {
-      val docs = docsWithShingles(s, dir)
-        .filter(pmod(col("doc_id"), lit(BATCH_MOD)) =!= BATCH_REM)
-      val sigs = docs
-        .withColumn("mh", expr("minhash_slices(sh)"))
-        .select(col("doc_id") +:
-          (0 until K).map(i => col("mh").getItem(i).as(s"h$i")): _*)
-      val kv = sigs.select(
-          (col("doc_id") +: (0 until K).map(i => col(s"h$i"))) :+
-            posexplode(array((0 until BANDS).map(b =>
-              TextFns.bandKey(Seq(col(s"h${2 * b}"), col(s"h${2 * b + 1}")))): _*)): _*)
-        .toDF(("doc_id" +: (0 until K).map(i => s"h$i")) ++ Seq("band", "key"): _*)
-        .withColumn("nib", substring(col("key"), 1, 1))
-      val sizes = kv.groupBy("band", "key")
-        .agg(count(lit(1)).as("bn"))
-        .filter(col("bn") <= BUCKET_CAP)
-        .select("band", "key")
-      kv.join(sizes, Seq("band", "key"))
+      minhashBandRows(
+        docsWithShingles(s, dir)
+          .filter(pmod(col("doc_id"), lit(BATCH_MOD)) =!= BATCH_REM),
+        cap = Some(BUCKET_CAP))
     }(Seq("band", "nib"))
 
   /** Incremental dedup — the operation an appending lake runs on every
@@ -636,26 +677,10 @@ object Dedup {
     * pairs; est_jac is deterministic md5 arithmetic, so the DuckDB oracle
     * replays it exactly. */
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
     val tbl = ensureMinhashIndexTable(s, dir)
     val batch = docsWithShingles(s, dir)
       .filter(pmod(col("doc_id"), lit(BATCH_MOD)) === BATCH_REM)
-      .withColumn("mh", expr("minhash_slices(sh)"))
-      .select(col("doc_id").as("b_doc") +:
-        (0 until K).map(i => col("mh").getItem(i).as(s"q$i")): _*)
-    val probes = batch.select(
-        (col("b_doc") +: (0 until K).map(i => col(s"q$i"))) :+
-          posexplode(array((0 until BANDS).map(b =>
-            TextFns.bandKey(Seq(col(s"q${2 * b}"), col(s"q${2 * b + 1}")))): _*)): _*)
-      .toDF(("b_doc" +: (0 until K).map(i => s"q$i")) ++ Seq("band", "key"): _*)
-      .withColumn("nib", substring(col("key"), 1, 1))
-    val nMatch = (0 until K)
-      .map(i => when(col(s"h$i") === col(s"q$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    s.table(tbl)
-      .join(probes, Seq("band", "nib", "key"))
-      .dropDuplicates("b_doc", "doc_id")
-      .withColumn("est_jac", round(nMatch.cast("double") / lit(K), 4))
+    probeMinhashIndex(s.table(tbl), batch)
       .select(col("b_doc").as("batch_doc"),
         col("doc_id").as("corpus_doc"), col("est_jac"))
       .orderBy(col("est_jac").desc, col("batch_doc").asc,
