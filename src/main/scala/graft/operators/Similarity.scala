@@ -226,6 +226,90 @@ object Similarity {
        |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin
   }
 
+  /** Batched ANN over the same ingest-time band index: ALL of the batch's
+    * (band, nibble) buckets probe in ONE index scan (≤ QBATCH × 4
+    * partitions read), then per-query exact hamming ≤ 3 + cosine rescore
+    * and a two-level per-query top-k — the amortized shape of running a
+    * probe batch per pass instead of one query at a time. The band
+    * prefilter stays lossless per query (pigeonhole over 4 disjoint
+    * bands), so the DuckDB oracle is the plain per-query hamming-≤3 form
+    * over all vectors. */
+  def annLshBatch(s: SparkSession, dir: String): DataFrame = {
+    val tbl = ensureLshTable(s, dir)
+    val e = corpus(s, dir)
+      .withColumn("sig", expr(VectorFns.lshSignatureSql("emb", BITS, DIM)))
+    val qv = e.filter(col("vec_id") < QBATCH)
+    val probes = qv.select(
+        Seq(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+          col("nrm").as("q_nrm"), col("sig").as("q_sig")) :+
+          posexplode(array((0 until LSH_BANDS).map(b =>
+            shiftright(col("sig"), b * LSH_BAND_BITS)
+              .bitwiseAND(lit((1 << LSH_BAND_BITS) - 1))): _*)): _*)
+      .toDF("q_id", "q_emb", "q_nrm", "q_sig", "band", "nib")
+    val cand = s.table(tbl)
+      .join(broadcast(probes), Seq("band", "nib"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .dropDuplicates("q_id", "vec_id")
+      .withColumn("hamming", expr("bit_count(sig ^ q_sig)").cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("q_id"), col("vec_id"), col("label"), col("hamming"),
+        round(VectorFns.cosineWithNorms("emb", "q_emb", "nrm", "q_nrm"), 4)
+          .as("cos_sim"),
+        pmod(col("vec_id"), lit(TOPK_SALTS.toLong)).as("salt"))
+    val bySalt = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id", "salt")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val byQuery = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    cand
+      .withColumn("srn", row_number().over(bySalt))
+      .filter(col("srn") <= BATCH_TOPK)
+      .withColumn("rn", row_number().over(byQuery))
+      .filter(col("rn") <= BATCH_TOPK)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("label"),
+        col("hamming"), col("cos_sim"))
+      .orderBy("q_id", "rn")
+  }
+
+  private val annLshBatchSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings),
+       |w AS (
+       |  SELECT m,
+       |         list_transform(generate_series(0, ${DIM - 1}), j ->
+       |           CASE WHEN strpos('0123456789abcdef', substr(md5(m || ':' || j), 1, 1)) - 1 >= 8
+       |                THEN 1.0 ELSE -1.0 END) AS wt
+       |  FROM (SELECT unnest(generate_series(0, ${BITS - 1})) AS m)),
+       |comp AS (
+       |  SELECT vec_id, m, list_dot_product(emb, wt) AS d
+       |  FROM e, w),
+       |sig AS (
+       |  SELECT vec_id,
+       |         CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << CAST(m AS INTEGER))
+       |                       ELSE 0 END) AS BIGINT) AS sig
+       |  FROM comp GROUP BY vec_id),
+       |es AS (
+       |  SELECT e.vec_id, label, emb, nrm, sig FROM e JOIN sig ON e.vec_id = sig.vec_id),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm, sig AS q_sig
+       |      FROM es WHERE vec_id < $QBATCH),
+       |cand AS (
+       |  SELECT q.q_id, es.vec_id, es.label,
+       |         CAST(bit_count(xor(es.sig, q.q_sig)) AS BIGINT) AS hamming,
+       |         round(list_dot_product(es.emb, q.q_emb) / (es.nrm * q.q_nrm), 4)
+       |           AS cos_sim
+       |  FROM es, q
+       |  WHERE es.vec_id <> q.q_id AND bit_count(xor(es.sig, q.q_sig)) <= 3),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |                               ORDER BY cos_sim DESC, vec_id) AS rn
+       |  FROM cand)
+       |SELECT q_id, rn, vec_id, label, hamming, cos_sim
+       |FROM ranked WHERE rn <= $BATCH_TOPK
+       |ORDER BY q_id, rn""".stripMargin
+
   private val NLIST = 16
   private val NPROBE = 4
 
@@ -493,5 +577,6 @@ object Similarity {
     Q("q_sim_ann_lsh", annLsh, Some(annLshSql)),
     Q("q_sim_ivf", ivf, Some(ivfSql)),
     Q("q_sim_ivf_trained", ivfTrained, None),
-    Q("q_sim_topk_batch", bruteTopKBatch, Some(bruteTopKBatchSql)))
+    Q("q_sim_topk_batch", bruteTopKBatch, Some(bruteTopKBatchSql)),
+    Q("q_sim_ann_batch", annLshBatch, Some(annLshBatchSql)))
 }

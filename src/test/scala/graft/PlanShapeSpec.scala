@@ -188,6 +188,20 @@ class PlanShapeSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("batched ann probe partition-prunes one shared band-index scan") {
+    val plan = executed(graft.operators.Similarity.annLshBatch(spark, sfDir))
+    val scans = collect(plan) {
+      case f: FileSourceScanExec
+        if f.tableIdentifier.exists(_.table.startsWith("lsh_")) => f
+    }
+    assert(scans.size == 1,
+      s"the batch must share ONE index scan, got ${scans.size}")
+    scans.foreach { sc =>
+      assert(sc.partitionFilters.nonEmpty,
+        s"batched probe reads every band partition:\n$sc")
+    }
+  }
+
   test("embedding near-dup joins on (label, band, nibble), never label alone") {
     val plan = executed(Dedup.embedCosine(spark, sfDir))
     val joins = collect(plan) { case j: BaseJoinExec => j }
