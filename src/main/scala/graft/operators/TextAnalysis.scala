@@ -273,8 +273,49 @@ object TextAnalysis {
       |WHERE r <= 5
       |ORDER BY lang, doc_id""".stripMargin
 
+  /** TF-IDF scoring (smooth idf, sklearn form: tf · (ln((1+N)/(1+df))+1))
+    * — the relevance weighting a retrieval/quality pipeline derives from
+    * term statistics. Scale shape: tokens explode to (doc_id, term) and
+    * partial-aggregate before the shuffle (narrow pairs, never raw text);
+    * document frequency is a second aggregate OVER THE PAIR TABLE (already
+    * one row per (doc, term), so df = a plain count); the idf join
+    * shuffles on the term key. N is a driver scalar (one count pass at
+    * plan-build — the same footing as the eager stats that size a
+    * broadcast). Top-20 is a TakeOrdered, O(k) driver memory. */
+  def tfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val nDocs = docs.count()
+    val pairs = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfs = pairs.groupBy("term").agg(count(lit(1)).as("df"))
+    pairs.join(dfs, "term")
+      .withColumn("tfidf",
+        round(col("tf").cast("double") *
+          (log(lit(1.0 + nDocs) / (lit(1.0) + col("df").cast("double"))) +
+            lit(1.0)), 4))
+      .select(col("doc_id"), col("term"), col("tf").cast("long").as("tf"),
+        col("tfidf"))
+      .orderBy(col("tfidf").desc, col("doc_id").asc, col("term").asc)
+      .limit(20)
+  }
+
+  private val tfidfSql =
+    """WITH pairs AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |    FROM documents)
+      |  GROUP BY doc_id, term),
+      |dfs AS (SELECT term, count(*) AS df FROM pairs GROUP BY term),
+      |n AS (SELECT count(*) AS n FROM documents)
+      |SELECT p.doc_id, p.term AS term, CAST(p.tf AS BIGINT) AS tf,
+      |       round(p.tf * (ln((1.0 + n.n) / (1.0 + d.df)) + 1.0), 4) AS tfidf
+      |FROM pairs p JOIN dfs d ON p.term = d.term CROSS JOIN n
+      |ORDER BY tfidf DESC, p.doc_id, p.term LIMIT 20""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_text_langid", langId, Some(langIdSql)),
+    Q("q_tfidf", tfidf, Some(tfidfSql)),
     Q("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     Q("q_hash_split", hashSplit, Some(hashSplitSql)),
     Q("q_text_rollinghash", rollingFingerprint, None),
