@@ -313,9 +313,113 @@ object TextAnalysis {
       |FROM pairs p JOIN dfs d ON p.term = d.term CROSS JOIN n
       |ORDER BY tfidf DESC, p.doc_id, p.term LIMIT 20""".stripMargin
 
+  /** Repetition signal (the Gopher-style quality filter): per-document
+    * duplicate-token and duplicate-bigram fractions. Both are ROW-LOCAL —
+    * computed inside the scan's codegen stage from the token array itself
+    * (distinct-size vs size), so the only shuffle in the query is the
+    * 10-row TakeOrdered. This is the quality-scoring shape that matters
+    * at 100 TB: signals that never leave the scan. */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, dir)
+      .withColumn("toks", TextFns.tokens(col("text")))
+      .withColumn("big", expr("word_shingles(toks, 2)"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        round(lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")).cast("double"), 4).as("dup_tok_frac"),
+        round(lit(1.0) - size(array_distinct(col("big"))).cast("double") /
+          size(col("big")).cast("double"), 4).as("dup_big_frac"))
+      .orderBy(col("dup_big_frac").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
+  private val repetitionSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |         list_transform(
+      |           generate_series(1, len(string_split(text, ' ')) - 1),
+      |           i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))
+      |           AS big
+      |  FROM documents)
+      |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+      |       round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+      |             / CAST(len(toks) AS DOUBLE), 4) AS dup_tok_frac,
+      |       round(1.0 - CAST(len(list_distinct(big)) AS DOUBLE)
+      |             / CAST(len(big) AS DOUBLE), 4) AS dup_big_frac
+      |FROM t
+      |ORDER BY dup_big_frac DESC, doc_id LIMIT 10""".stripMargin
+
+  /** Benchmark-membership predicate for decontamination: doc_id % 23 == 5
+    * plays the held-out benchmark; the rest is the training corpus. */
+  private val BENCH_MOD = 23L
+  private val BENCH_REM = 5L
+
+  /** Train/benchmark decontamination — the pretraining hygiene pass: a
+    * training document is CONTAMINATED if it shares ≥1 word-5-gram with
+    * any benchmark document. Shape: the benchmark's distinct shingle
+    * hashes form one side of a LEFT SEMI join against the training side's
+    * exploded shingle hashes — the shuffle carries 32-char md5 keys and
+    * ids, never text, and the semi join short-circuits per key. Output is
+    * the per-language contamination census. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.documents(s, dir)
+      .withColumn("toks", TextFns.tokens(col("text")))
+      .withColumn("sh5", array_distinct(expr("word_shingles(toks, 5)")))
+    val bench = docs
+      .filter(pmod(col("doc_id"), lit(BENCH_MOD)) === BENCH_REM)
+      .select(explode(col("sh5")).as("g0"))
+      .select(md5(col("g0")).as("g"))
+      .distinct()
+    val train = docs.filter(pmod(col("doc_id"), lit(BENCH_MOD)) =!= BENCH_REM)
+    val contaminated = train
+      .select(col("doc_id"), col("lang"), explode(col("sh5")).as("g0"))
+      .withColumn("g", md5(col("g0")))
+      .join(bench, Seq("g"), "left_semi")
+      .select("doc_id", "lang")
+      .distinct()
+    train.groupBy("lang").agg(count(lit(1)).as("n_train"))
+      .join(contaminated.groupBy("lang")
+        .agg(count(lit(1)).as("nc")), Seq("lang"), "left")
+      .select(col("lang"), col("n_train"),
+        coalesce(col("nc"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("nc"), lit(0L)).cast("double") /
+          col("n_train").cast("double"), 4).as("contam_frac"))
+      .orderBy("lang")
+  }
+
+  private val decontaminateSql =
+    s"""WITH d AS (
+      |  SELECT doc_id, lang,
+      |         list_distinct(list_transform(
+      |           generate_series(1, len(string_split(text, ' ')) - 4),
+      |           i -> md5(array_to_string((string_split(text, ' '))[i:i+4], ' '))))
+      |           AS sh5
+      |  FROM documents),
+      |bench AS (
+      |  SELECT DISTINCT unnest(sh5) AS g FROM d
+      |  WHERE doc_id % $BENCH_MOD = $BENCH_REM),
+      |train AS (SELECT * FROM d WHERE doc_id % $BENCH_MOD <> $BENCH_REM),
+      |contaminated AS (
+      |  SELECT DISTINCT t.doc_id, t.lang
+      |  FROM (SELECT doc_id, lang, unnest(sh5) AS g FROM train) t
+      |  JOIN bench b ON t.g = b.g)
+      |SELECT t.lang AS lang, count(*) AS n_train,
+      |       CAST(coalesce(c.nc, 0) AS BIGINT) AS n_contaminated,
+      |       round(CAST(coalesce(c.nc, 0) AS DOUBLE) / count(*), 4)
+      |         AS contam_frac
+      |FROM train t
+      |LEFT JOIN (SELECT lang, count(*) AS nc FROM contaminated GROUP BY lang) c
+      |  ON t.lang = c.lang
+      |GROUP BY t.lang, c.nc
+      |ORDER BY lang""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_text_langid", langId, Some(langIdSql)),
     Q("q_tfidf", tfidf, Some(tfidfSql)),
+    Q("q_text_repetition", repetition, Some(repetitionSql)),
+    Q("q_decontaminate", decontaminate, Some(decontaminateSql)),
     Q("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     Q("q_hash_split", hashSplit, Some(hashSplitSql)),
     Q("q_text_rollinghash", rollingFingerprint, None),
