@@ -83,6 +83,36 @@ object AppendJob {
       before, after)
   }
 
+  /** Index compaction — the maintenance pass that pairs with append:
+    * appends extend band buckets UNCAPPED (re-evaluating the hot-bucket
+    * cap across old+new rows on every append would rescan the index), so
+    * after a run of appends some buckets may exceed [[Dedup.BUCKET_CAP]].
+    * Compaction rewrites the index keeping only within-cap buckets —
+    * restoring the probe-cost bound — and returns how many buckets it
+    * dropped. The rewrite materializes via localCheckpoint before
+    * overwriting, so the read never races its own overwrite. */
+  def compactIndex(spark: SparkSession, db: String = "graft_lake",
+                   cap: Long = Dedup.BUCKET_CAP): Long = {
+    val idxTbl = s"$db.docs_mhidx"
+    val cols = spark.table(idxTbl).columns
+    val sizes = spark.table(idxTbl).groupBy("band", "key")
+      .agg(count(lit(1)).as("bn"))
+      .localCheckpoint()
+    val dropped = sizes.filter(col("bn") > cap).count()
+    if (dropped > 0) {
+      val keep = sizes.filter(col("bn") <= cap).select("band", "key")
+      val compacted = spark.table(idxTbl)
+        .join(keep, Seq("band", "key"))
+        .select(cols.map(col): _*)
+        .localCheckpoint()
+      dropStale(spark, db, "docs_mhidx")
+      compacted.write.mode(SaveMode.Overwrite)
+        .partitionBy("band", "nib")
+        .saveAsTable(idxTbl)
+    }
+    dropped
+  }
+
   /** Drop the job's tables and their on-disk locations — test harness
     * reset (an in-memory catalog forgets tables across JVMs but their
     * files survive; same repair as [[IngestJob]]). */

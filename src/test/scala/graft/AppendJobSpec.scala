@@ -40,6 +40,37 @@ class AppendJobSpec extends SparkTestBase {
     assert(r2.corpusAfter == r1.corpusAfter, s"$r2")
   }
 
+  test("compaction drops over-cap buckets and leaves the rest untouched") {
+    import spark.implicits._
+    val idxTbl = s"$db.docs_mhidx"
+    val cap = graft.operators.Dedup.BUCKET_CAP
+    val before = spark.table(idxTbl).count()
+    // plant a synthetic hot bucket (cap + 50 rows on one (band, key))
+    val cols = spark.table(idxTbl).columns
+    val hot = (1 to (cap + 50).toInt).map { i =>
+      (-i.toLong, "deadbeef") // doc_id, shared sig slice
+    }.toDF("doc_id", "sig8")
+    val hotRows = hot.select(
+      cols.map {
+        case "doc_id" => col("doc_id")
+        case "band" => lit(0)
+        case "key" => lit("hotbucketkey")
+        case "nib" => lit("h")
+        case h => col("sig8").as(h)
+      }: _*)
+    hotRows.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .insertInto(idxTbl)
+    val dropped = AppendJob.compactIndex(spark, db)
+    assert(dropped == 1, s"exactly the planted bucket must drop: $dropped")
+    val after = spark.table(idxTbl).count()
+    assert(after == before,
+      s"compaction must remove only the planted bucket: $before -> $after")
+    assert(spark.table(idxTbl)
+      .filter(col("key") === "hotbucketkey").count() == 0)
+    // compacting an already-clean index is a no-op
+    assert(AppendJob.compactIndex(spark, db) == 0)
+  }
+
   test("corpus table holds exactly corpus-seed plus novel batch docs") {
     // runs after the test above (same suite instance ordering); re-derive
     // the expectation independently of AppendReport
