@@ -1,0 +1,276 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Corpus-curation operators for a training-data pipeline, rounding out
+  * SURVEY.md §2.8: PII/denylist redaction, target-mixture sampling,
+  * sequence chunking with chunk-level dedup, token-budget sequence
+  * packing, and single-pass column profiling. Each is designed scan-local
+  * first: the shuffles carry aggregates, digests, or (key, count) pairs —
+  * never document text.
+  */
+object Curation {
+
+  // --- PII / denylist redaction -------------------------------------------
+
+  /** Patterns kept RE2-compatible (no backrefs/lookaround) so the exact
+    * same regex text runs in Spark (java.util.regex) and the DuckDB
+    * oracle (RE2): email + IPv4 are the standard PII shapes (absent from
+    * the synthetic corpus — they exercise the zero-match path), the term
+    * denylist redacts words that do occur. */
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipRe    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val termRe  = "\\b(customer|vector)\\b"
+
+  /** Redaction scan: per document, count matches per pattern class and
+    * replace each with `[X]`; report per-source totals. Everything up to
+    * the final group-by is ROW-LOCAL inside the scan's codegen stage —
+    * the only shuffle carries one partial-aggregate row per (partition,
+    * source). At 100 TB this is one pass over the corpus, which is the
+    * only shape a redaction job can afford. */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), emailRe, "[X]"),
+        ipRe, "[X]"),
+      termRe, "[X]")
+    Tables.documents(s, dir)
+      .select(col("source"),
+        regexp_count(col("text"), lit(emailRe)).as("c_email"),
+        regexp_count(col("text"), lit(ipRe)).as("c_ip"),
+        regexp_count(col("text"), lit(termRe)).as("c_term"),
+        (length(col("text")) - length(redacted)).cast("long").as("delta"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("c_email") + col("c_ip") + col("c_term") > 0, 1L)
+          .otherwise(0L)).as("docs_flagged"),
+        sum(col("c_email").cast("long")).as("n_email"),
+        sum(col("c_ip").cast("long")).as("n_ip"),
+        sum(col("c_term").cast("long")).as("n_term"),
+        sum(col("delta")).as("chars_redacted"))
+      .orderBy("source")
+  }
+
+  private val piiRedactSql =
+    s"""WITH d AS (
+       |  SELECT source,
+       |         len(regexp_extract_all(text, '$emailRe')) AS c_email,
+       |         len(regexp_extract_all(text, '$ipRe')) AS c_ip,
+       |         len(regexp_extract_all(text, '$termRe')) AS c_term,
+       |         len(text) - len(
+       |           regexp_replace(regexp_replace(regexp_replace(text,
+       |             '$emailRe', '[X]', 'g'),
+       |             '$ipRe', '[X]', 'g'),
+       |             '$termRe', '[X]', 'g')) AS delta
+       |  FROM documents)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN c_email + c_ip + c_term > 0 THEN 1 ELSE 0
+       |                END) AS BIGINT) AS docs_flagged,
+       |       CAST(sum(c_email) AS BIGINT) AS n_email,
+       |       CAST(sum(c_ip) AS BIGINT) AS n_ip,
+       |       CAST(sum(c_term) AS BIGINT) AS n_term,
+       |       CAST(sum(delta) AS BIGINT) AS chars_redacted
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+
+  // --- Target-mixture (domain-weighted) sampling --------------------------
+
+  /** Domain tiers and target mixture weights: a training run rarely wants
+    * the corpus's natural composition — it wants 50% web, 30% books, 20%
+    * code (say). Sources map onto tiers by id; quotas are weight × N. */
+  private val SAMPLE_N = 50
+  private val tierCase =
+    "CASE CAST(substring(source, 4, 10) AS INT) % 3 " +
+      "WHEN 0 THEN 'web' WHEN 1 THEN 'books' ELSE 'code' END"
+  private val quotaCase =
+    s"CASE $tierCase WHEN 'web' THEN ${SAMPLE_N / 2} " +
+      s"WHEN 'books' THEN ${SAMPLE_N * 3 / 10} ELSE ${SAMPLE_N / 5} END"
+
+  /** Mixture-targeted sample: deterministically pick quota(tier) docs per
+    * tier in md5-hash order (stable across runs, engines, and layouts —
+    * same property as [[TextAnalysis.hashSplit]]). Selection is the same
+    * exact TWO-LEVEL top-k as stratifiedSample: top-quota within each
+    * (tier, salt) cell first, so no window partition ever holds a whole
+    * tier of a 100 TB corpus; the union of per-cell top-ks provably
+    * contains the per-tier top-quota, so the result equals the
+    * single-window form the oracle runs. */
+  def domainMix(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(expr(tierCase).as("tier"),
+        expr(quotaCase).as("quota"),
+        col("doc_id"))
+      .withColumn("hk", md5(concat(col("doc_id").cast("string"), lit(":mix"))))
+      .withColumn("salt", pmod(hash(col("doc_id")), lit(32)))
+    val bySalt = Window.partitionBy("tier", "salt")
+      .orderBy(col("hk").asc, col("doc_id").asc)
+    val byTier = Window.partitionBy("tier")
+      .orderBy(col("hk").asc, col("doc_id").asc)
+    d.withColumn("r1", row_number().over(bySalt)).filter(col("r1") <= col("quota"))
+      .withColumn("r2", row_number().over(byTier)).filter(col("r2") <= col("quota"))
+      .select("tier", "doc_id")
+      .orderBy("tier", "doc_id")
+  }
+
+  private val domainMixSql =
+    s"""SELECT tier, doc_id FROM (
+       |  SELECT $tierCase AS tier,
+       |         $quotaCase AS quota,
+       |         doc_id,
+       |         row_number() OVER (
+       |           PARTITION BY $tierCase
+       |           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':mix'), doc_id)
+       |           AS r
+       |  FROM documents)
+       |WHERE r <= quota
+       |ORDER BY tier, doc_id""".stripMargin
+
+  // --- Sequence chunking + chunk-level dedup ------------------------------
+
+  private val CHUNK = 64 // chunk width (chars)
+  private val STRIDE = 48 // overlap = CHUNK - STRIDE
+
+  /** Chunk every document into overlapping fixed-width windows (the
+    * sequence-prep step before tokenization), then dedup at CHUNK level:
+    * repeated boilerplate that survives doc-level dedup shows up here as
+    * n_chunks ≫ n_distinct_chunks. The explode is row-local (each output
+    * row carries ≤ CHUNK chars); the dedup aggregate shuffles (source,
+    * md5 digest) pairs, never chunk text. */
+  def chunkDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"),
+        explode(sequence(lit(0), length(col("text")) - 1, lit(STRIDE)))
+          .as("pos"),
+        col("text"))
+      .select(col("source"),
+        substring(col("text"), col("pos") + lit(1), lit(CHUNK)).as("chunk"))
+      .select(col("source"), md5(col("chunk")).as("digest"),
+        length(col("chunk")).as("clen"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct("digest").as("n_distinct_chunks"),
+        round(avg(col("clen")), 4).as("avg_chunk_len"))
+      .orderBy("source")
+
+  private val chunkDedupSql =
+    s"""WITH c AS (
+       |  SELECT source,
+       |         substr(text, pos + 1, $CHUNK) AS chunk
+       |  FROM (SELECT source, text,
+       |               unnest(generate_series(0, len(text) - 1, $STRIDE))
+       |                 AS pos
+       |        FROM documents))
+       |SELECT source, count(*) AS n_chunks,
+       |       count(DISTINCT md5(chunk)) AS n_distinct_chunks,
+       |       round(avg(len(chunk)), 4) AS avg_chunk_len
+       |FROM c GROUP BY source ORDER BY source""".stripMargin
+
+  // --- Token-budget sequence packing --------------------------------------
+
+  private val BUDGET = 256 // tokens per packed sequence
+
+  /** Pack documents into ≤BUDGET-token training sequences: docs are laid
+    * out in deterministic hash order and a running token total assigns
+    * bin = floor(tokens_before / BUDGET) — contiguous greedy packing
+    * where a bin may overflow by at most one document (the standard
+    * streaming-packer contract). The running sum runs per (source,
+    * hash-bucket): 16 buckets bound every window partition at any corpus
+    * size, the same no-global-window discipline as ntile/stratified.
+    * Output: per-source bin census — how many sequences the corpus packs
+    * into and how full they are. */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .withColumn("hk", md5(concat(col("doc_id").cast("string"), lit(":pack"))))
+      .withColumn("bucket", substring(col("hk"), 1, 1))
+    val w = Window.partitionBy("source", "bucket")
+      .orderBy(col("hk").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum", sum(col("toks")).over(w))
+      .withColumn("bin", floor((col("cum") - col("toks")) / BUDGET))
+      .groupBy("source", "bucket", "bin")
+      .agg(count(lit(1)).as("nd"), sum(col("toks")).as("fill"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("nd")).as("n_docs"),
+        sum(col("fill")).as("total_tokens"),
+        max(col("fill")).as("max_fill"),
+        round(avg(col("fill")), 4).as("avg_fill"))
+      .orderBy("source")
+  }
+
+  private val packSequencesSql =
+    s"""WITH d AS (
+       |  SELECT source, doc_id,
+       |         len(string_split(text, ' ')) AS toks,
+       |         md5(CAST(doc_id AS VARCHAR) || ':pack') AS hk
+       |  FROM documents),
+       |b AS (
+       |  SELECT source, substr(hk, 1, 1) AS bucket, doc_id, toks, hk
+       |  FROM d),
+       |w AS (
+       |  SELECT source, bucket, toks,
+       |         sum(toks) OVER (PARTITION BY source, bucket
+       |                         ORDER BY hk, doc_id
+       |                         ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |                           CURRENT ROW) AS cum
+       |  FROM b),
+       |bins AS (
+       |  SELECT source, bucket,
+       |         CAST(floor((cum - toks) / $BUDGET.0) AS BIGINT) AS bin,
+       |         count(*) AS nd, sum(toks) AS fill
+       |  FROM w GROUP BY source, bucket, bin)
+       |SELECT source, count(*) AS n_bins,
+       |       CAST(sum(nd) AS BIGINT) AS n_docs,
+       |       CAST(sum(fill) AS BIGINT) AS total_tokens,
+       |       CAST(max(fill) AS BIGINT) AS max_fill,
+       |       round(avg(fill), 4) AS avg_fill
+       |FROM bins GROUP BY source ORDER BY source""".stripMargin
+
+  // --- Single-pass column profiling ---------------------------------------
+
+  private val profileCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Data-quality profile of the fact table: per column, value/null/
+    * distinct counts and min/max — the validation report a pipeline runs
+    * before training on a new drop. ONE scan: all per-column aggregates
+    * compute in a single pass (the multi-distinct is Catalyst's Expand —
+    * ×4 row amplification on a 4-column projection, not 4 scans), then a
+    * `stack` unpivots the single wide row into the narrow report. */
+  def columnProfile(s: SparkSession, dir: String): DataFrame = {
+    val aggs = profileCols.flatMap { c =>
+      Seq(count(col(c)).as(s"n_$c"),
+        countDistinct(col(c)).as(s"d_$c"),
+        round(min(col(c)), 4).as(s"mn_$c"),
+        round(max(col(c)), 4).as(s"mx_$c"))
+    }
+    val total = count(lit(1)).as("n_rows")
+    val wide = Tables.lineitem(s, dir).agg(aggs.head, (aggs.tail :+ total): _*)
+    val stackArgs = profileCols
+      .map(c => s"'$c', n_$c, n_rows - n_$c, d_$c, mn_$c, mx_$c")
+      .mkString(", ")
+    wide.selectExpr(
+      s"stack(${profileCols.size}, $stackArgs) AS " +
+        "(col_name, n_vals, n_nulls, n_distinct, min_v, max_v)")
+      .orderBy("col_name")
+  }
+
+  private val columnProfileSql = profileCols.map { c =>
+    s"""SELECT '$c' AS col_name, count($c) AS n_vals,
+       |       count(*) - count($c) AS n_nulls,
+       |       count(DISTINCT $c) AS n_distinct,
+       |       round(min($c), 4) AS min_v, round(max($c), 4) AS max_v
+       |FROM lineitem""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
+  val all: Seq[Q] = Seq(
+    Q("q_pii_redact", piiRedact, Some(piiRedactSql)),
+    Q("q_domain_mix", domainMix, Some(domainMixSql)),
+    Q("q_chunk_dedup", chunkDedup, Some(chunkDedupSql)),
+    Q("q_pack_sequences", packSequences, Some(packSequencesSql)),
+    Q("q_column_profile", columnProfile, Some(columnProfileSql)))
+}

@@ -362,6 +362,23 @@ object JoinsPlus {
   def correlated(s: SparkSession, dir: String): DataFrame =
     graft.GraftSql.sql(s, dir, correlatedQuery)
 
+  /** GROUPING SETS — the general form behind rollup/cube: an explicit
+    * list of grouping levels in ONE pass (Catalyst's Expand amplifies
+    * each row once per set before a single aggregate, instead of three
+    * scans + union). Same SQL text runs on Spark and the DuckDB oracle. */
+  private val groupingSetsQuery =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |       coalesce(l_linestatus, 'ALL') AS ls,
+      |       count(*) AS n,
+      |       round(sum(l_extendedprice), 4) AS revenue
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |                        (l_returnflag), ())
+      |ORDER BY rf, ls""".stripMargin
+
+  def groupingSets(s: SparkSession, dir: String): DataFrame =
+    graft.GraftSql.sql(s, dir, groupingSetsQuery)
+
   val all: Seq[Q] = Seq(
     Q("q_semi_anti", semiAnti, Some(semiAntiSql)),
     Q("q_sql_text", sqlText, Some(sqlTextQuery)),
@@ -369,6 +386,7 @@ object JoinsPlus {
     Q("q_argmax", argmax, Some(argmaxSql)),
     Q("q_udaf_weighted", udafWeighted, Some(udafWeightedSql)),
     Q("q_cube", cubeAgg, Some(cubeAggSql)),
+    Q("q_grouping_sets", groupingSets, Some(groupingSetsQuery)),
     Q("q_pivot", pivotDaily, Some(pivotDailySql)),
     Q("q_asof_join", asofAttribution, Some(asofAttributionSql)),
     Q("q_range_join", rangeJoin, Some(rangeJoinSql)),
