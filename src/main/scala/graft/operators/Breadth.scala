@@ -566,8 +566,40 @@ object Breadth {
       |WHERE dist <= 2
       |ORDER BY dist, ka, kb LIMIT 15""".stripMargin
 
+  /** Statistical anomaly flagging: per-type z-scores on the event value
+    * stream. Two aggregates: per-type moments first (a broadcast-sized
+    * stats table — one row per event_type), then a broadcast join back
+    * onto the stream to score every event in its scan stage. At 100 TB
+    * this is the monitoring shape that works: the full-stream pass never
+    * shuffles events, only re-reads them against broadcast stats. */
+  def eventAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val stats = e.groupBy("event_type")
+      .agg(avg("value").as("mu"), stddev_samp("value").as("sd"))
+    e.join(broadcast(stats), "event_type")
+      .withColumn("z", (col("value") - col("mu")) / col("sd"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(col("z")) > 3, 1L).otherwise(0L)).as("n_anomalies"),
+        round(max(abs(col("z"))), 4).as("max_abs_z"))
+      .orderBy("event_type")
+  }
+
+  private val eventAnomalySql =
+    """WITH stats AS (
+      |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_type AS event_type, count(*) AS n,
+      |       CAST(sum(CASE WHEN abs((e.value - s.mu) / s.sd) > 3
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+      |       round(max(abs((e.value - s.mu) / s.sd)), 4) AS max_abs_z
+      |FROM events e JOIN stats s ON e.event_type = s.event_type
+      |GROUP BY e.event_type
+      |ORDER BY event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_window_rank", windowRank, Some(windowRankSql)),
+    Q("q_event_anomaly", eventAnomaly, Some(eventAnomalySql)),
     Q("q_inter_event", interEventTime, Some(interEventTimeSql)),
     Q("q_ntile", balanceQuartiles, Some(balanceQuartilesSql)),
     Q("q_fuzzy_names", fuzzyNames, Some(fuzzyNamesSql)),

@@ -230,6 +230,43 @@ object Curation {
        |       round(avg(fill), 4) AS avg_fill
        |FROM bins GROUP BY source ORDER BY source""".stripMargin
 
+  // --- Deterministic training-order shuffle + sharding --------------------
+
+  /** Training-order shuffle: assign every document a shard by md5 hash —
+    * the deterministic equivalent of "shuffle the corpus and split into
+    * N files" that a training run does last. Hash-order is reproducible
+    * across runs/engines/layouts AND uniformly mixes sources within each
+    * shard (verified by n_sources below); at 100 TB this is a pure map
+    * stage — each doc computes its shard locally, the only shuffle is the
+    * per-shard census (or, in the write path, the shard-partitioned
+    * sink). Shard id parses the first md5 hex char via the standard-SQL
+    * `position(x IN y)` so the same text runs on the oracle. */
+  private val N_SHARDS = 16
+
+  def shuffleShards(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("hk", md5(concat(col("doc_id").cast("string"), lit(":shuf"))))
+      .withColumn("shard",
+        expr("position(substring(hk, 1, 1) IN '0123456789abcdef') - 1")
+          .cast("int"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        countDistinct("source").as("n_sources"))
+      .orderBy("shard")
+
+  private val shuffleShardsSql =
+    """WITH d AS (
+      |  SELECT source, text,
+      |         CAST(position(substr(md5(CAST(doc_id AS VARCHAR) || ':shuf'),
+      |                              1, 1) IN '0123456789abcdef') - 1
+      |              AS INT) AS shard
+      |  FROM documents)
+      |SELECT shard, count(*) AS n_docs,
+      |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |       count(DISTINCT source) AS n_sources
+      |FROM d GROUP BY shard ORDER BY shard""".stripMargin
+
   // --- Single-pass column profiling ---------------------------------------
 
   private val profileCols =
@@ -272,5 +309,6 @@ object Curation {
     Q("q_domain_mix", domainMix, Some(domainMixSql)),
     Q("q_chunk_dedup", chunkDedup, Some(chunkDedupSql)),
     Q("q_pack_sequences", packSequences, Some(packSequencesSql)),
+    Q("q_shuffle_shards", shuffleShards, Some(shuffleShardsSql)),
     Q("q_column_profile", columnProfile, Some(columnProfileSql)))
 }

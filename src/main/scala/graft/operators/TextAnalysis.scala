@@ -415,8 +415,61 @@ object TextAnalysis {
       |GROUP BY t.lang, c.nc
       |ORDER BY lang""".stripMargin
 
+  /** Unigram-LM quality scoring (the CCNet-style perplexity filter): score
+    * every document by its average negative log-likelihood under a unigram
+    * model fit on the corpus itself — improbable-token-heavy docs surface
+    * as high avg_nll. Scale shape: the token pairs partial-aggregate
+    * before any shuffle, the LM itself is the (term, tf) table (vocab-
+    * sized), and scoring is a pairs⋈tf join on the term key. FP
+    * discipline: per-term log-probs round to 6 decimals and sum as
+    * DECIMAL(20,6) — exact, order-independent addition, so the result is
+    * identical no matter how partitions merge (a double sum here would
+    * hash-mismatch any engine with a different reduce order). */
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    val tf = pairs.groupBy("term").agg(sum("c").as("tf"))
+    // corpus size: driver scalar at plan-build (same footing as tfidf's N)
+    val t = tf.agg(sum("tf")).collect()(0).getLong(0)
+    pairs.join(tf, "term")
+      .withColumn("logp",
+        round(log(col("tf").cast("double") / lit(t.toDouble)), 6)
+          .cast("decimal(20,6)"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_toks"), sum(col("c") * col("logp")).as("score"))
+      .select(col("doc_id"), col("n_toks").cast("long").as("n_toks"),
+        round(-col("score").cast("double") / col("n_toks"), 4).as("avg_nll"))
+      .orderBy(col("avg_nll").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
+  private val lmScoreSql =
+    """WITH pairs AS (
+      |  SELECT doc_id, term, count(*) AS c FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |    FROM documents)
+      |  GROUP BY doc_id, term),
+      |tf AS (SELECT term, CAST(sum(c) AS BIGINT) AS tf FROM pairs
+      |       GROUP BY term),
+      |n AS (SELECT CAST(sum(tf) AS BIGINT) AS t FROM tf),
+      |contrib AS (
+      |  SELECT p.doc_id, p.c,
+      |         CAST(round(ln(CAST(f.tf AS DOUBLE) / n.t), 6)
+      |              AS DECIMAL(20,6)) AS logp
+      |  FROM pairs p JOIN tf f ON p.term = f.term CROSS JOIN n),
+      |docsc AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+      |         sum(c * logp) AS score
+      |  FROM contrib GROUP BY doc_id)
+      |SELECT doc_id, n_toks,
+      |       round(-CAST(score AS DOUBLE) / n_toks, 4) AS avg_nll
+      |FROM docsc
+      |ORDER BY avg_nll DESC, doc_id LIMIT 10""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_text_langid", langId, Some(langIdSql)),
+    Q("q_lm_score", lmScore, Some(lmScoreSql)),
     Q("q_tfidf", tfidf, Some(tfidfSql)),
     Q("q_text_repetition", repetition, Some(repetitionSql)),
     Q("q_decontaminate", decontaminate, Some(decontaminateSql)),

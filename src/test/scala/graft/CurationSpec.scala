@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.window.WindowExec
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, JoinsPlus}
+import graft.operators.{Breadth, Curation, JoinsPlus, TextAnalysis}
 
 /** Scale-shape and semantics assertions for the curation operators — the
   * properties the row oracle cannot check: what shuffles, how window
@@ -99,6 +99,54 @@ class CurationSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       case s: FileSourceScanExec => s
     }
     assert(scans.size == 1, s"grouping sets read the fact table ${scans.size} times")
+  }
+
+  test("shuffle shards mix sources fully and cover the corpus") {
+    val rows = Curation.shuffleShards(spark, sfDir).collect()
+    val nSources = Tables.documents(spark, sfDir)
+      .select(countDistinct("source")).collect()(0).getLong(0)
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    // hash sharding must interleave sources into shards (a partition copy
+    // would put ~1 source per shard) and keep shards balanced; with ~31
+    // docs per shard over 20 sources full coverage isn't expected — half is
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sources") * 2 >= nSources,
+        s"shard ${r.get(0)} holds ${r.getAs[Long]("n_sources")}/$nSources " +
+          "sources — shards are not mixed")
+    }
+    val counts = rows.map(_.getAs[Long]("n_docs"))
+    assert(counts.max < 3 * counts.min,
+      s"shards unbalanced: min=${counts.min} max=${counts.max}")
+  }
+
+  test("event anomaly scores the stream against broadcast stats (no event shuffle)") {
+    val plan = executed(Breadth.eventAnomaly(spark, sfDir))
+    val bcasts = collect(plan) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bcasts.nonEmpty, "per-type stats must broadcast onto the stream")
+    // with the stats side broadcast, no exchange may carry the raw value
+    // column un-aggregated alongside its stats (which would mean the
+    // stream shuffled for the join instead)
+    val ex = collect(plan) { case e: ShuffleExchangeExec => e }
+    ex.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!(names.contains("value") && names.contains("mu")),
+        s"joined stream rows shuffled: $names")
+    }
+  }
+
+  test("lm score sums exact decimals, not doubles (order-independent)") {
+    val df = TextAnalysis.lmScore(spark, sfDir)
+    val aggs = collect(executed(df)) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    val sumTypes = aggs.flatMap(_.aggregateExpressions)
+      .filter(_.aggregateFunction.prettyName == "sum")
+      .map(_.aggregateFunction.dataType)
+    assert(sumTypes.exists(_.isInstanceOf[org.apache.spark.sql.types.DecimalType]),
+      s"score sum runs on $sumTypes — a double sum is merge-order-dependent")
   }
 
   test("grouping sets levels are consistent: () row equals the sum of (rf) rows") {
