@@ -43,18 +43,16 @@ object AppendJob {
   /** Near-dup decision threshold on signature-estimated Jaccard. */
   val NEAR_DUP_EST = 0.5
 
-  /** Seed (if needed) then append the batch; returns the append census. */
-  def appendDocuments(spark: SparkSession, dir: String,
-                      db: String = "graft_lake",
-                      threshold: Double = NEAR_DUP_EST): AppendReport = {
+  /** Seed the lake if absent: write the corpus table and its MinHash band
+    * index — the single time the corpus is shingled. */
+  def seed(spark: SparkSession, corpus: DataFrame,
+           db: String = "graft_lake"): Unit = {
     val corpusTbl = s"$db.docs_corpus"
     val idxTbl = s"$db.docs_mhidx"
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     if (!spark.catalog.tableExists(corpusTbl)) {
       dropStale(spark, db, "docs_corpus")
       dropStale(spark, db, "docs_mhidx")
-      val corpus = Tables.documents(spark, dir)
-        .filter(pmod(col("doc_id"), lit(Dedup.BATCH_MOD)) =!= Dedup.BATCH_REM)
       corpus.write.mode(SaveMode.Overwrite).saveAsTable(corpusTbl)
       // the one full shingle pass over the corpus, paid at seed time
       Dedup.minhashBandRows(withShingles(corpus), cap = Some(Dedup.BUCKET_CAP))
@@ -62,8 +60,19 @@ object AppendJob {
         .partitionBy("band", "nib")
         .saveAsTable(idxTbl)
     }
-    val batch = Tables.documents(spark, dir)
-      .filter(pmod(col("doc_id"), lit(Dedup.BATCH_MOD)) === Dedup.BATCH_REM)
+  }
+
+  /** Probe-and-append one batch DataFrame against the seeded lake: drop
+    * batch docs with a near-dup already indexed, append the novel rest to
+    * the corpus, extend the index with their band rows. This is the unit
+    * of work shared by the batch job ([[appendDocuments]]) and the
+    * streaming sink ([[graft.streaming.StreamOps.nearDupAppendSink]] runs
+    * it per micro-batch via foreachBatch). */
+  def appendBatch(spark: SparkSession, batch: DataFrame,
+                  db: String = "graft_lake",
+                  threshold: Double = NEAR_DUP_EST): AppendReport = {
+    val corpusTbl = s"$db.docs_corpus"
+    val idxTbl = s"$db.docs_mhidx"
     val before = spark.table(corpusTbl).count()
     val nBatch = batch.count()
     val dupIds = Dedup.probeMinhashIndex(spark.table(idxTbl), withShingles(batch))
@@ -81,6 +90,17 @@ object AppendJob {
     val after = spark.table(corpusTbl).count()
     AppendReport(nBatch, nBatch - (after - before), after - before,
       before, after)
+  }
+
+  /** Seed (if needed) then append the batch; returns the append census. */
+  def appendDocuments(spark: SparkSession, dir: String,
+                      db: String = "graft_lake",
+                      threshold: Double = NEAR_DUP_EST): AppendReport = {
+    seed(spark, Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(Dedup.BATCH_MOD)) =!= Dedup.BATCH_REM), db)
+    appendBatch(spark, Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(Dedup.BATCH_MOD)) === Dedup.BATCH_REM),
+      db, threshold)
   }
 
   /** Index compaction — the maintenance pass that pairs with append:

@@ -110,6 +110,37 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming near-dup ingestion: every micro-batch of documents runs
+    * the incremental MinHash probe against the seeded lake
+    * ([[graft.sources.AppendJob.appendBatch]]) — near-dups of anything
+    * already ingested (including earlier micro-batches: each append
+    * extends the index) are dropped, novel docs land in the corpus table.
+    * foreachBatch is the right shape here, not a stream-static join: the
+    * dedup decision is per-DOC over 12 band probes (an aggregate), and
+    * the index MUTATES as batches land — both outside what append-mode
+    * stream joins can express, and exactly what the batch probe already
+    * does. Caller seeds the lake first ([[graft.sources.AppendJob.seed]]).
+    * At scale each micro-batch costs O(batch + matched buckets); the
+    * corpus is never rescanned. */
+  def nearDupAppendSink(docs: DataFrame, db: String, checkpointDir: String,
+                        threshold: Double = graft.sources.AppendJob.NEAR_DUP_EST)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // foreachBatch runs in the stream's CLONED session: its writes
+    // invalidate only the clone's table-relation cache, so the caller's
+    // session would keep serving the pre-append file listing. Refresh the
+    // caller's view of both tables after each micro-batch lands.
+    val caller = docs.sparkSession
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.AppendJob.appendBatch(batch.sparkSession, batch, db,
+          threshold)
+        Seq("docs_corpus", "docs_mhidx")
+          .foreach(t => caller.catalog.refreshTable(s"$db.$t"))
+      }
+      .start()
+  }
+
   /** Finished session emitted by [[sessionFlush]] when a user's
     * inactivity timeout fires. */
   final case class SessionSummary(user_id: Long, start_sec: Double,

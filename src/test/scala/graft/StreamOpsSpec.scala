@@ -11,6 +11,11 @@ import graft.streaming.{StreamOps, UserAgg, UserEvent}
 final case class IdEvent(user_id: Long, ts: java.sql.Timestamp,
                          event_id: Long, value: Double)
 
+/** Document row for the streaming near-dup ingestion test (matches the
+  * harness documents schema). */
+final case class StreamDoc(doc_id: Long, text: String, lang: String,
+                           source: String, n_chars: Long)
+
 /** StreamOps (SURVEY.md §2.7): the same transform function must produce
   * identical results on a batch DataFrame and on a stream of the same rows —
   * that unification is the whole point of Structured Streaming.
@@ -209,5 +214,56 @@ class StreamOpsSpec extends SparkTestBase {
       q.processAllAvailable()
     } finally q.stop()
     assert(spark.table("session_sink").count() > 0)
+  }
+
+  test("streaming near-dup ingestion dedups against the lake AND earlier micro-batches") {
+    val db = "graft_stream_lake"
+    graft.sources.AppendJob.reset(spark, db)
+    // seed the lake with the even-doc_id half of the fixture
+    val seedDocs = Tables.documents(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(2)) === 0)
+    graft.sources.AppendJob.seed(spark, seedDocs, db)
+    val seedN = spark.table(s"$db.docs_corpus").count()
+
+    // batch 1: two exact copies of seeded docs (near-dups → drop) + two
+    // novel docs whose vocabulary shares no shingle with the corpus
+    val seeded = seedDocs.orderBy("doc_id").limit(2).collect()
+    val dupDocs = seeded.zipWithIndex.map { case (r, i) =>
+      StreamDoc(900000L + i, r.getAs[String]("text"), r.getAs[String]("lang"),
+        r.getAs[String]("source"), r.getAs[Long]("n_chars"))
+    }
+    def novelText(tag: String) =
+      (1 to 20).map(i => s"qq${tag}tok$i").mkString(" ")
+    val novelDocs = Seq(
+      StreamDoc(910000L, novelText("a"), "en", "srcX", 100L),
+      StreamDoc(910001L, novelText("b"), "en", "srcX", 100L))
+
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[StreamDoc]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_ckpt").toString
+    val q = StreamOps.nearDupAppendSink(mem.toDF(), db, ckpt)
+    try {
+      mem.addData(dupDocs.toSeq ++ novelDocs: _*)
+      q.processAllAvailable()
+      val afterB1 = spark.table(s"$db.docs_corpus").count()
+      assert(afterB1 == seedN + 2,
+        s"batch 1 must land only the 2 novel docs: $seedN -> $afterB1")
+
+      // batch 2: near-copies of batch 1's novel docs under NEW ids — they
+      // must be caught by the index rows batch 1 appended
+      val echo = Seq(
+        StreamDoc(920000L, novelText("a"), "en", "srcY", 100L),
+        StreamDoc(920001L, novelText("b"), "en", "srcY", 100L))
+      mem.addData(echo: _*)
+      q.processAllAvailable()
+      val afterB2 = spark.table(s"$db.docs_corpus").count()
+      assert(afterB2 == afterB1,
+        s"batch 2 echoes must dedup against batch 1's index rows: " +
+          s"$afterB1 -> $afterB2")
+    } finally q.stop()
+    graft.sources.AppendJob.reset(spark, db)
   }
 }
