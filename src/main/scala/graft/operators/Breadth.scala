@@ -168,6 +168,34 @@ object Breadth {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** VARIANT twin of [[jsonProps]]: parse the JSON props ONCE into
+    * Spark 4's binary VARIANT encoding, then extract typed fields with
+    * `variant_get`. At 100 TB this is the semi-structured shape that
+    * wins: `get_json_object` re-parses the JSON string per extraction,
+    * while a variant column parses at scan and every subsequent
+    * extraction is a binary offset walk — the difference compounds with
+    * every additional field a query pulls. Output: per-decile histogram
+    * of the extracted metric (distinct from jsonProps's per-type stats). */
+  def variantProps(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("v", parse_json(col("props")))
+      .withColumn("k", expr("variant_get(v, '$.k', 'int')"))
+      .groupBy(floor(col("k") / 10).cast("long").as("k_decile"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct("event_type").as("n_types"),
+        sum("k").cast("long").as("sum_k"))
+      .orderBy("k_decile")
+
+  private val variantPropsSql =
+    """SELECT CAST(floor(k / 10) AS BIGINT) AS k_decile, count(*) AS n,
+      |       count(DISTINCT event_type) AS n_types,
+      |       CAST(sum(k) AS BIGINT) AS sum_k
+      |FROM (SELECT event_type,
+      |             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      |      FROM events)
+      |GROUP BY 1
+      |ORDER BY k_decile""".stripMargin
+
   /** Set operations (SURVEY §2.6): distinct-union / intersect / except of
     * the urgent vs low-priority customer key sets, reported as one row of
     * cardinalities. */
@@ -606,6 +634,7 @@ object Breadth {
     Q("q_running_total", runningTotal, Some(runningTotalSql)),
     Q("q_hourly_window", hourlyWindow, Some(hourlyWindowSql)),
     Q("q_json_props", jsonProps, Some(jsonPropsSql)),
+    Q("q_variant_props", variantProps, Some(variantPropsSql)),
     Q("q_setops", setOps, Some(setOpsSql)),
     Q("q_rollup", rollupAgg, Some(rollupAggSql)),
     Q("q_sessionize", sessionize, Some(sessionizeSql)),
