@@ -71,6 +71,81 @@ class AppendJobSpec extends SparkTestBase {
     assert(AppendJob.compactIndex(spark, db) == 0)
   }
 
+  test("upsert rewrites only touched buckets, replaces index rows, drops emptied partitions") {
+    import spark.implicits._
+    val db2 = "graft_lake_upsert"
+    AppendJob.reset(spark, db2)
+    val docs = Tables.documents(spark, sfDir)
+    AppendJob.seed(spark, docs, db2)
+    val seedN = spark.table(s"$db2.docs_corpus").count()
+
+    // plant a stale index row in its own (band, nib) partition for an
+    // updated doc: the upsert must drop the emptied partition, not skip it
+    val idxTbl = s"$db2.docs_mhidx"
+    val idxCols = spark.table(idxTbl).columns
+    Seq((1L, "zz")).toDF("doc_id", "sig")
+      .select(idxCols.map {
+        case "doc_id" => col("doc_id")
+        case "band" => lit(99)
+        case "key" => lit("plantedstalekey")
+        case "nib" => lit("z")
+        case other => col("sig").as(other)
+      }: _*)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).insertInto(idxTbl)
+
+    // untouched-bucket fingerprint: (path, size, mtime) of bucket pbk=5
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val bucket5 = java.nio.file.Paths.get(warehouse, s"$db2.db",
+      "docs_corpus", "pbk=5")
+    def fingerprint() = {
+      val s = java.nio.file.Files.list(bucket5)
+      try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .map(p => (p.toString, java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)).toSet
+      finally s.close()
+    }
+    val before5 = fingerprint()
+
+    // 3 updates (ids 0,1,2 → buckets 0,1,2) with disjoint new vocabulary,
+    // plus 2 inserts (ids 990000,990001 → buckets 0,1)
+    def freshText(tag: String) = (1 to 20).map(i => s"uu${tag}w$i").mkString(" ")
+    val upserts = (Seq(0L, 1L, 2L).map(id =>
+        (id, freshText(s"u$id"), "en", "srcU", 100L)) ++
+      Seq((990000L, freshText("n0"), "en", "srcU", 100L),
+          (990001L, freshText("n1"), "en", "srcU", 100L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    val rep = AppendJob.upsertDocuments(spark, upserts, db2)
+    assert(rep.nUpserts == 5 && rep.nUpdated == 3 && rep.nInserted == 2, s"$rep")
+    assert(rep.corpusBucketsRewritten == 3, // buckets 0, 1, 2
+      s"upsert must touch exactly the 3 hit buckets: $rep")
+    assert(rep.idxPartsDropped >= 1, s"planted stale partition must drop: $rep")
+
+    // corpus: pure updates don't grow it, inserts do; text is replaced
+    assert(spark.table(s"$db2.docs_corpus").count() == seedN + 2)
+    val newText0 = spark.table(s"$db2.docs_corpus")
+      .filter(col("doc_id") === 0L).select("text").collect()(0).getString(0)
+    assert(newText0.startsWith("uuu0w1 "), s"doc 0 text not replaced: $newText0")
+
+    // untouched bucket: byte-identical file set
+    assert(fingerprint() == before5,
+      "bucket pbk=5 was rewritten by an upsert that never touched it")
+
+    // index: stale rows gone (planted partition AND old signatures),
+    // new rows present for every upserted doc
+    assert(spark.table(idxTbl).filter(col("band") === 99).count() == 0,
+      "emptied stale partition still readable")
+    val updatedRows = spark.table(idxTbl)
+      .filter(col("doc_id").isin(0L, 1L, 2L, 990000L, 990001L))
+      .groupBy("doc_id").count().collect()
+    assert(updatedRows.length == 5 &&
+      updatedRows.forall(_.getLong(1) == 12L),
+      s"every upserted doc needs exactly BANDS index rows: " +
+        updatedRows.mkString(", "))
+    AppendJob.reset(spark, db2)
+  }
+
   test("corpus table holds exactly corpus-seed plus novel batch docs") {
     // runs after the test above (same suite instance ordering); re-derive
     // the expectation independently of AppendReport
