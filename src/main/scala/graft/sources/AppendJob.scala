@@ -226,6 +226,75 @@ object AppendJob {
       affected.count() - empties.length, empties.length.toLong)
   }
 
+  final case class DeleteReport(
+      nRequested: Long, nDeleted: Long, corpusBucketsRewritten: Long,
+      corpusBucketsDropped: Long, idxPartsRewritten: Long,
+      idxPartsDropped: Long)
+
+  /** Delete documents by id — the GDPR/takedown path, completing the
+    * lake's CRUD story (seed → append → upsert → delete → compact) on
+    * plain partitioned parquet. Same targeted-rewrite discipline as
+    * [[upsertDocuments]]: only the corpus buckets and index (band, nib)
+    * partitions that actually hold a deleted doc are read and rewritten
+    * (literal partition filters at the scan), and partitions emptied by
+    * the delete are dropped explicitly rather than left stale by
+    * dynamic overwrite. Cost at 100 TB: O(partitions hit), not O(corpus). */
+  def deleteDocuments(spark: SparkSession, ids: DataFrame,
+                      db: String = "graft_lake"): DeleteReport = {
+    val corpusTbl = s"$db.docs_corpus"
+    val idxTbl = s"$db.docs_mhidx"
+    val delIds = ids.select("doc_id").distinct().localCheckpoint()
+    val nRequested = delIds.count()
+
+    val hit = spark.table(corpusTbl)
+      .join(delIds, Seq("doc_id"), "left_semi")
+      .select("doc_id", "pbk").localCheckpoint()
+    val nDeleted = hit.count()
+    val bucketVals = hit.select("pbk").distinct().collect().map(_.getInt(0))
+    val corpusCols = spark.table(corpusTbl).columns
+    val newCorpusRows = spark.table(corpusTbl)
+      .filter(col("pbk").isin(bucketVals.map(Int.box): _*))
+      .join(delIds, Seq("doc_id"), "left_anti")
+      .select(corpusCols.map(col): _*)
+      .localCheckpoint()
+
+    val affected = spark.table(idxTbl)
+      .join(delIds, Seq("doc_id"), "left_semi")
+      .select("band", "nib").distinct().localCheckpoint()
+    val affectedPairs = affected.collect().map(r => (r.getInt(0), r.getString(1)))
+    val idxCols = spark.table(idxTbl).columns
+    val newIdxRows = spark.table(idxTbl)
+      .filter(col("band").isin(affectedPairs.map(p => Int.box(p._1)).distinct: _*) &&
+        col("nib").isin(affectedPairs.map(_._2).distinct: _*))
+      .join(broadcast(affected), Seq("band", "nib"), "left_semi")
+      .join(delIds, Seq("doc_id"), "left_anti")
+      .select(idxCols.map(col): _*)
+      .localCheckpoint()
+
+    withDynamicOverwrite(spark) {
+      newCorpusRows.write.mode(SaveMode.Overwrite).insertInto(corpusTbl)
+      newIdxRows.write.mode(SaveMode.Overwrite).insertInto(idxTbl)
+    }
+    val writtenBuckets = newCorpusRows.select("pbk").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val emptyBuckets = bucketVals.filterNot(writtenBuckets)
+    emptyBuckets.foreach { b =>
+      spark.sql(s"ALTER TABLE $corpusTbl DROP IF EXISTS PARTITION (pbk=$b)")
+    }
+    val writtenParts = newIdxRows.select("band", "nib").distinct()
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    val emptyParts = affectedPairs.filterNot(writtenParts)
+    emptyParts.foreach { case (b, n) =>
+      spark.sql(s"ALTER TABLE $idxTbl DROP IF EXISTS PARTITION " +
+        s"(band=$b, nib='$n')")
+    }
+    DeleteReport(nRequested, nDeleted,
+      bucketVals.length.toLong - emptyBuckets.length,
+      emptyBuckets.length.toLong,
+      affectedPairs.length.toLong - emptyParts.length,
+      emptyParts.length.toLong)
+  }
+
   private def withDynamicOverwrite[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.sources.partitionOverwriteMode"
     val saved = spark.conf.getOption(key)

@@ -146,6 +146,48 @@ class AppendJobSpec extends SparkTestBase {
     AppendJob.reset(spark, db2)
   }
 
+  test("delete removes docs and their index rows, rewriting only hit partitions") {
+    import spark.implicits._
+    val db3 = "graft_lake_delete"
+    AppendJob.reset(spark, db3)
+    AppendJob.seed(spark, Tables.documents(spark, sfDir), db3)
+    val seedN = spark.table(s"$db3.docs_corpus").count()
+
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val bucket7 = java.nio.file.Paths.get(warehouse, s"$db3.db",
+      "docs_corpus", "pbk=7")
+    def fingerprint() = {
+      val s = java.nio.file.Files.list(bucket7)
+      try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .map(p => (p.toString, java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)).toSet
+      finally s.close()
+    }
+    val before7 = fingerprint()
+
+    // ids 3 and 20 live in buckets 3 and 4
+    val rep = AppendJob.deleteDocuments(spark, Seq(3L, 20L).toDF("doc_id"), db3)
+    assert(rep.nRequested == 2 && rep.nDeleted == 2, s"$rep")
+    assert(rep.corpusBucketsRewritten == 2 && rep.corpusBucketsDropped == 0,
+      s"delete must rewrite exactly the 2 hit buckets: $rep")
+    assert(spark.table(s"$db3.docs_corpus").count() == seedN - 2)
+    assert(spark.table(s"$db3.docs_corpus")
+      .filter(col("doc_id").isin(3L, 20L)).count() == 0)
+    assert(spark.table(s"$db3.docs_mhidx")
+      .filter(col("doc_id").isin(3L, 20L)).count() == 0,
+      "index must forget deleted docs (their text can no longer match)")
+    assert(fingerprint() == before7,
+      "bucket pbk=7 was rewritten by a delete that never touched it")
+
+    // deleting a nonexistent id is a complete no-op
+    val rep2 = AppendJob.deleteDocuments(spark, Seq(999999L).toDF("doc_id"), db3)
+    assert(rep2.nDeleted == 0 && rep2.corpusBucketsRewritten == 0 &&
+      rep2.idxPartsRewritten == 0, s"$rep2")
+    assert(spark.table(s"$db3.docs_corpus").count() == seedN - 2)
+    AppendJob.reset(spark, db3)
+  }
+
   test("corpus table holds exactly corpus-seed plus novel batch docs") {
     // runs after the test above (same suite instance ordering); re-derive
     // the expectation independently of AppendReport
