@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Multi-dimensional data layout: Z-ordering (Morton curve) — the
+  * `sortWithinPartitions` experiment of the reference (`README.md:25`)
+  * generalized to MORE THAN ONE filter dimension. A linear sort clusters
+  * row groups on one column only; interleaving the bits of two keys
+  * clusters them in 2-D, so parquet min/max stats prune row groups for
+  * range predicates on EITHER or BOTH dimensions. At 100 TB the layout is
+  * the difference between scanning a slab of the lake and scanning the
+  * few row groups a box query actually intersects (LayoutSpec measures
+  * exactly that on real files).
+  */
+object Layout {
+
+  /** Morton z-value of two non-negative int keys: bit i of `a` lands at
+    * even position 2i, bit i of `b` at odd position 2i+1. Pure built-in
+    * bit arithmetic — stays inside whole-stage codegen, and the same
+    * expression is reproducible in any engine with shifts (the oracle
+    * mirrors it bit-for-bit). */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  private def zValueSql(a: String, b: String, bits: Int = 16): String =
+    (0 until bits).flatMap { i =>
+      Seq(s"((($a >> $i) & 1) << ${2 * i})", s"((($b >> $i) & 1) << ${2 * i + 1})")
+    }.mkString(" | ")
+
+  /** The z-order kernel as a checked query: the 20 smallest z-values of
+    * the (l_partkey, l_suppkey) plane with their coordinates — pins the
+    * interleave bit-for-bit against the oracle's shift arithmetic. */
+  def zorderKeys(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        zValue(col("l_partkey"), col("l_suppkey")).as("zval"))
+      .orderBy(col("zval").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(20)
+
+  private val zorderKeysSql =
+    s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |       CAST(${zValueSql("l_partkey", "l_suppkey")} AS BIGINT) AS zval
+       |FROM lineitem
+       |ORDER BY zval, l_orderkey, l_linenumber LIMIT 20""".stripMargin
+
+  /** Write `df` z-ordered on (a, b) with small row groups — the layout
+    * half of the experiment ([[zValue]] is the math half). Raw keys don't
+    * interleave well when the dimensions have unequal bit-widths (the
+    * wider key's high bits dominate the curve, collapsing it to a linear
+    * sort at row-group granularity), so each dimension first normalizes
+    * into 2^bits equal-width range buckets — the same move production
+    * z-order implementations make — and the BUCKETS interleave. Row-group
+    * size is a knob because the fixture is tiny; at scale the default
+    * 128 MB groups give the same relative pruning. */
+  def writeZOrdered(df: DataFrame, a: String, b: String, out: String,
+                    rowGroupBytes: Int, bits: Int = 5): Unit = {
+    val r = df.agg(max(col(a)), max(col(b))).collect()(0)
+    val (aMax, bMax) = (r.getLong(0), r.getLong(1))
+    val cells = (1L << bits).toDouble
+    val aBkt = floor(col(a).cast("double") * cells / (aMax + 1)).cast("long")
+    val bBkt = floor(col(b).cast("double") * cells / (bMax + 1)).cast("long")
+    df.repartition(1)
+      .sortWithinPartitions(zValue(aBkt, bBkt, bits))
+      .write.mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes)
+      .parquet(out)
+  }
+
+  /** Linear-sorted counterpart for the comparison. */
+  def writeLinearSorted(df: DataFrame, key: String, out: String,
+                        rowGroupBytes: Int): Unit =
+    df.repartition(1)
+      .sortWithinPartitions(col(key))
+      .write.mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes)
+      .parquet(out)
+
+  val all: Seq[Q] = Seq(
+    Q("q_zorder_keys", zorderKeys, Some(zorderKeysSql)))
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
+
+import graft.operators.Layout
+
+/** The measurable claim behind Z-ordering: on the SAME data with the SAME
+  * predicates, a 2-D box query over a z-ordered layout reads fewer rows
+  * out of parquet (row groups pruned by min/max stats on both dims) than
+  * over a single-key linear sort. Rows-read comes from the scan node's
+  * own metric after pushdown — not from plan shape.
+  */
+class LayoutSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
+
+  private def rowsRead(dir: String, pLo: Int, pHi: Int, sLo: Int, sHi: Int): (Long, Long) = {
+    val df = spark.read.parquet(dir)
+      .filter(col("l_partkey").between(pLo, pHi) &&
+        col("l_suppkey").between(sLo, sHi))
+      .agg(count(lit(1)).as("n"))
+    val n = df.collect()(0).getLong(0)
+    val scans = collect(df.queryExecution.executedPlan) {
+      case s: FileSourceScanExec => s
+    }
+    (scans.map(_.metrics("numOutputRows").value).sum, n)
+  }
+
+  test("z-ordered layout prunes row groups on both box dimensions") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity")
+    val base = java.nio.file.Files.createTempDirectory("graft_layout").toString
+    val zDir = s"$base/zorder"
+    val linDir = s"$base/linear"
+    // ~6k rows; 4 KiB groups yield ~50 row groups so min/max pruning has
+    // real granularity to work with
+    Layout.writeZOrdered(li, "l_partkey", "l_suppkey", zDir, 4 * 1024)
+    Layout.writeLinearSorted(li, "l_partkey", linDir, 4 * 1024)
+
+    val (pMax, sMax) = {
+      val r = li.agg(max("l_partkey"), max("l_suppkey")).collect()(0)
+      (r.getLong(0).toInt, r.getLong(1).toInt)
+    }
+    // a box in the low quarter of both dimensions
+    val (zRead, zN) = rowsRead(zDir, 0, pMax / 4, 0, sMax / 4)
+    val (linRead, linN) = rowsRead(linDir, 0, pMax / 4, 0, sMax / 4)
+    assert(zN == linN, "layouts must agree on the answer")
+    val total = li.count()
+    assert(zRead < total, "z layout should prune at least some row groups")
+    assert(zRead < linRead,
+      s"z-order must out-prune the linear sort on a 2-D box: " +
+        s"z=$zRead linear=$linRead total=$total")
+  }
+}
