@@ -98,6 +98,7 @@ object AppendJob {
       .select(spark.table(idxTbl).columns.map(col): _*)
       .write.mode(SaveMode.Append).insertInto(idxTbl)
     // after-count is arithmetic, not a second corpus scan
+    applySummaryDelta(spark, db, plus = Some(novel), minus = None)
     AppendReport(nBatch, nBatch - nNovel, nNovel, before, before + nNovel)
   }
 
@@ -208,11 +209,17 @@ object AppendJob {
       .unionByName(newBandRows.select(idxCols.map(col): _*))
       .localCheckpoint()
     val nUpdated = nUp - up.join(spark.table(corpusTbl), Seq("doc_id"), "left_anti").count()
+    // retraction rows for the summary delta, captured BEFORE the overwrite
+    val retracted = spark.table(corpusTbl)
+      .filter(col("pbk").isin(bucketVals.map(Int.box): _*))
+      .join(upIds, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
 
     withDynamicOverwrite(spark) {
       newCorpusRows.write.mode(SaveMode.Overwrite).insertInto(corpusTbl)
       newIdxRows.write.mode(SaveMode.Overwrite).insertInto(idxTbl)
     }
+    applySummaryDelta(spark, db, plus = Some(up), minus = Some(retracted))
 
     // partitions whose every row belonged to an updated doc got no new
     // data — dynamic overwrite skipped them; drop the stale dirs
@@ -246,9 +253,10 @@ object AppendJob {
     val delIds = ids.select("doc_id").distinct().localCheckpoint()
     val nRequested = delIds.count()
 
+    // full rows so the summary delta can retract them after the rewrite
     val hit = spark.table(corpusTbl)
       .join(delIds, Seq("doc_id"), "left_semi")
-      .select("doc_id", "pbk").localCheckpoint()
+      .localCheckpoint()
     val nDeleted = hit.count()
     val bucketVals = hit.select("pbk").distinct().collect().map(_.getInt(0))
     val corpusCols = spark.table(corpusTbl).columns
@@ -288,11 +296,57 @@ object AppendJob {
       spark.sql(s"ALTER TABLE $idxTbl DROP IF EXISTS PARTITION " +
         s"(band=$b, nib='$n')")
     }
+    applySummaryDelta(spark, db, plus = None, minus = Some(hit))
     DeleteReport(nRequested, nDeleted,
       bucketVals.length.toLong - emptyBuckets.length,
       emptyBuckets.length.toLong,
       affectedPairs.length.toLong - emptyParts.length,
       emptyParts.length.toLong)
+  }
+
+  /** Incremental materialized aggregate: a per-(source, lang) census of
+    * the corpus (docs + tokens), maintained by DELTAS through every CRUD
+    * op — appends add their novel rows' aggregate, upserts retract the
+    * replaced rows and add the new ones, deletes retract. The corpus is
+    * aggregated exactly once (here, at ensure time); afterwards the
+    * summary stays consistent without ever rescanning it — the
+    * incremental-view-maintenance shape that makes a 100 TB lake's
+    * dashboards affordable. Additive aggregates only (count/sum), which
+    * is what makes exact retraction possible. */
+  def ensureSummary(spark: SparkSession, db: String = "graft_lake"): Unit = {
+    val sumTbl = s"$db.docs_summary"
+    if (!spark.catalog.tableExists(sumTbl)) {
+      dropStale(spark, db, "docs_summary")
+      summaryAgg(spark.table(s"$db.docs_corpus"), sign = 1L)
+        .write.mode(SaveMode.Overwrite).saveAsTable(sumTbl)
+    }
+  }
+
+  private def summaryAgg(docs: DataFrame, sign: Long): DataFrame =
+    docs.groupBy("source", "lang")
+      .agg((count(lit(1)) * sign).as("n_docs"),
+        (sum(size(split(col("text"), " ")).cast("long")) * sign).as("n_tokens"))
+
+  /** Fold a CRUD op's row deltas into the summary (no-op until
+    * [[ensureSummary]] has been called). The summary is group-cardinality
+    * sized, so the merge rewrite is metadata-scale — the corpus itself is
+    * never touched. */
+  private def applySummaryDelta(spark: SparkSession, db: String,
+                                plus: Option[DataFrame],
+                                minus: Option[DataFrame]): Unit = {
+    val sumTbl = s"$db.docs_summary"
+    if (spark.catalog.tableExists(sumTbl)) {
+      val deltas =
+        plus.map(summaryAgg(_, sign = 1L)).toSeq ++
+          minus.map(summaryAgg(_, sign = -1L)).toSeq
+      val merged = deltas
+        .foldLeft(spark.table(sumTbl))(_ unionByName _)
+        .groupBy("source", "lang")
+        .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"))
+        .filter(col("n_docs") > 0)
+        .localCheckpoint()
+      merged.write.mode(SaveMode.Overwrite).insertInto(sumTbl)
+    }
   }
 
   private def withDynamicOverwrite[T](spark: SparkSession)(body: => T): T = {
@@ -314,7 +368,7 @@ object AppendJob {
     * reset (an in-memory catalog forgets tables across JVMs but their
     * files survive; same repair as [[IngestJob]]). */
   def reset(spark: SparkSession, db: String): Unit =
-    Seq("docs_corpus", "docs_mhidx").foreach { t =>
+    Seq("docs_corpus", "docs_mhidx", "docs_summary").foreach { t =>
       if (spark.catalog.databaseExists(db)) dropStale(spark, db, t)
     }
 

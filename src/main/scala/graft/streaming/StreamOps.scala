@@ -135,7 +135,8 @@ object StreamOps {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         graft.sources.AppendJob.appendBatch(batch.sparkSession, batch, db,
           threshold)
-        Seq("docs_corpus", "docs_mhidx")
+        Seq("docs_corpus", "docs_mhidx", "docs_summary")
+          .filter(t => caller.catalog.tableExists(s"$db.$t"))
           .foreach(t => caller.catalog.refreshTable(s"$db.$t"))
       }
       .start()

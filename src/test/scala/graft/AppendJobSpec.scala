@@ -188,6 +188,42 @@ class AppendJobSpec extends SparkTestBase {
     AppendJob.reset(spark, db3)
   }
 
+  test("summary stays delta-consistent through append, upsert and delete") {
+    import spark.implicits._
+    val db4 = "graft_lake_summary"
+    AppendJob.reset(spark, db4)
+    AppendJob.seed(spark, Tables.documents(spark, sfDir)
+      .filter(pmod(col("doc_id"), lit(graft.operators.Dedup.BATCH_MOD))
+        =!= graft.operators.Dedup.BATCH_REM), db4)
+    AppendJob.ensureSummary(spark, db4)
+
+    def recomputed() = spark.table(s"$db4.docs_corpus")
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    def summary() = spark.table(s"$db4.docs_summary")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(summary() == recomputed(), "ensure must match a fresh aggregate")
+
+    AppendJob.appendDocuments(spark, sfDir, db4)
+    assert(summary() == recomputed(), "append delta diverged")
+
+    def freshText(tag: String) = (1 to 25).map(i => s"ss${tag}w$i").mkString(" ")
+    AppendJob.upsertDocuments(spark, Seq(
+      (0L, freshText("a"), "en", "srcS", 100L),
+      (7L, freshText("b"), "de", "srcS", 100L),
+      (880000L, freshText("c"), "en", "srcS", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"), db4)
+    assert(summary() == recomputed(), "upsert delta (retract + add) diverged")
+
+    AppendJob.deleteDocuments(spark, Seq(7L, 880000L).toDF("doc_id"), db4)
+    assert(summary() == recomputed(), "delete retraction diverged")
+    AppendJob.reset(spark, db4)
+  }
+
   test("corpus table holds exactly corpus-seed plus novel batch docs") {
     // runs after the test above (same suite instance ordering); re-derive
     // the expectation independently of AppendReport
