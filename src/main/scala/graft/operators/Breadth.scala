@@ -625,8 +625,102 @@ object Breadth {
       |GROUP BY e.event_type
       |ORDER BY event_type""".stripMargin
 
+  /** FULL OUTER join — the reconciliation shape (which days had clicks
+    * but no purchases, and vice versa). Both sides pre-aggregate to one
+    * row per day BEFORE the join, so the outer join runs on two
+    * day-cardinality inputs — the only sane full-outer at 100 TB (a raw
+    * event⋈event outer join would shuffle the whole stream twice). */
+  def fullOuterDays(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    def side(t: String, n: String, v: String) = e
+      .filter(col("event_type") === t)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as(n), round(sum("value"), 4).as(v))
+    side("click", "n_clicks", "click_value")
+      .join(side("purchase", "n_purchases", "purchase_value"),
+        Seq("day"), "full_outer")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        (col("n_clicks").isNull || col("n_purchases").isNull)
+          .cast("int").as("one_sided"))
+      .orderBy("day")
+  }
+
+  private val fullOuterDaysSql =
+    """WITH c AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_clicks,
+      |         round(sum(value), 4) AS click_value
+      |  FROM events WHERE event_type = 'click' GROUP BY 1),
+      |p AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_purchases,
+      |         round(sum(value), 4) AS purchase_value
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      |SELECT strftime(coalesce(c.day, p.day), '%Y-%m-%d') AS day,
+      |       coalesce(c.n_clicks, 0) AS n_clicks,
+      |       coalesce(p.n_purchases, 0) AS n_purchases,
+      |       CAST(c.day IS NULL OR p.day IS NULL AS INT) AS one_sided
+      |FROM c FULL OUTER JOIN p ON c.day = p.day
+      |ORDER BY day""".stripMargin
+
+  /** Time-series resample + forward fill: regularize each user's event
+    * stream onto a daily calendar grid (that user's own span) and carry
+    * the last observed daily total across gap days — the gap-repair step
+    * before any longitudinal model. Scale shape: the grid explodes from
+    * per-user (min, max) bounds (2 values/user, never the events), the
+    * grid⋈daily join and the fill window both key by user_id — one
+    * exchange, partitions bounded by a user's day span. */
+  def resampleFfill(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(round(sum("value"), 4).as("v"))
+    val grid = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("v").isNull.cast("long")).as("n_gap_days"),
+        round(sum("filled"), 4).as("sum_filled"))
+      .orderBy("user_id")
+  }
+
+  private val resampleFfillSql =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, round(sum(value), 4) AS v
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT user_id,
+      |         CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |                                     CAST(d1 AS TIMESTAMP),
+      |                                     INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM (SELECT user_id, min(CAST(ts AS DATE)) AS d0,
+      |               max(CAST(ts AS DATE)) AS d1
+      |        FROM events GROUP BY user_id)),
+      |joined AS (
+      |  SELECT g.user_id, g.day, d.v,
+      |         last_value(d.v IGNORE NULLS) OVER (
+      |           PARTITION BY g.user_id ORDER BY g.day
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      |  FROM grid g LEFT JOIN daily d
+      |    ON g.user_id = d.user_id AND g.day = d.day)
+      |SELECT user_id, count(*) AS n_days,
+      |       CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_gap_days,
+      |       round(sum(filled), 4) AS sum_filled
+      |FROM joined GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_window_rank", windowRank, Some(windowRankSql)),
+    Q("q_full_outer", fullOuterDays, Some(fullOuterDaysSql)),
+    Q("q_resample_ffill", resampleFfill, Some(resampleFfillSql)),
     Q("q_event_anomaly", eventAnomaly, Some(eventAnomalySql)),
     Q("q_inter_event", interEventTime, Some(interEventTimeSql)),
     Q("q_ntile", balanceQuartiles, Some(balanceQuartilesSql)),
