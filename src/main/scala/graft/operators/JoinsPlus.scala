@@ -379,6 +379,21 @@ object JoinsPlus {
   def groupingSets(s: SparkSession, dir: String): DataFrame =
     graft.GraftSql.sql(s, dir, groupingSetsQuery)
 
+  /** LATERAL correlated subquery — top-2 customers per nation without a
+    * window function: the per-row subquery form Catalyst decorrelates
+    * into the ranked-join plan (DecorrelateInnerQuery), so the sugar is
+    * scale-free. Same SQL text runs on Spark and the DuckDB oracle. */
+  private val lateralTopQuery =
+    """SELECT n_name, c.c_name AS c_name, round(c.c_acctbal, 4) AS bal
+      |FROM nation,
+      |     LATERAL (SELECT c_name, c_acctbal FROM customer
+      |              WHERE c_nationkey = n_nationkey
+      |              ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+      |ORDER BY n_name, bal DESC, c_name""".stripMargin
+
+  def lateralTop(s: SparkSession, dir: String): DataFrame =
+    graft.GraftSql.sql(s, dir, lateralTopQuery)
+
   val all: Seq[Q] = Seq(
     Q("q_semi_anti", semiAnti, Some(semiAntiSql)),
     Q("q_sql_text", sqlText, Some(sqlTextQuery)),
@@ -387,6 +402,7 @@ object JoinsPlus {
     Q("q_udaf_weighted", udafWeighted, Some(udafWeightedSql)),
     Q("q_cube", cubeAgg, Some(cubeAggSql)),
     Q("q_grouping_sets", groupingSets, Some(groupingSetsQuery)),
+    Q("q_lateral_topk", lateralTop, Some(lateralTopQuery)),
     Q("q_pivot", pivotDaily, Some(pivotDailySql)),
     Q("q_asof_join", asofAttribution, Some(asofAttributionSql)),
     Q("q_range_join", rangeJoin, Some(rangeJoinSql)),

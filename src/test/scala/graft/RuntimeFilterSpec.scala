@@ -52,4 +52,37 @@ class RuntimeFilterSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       assert(j.collect().toSeq == expected)
     }
   }
+
+  test("AQE splits a skewed join partition instead of one straggler reducer") {
+    import spark.implicits._
+    // planted skew: 90% of the left rows share one key
+    val left = spark.range(0, 200000)
+      .select(when(col("id") % 10 === 0, col("id") % 100)
+        .otherwise(lit(0L)).as("k"),
+        concat(lit("payloadpayloadpayload"), col("id")).as("payload"))
+    val right = spark.range(0, 100).select(col("id").as("k"),
+      (col("id") * 2).as("attr"))
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      // split granularity is MAP-OUTPUT pieces: a skewed partition can
+      // only split where advisory size < the hot key's per-mapper share.
+      // The fixture's share is KBs (8 mappers), so the advisory must drop
+      // to 1 KB here; at real scale the 64 MB default plays the same role
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB") {
+      // a GLOBAL aggregate: a same-key groupBy downstream would require
+      // the join's hash partitioning and veto the skew split
+      val j = left.join(right, "k")
+        .agg(count(lit(1)).as("n"), sum("attr").as("s"))
+      val row = j.collect()(0)
+      val plan = j.queryExecution.executedPlan.toString()
+      assert(plan.contains("skew=true"),
+        "AQE did not mark the join skew-handled — the hot key would land " +
+          "on one reducer at scale:\n" + plan.take(2000))
+      // correctness unaffected by the split: every left row joins once
+      assert(row.getLong(0) == 200000L, s"row count off: $row")
+    }
+  }
 }
