@@ -121,6 +121,48 @@ object AppendJob {
     * restoring the probe-cost bound — and returns how many buckets it
     * dropped. The rewrite materializes via localCheckpoint before
     * overwriting, so the read never races its own overwrite. */
+  /** Corpus small-file compaction (the OPTIMIZE pass): every append adds
+    * a file per touched bucket, so a long-lived lake accumulates
+    * file-per-batch fragmentation — the classic small-files problem that
+    * throttles scan throughput at 100 TB (task-per-file scheduling, no
+    * sequential reads). Buckets holding more than `maxFiles` files are
+    * rewritten as a single file each via dynamic partition overwrite;
+    * buckets already compact are untouched (their files keep their
+    * identity — spec-fingerprinted). Returns the number of buckets
+    * rewritten. */
+  def compactCorpus(spark: SparkSession, db: String = "graft_lake",
+                    maxFiles: Int = 4): Long = {
+    val corpusTbl = s"$db.docs_corpus"
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val tableDir = Paths.get(warehouse, s"$db.db", "docs_corpus")
+    val overFull: Seq[Int] = {
+      val s = Files.list(tableDir)
+      try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("pbk="))
+        .filter { p =>
+          val f = Files.list(p)
+          try f.toArray.count(q => q.toString.endsWith(".parquet")) > maxFiles
+          finally f.close()
+        }
+        .map(_.getFileName.toString.stripPrefix("pbk=").toInt).toSeq
+      finally s.close()
+    }
+    if (overFull.nonEmpty) {
+      val cols = spark.table(corpusTbl).columns
+      val rewritten = spark.table(corpusTbl)
+        .filter(col("pbk").isin(overFull.map(Int.box): _*))
+        .repartition(col("pbk"))
+        .select(cols.map(col): _*)
+        .localCheckpoint()
+      withDynamicOverwrite(spark) {
+        rewritten.write.mode(SaveMode.Overwrite).insertInto(corpusTbl)
+      }
+    }
+    overFull.length.toLong
+  }
+
   def compactIndex(spark: SparkSession, db: String = "graft_lake",
                    cap: Long = Dedup.BUCKET_CAP): Long = {
     val idxTbl = s"$db.docs_mhidx"

@@ -224,6 +224,52 @@ class AppendJobSpec extends SparkTestBase {
     AppendJob.reset(spark, db4)
   }
 
+  test("corpus compaction merges fragmented buckets and leaves compact ones alone") {
+    import spark.implicits._
+    val db5 = "graft_lake_compact"
+    AppendJob.reset(spark, db5)
+    AppendJob.seed(spark, Tables.documents(spark, sfDir), db5)
+    val seedN = spark.table(s"$db5.docs_corpus").count()
+
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    def bucketDir(b: Int) = java.nio.file.Paths.get(warehouse, s"$db5.db",
+      "docs_corpus", s"pbk=$b")
+    def files(b: Int) = {
+      val s = java.nio.file.Files.list(bucketDir(b))
+      try s.toArray.map(_.toString).filter(_.endsWith(".parquet")).toSet
+      finally s.close()
+    }
+
+    // 5 appends of 2 novel docs each, all ids ≡ 9 (mod 16) → bucket 9
+    // fragments file-per-batch while bucket 3 is never touched
+    val before3 = files(3)
+    (1 to 5).foreach { b =>
+      val batch = Seq(
+        (700000L + b * 16 + 9, (1 to 20).map(i => s"cc${b}a$i").mkString(" "),
+          "en", "srcC", 100L),
+        (710000L + b * 16 + 9, (1 to 20).map(i => s"cc${b}b$i").mkString(" "),
+          "en", "srcC", 100L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      AppendJob.appendBatch(spark, batch, db5)
+    }
+    assert(files(9).size > 4,
+      s"appends should fragment bucket 9: ${files(9).size} files")
+    assert(spark.table(s"$db5.docs_corpus").count() == seedN + 10)
+
+    val n = AppendJob.compactCorpus(spark, db5, maxFiles = 4)
+    assert(n >= 1, s"fragmented bucket must compact: $n")
+    assert(files(9).size == 1,
+      s"bucket 9 should be a single file after OPTIMIZE: ${files(9).size}")
+    assert(files(3) == before3,
+      "compaction rewrote a bucket that was already compact")
+    assert(spark.table(s"$db5.docs_corpus").count() == seedN + 10,
+      "compaction must not change the data")
+    assert(AppendJob.compactCorpus(spark, db5, maxFiles = 4) == 0,
+      "second compaction must be a no-op")
+    AppendJob.reset(spark, db5)
+  }
+
   test("corpus table holds exactly corpus-seed plus novel batch docs") {
     // runs after the test above (same suite instance ordering); re-derive
     // the expectation independently of AppendReport
