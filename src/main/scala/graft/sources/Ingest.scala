@@ -45,4 +45,32 @@ object Ingest {
       alias,
       isEmpty = df.isEmpty,
       missingColumns = expectedColumns.filterNot(df.columns.contains))
+
+  /** Quarantine ingestion (the dead-letter shape the reference's
+    * log-and-exit validation can't express): PERMISSIVE JSON read with a
+    * corrupt-record column splits the input into (clean rows, quarantined
+    * raw lines) in ONE pass — a recurring 100 TB load can't abort on the
+    * first bad record (FAILFAST) and must not silently null it out
+    * either; it lands the typed rows and files the raw rejects for
+    * replay. Caveat encoded here: Spark requires the corrupt column
+    * cached/materialized before it can be filtered on (a known
+    * restriction), hence the cache(). */
+  def loadJsonWithQuarantine(spark: SparkSession, path: String,
+                             schema: org.apache.spark.sql.types.StructType)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val corruptCol = "_corrupt_record"
+    val full = schema.add(corruptCol, org.apache.spark.sql.types.StringType)
+    val raw = spark.read
+      .schema(full)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+      .cache()
+    val clean = raw.filter(col(corruptCol).isNull)
+      .drop(corruptCol)
+    val quarantined = raw.filter(col(corruptCol).isNotNull)
+      .select(col(corruptCol).as("raw_line"))
+    (clean, quarantined)
+  }
 }

@@ -73,6 +73,28 @@ class DdlSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(n == expected && n > 0)
     info(s"bytes: $sizes")
   }
+
+  test("ANALYZE TABLE feeds exact row counts and column NDVs to the optimizer") {
+    warehouse
+    spark.sql("ANALYZE TABLE bootcamp.nation_part COMPUTE STATISTICS " +
+      "FOR COLUMNS n_nationkey, n_regionkey")
+    // plan-level row counts / NDVs surface only under the cost-based
+    // optimizer; without it the visitor propagates sizeInBytes alone
+    val saved = spark.conf.getOption("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    val stats =
+      try spark.table("bootcamp.nation_part").queryExecution.optimizedPlan.stats
+      finally saved.fold(spark.conf.unset("spark.sql.cbo.enabled"))(
+        spark.conf.set("spark.sql.cbo.enabled", _))
+    assert(stats.rowCount.contains(BigInt(25)),
+      s"table-level row count missing after ANALYZE: ${stats.rowCount}")
+    val ndv = stats.attributeStats.collectFirst {
+      case (a, s) if a.name == "n_regionkey" => s.distinctCount
+    }.flatten
+    assert(ndv.contains(BigInt(5)),
+      s"column NDV missing/wrong after ANALYZE: $ndv — the CBO would fall " +
+        "back to size-only estimates for join planning")
+  }
 }
 
 private object Files {

@@ -50,4 +50,28 @@ class IngestSpec extends SparkTestBase {
     val empty = Ingest.validate(df.limit(0), "nation")
     assert(!empty.ok && empty.isEmpty)
   }
+
+  test("quarantine ingest splits clean rows from raw rejects in one pass") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_quarantine")
+    val f = dir.resolve("batch.jsonl")
+    java.nio.file.Files.write(f, java.util.Arrays.asList(
+      """{"doc_id": 1, "text": "good row one"}""",
+      """{"doc_id": 2, "text": "good row two"}""",
+      """{"doc_id": "THIS IS NOT A NUMBER", "text": "type-broken row"}""",
+      """{"doc_id": 3, "text": "unterminated""",
+      """{"doc_id": 4, "text": "good row three"}"""))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val (clean, rejects) = Ingest.loadJsonWithQuarantine(
+      spark, dir.toString, schema)
+    assert(clean.count() == 3, "three well-formed rows must land")
+    assert(clean.columns.toSeq == Seq("doc_id", "text"),
+      "corrupt column must not leak into the clean frame")
+    val raw = rejects.collect().map(_.getString(0))
+    assert(raw.length == 2, s"both bad lines must quarantine: ${raw.toSeq}")
+    assert(raw.exists(_.contains("THIS IS NOT A NUMBER")) &&
+      raw.exists(_.contains("unterminated")),
+      "quarantine must preserve the original raw lines for replay")
+  }
 }
