@@ -572,8 +572,35 @@ object Similarity {
       |WHERE a.vec_id <> 0
       |ORDER BY cos_sim DESC, a.vec_id LIMIT 5""".stripMargin
 
+  /** ANN self-evaluation: recall@5 of the LSH index path against the
+    * brute-force ground truth — the metric a production vector store
+    * reports before anyone trusts it. Both sides are THIS engine's own
+    * oracle-checked queries composed (the index probe and the exact scan),
+    * so the single recall number is itself hash-checked end to end. The
+    * ground-truth side is the expensive half; at 100 TB it runs on a
+    * sampled query set exactly like this (one query here). */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val ann = annLsh(s, dir).select("vec_id")
+    val bf = bruteTopK(s, dir)
+      .orderBy(col("cos_sim").desc, col("vec_id").asc).limit(5)
+      .select("vec_id")
+    ann.join(bf, Seq("vec_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(lit(5).as("k"), col("n_overlap"),
+        round(col("n_overlap") / 5.0, 4).as("recall"))
+  }
+
+  private val annRecallSql =
+    s"""SELECT 5 AS k, count(*) AS n_overlap,
+       |       round(count(*) / 5.0, 4) AS recall
+       |FROM ($annLshSql) ann
+       |JOIN (SELECT * FROM ($bruteTopKSql)
+       |      ORDER BY cos_sim DESC, vec_id LIMIT 5) bf
+       |  ON ann.vec_id = bf.vec_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_sim_topk", bruteTopK, Some(bruteTopKSql)),
+    Q("q_ann_recall", annRecall, Some(annRecallSql)),
     Q("q_sim_ann_lsh", annLsh, Some(annLshSql)),
     Q("q_sim_ivf", ivf, Some(ivfSql)),
     Q("q_sim_ivf_trained", ivfTrained, None),
