@@ -61,27 +61,39 @@ object Layout {
     * size is a knob because the fixture is tiny; at scale the default
     * 128 MB groups give the same relative pruning. */
   def writeZOrdered(df: DataFrame, a: String, b: String, out: String,
-                    rowGroupBytes: Int, bits: Int = 5): Unit = {
+                    rowGroupBytes: Int, bits: Int = 5,
+                    partitions: Int = 0): Unit = {
     val r = df.agg(max(col(a)), max(col(b))).collect()(0)
     val (aMax, bMax) = (r.getLong(0), r.getLong(1))
     val cells = (1L << bits).toDouble
     val aBkt = floor(col(a).cast("double") * cells / (aMax + 1)).cast("long")
     val bBkt = floor(col(b).cast("double") * cells / (bMax + 1)).cast("long")
-    df.repartition(1)
-      .sortWithinPartitions(zValue(aBkt, bBkt, bits))
+    val z = zValue(aBkt, bBkt, bits)
+    // RANGE partition on the curve: each output file owns a contiguous
+    // z-interval, so clustering holds globally across files (a hash
+    // repartition would scatter the curve; a single partition would
+    // serialize the write at scale). partitions <= 0 → session default.
+    val n = if (partitions > 0) partitions
+            else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartitionByRange(n, z)
+      .sortWithinPartitions(z)
       .write.mode("overwrite")
       .option("parquet.block.size", rowGroupBytes)
       .parquet(out)
   }
 
-  /** Linear-sorted counterpart for the comparison. */
+  /** Linear-sorted counterpart for the comparison — same range-partition
+    * + sort-within write shape, ordered on the single key. */
   def writeLinearSorted(df: DataFrame, key: String, out: String,
-                        rowGroupBytes: Int): Unit =
-    df.repartition(1)
+                        rowGroupBytes: Int, partitions: Int = 0): Unit = {
+    val n = if (partitions > 0) partitions
+            else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartitionByRange(n, col(key))
       .sortWithinPartitions(col(key))
       .write.mode("overwrite")
       .option("parquet.block.size", rowGroupBytes)
       .parquet(out)
+  }
 
   val all: Seq[Q] = Seq(
     Q("q_zorder_keys", zorderKeys, Some(zorderKeysSql)))

@@ -75,10 +75,13 @@ object AppendJob {
     * it per micro-batch via foreachBatch). */
   def appendBatch(spark: SparkSession, batch: DataFrame,
                   db: String = "graft_lake",
-                  threshold: Double = NEAR_DUP_EST): AppendReport = {
+                  threshold: Double = NEAR_DUP_EST,
+                  countCorpus: Boolean = true): AppendReport = {
     val corpusTbl = s"$db.docs_corpus"
     val idxTbl = s"$db.docs_mhidx"
-    val before = spark.table(corpusTbl).count()
+    // the census is the only corpus-wide work in an append; a
+    // high-frequency caller (the streaming sink) opts out and reports -1
+    val before = if (countCorpus) spark.table(corpusTbl).count() else -1L
     val nBatch = batch.count()
     val dupIds = Dedup.probeMinhashIndex(spark.table(idxTbl), withShingles(batch))
       .filter(col("est_jac") >= threshold)
@@ -99,7 +102,8 @@ object AppendJob {
       .write.mode(SaveMode.Append).insertInto(idxTbl)
     // after-count is arithmetic, not a second corpus scan
     applySummaryDelta(spark, db, plus = Some(novel), minus = None)
-    AppendReport(nBatch, nBatch - nNovel, nNovel, before, before + nNovel)
+    AppendReport(nBatch, nBatch - nNovel, nNovel, before,
+      if (countCorpus) before + nNovel else -1L)
   }
 
   /** Seed (if needed) then append the batch; returns the append census. */
@@ -250,12 +254,15 @@ object AppendJob {
       .select(idxCols.map(col): _*)
       .unionByName(newBandRows.select(idxCols.map(col): _*))
       .localCheckpoint()
-    val nUpdated = nUp - up.join(spark.table(corpusTbl), Seq("doc_id"), "left_anti").count()
-    // retraction rows for the summary delta, captured BEFORE the overwrite
+    // retraction rows for the summary delta, captured BEFORE the
+    // overwrite; also gives the updated-vs-inserted split without a
+    // corpus-wide scan (an update's doc lives in a touched bucket by
+    // definition, so the bucket-pruned read sees every one)
     val retracted = spark.table(corpusTbl)
       .filter(col("pbk").isin(bucketVals.map(Int.box): _*))
       .join(upIds, Seq("doc_id"), "left_semi")
       .localCheckpoint()
+    val nUpdated = retracted.count()
 
     withDynamicOverwrite(spark) {
       newCorpusRows.write.mode(SaveMode.Overwrite).insertInto(corpusTbl)

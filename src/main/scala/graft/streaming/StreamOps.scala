@@ -134,7 +134,7 @@ object StreamOps {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         graft.sources.AppendJob.appendBatch(batch.sparkSession, batch, db,
-          threshold)
+          threshold, countCorpus = false)
         Seq("docs_corpus", "docs_mhidx", "docs_summary")
           .filter(t => caller.catalog.tableExists(s"$db.$t"))
           .foreach(t => caller.catalog.refreshTable(s"$db.$t"))
