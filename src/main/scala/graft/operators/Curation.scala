@@ -183,16 +183,16 @@ object Curation {
   def packSequences(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
       .select(col("source"), col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("toks"))
+        size(split(col("text"), " ")).cast("long").as("tkn"))
       .withColumn("hk", md5(concat(col("doc_id").cast("string"), lit(":pack"))))
       .withColumn("bucket", substring(col("hk"), 1, 1))
     val w = Window.partitionBy("source", "bucket")
       .orderBy(col("hk").asc, col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    d.withColumn("cum", sum(col("toks")).over(w))
-      .withColumn("bin", floor((col("cum") - col("toks")) / BUDGET))
+    d.withColumn("cum", sum(col("tkn")).over(w))
+      .withColumn("bin", floor((col("cum") - col("tkn")) / BUDGET))
       .groupBy("source", "bucket", "bin")
-      .agg(count(lit(1)).as("nd"), sum(col("toks")).as("fill"))
+      .agg(count(lit(1)).as("nd"), sum(col("tkn")).as("fill"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_bins"),
         sum(col("nd")).as("n_docs"),

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** Fleet-wide plan hygiene, enforced over EVERY registered query: the
+  * properties that decide 100 TB viability, asserted globally so a new
+  * operator can't quietly regress them.
+  *
+  *  1. No shuffle exchange may carry raw document text or embedding
+  *     vectors — candidate generation and aggregation must move ids,
+  *     digests, keys, and narrow tuples.
+  *  2. No unbounded join algorithm (cartesian / broadcast-nested-loop)
+  *     unless one side is a literal handful of rows (the 1-row stats
+  *     frames a few queries broadcast on purpose).
+  */
+class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
+
+  /** Column names whose presence in a shuffle means document-scale bytes
+    * are crossing the wire. */
+  private val heavyCols = Set("text", "emb", "embedding", "sh", "toks", "big")
+
+  /** Queries allowed a bounded nested-loop/cartesian: each crossJoins a
+    * one-row (or literal-k-row) aggregate/stats frame — broadcast-tiny by
+    * construction, asserted tiny below. */
+  private val nestedLoopAllowed = Set(
+    "q_setops", "q_ntile", "q_dedup_embed", "q_sim_topk", "q_sim_topk_batch",
+    "q_sim_ann_lsh", "q_sim_ann_batch", "q_sim_ivf", "q_sim_ivf_trained",
+    "q_ann_recall", "q_dedup_minhash", "q_dedup_ngram", "q_tfidf")
+
+  test("no registered query shuffles raw text or embedding vectors") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, run) =>
+        val df = run(spark, sfDir)
+        df.collect()
+        val shuffled = collect(df.queryExecution.executedPlan) {
+          case e: ShuffleExchangeExec => e
+        }.flatMap(_.output.map(_.name)).toSet
+        val bad = shuffled.intersect(heavyCols)
+        if (bad.nonEmpty) Some(s"$name shuffles $bad") else None
+    }
+    assert(offenders.isEmpty,
+      s"document-scale columns crossing shuffles:\n${offenders.mkString("\n")}")
+  }
+
+  test("no registered query runs an unbounded cartesian or nested-loop join") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, run) =>
+        val df = run(spark, sfDir)
+        df.collect()
+        val plan = df.queryExecution.executedPlan
+        val loops = collect(plan) {
+          case j: CartesianProductExec => j: Any
+          case j: BroadcastNestedLoopJoinExec => j: Any
+        }
+        if (loops.nonEmpty && !nestedLoopAllowed.contains(name))
+          Some(s"$name plans ${loops.size} nested-loop/cartesian join(s)")
+        else None
+    }
+    assert(offenders.isEmpty,
+      s"unbounded join algorithms outside the allow-list:\n${offenders.mkString("\n")}")
+  }
+}
