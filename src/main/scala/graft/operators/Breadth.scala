@@ -196,6 +196,38 @@ object Breadth {
       |GROUP BY 1
       |ORDER BY k_decile""".stripMargin
 
+  /** Cohort retention — the product-analytics triangle: users grouped by
+    * first-seen week, tracked by distinct-active weeks since. Two
+    * aggregates + one join, all keyed on user_id/(cohort, week) — no
+    * self-join of the raw stream, so the event volume crosses the wire
+    * once as (user, week) pairs. Week arithmetic stays on
+    * week-truncated dates, so the day-diff is an exact multiple of 7 in
+    * both engines. */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+    val cohorts = e.groupBy("user_id").agg(min("wk").as("cohort"))
+    e.distinct()
+      .join(cohorts, "user_id")
+      .withColumn("week_n", (datediff(col("wk"), col("cohort")) / 7).cast("int"))
+      .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_n"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_week", "week_n")
+  }
+
+  private val cohortRetentionSql =
+    """WITH a AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      |  FROM events),
+      |c AS (SELECT user_id, min(wk) AS cohort FROM a GROUP BY user_id)
+      |SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_week,
+      |       CAST(date_diff('day', c.cohort, a.wk) / 7 AS INT) AS week_n,
+      |       count(DISTINCT a.user_id) AS n_users
+      |FROM a JOIN c ON a.user_id = c.user_id
+      |GROUP BY 1, 2
+      |ORDER BY cohort_week, week_n""".stripMargin
+
   /** Set operations (SURVEY §2.6): distinct-union / intersect / except of
     * the urgent vs low-priority customer key sets, reported as one row of
     * cardinalities. */
@@ -722,6 +754,7 @@ object Breadth {
     Q("q_full_outer", fullOuterDays, Some(fullOuterDaysSql)),
     Q("q_resample_ffill", resampleFfill, Some(resampleFfillSql)),
     Q("q_event_anomaly", eventAnomaly, Some(eventAnomalySql)),
+    Q("q_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     Q("q_inter_event", interEventTime, Some(interEventTimeSql)),
     Q("q_ntile", balanceQuartiles, Some(balanceQuartilesSql)),
     Q("q_fuzzy_names", fuzzyNames, Some(fuzzyNamesSql)),
