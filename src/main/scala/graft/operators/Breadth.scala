@@ -228,6 +228,57 @@ object Breadth {
       |GROUP BY 1, 2
       |ORDER BY cohort_week, week_n""".stripMargin
 
+  /** Ordered funnel conversion: view → click → purchase, each step
+    * strictly after the previous one for the same user. Step timestamps
+    * derive by conditional aggregation per user — three narrow
+    * (user, step-min) frames joined on user_id — so the raw stream is
+    * scanned per step but never self-joined row-to-row (the quadratic
+    * trap funnel queries fall into). */
+  def funnelSteps(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(
+      col("user_id"), col("event_type"), col("ts").cast("double").as("sec"))
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("sec").as("t1"))
+    val t2 = e.join(t1, "user_id")
+      .filter(col("event_type") === "click" && col("sec") > col("t1"))
+      .groupBy("user_id").agg(min("sec").as("t2"))
+    val t3 = e.join(t2, "user_id")
+      .filter(col("event_type") === "purchase" && col("sec") > col("t2"))
+      .groupBy("user_id").agg(min("sec").as("t3"))
+    t1.join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .agg(count(lit(1)).as("n_viewed"),
+        sum(col("t2").isNotNull.cast("long")).as("n_clicked"),
+        sum(col("t3").isNotNull.cast("long")).as("n_purchased"))
+      .select(col("n_viewed"), col("n_clicked"), col("n_purchased"),
+        round(col("n_clicked") / col("n_viewed"), 4).as("click_rate"),
+        round(col("n_purchased") / col("n_viewed"), 4).as("purchase_rate"))
+  }
+
+  private val funnelStepsSql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch(ts) AS sec FROM events),
+      |t1 AS (SELECT user_id, min(sec) AS t1 FROM e
+      |       WHERE event_type = 'view' GROUP BY user_id),
+      |t2 AS (SELECT e.user_id, min(sec) AS t2
+      |       FROM e JOIN t1 ON e.user_id = t1.user_id
+      |       WHERE event_type = 'click' AND sec > t1 GROUP BY e.user_id),
+      |t3 AS (SELECT e.user_id, min(sec) AS t3
+      |       FROM e JOIN t2 ON e.user_id = t2.user_id
+      |       WHERE event_type = 'purchase' AND sec > t2 GROUP BY e.user_id)
+      |SELECT count(*) AS n_viewed,
+      |       CAST(sum(CASE WHEN t2.t2 IS NOT NULL THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_clicked,
+      |       CAST(sum(CASE WHEN t3.t3 IS NOT NULL THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_purchased,
+      |       round(sum(CASE WHEN t2.t2 IS NOT NULL THEN 1 ELSE 0 END)
+      |             / count(*), 4) AS click_rate,
+      |       round(sum(CASE WHEN t3.t3 IS NOT NULL THEN 1 ELSE 0 END)
+      |             / count(*), 4) AS purchase_rate
+      |FROM t1
+      |LEFT JOIN t2 ON t1.user_id = t2.user_id
+      |LEFT JOIN t3 ON t1.user_id = t3.user_id""".stripMargin
+
   /** Set operations (SURVEY §2.6): distinct-union / intersect / except of
     * the urgent vs low-priority customer key sets, reported as one row of
     * cardinalities. */
@@ -755,6 +806,7 @@ object Breadth {
     Q("q_resample_ffill", resampleFfill, Some(resampleFfillSql)),
     Q("q_event_anomaly", eventAnomaly, Some(eventAnomalySql)),
     Q("q_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
+    Q("q_funnel", funnelSteps, Some(funnelStepsSql)),
     Q("q_inter_event", interEventTime, Some(interEventTimeSql)),
     Q("q_ntile", balanceQuartiles, Some(balanceQuartilesSql)),
     Q("q_fuzzy_names", fuzzyNames, Some(fuzzyNamesSql)),
