@@ -715,13 +715,12 @@ object Breadth {
     * event⋈event outer join would shuffle the whole stream twice). */
   def fullOuterDays(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
-    def side(t: String, n: String, v: String) = e
+    def side(t: String, n: String) = e
       .filter(col("event_type") === t)
       .groupBy(to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as(n), round(sum("value"), 4).as(v))
-    side("click", "n_clicks", "click_value")
-      .join(side("purchase", "n_purchases", "purchase_value"),
-        Seq("day"), "full_outer")
+      .agg(count(lit(1)).as(n))
+    side("click", "n_clicks")
+      .join(side("purchase", "n_purchases"), Seq("day"), "full_outer")
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
         coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
         coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
@@ -732,12 +731,10 @@ object Breadth {
 
   private val fullOuterDaysSql =
     """WITH c AS (
-      |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_clicks,
-      |         round(sum(value), 4) AS click_value
+      |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_clicks
       |  FROM events WHERE event_type = 'click' GROUP BY 1),
       |p AS (
-      |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_purchases,
-      |         round(sum(value), 4) AS purchase_value
+      |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_purchases
       |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
       |SELECT strftime(coalesce(c.day, p.day), '%Y-%m-%d') AS day,
       |       coalesce(c.n_clicks, 0) AS n_clicks,
