@@ -333,6 +333,55 @@ object Dedup {
       |JOIN (SELECT doc_id, len(sh2) AS len_sh FROM d) sb ON b = sb.doc_id
       |ORDER BY jac DESC, a, b LIMIT 10""".stripMargin
 
+  /** Asymmetric CONTAINMENT dedup — |A∩B| / min(|A|, |B|): catches a
+    * short document living inside a longer one (quote farms, boilerplate
+    * wrappers), which symmetric Jaccard dilutes toward zero as the size
+    * ratio grows. Training-data dedup needs both signals: high
+    * containment + low Jaccard is exactly the "embedded copy" class.
+    * Same capped inverted index as [[ngramJaccard]] — the only new work
+    * is the least() in the scoring expression. */
+  def ngramContainment(s: SparkSession, dir: String): DataFrame =
+    ngramCandidates(ngramDocs(s, dir))
+      .select(col("lang"), col("source"), col("a"), col("b"),
+        round(col("c").cast("double") /
+          least(col("sza"), col("szb")).cast("double"), 4).as("containment"),
+        round(col("c").cast("double") /
+          (col("sza") + col("szb") - col("c")).cast("double"), 4).as("jac"))
+      .orderBy(col("containment").desc, col("a").asc, col("b").asc)
+      .limit(10)
+
+  private val ngramContainmentSql =
+    s"""WITH d AS (
+      |  SELECT lang, source, doc_id,
+      |         list_distinct(list_transform(
+      |           generate_series(1, len(string_split(text, ' ')) - 1),
+      |           i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))) AS sh2
+      |  FROM documents),
+      |posts AS (SELECT lang, source, doc_id, unnest(sh2) AS g FROM d),
+      |short_postings AS (
+      |  SELECT lang, source, g FROM posts GROUP BY lang, source, g
+      |  HAVING count(*) <= $POSTING_CAP),
+      |kept AS (
+      |  SELECT p.lang, p.source, p.doc_id, p.g
+      |  FROM posts p JOIN short_postings s
+      |    ON p.lang = s.lang AND p.source = s.source AND p.g = s.g),
+      |inter AS (
+      |  SELECT x.lang AS lang, x.source AS source,
+      |         x.doc_id AS a, y.doc_id AS b, count(*) AS c
+      |  FROM kept x JOIN kept y
+      |    ON x.lang = y.lang AND x.source = y.source AND x.g = y.g
+      |   AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT i.lang AS lang, i.source AS source, a, b,
+      |       round(CAST(c AS DOUBLE)
+      |             / least(sa.len_sh, sb.len_sh), 4) AS containment,
+      |       round(CAST(c AS DOUBLE)
+      |             / CAST(sa.len_sh + sb.len_sh - c AS DOUBLE), 4) AS jac
+      |FROM inter i
+      |JOIN (SELECT doc_id, len(sh2) AS len_sh FROM d) sa ON a = sa.doc_id
+      |JOIN (SELECT doc_id, len(sh2) AS len_sh FROM d) sb ON b = sb.doc_id
+      |ORDER BY containment DESC, a, b LIMIT 10""".stripMargin
+
   /** Similarity edges for cluster formation: candidate pairs whose word-
     * 2-shingle Jaccard clears `threshold`, from the same capped inverted
     * index as [[ngramJaccard]]. (a, b) with a < b. */
@@ -742,6 +791,7 @@ object Dedup {
     Q("q_dedup_minhash", minhashLsh, Some(minhashLshSql)),
     Q("q_dedup_simhash", simhash, Some(simhashSql)),
     Q("q_dedup_ngram", ngramJaccard, Some(ngramJaccardSql)),
+    Q("q_dedup_containment", ngramContainment, Some(ngramContainmentSql)),
     Q("q_dedup_clusters", dupClusters, Some(dupClustersSql)),
     Q("q_dedup_embed", embedCosine, Some(embedCosineSql)),
     Q("q_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)))
