@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+import graft.operators.Profiling
+
+/** Profiling operators: result invariants plus the plan shapes that make
+  * them affordable at scale (aggregate-only shuffles, pruned scans). */
+class ProfilingSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
+
+  test("histogram bins partition the table: counts sum to row count") {
+    val rows = Profiling.histogram(spark, sfDir).collect()
+    val total = Tables.lineitem(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_items")).sum == total)
+    // bins are contiguous ascending with monotone lower bounds
+    val bins = rows.map(_.getAs[Int]("bin")).toSeq
+    assert(bins == bins.sorted && bins.distinct.size == bins.size)
+    val los = rows.map(_.getAs[Double]("bin_lo")).toSeq
+    assert(los == los.sorted)
+  }
+
+  test("histogram scans read only the profiled column") {
+    val df = Profiling.histogram(spark, sfDir)
+    df.collect()
+    val scans = collect(df.queryExecution.executedPlan) {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      assert(s.requiredSchema.fieldNames.toSet.subsetOf(Set("l_extendedprice")),
+        s"histogram scan reads ${s.requiredSchema.fieldNames.mkString(",")} — " +
+          "profiling must not widen the scan beyond the profiled column")
+    }
+  }
+
+  test("skew profile: shares bounded, skew is share times key count") {
+    val rows = Profiling.skewProfile(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val shares = rows.map(_.getAs[Double]("share"))
+    assert(shares.sum <= 1.0001)
+    assert(shares.forall(sh => sh > 0 && sh <= 1))
+    // ordered heaviest-first
+    val cnts = rows.map(_.getAs[Long]("cnt")).toSeq
+    assert(cnts == cnts.sorted.reverse)
+  }
+
+  test("profiling shuffles carry aggregate rows, not fact rows") {
+    Seq(Profiling.histogram(spark, sfDir),
+      Profiling.skewProfile(spark, sfDir)).foreach { df =>
+      df.collect()
+      val ex = collect(df.queryExecution.executedPlan) {
+        case e: ShuffleExchangeExec => e
+      }
+      // every shuffle's columns are (group key, counters/bounds) — the
+      // profiled fact column itself never crosses a shuffle un-aggregated
+      ex.foreach { e =>
+        assert(!e.output.map(_.name).contains("l_extendedprice"),
+          "fact column crossing a profiling shuffle un-aggregated")
+      }
+    }
+  }
+}

@@ -27,7 +27,8 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
   private val nestedLoopAllowed = Set(
     "q_setops", "q_ntile", "q_dedup_embed", "q_sim_topk", "q_sim_topk_batch",
     "q_sim_ann_lsh", "q_sim_ann_batch", "q_sim_ivf", "q_sim_ivf_trained",
-    "q_ann_recall", "q_dedup_minhash", "q_dedup_ngram", "q_tfidf")
+    "q_ann_recall", "q_dedup_minhash", "q_dedup_ngram", "q_tfidf",
+    "q_histogram", "q_skew_profile")
 
   test("no registered query shuffles raw text or embedding vectors") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
