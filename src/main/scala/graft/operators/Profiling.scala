@@ -39,8 +39,14 @@ object Profiling {
         col("lo"), col("hi"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n_items"),
-        round(first(col("lo")) + col("bin") * first((col("hi") - col("lo")) / lit(N_BINS.toDouble)), 4)
-          .as("bin_lo"))
+        // 4-dp rounding via floor(x·1e4 + 0.5)/1e4 — pure IEEE arithmetic,
+        // bit-identical across engines. round() is NOT: Spark rounds the
+        // shortest decimal repr (BigDecimal HALF_UP) while DuckDB rounds
+        // the binary double, and a bin boundary landing on a .00005 tie
+        // flips the 4th decimal between them.
+        (floor((first(col("lo")) + col("bin") *
+          first((col("hi") - col("lo")) / lit(N_BINS.toDouble))) * lit(10000.0) + lit(0.5))
+          / lit(10000.0)).as("bin_lo"))
       .select(col("bin"), col("bin_lo"), col("n_items"))
       .orderBy("bin")
   }
@@ -55,7 +61,8 @@ object Profiling {
        |         lo, hi
        |  FROM lineitem, b)
        |SELECT bin,
-       |       round(min(lo) + bin * min((hi - lo) / ${N_BINS}.0), 4) AS bin_lo,
+       |       floor((min(lo) + bin * min((hi - lo) / ${N_BINS}.0)) * 10000.0 + 0.5)
+       |         / 10000.0 AS bin_lo,
        |       count(*) AS n_items
        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
 
