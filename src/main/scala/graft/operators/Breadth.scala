@@ -797,8 +797,75 @@ object Breadth {
       |FROM joined GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** Event-type transition matrix: per user, each event paired with its
+    * next event (lead over (ts, event_id) — the offset window), then the
+    * (from, to) pair counts and the per-from transition probability. The
+    * Markov-chain summary behind "what do users do after X" product
+    * questions. Scale: the only row-scale shuffle is the per-user window
+    * hash exchange carrying (user_id, ts, event_id, event_type); the
+    * probability window runs over the aggregated |types|² matrix — driver
+    * metadata, not data. */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(byUser))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n") /
+        sum("n").over(Window.partitionBy("from_type")), 4))
+      .orderBy("from_type", "to_type")
+  }
+
+  private val eventTransitionsSql =
+    """WITH nx AS (
+      |  SELECT event_type AS from_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |t AS (
+      |  SELECT from_type, to_type, count(*) AS n
+      |  FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |       round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 4)
+      |         AS p
+      |FROM t ORDER BY from_type, to_type""".stripMargin
+
+  /** Hopping (sliding) event-time window: 3-hour windows advancing every
+    * hour, so each event lands in 3 overlapping slots — traffic smoothing
+    * a tumbling window can't express (a burst straddling an hour boundary
+    * splits across tumbles but stays whole in some hop). Spark assigns
+    * slots inside the scan stage (`window(ts, len, slide)` explodes to
+    * len/slide rows); the shuffle carries (slot, user_id, value) — the 3×
+    * fan-out is narrow tuples, never the event row. Exact distinct users
+    * per slot shuffles (slot, user) pairs. */
+  def slidingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "3 hours", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        round(sum("value"), 4).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("n_events"), col("n_users"), col("sum_value"))
+      .orderBy("win_start")
+
+  private val slidingWindowSql =
+    """WITH slotted AS (
+      |  SELECT strftime(date_trunc('hour', ts) - to_hours(k),
+      |                  '%Y-%m-%d %H:%M:%S') AS win_start,
+      |         user_id, value
+      |  FROM events, (SELECT unnest(generate_series(0, 2)) AS k))
+      |SELECT win_start, count(*) AS n_events,
+      |       count(DISTINCT user_id) AS n_users,
+      |       round(sum(value), 4) AS sum_value
+      |FROM slotted GROUP BY win_start ORDER BY win_start""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_window_rank", windowRank, Some(windowRankSql)),
+    Q("q_event_transitions", eventTransitions, Some(eventTransitionsSql)),
+    Q("q_sliding_window", slidingWindow, Some(slidingWindowSql)),
     Q("q_full_outer", fullOuterDays, Some(fullOuterDaysSql)),
     Q("q_resample_ffill", resampleFfill, Some(resampleFfillSql)),
     Q("q_event_anomaly", eventAnomaly, Some(eventAnomalySql)),
