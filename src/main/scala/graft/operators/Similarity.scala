@@ -310,6 +310,100 @@ object Similarity {
        |FROM ranked WHERE rn <= $BATCH_TOPK
        |ORDER BY q_id, rn""".stripMargin
 
+  private val KNN_BITS = 32
+  private val KNN_BANDS = 4
+  private val KNN_BAND_BITS = KNN_BITS / KNN_BANDS / 2 * 2 // 8
+  private val KNN_RADIUS = 6
+  private val KNN_K = 3
+
+  /** KNN self-join: for EVERY vector, its top-[[KNN_K]] nearest same-bucket
+    * neighbors within hamming radius [[KNN_RADIUS]] of a 32-bit hyperplane
+    * signature — the all-pairs linkage a dedup/clustering pipeline runs,
+    * where the batched probe ([[annLshBatch]]) serves only a query set.
+    *
+    * Never an all-pairs join: signatures band into 4×8-bit keys and
+    * candidates come from a self-equi-join on (band, band-key) — quadratic
+    * only within a bucket (expected bucket size n/256 per band), linear in
+    * corpus size overall. The banding is lossless up to hamming 3
+    * (pigeonhole over 4 disjoint bands) and recall-bounded beyond; the
+    * DECLARED semantics are "same-bucket candidates within radius 6",
+    * which the DuckDB oracle replays exactly (band condition included), so
+    * the check is exact while the recall trade stays visible in the query
+    * definition — the honest LSH-KNN contract. The join moves (vec_id,
+    * sig, band, key) tuples — embeddings never leave the scan — and the
+    * per-vector top-k is the salted two-level rank (no reducer holds a
+    * whole vector's candidate set). Ranking by (hamming, nb_id) is
+    * integer-exact — no float tiebreak ambiguity. */
+  def knnJoin(s: SparkSession, dir: String): DataFrame = {
+    val sigs = corpus(s, dir)
+      .withColumn("sig", expr(VectorFns.lshSignatureSql("emb", KNN_BITS, DIM)))
+      .select("vec_id", "sig")
+    val bands = sigs.select(col("vec_id"), col("sig"),
+        posexplode(array((0 until KNN_BANDS).map(b =>
+          shiftright(col("sig"), b * KNN_BAND_BITS)
+            .bitwiseAND(lit((1 << KNN_BAND_BITS) - 1))): _*)))
+      .toDF("vec_id", "sig", "band", "bkey")
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nb_id"),
+        col("x.sig").bitwiseXOR(col("y.sig")).as("sx"))
+      .withColumn("hamming", expr("bit_count(sx)").cast("long"))
+      .filter(col("hamming") <= KNN_RADIUS)
+      // a pair can match in up to 4 bands; duplicates carry the same
+      // hamming, so dedupe the (small) radius survivors, not the
+      // candidate stream
+      .dropDuplicates("vec_id", "nb_id")
+    val bySalt = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id", "salt")
+      .orderBy(col("hamming").asc, col("nb_id").asc)
+    val byVec = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id")
+      .orderBy(col("hamming").asc, col("nb_id").asc)
+    cand
+      .withColumn("salt", pmod(col("nb_id"), lit(TOPK_SALTS.toLong)))
+      .withColumn("srn", row_number().over(bySalt))
+      .filter(col("srn") <= KNN_K)
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") <= KNN_K)
+      .select(col("vec_id"), col("rn"), col("nb_id"), col("hamming"))
+      .orderBy("vec_id", "rn")
+  }
+
+  private val knnJoinSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |w AS (
+       |  SELECT m,
+       |         list_transform(generate_series(0, ${DIM - 1}), j ->
+       |           CASE WHEN strpos('0123456789abcdef', substr(md5(m || ':' || j), 1, 1)) - 1 >= 8
+       |                THEN 1.0 ELSE -1.0 END) AS wt
+       |  FROM (SELECT unnest(generate_series(0, ${KNN_BITS - 1})) AS m)),
+       |comp AS (
+       |  SELECT vec_id, m, list_dot_product(emb, wt) AS d
+       |  FROM e, w),
+       |sig AS (
+       |  SELECT vec_id,
+       |         CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << CAST(m AS INTEGER))
+       |                       ELSE 0 END) AS BIGINT) AS sig
+       |  FROM comp GROUP BY vec_id),
+       |cand AS (
+       |  SELECT x.vec_id AS vec_id, y.vec_id AS nb_id,
+       |         CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming
+       |  FROM sig x JOIN sig y ON x.vec_id <> y.vec_id
+       |  WHERE ((x.sig & 255) = (y.sig & 255)
+       |      OR ((x.sig >> 8) & 255) = ((y.sig >> 8) & 255)
+       |      OR ((x.sig >> 16) & 255) = ((y.sig >> 16) & 255)
+       |      OR ((x.sig >> 24) & 255) = ((y.sig >> 24) & 255))
+       |    AND bit_count(xor(x.sig, y.sig)) <= $KNN_RADIUS),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                               ORDER BY hamming, nb_id) AS rn
+       |  FROM cand)
+       |SELECT vec_id, rn, nb_id, hamming
+       |FROM ranked WHERE rn <= $KNN_K
+       |ORDER BY vec_id, rn""".stripMargin
+
   private val NLIST = 16
   private val NPROBE = 4
 
@@ -605,5 +699,6 @@ object Similarity {
     Q("q_sim_ivf", ivf, Some(ivfSql)),
     Q("q_sim_ivf_trained", ivfTrained, None),
     Q("q_sim_topk_batch", bruteTopKBatch, Some(bruteTopKBatchSql)),
-    Q("q_sim_ann_batch", annLshBatch, Some(annLshBatchSql)))
+    Q("q_sim_ann_batch", annLshBatch, Some(annLshBatchSql)),
+    Q("q_knn_join", knnJoin, Some(knnJoinSql)))
 }

@@ -244,4 +244,22 @@ class PlanShapeSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(cartesian.isEmpty,
       s"non-equi join in blocked fuzzy-match plan:\n${cartesian.headOption}")
   }
+
+  test("knn self-join is band-bucketed: equi-join, no embedding movement") {
+    val plan = executed(operators.Similarity.knnJoin(spark, sfDir))
+    val cartesian = collect(plan) {
+      case c: CartesianProductExec => c
+      case b: BroadcastNestedLoopJoinExec => b
+    }
+    assert(cartesian.isEmpty,
+      "knn self-join must be an equi-join on band keys, not a cross product")
+    val ex = collect(plan) { case e: ShuffleExchangeExec => e }
+    assert(ex.nonEmpty)
+    ex.foreach { e =>
+      val arrays = e.output.filter(_.dataType.isInstanceOf[ArrayType])
+      assert(arrays.isEmpty,
+        s"knn shuffle carries ${arrays.map(_.name)} — only (id, sig, band " +
+          "key) tuples may move")
+    }
+  }
 }
