@@ -46,8 +46,31 @@ import org.apache.spark.sql.types.StructType
   */
 object SnapshotLake {
 
+  /** One immutable data file plus its manifest-recorded statistics: row
+    * count and min/max of the table's declared stats column. Stats are
+    * read once from the parquet footer at stage time and live in the
+    * manifest from then on — scan planning prunes files WITHOUT opening
+    * them, the file-skipping half of the Iceberg contract. */
+  final case class FileEntry(path: String, rows: Long,
+                             min: Option[Long], max: Option[Long]) {
+    def serialized: String =
+      s"$path|$rows|${min.fold("")(_.toString)}|${max.fold("")(_.toString)}"
+  }
+
+  private def parseEntry(s: String): FileEntry = s.split('|') match {
+    case Array(p, r, mn, mx) =>
+      FileEntry(p, r.toLong,
+        if (mn.isEmpty) None else Some(mn.toLong),
+        if (mx.isEmpty) None else Some(mx.toLong))
+    case Array(p, r) => FileEntry(p, r.toLong, None, None)
+    case _ => FileEntry(s, -1L, None, None) // legacy bare-path line
+  }
+
   final case class Snapshot(version: Int, op: String, nRows: Long,
-                            schemaDdl: String, files: Seq[String])
+                            schemaDdl: String, statsCol: Option[String],
+                            files: Seq[FileEntry]) {
+    def paths: Seq[String] = files.map(_.path)
+  }
 
   // ---- metadata ------------------------------------------------------------
 
@@ -75,9 +98,11 @@ object SnapshotLake {
     def field(k: String): String = lines.find(_.startsWith(s"$k="))
       .map(_.drop(k.length + 1))
       .getOrElse(sys.error(s"manifest v$version missing $k"))
+    val statsCol = lines.find(_.startsWith("stats="))
+      .map(_.drop(6)).filter(_.nonEmpty)
     Snapshot(field("version").toInt, field("op"), field("nRows").toLong,
-      field("schema"),
-      lines.filter(_.startsWith("file=")).map(_.drop(5)))
+      field("schema"), statsCol,
+      lines.filter(_.startsWith("file=")).map(l => parseEntry(l.drop(5))))
   }
 
   /** Commit `files` as version `prev + 1`. Publishing is an ATOMIC_MOVE
@@ -85,12 +110,14 @@ object SnapshotLake {
     * first, the move fails and the caller gets a conflict — never a
     * corrupted table. */
   private[graft] def commit(root: String, prev: Int, op: String, nRows: Long,
-                            schemaDdl: String, files: Seq[String]): Int = {
+                            schemaDdl: String, statsCol: Option[String],
+                            files: Seq[FileEntry]): Int = {
     val v = prev + 1
     Files.createDirectories(metaDir(root))
     val body =
-      (Seq(s"version=$v", s"op=$op", s"nRows=$nRows", s"schema=$schemaDdl") ++
-        files.map(f => s"file=$f")).mkString("", "\n", "\n")
+      (Seq(s"version=$v", s"op=$op", s"nRows=$nRows", s"schema=$schemaDdl",
+        s"stats=${statsCol.getOrElse("")}") ++
+        files.map(f => s"file=${f.serialized}")).mkString("", "\n", "\n")
     val tmp = metaDir(root).resolve(s".v$v.tmp")
     Files.writeString(tmp, body)
     val target = metaDir(root).resolve(s"v$v.manifest")
@@ -118,51 +145,80 @@ object SnapshotLake {
     * returns root-relative paths. The write lands in a scratch dir, then
     * each part renames into `data/` — readers never list a half-written
     * directory because readers never list at all (manifests pin files). */
-  private def stage(df: DataFrame, root: String, v: Int): Seq[String] =
-    stageAs(df, root, v, offset = 0)
+  private def stage(df: DataFrame, root: String, v: Int,
+                    statsCol: Option[String]): Seq[FileEntry] =
+    stageAs(df, root, v, offset = 0, statsCol)
 
-  private def stageAs(df: DataFrame, root: String, v: Int,
-                      offset: Int): Seq[String] = {
+  private def stageAs(df: DataFrame, root: String, v: Int, offset: Int,
+                      statsCol: Option[String]): Seq[FileEntry] = {
     val scratch = Paths.get(root, s".stage-v$v-$offset")
     df.write.mode("overwrite").parquet(scratch.toString)
     Files.createDirectories(dataDir(root))
     // the writer emits a part file per task INCLUDING empty partitions;
     // an empty file in a manifest is metadata bloat and breaks COW/expire
     // accounting (it can never be "hit", so it carries forever) — drop
-    // zero-row parts via the parquet footer before publishing
+    // zero-row parts via the parquet footer before publishing. The same
+    // footer read harvests the stats column's min/max into the manifest.
     val parts = {
       val s = Files.list(scratch)
       try s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
         .toSeq.sortBy(_.getFileName.toString)
-        .filter(p => parquetRowCount(p) > 0)
+        .map(p => (p, footerStats(p, statsCol)))
+        .filter(_._2._1 > 0)
       finally s.close()
     }
-    val named = parts.zipWithIndex.map { case (p, i) =>
+    val named = parts.zipWithIndex.map { case ((p, (rows, mn, mx)), i) =>
       val rel = s"data/v$v-${offset + i}.parquet"
       Files.move(p, Paths.get(root, rel), StandardCopyOption.ATOMIC_MOVE)
-      rel
+      FileEntry(rel, rows, mn, mx)
     }
     deleteRecursively(scratch)
     named
   }
 
-  private def parquetRowCount(p: Path): Long = {
+  /** (rowCount, statsMin, statsMax) from the parquet footer — one
+    * metadata read, no data pages touched. Min/max fold across row
+    * groups; integral physical types only (the stats contract here). */
+  private def footerStats(p: Path,
+                          statsCol: Option[String]): (Long, Option[Long], Option[Long]) = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(p.toString),
       new org.apache.hadoop.conf.Configuration())
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try r.getRecordCount finally r.close()
+    try {
+      val rows = r.getRecordCount
+      val ranges = statsCol.toSeq.flatMap { c =>
+        r.getFooter.getBlocks.asScala.flatMap { b =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString == c)
+            .map(_.getStatistics)
+            .collect {
+              case st if st != null && !st.isEmpty =>
+                (st.genericGetMin, st.genericGetMax) match {
+                  case (mn: Number, mx: Number) =>
+                    Some((mn.longValue, mx.longValue))
+                  case _ => None
+                }
+            }.flatten
+        }
+      }
+      if (ranges.isEmpty) (rows, None, None)
+      else (rows, Some(ranges.map(_._1).min), Some(ranges.map(_._2).max))
+    } finally r.close()
   }
 
   // ---- writes --------------------------------------------------------------
 
-  /** Create the table (version 1). Fails if the table already has
-    * snapshots. */
-  def create(df: DataFrame, root: String): Int = {
+  /** Create the table (version 1). `statsCol` names an integral column
+    * whose per-file min/max every commit records in its manifest — the
+    * file-skipping index (see [[readRange]]). Fails if the table already
+    * has snapshots. */
+  def create(df: DataFrame, root: String,
+             statsCol: Option[String] = None): Int = {
     require(currentVersion(root) == 0, s"table at $root already exists")
     val n = df.count()
-    val files = stage(df, root, 1)
-    commit(root, 0, "create", n, df.schema.toDDL, files)
+    val files = stage(df, root, 1, statsCol)
+    commit(root, 0, "create", n, df.schema.toDDL, statsCol, files)
   }
 
   /** Append-only commit: previous files all carry over, the batch's files
@@ -172,9 +228,10 @@ object SnapshotLake {
     val prev = currentVersion(root)
     val snap = snapshot(root, prev)
     val n = df.count()
-    val files = stage(df, root, prev + 1)
+    val files = stage(df, root, prev + 1, snap.statsCol)
     val schema = mergedDdl(snap.schemaDdl, df.schema)
-    commit(root, prev, "append", snap.nRows + n, schema, snap.files ++ files)
+    commit(root, prev, "append", snap.nRows + n, schema, snap.statsCol,
+      snap.files ++ files)
   }
 
   /** Copy-on-write row delete: only the files that CONTAIN a matching row
@@ -195,11 +252,11 @@ object SnapshotLake {
         .parquet(hitAbs: _*)
       val survivors = touched.filter(!cond)
       val nDeleted = touched.count() - survivors.count()
-      val newFiles = if (survivors.isEmpty) Seq.empty
-                     else stage(survivors, root, prev + 1)
-      val files = snap.files.filterNot(hitFiles) ++ newFiles
+      val newFiles = if (survivors.isEmpty) Seq.empty[FileEntry]
+                     else stage(survivors, root, prev + 1, snap.statsCol)
+      val files = snap.files.filterNot(f => hitFiles(f.path)) ++ newFiles
       val v = commit(root, prev, "delete", snap.nRows - nDeleted,
-        snap.schemaDdl, files)
+        snap.schemaDdl, snap.statsCol, files)
       (v, nDeleted)
     }
   }
@@ -220,31 +277,28 @@ object SnapshotLake {
       .select("_f").distinct()
       .collect().map(r => relPath(root, r.getString(0))).toSet
     val (survivorFiles, nUpdated) =
-      if (hitFiles.isEmpty) (Seq.empty[String], 0L)
+      if (hitFiles.isEmpty) (Seq.empty[FileEntry], 0L)
       else {
         val hitAbs = hitFiles.toSeq.sorted.map(f => Paths.get(root, f).toString)
         val touched = spark.read.option("mergeSchema", "true")
           .parquet(hitAbs: _*)
         val survivors = touched.join(up.select(key), Seq(key), "left_anti")
         val nUpd = touched.count() - survivors.count()
-        val fs = if (survivors.isEmpty) Seq.empty[String]
-                 else stage(survivors, root, prev + 1)
+        val fs = if (survivors.isEmpty) Seq.empty[FileEntry]
+                 else stage(survivors, root, prev + 1, snap.statsCol)
         (fs, nUpd)
       }
     // restaged survivors land as v{N}-{i}; the update rows stage into the
     // same version with an offset suffix so names stay unique
-    val upFiles = stageExtra(up, root, prev + 1, survivorFiles.size)
-    val files = snap.files.filterNot(hitFiles) ++ survivorFiles ++ upFiles
+    val upFiles = stageAs(up, root, prev + 1, survivorFiles.size, snap.statsCol)
+    val files = snap.files.filterNot(f => hitFiles(f.path)) ++
+      survivorFiles ++ upFiles
     val schema = mergedDdl(snap.schemaDdl, up.schema)
     val v = commit(root, prev, "merge", snap.nRows - nUpdated + nUp,
-      schema, files)
+      schema, snap.statsCol, files)
     up.unpersist()
     (v, nUpdated, nUp - nUpdated)
   }
-
-  private def stageExtra(df: DataFrame, root: String, v: Int,
-                         offset: Int): Seq[String] =
-    stageAs(df, root, v, offset)
 
   /** O(1) rollback: a NEW snapshot pinning an old snapshot's exact file
     * list — no data moves, and the rolled-back-over versions stay
@@ -253,18 +307,65 @@ object SnapshotLake {
     val prev = currentVersion(root)
     val target = snapshot(root, toVersion)
     commit(root, prev, s"rollback[v$toVersion]", target.nRows,
-      target.schemaDdl, target.files)
+      target.schemaDdl, target.statsCol, target.files)
   }
 
   // ---- reads ---------------------------------------------------------------
 
   private def open(spark: SparkSession, root: String, snap: Snapshot): DataFrame =
-    if (snap.files.isEmpty)
+    openFiles(spark, root, snap, snap.files)
+
+  private def openFiles(spark: SparkSession, root: String, snap: Snapshot,
+                        files: Seq[FileEntry]): DataFrame =
+    if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         StructType.fromDDL(snap.schemaDdl))
     else
       spark.read.option("mergeSchema", "true")
-        .parquet(snap.files.map(f => Paths.get(root, f).toString): _*)
+        .parquet(files.map(f => Paths.get(root, f.path).toString): _*)
+
+  /** Manifest-level file skipping: the entries of snapshot `version`
+    * whose [min, max] stats range intersects [lo, hi] (entries without
+    * stats are kept — pruning must never be lossy). Pure metadata — no
+    * file is opened. */
+  private[graft] def pruneEntries(snap: Snapshot, lo: Long,
+                                  hi: Long): Seq[FileEntry] =
+    snap.files.filter(f => (f.min, f.max) match {
+      case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
+      case _ => true
+    })
+
+  /** Range scan over the stats column with manifest file skipping: only
+    * files whose footer-recorded range intersects [lo, hi] are read at
+    * all — at 100 TB, a selective range over a value-clustered table
+    * touches a handful of files instead of the corpus, decided from one
+    * manifest instead of the parquet footers themselves. Row-exact: the
+    * residual predicate still applies inside the surviving files. */
+  def readRange(spark: SparkSession, root: String, lo: Long, hi: Long): DataFrame = {
+    val snap = snapshot(root, currentVersion(root))
+    val c = snap.statsCol.getOrElse(sys.error(
+      s"table at $root has no stats column — create(..., statsCol) first"))
+    openFiles(spark, root, snap, pruneEntries(snap, lo, hi))
+      .filter(col(c).between(lo, hi))
+  }
+
+  /** Incremental (CDC-style) read: the rows added strictly AFTER
+    * `sinceVersion`, computed as the manifest file-set difference — no
+    * data diffing. Exact for append-only history; any COW op in the
+    * range restages old rows into "new" files, so this refuses
+    * non-append history rather than over-reporting. */
+  def addedSince(spark: SparkSession, root: String, sinceVersion: Int): DataFrame = {
+    val cur = currentVersion(root)
+    val snap = snapshot(root, cur)
+    ((sinceVersion + 1) to cur).foreach { v =>
+      val op = snapshot(root, v).op
+      require(op == "append",
+        s"addedSince(v$sinceVersion) crosses non-append commit v$v ($op) — " +
+          "file-set diff no longer equals the row delta")
+    }
+    val base = snapshot(root, sinceVersion).paths.toSet
+    openFiles(spark, root, snap, snap.files.filterNot(f => base(f.path)))
+  }
 
   /** Time travel: the table exactly as of snapshot `version`. */
   def readAt(spark: SparkSession, root: String, version: Int): DataFrame =
@@ -296,13 +397,13 @@ object SnapshotLake {
     val retained = (keepFrom to cur).flatMap { v =>
       try Some(snapshot(root, v)) catch { case _: Exception => None }
     }
-    val live = retained.flatMap(_.files).toSet
+    val live = retained.flatMap(_.paths).toSet
     var droppedManifests = 0
     var droppedFiles = 0
     (1 until keepFrom).foreach { v =>
       val p = metaDir(root).resolve(s"v$v.manifest")
       if (Files.exists(p)) {
-        val dead = snapshot(root, v).files.filterNot(live)
+        val dead = snapshot(root, v).paths.filterNot(live)
         dead.foreach { f =>
           if (Files.deleteIfExists(Paths.get(root, f))) droppedFiles += 1
         }
@@ -313,7 +414,7 @@ object SnapshotLake {
     // files may also be orphaned by dead manifests already gone; sweep
     // data/ against the union of ALL remaining manifests
     val stillReferenced = (1 to cur).flatMap { v =>
-      try snapshot(root, v).files catch { case _: Exception => Seq.empty }
+      try snapshot(root, v).paths catch { case _: Exception => Seq.empty }
     }.toSet
     val d = dataDir(root)
     if (Files.isDirectory(d)) {
@@ -396,7 +497,8 @@ object SnapshotLake {
           finally ls.close()
         }
         val d = graft.Tables.documents(s, dir)
-        create(d.filter(pmod(col("doc_id"), lit(3)) === 0), root.toString)
+        create(d.filter(pmod(col("doc_id"), lit(3)) === 0), root.toString,
+          statsCol = Some("doc_id"))
         append(s, d.filter(pmod(col("doc_id"), lit(3)) === 1), root.toString)
         deleteWhere(s, root.toString, col("lang") === "en")
         merge(s, root.toString,

@@ -39,15 +39,15 @@ class SnapshotLakeSpec extends SparkTestBase {
     val root = freshRoot("cow")
     SnapshotLake.create(df((1L, "keep", 1L), (2L, "keep", 2L)), root)
     SnapshotLake.append(spark, df((3L, "drop", 3L), (4L, "keep", 4L)), root)
-    val v2Files = SnapshotLake.snapshot(root, 2).files
-    val v1Files = SnapshotLake.snapshot(root, 1).files
+    val v2Files = SnapshotLake.snapshot(root, 2).paths
+    val v1Files = SnapshotLake.snapshot(root, 1).paths
     val fingerprint = v1Files.map { f =>
       val p = Paths.get(root, f)
       (f, Files.size(p), Files.getLastModifiedTime(p).toMillis)
     }
     val (v3, nDel) = SnapshotLake.deleteWhere(spark, root, col("kind") === "drop")
     assert(v3 == 3 && nDel == 1)
-    val v3Files = SnapshotLake.snapshot(root, 3).files
+    val v3Files = SnapshotLake.snapshot(root, 3).paths
     // v1's files (no 'drop' rows) carry over byte-identical; the appended
     // files containing the hit are replaced
     v1Files.foreach(f => assert(v3Files.contains(f)))
@@ -69,7 +69,7 @@ class SnapshotLakeSpec extends SparkTestBase {
     val root = freshRoot("merge")
     SnapshotLake.create(df((1L, "a", 10L), (2L, "b", 20L)), root)
     SnapshotLake.append(spark, df((3L, "c", 30L)), root)
-    val v1Files = SnapshotLake.snapshot(root, 1).files
+    val v1Files = SnapshotLake.snapshot(root, 1).paths
     val (v, nUpd, nIns) = SnapshotLake.merge(spark, root,
       df((3L, "c2", 33L), (9L, "new", 90L)), "id")
     assert(v == 3 && nUpd == 1 && nIns == 1)
@@ -78,7 +78,7 @@ class SnapshotLakeSpec extends SparkTestBase {
     assert(got == Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c2", 33L),
       (9L, "new", 90L)))
     // only the file(s) holding id=3 were replaced
-    val v3Files = SnapshotLake.snapshot(root, 3).files
+    val v3Files = SnapshotLake.snapshot(root, 3).paths
     v1Files.foreach(f => assert(v3Files.contains(f)))
     // pre-merge state intact
     assert(SnapshotLake.readAt(spark, root, 2)
@@ -92,8 +92,8 @@ class SnapshotLakeSpec extends SparkTestBase {
     SnapshotLake.deleteWhere(spark, root, col("id") === 1)
     val v4 = SnapshotLake.rollback(root, 2)
     assert(v4 == 4)
-    assert(SnapshotLake.snapshot(root, 4).files ==
-      SnapshotLake.snapshot(root, 2).files)
+    assert(SnapshotLake.snapshot(root, 4).paths ==
+      SnapshotLake.snapshot(root, 2).paths)
     assert(SnapshotLake.read(spark, root).count() == 2)
     // the rolled-over delete stays readable for audit
     assert(SnapshotLake.readAt(spark, root, 3).count() == 1)
@@ -105,7 +105,7 @@ class SnapshotLakeSpec extends SparkTestBase {
     SnapshotLake.append(spark, df((2L, "b", 2L)), root)
     // v3 rewrites everything (delete hits both files)
     SnapshotLake.deleteWhere(spark, root, col("v") >= 0)
-    val deadFiles = SnapshotLake.snapshot(root, 2).files
+    val deadFiles = SnapshotLake.snapshot(root, 2).paths
     val (nManifests, nFiles) = SnapshotLake.expire(root, keepFrom = 3)
     assert(nManifests == 2)
     assert(nFiles == deadFiles.size)
@@ -129,7 +129,8 @@ class SnapshotLakeSpec extends SparkTestBase {
       "version=2\nop=racer\nnRows=1\nschema=`id` BIGINT\n")
     intercept[IllegalStateException] {
       SnapshotLake.commit(root, prev = 1, op = "loser", nRows = 9,
-        schemaDdl = "`id` BIGINT", files = Seq("data/bogus.parquet"))
+        schemaDdl = "`id` BIGINT", statsCol = None,
+        files = Seq(SnapshotLake.FileEntry("data/bogus.parquet", 1, None, None)))
     }
     assert(SnapshotLake.snapshot(root, 2).op == "racer")
     assert(SnapshotLake.snapshot(root, 2).files.isEmpty)
@@ -147,6 +148,49 @@ class SnapshotLakeSpec extends SparkTestBase {
       .select("lang").collect().head.isNullAt(0))
     assert(!SnapshotLake.readAt(spark, root, 1)
       .schema.fieldNames.contains("lang"))
+  }
+
+  test("readRange skips files from manifest stats alone") {
+    import spark.implicits._
+    val root = freshRoot("skipping")
+    // two commits with disjoint id ranges → disjoint manifest stats
+    SnapshotLake.create(
+      (0L until 100L).map(i => (i, s"r$i")).toDF("id", "kind").coalesce(1),
+      root, statsCol = Some("id"))
+    SnapshotLake.append(spark,
+      (100L until 200L).map(i => (i, s"r$i")).toDF("id", "kind").coalesce(1),
+      root)
+    val snap = SnapshotLake.snapshot(root, 2)
+    assert(snap.files.forall(f => f.min.isDefined && f.max.isDefined))
+    // metadata-only pruning: the low range keeps only v1's file(s)
+    val pruned = SnapshotLake.pruneEntries(snap, 150, 199)
+    assert(pruned.nonEmpty && pruned.forall(_.path.startsWith("data/v2-")),
+      s"pruning kept ${pruned.map(_.path)} — v1 files should be skipped")
+    // row-exact result, and the scan actually read only the pruned files
+    val got = SnapshotLake.readRange(spark, root, 150, 199)
+    assert(got.count() == 50)
+    val readFiles = got.select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(readFiles.forall(_.contains("v2-")),
+      s"scan touched skipped files: $readFiles")
+  }
+
+  test("addedSince reads exactly the appended rows, refuses COW history") {
+    val root = freshRoot("incremental")
+    SnapshotLake.create(df((1L, "a", 1L)), root)
+    SnapshotLake.append(spark, df((2L, "b", 2L)), root)
+    SnapshotLake.append(spark, df((3L, "c", 3L)), root)
+    val sinceV1 = SnapshotLake.addedSince(spark, root, 1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(sinceV1 == Set(2L, 3L))
+    val sinceV2 = SnapshotLake.addedSince(spark, root, 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(sinceV2 == Set(3L))
+    // a COW delete breaks the file-set ≡ row-delta equivalence — loud stop
+    SnapshotLake.deleteWhere(spark, root, col("id") === 1)
+    intercept[IllegalArgumentException] {
+      SnapshotLake.addedSince(spark, root, 1).collect()
+    }
   }
 
   test("history lists every snapshot with its op and row count") {
