@@ -833,6 +833,39 @@ object Breadth {
       |         AS p
       |FROM t ORDER BY from_type, to_type""".stripMargin
 
+  /** Sequence-pattern mining: the top-10 most common 3-step event paths
+    * (strictly consecutive per user, ordered by (ts, event_id)) — the
+    * "what journeys do users actually take" summary that generalizes the
+    * pairwise transition matrix. Two stacked lead() offsets in ONE window
+    * pass build the trigrams row-locally after a single per-user hash
+    * exchange; the path strings that shuffle afterwards are |types|³
+    * aggregate keys, not events. */
+  def eventPaths(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead("event_type", 1).over(byUser))
+      .withColumn("e3", lead("event_type", 2).over(byUser))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(10)
+  }
+
+  private val eventPathsSql =
+    """WITH t AS (
+      |  SELECT event_type AS e1,
+      |         lead(event_type, 1) OVER w AS e2,
+      |         lead(event_type, 2) OVER w AS e3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
+      |FROM t WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin
+
   /** Hopping (sliding) event-time window: 3-hour windows advancing every
     * hour, so each event lands in 3 overlapping slots — traffic smoothing
     * a tumbling window can't express (a burst straddling an hour boundary
@@ -865,6 +898,7 @@ object Breadth {
   val all: Seq[Q] = Seq(
     Q("q_window_rank", windowRank, Some(windowRankSql)),
     Q("q_event_transitions", eventTransitions, Some(eventTransitionsSql)),
+    Q("q_event_paths", eventPaths, Some(eventPathsSql)),
     Q("q_sliding_window", slidingWindow, Some(slidingWindowSql)),
     Q("q_full_outer", fullOuterDays, Some(fullOuterDaysSql)),
     Q("q_resample_ffill", resampleFfill, Some(resampleFfillSql)),

@@ -666,6 +666,43 @@ object Similarity {
       |WHERE a.vec_id <> 0
       |ORDER BY cos_sim DESC, a.vec_id LIMIT 5""".stripMargin
 
+  /** First dimensions exposed by the centroid aggregate (full-width
+    * centroids aggregate identically; 8 keeps the checked output small). */
+  private val CENTROID_DIMS = 8
+
+  /** Per-label embedding centroids — the class-prototype aggregate behind
+    * nearest-centroid classification, cluster drift monitoring, and IVF
+    * seeding. One scan; the shuffle carries (label, dim, partial-sum)
+    * triples, never vectors. Double summation order is engine-internal,
+    * so the aggregation runs over DECIMAL(20,6) of 6-dp-rounded
+    * components (exact, merge-order-independent — same discipline as the
+    * LM score pipeline); the mean converts back to double once, after
+    * the exact sum. */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame = {
+    val e = corpus(s, dir)
+      .select(col("label"), posexplode(col("emb")))
+      .toDF("label", "j", "v")
+      .filter(col("j") < CENTROID_DIMS)
+    e.groupBy("label", "j")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(round(col("v"), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(20, 6))).as("s"))
+      .select(col("label"), col("j"), col("n_vecs"),
+        round(col("s").cast("double") / col("n_vecs"), 4).as("centroid"))
+      .orderBy("label", "j")
+  }
+
+  private val labelCentroidsSql =
+    s"""WITH comp AS (
+       |  SELECT label, j - 1 AS j,
+       |         CAST(round(embedding[j]::DOUBLE, 6) AS DECIMAL(20,6)) AS v
+       |  FROM embeddings,
+       |       (SELECT unnest(generate_series(1, $CENTROID_DIMS)) AS j))
+       |SELECT label, j, count(*) AS n_vecs,
+       |       round(CAST(sum(v) AS DOUBLE) / count(*), 4) AS centroid
+       |FROM comp GROUP BY label, j
+       |ORDER BY label, j""".stripMargin
+
   /** ANN self-evaluation: recall@5 of the LSH index path against the
     * brute-force ground truth — the metric a production vector store
     * reports before anyone trusts it. Both sides are THIS engine's own
@@ -700,5 +737,6 @@ object Similarity {
     Q("q_sim_ivf_trained", ivfTrained, None),
     Q("q_sim_topk_batch", bruteTopKBatch, Some(bruteTopKBatchSql)),
     Q("q_sim_ann_batch", annLshBatch, Some(annLshBatchSql)),
-    Q("q_knn_join", knnJoin, Some(knnJoinSql)))
+    Q("q_knn_join", knnJoin, Some(knnJoinSql)),
+    Q("q_label_centroids", labelCentroids, Some(labelCentroidsSql)))
 }
