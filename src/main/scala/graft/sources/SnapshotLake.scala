@@ -427,6 +427,30 @@ object SnapshotLake {
     (droppedManifests, droppedFiles)
   }
 
+  /** Compaction (Iceberg's rewrite_data_files): rewrite the CURRENT file
+    * set into `targetParts` files as a new content-identical snapshot —
+    * the small-files fix for a long-appended table (task-per-file
+    * scheduling throttles 100 TB scans). Data is repartitioned by range
+    * on the stats column when one is declared, so compacted files get
+    * DISJOINT stats ranges — compaction tightens file skipping instead
+    * of destroying it. Old snapshots keep their old files (time travel
+    * intact) until `expire` reclaims them. Returns (newVersion,
+    * filesBefore, filesAfter). */
+  def compact(spark: SparkSession, root: String,
+              targetParts: Int = 1): (Int, Int, Int) = {
+    val prev = currentVersion(root)
+    val snap = snapshot(root, prev)
+    val cur = open(spark, root, snap)
+    val arranged = snap.statsCol match {
+      case Some(c) => cur.repartitionByRange(targetParts, col(c))
+      case None => cur.repartition(targetParts)
+    }
+    val files = stage(arranged, root, prev + 1, snap.statsCol)
+    val v = commit(root, prev, "compact", snap.nRows, snap.schemaDdl,
+      snap.statsCol, files)
+    (v, snap.files.size, files.size)
+  }
+
   // ---- helpers -------------------------------------------------------------
 
   private def relPath(root: String, abs: String): String = {

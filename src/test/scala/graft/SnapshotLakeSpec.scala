@@ -193,6 +193,38 @@ class SnapshotLakeSpec extends SparkTestBase {
     }
   }
 
+  test("compact merges small files, keeps content and time travel, tightens stats") {
+    import spark.implicits._
+    val root = freshRoot("compact")
+    SnapshotLake.create(
+      (0L until 40L).map(i => (i, s"r$i")).toDF("id", "kind").coalesce(1),
+      root, statsCol = Some("id"))
+    SnapshotLake.append(spark,
+      (40L until 80L).map(i => (i, s"r$i")).toDF("id", "kind").coalesce(1), root)
+    SnapshotLake.append(spark,
+      (80L until 120L).map(i => (i, s"r$i")).toDF("id", "kind").coalesce(1), root)
+    val before = SnapshotLake.snapshot(root, 3)
+    assert(before.files.size == 3)
+    val (v, nBefore, nAfter) = SnapshotLake.compact(spark, root, targetParts = 2)
+    assert(v == 4 && nBefore == 3 && nAfter == 2)
+    // content identical, pre-compact snapshot untouched
+    assert(SnapshotLake.read(spark, root).count() == 120)
+    assert(SnapshotLake.readAt(spark, root, 3).count() == 120)
+    assert(SnapshotLake.snapshot(root, 3).paths == before.paths)
+    // range-partitioned rewrite → disjoint stats ranges (skipping survives)
+    val entries = SnapshotLake.snapshot(root, 4).files.sortBy(_.min)
+    assert(entries.forall(e => e.min.isDefined && e.max.isDefined))
+    entries.sliding(2).foreach {
+      case Seq(a, b) => assert(a.max.get < b.min.get,
+        s"compacted files overlap: $a vs $b")
+      case _ =>
+    }
+    // and expire now reclaims the fragmented originals
+    val (_, nFiles) = SnapshotLake.expire(root, keepFrom = 4)
+    assert(nFiles == 3)
+    assert(SnapshotLake.read(spark, root).count() == 120)
+  }
+
   test("history lists every snapshot with its op and row count") {
     val root = freshRoot("history")
     SnapshotLake.create(df((1L, "a", 1L), (2L, "b", 2L)), root)
