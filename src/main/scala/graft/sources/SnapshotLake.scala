@@ -359,7 +359,7 @@ object SnapshotLake {
     val snap = snapshot(root, cur)
     ((sinceVersion + 1) to cur).foreach { v =>
       val op = snapshot(root, v).op
-      require(op == "append",
+      require(op == "append" || op.startsWith("append["),
         s"addedSince(v$sinceVersion) crosses non-append commit v$v ($op) — " +
           "file-set diff no longer equals the row delta")
     }
@@ -426,6 +426,47 @@ object SnapshotLake {
     }
     (droppedManifests, droppedFiles)
   }
+
+  /** Idempotent micro-batch append — the exactly-once building block for
+    * a streaming sink: the micro-batch's id is recorded in the commit op
+    * (`append[batch=N]`), and a replay of an already-committed batch id
+    * (restart between the table commit and the checkpoint advance — the
+    * classic at-least-once window) is detected from the manifests and
+    * SKIPPED. At-least-once delivery × idempotent commit = exactly-once
+    * table state, the same trick as Spark's own file-sink transaction
+    * log, here landing versioned snapshots instead of a flat file list.
+    * Returns true iff this call committed. */
+  def appendBatchOnce(batch: DataFrame, root: String, batchId: Long): Boolean = {
+    val cur = currentVersion(root)
+    val opTag = s"append[batch=$batchId]"
+    val replay = (1 to cur).exists { v =>
+      (try Some(snapshot(root, v).op) catch { case _: Exception => None })
+        .contains(opTag)
+    }
+    if (replay) false
+    else {
+      val snap = snapshot(root, cur)
+      val n = batch.count()
+      val files = stage(batch, root, cur + 1, snap.statsCol)
+      val schema = mergedDdl(snap.schemaDdl, batch.schema)
+      commit(root, cur, opTag, snap.nRows + n, schema, snap.statsCol,
+        snap.files ++ files)
+      true
+    }
+  }
+
+  /** Streaming append sink over the snapshot table: one snapshot commit
+    * per micro-batch via [[appendBatchOnce]] — downstream readers get
+    * atomic, versioned, time-travelable visibility of each batch, and
+    * [[addedSince]] turns the sink's output into an incremental feed. */
+  def streamingSink(docs: DataFrame, root: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        appendBatchOnce(b, root, id); ()
+      }
+      .start()
 
   /** Compaction (Iceberg's rewrite_data_files): rewrite the CURRENT file
     * set into `targetParts` files as a new content-identical snapshot —
@@ -565,6 +606,29 @@ object SnapshotLake {
       |   OR doc_id % 6 = 0
       |ORDER BY version""".stripMargin
 
+  /** Range scan over the timeline's head snapshot THROUGH the
+    * file-skipping path ([[readRange]]) — registering the pruned scan as
+    * an oracle-checked query, so skipping can never silently drop rows:
+    * the oracle replays the v4 state plus the range predicate with no
+    * notion of files at all. */
+  def snapshotRange(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureTimeline(s, dir)
+    readRange(s, root, 100L, 400L)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private val snapshotRangeSql =
+    """SELECT doc_id, lang, source,
+      |       CASE WHEN doc_id % 6 = 0 THEN n_chars + 1000
+      |            ELSE n_chars END AS n_chars
+      |FROM documents
+      |WHERE ((doc_id % 3 IN (0, 1) AND lang <> 'en' AND doc_id % 6 <> 0)
+      |    OR doc_id % 6 = 0)
+      |  AND doc_id BETWEEN 100 AND 400
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[graft.Q] = Seq(
-    graft.Q("q_time_travel", timeTravel, Some(timeTravelSql)))
+    graft.Q("q_time_travel", timeTravel, Some(timeTravelSql)),
+    graft.Q("q_snapshot_range", snapshotRange, Some(snapshotRangeSql)))
 }

@@ -225,6 +225,49 @@ class SnapshotLakeSpec extends SparkTestBase {
     assert(SnapshotLake.read(spark, root).count() == 120)
   }
 
+  test("appendBatchOnce: replayed batch ids commit exactly once") {
+    val root = freshRoot("exactly-once")
+    SnapshotLake.create(df((1L, "a", 1L)), root)
+    assert(SnapshotLake.appendBatchOnce(df((2L, "b", 2L)), root, batchId = 0))
+    // restart window: the same batch id replays — must be a no-op
+    assert(!SnapshotLake.appendBatchOnce(df((2L, "b", 2L)), root, batchId = 0))
+    assert(SnapshotLake.read(spark, root).count() == 2)
+    assert(SnapshotLake.currentVersion(root) == 2)
+    assert(SnapshotLake.appendBatchOnce(df((3L, "c", 3L)), root, batchId = 1))
+    assert(SnapshotLake.read(spark, root).count() == 3)
+    // batch appends stay a valid incremental feed
+    val added = SnapshotLake.addedSince(spark, root, 1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(added == Set(2L, 3L))
+  }
+
+  test("streamingSink lands one versioned commit per micro-batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = freshRoot("stream-sink")
+    SnapshotLake.create(df((1L, "seed", 1L)), root)
+    val mem = MemoryStream[(Long, String, Long)]
+    // checkpoint lives INSIDE the fresh root — a stale checkpoint from a
+    // prior run would resume offsets a brand-new MemoryStream doesn't have
+    val q = SnapshotLake.streamingSink(
+      mem.toDF.toDF("id", "kind", "v"), root,
+      s"$root/.ckpt")
+    try {
+      mem.addData((2L, "b", 2L))
+      q.processAllAvailable()
+      mem.addData((3L, "c", 3L))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(SnapshotLake.read(spark, root)
+      .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    // one snapshot per micro-batch, each tagged with its batch id
+    val ops = SnapshotLake.history(spark, root)
+      .orderBy("version").collect().map(_.getString(1)).toSeq
+    assert(ops.head == "create" && ops.tail.forall(_.startsWith("append[batch=")))
+    assert(ops.size >= 3)
+  }
+
   test("history lists every snapshot with its op and row count") {
     val root = freshRoot("history")
     SnapshotLake.create(df((1L, "a", 1L), (2L, "b", 2L)), root)
