@@ -833,6 +833,40 @@ object Breadth {
       |         AS p
       |FROM t ORDER BY from_type, to_type""".stripMargin
 
+  /** RANGE-frame trailing window: per event, the count and value sum of
+    * the SAME USER's events in the trailing hour — a frame defined by a
+    * VALUE interval on the ordering key, not a row count (ROWS frames are
+    * [[runningTotal]]; gap-based grouping is sessionize; this is the
+    * third frame mechanism). Ordering by epoch seconds makes the range
+    * arithmetic integer-exact and identical in both engines. One per-user
+    * hash exchange; state per partition is the sliding frame. */
+  def trailingWindow(s: SparkSession, dir: String): DataFrame = {
+    val byUserRange = Window.partitionBy("user_id")
+      .orderBy(col("sec"))
+      .rangeBetween(-3600L, Window.currentRow)
+    Tables.events(s, dir)
+      // whole seconds via integer µs floor-division on BOTH sides — a
+      // timestamp cast would truncate in Spark while DuckDB's epoch()
+      // yields fractional doubles, shifting range boundaries
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts) div 1000000").as("sec"), col("value"))
+      .withColumn("n_trailing_1h", count(lit(1)).over(byUserRange))
+      .withColumn("sum_trailing_1h", round(sum("value").over(byUserRange), 4))
+      .select(col("event_id"), col("user_id"), col("n_trailing_1h"),
+        col("sum_trailing_1h"))
+      .orderBy("event_id")
+  }
+
+  private val trailingWindowSql =
+    """SELECT event_id, user_id,
+      |       count(*) OVER w AS n_trailing_1h,
+      |       round(sum(value) OVER w, 4) AS sum_trailing_1h
+      |FROM (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec, value
+      |      FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+      |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   /** Sequence-pattern mining: the top-10 most common 3-step event paths
     * (strictly consecutive per user, ordered by (ts, event_id)) — the
     * "what journeys do users actually take" summary that generalizes the
@@ -900,6 +934,7 @@ object Breadth {
     Q("q_event_transitions", eventTransitions, Some(eventTransitionsSql)),
     Q("q_event_paths", eventPaths, Some(eventPathsSql)),
     Q("q_sliding_window", slidingWindow, Some(slidingWindowSql)),
+    Q("q_trailing_window", trailingWindow, Some(trailingWindowSql)),
     Q("q_full_outer", fullOuterDays, Some(fullOuterDaysSql)),
     Q("q_resample_ffill", resampleFfill, Some(resampleFfillSql)),
     Q("q_event_anomaly", eventAnomaly, Some(eventAnomalySql)),
