@@ -95,7 +95,78 @@ object Profiling {
        |FROM k, st
        |ORDER BY cnt DESC, l_partkey LIMIT $TOP_KEYS""".stripMargin
 
+  /** Cross-source shingle-overlap matrix: for every pair of document
+    * sources, how much word-3-gram content they share (count + Jaccard) —
+    * the corpus-diversity / cross-source-contamination audit run before
+    * mixing sources into a training set (a pair with high overlap means
+    * the mixture double-counts the same text).
+    *
+    * Scale posture: the unit of work is the DISTINCT (source, shingle)
+    * pair — each document's shingles collapse within the scan's partial
+    * aggregate, and everything shuffled afterwards is a 32-char md5
+    * digest + a source name, never text. The digest self-join fans out
+    * at most C(|sources|, 2) rows per digest (sources are a handful),
+    * so no posting cap is needed — the output cardinality is bounded by
+    * the source-pair count, not the corpus. */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sh = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(expr("array_distinct(word_shingles(split(text, ' '), 3))"))
+          .as("g"))
+      .select(col("source"), md5(col("g")).as("h"))
+      .distinct()
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val shared = sh.as("x").join(sh.as("y"),
+        col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    // every source pair appears, even at zero overlap: pair the (tiny)
+    // size table with itself and left-join the shared counts onto it.
+    val pairs = sizes.as("a").join(sizes.as("b"),
+        col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+    pairs.join(shared, Seq("source_a", "source_b"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .select(col("source_a"), col("source_b"), col("na"), col("nb"),
+        col("n_shared"),
+        round(col("n_shared") /
+          (col("na") + col("nb") - col("n_shared")).cast("double"), 4)
+          .as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  private val sourceOverlapSql =
+    """WITH sh AS (
+      |  SELECT DISTINCT source, md5(g) AS h
+      |  FROM (
+      |    SELECT source,
+      |           unnest(CASE WHEN len(string_split(text, ' ')) >= 3
+      |             THEN list_transform(
+      |               range(1, len(string_split(text, ' ')) - 1),
+      |               i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))
+      |             ELSE [] END) AS g
+      |    FROM documents)),
+      |sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+      |shared AS (
+      |  SELECT x.source AS source_a, y.source AS source_b,
+      |         count(*) AS n_shared
+      |  FROM sh x JOIN sh y ON x.h = y.h AND x.source < y.source
+      |  GROUP BY 1, 2)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |       a.n AS na, b.n AS nb,
+      |       coalesce(sh.n_shared, 0) AS n_shared,
+      |       round(coalesce(sh.n_shared, 0)
+      |             / CAST(a.n + b.n - coalesce(sh.n_shared, 0) AS DOUBLE), 4)
+      |         AS jaccard
+      |FROM sizes a JOIN sizes b ON a.source < b.source
+      |LEFT JOIN shared sh
+      |  ON sh.source_a = a.source AND sh.source_b = b.source
+      |ORDER BY source_a, source_b""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_histogram", histogram, Some(histogramSql)),
-    Q("q_skew_profile", skewProfile, Some(skewProfileSql)))
+    Q("q_skew_profile", skewProfile, Some(skewProfileSql)),
+    Q("q_source_overlap", sourceOverlap, Some(sourceOverlapSql)))
 }

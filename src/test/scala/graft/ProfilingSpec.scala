@@ -61,4 +61,40 @@ class ProfilingSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       }
     }
   }
+
+  test("source overlap: complete pair matrix with set-algebra invariants") {
+    val rows = Profiling.sourceOverlap(spark, sfDir).collect()
+    val nSources = Tables.documents(spark, sfDir)
+      .select("source").distinct().count().toInt
+    assert(rows.length == nSources * (nSources - 1) / 2,
+      "one row per unordered source pair")
+    rows.foreach { r =>
+      val (na, nb, sh) = (r.getAs[Long]("na"), r.getAs[Long]("nb"),
+        r.getAs[Long]("n_shared"))
+      assert(sh <= math.min(na, nb), "intersection can't exceed a side")
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+      assert(r.getAs[String]("source_a") < r.getAs[String]("source_b"))
+    }
+  }
+
+  test("source overlap agrees with a direct two-source set intersection") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val first2 = Tables.documents(spark, sfDir).select("source")
+      .distinct().orderBy("source").take(2).map(_.getString(0))
+    val Array(sa, sb) = first2
+    def shingleSet(src: String): Set[String] = Tables.documents(spark, sfDir)
+      .filter(col("source") === src)
+      .select(explode(expr(
+        "array_distinct(word_shingles(split(text, ' '), 3))")).as("g"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val (xa, xb) = (shingleSet(sa), shingleSet(sb))
+    val row = Profiling.sourceOverlap(spark, sfDir)
+      .filter(col("source_a") === sa && col("source_b") === sb)
+      .collect().head
+    assert(row.getAs[Long]("na") == xa.size)
+    assert(row.getAs[Long]("nb") == xb.size)
+    assert(row.getAs[Long]("n_shared") == (xa intersect xb).size)
+  }
 }
