@@ -746,7 +746,7 @@ object Similarity {
   def quantizedTopK(s: SparkSession, dir: String): DataFrame = {
     val e = corpus(s, dir)
       .withColumn("qv",
-        expr("transform(emb, x -> floor(x / nrm * 127.0d + 0.5d))"))
+        expr("transform(emb, x -> cast(floor(x / nrm * 127.0d + 0.5d) as double))"))
     val q = e.filter(col("vec_id") === 0)
       .select(col("qv").as("q_qv"), col("emb").as("q_emb"),
         col("nrm").as("q_nrm"))

@@ -135,4 +135,31 @@ class SimilarityTrainingSpec extends SparkTestBase {
     assert(sims.sameElements(sims.sorted.reverse), "rows must be cos-desc")
     assert(sims.forall(s => s >= -1.0 && s <= 1.0))
   }
+
+  test("int8 quantization: ranking key approximates cosine within bound") {
+    // per-component quantization error ≤ 0.5/127 on unit vectors, whose
+    // l1 norm is ≤ √dim = 8 → |q_dot/127² − cos| ≤ 2·8·(0.5/127) + ε
+    val rows = Similarity.quantizedTopK(spark, sfDir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("q_dot").toDouble / (127.0 * 127.0)
+      val exact = r.getAs[Double]("cos_sim")
+      assert(math.abs(approx - exact) <= 0.07,
+        s"quantized cos $approx strayed from exact $exact")
+    }
+    // integer ranking key is strictly ordered desc with vec_id tiebreak
+    val keys = rows.map(r => (-r.getAs[Long]("q_dot"), r.getAs[Long]("vec_id")))
+    assert(keys.sameElements(keys.sorted))
+  }
+
+  test("int8 quantization: top-10 substantially agrees with exact cosine") {
+    val quant = Similarity.quantizedTopK(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = Similarity.bruteTopK(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val overlap = (quant & exact).size
+    info(s"quantized∩exact top-10 overlap: $overlap/10")
+    assert(overlap >= 6,
+      s"int8 ranking diverged from exact cosine: overlap $overlap/10")
+  }
 }
