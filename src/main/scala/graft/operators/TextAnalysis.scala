@@ -467,9 +467,85 @@ object TextAnalysis {
       |FROM docsc
       |ORDER BY avg_nll DESC, doc_id LIMIT 10""".stripMargin
 
+  /** Bigram LM scoring with add-one smoothing: P(w2|w1) =
+    * (c(w1,w2) + 1) / (c(w1·) + V) — the next step up from [[lmScore]]'s
+    * unigram model, and the cheap fluency signal (a doc whose word PAIRS
+    * are improbable reads as shuffled/garbled even when its unigrams are
+    * common). Same FP discipline as lmScore: per-bigram log-probs round
+    * to 6 decimals and sum as DECIMAL(20,6), so the per-doc score is
+    * merge-order-independent.
+    *
+    * Scale shape: bigram rows partial-aggregate per (doc, w1, w2) inside
+    * the scan stage; the model is the (w1, w2)-keyed count table plus a
+    * w1-keyed marginal — both vocabulary-sized, not corpus-sized — and
+    * scoring is one join on the bigram key. V (distinct tokens) is a
+    * driver scalar on the same footing as lmScore's corpus size. */
+  def bigramLm(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+    val pairs = docs.select(col("doc_id"),
+        expr(
+          """inline(CASE WHEN size(toks) >= 2
+            |  THEN transform(sequence(1, size(toks) - 1),
+            |    i -> named_struct('w1', element_at(toks, i),
+            |                      'w2', element_at(toks, i + 1)))
+            |  ELSE cast(array() as array<struct<w1:string,w2:string>>)
+            |END)""".stripMargin))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))
+    val c2 = pairs.groupBy("w1", "w2").agg(sum("c").as("c2"))
+    val c1 = pairs.groupBy("w1").agg(sum("c").as("c1"))
+    val v = docs.select(explode(col("toks")).as("tok"))
+      .agg(countDistinct("tok")).collect()(0).getLong(0)
+    val model = c2.join(c1, "w1")
+      .withColumn("logp",
+        round(log((col("c2") + lit(1.0d)) / (col("c1") + lit(v.toDouble))), 6)
+          .cast("decimal(20,6)"))
+      .select("w1", "w2", "logp")
+    pairs.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"), sum(col("c") * col("logp")).as("score"))
+      .select(col("doc_id"), col("n_bigrams").cast("long").as("n_bigrams"),
+        round(-col("score").cast("double") / col("n_bigrams"), 4)
+          .as("avg_nll"))
+      .orderBy(col("avg_nll").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
+  private val bigramLmSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |pairs AS (
+      |  SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2, count(*) AS c FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(1, len(t)),
+      |             i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS bg
+      |    FROM toks)
+      |  GROUP BY 1, 2, 3),
+      |c2 AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS c2 FROM pairs
+      |       GROUP BY w1, w2),
+      |c1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c1 FROM pairs
+      |       GROUP BY w1),
+      |v AS (SELECT count(DISTINCT tok) AS v FROM (
+      |        SELECT unnest(t) AS tok FROM toks)),
+      |model AS (
+      |  SELECT w1, w2,
+      |         CAST(round(ln((c2 + 1.0) / (c1 + v)), 6) AS DECIMAL(20,6))
+      |           AS logp
+      |  FROM c2 JOIN c1 USING (w1) CROSS JOIN v),
+      |docsc AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |         sum(c * logp) AS score
+      |  FROM pairs JOIN model USING (w1, w2)
+      |  GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams,
+      |       round(-CAST(score AS DOUBLE) / n_bigrams, 4) AS avg_nll
+      |FROM docsc
+      |ORDER BY avg_nll DESC, doc_id LIMIT 10""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_text_langid", langId, Some(langIdSql)),
     Q("q_lm_score", lmScore, Some(lmScoreSql)),
+    Q("q_bigram_lm", bigramLm, Some(bigramLmSql)),
     Q("q_tfidf", tfidf, Some(tfidfSql)),
     Q("q_text_repetition", repetition, Some(repetitionSql)),
     Q("q_decontaminate", decontaminate, Some(decontaminateSql)),
