@@ -215,4 +215,21 @@ object StreamOps {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"))
+
+  /** Stream-static enrichment join: each micro-batch joins the (static)
+    * user dimension — the canonical "decorate the event stream with
+    * dimension attributes" shape. The static side re-plans per batch (so
+    * a dimension refresh is picked up without restarting the query) and
+    * is broadcast, which is the only join strategy that never shuffles
+    * the stream: at 100 TB/day the stream side must stay a map-only
+    * pipeline, with state reserved for genuinely stateful operators.
+    * Aggregation after the join stays watermark-bounded as usual. */
+  def enrichedTypeTotals(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .groupBy(window(col("ts"), "1 hour"), col("segment"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("segment"),
+        col("n_events"), col("sum_value"))
 }

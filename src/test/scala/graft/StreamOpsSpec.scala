@@ -51,6 +51,33 @@ class StreamOpsSpec extends SparkTestBase {
     assert(batch.nonEmpty)
   }
 
+  test("stream-static enrichment join equals batch and broadcasts the dim") {
+    import org.apache.spark.sql.functions.col
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "segment")
+
+    val batchDf = StreamOps.enrichedTypeTotals(sample.toDF(), dim)
+    val batch = batchDf.orderBy("hour_start", "segment").collect().toSeq
+
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    mem.addData(sample: _*)
+    val q = StreamOps.enrichedTypeTotals(mem.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched_sink")
+      .outputMode(OutputMode.Complete()).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("enriched_sink")
+      .orderBy("hour_start", "segment").collect().toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+    assert(batch.exists(_.getAs[String]("segment") == "gold"))
+
+    // the stream side must never shuffle for the join: dim broadcasts
+    val plan = batchDf.queryExecution.executedPlan
+    val hasBroadcast = plan.toString.contains("BroadcastHashJoin")
+    assert(hasBroadcast, s"dimension join did not broadcast:\n$plan")
+  }
+
   test("runningUserTotals: state accumulates across triggers") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[UserEvent]
