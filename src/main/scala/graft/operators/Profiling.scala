@@ -165,8 +165,123 @@ object Profiling {
       |  ON sh.source_a = a.source AND sh.source_b = b.source
       |ORDER BY source_a, source_b""".stripMargin
 
+  /** Winsorized per-group statistics: doc length (n_chars) per language
+    * with values clipped to the group's exact [p05, p95] band — the
+    * outlier-robust mean a curation pipeline trusts over the raw mean
+    * (one 500 MB crawl artifact shouldn't move a language's "typical
+    * document length").
+    *
+    * Scale shape: pass 1 computes exact per-group percentiles (group
+    * cardinality = |languages|, so the result is a broadcast frame);
+    * pass 2 re-scans, clips each row against its group's band inside the
+    * scan, and aggregates. FP discipline: clipped values are fixed to
+    * integer micro-units (`floor(x·10⁶ + 0.5)` — pure IEEE ops) and
+    * summed as BIGINT, so the winsorized mean is exact and
+    * merge-order-independent in both engines. */
+  def winsorized(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("lang", "n_chars")
+    val bands = docs.groupBy("lang")
+      .agg(expr("percentile(n_chars, array(0.05D, 0.95D))").as("p"))
+      .select(col("lang"), col("p")(0).as("p05"), col("p")(1).as("p95"))
+    docs.join(broadcast(bands), "lang")
+      .withColumn("clipped",
+        least(greatest(col("n_chars").cast("double"), col("p05")), col("p95")))
+      .withColumn("clip_u",
+        floor(col("clipped") * lit(1000000.0d) + lit(0.5d)))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        // integer-valued double sums are exact; the quotient is one IEEE
+        // division, so floor-rounding (not round()) keeps ties portable
+        (floor(sum(col("n_chars").cast("double")) / count(lit(1))
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("raw_mean"),
+        (floor(sum("clip_u") / lit(1000000.0d) / count(lit(1))
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("wins_mean"),
+        round(min("p05"), 4).as("p05"), round(min("p95"), 4).as("p95"))
+      .orderBy("lang")
+  }
+
+  private val winsorizedSql =
+    """WITH bands AS (
+      |  SELECT lang,
+      |         quantile_cont(n_chars, 0.05) AS p05,
+      |         quantile_cont(n_chars, 0.95) AS p95
+      |  FROM documents GROUP BY lang),
+      |clipped AS (
+      |  SELECT d.lang,
+      |         CAST(d.n_chars AS DOUBLE) AS raw,
+      |         CAST(floor(least(greatest(CAST(d.n_chars AS DOUBLE), b.p05),
+      |                          b.p95) * 1000000.0 + 0.5) AS BIGINT) AS clip_u
+      |  FROM documents d JOIN bands b ON d.lang = b.lang)
+      |SELECT c.lang, count(*) AS n_docs,
+      |       floor(CAST(sum(raw) AS DOUBLE) / count(*)
+      |             * 10000.0 + 0.5) / 10000.0 AS raw_mean,
+      |       floor(CAST(sum(clip_u) AS BIGINT) / 1000000.0 / count(*)
+      |             * 10000.0 + 0.5) / 10000.0 AS wins_mean,
+      |       round(min(b.p05), 4) AS p05, round(min(b.p95), 4) AS p95
+      |FROM clipped c JOIN bands b ON c.lang = b.lang
+      |GROUP BY c.lang ORDER BY c.lang""".stripMargin
+
+  /** Referential-integrity audit over the star schema: for every
+    * foreign-key edge, how many child rows have no parent — the first
+    * health check a lake runs after any load, and the reference's
+    * validate-then-write discipline (`job1:69-88`) extended from
+    * "non-empty" to "joins actually close".
+    *
+    * Scale shape: each edge is a LEFT ANTI join on the key columns ONLY
+    * (the child scan projects just the FK, so a 100 TB fact never ships a
+    * payload byte); dimension parents broadcast, the two fact⋈fact edges
+    * shuffle bare keys. Output is one row per edge — constant. */
+  def refIntegrity(s: SparkSession, dir: String): DataFrame = {
+    val edges: Seq[(String, DataFrame, String, DataFrame, String)] = Seq(
+      ("customer->nation",
+        Tables.customer(s, dir), "c_nationkey", Tables.nation(s, dir), "n_nationkey"),
+      ("lineitem->orders",
+        Tables.lineitem(s, dir), "l_orderkey", Tables.orders(s, dir), "o_orderkey"),
+      ("lineitem->part",
+        Tables.lineitem(s, dir), "l_partkey", Tables.part(s, dir), "p_partkey"),
+      ("lineitem->supplier",
+        Tables.lineitem(s, dir), "l_suppkey", Tables.supplier(s, dir), "s_suppkey"),
+      ("nation->region",
+        Tables.nation(s, dir), "n_regionkey", Tables.region(s, dir), "r_regionkey"),
+      ("orders->customer",
+        Tables.orders(s, dir), "o_custkey", Tables.customer(s, dir), "c_custkey"),
+      ("supplier->nation",
+        Tables.supplier(s, dir), "s_nationkey", Tables.nation(s, dir), "n_nationkey"))
+    edges.map { case (rel, child, fk, parent, pk) =>
+      val orphans = child.select(col(fk))
+        .join(parent.select(col(pk)), col(fk) === col(pk), "left_anti")
+      child.select(col(fk)).agg(
+        lit(rel).as("rel"),
+        count(lit(1)).as("n_child_rows"),
+        countDistinct(col(fk)).as("n_child_keys"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select("rel", "n_child_rows", "n_child_keys", "n_orphans")
+    }.reduce(_ unionAll _).orderBy("rel")
+  }
+
+  private val refIntegritySql = {
+    val edges = Seq(
+      ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+      ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+    edges.map { case (rel, child, fk, parent, pk) =>
+      s"""SELECT '$rel' AS rel, count(*) AS n_child_rows,
+         |       count(DISTINCT $fk) AS n_child_keys,
+         |       (SELECT count(*) FROM $child c
+         |        WHERE NOT EXISTS (SELECT 1 FROM $parent p
+         |                          WHERE c.$fk = p.$pk)) AS n_orphans
+         |FROM $child""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY rel")
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_histogram", histogram, Some(histogramSql)),
     Q("q_skew_profile", skewProfile, Some(skewProfileSql)),
-    Q("q_source_overlap", sourceOverlap, Some(sourceOverlapSql)))
+    Q("q_source_overlap", sourceOverlap, Some(sourceOverlapSql)),
+    Q("q_winsorized", winsorized, Some(winsorizedSql)),
+    Q("q_ref_integrity", refIntegrity, Some(refIntegritySql)))
 }

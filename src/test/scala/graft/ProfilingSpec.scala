@@ -62,6 +62,60 @@ class ProfilingSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("winsorized means sit inside the clip band, which brackets the data") {
+    val rows = Profiling.winsorized(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p05, p95) = (r.getAs[Double]("p05"), r.getAs[Double]("p95"))
+      val wins = r.getAs[Double]("wins_mean")
+      assert(p05 <= p95)
+      assert(wins >= p05 - 1e-9 && wins <= p95 + 1e-9,
+        s"winsorized mean $wins escaped the [$p05, $p95] clip band")
+    }
+  }
+
+  test("winsorized mean matches a direct per-language computation") {
+    import org.apache.spark.sql.functions.col
+    val lang = Profiling.winsorized(spark, sfDir).collect().head
+      .getAs[String]("lang")
+    val vals = Tables.documents(spark, sfDir).filter(col("lang") === lang)
+      .select("n_chars").collect().map(_.getLong(0).toDouble).sorted
+    def pct(p: Double): Double = {
+      val pos = p * (vals.length - 1)
+      val (lo, hi) = (pos.toInt, math.min(pos.toInt + 1, vals.length - 1))
+      vals(lo) + (pos - lo) * (vals(hi) - vals(lo))
+    }
+    val (p05, p95) = (pct(0.05), pct(0.95))
+    val wins = vals.map(v =>
+      math.floor(math.min(math.max(v, p05), p95) * 1e6 + 0.5) / 1e6).sum /
+      vals.length
+    val got = Profiling.winsorized(spark, sfDir)
+      .filter(col("lang") === lang).collect().head.getAs[Double]("wins_mean")
+    assert(math.abs(got - math.floor(wins * 1e4 + 0.5) / 1e4) < 1e-9,
+      s"engine winsorized mean $got != direct $wins")
+  }
+
+  test("referential integrity: clean fixture, FK-only scans") {
+    val df = Profiling.refIntegrity(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length == 7, "one row per FK edge")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_orphans") == 0L,
+        s"${r.getAs[String]("rel")}: fixture must be referentially closed")
+      assert(r.getAs[Long]("n_child_keys") <= r.getAs[Long]("n_child_rows"))
+    }
+    // the audit must never read payload columns: every scan is ≤1 column
+    val scans = collect(df.queryExecution.executedPlan) {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      assert(s.requiredSchema.fieldNames.length <= 1,
+        s"integrity scan reads ${s.requiredSchema.fieldNames.mkString(",")} — " +
+          "an FK audit must project only the key")
+    }
+  }
+
   test("source overlap: complete pair matrix with set-algebra invariants") {
     val rows = Profiling.sourceOverlap(spark, sfDir).collect()
     val nSources = Tables.documents(spark, sfDir)
