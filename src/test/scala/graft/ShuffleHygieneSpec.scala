@@ -28,7 +28,13 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     "q_setops", "q_ntile", "q_dedup_embed", "q_sim_topk", "q_sim_topk_batch",
     "q_sim_ann_lsh", "q_sim_ann_batch", "q_sim_ivf", "q_sim_ivf_trained",
     "q_ann_recall", "q_dedup_minhash", "q_dedup_ngram", "q_tfidf",
-    "q_histogram", "q_skew_profile")
+    "q_histogram", "q_skew_profile",
+    // 1-row broadcast query vector (same shape as q_sim_topk)
+    "q_sim_quantized",
+    // |sources|-row size-table self-join on an inequality key
+    "q_source_overlap",
+    // 7 crossJoins of 1-row orphan-count aggregates
+    "q_ref_integrity")
 
   test("no registered query shuffles raw text or embedding vectors") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
