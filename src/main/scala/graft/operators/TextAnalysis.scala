@@ -542,10 +542,91 @@ object TextAnalysis {
       |FROM docsc
       |ORDER BY avg_nll DESC, doc_id LIMIT 10""".stripMargin
 
+  /** BM25 query terms (fixed literal query — the probe shape; a real
+    * engine binds these per request). */
+  private val BM25_QUERY = Seq("join", "hash", "scan")
+  private val BM25_K1 = 1.2d
+  private val BM25_B = 0.75d
+
+  /** BM25 retrieval scoring: rank documents against a term query with the
+    * Lucene-shaped formula — idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    * with idf = ln(1 + (N−df+0.5)/(df+0.5)) — the standard keyword-search
+    * ranking an engine pairs with its ANN path for hybrid retrieval.
+    *
+    * Scale shape: the explode FILTERS to the query's terms inside the scan
+    * (a 3-term query aggregates 3 postings lists, not the corpus
+    * vocabulary), corpus stats (N, avgdl) are a 1-row broadcast, and the
+    * per-(doc, term) partials are the only shuffled rows. FP discipline:
+    * per-term scores round to 6 decimals and sum as DECIMAL(20,6) — a doc
+    * matching several terms gets the same total in any merge order. */
+  def bm25(s: SparkSession, dir: String): DataFrame = {
+    val qlist = BM25_QUERY.map(t => s"'$t'").mkString("array(", ", ", ")")
+    val docs = Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        expr(s"filter(toks, x -> array_contains($qlist, x))").as("hits"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum("dl").as("total_toks"))
+    val pairs = docs.filter(size(col("hits")) > 0)
+      .select(col("doc_id"), col("dl"), explode(col("hits")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), min("dl").as("dl"))
+    val dfs = pairs.groupBy("term").agg(count(lit(1)).as("df"))
+    pairs.join(dfs, "term").join(broadcast(stats))
+      .withColumn("avgdl",
+        col("total_toks").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log(lit(1.0d) + (col("n_docs") - col("df") + lit(0.5d)) /
+          (col("df") + lit(0.5d))))
+      .withColumn("tscore",
+        round(col("idf") * (col("tf") * lit(BM25_K1 + 1.0d)) /
+          (col("tf") + lit(BM25_K1) * (lit(1.0d - BM25_B) +
+            lit(BM25_B) * col("dl") / col("avgdl"))), 6)
+          .cast("decimal(20,6)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum("tscore").as("score"))
+      .select(col("doc_id"), col("n_terms_hit"),
+        round(col("score").cast("double"), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
+  private val bm25Sql = {
+    val qlist = BM25_QUERY.map(t => s"'$t'").mkString("[", ", ", "]")
+    s"""WITH docs AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+       |         list_filter(string_split(text, ' '),
+       |                     x -> list_contains($qlist, x)) AS hits
+       |  FROM documents),
+       |stats AS (SELECT count(*) AS n_docs,
+       |                 CAST(sum(dl) AS BIGINT) AS total_toks FROM docs),
+       |pairs AS (
+       |  SELECT doc_id, term, count(*) AS tf, min(dl) AS dl FROM (
+       |    SELECT doc_id, dl, unnest(hits) AS term FROM docs
+       |    WHERE len(hits) > 0)
+       |  GROUP BY doc_id, term),
+       |dfs AS (SELECT term, count(*) AS df FROM pairs GROUP BY term),
+       |scored AS (
+       |  SELECT p.doc_id,
+       |         CAST(round(
+       |           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+       |             * (p.tf * ${BM25_K1 + 1.0}) /
+       |             (p.tf + $BM25_K1 * ((1.0 - $BM25_B) +
+       |               $BM25_B * p.dl / (CAST(s.total_toks AS DOUBLE) / s.n_docs))),
+       |           6) AS DECIMAL(20,6)) AS tscore
+       |  FROM pairs p JOIN dfs d ON p.term = d.term CROSS JOIN stats s)
+       |SELECT doc_id, count(*) AS n_terms_hit,
+       |       round(CAST(sum(tscore) AS DOUBLE), 4) AS bm25
+       |FROM scored GROUP BY doc_id
+       |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_text_langid", langId, Some(langIdSql)),
     Q("q_lm_score", lmScore, Some(lmScoreSql)),
     Q("q_bigram_lm", bigramLm, Some(bigramLmSql)),
+    Q("q_bm25", bm25, Some(bm25Sql)),
     Q("q_tfidf", tfidf, Some(tfidfSql)),
     Q("q_text_repetition", repetition, Some(repetitionSql)),
     Q("q_decontaminate", decontaminate, Some(decontaminateSql)),

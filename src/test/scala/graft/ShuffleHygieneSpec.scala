@@ -34,7 +34,9 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     // |sources|-row size-table self-join on an inequality key
     "q_source_overlap",
     // 7 crossJoins of 1-row orphan-count aggregates
-    "q_ref_integrity")
+    "q_ref_integrity",
+    // 1-row corpus-stats frame (N, avgdl) broadcast onto the postings
+    "q_bm25")
 
   test("no registered query shuffles raw text or embedding vectors") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
