@@ -929,8 +929,50 @@ object Breadth {
       |       round(sum(value), 4) AS sum_value
       |FROM slotted GROUP BY win_start ORDER BY win_start""".stripMargin
 
+  /** Last-touch attribution: each purchase is credited to the same
+    * user's most recent STRICTLY-EARLIER non-purchase event — the
+    * marketing-analytics twin of the as-of join, expressed as one
+    * IGNORE NULLS window pass instead of a per-purchase range probe
+    * (the naive formulation is a quadratic self-join).
+    *
+    * Scale shape: one scan, one user-keyed window (per-user event counts
+    * are session-bounded, so no partition is corpus-sized), and the
+    * output aggregate is |event types| rows. Determinism: the window
+    * orders by (ts, event_id) — duplicate timestamps cannot reorder the
+    * attribution — and first-touch ties are impossible by the unique
+    * event_id tiebreak. */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("none")).as("attributed_type"))
+      .agg(count(lit(1)).as("n_purchases"))
+      .orderBy("attributed_type")
+  }
+
+  private val attributionSql =
+    """WITH touched AS (
+      |  SELECT event_type,
+      |         last_value(CASE WHEN event_type <> 'purchase'
+      |                         THEN event_type END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           AS touch
+      |  FROM events)
+      |SELECT coalesce(touch, 'none') AS attributed_type,
+      |       count(*) AS n_purchases
+      |FROM touched WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_window_rank", windowRank, Some(windowRankSql)),
+    Q("q_attribution", attribution, Some(attributionSql)),
     Q("q_event_transitions", eventTransitions, Some(eventTransitionsSql)),
     Q("q_event_paths", eventPaths, Some(eventPathsSql)),
     Q("q_sliding_window", slidingWindow, Some(slidingWindowSql)),
