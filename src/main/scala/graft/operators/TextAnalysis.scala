@@ -542,6 +542,53 @@ object TextAnalysis {
       |FROM docsc
       |ORDER BY avg_nll DESC, doc_id LIMIT 10""".stripMargin
 
+  /** Shannon entropy of each document's token distribution (nats):
+    * H = ln(n) − (Σ c·ln c)/n over per-token counts c — low entropy is
+    * the repetition/boilerplate signal ([[repetition]] catches adjacent
+    * duplication; entropy catches GLOBAL skew, e.g. one token dominating
+    * a long doc). Bottom-10 docs by entropy, the curation cut candidates.
+    *
+    * Scale shape: per-(doc, token) counts partial-aggregate in the scan;
+    * the per-doc reduce uses the decimal discipline — c·ln(c) rounds to 6
+    * decimals and sums as DECIMAL(20,6), merge-order-independent — and
+    * H derives from that exact sum with one IEEE expression. */
+  def tokenEntropy(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      .withColumn("clnc",
+        round(col("c") * log(col("c").cast("double")), 6)
+          .cast("decimal(20,6)"))
+    pairs.groupBy("doc_id")
+      .agg(sum("c").as("n_toks"), countDistinct("term").as("n_distinct"),
+        sum("clnc").as("s"))
+      .select(col("doc_id"), col("n_toks").cast("long").as("n_toks"),
+        col("n_distinct"),
+        round(log(col("n_toks").cast("double")) -
+          col("s").cast("double") / col("n_toks"), 4).as("entropy"))
+      .orderBy(col("entropy").asc, col("doc_id").asc)
+      .limit(10)
+  }
+
+  private val tokenEntropySql =
+    """WITH pairs AS (
+      |  SELECT doc_id, term, count(*) AS c FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |    FROM documents)
+      |  GROUP BY doc_id, term),
+      |contrib AS (
+      |  SELECT doc_id, c,
+      |         CAST(round(c * ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(20,6))
+      |           AS clnc
+      |  FROM pairs)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+      |       count(*) AS n_distinct,
+      |       round(ln(CAST(CAST(sum(c) AS BIGINT) AS DOUBLE))
+      |             - CAST(sum(clnc) AS DOUBLE) / CAST(sum(c) AS BIGINT), 4)
+      |         AS entropy
+      |FROM contrib GROUP BY doc_id
+      |ORDER BY entropy ASC, doc_id LIMIT 10""".stripMargin
+
   /** BM25 query terms (fixed literal query — the probe shape; a real
     * engine binds these per request). */
   private val BM25_QUERY = Seq("join", "hash", "scan")
@@ -627,6 +674,7 @@ object TextAnalysis {
     Q("q_lm_score", lmScore, Some(lmScoreSql)),
     Q("q_bigram_lm", bigramLm, Some(bigramLmSql)),
     Q("q_bm25", bm25, Some(bm25Sql)),
+    Q("q_token_entropy", tokenEntropy, Some(tokenEntropySql)),
     Q("q_tfidf", tfidf, Some(tfidfSql)),
     Q("q_text_repetition", repetition, Some(repetitionSql)),
     Q("q_decontaminate", decontaminate, Some(decontaminateSql)),
