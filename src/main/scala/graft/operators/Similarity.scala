@@ -779,8 +779,87 @@ object Similarity {
       |WHERE vec_id <> 0
       |ORDER BY q_dot DESC, vec_id LIMIT 10""".stripMargin
 
+  /** RRF constant (the standard 60 from the original reciprocal-rank
+    * fusion paper) and per-side candidate depth. */
+  private val RRF_K = 60
+  private val RRF_DEPTH = 20
+
+  /** Hybrid retrieval: fuse the BM25 keyword ranking with the dense
+    * cosine ranking by reciprocal-rank fusion — score(d) =
+    * Σ_sides 1/(60 + rank_side(d)) — the standard way a lake serves
+    * "keyword AND semantic" search without calibrating score scales
+    * against each other (only RANKS cross the fence, never raw scores).
+    *
+    * Scale shape: each side is its own already-scaled pipeline
+    * (posting-bounded BM25, broadcast-query cosine scan) cut to a
+    * TakeOrdered top-20 — the fusion then joins two ≤20-row frames, so
+    * ranking windows only ever see constant-size inputs. Determinism:
+    * both side ranks order by (rounded score desc, doc_id), and fusion
+    * ties (rank-pair permutations sum identically) break on doc_id. */
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val wAll = org.apache.spark.sql.expressions.Window
+    val bmTop = TextAnalysis.bm25Scored(s, dir)
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(RRF_DEPTH)
+      .withColumn("bm25_rank", row_number().over(
+        wAll.orderBy(col("bm25").desc, col("doc_id").asc)).cast("long"))
+      .select("doc_id", "bm25_rank")
+    val e = corpus(s, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val csTop = e.filter(col("vec_id") =!= 0)
+      .join(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        round(VectorFns.cosineWithNorms("emb", "q_emb", "nrm", "q_nrm"), 4)
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("doc_id").asc).limit(RRF_DEPTH)
+      .withColumn("cos_rank", row_number().over(
+        wAll.orderBy(col("cos_sim").desc, col("doc_id").asc)).cast("long"))
+      .select("doc_id", "cos_rank")
+    bmTop.join(csTop, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0d) / (lit(RRF_K.toDouble) + col("bm25_rank")), lit(0.0d)) +
+          coalesce(lit(1.0d) / (lit(RRF_K.toDouble) + col("cos_rank")), lit(0.0d)))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(10)
+      .select(col("doc_id"), col("bm25_rank"), col("cos_rank"),
+        round(col("rrf"), 6).as("rrf"))
+  }
+
+  private val hybridRrfSql =
+    s"""WITH bm AS (${TextAnalysis.bm25ScoredSql}),
+       |bmr AS (
+       |  SELECT doc_id,
+       |         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS bm25_rank
+       |  FROM bm
+       |  QUALIFY bm25_rank <= $RRF_DEPTH),
+       |e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT emb AS q_emb, nrm AS q_nrm FROM e WHERE vec_id = 0),
+       |cs AS (
+       |  SELECT vec_id AS doc_id,
+       |         round(list_dot_product(emb, q_emb) / (nrm * q_nrm), 4)
+       |           AS cos_sim
+       |  FROM e, q WHERE vec_id <> 0),
+       |csr AS (
+       |  SELECT doc_id,
+       |         row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS cos_rank
+       |  FROM cs
+       |  QUALIFY cos_rank <= $RRF_DEPTH),
+       |fused AS (
+       |  SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+       |         b.bm25_rank, c.cos_rank,
+       |         coalesce(1.0 / ($RRF_K.0 + b.bm25_rank), 0.0)
+       |           + coalesce(1.0 / ($RRF_K.0 + c.cos_rank), 0.0) AS rrf
+       |  FROM bmr b FULL OUTER JOIN csr c ON b.doc_id = c.doc_id)
+       |SELECT doc_id, bm25_rank, cos_rank, round(rrf, 6) AS rrf
+       |FROM fused
+       |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_sim_topk", bruteTopK, Some(bruteTopKSql)),
+    Q("q_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     Q("q_sim_quantized", quantizedTopK, Some(quantizedTopKSql)),
     Q("q_ann_recall", annRecall, Some(annRecallSql)),
     Q("q_sim_ann_lsh", annLsh, Some(annLshSql)),

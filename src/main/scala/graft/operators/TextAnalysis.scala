@@ -606,7 +606,14 @@ object TextAnalysis {
     * per-(doc, term) partials are the only shuffled rows. FP discipline:
     * per-term scores round to 6 decimals and sum as DECIMAL(20,6) — a doc
     * matching several terms gets the same total in any merge order. */
-  def bm25(s: SparkSession, dir: String): DataFrame = {
+  def bm25(s: SparkSession, dir: String): DataFrame =
+    bm25Scored(s, dir)
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(10)
+
+  /** Scored BM25 frame (doc_id, n_terms_hit, bm25) without the top-k —
+    * shared by [[bm25]] and [[Similarity.hybridRrf]]. */
+  private[operators] def bm25Scored(s: SparkSession, dir: String): DataFrame = {
     val qlist = BM25_QUERY.map(t => s"'$t'").mkString("array(", ", ", ")")
     val docs = Tables.documents(s, dir)
       .withColumn("toks", split(col("text"), " "))
@@ -635,11 +642,11 @@ object TextAnalysis {
         sum("tscore").as("score"))
       .select(col("doc_id"), col("n_terms_hit"),
         round(col("score").cast("double"), 4).as("bm25"))
-      .orderBy(col("bm25").desc, col("doc_id").asc)
-      .limit(10)
   }
 
-  private val bm25Sql = {
+  /** The bm25 CTE chain up to the scored frame (no top-k) — reused by the
+    * hybrid-retrieval oracle. */
+  private[operators] val bm25ScoredSql = {
     val qlist = BM25_QUERY.map(t => s"'$t'").mkString("[", ", ", "]")
     s"""WITH docs AS (
        |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
@@ -665,9 +672,12 @@ object TextAnalysis {
        |  FROM pairs p JOIN dfs d ON p.term = d.term CROSS JOIN stats s)
        |SELECT doc_id, count(*) AS n_terms_hit,
        |       round(CAST(sum(tscore) AS DOUBLE), 4) AS bm25
-       |FROM scored GROUP BY doc_id
-       |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+       |FROM scored GROUP BY doc_id""".stripMargin
   }
+
+  private val bm25Sql =
+    s"""SELECT * FROM ($bm25ScoredSql)
+       |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
 
   val all: Seq[Q] = Seq(
     Q("q_text_langid", langId, Some(langIdSql)),

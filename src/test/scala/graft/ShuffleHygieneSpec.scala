@@ -36,7 +36,9 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     // 7 crossJoins of 1-row orphan-count aggregates
     "q_ref_integrity",
     // 1-row corpus-stats frame (N, avgdl) broadcast onto the postings
-    "q_bm25")
+    "q_bm25",
+    // inherits q_bm25's stats frame + the 1-row query-vector broadcast
+    "q_hybrid_rrf")
 
   test("no registered query shuffles raw text or embedding vectors") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
