@@ -35,7 +35,12 @@ object Bench {
     // per query, so a contention burst shorter than one pass (~45 s at
     // sf0.1) cannot hit every sample of any single query.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // dev-only subset filter (comma-separated names), mirroring Verify;
+    // the driver sets no env and always benches the full registry
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     val samples = (1 to passes).flatMap { _ =>
       names.map { case (name, fn) =>
         val t0 = System.nanoTime()
