@@ -970,8 +970,79 @@ object Breadth {
       |FROM touched WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** A/B experiment analysis: users are assigned 50/50 to variants by the
+    * SAME deterministic md5 discipline as the train/test split (assignment
+    * must be reproducible across engines, runs, and layouts — df.sample
+    * is none of those), conversion = "user made ≥ 14 purchases" (the
+    * fixture's per-user median — every user purchases at least once, so
+    * the binary "ever purchased" saturates at 100%), and the
+    * readout is the two-proportion pooled z-statistic — the standard
+    * experiment gate, computed inside the engine instead of exporting
+    * counts to a notebook.
+    *
+    * Scale shape: one scan → per-user aggregate (user-keyed shuffle), then
+    * a single-row conditional aggregate; the z arithmetic is a pure IEEE
+    * expression over that 1 row, floor-rounded for portability. */
+  def abTest(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg((sum((col("event_type") === "purchase").cast("long")) >= 14L)
+        .cast("long").as("conv"))
+      .withColumn("variant",
+        when(substring(md5(col("user_id").cast("string")), 32, 1) < "8", "A")
+          .otherwise("B"))
+    users.agg(
+        sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === "A", col("conv")).otherwise(0L)).as("conv_a"),
+        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === "B", col("conv")).otherwise(0L)).as("conv_b"))
+      .withColumn("p_a", col("conv_a").cast("double") / col("n_a"))
+      .withColumn("p_b", col("conv_b").cast("double") / col("n_b"))
+      .withColumn("p_pool",
+        (col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b")))
+      .withColumn("z",
+        (col("p_a") - col("p_b")) /
+          sqrt(col("p_pool") * (lit(1.0d) - col("p_pool")) *
+            (lit(1.0d) / col("n_a") + lit(1.0d) / col("n_b"))))
+      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        (floor(col("p_a") * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("rate_a"),
+        (floor(col("p_b") * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("rate_b"),
+        (floor(col("z") * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("z_stat"))
+  }
+
+  private val abTestSql =
+    """WITH users AS (
+      |  SELECT user_id,
+      |         CASE WHEN sum(CASE WHEN event_type = 'purchase'
+      |                           THEN 1 ELSE 0 END) >= 14
+      |              THEN 1 ELSE 0 END AS conv,
+      |         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 32, 1) < '8'
+      |              THEN 'A' ELSE 'B' END AS variant
+      |  FROM events GROUP BY user_id),
+      |agg AS (
+      |  SELECT CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |         CAST(sum(CASE WHEN variant = 'A' THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+      |         CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |         CAST(sum(CASE WHEN variant = 'B' THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+      |  FROM users),
+      |rates AS (
+      |  SELECT *,
+      |         CAST(conv_a AS DOUBLE) / n_a AS p_a,
+      |         CAST(conv_b AS DOUBLE) / n_b AS p_b,
+      |         CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS p_pool
+      |  FROM agg)
+      |SELECT n_a, conv_a, n_b, conv_b,
+      |       floor(p_a * 10000.0 + 0.5) / 10000.0 AS rate_a,
+      |       floor(p_b * 10000.0 + 0.5) / 10000.0 AS rate_b,
+      |       floor((p_a - p_b) /
+      |             sqrt(p_pool * (1.0 - p_pool) *
+      |                  (1.0 / n_a + 1.0 / n_b)) * 10000.0 + 0.5) / 10000.0
+      |         AS z_stat
+      |FROM rates""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_window_rank", windowRank, Some(windowRankSql)),
+    Q("q_ab_test", abTest, Some(abTestSql)),
     Q("q_attribution", attribution, Some(attributionSql)),
     Q("q_event_transitions", eventTransitions, Some(eventTransitionsSql)),
     Q("q_event_paths", eventPaths, Some(eventPathsSql)),
