@@ -857,9 +857,76 @@ object Similarity {
        |FROM fused
        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
 
+  /** NDCG@5 of the LSH ANN probe against brute-force ground truth — the
+    * rank-aware complement of [[annRecall]] (recall says "how many of the
+    * true neighbors came back"; NDCG says "in how good an order"). Graded
+    * relevance = 6 − true rank for the true top-5, 0 otherwise;
+    * DCG = Σ rel_i / log2(i+1) over the ANN's returned order.
+    *
+    * FP discipline: each DCG term rounds to 6 decimals and sums as
+    * DECIMAL(20,6) (merge-order-free), and the final DCG/IDCG quotient is
+    * floor-rounded — same portability rules as every derived division.
+    * Both frames are ≤5 rows, so the ranking windows are constant-size. */
+  def annNdcg(s: SparkSession, dir: String): DataFrame = {
+    val wAll = org.apache.spark.sql.expressions.Window
+    val truth = bruteTopK(s, dir)
+      .orderBy(col("cos_sim").desc, col("vec_id").asc).limit(5)
+      .withColumn("t_rank", row_number().over(
+        wAll.orderBy(col("cos_sim").desc, col("vec_id").asc)))
+      .select(col("vec_id"), (lit(6) - col("t_rank")).cast("long").as("rel"),
+        col("t_rank"))
+    val ann = annLsh(s, dir)
+      .withColumn("a_rank", row_number().over(
+        wAll.orderBy(col("cos_sim").desc, col("vec_id").asc)))
+      .select("vec_id", "a_rank")
+    val dcg = ann.join(truth.select("vec_id", "rel"), Seq("vec_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+      .withColumn("term",
+        round(col("rel") / log2(col("a_rank") + lit(1.0d)), 6)
+          .cast("decimal(20,6)"))
+      .agg(sum("term").as("dcg"))
+    val idcg = truth
+      .withColumn("term",
+        round(col("rel") / log2(col("t_rank") + lit(1.0d)), 6)
+          .cast("decimal(20,6)"))
+      .agg(sum("term").as("idcg"))
+    dcg.crossJoin(idcg)
+      .select(lit(5L).as("k"),
+        col("dcg").cast("double").as("dcg"),
+        col("idcg").cast("double").as("idcg"),
+        (floor(col("dcg").cast("double") / col("idcg").cast("double")
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("ndcg"))
+  }
+
+  private val annNdcgSql =
+    s"""WITH truth AS (
+       |  SELECT vec_id, 6 - t_rank AS rel, t_rank FROM (
+       |    SELECT vec_id, cos_sim,
+       |           row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS t_rank
+       |    FROM ($bruteTopKSql)
+       |    QUALIFY t_rank <= 5)),
+       |ann AS (
+       |  SELECT vec_id,
+       |         row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS a_rank
+       |  FROM ($annLshSql)),
+       |dcg AS (
+       |  SELECT sum(CAST(round(coalesce(t.rel, 0) / log2(a.a_rank + 1.0), 6)
+       |                  AS DECIMAL(20,6))) AS dcg
+       |  FROM ann a LEFT JOIN truth t ON a.vec_id = t.vec_id),
+       |idcg AS (
+       |  SELECT sum(CAST(round(rel / log2(t_rank + 1.0), 6)
+       |                  AS DECIMAL(20,6))) AS idcg
+       |  FROM truth)
+       |SELECT CAST(5 AS BIGINT) AS k,
+       |       CAST(dcg AS DOUBLE) AS dcg, CAST(idcg AS DOUBLE) AS idcg,
+       |       floor(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE)
+       |             * 10000.0 + 0.5) / 10000.0 AS ndcg
+       |FROM dcg, idcg""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_sim_topk", bruteTopK, Some(bruteTopKSql)),
     Q("q_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
+    Q("q_ann_ndcg", annNdcg, Some(annNdcgSql)),
     Q("q_sim_quantized", quantizedTopK, Some(quantizedTopKSql)),
     Q("q_ann_recall", annRecall, Some(annRecallSql)),
     Q("q_sim_ann_lsh", annLsh, Some(annLshSql)),

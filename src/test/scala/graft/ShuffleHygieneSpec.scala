@@ -38,7 +38,9 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     // 1-row corpus-stats frame (N, avgdl) broadcast onto the postings
     "q_bm25",
     // inherits q_bm25's stats frame + the 1-row query-vector broadcast
-    "q_hybrid_rrf")
+    "q_hybrid_rrf",
+    // crossJoin of two 1-row DCG/IDCG aggregates + ANN-side broadcasts
+    "q_ann_ndcg")
 
   test("no registered query shuffles raw text or embedding vectors") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
