@@ -278,10 +278,102 @@ object Profiling {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY rel")
   }
 
+  private val PSI_BINS = 10
+
+  /** Population-stability-index drift detection: compare the doc-length
+    * distribution of the train vs test split (same deterministic md5
+    * split as q_hash_split) over equi-width bins —
+    * PSI = Σ_bins (p_train − p_test) · ln(p_train / p_test), the standard
+    * "did my two populations drift apart" monitor run between a training
+    * snapshot and fresh data. Laplace-smoothed shares ((c+1)/(n+B)) keep
+    * empty bins defined; EVERY bin row appears (bins are generated from
+    * the bounds frame, not from observed data — a bin both splits miss
+    * still contributes its smoothed term).
+    *
+    * Scale shape: global bounds are a 1-row broadcast; per-(bin, split)
+    * counts are the only shuffle (≤ 2·B rows); the PSI terms round to 6
+    * decimals and the total sums as DECIMAL(20,6). */
+  def driftPsi(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("n_chars"),
+        when(substring(md5(col("doc_id").cast("string")), 32, 1) < "4",
+          "test").otherwise("train").as("split"))
+    val bounds = docs.agg(min("n_chars").as("lo"), max("n_chars").as("hi"))
+    val w = (col("hi") - col("lo")) / lit(PSI_BINS.toDouble)
+    val counts = docs.join(broadcast(bounds))
+      .select(least(floor((col("n_chars") - col("lo")) / w),
+        lit((PSI_BINS - 1).toDouble)).cast("int").as("bin"), col("split"))
+      .groupBy("bin", "split").agg(count(lit(1)).as("c"))
+    val grid = bounds.select(explode(expr(
+      s"sequence(0, ${PSI_BINS - 1})")).as("bin"))
+    val tr = counts.filter(col("split") === "train").select("bin", "c")
+    val te = counts.filter(col("split") === "test")
+      .select(col("bin"), col("c").as("ct"))
+    val totals = docs.groupBy().agg(
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+      sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+    grid.join(tr, Seq("bin"), "left").join(te, Seq("bin"), "left")
+      .join(broadcast(totals))
+      .withColumn("p_train",
+        (coalesce(col("c"), lit(0L)) + lit(1.0d)) /
+          (col("n_train") + lit(PSI_BINS.toDouble)))
+      .withColumn("p_test",
+        (coalesce(col("ct"), lit(0L)) + lit(1.0d)) /
+          (col("n_test") + lit(PSI_BINS.toDouble)))
+      .select(col("bin"),
+        coalesce(col("c"), lit(0L)).as("n_train"),
+        coalesce(col("ct"), lit(0L)).as("n_test"),
+        (floor(col("p_train") * lit(1000000.0d) + lit(0.5d)) /
+          lit(1000000.0d)).as("share_train"),
+        (floor(col("p_test") * lit(1000000.0d) + lit(0.5d)) /
+          lit(1000000.0d)).as("share_test"),
+        round((col("p_train") - col("p_test")) *
+          log(col("p_train") / col("p_test")), 6).as("psi_term"))
+      .orderBy("bin")
+  }
+
+  private val driftPsiSql =
+    s"""WITH docs AS (
+       |  SELECT n_chars,
+       |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) < '4'
+       |              THEN 'test' ELSE 'train' END AS split
+       |  FROM documents),
+       |bounds AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM docs),
+       |counts AS (
+       |  SELECT CAST(least(floor((n_chars - lo) /
+       |             ((hi - lo) / ${PSI_BINS}.0)), ${PSI_BINS - 1}.0) AS INTEGER)
+       |           AS bin,
+       |         split, count(*) AS c
+       |  FROM docs, bounds GROUP BY 1, 2),
+       |grid AS (SELECT unnest(generate_series(0, ${PSI_BINS - 1})) AS bin),
+       |totals AS (
+       |  SELECT CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       |         CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+       |  FROM docs),
+       |joined AS (
+       |  SELECT g.bin,
+       |         coalesce(tr.c, 0) AS c_train, coalesce(te.c, 0) AS c_test,
+       |         (coalesce(tr.c, 0) + 1.0) / (t.n_train + ${PSI_BINS}.0) AS p_train,
+       |         (coalesce(te.c, 0) + 1.0) / (t.n_test + ${PSI_BINS}.0) AS p_test
+       |  FROM grid g
+       |  LEFT JOIN (SELECT bin, c FROM counts WHERE split = 'train') tr
+       |    ON g.bin = tr.bin
+       |  LEFT JOIN (SELECT bin, c FROM counts WHERE split = 'test') te
+       |    ON g.bin = te.bin
+       |  CROSS JOIN totals t)
+       |SELECT bin,
+       |       CAST(c_train AS BIGINT) AS n_train,
+       |       CAST(c_test AS BIGINT) AS n_test,
+       |       floor(p_train * 1000000.0 + 0.5) / 1000000.0 AS share_train,
+       |       floor(p_test * 1000000.0 + 0.5) / 1000000.0 AS share_test,
+       |       round((p_train - p_test) * ln(p_train / p_test), 6) AS psi_term
+       |FROM joined ORDER BY bin""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_histogram", histogram, Some(histogramSql)),
     Q("q_skew_profile", skewProfile, Some(skewProfileSql)),
     Q("q_source_overlap", sourceOverlap, Some(sourceOverlapSql)),
     Q("q_winsorized", winsorized, Some(winsorizedSql)),
-    Q("q_ref_integrity", refIntegrity, Some(refIntegritySql)))
+    Q("q_ref_integrity", refIntegrity, Some(refIntegritySql)),
+    Q("q_drift_psi", driftPsi, Some(driftPsiSql)))
 }

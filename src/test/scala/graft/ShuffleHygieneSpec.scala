@@ -40,7 +40,9 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     // inherits q_bm25's stats frame + the 1-row query-vector broadcast
     "q_hybrid_rrf",
     // crossJoin of two 1-row DCG/IDCG aggregates + ANN-side broadcasts
-    "q_ann_ndcg")
+    "q_ann_ndcg",
+    // 1-row bounds + 1-row split-totals frames joined onto 10 bin rows
+    "q_drift_psi")
 
   test("no registered query shuffles raw text or embedding vectors") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
