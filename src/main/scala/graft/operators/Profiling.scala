@@ -278,6 +278,53 @@ object Profiling {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY rel")
   }
 
+  /** Tukey-fence outlier census per event type: exact per-group quartiles,
+    * fences at Q1 − 1.5·IQR / Q3 + 1.5·IQR, and a count of values outside
+    * them — the ROBUST complement of the z-score anomaly detector
+    * (`Breadth.eventAnomaly`): a mean/stddev monitor is itself dragged by
+    * the outliers it is looking for; quartile fences are not.
+    *
+    * Scale shape: same two-pass discipline as [[winsorized]] — group
+    * quartiles (|event types| rows) broadcast back onto a second scan that
+    * flags each row inside the scan stage; only per-group counters
+    * shuffle. Fences are pure IEEE arithmetic off interpolated quartiles,
+    * so both engines draw identical boundaries. */
+  def iqrOutliers(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("event_type", "value")
+    val quarts = ev.groupBy("event_type")
+      .agg(expr("percentile(value, array(0.25D, 0.75D))").as("p"))
+      .select(col("event_type"), col("p")(0).as("q1"), col("p")(1).as("q3"))
+      .withColumn("lo", col("q1") - lit(1.5d) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(1.5d) * (col("q3") - col("q1")))
+    ev.join(broadcast(quarts), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("value") < col("lo") || col("value") > col("hi"))
+          .cast("long")).as("n_outliers"),
+        (floor(min("lo") * lit(10000.0d) + lit(0.5d)) / lit(10000.0d))
+          .as("fence_lo"),
+        (floor(min("hi") * lit(10000.0d) + lit(0.5d)) / lit(10000.0d))
+          .as("fence_hi"))
+      .orderBy("event_type")
+  }
+
+  private val iqrOutliersSql =
+    """WITH quarts AS (
+      |  SELECT event_type,
+      |         quantile_cont(value, 0.25) AS q1,
+      |         quantile_cont(value, 0.75) AS q3
+      |  FROM events GROUP BY event_type),
+      |fences AS (
+      |  SELECT event_type, q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+      |  FROM quarts)
+      |SELECT e.event_type, count(*) AS n_events,
+      |       CAST(sum(CASE WHEN e.value < f.lo OR e.value > f.hi
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |       floor(min(f.lo) * 10000.0 + 0.5) / 10000.0 AS fence_lo,
+      |       floor(min(f.hi) * 10000.0 + 0.5) / 10000.0 AS fence_hi
+      |FROM events e JOIN fences f ON e.event_type = f.event_type
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
   private val PSI_BINS = 10
 
   /** Population-stability-index drift detection: compare the doc-length
@@ -375,5 +422,6 @@ object Profiling {
     Q("q_source_overlap", sourceOverlap, Some(sourceOverlapSql)),
     Q("q_winsorized", winsorized, Some(winsorizedSql)),
     Q("q_ref_integrity", refIntegrity, Some(refIntegritySql)),
-    Q("q_drift_psi", driftPsi, Some(driftPsiSql)))
+    Q("q_drift_psi", driftPsi, Some(driftPsiSql)),
+    Q("q_iqr_outliers", iqrOutliers, Some(iqrOutliersSql)))
 }
