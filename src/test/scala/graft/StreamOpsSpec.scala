@@ -110,6 +110,26 @@ class StreamOpsSpec extends SparkTestBase {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("Trigger.AvailableNow backfill: catches up on the file source, then stops") {
+    // the production catch-up pattern: process everything that exists,
+    // commit, terminate — a cron-schedulable incremental job with
+    // streaming-checkpoint exactly-once semantics (vs processAllAvailable,
+    // which is a test-only blocking call on a query that keeps running)
+    val batch = StreamOps.hourlyCounts(Tables.events(spark, sfDir))
+      .orderBy("hour_start", "event_type").collect().toSeq
+    val q = StreamOps.hourlyCounts(StreamOps.eventsFileStream(spark, sfDir))
+      .writeStream.format("memory").queryName("backfill_sink")
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // AvailableNow must terminate BY ITSELF once the backlog is drained
+    assert(q.awaitTermination(120000),
+      "AvailableNow query did not self-terminate after draining the source")
+    val streamed = spark.table("backfill_sink")
+      .orderBy("hour_start", "event_type").collect().toSeq
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("sessionFlush: an in-batch gap splits sessions and emits the closed one") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[UserEvent]
