@@ -1040,9 +1040,64 @@ object Breadth {
       |         AS z_stat
       |FROM rates""".stripMargin
 
+  /** Event-type co-occurrence (market-basket association over the user
+    * dimension): for every unordered pair of event types, how many users
+    * performed both, with support and lift — the "users who X also Y"
+    * analysis. Lift > 1 means the pair co-occurs above independence.
+    *
+    * Scale shape: the unit of work is the DISTINCT (user, type) pair —
+    * the raw stream collapses inside the scan's partial aggregate; the
+    * self-join key is user_id and fans out at most C(|types|, 2) = 10
+    * rows per user. All shuffled rows are (user_id, small-string) tuples.
+    * Lift = n·both / (a·b) is one IEEE expression, floor-rounded. */
+  def cooccurrence(s: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.events(s, dir)
+      .select("user_id", "event_type").distinct()
+    val nUsers = Tables.events(s, dir).select("user_id").distinct().count()
+    val perType = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val pairs = ut.as("x").join(ut.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"),
+        col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(perType.select(col("event_type").as("type_a"),
+        col("n").as("n_a")), "type_a")
+      .join(perType.select(col("event_type").as("type_b"),
+        col("n").as("n_b")), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        (floor(col("n_both") * lit(nUsers.toDouble) /
+          (col("n_a") * col("n_b")).cast("double")
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("lift"))
+      .orderBy("type_a", "type_b")
+  }
+
+  private val cooccurrenceSql =
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      |n AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+      |per_type AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+      |pairs AS (
+      |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+      |         count(*) AS n_both
+      |  FROM ut x JOIN ut y
+      |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+      |  GROUP BY 1, 2)
+      |SELECT p.type_a, p.type_b, a.n AS n_a, b.n AS n_b, p.n_both,
+      |       floor(p.n_both * CAST(n.n_users AS DOUBLE)
+      |             / CAST(a.n * b.n AS DOUBLE)
+      |             * 10000.0 + 0.5) / 10000.0 AS lift
+      |FROM pairs p
+      |JOIN per_type a ON p.type_a = a.event_type
+      |JOIN per_type b ON p.type_b = b.event_type
+      |CROSS JOIN n
+      |ORDER BY type_a, type_b""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_window_rank", windowRank, Some(windowRankSql)),
     Q("q_ab_test", abTest, Some(abTestSql)),
+    Q("q_cooccurrence", cooccurrence, Some(cooccurrenceSql)),
     Q("q_attribution", attribution, Some(attributionSql)),
     Q("q_event_transitions", eventTransitions, Some(eventTransitionsSql)),
     Q("q_event_paths", eventPaths, Some(eventPathsSql)),
