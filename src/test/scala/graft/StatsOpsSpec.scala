@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Breadth, Profiling}
+
+/** Fixture invariants for the statistics/experimentation operators —
+  * the algebraic facts that hold regardless of data values, asserted on
+  * the harness fixture (each operator's VALUES are already hash-checked
+  * against the DuckDB oracle; these pin the semantics a value-compare
+  * can't, like "the split partitions the population").
+  */
+class StatsOpsSpec extends SparkTestBase {
+
+  test("A/B split partitions the user population; rates match counts") {
+    val r = Breadth.abTest(spark, sfDir).collect().head
+    val nUsers = Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+    assert(na + nb == nUsers, "variants must partition the users")
+    assert(r.getAs[Long]("conv_a") <= na && r.getAs[Long]("conv_b") <= nb)
+    val ra = r.getAs[Double]("rate_a")
+    assert(math.abs(ra - r.getAs[Long]("conv_a").toDouble / na) < 1e-4)
+    // z sign agrees with the rate difference
+    val z = r.getAs[Double]("z_stat")
+    assert(z.sign == (ra - r.getAs[Double]("rate_b")).sign || z == 0.0)
+  }
+
+  test("co-occurrence: intersection bounds and complete pair matrix") {
+    val rows = Breadth.cooccurrence(spark, sfDir).collect()
+    val types = Tables.events(spark, sfDir)
+      .select("event_type").distinct().count().toInt
+    assert(rows.length == types * (types - 1) / 2)
+    rows.foreach { r =>
+      val (na, nb, both) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Long]("n_both"))
+      assert(both <= math.min(na, nb), "A∩B can't exceed either side")
+      assert(r.getAs[Double]("lift") >= 0.0)
+    }
+  }
+
+  test("PSI terms are non-negative; IID split reads below alarm at scale") {
+    // each term (p_a − p_b)·ln(p_a/p_b) ≥ 0 — both factors share sign —
+    // so PSI is a true divergence: this holds for ANY data
+    val rows = Profiling.driftPsi(spark, sfDir).collect()
+    assert(rows.length == 10)
+    rows.foreach(r => assert(r.getAs[Double]("psi_term") >= -1e-9))
+    val st = rows.map(_.getAs[Double]("share_train")).sum
+    assert(math.abs(st - 1.0) < 0.01, s"smoothed train shares sum to $st")
+    // "IID split ⇒ PSI ≈ 0" is an ASYMPTOTIC fact (sampling bias scales
+    // like bins/n: ~0.09 on the 50-doc sf0.001 fixture) — assert it where
+    // n is large enough to mean something (50k docs at sf0.1)
+    val atScale = Profiling.driftPsi(spark, "/root/testdata/sf0.1")
+      .collect().map(_.getAs[Double]("psi_term")).sum
+    assert(atScale < 0.05,
+      s"PSI $atScale on an IID split at 50k docs should sit far below " +
+        "the 0.1 alarm threshold")
+  }
+
+  test("Tukey fences bracket the quartiles; outliers are a minority") {
+    val rows = Profiling.iqrOutliers(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("fence_lo") <= r.getAs[Double]("fence_hi"))
+      // by construction ≥ 50% of values sit inside [q1, q3] ⊂ fences
+      assert(r.getAs[Long]("n_outliers") * 2 < r.getAs[Long]("n_events"),
+        "more than half the data outside Tukey fences is impossible")
+    }
+  }
+}
