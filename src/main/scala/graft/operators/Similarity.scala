@@ -923,10 +923,71 @@ object Similarity {
        |             * 10000.0 + 0.5) / 10000.0 AS ndcg
        |FROM dcg, idcg""".stripMargin
 
+  /** Semi-supervised KNN label propagation: hide every 5th vector's label,
+    * predict it as the majority label of its labeled KNN-graph neighbors
+    * (ties break to the smallest label), and report coverage + accuracy
+    * against the hidden truth — the standard "label the unlabeled 99% of
+    * the corpus from the curated 1%" bootstrap, composed from the
+    * oracle-checked [[knnJoin]] graph.
+    *
+    * Scale shape: the KNN self-join is the heavy part and is already
+    * banded/salted; voting adds one (vec_id, label)-keyed aggregate and a
+    * per-vec_id window over ≤ |labels| vote rows. The census is one row. */
+  def labelProp(s: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("label"))
+    val votes = knnJoin(s, dir)
+      .filter(pmod(col("vec_id"), lit(5L)) === 0)
+      .join(labels.filter(pmod(col("id"), lit(5L)) =!= 0),
+        col("nb_id") === col("id"))
+      .groupBy("vec_id", "label").agg(count(lit(1)).as("votes"))
+    val byVec = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id")
+      .orderBy(col("votes").desc, col("label").asc)
+    val pred = votes.withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label").as("predicted"))
+    val held = labels.filter(pmod(col("id"), lit(5L)) === 0)
+      .agg(count(lit(1)).as("n_heldout"))
+    pred.join(labels, pred("vec_id") === labels("id"))
+      .agg(count(lit(1)).as("n_predicted"),
+        sum((col("predicted") === col("label")).cast("long")).as("n_correct"))
+      .crossJoin(broadcast(held))
+      .select(col("n_heldout"), col("n_predicted"), col("n_correct"),
+        (floor(col("n_correct").cast("double") / col("n_predicted")
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("accuracy"))
+  }
+
+  private def labelPropSql =
+    s"""WITH knn AS ($knnJoinSql),
+       |lab AS (SELECT vec_id AS id, label FROM embeddings),
+       |votes AS (
+       |  SELECT k.vec_id, l.label, count(*) AS votes
+       |  FROM knn k JOIN lab l ON k.nb_id = l.id AND l.id % 5 <> 0
+       |  WHERE k.vec_id % 5 = 0
+       |  GROUP BY 1, 2),
+       |pred AS (
+       |  SELECT vec_id, label AS predicted FROM (
+       |    SELECT vec_id, label,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY votes DESC, label) AS rn
+       |    FROM votes)
+       |  WHERE rn = 1),
+       |held AS (SELECT count(*) AS n_heldout FROM lab WHERE id % 5 = 0)
+       |SELECT h.n_heldout, count(*) AS n_predicted,
+       |       CAST(sum(CASE WHEN p.predicted = l.label THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_correct,
+       |       floor(CAST(sum(CASE WHEN p.predicted = l.label THEN 1 ELSE 0 END)
+       |                  AS DOUBLE) / count(*) * 10000.0 + 0.5) / 10000.0
+       |         AS accuracy
+       |FROM pred p JOIN lab l ON p.vec_id = l.id CROSS JOIN held h
+       |GROUP BY h.n_heldout""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_sim_topk", bruteTopK, Some(bruteTopKSql)),
     Q("q_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     Q("q_ann_ndcg", annNdcg, Some(annNdcgSql)),
+    Q("q_label_prop", labelProp, Some(labelPropSql)),
     Q("q_sim_quantized", quantizedTopK, Some(quantizedTopKSql)),
     Q("q_ann_recall", annRecall, Some(annRecallSql)),
     Q("q_sim_ann_lsh", annLsh, Some(annLshSql)),

@@ -42,7 +42,9 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     // crossJoin of two 1-row DCG/IDCG aggregates + ANN-side broadcasts
     "q_ann_ndcg",
     // 1-row bounds + 1-row split-totals frames joined onto 10 bin rows
-    "q_drift_psi")
+    "q_drift_psi",
+    // crossJoin of the 1-row held-out census onto the accuracy aggregate
+    "q_label_prop")
 
   test("no registered query shuffles raw text or embedding vectors") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
