@@ -932,11 +932,25 @@ object Similarity {
     *
     * Scale shape: the KNN self-join is the heavy part and is already
     * banded/salted; voting adds one (vec_id, label)-keyed aggregate and a
-    * per-vec_id window over ≤ |labels| vote rows. The census is one row. */
-  def labelProp(s: SparkSession, dir: String): DataFrame = {
-    val labels = Tables.embeddings(s, dir)
-      .select(col("vec_id").as("id"), col("label"))
-    val votes = knnJoin(s, dir)
+    * per-vec_id window over ≤ |labels| vote rows. The census is one row.
+    *
+    * On the HARNESS fixture the reported accuracy is chance-level
+    * (~1/|labels|) by construction: the synthetic embeddings carry no
+    * label signal (measured same-label vs cross-label mean cosine ≈ 0.009
+    * vs −0.004), so the honest readout of this eval is "no signal". The
+    * mechanics — majority vote recovers labels when neighbors ARE
+    * label-clustered — are proven on a planted corpus in
+    * SimilarityTrainingSpec. */
+  def labelProp(s: SparkSession, dir: String): DataFrame =
+    labelPropFrom(
+      knnJoin(s, dir),
+      Tables.embeddings(s, dir).select(col("vec_id").as("id"), col("label")))
+
+  /** Core of [[labelProp]] over an explicit KNN graph + label table —
+    * separated so planted-fixture specs can drive it directly. */
+  private[graft] def labelPropFrom(knn: DataFrame,
+                                   labels: DataFrame): DataFrame = {
+    val votes = knn
       .filter(pmod(col("vec_id"), lit(5L)) === 0)
       .join(labels.filter(pmod(col("id"), lit(5L)) =!= 0),
         col("nb_id") === col("id"))

@@ -152,6 +152,29 @@ class SimilarityTrainingSpec extends SparkTestBase {
     assert(keys.sameElements(keys.sorted))
   }
 
+  test("label propagation recovers planted labels from labeled neighbors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 40 vectors in 4 tight clusters: label = axis index; every 5th
+    // vec_id is held out by the operator's own pmod(id, 5) convention
+    val labels = (0 until 40)
+      .map(i => (i.toLong, i % 4)).toDF("id", "label")
+    // KNN graph: each vector's 3 nearest are same-cluster members
+    // (cluster = id % 4, neighbors at id±4, id±8 wrapped into range)
+    val knn = (0 until 40).flatMap { i =>
+      Seq(4, 8, 12).zipWithIndex.map { case (d, r) =>
+        (i.toLong, (r + 1), ((i + d) % 40).toLong, 1L)
+      }
+    }.toDF("vec_id", "rn", "nb_id", "hamming")
+    val row = graft.operators.Similarity.labelPropFrom(knn, labels)
+      .collect().head
+    assert(row.getAs[Long]("n_heldout") == 8)
+    assert(row.getAs[Long]("n_predicted") == 8,
+      "every held-out vector has labeled neighbors in the planted graph")
+    assert(row.getAs[Double]("accuracy") == 1.0,
+      s"same-cluster neighbors must vote the true label: $row")
+  }
+
   test("int8 quantization: top-10 substantially agrees with exact cosine") {
     val quant = Similarity.quantizedTopK(spark, sfDir)
       .select("vec_id").collect().map(_.getLong(0)).toSet
