@@ -85,4 +85,40 @@ class RuntimeFilterSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       assert(row.getLong(0) == 200000L, s"row count off: $row")
     }
   }
+
+  test("shuffled hash join: the third join algorithm, for mid-size builds") {
+    // between "small enough to broadcast" and "sort-merge both sides"
+    // sits the shuffled hash join: shuffle both sides, hash-build the
+    // smaller — no sort of the (huge) probe side. At 100 TB this is the
+    // right algorithm for fact ⋈ mid-size-dim where the dim exceeds the
+    // driver/executor broadcast budget but one PARTITION of it fits in
+    // executor memory. The explicit hint is the deterministic selector
+    // (same discipline as the engine's explicit broadcast() calls):
+    // auto-selection needs autoBroadcastJoinThreshold > 0, whose product
+    // with the partition count gates canBuildLocalHashMap — with the
+    // engine's broadcast-off setting (-1) the planner can never volunteer
+    // SHJ, exactly when a 100 TB job most wants it.
+    def query(hinted: Boolean) = Tables.lineitem(spark, sfDir)
+      .join(
+        if (hinted) Tables.orders(spark, sfDir).hint("shuffle_hash")
+        else Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+    val shjRows = withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = query(hinted = true)
+      val rows = j.collect()
+      val plan = j.queryExecution.executedPlan
+      val hasSHJ = collect(plan) {
+        case h: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => h
+      }.nonEmpty
+      assert(hasSHJ, s"planner did not pick ShuffledHashJoin:\n$plan")
+      rows
+    }
+    // same answer as the default (sort-merge / broadcast) plan
+    assert(shjRows.sameElements(query(hinted = false).collect()),
+      "join algorithm changed the answer")
+  }
 }
