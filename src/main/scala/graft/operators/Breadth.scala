@@ -1051,9 +1051,12 @@ object Breadth {
     * rows per user. All shuffled rows are (user_id, small-string) tuples.
     * Lift = n·both / (a·b) is one IEEE expression, floor-rounded. */
   def cooccurrence(s: SparkSession, dir: String): DataFrame = {
+    // the distinct (user, type) set feeds three consumers plus the user
+    // census — materialize it once (clearCache-per-query lifetime)
     val ut = Tables.events(s, dir)
       .select("user_id", "event_type").distinct()
-    val nUsers = Tables.events(s, dir).select("user_id").distinct().count()
+      .cache()
+    val nUsers = ut.select("user_id").distinct().count()
     val perType = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
     val pairs = ut.as("x").join(ut.as("y"),
         col("x.user_id") === col("y.user_id") &&

@@ -110,12 +110,17 @@ object Profiling {
     * the source-pair count, not the corpus. */
   def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    // the distinct pair set feeds FOUR consumers (both self-join sides,
+    // both size-table sides) — materialize it once or the corpus is
+    // scanned and re-shingled 4× (cache lifetime: callers clearCache per
+    // query; at 100 TB this is the write-the-pair-table step)
     val sh = Tables.documents(s, dir)
       .select(col("source"),
         explode(expr("array_distinct(word_shingles(split(text, ' '), 3))"))
           .as("g"))
       .select(col("source"), md5(col("g")).as("h"))
       .distinct()
+      .cache()
     val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
     val shared = sh.as("x").join(sh.as("y"),
         col("x.h") === col("y.h") && col("x.source") < col("y.source"))
