@@ -15,8 +15,8 @@ object SparkEntry {
   private lazy val registry: Seq[Q] =
     RefQueries.all ++ Breadth.all ++ JoinsPlus.all ++ TextAnalysis.all ++
       Dedup.all ++ Similarity.all ++ Multimodal.all ++ TrainPipeline.all ++
-      Curation.all ++ Layout.all ++ Profiling.all ++ sources.Ddl.all ++
-      sources.SnapshotLake.all
+      Curation.all ++ Layout.all ++ Profiling.all ++ Bpe.all ++
+      sources.Ddl.all ++ sources.SnapshotLake.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.run).toMap

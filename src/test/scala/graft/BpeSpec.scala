@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.Bpe
+
+/** BPE training has no SQL oracle (the merge loop is data-dependently
+  * sequential), so its semantics are pinned here: the exact merge
+  * sequence on the classic hand-computable corpus, leftmost-nonoverlap
+  * merge application, and run-to-run determinism.
+  */
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("classic corpus: merge sequence matches the hand computation") {
+    // Sennrich-style fixture. Word freqs: low×5, lower×2, newest×6.
+    // Char pairs weighted by freq (· = end-of-word):
+    //   e s: 6 (newest)  s t: 6  t ·: 6  n e: 6  e w: 6  w e: 8 (newest
+    //   6 + lower 2) ... the clear first merges are driven by newest.
+    val docs = Seq(
+      ("low low low low low newest newest newest"),
+      ("lower lower newest newest newest")).toDF("text")
+    val merges = Bpe.trainMerges(Bpe.wordTable(docs), 5)
+    assert(merges.length == 5)
+    // w e (8 = 6 newest + 2 lower) wins round 1; ties break lexically
+    assert(merges.head._2 == "w" && merges.head._3 == "e" &&
+      merges.head._4 == 8L, s"first merge: ${merges.head}")
+    // after merging "we": newest = n e we s t ·, lower = l o we r ·, and
+    // (l,o) = 5 (low) + 2 (lower) = 7 now tops the 6-count newest pairs
+    assert(merges(1)._2 == "l" && merges(1)._3 == "o" &&
+      merges(1)._4 == 7L, s"second merge: ${merges(1)}")
+    // merge counts never exceed the previous round's count: a pair's
+    // weighted count can only be created by earlier merges of ITS OWN
+    // constituents, which the argmax already saw
+    val counts = merges.map(_._4)
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"merge counts increased: $counts")
+  }
+
+  test("leftmost non-overlapping merge: 'a a a' becomes 'aa a'") {
+    val docs = Seq("aaa").toDF("text")
+    // word 'aaa' → "a a a ·"; first merge is (a, a) with count 2
+    val merges = Bpe.trainMerges(Bpe.wordTable(docs), 2)
+    assert(merges.head._2 == "a" && merges.head._3 == "a")
+    assert(merges.head._4 == 2L,
+      "both adjacent pairs count before merging")
+    // round 2 operates on "aa a ·": pairs are (aa,a)=1 and (a,·)=1 —
+    // lexicographic tiebreak picks "a ·"; overlap was NOT double-merged
+    assert(merges(1)._2 == "a" && merges(1)._3 == EOW,
+      s"second merge: ${merges(1)}")
+  }
+
+  test("training is deterministic run to run") {
+    val docs = Tables.documents(spark, sfDir)
+    val a = Bpe.trainMerges(Bpe.wordTable(docs), 6)
+    val b = Bpe.trainMerges(Bpe.wordTable(docs), 6)
+    assert(a == b, "same corpus must yield the same merge table")
+    assert(a.length == 6)
+  }
+
+  test("q_bpe_merges returns the merge table in step order") {
+    val rows = Bpe.bpeMerges(spark, sfDir).collect()
+    assert(rows.length > 0)
+    assert(rows.map(_.getAs[Int]("step")).toSeq == rows.indices.toSeq)
+    rows.foreach(r => assert(r.getAs[Long]("pair_count") >= 1L))
+  }
+
+  private val EOW = "·"
+}
