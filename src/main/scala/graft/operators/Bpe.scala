@@ -114,8 +114,48 @@ object Bpe {
       .orderBy("step")
   }
 
+  /** Apply a learned merge list to a (syms, freq) vocabulary: the merges
+    * replay IN TRAINING ORDER as chained leftmost-nonoverlap replaces —
+    * encoding therefore agrees exactly with what training saw. */
+  private[graft] def encodeWith(vocab: DataFrame,
+                                merges: Seq[(Int, String, String, Long)]): DataFrame =
+    merges.foldLeft(vocab) { case (df, (_, l, r, _)) =>
+      val pat = s"(?<=^|\\s)${Pattern.quote(l)} ${Pattern.quote(r)}(?=\\s|$$)"
+      df.withColumn("syms",
+        regexp_replace(col("syms"), pat,
+          l.concat(r).replace("\\", "\\\\").replace("$", "\\$")))
+    }
+
+  /** Registered query: encode the corpus with the trained merges and
+    * report the compression census — the at-scale half of BPE (training
+    * is a once-per-corpus loop; ENCODING is what runs over all 100 TB).
+    *
+    * Scale shape: encoding runs over the DISTINCT-WORD table (the chained
+    * replaces execute once per vocabulary entry, not once per corpus
+    * occurrence) and the corpus-level stats weight by word frequency. */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val vocab = wordTable(Tables.documents(s, dir)).cache()
+    val merges = trainMerges(vocab, N_MERGES)
+    encodeWith(vocab, merges)
+      .select(col("freq"), size(split(col("syms"), " ")).as("n_tok"),
+        (length(col("syms")) - size(split(col("syms"), " ")) + 1
+          - lit(1)).as("n_chars")) // minus the EOW marker char
+      .agg(count(lit(1)).as("n_distinct_words"),
+        sum("freq").as("n_words"),
+        sum(col("freq") * col("n_tok")).as("n_bpe_tokens"),
+        sum(col("freq") * col("n_chars")).as("n_chars"))
+      .select(col("n_distinct_words"), col("n_words"),
+        col("n_bpe_tokens"), col("n_chars"),
+        (floor(col("n_chars").cast("double") / col("n_bpe_tokens")
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d))
+          .as("chars_per_token"))
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_bpe_merges", bpeMerges, None,
       doc = "BPE tokenizer training: first merges + frequencies (rows-only: " +
-        "data-dependently sequential merge loop has no SQL replay)"))
+        "data-dependently sequential merge loop has no SQL replay)"),
+    Q("q_bpe_encode", bpeEncode, None,
+      doc = "BPE corpus encoding census with the trained merges (rows-only: " +
+        "depends on the sequential training loop)"))
 }

@@ -48,6 +48,27 @@ class BpeSpec extends SparkTestBase {
       s"second merge: ${merges(1)}")
   }
 
+  test("encoding round-trips: dropping spaces reproduces word + marker") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    val vocab = Bpe.wordTable(docs)
+      .withColumn("word_chk", regexp_replace(col("syms"), " ", ""))
+    val merges = Bpe.trainMerges(Bpe.wordTable(docs), 6)
+    val bad = Bpe.encodeWith(vocab, merges)
+      .filter(regexp_replace(col("syms"), " ", "") =!= col("word_chk"))
+      .count()
+    assert(bad == 0L, "a merge altered characters, not just boundaries")
+  }
+
+  test("encoding census: BPE tokens per word sit in [1, chars + 1]") {
+    val row = Bpe.bpeEncode(spark, sfDir).collect().head
+    val (words, toks, chars) = (row.getAs[Long]("n_words"),
+      row.getAs[Long]("n_bpe_tokens"), row.getAs[Long]("n_chars"))
+    assert(toks >= words, "every word is at least one token")
+    assert(toks <= chars + words, "chars+EOW bounds the token count")
+    assert(row.getAs[Double]("chars_per_token") > 0.0)
+  }
+
   test("training is deterministic run to run") {
     val docs = Tables.documents(spark, sfDir)
     val a = Bpe.trainMerges(Bpe.wordTable(docs), 6)
