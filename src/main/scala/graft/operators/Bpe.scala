@@ -105,12 +105,25 @@ object Bpe {
     out
   }
 
+  /** Trained-merge memo per corpus dir — tokenizer training is
+    * once-per-corpus work (the ingest-time-index precedent in
+    * [[Similarity]]): the merges query and the encode query share one
+    * training run instead of each re-running the loop. Keyed by dir; the
+    * harness fixture dirs are immutable (a regenerated-in-place corpus
+    * would serve stale merges — the same documented trade as GraftSql's
+    * view memo). */
+  private val trained =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, String, String, Long)]]()
+
+  private def trainedMerges(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
+    trained.computeIfAbsent(dir,
+      _ => trainMerges(wordTable(Tables.documents(s, dir)), N_MERGES))
+
   /** Registered query: the first N_MERGES BPE merges learned from the
     * documents corpus, with their pair frequencies. */
   def bpeMerges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val merges = trainMerges(wordTable(Tables.documents(s, dir)), N_MERGES)
-    merges.toDF("step", "left", "right", "pair_count")
+    trainedMerges(s, dir).toDF("step", "left", "right", "pair_count")
       .orderBy("step")
   }
 
@@ -134,8 +147,8 @@ object Bpe {
     * replaces execute once per vocabulary entry, not once per corpus
     * occurrence) and the corpus-level stats weight by word frequency. */
   def bpeEncode(s: SparkSession, dir: String): DataFrame = {
-    val vocab = wordTable(Tables.documents(s, dir)).cache()
-    val merges = trainMerges(vocab, N_MERGES)
+    val vocab = wordTable(Tables.documents(s, dir))
+    val merges = trainedMerges(s, dir)
     encodeWith(vocab, merges)
       .select(col("freq"), size(split(col("syms"), " ")).as("n_tok"),
         (length(col("syms")) - size(split(col("syms"), " ")) + 1
