@@ -46,34 +46,39 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     // crossJoin of the 1-row held-out census onto the accuracy aggregate
     "q_label_prop")
 
+  // ONE sweep over the registry (executing every query once — the
+  // dominant cost of this suite), with both plan properties checked off
+  // the same executed plan
+  private lazy val executedPlans: Seq[(String, org.apache.spark.sql.execution.SparkPlan)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, run) =>
+      val df = run(spark, sfDir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      spark.catalog.clearCache() // queries that cache must not stack up
+      name -> plan
+    }
+
   test("no registered query shuffles raw text or embedding vectors") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, run) =>
-        val df = run(spark, sfDir)
-        df.collect()
-        val shuffled = collect(df.queryExecution.executedPlan) {
-          case e: ShuffleExchangeExec => e
-        }.flatMap(_.output.map(_.name)).toSet
-        val bad = shuffled.intersect(heavyCols)
-        if (bad.nonEmpty) Some(s"$name shuffles $bad") else None
+    val offenders = executedPlans.flatMap { case (name, plan) =>
+      val shuffled = collect(plan) {
+        case e: ShuffleExchangeExec => e
+      }.flatMap(_.output.map(_.name)).toSet
+      val bad = shuffled.intersect(heavyCols)
+      if (bad.nonEmpty) Some(s"$name shuffles $bad") else None
     }
     assert(offenders.isEmpty,
       s"document-scale columns crossing shuffles:\n${offenders.mkString("\n")}")
   }
 
   test("no registered query runs an unbounded cartesian or nested-loop join") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, run) =>
-        val df = run(spark, sfDir)
-        df.collect()
-        val plan = df.queryExecution.executedPlan
-        val loops = collect(plan) {
-          case j: CartesianProductExec => j: Any
-          case j: BroadcastNestedLoopJoinExec => j: Any
-        }
-        if (loops.nonEmpty && !nestedLoopAllowed.contains(name))
-          Some(s"$name plans ${loops.size} nested-loop/cartesian join(s)")
-        else None
+    val offenders = executedPlans.flatMap { case (name, plan) =>
+      val loops = collect(plan) {
+        case j: CartesianProductExec => j: Any
+        case j: BroadcastNestedLoopJoinExec => j: Any
+      }
+      if (loops.nonEmpty && !nestedLoopAllowed.contains(name))
+        Some(s"$name plans ${loops.size} nested-loop/cartesian join(s)")
+      else None
     }
     assert(offenders.isEmpty,
       s"unbounded join algorithms outside the allow-list:\n${offenders.mkString("\n")}")
