@@ -825,6 +825,51 @@ object Similarity {
         round(col("rrf"), 6).as("rrf"))
   }
 
+  /** Multi-probe ANN over the SAME ingest-time band index: besides the
+    * query's own 4 (band, nibble) buckets, probe every nibble at hamming
+    * distance 1 (4 bands × 4 flips) — 20 partition-pruned buckets instead
+    * of 4, with NO extra index tables (the classic multi-probe trade:
+    * probes are cheaper than index copies).
+    *
+    * The widened probe set is provably LOSSLESS to hamming ≤ 7: eight or
+    * more flips are needed for every one of the 4 disjoint 4-bit bands to
+    * differ in ≥2 positions, so at ≤7 some band matches exactly or at
+    * distance 1 — which flip-1 probing reaches. The DuckDB oracle
+    * therefore stays the simple hamming-≤7 scan over all vectors, and
+    * banding can never silently drop a qualifying row. */
+  def annLshMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val tbl = ensureLshTable(s, dir)
+    val e = corpus(s, dir)
+      .withColumn("sig", expr(VectorFns.lshSignatureSql("emb", BITS, DIM)))
+    val qv = e.filter(col("vec_id") === 0)
+    val probes = qv.select(
+        posexplode(array((0 until LSH_BANDS).map(b =>
+          shiftright(col("sig"), b * LSH_BAND_BITS)
+            .bitwiseAND(lit((1 << LSH_BAND_BITS) - 1))): _*)))
+      .toDF("band", "nib")
+      .select(col("band"), explode(array(
+        (col("nib") +: (0 until LSH_BAND_BITS).map(bit =>
+          col("nib").bitwiseXOR(lit(1L << bit)))): _*)).as("nib"))
+      .distinct()
+    val q = qv.select(col("emb").as("q_emb"), col("nrm").as("q_nrm"),
+      col("sig").as("q_sig"))
+    s.table(tbl)
+      .join(broadcast(probes), Seq("band", "nib"))
+      .filter(col("vec_id") =!= 0)
+      .dropDuplicates("vec_id")
+      .join(broadcast(q))
+      .withColumn("hamming", expr("bit_count(sig ^ q_sig)").cast("long"))
+      .filter(col("hamming") <= 7)
+      .select(col("vec_id"), col("label"), col("hamming"),
+        round(VectorFns.cosineWithNorms("emb", "q_emb", "nrm", "q_nrm"), 4)
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(5)
+  }
+
+  private val annLshMultiprobeSql =
+    annLshSql.replace("<= 3", "<= 7")
+
   private val hybridRrfSql =
     s"""WITH bm AS (${TextAnalysis.bm25ScoredSql}),
        |bmr AS (
@@ -1005,6 +1050,7 @@ object Similarity {
     Q("q_sim_quantized", quantizedTopK, Some(quantizedTopKSql)),
     Q("q_ann_recall", annRecall, Some(annRecallSql)),
     Q("q_sim_ann_lsh", annLsh, Some(annLshSql)),
+    Q("q_sim_ann_multiprobe", annLshMultiprobe, Some(annLshMultiprobeSql)),
     Q("q_sim_ivf", ivf, Some(ivfSql)),
     Q("q_sim_ivf_trained", ivfTrained, None),
     Q("q_sim_topk_batch", bruteTopKBatch, Some(bruteTopKBatchSql)),

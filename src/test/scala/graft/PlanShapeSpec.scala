@@ -188,6 +188,30 @@ class PlanShapeSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("multi-probe ann still partition-prunes, and widens the candidates") {
+    val plan = executed(
+      graft.operators.Similarity.annLshMultiprobe(spark, sfDir))
+    val scans = collect(plan) {
+      case f: FileSourceScanExec
+        if f.tableIdentifier.exists(_.table.startsWith("lsh_")) => f
+    }
+    assert(scans.nonEmpty, s"no scan of the lsh band index in:\n$plan")
+    scans.foreach { sc =>
+      assert(sc.partitionFilters.nonEmpty,
+        s"multi-probe reads every band partition (no partition filter):\n$sc")
+    }
+    // flip-1 probing only ADDS candidates (radius 3 → 7), so the
+    // multi-probe top-5 can never be WORSE: its worst returned cosine
+    // must be ≥ the single-probe run's worst returned cosine
+    val worstSingle = graft.operators.Similarity.annLsh(spark, sfDir)
+      .collect().map(_.getAs[Double]("cos_sim")).min
+    val multi = graft.operators.Similarity.annLshMultiprobe(spark, sfDir)
+      .collect()
+    assert(multi.nonEmpty)
+    assert(multi.map(_.getAs[Double]("cos_sim")).min >= worstSingle,
+      "multi-probe returned a worse top-5 than single-probe")
+  }
+
   test("batched ann probe partition-prunes one shared band-index scan") {
     val plan = executed(graft.operators.Similarity.annLshBatch(spark, sfDir))
     val scans = collect(plan) {

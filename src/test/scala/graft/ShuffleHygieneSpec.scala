@@ -28,6 +28,7 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     "q_setops", "q_ntile", "q_dedup_embed", "q_sim_topk", "q_sim_topk_batch",
     "q_sim_ann_lsh", "q_sim_ann_batch", "q_sim_ivf", "q_sim_ivf_trained",
     "q_ann_recall", "q_dedup_minhash", "q_dedup_ngram", "q_tfidf",
+    "q_sim_ann_multiprobe",
     "q_histogram", "q_skew_profile",
     // 1-row broadcast query vector (same shape as q_sim_topk)
     "q_sim_quantized",
