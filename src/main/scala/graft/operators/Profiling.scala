@@ -421,8 +421,96 @@ object Profiling {
        |       round((p_train - p_test) * ln(p_train / p_test), 6) AS psi_term
        |FROM joined ORDER BY bin""".stripMargin
 
+  /** Pearson correlation matrix over the four lineitem measures in ONE
+    * scan: all 14 sufficient statistics (n, Σx, Σx², Σxy per pair) come
+    * from a single aggregate, so a 100 TB fact is read once no matter how
+    * many column pairs are profiled — the classic feature-redundancy /
+    * leakage audit run before columns enter a model.
+    *
+    * FP discipline: measures are fixed to integer cents
+    * (`floor(x·100 + 0.5)` — pure IEEE), per-row products stay in BIGINT
+    * (≤ ~10¹⁴), and sums run as DECIMAL(38,0) — exact and
+    * merge-order-independent. Only then does each correlation collapse to
+    * doubles: both engines convert the SAME exact integer sums with the
+    * same IEEE nearest-even rounding and evaluate the same expression
+    * shape, so the floor-4dp result is bit-identical. */
+  def corrMatrix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val shortNames = Seq("d", "p", "q", "t") // sorted by pretty name
+    val pretty = Map("q" -> "quantity", "p" -> "extendedprice",
+      "d" -> "discount", "t" -> "tax")
+    val srcCol = Map("q" -> "l_quantity", "p" -> "l_extendedprice",
+      "d" -> "l_discount", "t" -> "l_tax")
+    val pairs = for {
+      i <- shortNames.indices; j <- (i + 1) until shortNames.size
+    } yield (shortNames(i), shortNames(j))
+    val fx = Tables.lineitem(s, dir).select(shortNames.map(c =>
+      floor(col(srcCol(c)) * lit(100.0d) + lit(0.5d)).cast("bigint").as(c)): _*)
+    def dsum(e: Column, alias: String) =
+      sum(e.cast("decimal(38,0)")).cast("double").as(alias)
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).cast("double").as("n")) ++
+        shortNames.map(c => dsum(col(c), s"s_$c")) ++
+        shortNames.map(c => dsum(col(c) * col(c), s"s_$c$c")) ++
+        pairs.map { case (a, b) => dsum(col(a) * col(b), s"s_$a$b") }
+    val w = fx.agg(aggs.head, aggs.tail: _*)
+    def corrc(a: String, b: String): Column = {
+      val num = col("n") * col(s"s_$a$b") - col(s"s_$a") * col(s"s_$b")
+      val den = sqrt((col("n") * col(s"s_$a$a") - col(s"s_$a") * col(s"s_$a")) *
+        (col("n") * col(s"s_$b$b") - col(s"s_$b") * col(s"s_$b")))
+      floor(num / den * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)
+    }
+    val wide = pairs.foldLeft(w) { case (df, (a, b)) =>
+      df.withColumn(s"c_$a$b", corrc(a, b))
+    }
+    val stackArgs = pairs.map { case (a, b) =>
+      s"'${pretty(a)}', '${pretty(b)}', c_$a$b"
+    }.mkString(", ")
+    wide.select(
+        expr(s"stack(${pairs.size}, $stackArgs) AS (col_a, col_b, corr)"),
+        col("n").cast("bigint").as("n_rows"))
+      .select("col_a", "col_b", "n_rows", "corr")
+      .orderBy("col_a", "col_b")
+  }
+
+  private val corrMatrixSql = {
+    val shortNames = Seq("d", "p", "q", "t")
+    val pretty = Map("q" -> "quantity", "p" -> "extendedprice",
+      "d" -> "discount", "t" -> "tax")
+    val srcCol = Map("q" -> "l_quantity", "p" -> "l_extendedprice",
+      "d" -> "l_discount", "t" -> "l_tax")
+    val pairs = for {
+      i <- shortNames.indices; j <- (i + 1) until shortNames.size
+    } yield (shortNames(i), shortNames(j))
+    val fxCols = shortNames.map(c =>
+      s"CAST(floor(${srcCol(c)} * 100.0 + 0.5) AS BIGINT) AS $c").mkString(", ")
+    val sums =
+      (shortNames.map(c => s"CAST(sum(CAST($c AS HUGEINT)) AS DOUBLE) AS s_$c") ++
+        shortNames.map(c => s"CAST(sum(CAST($c * $c AS HUGEINT)) AS DOUBLE) AS s_$c$c") ++
+        pairs.map { case (a, b) =>
+          s"CAST(sum(CAST($a * $b AS HUGEINT)) AS DOUBLE) AS s_$a$b" }).mkString(",\n         ")
+    val rows = pairs.map { case (a, b) =>
+      s"""  SELECT '${pretty(a)}' AS col_a, '${pretty(b)}' AS col_b,
+         |         CAST(n AS BIGINT) AS n_rows,
+         |         floor((n * s_$a$b - s_$a * s_$b)
+         |               / sqrt((n * s_$a$a - s_$a * s_$a) * (n * s_$b$b - s_$b * s_$b))
+         |               * 10000.0 + 0.5) / 10000.0 AS corr
+         |  FROM w""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH fx AS (
+       |  SELECT $fxCols
+       |  FROM lineitem),
+       |w AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n,
+       |         $sums
+       |  FROM fx)
+       |$rows
+       |ORDER BY col_a, col_b""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_histogram", histogram, Some(histogramSql)),
+    Q("q_corr_matrix", corrMatrix, Some(corrMatrixSql)),
     Q("q_skew_profile", skewProfile, Some(skewProfileSql)),
     Q("q_source_overlap", sourceOverlap, Some(sourceOverlapSql)),
     Q("q_winsorized", winsorized, Some(winsorizedSql)),
