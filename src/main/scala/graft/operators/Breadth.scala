@@ -1040,6 +1040,71 @@ object Breadth {
       |         AS z_stat
       |FROM rates""".stripMargin
 
+  /** Chi-squared independence test of event_type × experiment variant —
+    * the categorical complement of [[abTest]]'s two-proportion z: did the
+    * deterministic split actually randomize behavior, or does some event
+    * type skew into one arm (the sanity check run BEFORE trusting any A/B
+    * readout). Expected cell counts come from the margins
+    * (e = row·col / n); the per-cell (o−e)²/e terms sum to the χ²
+    * statistic (here reported per cell so the skewed cell is visible,
+    * not just the aggregate).
+    *
+    * Scale shape: one scan collapsing to |types|×2 cells inside the
+    * partial aggregate; margins derive from the cached cell table (no
+    * second scan); the 1-row grand total broadcasts. Expected counts and
+    * χ² terms are single IEEE expressions over exact BIGINT counts —
+    * floor-rounded, engine-identical. */
+  def chiSquared(s: SparkSession, dir: String): DataFrame = {
+    // cells feed the margins, the grand total, and the output join —
+    // cache the tiny aggregate so the event scan runs once
+    val cells = Tables.events(s, dir)
+      .select(col("event_type"),
+        when(substring(md5(col("user_id").cast("string")), 32, 1) < "8", "A")
+          .otherwise("B").as("variant"))
+      .groupBy("event_type", "variant").agg(count(lit(1)).as("n_obs"))
+      .cache()
+    val rowTot = cells.groupBy("event_type").agg(sum("n_obs").as("n_row"))
+    val colTot = cells.groupBy("variant").agg(sum("n_obs").as("n_col"))
+    val grand = cells.agg(sum("n_obs").as("n_all"))
+    cells.join(rowTot, "event_type").join(colTot, "variant")
+      .join(broadcast(grand))
+      .withColumn("e",
+        col("n_row") * col("n_col") / col("n_all").cast("double"))
+      .select(col("event_type"), col("variant"), col("n_obs"),
+        (floor(col("e") * lit(10000.0d) + lit(0.5d)) / lit(10000.0d))
+          .as("expected"),
+        (floor((col("n_obs") - col("e")) * (col("n_obs") - col("e"))
+          / col("e") * lit(1000000.0d) + lit(0.5d)) / lit(1000000.0d))
+          .as("chi_term"))
+      .orderBy("event_type", "variant")
+  }
+
+  private val chiSquaredSql =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 32, 1) < '8'
+      |              THEN 'A' ELSE 'B' END AS variant
+      |  FROM events),
+      |cells AS (
+      |  SELECT event_type, variant, count(*) AS n_obs FROM ev GROUP BY 1, 2),
+      |rt AS (SELECT event_type, CAST(sum(n_obs) AS BIGINT) AS n_row
+      |       FROM cells GROUP BY 1),
+      |ct AS (SELECT variant, CAST(sum(n_obs) AS BIGINT) AS n_col
+      |       FROM cells GROUP BY 1),
+      |g AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_all FROM cells),
+      |ex AS (
+      |  SELECT c.event_type, c.variant, c.n_obs,
+      |         rt.n_row * ct.n_col / CAST(g.n_all AS DOUBLE) AS e
+      |  FROM cells c
+      |  JOIN rt ON c.event_type = rt.event_type
+      |  JOIN ct ON c.variant = ct.variant
+      |  CROSS JOIN g)
+      |SELECT event_type, variant, n_obs,
+      |       floor(e * 10000.0 + 0.5) / 10000.0 AS expected,
+      |       floor((n_obs - e) * (n_obs - e) / e * 1000000.0 + 0.5)
+      |         / 1000000.0 AS chi_term
+      |FROM ex ORDER BY event_type, variant""".stripMargin
+
   /** Event-type co-occurrence (market-basket association over the user
     * dimension): for every unordered pair of event types, how many users
     * performed both, with support and lift — the "users who X also Y"
@@ -1100,6 +1165,7 @@ object Breadth {
   val all: Seq[Q] = Seq(
     Q("q_window_rank", windowRank, Some(windowRankSql)),
     Q("q_ab_test", abTest, Some(abTestSql)),
+    Q("q_chi_squared", chiSquared, Some(chiSquaredSql)),
     Q("q_cooccurrence", cooccurrence, Some(cooccurrenceSql)),
     Q("q_attribution", attribution, Some(attributionSql)),
     Q("q_event_transitions", eventTransitions, Some(eventTransitionsSql)),

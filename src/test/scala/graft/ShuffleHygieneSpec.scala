@@ -45,7 +45,9 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     // 1-row bounds + 1-row split-totals frames joined onto 10 bin rows
     "q_drift_psi",
     // crossJoin of the 1-row held-out census onto the accuracy aggregate
-    "q_label_prop")
+    "q_label_prop",
+    // 1-row grand-total frame broadcast onto the |types|×2 cell table
+    "q_chi_squared")
 
   // ONE sweep over the registry (executing every query once — the
   // dominant cost of this suite), with both plan properties checked off
