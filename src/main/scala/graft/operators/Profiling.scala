@@ -508,9 +508,110 @@ object Profiling {
        |ORDER BY col_a, col_b""".stripMargin
   }
 
+  /** Per-event-type volume trend: closed-form OLS slope of daily event
+    * counts over time — the drift monitor that answers "is error volume
+    * growing?" with a number instead of a dashboard squint.
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with x = epoch day.
+    *
+    * Scale shape: the raw stream collapses to (type, day) counts inside
+    * the scan's partial aggregate (the only full-width shuffle key is the
+    * group key); the per-type regression then runs over ≤ |types|·|days|
+    * rows. Every sufficient statistic is an exact BIGINT sum (x ≈ 2·10⁴
+    * epoch days, x² ≈ 4·10⁸, y = a count), so the slope is one IEEE
+    * division over exact integers — engine-identical, floor-6dp. */
+  def dailyTrend(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"),
+        datediff(to_date(date_trunc("DAY", col("ts"))),
+          lit("1970-01-01").cast("date")).cast("bigint").as("x"))
+      .groupBy("event_type", "x").agg(count(lit(1)).as("y"))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("event_type"), col("n_days"), col("sy").as("n_events"),
+        (floor((col("n_days") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double")
+          * lit(1000000.0d) + lit(0.5d)) / lit(1000000.0d))
+          .as("slope_per_day"))
+      .orderBy("event_type")
+  }
+
+  private val dailyTrendSql =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |         CAST(CAST(date_trunc('day', ts) AS DATE)
+      |              - DATE '1970-01-01' AS BIGINT) AS x,
+      |         count(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type,
+      |         CAST(count(*) AS BIGINT) AS n_days,
+      |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(x * x) AS BIGINT) AS sxx,
+      |         CAST(sum(x * y) AS BIGINT) AS sxy
+      |  FROM daily GROUP BY 1)
+      |SELECT event_type, n_days, sy AS n_events,
+      |       floor(CAST(n_days * sxy - sx * sy AS DOUBLE)
+      |             / CAST(n_days * sxx - sx * sx AS DOUBLE)
+      |             * 1000000.0 + 0.5) / 1000000.0 AS slope_per_day
+      |FROM stats ORDER BY event_type""".stripMargin
+
+  /** Per-source Gini coefficient of document length — the corpus
+    * inequality audit: G ≈ 0 means uniform doc sizes, G → 1 means a few
+    * giant documents hold most of the characters (a skew that breaks
+    * naive per-doc batching downstream). Uses the exact rank formula
+    * G = (2·Σᵢ i·xᵢ) / (n·Σx) − (n+1)/n over ascending-sorted values.
+    *
+    * Scale shape: one window pass per source partition (rank by
+    * (n_chars, doc_id) — the unique tiebreak makes ranks deterministic,
+    * and equal values commute under the formula so the tiebreak cannot
+    * change G); Σ i·xᵢ stays in BIGINT (rank ≤ n, x ≤ 10⁶ chars —
+    * 10⁶-doc sources fit with room). Only (source, rank·x) partials
+    * shuffle. */
+  def gini(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    Tables.documents(s, dir).select("source", "doc_id", "n_chars")
+      .withColumn("i", row_number().over(w).cast("bigint"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        sum(col("i") * col("n_chars")).as("swx"))
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        (floor((lit(2.0d) * col("swx") / (col("n_docs") * col("total_chars"))
+          .cast("double")
+          - (col("n_docs") + lit(1L)).cast("double") / col("n_docs"))
+          * lit(1000000.0d) + lit(0.5d)) / lit(1000000.0d)).as("gini"))
+      .orderBy("source")
+  }
+
+  private val giniSql =
+    """WITH ranked AS (
+      |  SELECT source, n_chars,
+      |         CAST(row_number() OVER (PARTITION BY source
+      |                                 ORDER BY n_chars, doc_id) AS BIGINT) AS i
+      |  FROM documents),
+      |stats AS (
+      |  SELECT source,
+      |         CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |         CAST(sum(i * n_chars) AS BIGINT) AS swx
+      |  FROM ranked GROUP BY 1)
+      |SELECT source, n_docs, total_chars,
+      |       floor((2.0 * swx / CAST(n_docs * total_chars AS DOUBLE)
+      |              - CAST(n_docs + 1 AS DOUBLE) / n_docs)
+      |             * 1000000.0 + 0.5) / 1000000.0 AS gini
+      |FROM stats ORDER BY source""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_histogram", histogram, Some(histogramSql)),
     Q("q_corr_matrix", corrMatrix, Some(corrMatrixSql)),
+    Q("q_daily_trend", dailyTrend, Some(dailyTrendSql)),
+    Q("q_gini", gini, Some(giniSql)),
     Q("q_skew_profile", skewProfile, Some(skewProfileSql)),
     Q("q_source_overlap", sourceOverlap, Some(sourceOverlapSql)),
     Q("q_winsorized", winsorized, Some(winsorizedSql)),
