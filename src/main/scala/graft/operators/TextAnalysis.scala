@@ -68,6 +68,103 @@ object TextAnalysis {
        |ORDER BY lang, predicted""".stripMargin
   }
 
+  /** Language-ID EVALUATION: per-language precision / recall / F1 of the
+    * [[langId]] classifier against the ground-truth `lang` label — the
+    * metric sheet a pipeline publishes before a heuristic classifier is
+    * allowed to route documents (the confusion counts alone, q_text_langid,
+    * don't answer "which language can I trust it on").
+    *
+    * Scale shape: identical single scan to [[langId]], collapsed to
+    * |langs|² confusion cells in the partial aggregate; the metric
+    * derivations then run on the cached cell table (≤ 25 rows) — margins,
+    * diagonal, and three guarded IEEE divisions, floor-4dp. A language
+    * never predicted gets precision 0 (not null), and F1 guards the
+    * p + r = 0 pole explicitly in both engines. */
+  def langIdEval(s: SparkSession, dir: String): DataFrame = {
+    val scoreCols = langMarkers.map { case (l, ws) =>
+      expr(s"size(filter(split(text, ' '), x -> array_contains(array(${sqlList(ws)}), x)))")
+        .as(s"s_$l")
+    }
+    val langs = langMarkers.map(_._1)
+    val caseExpr = langs.map { l =>
+      val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $geAll THEN '$l'"
+    }.mkString("CASE ", " ", " END")
+    val cells = Tables.documents(s, dir)
+      .select((col("lang") +: scoreCols): _*)
+      .withColumn("predicted", expr(caseExpr))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+      .cache() // feeds margins + diagonal; the corpus scan runs once
+    val act = cells.groupBy("lang").agg(sum("n").as("support"))
+    val prd = cells.groupBy("predicted").agg(sum("n").as("n_pred"))
+      .withColumnRenamed("predicted", "lang")
+    val cor = cells.filter(col("lang") === col("predicted"))
+      .select(col("lang"), col("n").as("n_correct"))
+    val joined = act.join(prd, Seq("lang"), "left").join(cor, Seq("lang"), "left")
+      .select(col("lang"), col("support"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_correct"), lit(0L)).as("n_correct"))
+    val p = when(col("n_pred") === 0L, lit(0.0d))
+      .otherwise(col("n_correct").cast("double") / col("n_pred"))
+    val r = col("n_correct").cast("double") / col("support")
+    joined
+      .withColumn("p", p).withColumn("r", r)
+      .select(col("lang"), col("support"), col("n_pred"), col("n_correct"),
+        (floor(col("p") * lit(10000.0d) + lit(0.5d)) / lit(10000.0d))
+          .as("precision"),
+        (floor(col("r") * lit(10000.0d) + lit(0.5d)) / lit(10000.0d))
+          .as("recall"),
+        (floor(when(col("p") + col("r") === 0.0d, lit(0.0d))
+          .otherwise(lit(2.0d) * col("p") * col("r") / (col("p") + col("r")))
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("f1"))
+      .orderBy("lang")
+  }
+
+  private val langIdEvalSql = {
+    val scores = langMarkers.map { case (l, ws) =>
+      s"len(list_filter(string_split(text, ' '), x -> list_contains([${sqlList(ws)}], x))) AS s_$l"
+    }.mkString(",\n         ")
+    val langs = langMarkers.map(_._1)
+    val cases = langs.map { l =>
+      val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $geAll THEN '$l'"
+    }.mkString(" ")
+    s"""WITH scored AS (
+       |  SELECT lang,
+       |         $scores
+       |  FROM documents),
+       |cells AS (
+       |  SELECT lang, CASE $cases END AS predicted, count(*) AS n
+       |  FROM scored GROUP BY lang, predicted),
+       |act AS (SELECT lang, CAST(sum(n) AS BIGINT) AS support
+       |        FROM cells GROUP BY 1),
+       |prd AS (SELECT predicted AS lang, CAST(sum(n) AS BIGINT) AS n_pred
+       |        FROM cells GROUP BY 1),
+       |cor AS (SELECT lang, CAST(n AS BIGINT) AS n_correct
+       |        FROM cells WHERE lang = predicted),
+       |joined AS (
+       |  SELECT a.lang, a.support,
+       |         coalesce(p.n_pred, 0) AS n_pred,
+       |         coalesce(c.n_correct, 0) AS n_correct
+       |  FROM act a
+       |  LEFT JOIN prd p ON a.lang = p.lang
+       |  LEFT JOIN cor c ON a.lang = c.lang),
+       |pr AS (
+       |  SELECT lang, support, n_pred, n_correct,
+       |         CASE WHEN n_pred = 0 THEN 0.0
+       |              ELSE CAST(n_correct AS DOUBLE) / n_pred END AS p,
+       |         CAST(n_correct AS DOUBLE) / support AS r
+       |  FROM joined)
+       |SELECT lang, support, n_pred, n_correct,
+       |       floor(p * 10000.0 + 0.5) / 10000.0 AS precision,
+       |       floor(r * 10000.0 + 0.5) / 10000.0 AS recall,
+       |       floor(CASE WHEN p + r = 0.0 THEN 0.0
+       |                  ELSE 2.0 * p * r / (p + r) END
+       |             * 10000.0 + 0.5) / 10000.0 AS f1
+       |FROM pr ORDER BY lang""".stripMargin
+  }
+
   /** Quality scoring: length, mean word length, stopword ratio, composite
     * score — the standard cheap heuristics used to filter pretraining
     * text. Aggregated per language. */
@@ -690,6 +787,7 @@ object TextAnalysis {
 
   val all: Seq[Q] = Seq(
     Q("q_text_langid", langId, Some(langIdSql)),
+    Q("q_langid_eval", langIdEval, Some(langIdEvalSql)),
     Q("q_lm_score", lmScore, Some(lmScoreSql)),
     Q("q_bigram_lm", bigramLm, Some(bigramLmSql)),
     Q("q_bm25", bm25, Some(bm25Sql)),
