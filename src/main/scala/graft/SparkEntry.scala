@@ -15,7 +15,7 @@ object SparkEntry {
   private lazy val registry: Seq[Q] =
     RefQueries.all ++ Breadth.all ++ JoinsPlus.all ++ TextAnalysis.all ++
       Dedup.all ++ Similarity.all ++ Multimodal.all ++ TrainPipeline.all ++
-      Curation.all ++ Layout.all ++ Profiling.all ++ Bpe.all ++
+      Curation.all ++ Layout.all ++ Profiling.all ++ Bpe.all ++ Graph.all ++
       sources.Ddl.all ++ sources.SnapshotLake.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Graph analytics over relationships the star schema implies — here the
+  * CO-PURCHASE graph (parts that appear in the same order), the classic
+  * "importance ranking over an implicit graph" workload. Complements the
+  * KNN graph ops in [[Similarity]] (knnJoin / labelProp): those build a
+  * graph from embedding geometry, this one from transactional
+  * co-occurrence.
+  *
+  * Scale posture: the edge list is built once (per-order part-sets, one
+  * fact shuffle, row-local pair explode, distinct over bare id pairs)
+  * and cached; every PageRank round
+  * shuffles (node, BIGINT) tuples only — never payloads — and per-round
+  * work is one edge join + one aggregate, the same bounded-round
+  * discipline as [[Dedup.dupClusters]]. Determinism: ranks live in
+  * integer NANO-UNITS (BIGINT); each edge contribution is
+  * floor(0.85 · r / deg + 0.5) — a single IEEE expression over exact
+  * integers — and per-node sums are BIGINT. No double ever aggregates,
+  * so the result is merge-order-independent and engine-identical (the
+  * DuckDB oracle unrolls the same five rounds as chained CTEs).
+  */
+object Graph {
+
+  private val ROUNDS = 5
+  private val TOP = 20
+
+  /** PageRank (damping 0.85, 5 power iterations) over the co-purchase
+    * graph: nodes = parts, edges = distinct same-order part pairs (both
+    * directions, so the graph is symmetric and every node has outdegree
+    * ≥ 1). Output: the TOP most central parts with their rank in nano
+    * units — exact integers, no float compare anywhere. */
+  def pagerank(s: SparkSession, dir: String): DataFrame = {
+    // distinct directed edges; consumed by deg + every round — cache.
+    // Built via per-order part-sets + a row-local pair explode: ONE fact
+    // scan and one (orderkey, partkey) shuffle instead of a self-join's
+    // two, and the exploded pairs stay bare int ids. Per-order fan-out is
+    // lines² — bounded by order size, the same Σ|group|² shape as the
+    // LSH bucket joins (an order is a handful of lines; a pathological
+    // giant order would get a cap, like BUCKET_CAP).
+    val edges = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+      .groupBy("l_orderkey").agg(collect_set("l_partkey").as("ps"))
+      .select(explode(col("ps")).as("src"), col("ps"))
+      .select(col("src"), explode(col("ps")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .cache()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).cache()
+    val n = deg.count()
+    // same doubles DuckDB computes from its 1-row params frame
+    val r0 = math.floor(1000000000.0d / n.toDouble).toLong
+    val base = math.floor(150000000.0d / n.toDouble + 0.5d).toLong
+    var ranks = deg.select(col("src").as("node"), lit(r0).as("r"))
+    for (_ <- 1 to ROUNDS) {
+      // per-SOURCE contribution computed once on the node-sized rank
+      // table, then fanned out over the cached edge list. The rank table
+      // broadcasts (nodes ≪ edges); on a graph whose node table outgrows
+      // broadcast, drop the hint — edges are cached partitioned by src,
+      // so the join falls back to a one-sided exchange of the rank table.
+      // The symmetric edge set guarantees every node receives ≥ 1
+      // contribution, so no completion join against the node table is
+      // needed.
+      val c = ranks.join(deg, col("node") === col("src"))
+        .select(col("node").as("cn"),
+          floor(lit(0.85d) * col("r") / col("deg") + lit(0.5d)).as("c"))
+      // materialize each round (node-sized frame): without this, round
+      // k's broadcast build re-executes rounds 1..k-1 — quadratic total
+      // work. Same per-round lineage cut as Dedup.dupClusters.
+      ranks = edges.join(broadcast(c), col("src") === col("cn"))
+        .groupBy("dst").agg(sum("c").as("sc"))
+        .select(col("dst").as("node"), (lit(base) + col("sc")).as("r"))
+        .localCheckpoint()
+    }
+    ranks
+      .orderBy(col("r").desc, col("node").asc)
+      .limit(TOP)
+      .select(col("node").as("p_partkey"), col("r").as("rank_nano"))
+  }
+
+  private val pagerankSql = {
+    val rounds = (1 to ROUNDS).map { k =>
+      s"""r$k AS (
+         |  SELECT ed.dst AS node,
+         |         p.base + CAST(sum(CAST(floor(0.85 * r.r / ed.deg + 0.5)
+         |                                AS BIGINT)) AS BIGINT) AS r
+         |  FROM ed JOIN r${k - 1} r ON ed.src = r.node
+         |  CROSS JOIN params p
+         |  GROUP BY ed.dst, p.base)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+       |e AS (
+       |  SELECT DISTINCT x.l_partkey AS src, y.l_partkey AS dst
+       |  FROM li x JOIN li y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+       |ed AS (SELECT e.src, e.dst, d.deg FROM e JOIN deg d ON e.src = d.src),
+       |params AS (
+       |  SELECT CAST(floor(1000000000.0 / CAST(count(*) AS DOUBLE)) AS BIGINT) AS r0,
+       |         CAST(floor(150000000.0 / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS base
+       |  FROM deg),
+       |r0 AS (SELECT d.src AS node, p.r0 AS r FROM deg d CROSS JOIN params p),
+       |$rounds
+       |SELECT node AS p_partkey, CAST(r AS BIGINT) AS rank_nano
+       |FROM r$ROUNDS ORDER BY rank_nano DESC, p_partkey LIMIT $TOP""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q_pagerank", pagerank, Some(pagerankSql)))
+}
