@@ -628,7 +628,57 @@ object SnapshotLake {
       |  AND doc_id BETWEEN 100 AND 400
       |ORDER BY doc_id""".stripMargin
 
+  /** Content DIFF between two snapshot versions (v2 → v4, spanning the
+    * COW delete and the merge): rows removed = v2 ∖ v4, rows added =
+    * v4 ∖ v2, both as bag differences (EXCEPT ALL), summarized per
+    * language. This is the general CDC read [[addedSince]] deliberately
+    * refuses on non-append history — a COW rewrite restages rows, so a
+    * file-set diff over-reports; a CONTENT diff is exact on any history.
+    * An updated row (the merge's n_chars + 1000) shows up on both sides:
+    * its old version removed, its new version added.
+    *
+    * Scale shape: both states project the compared columns ONLY before
+    * the diff — the document text never enters the anti-join shuffles;
+    * EXCEPT ALL is a hash aggregate over (id, lang, source, n_chars)
+    * tuples keyed like any dedup. The oracle replays both states from
+    * filters alone, so the diff is checked against a replay that has no
+    * notion of files or versions. */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureTimeline(s, dir)
+    val proj = Seq("doc_id", "lang", "source", "n_chars").map(col)
+    val v2 = readAt(s, root, 2).select(proj: _*)
+    val v4 = readAt(s, root, 4).select(proj: _*)
+    val added = v4.exceptAll(v2).withColumn("change", lit("added"))
+    val removed = v2.exceptAll(v4).withColumn("change", lit("removed"))
+    added.unionByName(removed)
+      .groupBy("change", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("change", "lang")
+  }
+
+  private val snapshotDiffSql =
+    """WITH v2 AS (
+      |  SELECT doc_id, lang, source, n_chars
+      |  FROM documents WHERE doc_id % 3 IN (0, 1)),
+      |v4 AS (
+      |  SELECT doc_id, lang, source,
+      |         CASE WHEN doc_id % 6 = 0 THEN n_chars + 1000
+      |              ELSE n_chars END AS n_chars
+      |  FROM documents
+      |  WHERE (doc_id % 3 IN (0, 1) AND lang <> 'en' AND doc_id % 6 <> 0)
+      |     OR doc_id % 6 = 0),
+      |added AS (SELECT * FROM v4 EXCEPT ALL SELECT * FROM v2),
+      |removed AS (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v4)
+      |SELECT 'added' AS change, lang, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM added GROUP BY lang
+      |UNION ALL
+      |SELECT 'removed', lang, count(*), CAST(sum(n_chars) AS BIGINT)
+      |FROM removed GROUP BY lang
+      |ORDER BY change, lang""".stripMargin
+
   val all: Seq[graft.Q] = Seq(
     graft.Q("q_time_travel", timeTravel, Some(timeTravelSql)),
-    graft.Q("q_snapshot_range", snapshotRange, Some(snapshotRangeSql)))
+    graft.Q("q_snapshot_range", snapshotRange, Some(snapshotRangeSql)),
+    graft.Q("q_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)))
 }
