@@ -35,20 +35,30 @@ object Graph {
     * ≥ 1). Output: the TOP most central parts with their rank in nano
     * units — exact integers, no float compare anywhere. */
   def pagerank(s: SparkSession, dir: String): DataFrame = {
-    // distinct directed edges; consumed by deg + every round — cache.
-    // Built via per-order part-sets + a row-local pair explode: ONE fact
-    // scan and one (orderkey, partkey) shuffle instead of a self-join's
-    // two, and the exploded pairs stay bare int ids. Per-order fan-out is
-    // lines² — bounded by order size, the same Σ|group|² shape as the
-    // LSH bucket joins (an order is a handful of lines; a pathological
-    // giant order would get a cap, like BUCKET_CAP).
+    // distinct directed edges — built via per-order part-sets + a
+    // row-local pair explode: ONE fact scan and one (orderkey, partkey)
+    // shuffle instead of a self-join's two, and the exploded pairs stay
+    // bare int ids. Per-order fan-out is lines² — bounded by order size,
+    // the same Σ|group|² shape as the LSH bucket joins (an order is a
+    // handful of lines; a pathological giant order would get a cap, like
+    // BUCKET_CAP).
     val edges = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
       .groupBy("l_orderkey").agg(collect_set("l_partkey").as("ps"))
       .select(explode(col("ps")).as("src"), col("ps"))
       .select(col("src"), explode(col("ps")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .cache()
+    pagerankOn(edges)
+      .orderBy(col("r").desc, col("node").asc)
+      .limit(TOP)
+      .select(col("node").as("p_partkey"), col("r").as("rank_nano"))
+  }
+
+  /** Core power iteration over a DISTINCT directed edge list (src, dst)
+    * whose every node has an out-edge AND an in-edge (symmetric edge sets
+    * qualify). Returns the full (node, r) rank table in nano units. */
+  private[graft] def pagerankOn(edges0: DataFrame): DataFrame = {
+    val edges = edges0.cache()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).cache()
     val n = deg.count()
     // same doubles DuckDB computes from its 1-row params frame
@@ -76,9 +86,6 @@ object Graph {
         .localCheckpoint()
     }
     ranks
-      .orderBy(col("r").desc, col("node").asc)
-      .limit(TOP)
-      .select(col("node").as("p_partkey"), col("r").as("rank_nano"))
   }
 
   private val pagerankSql = {

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** Invariant specs for the PageRank core on planted graphs — structure
+  * properties the DuckDB oracle (which replays the arithmetic, not the
+  * graph theory) cannot check. */
+class GraphSpec extends SparkTestBase {
+
+  private def edgesDf(pairs: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    // symmetrize: every undirected pair becomes both directed edges
+    pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst").distinct()
+  }
+
+  test("planted star: the hub outranks every spoke, spokes tie exactly") {
+    val star = edgesDf((1L to 10L).map(i => (0L, i)))
+    val ranks = Graph.pagerankOn(star).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hub = ranks(0L)
+    val spokes = (1L to 10L).map(ranks)
+    assert(spokes.toSet.size == 1, s"spokes must tie exactly: $spokes")
+    assert(hub > spokes.head * 5,
+      s"hub rank $hub should dominate spoke rank ${spokes.head}")
+  }
+
+  test("ring: perfect symmetry gives identical integer ranks summing to ~1e9") {
+    val n = 12L
+    val ring = edgesDf((0L until n).map(i => (i, (i + 1) % n)))
+    val ranks = Graph.pagerankOn(ring).collect().map(_.getLong(1))
+    assert(ranks.length == n)
+    assert(ranks.toSet.size == 1, "ring nodes must all tie")
+    val total = ranks.sum
+    // integer rounding leaks at most ~1 nano per node per round
+    assert(math.abs(total - 1000000000L) < n * 6,
+      s"total mass $total drifted from 1e9")
+  }
+
+  test("result is layout-independent: different partitioning, identical ranks") {
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L))
+    val a = Graph.pagerankOn(edgesDf(pairs).repartition(3))
+      .orderBy("node").collect().toSeq
+    spark.catalog.clearCache()
+    val b = Graph.pagerankOn(edgesDf(pairs).repartition(7))
+      .orderBy("node").collect().toSeq
+    assert(a == b)
+    spark.catalog.clearCache()
+  }
+}
