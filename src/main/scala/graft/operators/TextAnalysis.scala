@@ -577,6 +577,140 @@ object TextAnalysis {
     * w1-keyed marginal — both vocabulary-sized, not corpus-sized — and
     * scoring is one join on the bigram key. V (distinct tokens) is a
     * driver scalar on the same footing as lmScore's corpus size. */
+  private val HH_K = 100
+
+  /** Heavy hitters: every token with global count > N/$HH_K, found the
+    * way a 100 TB corpus has to find them — a per-partition MISRA-GRIES
+    * sketch ($HH_K counters, the classic decrement-all stream summary)
+    * generates a candidate superset, then ONE exact rescore pass counts
+    * only the candidates. The pigeonhole guarantee makes the composition
+    * exact, not approximate: a token over the global threshold is over
+    * the local threshold in ≥ 1 partition, so it survives some sketch;
+    * the rescore then filters on exact counts — the sketch can only
+    * admit extra candidates, never lose a heavy one (spec-asserted with
+    * a planted heavy token). Contrast q_term_freq, which counts the
+    * whole vocabulary exactly: at scale that shuffles every distinct
+    * token; this shuffles ≤ $HH_K · partitions candidates.
+    *
+    * mapPartitions is justified here (SURVEY §2.8 preference order):
+    * the sketch is genuinely per-partition imperative state — no
+    * built-in expresses decrement-all counter maintenance. */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame =
+    heavyHittersOn(s,
+      Tables.documents(s, dir).select(split(col("text"), " ").as("toks")))
+
+  /** Core sketch + rescore over any frame with a `toks` array column. */
+  private[graft] def heavyHittersOn(s: SparkSession, toks: DataFrame): DataFrame = {
+    import s.implicits._
+    val sketch = toks.select(explode(col("toks")).as("tok")).as[String]
+      .mapPartitions { it =>
+        val counters = scala.collection.mutable.HashMap.empty[String, Long]
+        var n = 0L
+        it.foreach { t =>
+          n += 1
+          counters.get(t) match {
+            case Some(c) => counters(t) = c + 1
+            case None if counters.size < HH_K => counters(t) = 1L
+            case None =>
+              counters.keys.toArray.foreach { k =>
+                val c = counters(k) - 1
+                if (c == 0) counters.remove(k) else counters(k) = c
+              }
+          }
+        }
+        counters.keysIterator.map(k => (k, 0L, false)) ++
+          Iterator.single(("", n, true))
+      }.toDF("tok", "cnt", "is_total")
+      .cache()
+    val nTotal = sketch.filter(col("is_total")).agg(sum("cnt"))
+      .collect()(0).getLong(0)
+    val cands = sketch.filter(!col("is_total")).select("tok").distinct()
+    toks.select(explode(col("toks")).as("tok"))
+      .join(broadcast(cands), "tok")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > lit(nTotal.toDouble / HH_K))
+      .select(col("tok"), col("cnt"),
+        (floor(col("cnt") / lit(nTotal.toDouble) * lit(1000000.0d)
+          + lit(0.5d)) / lit(1000000.0d)).as("share"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+  }
+
+  private val heavyHittersSql =
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+       |c AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1)
+       |SELECT c.tok, CAST(c.cnt AS BIGINT) AS cnt,
+       |       floor(c.cnt / CAST(n.n AS DOUBLE) * 1000000.0 + 0.5)
+       |         / 1000000.0 AS share
+       |FROM c CROSS JOIN n
+       |WHERE c.cnt > CAST(n.n AS DOUBLE) / $HH_K
+       |ORDER BY cnt DESC, c.tok""".stripMargin
+
+  private val PMI_MIN_SUPPORT = 5
+
+  /** PMI collocation mining: the adjacent-token pairs that co-occur far
+    * above chance — PMI = ln(c₁₂·N / (c₁·c₂)) over the bigram table's own
+    * marginals — the phrase/multi-word-expression detector run before
+    * tokenizer training (a high-PMI pair is a candidate merge or phrase
+    * token; complements [[Bpe.trainMerges]], which greedily merges by raw
+    * frequency rather than association strength). Min support
+    * $PMI_MIN_SUPPORT keeps one-off juxtapositions out.
+    *
+    * Scale shape: same discipline as [[bigramLm]] — bigram rows
+    * partial-aggregate inside the scan; marginals and the final join run
+    * on the vocabulary-sized pair table (cached — three consumers); N is
+    * a driver scalar. PMI is one IEEE expression over exact BIGINT
+    * counts, floor-6dp, with a (w1, w2) tiebreak under the top-k sort. */
+  def pmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+    val pairs = docs.select(
+        expr(
+          """inline(CASE WHEN size(toks) >= 2
+            |  THEN transform(sequence(1, size(toks) - 1),
+            |    i -> named_struct('w1', element_at(toks, i),
+            |                      'w2', element_at(toks, i + 1)))
+            |  ELSE cast(array() as array<struct<w1:string,w2:string>>)
+            |END)""".stripMargin))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .cache()
+    val c1 = pairs.groupBy("w1").agg(sum("c12").as("c1"))
+    val c2 = pairs.groupBy("w2").agg(sum("c12").as("c2"))
+    val nBig = pairs.agg(sum("c12")).collect()(0).getLong(0)
+    pairs.filter(col("c12") >= PMI_MIN_SUPPORT)
+      .join(c1, "w1").join(c2, "w2")
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        (floor(log(col("c12") * lit(nBig.toDouble)
+          / (col("c1") * col("c2")).cast("double"))
+          * lit(1000000.0d) + lit(0.5d)) / lit(1000000.0d)).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(20)
+  }
+
+  private val pmiCollocationsSql =
+    s"""WITH toks AS (
+       |  SELECT string_split(text, ' ') AS t FROM documents),
+       |pairs AS (
+       |  SELECT bg.w1 AS w1, bg.w2 AS w2, count(*) AS c12 FROM (
+       |    SELECT unnest(list_transform(range(1, len(t)),
+       |             i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS bg
+       |    FROM toks)
+       |  GROUP BY 1, 2),
+       |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM pairs GROUP BY 1),
+       |c2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM pairs GROUP BY 1),
+       |nb AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM pairs)
+       |SELECT p.w1, p.w2, CAST(p.c12 AS BIGINT) AS c12, c1.c1, c2.c2,
+       |       floor(ln(p.c12 * CAST(nb.n AS DOUBLE)
+       |                / CAST(c1.c1 * c2.c2 AS DOUBLE))
+       |             * 1000000.0 + 0.5) / 1000000.0 AS pmi
+       |FROM pairs p
+       |JOIN c1 ON p.w1 = c1.w1
+       |JOIN c2 ON p.w2 = c2.w2
+       |CROSS JOIN nb
+       |WHERE p.c12 >= $PMI_MIN_SUPPORT
+       |ORDER BY pmi DESC, p.w1, p.w2 LIMIT 20""".stripMargin
+
   def bigramLm(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .withColumn("toks", split(col("text"), " "))
@@ -790,6 +924,8 @@ object TextAnalysis {
     Q("q_langid_eval", langIdEval, Some(langIdEvalSql)),
     Q("q_lm_score", lmScore, Some(lmScoreSql)),
     Q("q_bigram_lm", bigramLm, Some(bigramLmSql)),
+    Q("q_pmi_colloc", pmiCollocations, Some(pmiCollocationsSql)),
+    Q("q_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     Q("q_bm25", bm25, Some(bm25Sql)),
     Q("q_token_entropy", tokenEntropy, Some(tokenEntropySql)),
     Q("q_tfidf", tfidf, Some(tfidfSql)),
