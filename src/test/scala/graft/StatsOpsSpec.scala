@@ -67,4 +67,23 @@ class StatsOpsSpec extends SparkTestBase {
         "more than half the data outside Tukey fences is impossible")
     }
   }
+
+  test("heavy hitters: a planted heavy token diluted across partitions survives") {
+    import spark.implicits._
+    // 'hot' is ~2% of all tokens (> N/100 threshold) but spread thin:
+    // per doc it's 1 token in 50 — the pigeonhole composition, not a
+    // lucky local concentration, must find it. Filler tokens are all
+    // unique so no other token qualifies.
+    val docs = (0 until 400).map { i =>
+      (Seq("hot") ++ (0 until 49).map(j => s"u_${i}_$j")).mkString(" ")
+    }.toDF("text").select(split(col("text"), " ").as("toks"))
+      .repartition(8)
+    val out = operators.TextAnalysis.heavyHittersOn(spark, docs).collect()
+    assert(out.map(_.getString(0)).contains("hot"),
+      s"planted heavy token missing from ${out.map(_.getString(0)).toSeq}")
+    assert(out.length == 1, "unique fillers must not qualify")
+    val hot = out.head
+    assert(hot.getAs[Long]("cnt") == 400L)
+    spark.catalog.clearCache()
+  }
 }
