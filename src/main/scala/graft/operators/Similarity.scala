@@ -703,6 +703,84 @@ object Similarity {
        |FROM comp GROUP BY label, j
        |ORDER BY label, j""".stripMargin
 
+  /** Pairwise cosine similarity between label centroids — the class
+    * SEPARATION audit run on top of [[labelCentroids]]: two labels whose
+    * prototypes sit close (cos → 1) are classes a nearest-centroid
+    * router will confuse, and candidates for merging. All 64 dimensions
+    * participate (the registered centroid query exposes 8 for output
+    * size; separation needs the full geometry).
+    *
+    * FP discipline: per-(label, dim) component sums are DECIMAL(20,6)
+    * (merge-order-independent); means floor to 6 dp; every cross/self
+    * product then fixes to 1e-12 units (floor(x·10¹² + 0.5) — pure IEEE
+    * on identical doubles) and sums as BIGINT, so dot products and norms
+    * are exact integers in both engines and the 10¹² scale cancels in
+    * the cosine. Scale shape: one scan; shuffles carry (label, dim,
+    * partial) triples and the pair table is C(|labels|, 2) rows. */
+  def centroidSim(s: SparkSession, dir: String): DataFrame = {
+    val cent = corpus(s, dir)
+      .select(col("label"), posexplode(col("emb")))
+      .toDF("label", "j", "v")
+      .groupBy("label", "j")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("v"), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(20, 6))).as("sv"))
+      .select(col("label"), col("j"),
+        (floor(col("sv").cast("double") / col("n") * lit(1000000.0d)
+          + lit(0.5d)) / lit(1000000.0d)).as("m"))
+      .cache() // feeds the pair dot AND both norms — one corpus scan
+    val dots = cent.as("a").join(cent.as("b"),
+        col("a.j") === col("b.j") && col("a.label") < col("b.label"))
+      .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+        floor(col("a.m") * col("b.m") * lit(1.0e12d) + lit(0.5d)).as("p"))
+      .groupBy("label_a", "label_b").agg(sum("p").as("sdot"))
+    val norms = cent
+      .select(col("label"),
+        floor(col("m") * col("m") * lit(1.0e12d) + lit(0.5d)).as("p"))
+      .groupBy("label").agg(sum("p").as("s2"))
+    dots
+      .join(norms.select(col("label").as("label_a"), col("s2").as("s2a")),
+        "label_a")
+      .join(norms.select(col("label").as("label_b"), col("s2").as("s2b")),
+        "label_b")
+      .select(col("label_a"), col("label_b"),
+        (floor(col("sdot").cast("double")
+          / sqrt(col("s2a").cast("double") * col("s2b").cast("double"))
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("cos_sim"))
+      .orderBy("label_a", "label_b")
+  }
+
+  private val centroidSimSql =
+    """WITH comp AS (
+      |  SELECT label, j,
+      |         CAST(round(embedding[j]::DOUBLE, 6) AS DECIMAL(20,6)) AS v
+      |  FROM embeddings,
+      |       (SELECT unnest(generate_series(1, 64)) AS j)),
+      |cent AS (
+      |  SELECT label, j,
+      |         floor(CAST(sum(v) AS DOUBLE) / count(*) * 1000000.0 + 0.5)
+      |           / 1000000.0 AS m
+      |  FROM comp GROUP BY label, j),
+      |dots AS (
+      |  SELECT a.label AS label_a, b.label AS label_b,
+      |         CAST(sum(CAST(floor(a.m * b.m * 1000000000000.0 + 0.5)
+      |                       AS BIGINT)) AS BIGINT) AS sdot
+      |  FROM cent a JOIN cent b ON a.j = b.j AND a.label < b.label
+      |  GROUP BY 1, 2),
+      |norms AS (
+      |  SELECT label,
+      |         CAST(sum(CAST(floor(m * m * 1000000000000.0 + 0.5)
+      |                       AS BIGINT)) AS BIGINT) AS s2
+      |  FROM cent GROUP BY 1)
+      |SELECT d.label_a, d.label_b,
+      |       floor(CAST(d.sdot AS DOUBLE)
+      |             / sqrt(CAST(na.s2 AS DOUBLE) * CAST(nb.s2 AS DOUBLE))
+      |             * 10000.0 + 0.5) / 10000.0 AS cos_sim
+      |FROM dots d
+      |JOIN norms na ON d.label_a = na.label
+      |JOIN norms nb ON d.label_b = nb.label
+      |ORDER BY label_a, label_b""".stripMargin
+
   /** ANN self-evaluation: recall@5 of the LSH index path against the
     * brute-force ground truth — the metric a production vector store
     * reports before anyone trusts it. Both sides are THIS engine's own
@@ -1056,5 +1134,6 @@ object Similarity {
     Q("q_sim_topk_batch", bruteTopKBatch, Some(bruteTopKBatchSql)),
     Q("q_sim_ann_batch", annLshBatch, Some(annLshBatchSql)),
     Q("q_knn_join", knnJoin, Some(knnJoinSql)),
-    Q("q_label_centroids", labelCentroids, Some(labelCentroidsSql)))
+    Q("q_label_centroids", labelCentroids, Some(labelCentroidsSql)),
+    Q("q_centroid_sim", centroidSim, Some(centroidSimSql)))
 }
