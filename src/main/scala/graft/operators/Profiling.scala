@@ -66,6 +66,55 @@ object Profiling {
        |       count(*) AS n_items
        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
 
+  private val ED_BINS = 10
+
+  /** EQUI-DEPTH histogram of lineitem.l_extendedprice — the quantile
+    * complement of [[histogram]]: bin boundaries are the exact deciles,
+    * so bins hold ~equal row counts and the boundary VALUES carry the
+    * distribution shape (the input range-partitioning and z-order
+    * bucketing want — equal-work splits, not equal-width ones).
+    *
+    * Same two-pass shape as [[histogram]]: exact decile array (1-row
+    * broadcast), then per-row bin assignment INSIDE the scan as "count
+    * of interior boundaries strictly below x" — a 9-element array probe,
+    * no join fan-out. Boundary doubles come from the same linear
+    * interpolation formula in both engines (percentile ↔ quantile_cont,
+    * the [[winsorized]] precedent); displayed edges floor to 4 dp.
+    * The exact percentile is a single-buffer aggregate (q_percentiles'
+    * documented caveat); the 100 TB variant swaps ONLY the boundary
+    * pass for approx_percentile or a deterministic key-sample — bin
+    * counts stay exact either way. */
+  def equidepthHist(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("x"))
+    val ps = (0 until ED_BINS).map(k => s"${k / 10.0}D").mkString(", ")
+    val bounds = li.agg(expr(s"percentile(x, array($ps))").as("bs"))
+    li.join(broadcast(bounds))
+      .select(expr(s"size(filter(slice(bs, 2, ${ED_BINS - 1}), b -> x > b))")
+        .as("bin"), col("bs"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_items"), first("bs").as("bs"))
+      .select(col("bin"),
+        (floor(element_at(col("bs"), col("bin") + lit(1)) * lit(10000.0d)
+          + lit(0.5d)) / lit(10000.0d)).as("bin_lo"),
+        col("n_items"))
+      .orderBy("bin")
+  }
+
+  private val equidepthHistSql = {
+    val ps = (0 until ED_BINS).map(k => s"${k / 10.0}").mkString(", ")
+    s"""WITH b AS (
+       |  SELECT quantile_cont(l_extendedprice, [$ps]) AS bs FROM lineitem),
+       |binned AS (
+       |  SELECT len(list_filter(bs[2:$ED_BINS], y -> l_extendedprice > y))
+       |           AS bin
+       |  FROM lineitem, b),
+       |c AS (SELECT bin, count(*) AS n_items FROM binned GROUP BY bin)
+       |SELECT c.bin,
+       |       floor(b.bs[c.bin + 1] * 10000.0 + 0.5) / 10000.0 AS bin_lo,
+       |       c.n_items
+       |FROM c, b ORDER BY bin""".stripMargin
+  }
+
   /** Key-skew profile of lineitem.l_partkey: the top-$TOP_KEYS heaviest
     * join keys with their share of all rows and their skew factor (count
     * over the mean per-key count). A skew factor ≫ 1 on a join key is the
@@ -611,6 +660,7 @@ object Profiling {
     Q("q_histogram", histogram, Some(histogramSql)),
     Q("q_corr_matrix", corrMatrix, Some(corrMatrixSql)),
     Q("q_daily_trend", dailyTrend, Some(dailyTrendSql)),
+    Q("q_equidepth_hist", equidepthHist, Some(equidepthHistSql)),
     Q("q_gini", gini, Some(giniSql)),
     Q("q_skew_profile", skewProfile, Some(skewProfileSql)),
     Q("q_source_overlap", sourceOverlap, Some(sourceOverlapSql)),

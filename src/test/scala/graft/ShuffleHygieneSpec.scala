@@ -47,7 +47,9 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     // crossJoin of the 1-row held-out census onto the accuracy aggregate
     "q_label_prop",
     // 1-row grand-total frame broadcast onto the |types|×2 cell table
-    "q_chi_squared")
+    "q_chi_squared",
+    // 1-row decile-boundary frame broadcast onto the scan (q_histogram shape)
+    "q_equidepth_hist")
 
   // ONE sweep over the registry (executing every query once — the
   // dominant cost of this suite), with both plan properties checked off
