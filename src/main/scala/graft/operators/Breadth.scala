@@ -1040,6 +1040,78 @@ object Breadth {
       |         AS z_stat
       |FROM rates""".stripMargin
 
+  /** SCD TYPE-2 dimension build: collapse each user's daily activity
+    * tier into validity intervals — one row per (user, unbroken tier
+    * run) with valid_from / valid_to bounds — the slowly-changing-
+    * dimension structure every warehouse maintains for point-in-time
+    * joins, derived here from raw events (the history the reference's
+    * overwrite-only loads throw away, `job1:295-335`). A tier change on
+    * the next observed day closes the interval and opens a new one;
+    * reported as a per-tier census (interval counts, calendar span vs
+    * observed-day counts — the spread between them is the gap census).
+    *
+    * Scale shape: the raw stream collapses to (user, day) inside the
+    * scan's partial aggregate; both window passes ride ONE hash exchange
+    * on user_id (the sessionize discipline) with day as a unique
+    * in-partition order key; intervals then aggregate by (user, run).
+    * No window partition ever holds more than one user's days. */
+  def scd2(s: SparkSession, dir: String): DataFrame = {
+    val byUserDay = Window.partitionBy("user_id").orderBy(col("day").asc)
+    val runs = Tables.events(s, dir)
+      .groupBy(col("user_id"), to_date(date_trunc("DAY", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("tier",
+        when(col("n") >= 10, "high").when(col("n") >= 5, "mid")
+          .otherwise("low"))
+      .withColumn("is_new",
+        when(lag("tier", 1).over(byUserDay).isNull ||
+          lag("tier", 1).over(byUserDay) =!= col("tier"), 1L).otherwise(0L))
+      .withColumn("run",
+        sum("is_new").over(byUserDay.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    runs.groupBy("user_id", "run")
+      .agg(min("tier").as("tier"), min("day").as("valid_from"),
+        max("day").as("valid_to"), count(lit(1)).as("n_days"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_intervals"),
+        round(avg(datediff(col("valid_to"), col("valid_from")) + 1), 4)
+          .as("avg_span_days"),
+        max(datediff(col("valid_to"), col("valid_from")) + 1).cast("long")
+          .as("max_span_days"),
+        round(avg("n_days"), 4).as("avg_active_days"))
+      .orderBy("tier")
+  }
+
+  private val scd2Sql =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |         count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |tiers AS (
+      |  SELECT user_id, day,
+      |         CASE WHEN n >= 10 THEN 'high'
+      |              WHEN n >= 5 THEN 'mid' ELSE 'low' END AS tier
+      |  FROM daily),
+      |marked AS (
+      |  SELECT user_id, day, tier,
+      |         CASE WHEN lag(tier) OVER w IS NULL OR lag(tier) OVER w <> tier
+      |              THEN 1 ELSE 0 END AS is_new
+      |  FROM tiers WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+      |runs AS (
+      |  SELECT user_id, day, tier,
+      |         sum(is_new) OVER (PARTITION BY user_id ORDER BY day
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |  FROM marked),
+      |iv AS (
+      |  SELECT user_id, run, min(tier) AS tier, min(day) AS valid_from,
+      |         max(day) AS valid_to, count(*) AS n_days
+      |  FROM runs GROUP BY 1, 2)
+      |SELECT tier, count(*) AS n_intervals,
+      |       round(avg(valid_to - valid_from + 1), 4) AS avg_span_days,
+      |       CAST(max(valid_to - valid_from + 1) AS BIGINT) AS max_span_days,
+      |       round(avg(n_days), 4) AS avg_active_days
+      |FROM iv GROUP BY tier ORDER BY tier""".stripMargin
+
   /** Chi-squared independence test of event_type × experiment variant —
     * the categorical complement of [[abTest]]'s two-proportion z: did the
     * deterministic split actually randomize behavior, or does some event
@@ -1166,6 +1238,7 @@ object Breadth {
     Q("q_window_rank", windowRank, Some(windowRankSql)),
     Q("q_ab_test", abTest, Some(abTestSql)),
     Q("q_chi_squared", chiSquared, Some(chiSquaredSql)),
+    Q("q_scd2", scd2, Some(scd2Sql)),
     Q("q_cooccurrence", cooccurrence, Some(cooccurrenceSql)),
     Q("q_attribution", attribution, Some(attributionSql)),
     Q("q_event_transitions", eventTransitions, Some(eventTransitionsSql)),
