@@ -115,6 +115,88 @@ object Graph {
        |FROM r$ROUNDS ORDER BY rank_nano DESC, p_partkey LIMIT $TOP""".stripMargin
   }
 
+  private val TRI_MIN_ORDERS = 2
+
+  /** Triangle count of the co-purchase AFFINITY graph (plus node/edge
+    * census) — the clustering-structure metric behind community
+    * detection and recommend-because-your-basket-closes-triangles
+    * features. Edges require co-occurrence in ≥ $TRI_MIN_ORDERS distinct
+    * orders: single co-occurrences are basket noise, and the support
+    * threshold is also what keeps the graph sparse — the raw
+    * one-co-occurrence graph's mean degree GROWS with order count (every
+    * new order adds clique edges over a fixed part universe), so an
+    * unthresholded wedge join would go quadratic at scale; support
+    * filtering is the graph analog of PMI's min-support.
+    *
+    * Algorithm: DEGREE-ORDERED orientation — every undirected edge
+    * points from its (degree, id)-smaller endpoint, so each triangle has
+    * exactly one (x→y, x→z, y→z) orientation and is counted once; the
+    * wedge join's fan-out is Σ outdeg², and min-degree orientation
+    * bounds outdegrees by ~√m — the standard trick that keeps the join
+    * linear-ish on power-law graphs where a hub's naive wedge count
+    * would be quadratic. Wedges close via a LEFT SEMI join (bare id
+    * pairs). All shuffles carry int ids. */
+  def triangles(s: SparkSession, dir: String): DataFrame = {
+    val und = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+      .groupBy("l_orderkey").agg(collect_set("l_partkey").as("ps"))
+      .select(explode(col("ps")).as("a"), col("ps"))
+      .select(col("a"), explode(col("ps")).as("b"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= TRI_MIN_ORDERS)
+      .select("a", "b")
+      .cache()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .cache()
+    val firstIsSmaller = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val o = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(when(firstIsSmaller, col("a")).otherwise(col("b")).as("x"),
+        when(firstIsSmaller, col("b")).otherwise(col("a")).as("y"))
+      .cache()
+    val wedges = o.as("e1").join(o.as("e2"), col("e1.y") === col("e2.x"))
+      .select(col("e1.x").as("x"), col("e2.y").as("z"))
+    val closed = wedges.as("w").join(o.as("e3"),
+      col("w.x") === col("e3.x") && col("w.z") === col("e3.y"), "left_semi")
+    deg.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(und.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+  }
+
+  private val trianglesSql =
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+      |und AS (
+      |  SELECT a, b FROM (
+      |    SELECT x.l_partkey AS a, y.l_partkey AS b
+      |    FROM li x JOIN li y
+      |      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      |    GROUP BY x.l_orderkey, a, b)
+      |  GROUP BY a, b HAVING count(*) >= $TRI_MIN_ORDERS),
+      |deg AS (
+      |  SELECT node, count(*) AS deg FROM (
+      |    SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+      |  GROUP BY 1),
+      |o AS (
+      |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+      |              THEN a ELSE b END AS x,
+      |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+      |              THEN b ELSE a END AS y
+      |  FROM und
+      |  JOIN deg da ON und.a = da.node
+      |  JOIN deg db ON und.b = db.node)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM (
+      |          SELECT e1.x, e1.y, e2.y AS z
+      |          FROM o e1 JOIN o e2 ON e1.y = e2.x) w
+      |        WHERE EXISTS (SELECT 1 FROM o e3
+      |                      WHERE e3.x = w.x AND e3.y = w.z)) AS n_triangles""".stripMargin
+
   val all: Seq[Q] = Seq(
-    Q("q_pagerank", pagerank, Some(pagerankSql)))
+    Q("q_pagerank", pagerank, Some(pagerankSql)),
+    Q("q_triangles", triangles, Some(trianglesSql)))
 }

@@ -49,7 +49,9 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     // 1-row grand-total frame broadcast onto the |types|×2 cell table
     "q_chi_squared",
     // 1-row decile-boundary frame broadcast onto the scan (q_histogram shape)
-    "q_equidepth_hist")
+    "q_equidepth_hist",
+    // crossJoins of three 1-row census aggregates (q_ref_integrity shape)
+    "q_triangles")
 
   // ONE sweep over the registry (executing every query once — the
   // dominant cost of this suite), with both plan properties checked off
