@@ -140,7 +140,10 @@ object Dedup {
     Seq((nDocs, nCand, nVer)).toDF("n_docs", "n_candidates", "n_verified")
   }
 
-  private val minhashLshSql = {
+  /** Shared oracle prefix: the full signature → banding → capped-bucket →
+    * candidate pipeline as DuckDB CTEs (docs, based, sigs, bands, bsize,
+    * kept, cand) — used by the dedup oracle AND the calibration audit. */
+  private val minhashCandPrefixSql = {
     val sigCols = (0 until K).map(i =>
       s"list_aggregate(list_transform(hs, h -> substr(h, ${1 + 8 * i}, 8)), 'min') AS h$i")
       .mkString(",\n         ")
@@ -173,7 +176,11 @@ object Dedup {
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |  FROM kept x JOIN kept y
-       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
+  private val minhashLshSql =
+    s"""$minhashCandPrefixSql,
        |ver AS (
        |  SELECT a, b,
        |         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
@@ -182,6 +189,83 @@ object Dedup {
        |SELECT (SELECT count(*) FROM docs) AS n_docs,
        |       (SELECT count(*) FROM cand) AS n_candidates,
        |       (SELECT count(*) FROM ver WHERE jac >= 0.3) AS n_verified""".stripMargin
+
+  /** MinHash CALIBRATION audit: for every banding candidate pair, the
+    * signature-estimated Jaccard (matching-hash fraction over all K
+    * hashes — the textbook unbiased estimator) against the TRUE shingle
+    * Jaccard, summarized as mean/max absolute error and signed bias —
+    * the dedup counterpart of [[Similarity.annRecall]]: the number that
+    * says how far the sketch can be trusted before thresholds move.
+    * Expected error scale is ~1/√K ≈ 0.20 at K=$K; a mean error far
+    * above that means broken hashing, far below means the bands only
+    * surface near-identical pairs.
+    *
+    * Scale shape: candidate generation is the capped banding pipeline
+    * ([[minhashCandidates]]); the estimator joins signatures (K 8-char
+    * slices/doc) by id; per-pair errors fix to integer micro-units so
+    * the mean is an exact BIGINT-sum quotient in both engines. */
+  def minhashCalibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val docs = docsWithShingles(s, dir).select("doc_id", "sh").cache()
+    val cand = minhashCandidates(docs, cached = true)
+    val sigs = docs.withColumn("mh", expr("minhash_slices(sh)"))
+      .select("doc_id", "mh")
+    val est = (0 until K).map(i =>
+        when(col("mha").getItem(i) === col("mhb").getItem(i), 1).otherwise(0))
+      .reduce(_ + _) / lit(K.toDouble)
+    val pairs = cand
+      .join(sigs.select(col("doc_id").as("a"), col("mh").as("mha")), "a")
+      .join(sigs.select(col("doc_id").as("b"), col("mh").as("mhb")), "b")
+      .join(docs.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(docs.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      .withColumn("est", est)
+      .withColumn("jac", TextFns.jaccard("sha", "shb"))
+      .withColumn("e6",
+        floor(abs(col("est") - col("jac")) * lit(1000000.0d) + lit(0.5d)))
+      .withColumn("s6",
+        floor((col("est") - col("jac")) * lit(1000000.0d) + lit(0.5d)))
+    val row = pairs
+      .agg(count(lit(1)).as("n"), sum("e6").as("se"),
+        max("e6").as("mx"), sum("s6").as("sb"))
+      .select(col("n"),
+        (floor(col("se").cast("double") / col("n") + lit(0.5d))
+          / lit(1000000.0d)).as("mean_abs_err"),
+        (col("mx").cast("double") / lit(1000000.0d)).as("max_abs_err"),
+        (floor(col("sb").cast("double") / col("n") + lit(0.5d))
+          / lit(1000000.0d)).as("mean_bias"))
+      .collect()(0)
+    docs.unpersist()
+    cand.unpersist()
+    Seq((row.getLong(0), row.getDouble(1), row.getDouble(2), row.getDouble(3)))
+      .toDF("n_pairs", "mean_abs_err", "max_abs_err", "mean_bias")
+  }
+
+  private val minhashCalibrationSql = {
+    val matches = (0 until K).map(i =>
+      s"CASE WHEN sx.h$i = sy.h$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""$minhashCandPrefixSql,
+       |scored AS (
+       |  SELECT c.a, c.b,
+       |         ($matches) / ${K}.0 AS est,
+       |         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |           / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS jac
+       |  FROM cand c
+       |  JOIN sigs sx ON c.a = sx.doc_id
+       |  JOIN sigs sy ON c.b = sy.doc_id
+       |  JOIN docs sa ON c.a = sa.doc_id
+       |  JOIN docs sb ON c.b = sb.doc_id),
+       |e AS (
+       |  SELECT CAST(floor(abs(est - jac) * 1000000.0 + 0.5) AS BIGINT) AS e6,
+       |         CAST(floor((est - jac) * 1000000.0 + 0.5) AS BIGINT) AS s6
+       |  FROM scored)
+       |SELECT count(*) AS n_pairs,
+       |       floor(CAST(sum(e6) AS DOUBLE) / count(*) + 0.5) / 1000000.0
+       |         AS mean_abs_err,
+       |       CAST(max(e6) AS DOUBLE) / 1000000.0 AS max_abs_err,
+       |       floor(CAST(sum(s6) AS DOUBLE) / count(*) + 0.5) / 1000000.0
+       |         AS mean_bias
+       |FROM e""".stripMargin
   }
 
   /** SimHash dedup: one 32-bit signature per doc — the codegen'd
@@ -789,6 +873,7 @@ object Dedup {
   val all: Seq[Q] = Seq(
     Q("q_dedup_exact", exact, Some(exactSql)),
     Q("q_dedup_minhash", minhashLsh, Some(minhashLshSql)),
+    Q("q_minhash_calibration", minhashCalibration, Some(minhashCalibrationSql)),
     Q("q_dedup_simhash", simhash, Some(simhashSql)),
     Q("q_dedup_ngram", ngramJaccard, Some(ngramJaccardSql)),
     Q("q_dedup_containment", ngramContainment, Some(ngramContainmentSql)),
