@@ -1040,6 +1040,54 @@ object Breadth {
       |         AS z_stat
       |FROM rates""".stripMargin
 
+  /** Daily user-growth census: active / NEW / returning users per day
+    * plus the cumulative user count — the growth-accounting decomposition
+    * (every active user is exactly one of new-or-returning) behind any
+    * product dashboard.
+    *
+    * Scale shape: the event stream collapses to distinct (user, day)
+    * inside the scan (cached — feeds both the first-seen aggregate and
+    * the daily census); everything downstream is day- or user-keyed
+    * aggregate cardinality. The running total's global window orders the
+    * per-DAY frame — cardinality = calendar days, bounded regardless of
+    * corpus size, so the single-partition window is safe by
+    * construction. */
+  def userGrowth(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"), to_date(date_trunc("DAY", col("ts"))).as("day"))
+      .distinct()
+      .cache()
+    val daily = ud.groupBy("day").agg(count(lit(1)).as("n_active"))
+    val news = ud.groupBy("user_id").agg(min("day").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(news, Seq("day"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .select(col("day"), col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"))
+      .withColumn("cum_users", sum("n_new").over(w))
+      .orderBy("day")
+  }
+
+  private val userGrowthSql =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      |  FROM events),
+      |daily AS (SELECT day, count(*) AS n_active FROM ud GROUP BY 1),
+      |news AS (
+      |  SELECT day, count(*) AS n_new FROM (
+      |    SELECT user_id, min(day) AS day FROM ud GROUP BY 1)
+      |  GROUP BY 1)
+      |SELECT d.day, d.n_active,
+      |       coalesce(n.n_new, 0) AS n_new,
+      |       d.n_active - coalesce(n.n_new, 0) AS n_returning,
+      |       CAST(sum(coalesce(n.n_new, 0)) OVER (ORDER BY d.day
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |         AS cum_users
+      |FROM daily d LEFT JOIN news n ON d.day = n.day
+      |ORDER BY d.day""".stripMargin
+
   /** SCD TYPE-2 dimension build: collapse each user's daily activity
     * tier into validity intervals — one row per (user, unbroken tier
     * run) with valid_from / valid_to bounds — the slowly-changing-
@@ -1239,6 +1287,7 @@ object Breadth {
     Q("q_ab_test", abTest, Some(abTestSql)),
     Q("q_chi_squared", chiSquared, Some(chiSquaredSql)),
     Q("q_scd2", scd2, Some(scd2Sql)),
+    Q("q_user_growth", userGrowth, Some(userGrowthSql)),
     Q("q_cooccurrence", cooccurrence, Some(cooccurrenceSql)),
     Q("q_attribution", attribution, Some(attributionSql)),
     Q("q_event_transitions", eventTransitions, Some(eventTransitionsSql)),

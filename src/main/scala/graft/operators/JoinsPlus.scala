@@ -362,6 +362,23 @@ object JoinsPlus {
   def correlated(s: SparkSession, dir: String): DataFrame =
     graft.GraftSql.sql(s, dir, correlatedQuery)
 
+  /** NOT IN — the NULL-AWARE anti join, a genuinely distinct join
+    * semantic from LEFT ANTI (`q_semi_anti`): one NULL in the subquery
+    * list makes NOT IN return nothing (three-valued logic), so Catalyst
+    * must plan a null-aware join (BroadcastNestedLoopJoin with the
+    * null-check conjunct) rather than a plain hash anti join whenever
+    * the key is nullable — exactly the SQL-surface footgun a lake user
+    * hits first. Build side is the distinct subquery key set
+    * (broadcast-tiny: suppliers' nations); same SQL text both engines. */
+  private val nullAntiQuery =
+    """SELECT p_partkey, p_brand FROM part
+      |WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem
+      |                        WHERE l_quantity >= 40)
+      |ORDER BY p_partkey""".stripMargin
+
+  def nullAnti(s: SparkSession, dir: String): DataFrame =
+    graft.GraftSql.sql(s, dir, nullAntiQuery)
+
   /** GROUPING SETS — the general form behind rollup/cube: an explicit
     * list of grouping levels in ONE pass (Catalyst's Expand amplifies
     * each row once per set before a single aggregate, instead of three
@@ -402,6 +419,7 @@ object JoinsPlus {
     Q("q_udaf_weighted", udafWeighted, Some(udafWeightedSql)),
     Q("q_cube", cubeAgg, Some(cubeAggSql)),
     Q("q_grouping_sets", groupingSets, Some(groupingSetsQuery)),
+    Q("q_null_anti", nullAnti, Some(nullAntiQuery)),
     Q("q_lateral_topk", lateralTop, Some(lateralTopQuery)),
     Q("q_pivot", pivotDaily, Some(pivotDailySql)),
     Q("q_asof_join", asofAttribution, Some(asofAttributionSql)),

@@ -51,7 +51,11 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     // 1-row decile-boundary frame broadcast onto the scan (q_histogram shape)
     "q_equidepth_hist",
     // crossJoins of three 1-row census aggregates (q_ref_integrity shape)
-    "q_triangles")
+    "q_triangles",
+    // NOT IN plans the null-aware anti join (BroadcastNestedLoopJoin with
+    // the null-check conjunct) — build side is the broadcast-tiny
+    // distinct subquery key set; the NAAJ plan IS the operator under test
+    "q_null_anti")
 
   // ONE sweep over the registry (executing every query once — the
   // dominant cost of this suite), with both plan properties checked off
