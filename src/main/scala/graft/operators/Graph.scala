@@ -136,16 +136,20 @@ object Graph {
     * linear-ish on power-law graphs where a hub's naive wedge count
     * would be quadratic. Wedges close via a LEFT SEMI join (bare id
     * pairs). All shuffles carry int ids. */
-  def triangles(s: SparkSession, dir: String): DataFrame = {
-    val und = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
-      .groupBy("l_orderkey").agg(collect_set("l_partkey").as("ps"))
-      .select(explode(col("ps")).as("a"), col("ps"))
-      .select(col("a"), explode(col("ps")).as("b"))
-      .filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("w"))
-      .filter(col("w") >= TRI_MIN_ORDERS)
-      .select("a", "b")
-      .cache()
+  def triangles(s: SparkSession, dir: String): DataFrame =
+    trianglesOn(
+      Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey").agg(collect_set("l_partkey").as("ps"))
+        .select(explode(col("ps")).as("a"), col("ps"))
+        .select(col("a"), explode(col("ps")).as("b"))
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("w"))
+        .filter(col("w") >= TRI_MIN_ORDERS)
+        .select("a", "b"))
+
+  /** Core census over any undirected edge frame (a, b) with a < b. */
+  private[graft] def trianglesOn(und0: DataFrame): DataFrame = {
+    val und = und0.cache()
     val deg = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))

@@ -39,6 +39,24 @@ class GraphSpec extends SparkTestBase {
       s"total mass $total drifted from 1e9")
   }
 
+  test("triangles: K4 has four, a square has none, pendant edges add none") {
+    import spark.implicits._
+    def und(pairs: (Long, Long)*) = pairs.toDF("a", "b")
+    val k4 = und((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(Graph.trianglesOn(k4).collect().head.getAs[Long]("n_triangles") == 4L)
+    spark.catalog.clearCache()
+    val square = und((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+    assert(Graph.trianglesOn(square).collect().head
+      .getAs[Long]("n_triangles") == 0L)
+    spark.catalog.clearCache()
+    // one triangle + a pendant edge hanging off it
+    val tri = und((1L, 2L), (1L, 3L), (2L, 3L), (3L, 9L))
+    val r = Graph.trianglesOn(tri).collect().head
+    assert(r.getAs[Long]("n_triangles") == 1L)
+    assert(r.getAs[Long]("n_nodes") == 4L && r.getAs[Long]("n_edges") == 4L)
+    spark.catalog.clearCache()
+  }
+
   test("result is layout-independent: different partitioning, identical ranks") {
     val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L))
     val a = Graph.pagerankOn(edgesDf(pairs).repartition(3))

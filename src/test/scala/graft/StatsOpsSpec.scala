@@ -68,6 +68,27 @@ class StatsOpsSpec extends SparkTestBase {
     }
   }
 
+  test("correlation matrix: bounded in [-1,1]; agrees with Spark's corr()") {
+    val rows = Profiling.corrMatrix(spark, sfDir).collect()
+    assert(rows.length == 6, "4 columns give 6 pairs")
+    rows.foreach { r =>
+      val c = r.getAs[Double]("corr")
+      assert(c >= -1.0 && c <= 1.0, s"corr out of range: $r")
+    }
+    // cross-check one pair against Spark's own corr() aggregate — an
+    // independent implementation (streaming covariance accumulators vs
+    // our exact fixed-point sufficient statistics). The 2-dp cent fixing
+    // and double rounding bound the gap well under 1e-3. (The fixture
+    // draws the measures independently — discount~tax reads ≈ 0, and
+    // price does NOT track quantity here; asserted agreement, not sign.)
+    val reference = Tables.lineitem(spark, sfDir)
+      .agg(corr(col("l_discount"), col("l_tax"))).collect()(0).getDouble(0)
+    val dt = rows.find(r => r.getString(0) == "discount" &&
+      r.getString(1) == "tax").get.getAs[Double]("corr")
+    assert(math.abs(dt - reference) < 1e-3,
+      s"exact-sum corr $dt vs Spark corr() $reference")
+  }
+
   test("heavy hitters: a planted heavy token diluted across partitions survives") {
     import spark.implicits._
     // 'hot' is ~2% of all tokens (> N/100 threshold) but spread thin:
