@@ -136,16 +136,66 @@ object Graph {
     * linear-ish on power-law graphs where a hub's naive wedge count
     * would be quadratic. Wedges close via a LEFT SEMI join (bare id
     * pairs). All shuffles carry int ids. */
+  /** Support-thresholded undirected affinity edges (a < b), shared by
+    * [[triangles]] and [[degreeStats]]. */
+  private def affinityEdges(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+      .groupBy("l_orderkey").agg(collect_set("l_partkey").as("ps"))
+      .select(explode(col("ps")).as("a"), col("ps"))
+      .select(col("a"), explode(col("ps")).as("b"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= TRI_MIN_ORDERS)
+      .select("a", "b")
+
   def triangles(s: SparkSession, dir: String): DataFrame =
-    trianglesOn(
-      Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
-        .groupBy("l_orderkey").agg(collect_set("l_partkey").as("ps"))
-        .select(explode(col("ps")).as("a"), col("ps"))
-        .select(col("a"), explode(col("ps")).as("b"))
-        .filter(col("a") < col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("w"))
-        .filter(col("w") >= TRI_MIN_ORDERS)
-        .select("a", "b"))
+    trianglesOn(affinityEdges(s, dir))
+
+  /** Degree census of the affinity graph — the structure profile read
+    * BEFORE running any graph algorithm on it (max/p90 degree predict
+    * wedge-join cost, [[triangles]]; a heavy tail says orient-by-degree
+    * or cap). One scan of the edge list; every aggregate is
+    * node-cardinality. n_edges = Σdeg/2 — derived from the degree table
+    * rather than a second edge count, so the whole census is one
+    * aggregate over one frame (no stats-frame crossJoin). */
+  def degreeStats(s: SparkSession, dir: String): DataFrame =
+    affinityEdges(s, dir)
+      .select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .agg(count(lit(1)).as("n_nodes"),
+        expr("sum(deg) div 2").as("n_edges"),
+        min("deg").as("min_deg"), max("deg").as("max_deg"),
+        (floor(sum("deg").cast("double") / count(lit(1)) * lit(10000.0d)
+          + lit(0.5d)) / lit(10000.0d)).as("avg_deg"),
+        (floor(expr("percentile(deg, 0.5D)") * lit(10000.0d) + lit(0.5d))
+          / lit(10000.0d)).as("p50_deg"),
+        (floor(expr("percentile(deg, 0.9D)") * lit(10000.0d) + lit(0.5d))
+          / lit(10000.0d)).as("p90_deg"))
+
+  private val degreeStatsSql =
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+       |und AS (
+       |  SELECT a, b FROM (
+       |    SELECT x.l_partkey AS a, y.l_partkey AS b
+       |    FROM li x JOIN li y
+       |      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+       |    GROUP BY x.l_orderkey, a, b)
+       |  GROUP BY a, b HAVING count(*) >= $TRI_MIN_ORDERS),
+       |deg AS (
+       |  SELECT node, count(*) AS deg FROM (
+       |    SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+       |  GROUP BY 1)
+       |SELECT count(*) AS n_nodes,
+       |       CAST(sum(deg) // 2 AS BIGINT) AS n_edges,
+       |       CAST(min(deg) AS BIGINT) AS min_deg,
+       |       CAST(max(deg) AS BIGINT) AS max_deg,
+       |       floor(CAST(sum(deg) AS DOUBLE) / count(*) * 10000.0 + 0.5)
+       |         / 10000.0 AS avg_deg,
+       |       floor(quantile_cont(deg, 0.5) * 10000.0 + 0.5) / 10000.0
+       |         AS p50_deg,
+       |       floor(quantile_cont(deg, 0.9) * 10000.0 + 0.5) / 10000.0
+       |         AS p90_deg
+       |FROM deg""".stripMargin
 
   /** Core census over any undirected edge frame (a, b) with a < b. */
   private[graft] def trianglesOn(und0: DataFrame): DataFrame = {
@@ -202,5 +252,6 @@ object Graph {
 
   val all: Seq[Q] = Seq(
     Q("q_pagerank", pagerank, Some(pagerankSql)),
-    Q("q_triangles", triangles, Some(trianglesSql)))
+    Q("q_triangles", triangles, Some(trianglesSql)),
+    Q("q_degree_stats", degreeStats, Some(degreeStatsSql)))
 }

@@ -608,6 +608,121 @@ object Profiling {
       |             * 1000000.0 + 0.5) / 1000000.0 AS slope_per_day
       |FROM stats ORDER BY event_type""".stripMargin
 
+  /** THEIL-SEN robust trend per event type — the median of all pairwise
+    * day-to-day slopes, the estimator that shrugs off the outlier days
+    * that drag [[dailyTrend]]'s least-squares slope (one incident spike
+    * moves OLS; it's just one vote among C(days, 2) here).
+    *
+    * Scale shape: the pairwise self-join runs on the per-(type, day)
+    * AGGREGATE (calendar-bounded — C(days, 2) pairs per type no matter
+    * how many raw events), keyed by event_type. The median is an exact
+    * interpolated percentile over those bounded pair sets; slopes are
+    * single IEEE divisions over exact integer deltas. */
+  def theilSen(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"),
+        datediff(to_date(date_trunc("DAY", col("ts"))),
+          lit("1970-01-01").cast("date")).cast("bigint").as("x"))
+      .groupBy("event_type", "x").agg(count(lit(1)).as("y"))
+      .cache() // both sides of the pair join
+    val slopes = daily.as("p").join(daily.as("q"),
+        col("p.event_type") === col("q.event_type") && col("p.x") < col("q.x"))
+      .select(col("p.event_type").as("event_type"),
+        ((col("q.y") - col("p.y")).cast("double") / (col("q.x") - col("p.x")))
+          .as("slope"))
+    slopes.groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("percentile(slope, 0.5D)").as("med"))
+      .select(col("event_type"), col("n_pairs"),
+        (floor(col("med") * lit(1000000.0d) + lit(0.5d)) / lit(1000000.0d))
+          .as("median_slope"))
+      .orderBy("event_type")
+  }
+
+  private val theilSenSql =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |         CAST(CAST(date_trunc('day', ts) AS DATE)
+      |              - DATE '1970-01-01' AS BIGINT) AS x,
+      |         count(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |slopes AS (
+      |  SELECT p.event_type,
+      |         CAST(q.y - p.y AS DOUBLE) / (q.x - p.x) AS slope
+      |  FROM daily p JOIN daily q
+      |    ON p.event_type = q.event_type AND p.x < q.x)
+      |SELECT event_type, count(*) AS n_pairs,
+      |       floor(quantile_cont(slope, 0.5) * 1000000.0 + 0.5) / 1000000.0
+      |         AS median_slope
+      |FROM slopes GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** KOLMOGOROV-SMIRNOV two-sample test between the train and test
+    * splits' doc-length distributions — the exact-statistic complement
+    * of [[driftPsi]]'s binned divergence: D = max |F_train − F_test|
+    * over the empirical CDFs, compared against the α=0.05 critical value
+    * 1.358·√((n+m)/nm).
+    *
+    * Scale shape: documents collapse to per-(value, split) counts inside
+    * the scan; the CDF window runs over DISTINCT VALUES (bounded by the
+    * value domain, not the corpus) — cumulative and total sums ride the
+    * same ordered window, so no stats frame joins back. Per-row CDF
+    * gaps fix to integer micro-units; the max is exact. */
+  def ksTest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = Tables.documents(s, dir)
+      .select(col("n_chars"),
+        when(substring(md5(col("doc_id").cast("string")), 32, 1) < "4",
+          "test").otherwise("train").as("split"))
+      .groupBy("n_chars")
+      .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("ct"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("cs"))
+    val wc = Window.orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    vals
+      .withColumn("nt", sum("ct").over(wt))
+      .withColumn("ns", sum("cs").over(wt))
+      .withColumn("d6",
+        floor(abs(sum("ct").over(wc).cast("double") / col("nt")
+          - sum("cs").over(wc).cast("double") / col("ns"))
+          * lit(1000000.0d) + lit(0.5d)))
+      .agg(max("nt").as("n_train"), max("ns").as("n_test"),
+        max("d6").as("mx"))
+      .select(col("n_train"), col("n_test"),
+        (col("mx").cast("double") / lit(1000000.0d)).as("ks_stat"),
+        (floor(lit(1.358d) * sqrt((col("n_train") + col("n_test"))
+          .cast("double") / (col("n_train") * col("n_test")))
+          * lit(1000000.0d) + lit(0.5d)) / lit(1000000.0d)).as("crit_05"))
+  }
+
+  private val ksTestSql =
+    """WITH vals AS (
+      |  SELECT n_chars,
+      |         CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) >= '4'
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+      |         CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) < '4'
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS cs
+      |  FROM documents GROUP BY 1),
+      |cdf AS (
+      |  SELECT CAST(floor(abs(
+      |           CAST(sum(ct) OVER wc AS DOUBLE) / sum(ct) OVER wt
+      |           - CAST(sum(cs) OVER wc AS DOUBLE) / sum(cs) OVER wt)
+      |           * 1000000.0 + 0.5) AS BIGINT) AS d6,
+      |         CAST(sum(ct) OVER wt AS BIGINT) AS n_train,
+      |         CAST(sum(cs) OVER wt AS BIGINT) AS n_test
+      |  FROM vals
+      |  WINDOW wc AS (ORDER BY n_chars
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         wt AS (ORDER BY n_chars
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      |SELECT max(n_train) AS n_train, max(n_test) AS n_test,
+      |       CAST(max(d6) AS DOUBLE) / 1000000.0 AS ks_stat,
+      |       floor(1.358 * sqrt(CAST(max(n_train) + max(n_test) AS DOUBLE)
+      |                          / (max(n_train) * max(n_test)))
+      |             * 1000000.0 + 0.5) / 1000000.0 AS crit_05
+      |FROM cdf""".stripMargin
+
   /** Per-source Gini coefficient of document length — the corpus
     * inequality audit: G ≈ 0 means uniform doc sizes, G → 1 means a few
     * giant documents hold most of the characters (a skew that breaks
@@ -661,6 +776,8 @@ object Profiling {
     Q("q_corr_matrix", corrMatrix, Some(corrMatrixSql)),
     Q("q_daily_trend", dailyTrend, Some(dailyTrendSql)),
     Q("q_equidepth_hist", equidepthHist, Some(equidepthHistSql)),
+    Q("q_theil_sen", theilSen, Some(theilSenSql)),
+    Q("q_ks_test", ksTest, Some(ksTestSql)),
     Q("q_gini", gini, Some(giniSql)),
     Q("q_skew_profile", skewProfile, Some(skewProfileSql)),
     Q("q_source_overlap", sourceOverlap, Some(sourceOverlapSql)),
