@@ -234,6 +234,44 @@ object SnapshotLake {
       snap.files ++ files)
   }
 
+  /** WRITE-AUDIT-PUBLISH: the quality-gated append. The batch's files
+    * stage as normal, but the audit runs against the STAGED FILES (the
+    * exact bytes that would publish — not the incoming plan, which could
+    * be nondeterministic) BEFORE the manifest commits. Violations remove
+    * the staged files and leave the table bit-identical — readers can
+    * never observe an unaudited row, because visibility IS the manifest.
+    * This is the pattern a lake runs between ingestion and consumers:
+    * land → validate (row counts, null keys, RI, drift) → publish or
+    * discard — the snapshot-format upgrade of the reference's
+    * validate-then-write discipline (`job1:69-88` validates DataFrames,
+    * but its `saveAsTable` writes are visible the moment they start).
+    *
+    * @param audit staged-batch DataFrame => violation messages; empty
+    *              means publish.
+    * @return Left(violations) with the table untouched, or
+    *         Right(newVersion). */
+  def writeAuditPublish(spark: SparkSession, root: String, df: DataFrame,
+                        audit: DataFrame => Seq[String]): Either[Seq[String], Int] = {
+    val prev = currentVersion(root)
+    val snap = snapshot(root, prev)
+    val n = df.count()
+    val staged = stage(df, root, prev + 1, snap.statsCol)
+    val stagedDf =
+      if (staged.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], df.schema)
+      else spark.read
+        .parquet(staged.map(f => Paths.get(root, f.path).toString): _*)
+    val violations = audit(stagedDf)
+    if (violations.nonEmpty) {
+      staged.foreach(f => Files.deleteIfExists(Paths.get(root, f.path)))
+      Left(violations)
+    } else {
+      val schema = mergedDdl(snap.schemaDdl, df.schema)
+      Right(commit(root, prev, "append[wap]", snap.nRows + n, schema,
+        snap.statsCol, snap.files ++ staged))
+    }
+  }
+
   /** Copy-on-write row delete: only the files that CONTAIN a matching row
     * are rewritten (their surviving rows restage as new files); every
     * other file carries into the new snapshot untouched. File pruning via

@@ -280,4 +280,40 @@ class SnapshotLakeSpec extends SparkTestBase {
     // manifest nRows is arithmetic; confirm it matches an actual read
     assert(SnapshotLake.read(spark, root).count() == 2)
   }
+
+  test("write-audit-publish: failed audit leaves the table bit-identical") {
+    val root = freshRoot("wap")
+    SnapshotLake.create(df((1L, "a", 10L), (2L, "b", 20L)), root)
+    val before = SnapshotLake.snapshot(root, 1)
+    val dataFiles = {
+      val s = Files.list(Paths.get(root, "data"))
+      try { val r = s.iterator(); val b = Seq.newBuilder[String]
+        while (r.hasNext) b += r.next().getFileName.toString; b.result().toSet
+      } finally s.close()
+    }
+    // audit: no negative v values allowed — the bad batch has one
+    val audit = (d: org.apache.spark.sql.DataFrame) => {
+      val bad = d.filter(col("v") < 0L).count()
+      if (bad > 0) Seq(s"$bad rows with negative v") else Seq.empty
+    }
+    val rejected = SnapshotLake.writeAuditPublish(spark, root,
+      df((3L, "c", -5L)), audit)
+    assert(rejected.isLeft, "negative batch must be rejected")
+    assert(SnapshotLake.currentVersion(root) == 1, "no new snapshot")
+    // staged files were cleaned up — data/ is exactly as before
+    val after = {
+      val s = Files.list(Paths.get(root, "data"))
+      try { val r = s.iterator(); val b = Seq.newBuilder[String]
+        while (r.hasNext) b += r.next().getFileName.toString; b.result().toSet
+      } finally s.close()
+    }
+    assert(after == dataFiles, "staged files must be removed on reject")
+    assert(SnapshotLake.read(spark, root).count() == before.nRows)
+    // a clean batch publishes normally and is readable
+    val ok = SnapshotLake.writeAuditPublish(spark, root,
+      df((3L, "c", 30L)), audit)
+    assert(ok == Right(2))
+    assert(SnapshotLake.read(spark, root).count() == 3)
+    assert(SnapshotLake.snapshot(root, 2).op == "append[wap]")
+  }
 }
