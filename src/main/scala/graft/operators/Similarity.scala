@@ -781,6 +781,79 @@ object Similarity {
       |JOIN norms nb ON d.label_b = nb.label
       |ORDER BY label_a, label_b""".stripMargin
 
+  /** Embedding SPLIT-BALANCE audit: per label, the cosine between the
+    * train-half and test-half centroids under the engine's deterministic
+    * md5 split (q_hash_split's assignment) — cos ≈ 1 means the split
+    * left each class's embedding mass balanced; a low-cos label warns
+    * that eval metrics for that class won't transfer. The drift monitor
+    * for EMBEDDING space, complementing [[Profiling.driftPsi]] /
+    * q_ks_test which watch scalar features.
+    *
+    * Same exactness machinery as [[centroidSim]]: DECIMAL component
+    * sums per (label, split, dim), 6-dp means, 1e-12-unit BIGINT
+    * dot/norm sums — the scale cancels in the cosine. One corpus scan;
+    * everything after is (label × split × 64)-cardinality. */
+  def centroidDrift(s: SparkSession, dir: String): DataFrame = {
+    val cent = corpus(s, dir)
+      .withColumn("split",
+        when(substring(md5(col("vec_id").cast("string")), 32, 1) < "4",
+          "test").otherwise("train"))
+      .select(col("label"), col("split"), posexplode(col("emb")))
+      .toDF("label", "split", "j", "v")
+      .groupBy("label", "split", "j")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("v"), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(20, 6))).as("sv"))
+      .select(col("label"), col("split"), col("j"), col("n"),
+        (floor(col("sv").cast("double") / col("n") * lit(1000000.0d)
+          + lit(0.5d)) / lit(1000000.0d)).as("m"))
+      .cache()
+    val t = cent.filter(col("split") === "train")
+      .select(col("label"), col("j"), col("m").as("mt"), col("n").as("nt"))
+    val e = cent.filter(col("split") === "test")
+      .select(col("label"), col("j"), col("m").as("me"), col("n").as("ne"))
+    t.join(e, Seq("label", "j"))
+      .groupBy("label")
+      .agg(max("nt").as("n_train"), max("ne").as("n_test"),
+        sum(floor(col("mt") * col("me") * lit(1.0e12d) + lit(0.5d))).as("sdot"),
+        sum(floor(col("mt") * col("mt") * lit(1.0e12d) + lit(0.5d))).as("s2t"),
+        sum(floor(col("me") * col("me") * lit(1.0e12d) + lit(0.5d))).as("s2e"))
+      .select(col("label"), col("n_train"), col("n_test"),
+        (floor(col("sdot").cast("double")
+          / sqrt(col("s2t").cast("double") * col("s2e").cast("double"))
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("cos_sim"))
+      .orderBy("label")
+  }
+
+  private val centroidDriftSql =
+    """WITH comp AS (
+      |  SELECT label,
+      |         CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 32, 1) < '4'
+      |              THEN 'test' ELSE 'train' END AS split,
+      |         j, CAST(round(embedding[j]::DOUBLE, 6) AS DECIMAL(20,6)) AS v
+      |  FROM embeddings,
+      |       (SELECT unnest(generate_series(1, 64)) AS j)),
+      |cent AS (
+      |  SELECT label, split, j, count(*) AS n,
+      |         floor(CAST(sum(v) AS DOUBLE) / count(*) * 1000000.0 + 0.5)
+      |           / 1000000.0 AS m
+      |  FROM comp GROUP BY label, split, j),
+      |joined AS (
+      |  SELECT t.label, t.n AS nt, e.n AS ne,
+      |         CAST(floor(t.m * e.m * 1000000000000.0 + 0.5) AS BIGINT) AS p,
+      |         CAST(floor(t.m * t.m * 1000000000000.0 + 0.5) AS BIGINT) AS at,
+      |         CAST(floor(e.m * e.m * 1000000000000.0 + 0.5) AS BIGINT) AS ae
+      |  FROM (SELECT * FROM cent WHERE split = 'train') t
+      |  JOIN (SELECT * FROM cent WHERE split = 'test') e
+      |    ON t.label = e.label AND t.j = e.j)
+      |SELECT label,
+      |       CAST(max(nt) AS BIGINT) AS n_train,
+      |       CAST(max(ne) AS BIGINT) AS n_test,
+      |       floor(CAST(sum(p) AS DOUBLE)
+      |             / sqrt(CAST(sum(at) AS DOUBLE) * CAST(sum(ae) AS DOUBLE))
+      |             * 10000.0 + 0.5) / 10000.0 AS cos_sim
+      |FROM joined GROUP BY label ORDER BY label""".stripMargin
+
   /** ANN self-evaluation: recall@5 of the LSH index path against the
     * brute-force ground truth — the metric a production vector store
     * reports before anyone trusts it. Both sides are THIS engine's own
@@ -1135,5 +1208,6 @@ object Similarity {
     Q("q_sim_ann_batch", annLshBatch, Some(annLshBatchSql)),
     Q("q_knn_join", knnJoin, Some(knnJoinSql)),
     Q("q_label_centroids", labelCentroids, Some(labelCentroidsSql)),
-    Q("q_centroid_sim", centroidSim, Some(centroidSimSql)))
+    Q("q_centroid_sim", centroidSim, Some(centroidSimSql)),
+    Q("q_centroid_drift", centroidDrift, Some(centroidDriftSql)))
 }
