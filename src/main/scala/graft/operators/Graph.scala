@@ -58,7 +58,16 @@ object Graph {
     * whose every node has an out-edge AND an in-edge (symmetric edge sets
     * qualify). Returns the full (node, r) rank table in nano units. */
   private[graft] def pagerankOn(edges0: DataFrame): DataFrame = {
-    val edges = edges0.cache()
+    // cache the edge list PRE-PARTITIONED on the join key: every round's
+    // fan-out join then reuses the cached partitioning (the in-memory
+    // relation reports hash(src) output partitioning, so only the
+    // node-sized rank table exchanges per round — the edge list never
+    // moves again). This also lets all ROUNDS execute as ONE lazy DAG:
+    // no per-round broadcast build or checkpoint job, no driver
+    // round-trips between rounds.
+    val nPart = edges0.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val edges = edges0.repartition(nPart, col("src")).cache()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).cache()
     val n = deg.count()
     // same doubles DuckDB computes from its 1-row params frame
@@ -67,23 +76,15 @@ object Graph {
     var ranks = deg.select(col("src").as("node"), lit(r0).as("r"))
     for (_ <- 1 to ROUNDS) {
       // per-SOURCE contribution computed once on the node-sized rank
-      // table, then fanned out over the cached edge list. The rank table
-      // broadcasts (nodes ≪ edges); on a graph whose node table outgrows
-      // broadcast, drop the hint — edges are cached partitioned by src,
-      // so the join falls back to a one-sided exchange of the rank table.
-      // The symmetric edge set guarantees every node receives ≥ 1
-      // contribution, so no completion join against the node table is
-      // needed.
+      // table, then fanned out over the cached edge list. The symmetric
+      // edge set guarantees every node receives ≥ 1 contribution, so no
+      // completion join against the node table is needed.
       val c = ranks.join(deg, col("node") === col("src"))
         .select(col("node").as("cn"),
           floor(lit(0.85d) * col("r") / col("deg") + lit(0.5d)).as("c"))
-      // materialize each round (node-sized frame): without this, round
-      // k's broadcast build re-executes rounds 1..k-1 — quadratic total
-      // work. Same per-round lineage cut as Dedup.dupClusters.
-      ranks = edges.join(broadcast(c), col("src") === col("cn"))
+      ranks = edges.join(c, col("src") === col("cn"))
         .groupBy("dst").agg(sum("c").as("sc"))
         .select(col("dst").as("node"), (lit(base) + col("sc")).as("r"))
-        .localCheckpoint()
     }
     ranks
   }
