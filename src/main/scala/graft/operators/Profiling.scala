@@ -656,6 +656,118 @@ object Profiling {
       |         AS median_slope
       |FROM slopes GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** BENFORD first-digit audit of order totals — the classic synthetic /
+    * tampered-data smell test: organically-scaled amounts follow
+    * P(d) = log₁₀(1 + 1/d); a flat or spiky digit histogram flags
+    * generated or truncated values (this fixture's uniform-ish totals
+    * read far from Benford — the audit exists to MEASURE that, and the
+    * deviation column is the readout). Digit extraction goes through
+    * INTEGER STRING formatting, not log10-of-value — floor(log10(x))
+    * flips at exact powers of ten under 1-ulp noise; substr of a BIGINT
+    * cast cannot.
+    *
+    * One scan collapsing to 9 digit rows in the partial aggregate; the
+    * 1-row total broadcasts back. */
+  def benford(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(s, dir)
+      .select(substring(floor(col("o_totalprice")).cast("bigint")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_orders"))
+    counts.join(broadcast(counts.agg(sum("n_orders").as("total"))))
+      .select(col("digit"), col("n_orders"),
+        (floor(col("n_orders") / col("total").cast("double")
+          * lit(1000000.0d) + lit(0.5d)) / lit(1000000.0d)).as("share"),
+        (floor(log10(lit(1.0d) + lit(1.0d) / col("digit"))
+          * lit(1000000.0d) + lit(0.5d)) / lit(1000000.0d)).as("benford"))
+      .withColumn("deviation",
+        (floor((col("share") - col("benford")) * lit(1000000.0d) + lit(0.5d))
+          / lit(1000000.0d)))
+      .orderBy("digit")
+  }
+
+  private val benfordSql =
+    """WITH d AS (
+      |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+      |                          AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      |  FROM orders),
+      |counts AS (SELECT digit, count(*) AS n_orders FROM d GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS total FROM counts)
+      |SELECT digit, CAST(n_orders AS BIGINT) AS n_orders,
+      |       floor(n_orders / CAST(total AS DOUBLE) * 1000000.0 + 0.5)
+      |         / 1000000.0 AS share,
+      |       floor(log10(1.0 + 1.0 / digit) * 1000000.0 + 0.5)
+      |         / 1000000.0 AS benford,
+      |       floor((floor(n_orders / CAST(total AS DOUBLE) * 1000000.0 + 0.5)
+      |              / 1000000.0
+      |              - floor(log10(1.0 + 1.0 / digit) * 1000000.0 + 0.5)
+      |                / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS deviation
+      |FROM counts, t ORDER BY digit""".stripMargin
+
+  private val ACF_MAX_LAG = 7
+
+  /** Autocorrelation of the daily event-volume series at lags 1..7 —
+    * the weekly-seasonality detector (a lag-7 spike says day-of-week
+    * structure; lag-1 says momentum) run before any forecasting or
+    * anomaly baseline is trusted. Pearson correlation of (y_d, y_d+lag)
+    * over the aligned day pairs, all sufficient statistics exact BIGINT
+    * sums (the [[corrMatrix]] discipline), one day-offset self-join per
+    * lag on the CALENDAR-SIZED daily aggregate. */
+  def acf(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(datediff(to_date(date_trunc("DAY", col("ts"))),
+        lit("1970-01-01").cast("date")).cast("bigint").as("x"))
+      .groupBy("x").agg(count(lit(1)).as("y"))
+      .cache()
+    // lag fan-out as an EQUI join: each day row replicates once per lag
+    // and joins day+lag exactly — no inequality/nested-loop join, and
+    // the shape survives an arbitrarily long calendar
+    val lagged = daily
+      .withColumn("lag",
+        explode(array((1 to ACF_MAX_LAG).map(l => lit(l.toLong)): _*)))
+      .select(col("lag"), col("y").as("a"), (col("x") + col("lag")).as("qx"))
+      .join(daily.select(col("x").as("qx"), col("y").as("b")), "qx")
+    lagged.groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("a").as("sa"), sum("b").as("sb"),
+        sum(col("a") * col("a")).as("saa"),
+        sum(col("b") * col("b")).as("sbb"),
+        sum(col("a") * col("b")).as("sab"))
+      .select(col("lag"), col("n_pairs"),
+        (floor((col("n_pairs") * col("sab") - col("sa") * col("sb"))
+          .cast("double")
+          / sqrt((col("n_pairs") * col("saa") - col("sa") * col("sa"))
+            .cast("double")
+            * (col("n_pairs") * col("sbb") - col("sb") * col("sb"))
+            .cast("double"))
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("acf"))
+      .orderBy("lag")
+  }
+
+  private val acfSql =
+    s"""WITH daily AS (
+       |  SELECT CAST(CAST(date_trunc('day', ts) AS DATE)
+       |              - DATE '1970-01-01' AS BIGINT) AS x,
+       |         count(*) AS y
+       |  FROM events GROUP BY 1),
+       |lagged AS (
+       |  SELECT l.lag, p.y AS a, q.y AS b
+       |  FROM daily p
+       |  CROSS JOIN (SELECT unnest(generate_series(1, $ACF_MAX_LAG)) AS lag) l
+       |  JOIN daily q ON p.x + l.lag = q.x),
+       |st AS (
+       |  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+       |         CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+       |         CAST(sum(a * a) AS BIGINT) AS saa,
+       |         CAST(sum(b * b) AS BIGINT) AS sbb,
+       |         CAST(sum(a * b) AS BIGINT) AS sab
+       |  FROM lagged GROUP BY 1)
+       |SELECT lag, n_pairs,
+       |       floor(CAST(n_pairs * sab - sa * sb AS DOUBLE)
+       |             / sqrt(CAST(n_pairs * saa - sa * sa AS DOUBLE)
+       |                    * CAST(n_pairs * sbb - sb * sb AS DOUBLE))
+       |             * 10000.0 + 0.5) / 10000.0 AS acf
+       |FROM st ORDER BY lag""".stripMargin
+
   /** KOLMOGOROV-SMIRNOV two-sample test between the train and test
     * splits' doc-length distributions — the exact-statistic complement
     * of [[driftPsi]]'s binned divergence: D = max |F_train − F_test|
@@ -778,6 +890,8 @@ object Profiling {
     Q("q_equidepth_hist", equidepthHist, Some(equidepthHistSql)),
     Q("q_theil_sen", theilSen, Some(theilSenSql)),
     Q("q_ks_test", ksTest, Some(ksTestSql)),
+    Q("q_benford", benford, Some(benfordSql)),
+    Q("q_acf", acf, Some(acfSql)),
     Q("q_gini", gini, Some(giniSql)),
     Q("q_skew_profile", skewProfile, Some(skewProfileSql)),
     Q("q_source_overlap", sourceOverlap, Some(sourceOverlapSql)),

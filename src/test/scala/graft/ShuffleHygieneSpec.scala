@@ -55,7 +55,9 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     // NOT IN plans the null-aware anti join (BroadcastNestedLoopJoin with
     // the null-check conjunct) — build side is the broadcast-tiny
     // distinct subquery key set; the NAAJ plan IS the operator under test
-    "q_null_anti")
+    "q_null_anti",
+    // 1-row digit-total frame broadcast onto the 9-row digit table
+    "q_benford")
 
   // ONE sweep over the registry (executing every query once — the
   // dominant cost of this suite), with both plan properties checked off
