@@ -1040,6 +1040,68 @@ object Breadth {
       |         AS z_stat
       |FROM rates""".stripMargin
 
+  /** RFM customer segmentation — recency / frequency / monetary quartile
+    * scores per customer, reported as the segment census (the
+    * marketing-warehouse classic). Monetary sums are fixed to integer
+    * CENTS before aggregation (exact, merge-order-independent — a raw
+    * double sum is neither); quartile boundaries are exact percentiles
+    * over the customer aggregate, broadcast as one row; each score is an
+    * in-scan "count of boundaries strictly below" array probe — the
+    * same scale shape as [[Profiling.equidepthHist]], with NO global
+    * ntile window (a window over all customers single-partitions at
+    * scale; a boundary broadcast does not). */
+  def rfm(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        datediff(to_date(date_trunc("DAY", col("o_orderdate"))),
+          lit("1970-01-01").cast("date")).cast("bigint").as("d"),
+        floor(col("o_totalprice") * lit(100.0d) + lit(0.5d)).cast("bigint")
+          .as("cents"))
+      .groupBy("o_custkey")
+      .agg(max("d").as("rec"), count(lit(1)).as("freq"),
+        sum("cents").as("mon"))
+      .cache() // feeds the boundary aggregate AND the scoring pass
+    val bounds = cust.agg(
+      expr("percentile(rec, array(0.25D, 0.5D, 0.75D))").as("rb"),
+      expr("percentile(freq, array(0.25D, 0.5D, 0.75D))").as("fb"),
+      expr("percentile(mon, array(0.25D, 0.5D, 0.75D))").as("mb"))
+    def score(v: String, b: String) =
+      expr(s"1 + size(filter($b, x -> $v > x))")
+    cust.join(broadcast(bounds))
+      .select(score("rec", "rb").as("r"), score("freq", "fb").as("f"),
+        score("mon", "mb").as("m"), col("mon"))
+      .groupBy("r", "f", "m")
+      .agg(count(lit(1)).as("n_customers"),
+        (floor(sum("mon").cast("double") / count(lit(1)) / lit(100.0d)
+          * lit(100.0d) + lit(0.5d)) / lit(100.0d)).as("avg_spend"))
+      .orderBy("r", "f", "m")
+  }
+
+  private val rfmSql =
+    """WITH cust AS (
+      |  SELECT o_custkey,
+      |         max(CAST(CAST(date_trunc('day', o_orderdate) AS DATE)
+      |                  - DATE '1970-01-01' AS BIGINT)) AS rec,
+      |         count(*) AS freq,
+      |         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+      |              AS BIGINT) AS mon
+      |  FROM orders GROUP BY 1),
+      |b AS (
+      |  SELECT quantile_cont(rec, [0.25, 0.5, 0.75]) AS rb,
+      |         quantile_cont(freq, [0.25, 0.5, 0.75]) AS fb,
+      |         quantile_cont(mon, [0.25, 0.5, 0.75]) AS mb
+      |  FROM cust),
+      |scored AS (
+      |  SELECT 1 + len(list_filter(rb, x -> rec > x)) AS r,
+      |         1 + len(list_filter(fb, x -> freq > x)) AS f,
+      |         1 + len(list_filter(mb, x -> mon > x)) AS m,
+      |         mon
+      |  FROM cust, b)
+      |SELECT r, f, m, count(*) AS n_customers,
+      |       floor(CAST(sum(mon) AS DOUBLE) / count(*) / 100.0 * 100.0 + 0.5)
+      |         / 100.0 AS avg_spend
+      |FROM scored GROUP BY r, f, m ORDER BY r, f, m""".stripMargin
+
   /** Daily user-growth census: active / NEW / returning users per day
     * plus the cumulative user count — the growth-accounting decomposition
     * (every active user is exactly one of new-or-returning) behind any
@@ -1288,6 +1350,7 @@ object Breadth {
     Q("q_chi_squared", chiSquared, Some(chiSquaredSql)),
     Q("q_scd2", scd2, Some(scd2Sql)),
     Q("q_user_growth", userGrowth, Some(userGrowthSql)),
+    Q("q_rfm", rfm, Some(rfmSql)),
     Q("q_cooccurrence", cooccurrence, Some(cooccurrenceSql)),
     Q("q_attribution", attribution, Some(attributionSql)),
     Q("q_event_transitions", eventTransitions, Some(eventTransitionsSql)),

@@ -57,7 +57,9 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     // distinct subquery key set; the NAAJ plan IS the operator under test
     "q_null_anti",
     // 1-row digit-total frame broadcast onto the 9-row digit table
-    "q_benford")
+    "q_benford",
+    // 1-row quartile-boundary frame broadcast onto the customer aggregate
+    "q_rfm")
 
   // ONE sweep over the registry (executing every query once — the
   // dominant cost of this suite), with both plan properties checked off
