@@ -279,6 +279,80 @@ object Breadth {
       |LEFT JOIN t2 ON t1.user_id = t2.user_id
       |LEFT JOIN t3 ON t1.user_id = t3.user_id""".stripMargin
 
+  /** Funnel TIME-TO-CONVERT: quartiles and exact mean of the gap between
+    * ordered funnel steps (first view → first later click → first later
+    * purchase) — [[funnelSteps]] says how many convert; this says how
+    * LONG conversion takes, the number that sizes attribution windows
+    * and retargeting delays. Same conditional-aggregation shape (three
+    * narrow user-keyed frames, no row-to-row self-join). Timestamps
+    * collapse to WHOLE SECONDS via integer µs floor-division — Spark
+    * reads the ns fixture at µs and DuckDB keeps ns, so only the
+    * whole-second key is engine-identical. Gap quartiles are exact
+    * interpolated percentiles over BIGINT gaps; the mean is an exact
+    * integer-sum quotient. */
+  def funnelTime(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(
+      col("user_id"), col("event_type"),
+      expr("unix_micros(ts) div 1000000").as("sec"))
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("sec").as("t1"))
+    val t2 = e.join(t1, "user_id")
+      .filter(col("event_type") === "click" && col("sec") > col("t1"))
+      .groupBy("user_id").agg(min("sec").as("t2"))
+    val t3 = e.join(t2, "user_id")
+      .filter(col("event_type") === "purchase" && col("sec") > col("t2"))
+      .groupBy("user_id").agg(min("sec").as("t3"))
+    def census(step: String, gaps: DataFrame): DataFrame =
+      gaps.agg(count(lit(1)).as("n_users"),
+        expr("percentile(g, array(0.25D, 0.5D, 0.75D))").as("p"),
+        sum("g").as("sg"))
+        .select(lit(step).as("step"), col("n_users"),
+          (floor(col("p")(0) * lit(10000.0d) + lit(0.5d)) / lit(10000.0d))
+            .as("p25_sec"),
+          (floor(col("p")(1) * lit(10000.0d) + lit(0.5d)) / lit(10000.0d))
+            .as("p50_sec"),
+          (floor(col("p")(2) * lit(10000.0d) + lit(0.5d)) / lit(10000.0d))
+            .as("p75_sec"),
+          (floor(col("sg").cast("double") / col("n_users") * lit(10000.0d)
+            + lit(0.5d)) / lit(10000.0d)).as("mean_sec"))
+    val g12 = t1.join(t2, "user_id").select((col("t2") - col("t1")).as("g"))
+    val g23 = t2.join(t3, "user_id").select((col("t3") - col("t2")).as("g"))
+    census("1_view_to_click", g12)
+      .unionByName(census("2_click_to_purchase", g23))
+      .orderBy("step")
+  }
+
+  private val funnelTimeSql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) // 1000000 AS sec
+      |  FROM events),
+      |t1 AS (SELECT user_id, min(sec) AS t1 FROM e
+      |       WHERE event_type = 'view' GROUP BY user_id),
+      |t2 AS (SELECT e.user_id, min(sec) AS t2
+      |       FROM e JOIN t1 ON e.user_id = t1.user_id
+      |       WHERE event_type = 'click' AND sec > t1 GROUP BY e.user_id),
+      |t3 AS (SELECT e.user_id, min(sec) AS t3
+      |       FROM e JOIN t2 ON e.user_id = t2.user_id
+      |       WHERE event_type = 'purchase' AND sec > t2 GROUP BY e.user_id),
+      |g12 AS (SELECT t2.t2 - t1.t1 AS g FROM t1 JOIN t2 ON t1.user_id = t2.user_id),
+      |g23 AS (SELECT t3.t3 - t2.t2 AS g FROM t2 JOIN t3 ON t2.user_id = t3.user_id)
+      |SELECT '1_view_to_click' AS step, count(*) AS n_users,
+      |       floor(quantile_cont(g, 0.25) * 10000.0 + 0.5) / 10000.0 AS p25_sec,
+      |       floor(quantile_cont(g, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50_sec,
+      |       floor(quantile_cont(g, 0.75) * 10000.0 + 0.5) / 10000.0 AS p75_sec,
+      |       floor(CAST(sum(g) AS DOUBLE) / count(*) * 10000.0 + 0.5)
+      |         / 10000.0 AS mean_sec
+      |FROM g12
+      |UNION ALL
+      |SELECT '2_click_to_purchase', count(*),
+      |       floor(quantile_cont(g, 0.25) * 10000.0 + 0.5) / 10000.0,
+      |       floor(quantile_cont(g, 0.5) * 10000.0 + 0.5) / 10000.0,
+      |       floor(quantile_cont(g, 0.75) * 10000.0 + 0.5) / 10000.0,
+      |       floor(CAST(sum(g) AS DOUBLE) / count(*) * 10000.0 + 0.5)
+      |         / 10000.0
+      |FROM g23
+      |ORDER BY step""".stripMargin
+
   /** Set operations (SURVEY §2.6): distinct-union / intersect / except of
     * the urgent vs low-priority customer key sets, reported as one row of
     * cardinalities. */
@@ -1351,6 +1425,7 @@ object Breadth {
     Q("q_scd2", scd2, Some(scd2Sql)),
     Q("q_user_growth", userGrowth, Some(userGrowthSql)),
     Q("q_rfm", rfm, Some(rfmSql)),
+    Q("q_funnel_time", funnelTime, Some(funnelTimeSql)),
     Q("q_cooccurrence", cooccurrence, Some(cooccurrenceSql)),
     Q("q_attribution", attribution, Some(attributionSql)),
     Q("q_event_transitions", eventTransitions, Some(eventTransitionsSql)),

@@ -577,6 +577,58 @@ object TextAnalysis {
     * w1-keyed marginal — both vocabulary-sized, not corpus-sized — and
     * scoring is one join on the bigram key. V (distinct tokens) is a
     * driver scalar on the same footing as lmScore's corpus size. */
+  /** HEAPS-LAW vocabulary growth: distinct-vocabulary size as the corpus
+    * grows through 16 deterministic md5-ordered slices — the curve that
+    * answers "how much more vocab does 10× more data buy" before
+    * committing a tokenizer budget. The trick that makes it ONE pass:
+    * a token first appears at the MINIMUM slice of any document that
+    * contains it, so the growth curve is a cumulative count over each
+    * token's min-slice — no need to rescan the corpus per prefix.
+    *
+    * Scale shape: tokens collapse to (token, min_slice) in the partial
+    * aggregate; the curve itself is window math over 16 rows. */
+  def vocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val sliceOf = expr(
+      "instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 32, 1)) - 1")
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), sliceOf.as("slice"), split(col("text"), " ").as("toks"))
+    val firstSlice = docs
+      .select(col("slice"), explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(min("slice").as("fs"))
+      .groupBy("fs").agg(count(lit(1)).as("n_first"))
+    val docsPer = docs.groupBy("slice").agg(count(lit(1)).as("n_docs"))
+    val w = Window.orderBy("slice")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docsPer.join(firstSlice, col("slice") === col("fs"), "left")
+      .withColumn("n_first", coalesce(col("n_first"), lit(0L)))
+      .withColumn("docs_cum", sum("n_docs").over(w))
+      .withColumn("vocab_cum", sum("n_first").over(w))
+      .select("slice", "docs_cum", "vocab_cum")
+      .orderBy("slice")
+  }
+
+  private val vocabGrowthSql =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |         instr('0123456789abcdef',
+      |               substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 AS slice,
+      |         string_split(text, ' ') AS toks
+      |  FROM documents),
+      |fs AS (
+      |  SELECT fs, count(*) AS n_first FROM (
+      |    SELECT tok, min(slice) AS fs FROM (
+      |      SELECT slice, unnest(toks) AS tok FROM docs)
+      |    GROUP BY tok)
+      |  GROUP BY fs),
+      |dp AS (SELECT slice, count(*) AS n_docs FROM docs GROUP BY 1)
+      |SELECT dp.slice,
+      |       CAST(sum(dp.n_docs) OVER w AS BIGINT) AS docs_cum,
+      |       CAST(sum(coalesce(fs.n_first, 0)) OVER w AS BIGINT) AS vocab_cum
+      |FROM dp LEFT JOIN fs ON dp.slice = fs.fs
+      |WINDOW w AS (ORDER BY dp.slice
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY dp.slice""".stripMargin
+
   private val HH_K = 100
 
   /** Heavy hitters: every token with global count > N/$HH_K, found the
@@ -926,6 +978,7 @@ object TextAnalysis {
     Q("q_bigram_lm", bigramLm, Some(bigramLmSql)),
     Q("q_pmi_colloc", pmiCollocations, Some(pmiCollocationsSql)),
     Q("q_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
+    Q("q_vocab_growth", vocabGrowth, Some(vocabGrowthSql)),
     Q("q_bm25", bm25, Some(bm25Sql)),
     Q("q_token_entropy", tokenEntropy, Some(tokenEntropySql)),
     Q("q_tfidf", tfidf, Some(tfidfSql)),
