@@ -268,6 +268,58 @@ object Dedup {
        |FROM e""".stripMargin
   }
 
+  /** Near-duplicate rate BY SOURCE PAIR: verified near-dup pairs
+    * (banding candidates with true Jaccard ≥ 0.3) attributed to the
+    * (source_a, source_b) of their documents — the "which feeds
+    * duplicate each other" readout that decides what a mixture weights
+    * double-count ([[Profiling.sourceOverlap]] sees shared shingles;
+    * this sees whole near-duplicate DOCUMENTS). Within-source pairs
+    * appear as (s, s) rows.
+    *
+    * Scale shape: candidate generation is the capped banding pipeline;
+    * only (doc_id, source) tuples join onto the verified pair ids; the
+    * output is bounded by source-pair count. */
+  def dupRateBySource(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithShingles(s, dir).select("doc_id", "sh").cache()
+    val cand = minhashCandidates(docs, cached = true)
+    val src = Tables.documents(s, dir).select("doc_id", "source")
+    val verified = cand
+      .join(docs.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(docs.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      .filter(TextFns.jaccard("sha", "shb") >= 0.3)
+      .join(src.select(col("doc_id").as("a"), col("source").as("sa")), "a")
+      .join(src.select(col("doc_id").as("b"), col("source").as("sb")), "b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_dup_pairs"))
+      .orderBy("source_a", "source_b")
+    val out = verified.cache()
+    out.count() // materialize before releasing the upstream caches
+    docs.unpersist()
+    cand.unpersist()
+    out
+  }
+
+  private val dupRateBySourceSql =
+    s"""$minhashCandPrefixSql,
+       |ver AS (
+       |  SELECT c.a, c.b
+       |  FROM cand c
+       |  JOIN docs sa ON c.a = sa.doc_id
+       |  JOIN docs sb ON c.b = sb.doc_id
+       |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |        / CAST(len(sa.sh) + len(sb.sh)
+       |               - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) >= 0.3),
+       |attributed AS (
+       |  SELECT least(da.source, db.source) AS source_a,
+       |         greatest(da.source, db.source) AS source_b
+       |  FROM ver
+       |  JOIN documents da ON ver.a = da.doc_id
+       |  JOIN documents db ON ver.b = db.doc_id)
+       |SELECT source_a, source_b, count(*) AS n_dup_pairs
+       |FROM attributed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** SimHash dedup: one 32-bit signature per doc — the codegen'd
     * [[graft.functions.SimHash32D]] kernel (zero shuffle, compiled loop;
     * bit-identical to the portable-SQL TextFns.simhash32 form, asserted in
@@ -874,6 +926,7 @@ object Dedup {
     Q("q_dedup_exact", exact, Some(exactSql)),
     Q("q_dedup_minhash", minhashLsh, Some(minhashLshSql)),
     Q("q_minhash_calibration", minhashCalibration, Some(minhashCalibrationSql)),
+    Q("q_dup_rate_by_source", dupRateBySource, Some(dupRateBySourceSql)),
     Q("q_dedup_simhash", simhash, Some(simhashSql)),
     Q("q_dedup_ngram", ngramJaccard, Some(ngramJaccardSql)),
     Q("q_dedup_containment", ngramContainment, Some(ngramContainmentSql)),
