@@ -883,8 +883,79 @@ object Profiling {
       |             * 1000000.0 + 0.5) / 1000000.0 AS gini
       |FROM stats ORDER BY source""".stripMargin
 
+  /** ROC AUC (Mann-Whitney) of two per-document predictors of the binary
+    * label "is English": n_chars and the whitespace token count. The
+    * pairwise definition AUC = (#{pos>neg} + ½·#{pos=neg}) / (P·N) is
+    * computed without the quadratic pair join via the tie-group identity:
+    * group docs by distinct score, count positives p and negatives n per
+    * group, and take wins×2 = Σ p·(2·neg_strictly_below + n_in_group).
+    * Everything stays BIGINT until the single final division (operands
+    * ≪ 2^53, so the doubles are exact and the one IEEE division is
+    * bit-identical across engines; 4-dp via the floor discipline).
+    *
+    * Scale posture: the corpus is touched once (the two predictors ride
+    * one scan through a row-local explode); the window runs over the
+    * DISTINCT-SCORE aggregate — bounded by the value domain, not the
+    * corpus (the [[ksTest]] precedent). */
+  def auc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(s, dir)
+      .select(col("lang"), col("n_chars").cast("long").as("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .select(explode(array(
+        struct(lit("n_chars").as("metric"), col("n_chars").as("score"),
+          col("lang")),
+        struct(lit("n_toks").as("metric"), col("n_toks").as("score"),
+          col("lang")))).as("r"))
+      .select(col("r.metric").as("metric"), col("r.score").as("score"),
+        col("r.lang").as("lang"))
+    val groups = scored.groupBy("metric", "score")
+      .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("p"),
+        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("n"))
+    val below = Window.partitionBy("metric").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    groups
+      .withColumn("nb", coalesce(sum("n").over(below), lit(0L)))
+      .groupBy("metric")
+      .agg(sum("p").as("n_pos"), sum("n").as("n_neg"),
+        sum(col("p") * (lit(2L) * col("nb") + col("n"))).as("wins2"))
+      .select(col("metric"), col("n_pos"), col("n_neg"),
+        (floor(col("wins2").cast("double")
+          / (lit(2.0d) * col("n_pos") * col("n_neg"))
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("auc"))
+      .orderBy("metric")
+  }
+
+  private val aucSql =
+    """WITH u AS (
+      |  SELECT 'n_chars' AS metric, CAST(n_chars AS BIGINT) AS score, lang
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'n_toks', CAST(len(string_split(text, ' ')) AS BIGINT), lang
+      |  FROM documents),
+      |g AS (
+      |  SELECT metric, score,
+      |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS p,
+      |         CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n
+      |  FROM u GROUP BY metric, score),
+      |c AS (
+      |  SELECT metric, p, n,
+      |         COALESCE(CAST(sum(n) OVER (PARTITION BY metric ORDER BY score
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           AS BIGINT), 0) AS nb
+      |  FROM g)
+      |SELECT metric, CAST(sum(p) AS BIGINT) AS n_pos,
+      |       CAST(sum(n) AS BIGINT) AS n_neg,
+      |       floor(CAST(sum(p * (2 * nb + n)) AS DOUBLE)
+      |             / (2.0 * CAST(sum(p) AS BIGINT) * CAST(sum(n) AS BIGINT))
+      |             * 10000.0 + 0.5) / 10000.0 AS auc
+      |FROM c GROUP BY metric ORDER BY metric""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_histogram", histogram, Some(histogramSql)),
+    Q("q_auc", auc, Some(aucSql)),
     Q("q_corr_matrix", corrMatrix, Some(corrMatrixSql)),
     Q("q_daily_trend", dailyTrend, Some(dailyTrendSql)),
     Q("q_equidepth_hist", equidepthHist, Some(equidepthHistSql)),
