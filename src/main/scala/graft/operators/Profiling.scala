@@ -953,9 +953,75 @@ object Profiling {
       |             * 10000.0 + 0.5) / 10000.0 AS auc
       |FROM c GROUP BY metric ORDER BY metric""".stripMargin
 
+  /** Decile gains/lift table for the n_chars predictor of "is English" —
+    * the threshold-free complement of [[auc]]: equi-depth deciles from the
+    * exact interpolated quantile boundaries (engine-portable raw — the
+    * [[equidepthHist]] precedent), then per-decile capture rate, lift vs
+    * the base rate, and the cumulative share of positives captured
+    * walking from the highest decile down (the gains chart a curation
+    * run reads to pick a filter threshold).
+    *
+    * Scale posture: one corpus scan; the 9-boundary frame is a 1-row
+    * broadcast; every window runs on the 10-row decile aggregate. */
+  def liftCurve(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+      .select(col("n_chars").cast("double").as("x"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+    val ps = (1 to 9).map(k => s"${k / 10.0}D").mkString(", ")
+    val bounds = d.agg(expr(s"percentile(x, array($ps))").as("bs"))
+    val g = d.join(broadcast(bounds))
+      .select(expr("size(filter(bs, b -> x > b))").as("decile"), col("pos"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum("pos").as("n_pos"))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val wDesc = Window.orderBy(col("decile").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("tot_docs", sum("n_docs").over(wAll))
+      .withColumn("tot_pos", sum("n_pos").over(wAll))
+      .withColumn("cum_pos", sum("n_pos").over(wDesc))
+      .select(col("decile"), col("n_docs"), col("n_pos"),
+        (floor(col("n_pos").cast("double") / col("n_docs")
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("pos_rate"),
+        (floor((col("n_pos").cast("double") / col("n_docs"))
+          / (col("tot_pos").cast("double") / col("tot_docs"))
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("lift"),
+        (floor(col("cum_pos").cast("double") / col("tot_pos")
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("cum_gain"))
+      .orderBy("decile")
+  }
+
+  private val liftCurveSql = {
+    val ps = (1 to 9).map(k => k / 10.0).mkString(", ")
+    s"""WITH d AS (
+       |  SELECT CAST(n_chars AS DOUBLE) AS x,
+       |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+       |  FROM documents),
+       |b AS (SELECT quantile_cont(x, [$ps]) AS bs FROM d),
+       |g AS (
+       |  SELECT CAST(len(list_filter(bs, y -> x > y)) AS INTEGER) AS decile,
+       |         count(*) AS n_docs, CAST(sum(pos) AS BIGINT) AS n_pos
+       |  FROM d CROSS JOIN b GROUP BY 1)
+       |SELECT decile, n_docs, n_pos,
+       |       floor(CAST(n_pos AS DOUBLE) / n_docs * 10000.0 + 0.5)
+       |         / 10000.0 AS pos_rate,
+       |       floor((CAST(n_pos AS DOUBLE) / n_docs)
+       |             / (CAST(sum(n_pos) OVER () AS DOUBLE)
+       |                / sum(n_docs) OVER ())
+       |             * 10000.0 + 0.5) / 10000.0 AS lift,
+       |       floor(CAST(sum(n_pos) OVER (ORDER BY decile DESC
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |               AS DOUBLE)
+       |             / sum(n_pos) OVER () * 10000.0 + 0.5) / 10000.0
+       |         AS cum_gain
+       |FROM g ORDER BY decile""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_histogram", histogram, Some(histogramSql)),
     Q("q_auc", auc, Some(aucSql)),
+    Q("q_lift_curve", liftCurve, Some(liftCurveSql)),
     Q("q_corr_matrix", corrMatrix, Some(corrMatrixSql)),
     Q("q_daily_trend", dailyTrend, Some(dailyTrendSql)),
     Q("q_equidepth_hist", equidepthHist, Some(equidepthHistSql)),

@@ -59,7 +59,10 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     // 1-row digit-total frame broadcast onto the 9-row digit table
     "q_benford",
     // 1-row quartile-boundary frame broadcast onto the customer aggregate
-    "q_rfm")
+    "q_rfm",
+    // 1-row decile-boundary frame broadcast onto the scan (q_equidepth_hist
+    // shape)
+    "q_lift_curve")
 
   // ONE sweep over the registry (executing every query once — the
   // dominant cost of this suite), with both plan properties checked off
