@@ -127,6 +127,84 @@ object Curation {
        |WHERE r <= quota
        |ORDER BY tier, doc_id""".stripMargin
 
+  // --- Token-budget (uniform-mixture) truncation sampling -----------------
+
+  /** Rebalance the corpus toward a uniform per-source TOKEN mixture:
+    * every source keeps documents — in md5-hash order, so the sample is
+    * stable across runs, engines, and layouts — until the cumulative
+    * token count reaches the budget (the smallest source's total token
+    * count, i.e. the largest equal share reachable without upsampling).
+    * [[domainMix]] fills doc-COUNT quotas; training mixtures are
+    * specified in tokens, which is what this fills. A document is kept
+    * iff the tokens BEFORE it (in hash order) are under budget, so every
+    * source keeps ≥ 1 doc and overshoots by less than one document.
+    *
+    * Scale posture: the global hash-order running sum is computed
+    * two-level — hash-prefix buckets first (per-(source, bucket) token
+    * sums, a tiny aggregate whose per-source prefix sums broadcast
+    * back), then a fine window only WITHIN each (source, bucket), which
+    * holds 1/16 of a source, never all of it. Bucket order is a prefix
+    * of full hash order, so offset + within-bucket prefix IS the exact
+    * global prefix sum; buckets that start past the budget are filtered
+    * before the fine window ever runs. */
+  def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .withColumn("hk", md5(concat(col("doc_id").cast("string"), lit(":tb"))))
+      .withColumn("bucket", substring(col("hk"), 1, 1))
+    val perBucket = d.groupBy("source", "bucket")
+      .agg(sum("n_toks").as("btoks"))
+    val wB = Window.partitionBy("source").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perBucket
+      .withColumn("off", coalesce(sum("btoks").over(wB), lit(0L)))
+      .select("source", "bucket", "off")
+    val budget = d.groupBy("source").agg(sum("n_toks").as("tot"))
+      .agg(min("tot").as("budget"))
+    val wF = Window.partitionBy("source", "bucket")
+      .orderBy(col("hk").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.join(broadcast(offsets), Seq("source", "bucket"))
+      .join(broadcast(budget))
+      .filter(col("off") < col("budget"))
+      .withColumn("cum_before",
+        col("off") + coalesce(sum("n_toks").over(wF), lit(0L)))
+      .filter(col("cum_before") < col("budget"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs_kept"), sum("n_toks").as("toks_kept"),
+        first("budget").as("budget"))
+      .select(col("source"), col("n_docs_kept"), col("toks_kept"),
+        col("budget"),
+        (floor(col("toks_kept").cast("double") / col("budget")
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("fill_pct"))
+      .orderBy("source")
+  }
+
+  private val tokenBudgetSql =
+    """WITH d AS (
+      |  SELECT source, doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+      |         md5(CAST(doc_id AS VARCHAR) || ':tb') AS hk
+      |  FROM documents),
+      |b AS (
+      |  SELECT CAST(min(tot) AS BIGINT) AS budget FROM (
+      |    SELECT CAST(sum(n_toks) AS BIGINT) AS tot FROM d GROUP BY source)),
+      |c AS (
+      |  SELECT source, n_toks,
+      |         COALESCE(CAST(sum(n_toks) OVER (
+      |           PARTITION BY source ORDER BY hk, doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           AS BIGINT), 0) AS cum_before
+      |  FROM d)
+      |SELECT source, count(*) AS n_docs_kept,
+      |       CAST(sum(n_toks) AS BIGINT) AS toks_kept, budget,
+      |       floor(CAST(sum(n_toks) AS DOUBLE) / budget * 10000.0 + 0.5)
+      |         / 10000.0 AS fill_pct
+      |FROM c CROSS JOIN b
+      |WHERE cum_before < budget
+      |GROUP BY source, budget ORDER BY source""".stripMargin
+
   // --- Sequence chunking + chunk-level dedup ------------------------------
 
   private val CHUNK = 64 // chunk width (chars)
@@ -307,6 +385,7 @@ object Curation {
   val all: Seq[Q] = Seq(
     Q("q_pii_redact", piiRedact, Some(piiRedactSql)),
     Q("q_domain_mix", domainMix, Some(domainMixSql)),
+    Q("q_token_budget", tokenBudget, Some(tokenBudgetSql)),
     Q("q_chunk_dedup", chunkDedup, Some(chunkDedupSql)),
     Q("q_pack_sequences", packSequences, Some(packSequencesSql)),
     Q("q_shuffle_shards", shuffleShards, Some(shuffleShardsSql)),

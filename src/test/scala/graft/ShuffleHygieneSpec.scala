@@ -62,7 +62,9 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     "q_rfm",
     // 1-row decile-boundary frame broadcast onto the scan (q_equidepth_hist
     // shape)
-    "q_lift_curve")
+    "q_lift_curve",
+    // 1-row token-budget frame broadcast onto the bucketed scan
+    "q_token_budget")
 
   // ONE sweep over the registry (executing every query once — the
   // dominant cost of this suite), with both plan properties checked off
