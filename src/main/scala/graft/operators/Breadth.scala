@@ -464,6 +464,46 @@ object Breadth {
            count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Mergeable distinct-count sketch TABLE — the at-scale upgrade of
+    * [[approxDistinct]]: per-(event_type, day) HLL sketches of user_id
+    * (Apache DataSketches via `hll_sketch_agg`) are a materializable
+    * summary a lake keeps next to each partition; any rollup — here per
+    * type across all days — is a UNION of the stored sketches, never a
+    * rescan of the raw events. The control columns rebuild the same
+    * estimate directly from the rows and count the exact distinct:
+    * union-of-parts merges register state losslessly, but its ESTIMATE
+    * can differ slightly from the direct build's: DataSketches scores a
+    * single-pass sketch with the insertion-order-dependent HIP estimator
+    * and a merged sketch with the composite estimator (HIP does not
+    * survive a union). StatsOpsSpec asserts the two agree within 2% and
+    * both sit within the HLL error band of the exact count.
+    *
+    * Declared rows-only: sketch binaries and estimates are
+    * engine-specific (DuckDB's approx_count_distinct is a different
+    * sketch). The identity and error-band checks live in the spec. */
+  def hllRollup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("user_id"))
+    val daily = ev.groupBy("event_type", "day")
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val rolled = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("est_union"))
+    val direct = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+        .as("est_direct"),
+        countDistinct(col("user_id")).as("exact_users"))
+    rolled.join(direct, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("est_union"),
+        col("est_direct"), col("exact_users"),
+        (floor(abs(col("est_union") - col("exact_users")).cast("double")
+          / col("exact_users") * lit(1000000.0d) + lit(0.5d))
+          / lit(10000.0d)).as("rel_err_pct"))
+      .orderBy("event_type")
+  }
+
   /** lead/lag: inter-event-time statistics per user — the offset-window
     * complement to frames (same single exchange on user_id). */
   def interEventTime(s: SparkSession, dir: String): DataFrame = {
@@ -1448,5 +1488,6 @@ object Breadth {
     Q("q_rollup", rollupAgg, Some(rollupAggSql)),
     Q("q_sessionize", sessionize, Some(sessionizeSql)),
     Q("q_session_window", sessionWindowAgg, Some(sessionWindowAggSql)),
-    Q("q_approx_distinct", approxDistinct, None))
+    Q("q_approx_distinct", approxDistinct, None),
+    Q("q_hll_rollup", hllRollup, None))
 }

@@ -107,4 +107,23 @@ class StatsOpsSpec extends SparkTestBase {
     assert(hot.getAs[Long]("cnt") == 400L)
     spark.catalog.clearCache()
   }
+
+  test("HLL rollup: union of daily sketches equals the direct build; " +
+    "both within the error band of exact") {
+    val rows = Breadth.hllRollup(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (u, d) = (r.getAs[Long]("est_union"), r.getAs[Long]("est_direct"))
+      // Register state merges losslessly, but DataSketches scores a
+      // merged sketch with the composite estimator while a single-pass
+      // build keeps the (order-dependent, slightly tighter) HIP
+      // estimator — the estimates agree closely, not bit-exactly.
+      assert(math.abs(u - d).toDouble / d < 0.02,
+        s"${r.getString(0)}: union $u vs direct $d diverge > 2%")
+      val exact = r.getAs[Long]("exact_users")
+      // lgK=12 standard error ≈ 1.04/√4096 ≈ 1.6%; allow 4 sigma
+      assert(math.abs(u - exact).toDouble / exact < 0.065,
+        s"${r.getString(0)}: estimate $u too far from exact $exact")
+    }
+  }
 }
