@@ -96,6 +96,31 @@ object StreamOps {
         col("view_id"), col("value"))
   }
 
+  /** LEFT OUTER stream-stream join — [[viewPurchaseJoin]] plus the rows
+    * the inner join drops: a purchase with NO qualifying view must still
+    * come out (conversion without attribution is a row, not an absence).
+    * Outer semantics force a timing contract the inner join doesn't
+    * have: an unmatched purchase can only be emitted (null view side)
+    * once the GLOBAL watermark — the min across both streams — passes
+    * the end of its join window, because until then a matching view
+    * could still arrive. Until that moment the row sits in the state
+    * store; the spec pins both phases (held, then null-emitted). */
+  def viewPurchaseJoinOuter(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+      col("event_id").as("view_id"))
+      .withWatermark("v_ts", "10 minutes")
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+      col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "10 minutes")
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+      "leftOuter")
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("view_id"), col("value"))
+  }
+
   /** foreachBatch parquet sink: land each micro-batch in a parquet
     * directory (append), reusing the full batch DataFrameWriter — the
     * standard way to attach a streaming pipeline to a batch table when no

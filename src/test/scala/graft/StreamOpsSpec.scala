@@ -221,6 +221,48 @@ class StreamOpsSpec extends SparkTestBase {
     assert(batch.length == 2) // user 1's purchase x 2 views; user 2 out of window
   }
 
+  test("left-outer stream-stream join: unmatched purchase held until the " +
+    "watermark closes its window, then emitted with a null view side") {
+    val views = Seq(IdEvent(1L, ts(1, 0), 100L, 0.0))
+    val buys = Seq(
+      IdEvent(1L, ts(1, 30), 200L, 9.0), // matches user 1's view
+      IdEvent(2L, ts(1, 20), 201L, 5.0)) // no view for user 2 — outer row
+
+    implicit val ctx = spark.sqlContext
+    val vMem = MemoryStream[IdEvent]
+    val bMem = MemoryStream[IdEvent]
+    val q = StreamOps.viewPurchaseJoinOuter(vMem.toDF(), bMem.toDF())
+      .writeStream.format("memory").queryName("ssoj_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      vMem.addData(views: _*)
+      bMem.addData(buys: _*)
+      q.processAllAvailable()
+      // phase 1: only the matched row is out — the unmatched purchase
+      // could still gain a view, so it must be parked in state
+      val phase1 = spark.table("ssoj_sink").collect()
+      assert(phase1.map(_.getLong(1)).toSet == Set(200L),
+        s"premature outer emission: ${phase1.mkString(",")}")
+      // advance the GLOBAL watermark (min of both streams) past purchase
+      // 201's window end (p_ts + 10 min delay): sentinels at 4:00 push
+      // the watermark to 3:50 on both sides
+      vMem.addData(IdEvent(9L, ts(4, 0), 900L, 0.0))
+      bMem.addData(IdEvent(9L, ts(4, 0), 901L, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ssoj_sink")
+      .filter(org.apache.spark.sql.functions.col("purchase_id") =!= 901L)
+      // (901 is the watermark sentinel, not under test)
+      .collect()
+    val outer = rows.filter(_.getLong(1) == 201L)
+    assert(outer.length == 1, s"outer row missing: ${rows.mkString(",")}")
+    assert(outer.head.isNullAt(2), "unmatched purchase must carry null view_id")
+    // and it matches the batch left join on the same input
+    val batch = StreamOps.viewPurchaseJoinOuter(views.toDF(), buys.toDF())
+      .orderBy("purchase_id").collect().toSeq
+    assert(rows.sortBy(_.getLong(1)).toSeq == batch)
+  }
+
   test("dedupEvents: re-delivered events within the watermark are dropped") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[UserEvent]
