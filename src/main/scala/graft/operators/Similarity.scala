@@ -1193,6 +1193,53 @@ object Similarity {
        |FROM pred p JOIN lab l ON p.vec_id = l.id CROSS JOIN held h
        |GROUP BY h.n_heldout""".stripMargin
 
+  /** MRR of the batched LSH probe against brute-force ground truth — the
+    * "how fast does the user hit THE right answer" complement of
+    * [[annNdcg]] (graded list quality) and [[annRecall]] (set overlap):
+    * per query, the reciprocal of the rank at which the probe returns
+    * the true nearest neighbor, 0 when it misses; averaged over the
+    * batch. Both rankings reuse the batch operators, so this is one
+    * corpus scan + one partition-pruned index probe; reciprocal ranks
+    * are floor-fixed to 6 dp and summed as DECIMAL(20,6) (order-free)
+    * before the single final division. */
+  def annMrr(s: SparkSession, dir: String): DataFrame = {
+    val truth = bruteTopKBatch(s, dir).filter(col("rn") === 1)
+      .select(col("q_id"), col("vec_id"))
+    val ann = annLshBatch(s, dir)
+      .select(col("q_id"), col("vec_id"), col("rn").as("a_rank"))
+    truth.join(ann, Seq("q_id", "vec_id"), "left")
+      .withColumn("rr",
+        when(col("a_rank").isNotNull,
+          floor(lit(1.0d) / col("a_rank") * lit(1000000.0d) + lit(0.5d))
+            / lit(1000000.0d))
+          .otherwise(lit(0.0d)).cast("decimal(20,6)"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("a_rank").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+        sum("rr").as("srr"))
+      .select(col("n_queries"), col("n_hit"),
+        (floor(col("srr").cast("double") / col("n_queries")
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("mrr"))
+  }
+
+  private lazy val annMrrSql =
+    s"""WITH t AS (
+       |  SELECT q_id, vec_id FROM ($bruteTopKBatchSql) WHERE rn = 1),
+       |a AS (SELECT q_id, vec_id, rn AS a_rank FROM ($annLshBatchSql)),
+       |j AS (
+       |  SELECT t.q_id,
+       |         CAST(CASE WHEN a.a_rank IS NOT NULL THEN
+       |             floor(CAST(1.0 AS DOUBLE) / a.a_rank * 1000000.0 + 0.5)
+       |               / 1000000.0
+       |           ELSE 0.0 END AS DECIMAL(20,6)) AS rr,
+       |         a.a_rank
+       |  FROM t LEFT JOIN a ON t.q_id = a.q_id AND t.vec_id = a.vec_id)
+       |SELECT count(*) AS n_queries,
+       |       CAST(sum(CASE WHEN a_rank IS NOT NULL THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_hit,
+       |       floor(CAST(sum(rr) AS DOUBLE) / count(*) * 10000.0 + 0.5)
+       |         / 10000.0 AS mrr
+       |FROM j""".stripMargin
+
   // --- PCA explained variance ---------------------------------------------
 
   /** Exact sufficient statistics for PCA + driver-side power iteration.
@@ -1306,6 +1353,7 @@ object Similarity {
     Q("q_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     Q("q_ann_ndcg", annNdcg, Some(annNdcgSql)),
     Q("q_pca_variance", pcaVariance, None),
+    Q("q_ann_mrr", annMrr, Some(annMrrSql)),
     Q("q_label_prop", labelProp, Some(labelPropSql)),
     Q("q_sim_quantized", quantizedTopK, Some(quantizedTopKSql)),
     Q("q_ann_recall", annRecall, Some(annRecallSql)),

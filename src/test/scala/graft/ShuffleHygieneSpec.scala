@@ -64,7 +64,9 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     // shape)
     "q_lift_curve",
     // 1-row token-budget frame broadcast onto the bucketed scan
-    "q_token_budget")
+    "q_token_budget",
+    // inherits the q_sim_topk_batch/q_sim_ann_batch broadcast shapes
+    "q_ann_mrr")
 
   // ONE sweep over the registry (executing every query once — the
   // dominant cost of this suite), with both plan properties checked off
