@@ -883,6 +883,59 @@ object Profiling {
       |             * 1000000.0 + 0.5) / 1000000.0 AS gini
       |FROM stats ORDER BY source""".stripMargin
 
+  /** Exact WEIGHTED quantiles: per-source p50/p90 of document length
+    * where each document counts with its TOKEN weight, not once — the
+    * distribution a token-budgeted training run actually samples from
+    * (one 10k-token document outweighs a hundred 100-token ones, which
+    * the unweighted percentile hides). Definition: the smallest value
+    * whose cumulative weight reaches q·W — all-integer, no
+    * interpolation, so the oracle is the identical window expression.
+    *
+    * Scale posture: weights collapse to per-(source, value) BIGINT sums
+    * in-scan; the cumulative window runs over that distinct-value
+    * aggregate, bounded by the value domain, not the corpus (the
+    * [[ksTest]] precedent). min-filter instead of a rank pick keeps it
+    * one window pass. */
+  def weightedQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = Tables.documents(s, dir)
+      .select(col("source"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("w"))
+      .groupBy("source", "n_chars")
+      .agg(sum("w").as("w"))
+    val wc = Window.partitionBy("source").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy("source")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g.withColumn("cw", sum("w").over(wc))
+      .withColumn("tw", sum("w").over(wt))
+      .groupBy("source")
+      .agg(
+        min(when(col("cw") * 2 >= col("tw"), col("n_chars"))).as("w_p50"),
+        min(when(col("cw") * 10 >= col("tw") * 9, col("n_chars")))
+          .as("w_p90"),
+        max("tw").as("total_tokens"))
+      .orderBy("source")
+  }
+
+  private val weightedQuantilesSql =
+    """WITH g AS (
+      |  SELECT source, n_chars,
+      |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS w
+      |  FROM documents GROUP BY source, n_chars),
+      |c AS (
+      |  SELECT source, n_chars,
+      |         CAST(sum(w) OVER (PARTITION BY source ORDER BY n_chars
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS BIGINT) AS cw,
+      |         CAST(sum(w) OVER (PARTITION BY source) AS BIGINT) AS tw
+      |  FROM g)
+      |SELECT source,
+      |       min(CASE WHEN cw * 2 >= tw THEN n_chars END) AS w_p50,
+      |       min(CASE WHEN cw * 10 >= tw * 9 THEN n_chars END) AS w_p90,
+      |       max(tw) AS total_tokens
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+
   /** ROC AUC (Mann-Whitney) of two per-document predictors of the binary
     * label "is English": n_chars and the whitespace token count. The
     * pairwise definition AUC = (#{pos>neg} + ½·#{pos=neg}) / (P·N) is
@@ -1022,6 +1075,7 @@ object Profiling {
     Q("q_histogram", histogram, Some(histogramSql)),
     Q("q_auc", auc, Some(aucSql)),
     Q("q_lift_curve", liftCurve, Some(liftCurveSql)),
+    Q("q_weighted_quantiles", weightedQuantiles, Some(weightedQuantilesSql)),
     Q("q_corr_matrix", corrMatrix, Some(corrMatrixSql)),
     Q("q_daily_trend", dailyTrend, Some(dailyTrendSql)),
     Q("q_equidepth_hist", equidepthHist, Some(equidepthHistSql)),
