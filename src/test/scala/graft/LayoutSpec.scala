@@ -52,4 +52,31 @@ class LayoutSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       s"z-order must out-prune the linear sort on a 2-D box: " +
         s"z=$zRead linear=$linRead total=$total")
   }
+
+  test("range-partitioned sorted write yields files with disjoint key " +
+    "ranges — the file-skipping contract") {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_rangewrite").toString + "/sorted"
+    Layout.writeLinearSorted(li, "l_partkey", out, 128 * 1024, partitions = 8)
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length > 1, "need multiple files to prove disjointness")
+    // per-FILE key intervals: repartitionByRange gives each output file a
+    // contiguous, non-overlapping slice of the key domain — exactly what
+    // lets a manifest (or parquet footer read) skip whole FILES, not just
+    // row groups, for a key-range predicate
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("l_partkey"), max("l_partkey")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Array((_, hiA), (loB, _)) =>
+        assert(hiA <= loB,
+          s"file key ranges overlap: [..,$hiA] vs [$loB,..] — range " +
+            "clustering is broken")
+      case _ =>
+    }
+  }
 }
