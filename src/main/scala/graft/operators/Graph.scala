@@ -251,8 +251,67 @@ object Graph {
       |        WHERE EXISTS (SELECT 1 FROM o e3
       |                      WHERE e3.x = w.x AND e3.y = w.z)) AS n_triangles""".stripMargin
 
+  /** k-core of an undirected (a, b) edge frame: iteratively peel every
+    * node of degree < k until the fixpoint — what survives is the
+    * maximal subgraph where every node keeps ≥ k neighbors, the standard
+    * "dense cohesive backbone vs hairy periphery" cut (a triangle count
+    * says how clustered the graph is; the core says WHERE).
+    *
+    * Per-round work is edge-set-only (a degree aggregate + two bare-key
+    * semi joins), lineage is cut each round, and the round count is
+    * data-bounded: each round removes ≥ 1 node or stops, and a
+    * chain-shaped periphery peels from the ends inward — maxRounds
+    * THROWS rather than returning a not-yet-fixpoint subgraph (the
+    * [[graft.operators.Dedup]] clustersFromEdges contract). */
+  private[graft] def kCoreOn(edges0: DataFrame, k: Int,
+                             maxRounds: Int = 100): DataFrame = {
+    var edges = edges0.select("a", "b").localCheckpoint()
+    var nEdges = edges.count()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxRounds) {
+      val keep = edges.select(explode(array(col("a"), col("b"))).as("n"))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("n")
+      val next = edges
+        .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
+        .select("a", "b") // the join key migrates to column 0 — restore
+        .localCheckpoint()
+      val m = next.count()
+      changed = nEdges - m
+      edges = next
+      nEdges = m
+      rounds += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"$k-core peeling did not reach a fixpoint in $maxRounds rounds")
+    edges
+  }
+
+  /** Registered census: core size (nodes, edges) of the affinity graph
+    * for k = 2, 3, 4. Cores are nested (the 3-core is a subgraph of the
+    * 2-core), so each peel starts from the previous core, not from the
+    * full graph. Rows-only: the peel-to-fixpoint loop has no recursive
+    * SQL replay; structural invariants (planted K4 + chain, nesting) are
+    * pinned in GraphSpec. */
+  def kcore(s: SparkSession, dir: String): DataFrame = {
+    val e = affinityEdges(s, dir).localCheckpoint()
+    var core = e
+    val rows = Seq(2, 3, 4).map { k =>
+      core = kCoreOn(core, k)
+      val n = core.select(explode(array(col("a"), col("b"))).as("n"))
+        .distinct().count()
+      (k, n, core.count())
+    }
+    import s.implicits._
+    rows.toDF("k", "n_core_nodes", "n_core_edges")
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_pagerank", pagerank, Some(pagerankSql)),
     Q("q_triangles", triangles, Some(trianglesSql)),
+    Q("q_kcore", kcore, None),
     Q("q_degree_stats", degreeStats, Some(degreeStatsSql)))
 }

@@ -57,6 +57,23 @@ class GraphSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("k-core: chain periphery peels away, K4 survives to k=3, " +
+    "nothing survives k=4") {
+    import spark.implicits._
+    // K4 on {1..4} with a 5-node chain hanging off node 4
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 10L), (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L))
+      .toDF("a", "b")
+    val core2 = Graph.kCoreOn(g, 2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(core2 == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)), s"2-core must be exactly K4, got $core2")
+    // cores nest: peeling the 2-core at k=3 equals peeling the full graph
+    val core3 = Graph.kCoreOn(Graph.kCoreOn(g, 2), 3).collect()
+    assert(core3.length == 6, "K4 is its own 3-core")
+    val core4 = Graph.kCoreOn(g, 4)
+    assert(core4.count() == 0, "no node has degree >= 4")
+  }
+
   test("result is layout-independent: different partitioning, identical ranks") {
     val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L))
     val a = Graph.pagerankOn(edgesDf(pairs).repartition(3))
