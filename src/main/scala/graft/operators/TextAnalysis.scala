@@ -253,6 +253,76 @@ object TextAnalysis {
       |GROUP BY term
       |ORDER BY cnt DESC, term LIMIT 20""".stripMargin
 
+  /** Zipf-law fit: OLS slope of ln(freq) on ln(rank) over the top-200
+    * terms — the one-number summary of how head-heavy the vocabulary is
+    * (natural text ≈ −1; the complement of [[vocabGrowth]]'s Heaps
+    * curve). The corpus-sized work is exactly [[termFreq]]'s aggregate;
+    * the regression runs on the 200-row head. Exactness: ln values are
+    * floor-fixed to 1e-6 integer units, all OLS sufficient statistics
+    * are BIGINT sums of those units (merge-order-free; ties in freq
+    * broken by term so ranks are engine-identical), and the slope/r²
+    * divisions happen once at the end. */
+  def zipfFit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc).limit(200)
+    val ranked = top.withColumn("rank",
+      row_number().over(Window.orderBy(col("cnt").desc, col("term").asc)))
+      .select(
+        floor(log(col("rank").cast("double")) * lit(1000000.0d) + lit(0.5d))
+          .cast("long").as("x"),
+        floor(log(col("cnt").cast("double")) * lit(1000000.0d) + lit(0.5d))
+          .cast("long").as("y"))
+    ranked
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n").as("n_terms"),
+        (floor((col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("slope"),
+        (floor(
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            * (col("n") * col("sxy") - col("sx") * col("sy")).cast("double"))
+          / ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+            * (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("r2"))
+  }
+
+  private val zipfFitSql =
+    """WITH top AS (
+      |  SELECT term, count(*) AS cnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      |  GROUP BY term ORDER BY cnt DESC, term LIMIT 200),
+      |ranked AS (
+      |  SELECT CAST(floor(ln(CAST(row_number() OVER
+      |           (ORDER BY cnt DESC, term) AS DOUBLE))
+      |           * 1000000.0 + 0.5) AS BIGINT) AS x,
+      |         CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000.0 + 0.5)
+      |           AS BIGINT) AS y
+      |  FROM top),
+      |m AS (
+      |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+      |         CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(x * y) AS BIGINT) AS sxy,
+      |         CAST(sum(x * x) AS BIGINT) AS sxx,
+      |         CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM ranked)
+      |SELECT n AS n_terms,
+      |       floor(CAST(n * sxy - sx * sy AS DOUBLE)
+      |             / CAST(n * sxx - sx * sx AS DOUBLE)
+      |             * 10000.0 + 0.5) / 10000.0 AS slope,
+      |       floor((CAST(n * sxy - sx * sy AS DOUBLE)
+      |              * CAST(n * sxy - sx * sy AS DOUBLE))
+      |             / (CAST(n * sxx - sx * sx AS DOUBLE)
+      |                * CAST(n * syy - sy * sy AS DOUBLE))
+      |             * 10000.0 + 0.5) / 10000.0 AS r2
+      |FROM m""".stripMargin
+
   /** Document fingerprinting: min-md5 over word 3-shingles — one stable
     * hash per doc; grouped per source with distinct-fingerprint counts
     * (collisions = near-identical docs). Uses the compiled
@@ -979,6 +1049,7 @@ object TextAnalysis {
     Q("q_pmi_colloc", pmiCollocations, Some(pmiCollocationsSql)),
     Q("q_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     Q("q_vocab_growth", vocabGrowth, Some(vocabGrowthSql)),
+    Q("q_zipf_fit", zipfFit, Some(zipfFitSql)),
     Q("q_bm25", bm25, Some(bm25Sql)),
     Q("q_token_entropy", tokenEntropy, Some(tokenEntropySql)),
     Q("q_tfidf", tfidf, Some(tfidfSql)),
