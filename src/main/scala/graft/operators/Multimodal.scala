@@ -179,7 +179,118 @@ object Multimodal {
       |GROUP BY 1
       |ORDER BY media_type""".stripMargin
 
+  /** Per-blob 64-bit perceptual hash (average-hash): 64 evenly-spaced
+    * payload samples, bit k set iff sample k ≥ the sample mean —
+    * all-integer (`s·64 ≥ Σ` instead of a float mean), so the oracle
+    * reproduces every bit from documents.text (payload == utf8(text),
+    * ASCII). A real image pipeline computes the same 64 bits from an
+    * 8×8 downscale of decoded pixels; the sampling arithmetic is the
+    * stub boundary, the hash/banding machinery is the real thing. */
+  final case class MediaHash(doc_id: Long, media_type: String, phash: Long)
+
+  def phashStub(rows: Iterator[MediaRow]): Iterator[MediaHash] =
+    rows.map { r =>
+      val len = r.payload.length
+      val h = if (len == 0) 0L
+      else {
+        val s = Array.tabulate(64)(k => (r.payload(k * len / 64) & 0xff).toLong)
+        val total = s.sum
+        (0 until 64).foldLeft(0L)((acc, k) =>
+          if (s(k) * 64 >= total) acc | (1L << k) else acc)
+      }
+      MediaHash(r.doc_id, r.media_type, h)
+    }
+
+  private val PHASH_BANDS = 4
+  private val PHASH_HAMMING = 6
+
+  /** Perceptual-hash NEAR-DUP over the media corpus — the multimodal
+    * counterpart of MinHash text dedup: hash each blob in the same
+    * batched decode pass ([[decoded]]'s repartition shape), then find
+    * same-modality pairs within hamming ≤ 6 of 64 bits via LSH banding
+    * over 4 disjoint 16-bit bands. Pigeonhole: ≤ 3 bit flips cannot
+    * touch all 4 bands, so banding is provably LOSSLESS to hamming ≤ 3;
+    * pairs at 4..6 are found only when their flips spare one band — and
+    * the oracle replays the identical banding, so that recall boundary
+    * is checked semantics, not a silent approximation. Candidates only
+    * ever form within a (modality, band, key) bucket, never across the
+    * corpus. Census per modality; hamming sums stay integer. */
+  def phashNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ph = mediaTable(s, dir)
+      .repartition(col("media_type"),
+        pmod(col("doc_id"), lit(decodeSaltModulus(s).toLong)))
+      .as[MediaRow]
+      .mapPartitions(phashStub _)
+      .toDF()
+    val banded = ph.select(col("doc_id"), col("media_type"), col("phash"),
+      posexplode(array((0 until PHASH_BANDS).map(b =>
+        shiftright(col("phash"), 16 * b).bitwiseAND(lit(0xffffL))): _*)))
+      .toDF("doc_id", "media_type", "phash", "band", "key")
+    val pairs = banded.as("x").join(banded.as("y"),
+        col("x.media_type") === col("y.media_type") &&
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.media_type").as("media_type"),
+        col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        expr("bit_count(x.phash ^ y.phash)").cast("long").as("hamming"))
+      .dropDuplicates("media_type", "a", "b")
+      .filter(col("hamming") <= PHASH_HAMMING)
+    val stats = pairs.groupBy("media_type")
+      .agg(count(lit(1)).as("n_pairs"), sum("hamming").as("sh"))
+    ph.groupBy("media_type").agg(count(lit(1)).as("n_media"))
+      .join(stats, Seq("media_type"), "left")
+      .select(col("media_type"), col("n_media"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        (floor(coalesce(col("sh"), lit(0L)).cast("double")
+          / greatest(coalesce(col("n_pairs"), lit(0L)), lit(1L))
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("avg_hamming"))
+      .orderBy("media_type")
+  }
+
+  private val phashNearDupSql =
+    s"""WITH ph AS (
+       |  SELECT doc_id,
+       |         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+       |              WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       |         -- bit 63 via the two's-complement identity (adding
+       |         -- -2^63) because DuckDB rejects 1::BIGINT << 63
+       |         (SELECT CAST(sum(CASE WHEN
+       |              ord(substr(text, 1 + (k * length(text)) // 64, 1)) * 64
+       |              >= (SELECT sum(ord(substr(text,
+       |                    1 + (j * length(text)) // 64, 1)))
+       |                  FROM range(0, 64) r2(j))
+       |            THEN CASE WHEN k = 63 THEN -9223372036854775808
+       |                 ELSE 1::BIGINT << CAST(k AS INTEGER) END
+       |            ELSE 0 END) AS BIGINT)
+       |          FROM range(0, 64) r1(k)) AS phash
+       |  FROM documents),
+       |banded AS (
+       |  SELECT doc_id, media_type, phash, b.b AS band,
+       |         (phash >> (16 * b.b)) & 65535 AS key
+       |  FROM ph CROSS JOIN range(0, $PHASH_BANDS) b(b)),
+       |pairs AS (
+       |  SELECT DISTINCT x.media_type, x.doc_id AS a, y.doc_id AS b,
+       |         CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
+       |  FROM banded x JOIN banded y
+       |    ON x.media_type = y.media_type AND x.band = y.band
+       |       AND x.key = y.key AND x.doc_id < y.doc_id),
+       |near AS (SELECT * FROM pairs WHERE hamming <= $PHASH_HAMMING),
+       |stats AS (
+       |  SELECT media_type, count(*) AS n_pairs,
+       |         CAST(sum(hamming) AS BIGINT) AS sh
+       |  FROM near GROUP BY media_type)
+       |SELECT m.media_type, m.n_media,
+       |       COALESCE(s.n_pairs, 0) AS n_pairs,
+       |       floor(CAST(COALESCE(s.sh, 0) AS DOUBLE)
+       |             / greatest(COALESCE(s.n_pairs, 0), 1)
+       |             * 10000.0 + 0.5) / 10000.0 AS avg_hamming
+       |FROM (SELECT media_type, count(*) AS n_media FROM ph GROUP BY 1) m
+       |LEFT JOIN stats s ON m.media_type = s.media_type
+       |ORDER BY m.media_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_multimodal_meta", metaAgg, Some(metaAggSql)),
-    Q("q_multimodal_resize", resizeAgg, Some(resizeAggSql)))
+    Q("q_multimodal_resize", resizeAgg, Some(resizeAggSql)),
+    Q("q_media_phash", phashNearDup, Some(phashNearDupSql)))
 }
