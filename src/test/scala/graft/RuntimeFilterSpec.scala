@@ -121,4 +121,44 @@ class RuntimeFilterSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(shjRows.sameElements(query(hinted = false).collect()),
       "join algorithm changed the answer")
   }
+
+  test("dim filter dynamically prunes the partitioned fact scan (DPP)") {
+    withConf(
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "true",
+      // stats-based benefit estimation is size-dependent; disable it so
+      // the assertion pins the MECHANISM, not the fixture's byte counts
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false") {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_dpp").toString + "/orders_part"
+      // fact laid out with a partition column — the physical layout DPP
+      // prunes; at 100 TB this is the date/tenant partitioning of a lake
+      Tables.orders(spark, sfDir)
+        .withColumn("part", pmod(col("o_custkey"), lit(8L)))
+        .write.mode("overwrite").partitionBy("part").parquet(tmp)
+      val fact = spark.read.parquet(tmp)
+      // selective dim: the partitions the fact scan may keep are only
+      // known at RUNTIME, from the dim filter's surviving join keys
+      val dim = Tables.customer(spark, sfDir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .filter(pmod(col("c_custkey"), lit(8L)) < 2)
+        .select(pmod(col("c_custkey"), lit(8L)).as("part")).distinct()
+      val j = fact.join(dim, Seq("part"))
+        .agg(count(lit(1)).as("n"))
+      val n = j.collect()(0).getLong(0)
+      val scans = collect(j.queryExecution.executedPlan) {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          // the count() prunes every data column, so identify the fact
+          // scan by its file location, not its (empty) output schema
+          if s.metadata.get("Location").exists(_.contains("orders_part")) => s
+      }
+      assert(scans.nonEmpty, "fact scan not found")
+      assert(scans.exists(_.partitionFilters.exists(
+          _.toString.toLowerCase.contains("dynamicpruning"))),
+        s"no dynamic pruning filter on the fact scan:\n" +
+          s"${scans.map(_.partitionFilters).mkString("\n")}")
+      // pruned plan must agree with the statically-filtered answer
+      val expected = fact.filter(col("part") < 2).count()
+      assert(n == expected, s"DPP changed the answer: $n vs $expected")
+    }
+  }
 }
