@@ -464,6 +464,102 @@ object Breadth {
            count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Stratified A/B readout: Cochran–Mantel–Haenszel test of variant →
+    * conversion CONTROLLING for user activity level — the guard against
+    * Simpson's paradox that a pooled z-test ([[abTest]]) cannot give:
+    * if assignment correlates with activity and activity drives
+    * conversion, the pooled rates mislead; CMH pools the per-stratum
+    * 2×2 tables instead. Strata are activity quartiles from broadcast
+    * exact boundaries (no global ntile window — the RFM precedent).
+    * Per-stratum expected counts and variances are single IEEE
+    * expressions over BIGINT cell counts (double products, since a
+    * BIGINT n1·n0·m1·m0 overflows at real user counts), floor-fixed to
+    * 6 dp and summed as DECIMAL(20,6) so the K-term sums are
+    * merge-order-free. One corpus scan → user aggregate → 4-row stratum
+    * table; everything after is scalar. */
+  def cmhTest(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg((sum((col("event_type") === "purchase").cast("long")) >= 14L)
+        .cast("long").as("conv"),
+        count(lit(1)).cast("double").as("activity"))
+      .withColumn("variant",
+        when(substring(md5(col("user_id").cast("string")), 32, 1) < "8",
+          "A").otherwise("B"))
+    val bounds = users
+      .agg(expr("percentile(activity, array(0.25D, 0.5D, 0.75D))").as("bs"))
+    val strata = users.join(broadcast(bounds))
+      .select(expr("size(filter(bs, b -> activity > b))").as("stratum"),
+        col("variant"), col("conv"))
+      .groupBy("stratum")
+      .agg(
+        sum(when(col("variant") === "A", col("conv")).otherwise(0L)).as("a"),
+        sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n1"),
+        sum(col("conv")).as("m1"),
+        count(lit(1)).as("n"))
+    strata
+      .withColumn("e",
+        floor(col("n1").cast("double") * col("m1") / col("n")
+          * lit(1000000.0d) + lit(0.5d)) / lit(1000000.0d))
+      .withColumn("v",
+        floor(col("n1").cast("double") * (col("n") - col("n1"))
+          * col("m1") * (col("n") - col("m1"))
+          / (col("n").cast("double") * col("n")
+            * greatest(col("n") - lit(1L), lit(1L)))
+          * lit(1000000.0d) + lit(0.5d)) / lit(1000000.0d))
+      .agg(count(lit(1)).as("n_strata"), sum("a").as("a_sum"),
+        sum(col("e").cast("decimal(20,6)")).as("e_sum"),
+        sum(col("v").cast("decimal(20,6)")).as("v_sum"))
+      .select(col("n_strata"), col("a_sum"),
+        col("e_sum").cast("double").as("e_sum"),
+        col("v_sum").cast("double").as("v_sum"),
+        (floor(
+          (abs(col("a_sum") - col("e_sum").cast("double")) - lit(0.5d))
+            * (abs(col("a_sum") - col("e_sum").cast("double")) - lit(0.5d))
+            / col("v_sum").cast("double")
+            * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("cmh_chi2"))
+  }
+
+  private val cmhTestSql =
+    """WITH u AS (
+      |  SELECT user_id,
+      |         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1
+      |                ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS conv,
+      |         CAST(count(*) AS DOUBLE) AS activity,
+      |         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 32, 1) < '8'
+      |              THEN 'A' ELSE 'B' END AS variant
+      |  FROM events GROUP BY user_id),
+      |b AS (SELECT quantile_cont(activity, [0.25, 0.5, 0.75]) AS bs FROM u),
+      |g AS (
+      |  SELECT len(list_filter(bs, y -> activity > y)) AS stratum,
+      |         CAST(sum(CASE WHEN variant = 'A' THEN conv ELSE 0 END)
+      |           AS BIGINT) AS a,
+      |         CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS n1,
+      |         CAST(sum(conv) AS BIGINT) AS m1,
+      |         count(*) AS n
+      |  FROM u CROSS JOIN b GROUP BY 1),
+      |t AS (
+      |  SELECT a,
+      |         floor(CAST(n1 AS DOUBLE) * m1 / n * 1000000.0 + 0.5)
+      |           / 1000000.0 AS e,
+      |         floor(CAST(n1 AS DOUBLE) * (n - n1) * m1 * (n - m1)
+      |               / (CAST(n AS DOUBLE) * n * greatest(n - 1, 1))
+      |               * 1000000.0 + 0.5) / 1000000.0 AS v
+      |  FROM g),
+      |m AS (
+      |  SELECT count(*) AS n_strata, CAST(sum(a) AS BIGINT) AS a_sum,
+      |         sum(CAST(e AS DECIMAL(20,6))) AS e_d,
+      |         sum(CAST(v AS DECIMAL(20,6))) AS v_d
+      |  FROM t)
+      |SELECT n_strata, a_sum,
+      |       CAST(e_d AS DOUBLE) AS e_sum, CAST(v_d AS DOUBLE) AS v_sum,
+      |       floor((abs(a_sum - CAST(e_d AS DOUBLE)) - 0.5)
+      |             * (abs(a_sum - CAST(e_d AS DOUBLE)) - 0.5)
+      |             / CAST(v_d AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+      |         AS cmh_chi2
+      |FROM m""".stripMargin
+
   /** Mergeable distinct-count sketch TABLE — the at-scale upgrade of
     * [[approxDistinct]]: per-(event_type, day) HLL sketches of user_id
     * (Apache DataSketches via `hll_sketch_agg`) are a materializable
@@ -1461,6 +1557,7 @@ object Breadth {
   val all: Seq[Q] = Seq(
     Q("q_window_rank", windowRank, Some(windowRankSql)),
     Q("q_ab_test", abTest, Some(abTestSql)),
+    Q("q_cmh_test", cmhTest, Some(cmhTestSql)),
     Q("q_chi_squared", chiSquared, Some(chiSquaredSql)),
     Q("q_scd2", scd2, Some(scd2Sql)),
     Q("q_user_growth", userGrowth, Some(userGrowthSql)),

@@ -66,7 +66,9 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     // 1-row token-budget frame broadcast onto the bucketed scan
     "q_token_budget",
     // inherits the q_sim_topk_batch/q_sim_ann_batch broadcast shapes
-    "q_ann_mrr")
+    "q_ann_mrr",
+    // 1-row quartile-boundary frame broadcast onto the user aggregate
+    "q_cmh_test")
 
   // ONE sweep over the registry (executing every query once — the
   // dominant cost of this suite), with both plan properties checked off
