@@ -1263,34 +1263,60 @@ object Similarity {
     * recovery, λ1 ≤ trace, spectrum ordering). */
   private[graft] def pcaEig(s: SparkSession, e: DataFrame)
     : (Long, Double, Double, Double, Array[Double]) = {
-    val q = e.select(expr(
+    import s.implicits._
+    val nTri = DIM * (DIM + 1) / 2
+    // ONE scan, ZERO shuffle: every partition folds its rows into a
+    // local (count, 64 first-moment, 2080 upper-triangle second-moment)
+    // accumulator — genuine per-partition imperative state, the
+    // heavyHitters mapPartitions precedent — and emits ONE row; the
+    // driver merges the ≤ #partitions partials in BigInt. Components
+    // are 1e6-unit longs, so per-partition product sums stay exact up to
+    // ~2.7e7 rows per partition (3.4e11 max product vs 2^63) — far past
+    // any sane partition size; the cross-partition merge is arbitrary-
+    // precision, so total corpus size is unbounded.
+    val partials = e.select(expr(
       "transform(embedding, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))")
-      .as("xi"))
-      .cache() // tiny (n × d longs); feeds the two moment aggregates
-    val firstRows = q.select(posexplode(col("xi")).as(Seq("i", "x")))
-      .groupBy("i").agg(sum(col("x").cast("decimal(38,0)")).as("s1"),
-        count(lit(1)).as("cnt"))
-      .collect()
-    val n = firstRows.head.getLong(2)
-    val firsts =
-      firstRows.map(r => r.getInt(0) -> BigDecimal(r.getDecimal(1))).toMap
-    val seconds = q.select(explode(expr(
-      s"""flatten(transform(sequence(0, ${DIM - 1}, 1), i ->
-         |  transform(sequence(i, ${DIM - 1}, 1), j ->
-         |    struct(i AS i, j AS j, xi[i] * xi[j] AS p))))""".stripMargin))
-      .as("t"))
-      .select(col("t.i"), col("t.j"), col("t.p"))
-      .groupBy("i", "j").agg(sum(col("p").cast("decimal(38,0)")).as("s2"))
-      .collect()
-      .map(r => (r.getInt(0), r.getInt(1)) -> BigDecimal(r.getDecimal(2)))
-      .toMap
+      .as("xi")).as[Seq[Long]]
+      .mapPartitions { it =>
+        val s1 = new Array[Long](DIM)
+        val s2 = new Array[Long](nTri)
+        var n = 0L
+        it.foreach { v =>
+          n += 1
+          var idx = 0
+          var i = 0
+          while (i < DIM) {
+            val vi = v(i)
+            s1(i) += vi
+            var j = i
+            while (j < DIM) {
+              s2(idx) += vi * v(j)
+              idx += 1
+              j += 1
+            }
+            i += 1
+          }
+        }
+        Iterator.single((n, s1.toSeq, s2.toSeq))
+      }.collect()
+    val n = partials.map(_._1).sum
+    val firsts = (0 until DIM).map(i =>
+      partials.map(p => BigInt(p._2(i))).sum)
+    val seconds = (0 until nTri).map(t =>
+      partials.map(p => BigInt(p._3(t))).sum)
     // covariance in RAW units: sums are in 1e-6 (first) / 1e-12 (second)
     // units; C_ij = E[xi xj] − E[xi]E[xj]
     val nd = n.toDouble
-    val mu = (0 until DIM).map(i => (firsts(i) / 1000000L).toDouble / nd)
+    val mu = (0 until DIM).map(i =>
+      (BigDecimal(firsts(i)) / 1000000L).toDouble / nd)
+    def triIdx(i: Int, j: Int): Int = {
+      // row-major upper triangle: offset of row i, then j − i
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      a * DIM - a * (a - 1) / 2 + (b - a)
+    }
     val c = Array.tabulate(DIM, DIM) { (i, j) =>
-      val s2 = seconds(if (i <= j) (i, j) else (j, i))
-      (s2 / BigDecimal(1000000000000L)).toDouble / nd - mu(i) * mu(j)
+      (BigDecimal(seconds(triIdx(i, j))) / BigDecimal(1000000000000L))
+        .toDouble / nd - mu(i) * mu(j)
     }
     // cyclic Jacobi: two-sided rotations zero each off-diagonal in a
     // fixed sweep order — fully deterministic and convergent regardless
@@ -1330,7 +1356,6 @@ object Similarity {
     val (i1, i2) = (order.head, order(1))
     val v1 = Array.tabulate(DIM)(k => vm(k)(i1))
     val trace = (0 until DIM).map(i => c(i)(i)).sum
-    q.unpersist()
     (n, trace, m(i1)(i1), m(i2)(i2), v1)
   }
 
