@@ -45,6 +45,22 @@ object Profile {
     time("minhash_sigs_k8")(sigs)
     time("dedup_minhash_full")(operators.Dedup.minhashLsh(spark, sfDir))
     time("dedup_ngram_full")(operators.Dedup.ngramJaccard(spark, sfDir))
+
+    {
+      val t0 = System.nanoTime()
+      val e = operators.Graph.affinityEdges(spark, sfDir).localCheckpoint()
+      val n0 = e.count()
+      val t1 = System.nanoTime()
+      println(f"PROFILE affinity_edges n=$n0 ${(t1 - t0) / 1e9}%7.2fs")
+      var core = e
+      Seq(2, 3, 4).foreach { k =>
+        val ta = System.nanoTime()
+        core = operators.Graph.kCoreOn(core, k)
+        val m = core.count()
+        val tb = System.nanoTime()
+        println(f"PROFILE kcore_k$k edges=$m ${(tb - ta) / 1e9}%7.2fs")
+      }
+    }
     spark.stop()
   }
 }

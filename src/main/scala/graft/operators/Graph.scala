@@ -139,12 +139,15 @@ object Graph {
     * pairs). All shuffles carry int ids. */
   /** Support-thresholded undirected affinity edges (a < b), shared by
     * [[triangles]] and [[degreeStats]]. */
-  private def affinityEdges(s: SparkSession, dir: String): DataFrame =
+  private[graft] def affinityEdges(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
-      .groupBy("l_orderkey").agg(collect_set("l_partkey").as("ps"))
-      .select(explode(col("ps")).as("a"), col("ps"))
-      .select(col("a"), explode(col("ps")).as("b"))
-      .filter(col("a") < col("b"))
+      .groupBy("l_orderkey").agg(sort_array(collect_set("l_partkey")).as("ps"))
+      // upper triangle only: each element pairs with the SORTED array's
+      // strict suffix, so a < b holds by construction and the generator
+      // emits C(n,2) rows instead of n² rows filtered to half
+      .select(posexplode(col("ps")).as(Seq("i", "a")), col("ps"))
+      .select(col("a"),
+        explode(expr("slice(ps, i + 2, size(ps))")).as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("w"))
       .filter(col("w") >= TRI_MIN_ORDERS)
       .select("a", "b")
@@ -264,30 +267,109 @@ object Graph {
     * THROWS rather than returning a not-yet-fixpoint subgraph (the
     * [[graft.operators.Dedup]] clustersFromEdges contract). */
   private[graft] def kCoreOn(edges0: DataFrame, k: Int,
-                             maxRounds: Int = 100): DataFrame = {
-    var edges = edges0.select("a", "b").localCheckpoint()
+                             maxRounds: Int = 100,
+                             driverCap: Long = DRIVER_PEEL_CAP): DataFrame = {
+    // A materialization (eager localCheckpoint + count) is a full Spark
+    // job, and per-job scheduling overhead dominates the (thresholded,
+    // hence small relative to the corpus) affinity graph — while the
+    // ROUND count is data-dependent: a chain-shaped periphery peels from
+    // the ends, needing O(chain length) single peels. So peel a DOUBLING
+    // batch of rounds per job (2, 4, 8, … capped at 32): peeling is
+    // monotone, so if a batch removes nothing its first peel removed
+    // nothing — the single-peel fixpoint test is preserved exactly — and
+    // a diameter-L periphery costs O(log L) jobs instead of O(L).
+    // Each peel inside the batch is converted to an RDD-backed plan via
+    // LAZY localCheckpoint: the peel references its input three times
+    // (degree aggregate + both semi-join probes), so leaving the batch
+    // as one Catalyst tree would TRIPLE the plan size per peel — 3^32
+    // nodes to optimize — while the RDD lineage is a shared linear DAG
+    // and Catalyst only ever plans one peel at a time. Lazy peels past
+    // the fixpoint are no-ops. The edge set only shrinks: coalesce keeps
+    // the working table at a handful of partitions instead of paying
+    // shuffle-partition-many empty tasks per round.
+    var edges = edges0.select("a", "b").coalesce(4).localCheckpoint()
     var nEdges = edges.count()
     var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < maxRounds) {
-      val keep = edges.select(explode(array(col("a"), col("b"))).as("n"))
-        .groupBy("n").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select("n")
-      val next = edges
-        .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
-        .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
-        .select("a", "b") // the join key migrates to column 0 — restore
-        .localCheckpoint()
+    var batch = 2
+    var jobs = 0
+    while (changed > 0 && jobs < maxRounds && nEdges > driverCap) {
+      var next = edges
+      for (_ <- 0 until batch) {
+        val keep = next.select(explode(array(col("a"), col("b"))).as("n"))
+          .groupBy("n").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select("n")
+        next = next
+          .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
+          .select("a", "b") // the join key migrates to column 0 — restore
+          .localCheckpoint(eager = false)
+      }
       val m = next.count()
       changed = nEdges - m
       edges = next
       nEdges = m
-      rounds += 1
+      batch = math.min(batch * 2, 32)
+      jobs += 1
     }
+    if (changed > 0 && nEdges <= driverCap) return peelDriver(edges, k)
     if (changed > 0)
       throw new IllegalStateException(
-        s"$k-core peeling did not reach a fixpoint in $maxRounds rounds")
+        s"$k-core peeling did not reach a fixpoint in $maxRounds batches")
     edges
+  }
+
+  /** Edge-set size below which the peel finishes on the driver. Peeling
+    * only ever SHRINKS the edge set, and distributed rounds are bounded
+    * by component diameter — a chain periphery costs O(diameter) tiny
+    * synchronous jobs whose scheduling overhead dwarfs the data. Once the
+    * survivors fit in driver-metadata range (~1.6 MB of id pairs — the
+    * same bounded-driver-state class as the Jacobi eigensolver's 64×64
+    * matrix or Lloyd's k×DIM centroids), an O(E) queue peel replaces the
+    * remaining O(diameter) job rounds. At 100 TB the big graph stays on
+    * executors: the distributed rounds run while E > cap, and every round
+    * strictly shrinks E, so the driver only ever sees the capped tail. */
+  private val DRIVER_PEEL_CAP = 100000L
+
+  /** Exact queue-based peel of a sub-cap edge set: repeatedly delete
+    * nodes of degree < k, decrementing neighbors — the textbook O(E)
+    * sequential k-core, reached only below [[DRIVER_PEEL_CAP]]. */
+  private def peelDriver(edges: DataFrame, k: Int): DataFrame = {
+    import scala.collection.mutable
+    val s = edges.sparkSession
+    val schema = edges.schema
+    val pairs = edges
+      .select(col("a").cast("long"), col("b").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
+    pairs.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, mutable.ArrayBuffer.empty) += b
+      adj.getOrElseUpdate(b, mutable.ArrayBuffer.empty) += a
+    }
+    val deg = mutable.HashMap.empty[Long, Int]
+    adj.foreach { case (n, ns) => deg(n) = ns.size }
+    val removed = mutable.HashSet.empty[Long]
+    val queue = mutable.Queue.empty[Long]
+    deg.foreach { case (n, d) => if (d < k) queue += n }
+    while (queue.nonEmpty) {
+      val v = queue.dequeue()
+      if (!removed.contains(v)) {
+        removed += v
+        adj(v).foreach { u =>
+          if (!removed.contains(u)) {
+            deg(u) -= 1
+            if (deg(u) == k - 1) queue += u // enqueue once, on crossing
+          }
+        }
+      }
+    }
+    val kept = pairs.filter { case (a, b) =>
+      !removed.contains(a) && !removed.contains(b)
+    }
+    import s.implicits._
+    val out = kept.toSeq.toDF("a", "b")
+    // restore the caller's column types (spec fixtures use int ids)
+    out.select(out.col("a").cast(schema("a").dataType).as("a"),
+      out.col("b").cast(schema("b").dataType).as("b"))
   }
 
   /** Registered census: core size (nodes, edges) of the affinity graph
@@ -301,9 +383,12 @@ object Graph {
     var core = e
     val rows = Seq(2, 3, 4).map { k =>
       core = kCoreOn(core, k)
-      val n = core.select(explode(array(col("a"), col("b"))).as("n"))
-        .distinct().count()
-      (k, n, core.count())
+      // one job for both census numbers: every edge contributes its two
+      // endpoints, so rows/2 = edges and distinct endpoints = nodes
+      val c = core.select(explode(array(col("a"), col("b"))).as("n"))
+        .agg(countDistinct(col("n")).as("nodes"), count(lit(1)).as("ends"))
+        .collect().head
+      (k, c.getLong(0), c.getLong(1) / 2)
     }
     import s.implicits._
     rows.toDF("k", "n_core_nodes", "n_core_edges")

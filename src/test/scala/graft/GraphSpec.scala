@@ -72,6 +72,13 @@ class GraphSpec extends SparkTestBase {
     assert(core3.length == 6, "K4 is its own 3-core")
     val core4 = Graph.kCoreOn(g, 4)
     assert(core4.count() == 0, "no node has degree >= 4")
+    // driverCap = 0 forces the DISTRIBUTED batched peel on the same
+    // fixture (the default cap sends sub-100k edge sets to the driver
+    // finish) — both paths must reach the identical fixpoint
+    val distributed = Graph.kCoreOn(g, 2, driverCap = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(distributed == core2,
+      s"distributed peel must match driver peel, got $distributed")
   }
 
   test("result is layout-independent: different partitioning, identical ranks") {
