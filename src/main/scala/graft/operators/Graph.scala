@@ -67,23 +67,34 @@ object Graph {
     // round-trips between rounds.
     val nPart = edges0.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
-    val edges = edges0.repartition(nPart, col("src")).cache()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).cache()
-    val n = deg.count()
+    val edges1 = edges0.repartition(nPart, col("src")).cache()
+    val deg = edges1.groupBy("src").agg(count(lit(1)).as("deg"))
+    // bake out-degree INTO the cached edge list once (the oracle's `ed`
+    // CTE does the same): the per-edge contribution floor(0.85·r/deg+0.5)
+    // is constant across a source's edges, so computing it edge-local is
+    // identical to the per-source form — and it deletes a whole
+    // node-table join (+ its exchange) from EVERY round. deg rides the
+    // cached src-hash partitioning, so attaching it is exchange-free.
+    val edges = edges1.join(deg, "src")
+      .select(col("src"), col("dst"), col("deg"))
+      .repartition(nPart, col("src")).cache()
+    val nodes = edges.select(col("src").as("node")).distinct().cache()
+    val n = nodes.count()
+    edges1.unpersist(blocking = false)
     // same doubles DuckDB computes from its 1-row params frame
     val r0 = math.floor(1000000000.0d / n.toDouble).toLong
     val base = math.floor(150000000.0d / n.toDouble + 0.5d).toLong
-    var ranks = deg.select(col("src").as("node"), lit(r0).as("r"))
+    var ranks = nodes.select(col("node"), lit(r0).as("r"))
     for (_ <- 1 to ROUNDS) {
-      // per-SOURCE contribution computed once on the node-sized rank
-      // table, then fanned out over the cached edge list. The symmetric
-      // edge set guarantees every node receives ≥ 1 contribution, so no
-      // completion join against the node table is needed.
-      val c = ranks.join(deg, col("node") === col("src"))
-        .select(col("node").as("cn"),
-          floor(lit(0.85d) * col("r") / col("deg") + lit(0.5d)).as("c"))
-      ranks = edges.join(c, col("src") === col("cn"))
-        .groupBy("dst").agg(sum("c").as("sc"))
+      // one join per round: the node-sized rank table exchanges onto the
+      // cached (src, dst, deg) partitioning, the contribution is computed
+      // per edge, and the groupBy(dst) shuffle is the inherent fan-in.
+      // The symmetric edge set guarantees every node receives ≥ 1
+      // contribution, so no completion join against the node table.
+      ranks = edges.join(ranks, col("src") === col("node"))
+        .groupBy("dst")
+        .agg(sum(floor(lit(0.85d) * col("r") / col("deg") + lit(0.5d)))
+          .as("sc"))
         .select(col("dst").as("node"), (lit(base) + col("sc")).as("r"))
     }
     ranks
