@@ -16,6 +16,7 @@ object SparkEntry {
     RefQueries.all ++ Breadth.all ++ JoinsPlus.all ++ TextAnalysis.all ++
       Dedup.all ++ Similarity.all ++ Multimodal.all ++ TrainPipeline.all ++
       Curation.all ++ Layout.all ++ Profiling.all ++ Bpe.all ++ Graph.all ++
+      Inference.all ++
       sources.Ddl.all ++ sources.SnapshotLake.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

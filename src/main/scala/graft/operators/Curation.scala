@@ -382,7 +382,80 @@ object Curation {
        |FROM lineitem""".stripMargin
   }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
 
+  // --- deterministic negative sampling ------------------------------------
+
+  /** Negatives kept per anchor / uniform draws attempted per anchor. */
+  private val NEG_K = 4
+  private val NEG_DRAWS = 8
+
+  /** Deterministic negative sampling for contrastive training: each
+    * document draws [[NEG_DRAWS]] uniform candidate ids from keyed md5
+    * hashes (candidate = hash mod corpus size over the dense doc_id
+    * space), drops self-pairs, same-source pairs (the hard constraint —
+    * a "negative" from the anchor's own source is likely a near-positive)
+    * and duplicate hits, and keeps the first [[NEG_K]] by draw order.
+    *
+    * Scale shape: the draw is row-local arithmetic, the candidate lookup
+    * is an EQUI join on doc_id (hash join, any scale), and both windows
+    * partition by anchor — no global ordering anywhere. An anchor with an
+    * unlucky draw sequence keeps < K negatives rather than triggering a
+    * data-dependent resample loop (documented, deterministic). The same
+    * md5-keyed scheme means the oracle replays the identical sample. */
+  def negativeSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "source")
+    val tot = docs.agg(count(lit(1)).as("n_docs"))
+    val draws = docs
+      .select(col("doc_id").as("anchor"), col("source").as("a_src"),
+        explode(sequence(lit(0), lit(NEG_DRAWS - 1))).as("j"))
+      .join(broadcast(tot))
+      .select(col("anchor"), col("a_src"), col("j"),
+        pmod(conv(substring(md5(concat(col("anchor").cast("string"),
+          lit("#"), col("j").cast("string"))), 1, 8), 16, 10)
+          .cast("long"), col("n_docs")).as("cand"))
+    val wDup = Window.partitionBy("anchor", "cand").orderBy("j")
+    val wSlot = Window.partitionBy("anchor").orderBy("j")
+    draws
+      .join(docs.select(col("doc_id").as("cand"),
+        col("source").as("neg_source")), Seq("cand"))
+      .filter(col("cand") =!= col("anchor") &&
+        col("neg_source") =!= col("a_src"))
+      .withColumn("dup", row_number().over(wDup))
+      .filter(col("dup") === 1)
+      .withColumn("slot", row_number().over(wSlot))
+      .filter(col("slot") <= NEG_K)
+      .select(col("anchor"), col("slot").cast("long").as("slot"),
+        col("cand").as("neg_id"), col("neg_source"))
+      .orderBy("anchor", "slot")
+  }
+
+  private val negativeSampleSql =
+    s"""WITH docs AS (SELECT doc_id, source FROM documents),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM docs),
+       |d AS (
+       |  SELECT doc_id AS anchor, source AS a_src, j,
+       |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#'
+       |            || CAST(j AS VARCHAR)), 1, 8))::BIGINT % n_docs AS cand
+       |  FROM docs CROSS JOIN (SELECT unnest(range(0, $NEG_DRAWS)) AS j)
+       |  CROSS JOIN t),
+       |v AS (
+       |  SELECT anchor, j, cand, c.source AS neg_source
+       |  FROM d JOIN docs c ON d.cand = c.doc_id
+       |  WHERE cand <> anchor AND c.source <> a_src),
+       |u AS (
+       |  SELECT anchor, j, cand, neg_source,
+       |         row_number() OVER (PARTITION BY anchor, cand ORDER BY j)
+       |           AS dup
+       |  FROM v),
+       |k AS (
+       |  SELECT anchor, cand, neg_source,
+       |         row_number() OVER (PARTITION BY anchor ORDER BY j) AS slot
+       |  FROM u WHERE dup = 1)
+       |SELECT anchor, CAST(slot AS BIGINT) AS slot, cand AS neg_id,
+       |       neg_source
+       |FROM k WHERE slot <= $NEG_K ORDER BY anchor, slot""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_negative_sample", negativeSample, Some(negativeSampleSql)),
     Q("q_pii_redact", piiRedact, Some(piiRedactSql)),
     Q("q_domain_mix", domainMix, Some(domainMixSql)),
     Q("q_token_budget", tokenBudget, Some(tokenBudgetSql)),

@@ -1,0 +1,416 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Statistical-inference operators over the event stream and the fact
+  * tables: Kaplan-Meier time-to-event estimation, CUSUM changepoint
+  * location, and Poisson-bootstrap confidence intervals.
+  *
+  * Scale posture: every operator reduces the corpus to an
+  * aggregate-cardinality frame IN the scan stage (per-user min pairs,
+  * per-day counts, per-replicate weighted sums), and only then applies
+  * windows/products over that tiny frame — the global windows below all
+  * run over ≤ a few hundred rows (distinct hours / days / replicates),
+  * never over facts. The bootstrap is the scale-native resampling shape:
+  * ONE pass, no data movement, B counters per partition that merge
+  * associatively — the classic alternative (materializing B resampled
+  * copies) would shuffle B× the corpus.
+  *
+  * FP discipline (memory: new-query-checklist): all sums are BIGINT
+  * (counts, fixed-point cents, 1e-6-unit logs); doubles appear only in
+  * final single divisions / exp, floor-fixed to 4 decimals.
+  */
+object Inference {
+
+  /** Attribution horizon (hours): conversions later than this are
+    * censored at the horizon — the window a campaign report closes on. */
+  private val SURV_HORIZON_H = 72L
+
+  /** Kaplan-Meier survival of time-to-first-purchase. Each user
+    * contributes an observed duration in WHOLE HOURS from their first
+    * event to their first `purchase`; conversions beyond the horizon (or
+    * absent) are right-censored at the horizon. Deaths-before-censoring
+    * at ties (the standard KM convention): a user censored at hour t is
+    * still at risk for deaths at t.
+    *
+    * The corpus collapses to per-user (first_ts, first_purchase_ts) in
+    * one scan; everything after operates on ≤ horizon+1 distinct-hour
+    * rows, where S(t) = Π (1 - d/n) over death hours is taken as a
+    * cumulative BIGINT sum of 1e-6-fixed logs (the [[TextAnalysis]] Zipf
+    * pattern — pure IEEE ops, identical across engines) and exponentiated
+    * once. A death hour that exhausts the risk set (d = n) pins the tail
+    * at exactly 0.0 via a -1e12 sentinel log (exp underflows to +0.0 in
+    * both engines) instead of evaluating ln(0). */
+  def survival(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val first = e.groupBy("user_id").agg(min("ts").as("t0"))
+    val purch = e.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min("ts").as("tp"))
+    val obs = first.join(purch, Seq("user_id"), "left")
+      .select(expr(
+        "(unix_micros(tp) div 1000000 - unix_micros(t0) div 1000000) div 3600")
+        .as("h"))
+      .select(
+        when(col("h").isNotNull && col("h") <= SURV_HORIZON_H, col("h"))
+          .otherwise(lit(SURV_HORIZON_H)).as("t"),
+        when(col("h").isNotNull && col("h") <= SURV_HORIZON_H, lit(1L))
+          .otherwise(lit(0L)).as("death"))
+    kmOn(obs)
+  }
+
+  /** Kaplan-Meier core over an observation frame of (t: integer time,
+    * death: 1 observed / 0 censored) — one row per subject. Censored
+    * subjects at t remain at risk for deaths at t (deaths-first tie
+    * convention). Emits one row per death time. */
+  private[graft] def kmOn(obs: DataFrame): DataFrame = {
+    val perT = obs.groupBy("t")
+      .agg(count(lit(1)).as("m"), sum("death").as("d"))
+    val tot = obs.agg(count(lit(1)).as("n_users"))
+    // ≤ horizon+1 rows from here on — global windows are tiny by design
+    val wLt = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    perT.join(broadcast(tot))
+      .withColumn("n_risk",
+        col("n_users") - coalesce(sum("m").over(wLt), lit(0L)))
+      .filter(col("d") > 0)
+      .withColumn("lf",
+        when(col("d") < col("n_risk"),
+          floor(log(lit(1.0d) - col("d").cast("double")
+            / col("n_risk").cast("double")) * lit(1000000.0d) + lit(0.5d))
+            .cast("long"))
+          .otherwise(lit(-1000000000000L)))
+      .withColumn("cum", sum("lf").over(wCum))
+      .select(col("t").as("t_hours"), col("n_risk"), col("d"),
+        (floor(exp(col("cum").cast("double") / lit(1000000.0d))
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("surv"))
+      .orderBy("t_hours")
+  }
+
+  private val survivalSql =
+    s"""WITH f AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id),
+       |p AS (SELECT user_id, min(ts) AS tp FROM events
+       |      WHERE event_type = 'purchase' GROUP BY user_id),
+       |hrs AS (
+       |  SELECT (epoch_us(tp) // 1000000 - epoch_us(t0) // 1000000) // 3600
+       |           AS h
+       |  FROM f LEFT JOIN p USING (user_id)),
+       |obs AS (
+       |  SELECT CASE WHEN h IS NOT NULL AND h <= $SURV_HORIZON_H
+       |              THEN h ELSE $SURV_HORIZON_H END AS t,
+       |         CASE WHEN h IS NOT NULL AND h <= $SURV_HORIZON_H
+       |              THEN 1 ELSE 0 END AS death
+       |  FROM hrs),
+       |per_t AS (
+       |  SELECT t, CAST(count(*) AS BIGINT) AS m,
+       |         CAST(sum(death) AS BIGINT) AS d
+       |  FROM obs GROUP BY t),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM obs),
+       |risk AS (
+       |  SELECT t, d,
+       |         n_users - coalesce(sum(m) OVER (ORDER BY t
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS n_risk
+       |  FROM per_t CROSS JOIN tot),
+       |km AS (
+       |  SELECT t, n_risk, d,
+       |         CASE WHEN d < n_risk
+       |              THEN CAST(floor(ln(1.0 - CAST(d AS DOUBLE)
+       |                     / CAST(n_risk AS DOUBLE)) * 1000000.0 + 0.5)
+       |                   AS BIGINT)
+       |              ELSE -1000000000000 END AS lf
+       |  FROM risk WHERE d > 0)
+       |SELECT t AS t_hours, n_risk, d,
+       |       floor(exp(CAST(sum(lf) OVER (ORDER BY t
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |         / 1000000.0) * 10000.0 + 0.5) / 10000.0 AS surv
+       |FROM km ORDER BY t_hours""".stripMargin
+
+  /** CUSUM changepoint location over the daily event-volume series —
+    * where the cumulative deviation from a flat rate peaks. Computed
+    * ENTIRELY in integers: with T days, grand total N, and running total
+    * C_t after t days, the scaled statistic S_t = T·C_t − t·N (the
+    * textbook Σ(x−mean) times T) is exact BIGINT arithmetic — no FP
+    * anywhere, so the oracle comparison is arithmetic identity. The
+    * per-day frame (≤ a few hundred rows at any corpus size: it is
+    * calendar-bounded) is the only thing windows touch. */
+  def cusum(s: SparkSession, dir: String): DataFrame =
+    cusumOn(Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events")))
+
+  /** CUSUM core over a (day, n_events) series frame. */
+  private[graft] def cusumOn(daily: DataFrame): DataFrame = {
+    val stats = daily.agg(count(lit(1)).as("n_days"),
+      sum("n_events").as("n_total"))
+    val w = Window.orderBy("day")
+    val base = daily.join(broadcast(stats))
+      .withColumn("t_idx", row_number().over(w).cast("long"))
+      .withColumn("cum",
+        sum("n_events").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("day"), col("n_events"),
+        (col("n_days") * col("cum") - col("t_idx") * col("n_total"))
+          .as("cusum"))
+    val mx = base.agg(max(abs(col("cusum"))).as("mx"))
+    base.join(broadcast(mx))
+      .select(col("day"), col("n_events"), col("cusum"),
+        (abs(col("cusum")) === col("mx")).as("is_peak"))
+      .orderBy("day")
+  }
+
+  private val cusumSql =
+    """WITH d AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+      |             CAST(sum(n_events) AS BIGINT) AS n_total FROM d),
+      |c AS (
+      |  SELECT day, n_events,
+      |         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t_idx,
+      |         CAST(sum(n_events) OVER (ORDER BY day
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |           AS cum
+      |  FROM d),
+      |x AS (
+      |  SELECT day, n_events,
+      |         s.n_days * cum - t_idx * s.n_total AS cusum
+      |  FROM c CROSS JOIN s)
+      |SELECT day, n_events, cusum,
+      |       abs(cusum) = (SELECT max(abs(cusum)) FROM x) AS is_peak
+      |FROM x ORDER BY day""".stripMargin
+
+  /** Bootstrap replicate count. */
+  private val BOOT_B = 32
+
+  /** Cumulative Poisson(1) CDF × 2³², as 8-digit lowercase hex — the
+    * inverse-CDF thresholds a uniform hash draw is compared against
+    * (lexicographic compare of fixed-width lowercase hex IS the numeric
+    * compare). Weights land 0..8, else 9 (P ≈ 1.1e-7). */
+  private val POISSON_HEX = Seq(
+    "5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797", "ff1025f5",
+    "ffd90f3b", "fffa8b71", "ffff540c", "ffffed1f")
+
+  /** Poisson-bootstrap 95% confidence interval for mean(o_totalprice) —
+    * the resampling scheme that actually works at 100 TB: instead of
+    * materializing B resampled copies of the corpus (B× shuffle), every
+    * row draws B independent Poisson(1) replication weights from a
+    * keyed hash and each replicate keeps a (Σw·x, Σw) counter pair —
+    * one scan, map-side combine into B=32 groups, zero data movement.
+    * The draws are 8-hex slices of md5(orderkey_group) mapped through
+    * the Poisson inverse CDF, so both engines reproduce the identical
+    * resample from nothing but the row key.
+    * Prices are fixed to integer cents so the replicate sums are exact
+    * BIGINTs; each replicate mean is one double division, and the CI is
+    * the exact interpolated quantile over the 32 replicate means (the
+    * engine-portable percentile ↔ quantile_cont pair). */
+  def bootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * lit(100.0d) + lit(0.5d)).cast("long")
+          .as("cents"))
+    val wCol = POISSON_HEX.zipWithIndex.reverse
+      .foldLeft(lit(9L)) { case (els, (hx, k)) =>
+        when(col("h") < lit(hx), lit(k.toLong)).otherwise(els)
+      }
+    // one md5 digest feeds FOUR 8-hex draws (the digest is 32 hex chars),
+    // so each row pays B/4 hashes, not B — md5 is the dominant per-row
+    // cost of the whole query. Replicate id b = 4·group + slot.
+    val perB = o
+      .select(col("o_orderkey"), col("cents"),
+        explode(sequence(lit(0), lit(BOOT_B / 4 - 1))).as("g"))
+      .select(col("cents"), col("g"),
+        md5(concat(col("o_orderkey").cast("string"), lit("_"),
+          col("g").cast("string"))).as("hx"))
+      .select(col("cents"), col("g"), explode(sequence(lit(0), lit(3))).as("i"),
+        col("hx"))
+      .select(col("cents"), (col("g") * 4 + col("i")).as("b"),
+        expr("substring(hx, i * 8 + 1, 8)").as("h"))
+      .select(col("b"), col("cents"), wCol.as("w"))
+      .groupBy("b")
+      .agg(sum(col("w") * col("cents")).as("swc"), sum("w").as("sw"))
+    val means = perB.select((col("swc").cast("double")
+      / col("sw").cast("double") / lit(100.0d)).as("mean_b"))
+    val ci = means.agg(
+      expr("percentile(mean_b, array(0.025D, 0.5D, 0.975D))").as("q"))
+    val pe = o.agg(sum("cents").as("sc"), count(lit(1)).as("n"))
+    pe.join(broadcast(ci))
+      .select(col("n").as("n_orders"), lit(BOOT_B.toLong).as("n_reps"),
+        (floor(col("sc").cast("double") / col("n").cast("double")
+          / lit(100.0d) * lit(10000.0d) + lit(0.5d)) / lit(10000.0d))
+          .as("point_est"),
+        (floor(element_at(col("q"), 1) * lit(10000.0d) + lit(0.5d))
+          / lit(10000.0d)).as("ci_lo"),
+        (floor(element_at(col("q"), 2) * lit(10000.0d) + lit(0.5d))
+          / lit(10000.0d)).as("ci_med"),
+        (floor(element_at(col("q"), 3) * lit(10000.0d) + lit(0.5d))
+          / lit(10000.0d)).as("ci_hi"))
+  }
+
+  private val bootstrapCiSql = {
+    val cases = POISSON_HEX.zipWithIndex
+      .map { case (hx, k) => s"WHEN h < '$hx' THEN $k" }
+      .mkString(" ")
+    s"""WITH o AS (
+       |  SELECT o_orderkey,
+       |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+       |  FROM orders),
+       |r AS (
+       |  SELECT o_orderkey, cents, g
+       |  FROM o CROSS JOIN (SELECT unnest(range(0, ${BOOT_B / 4})) AS g)),
+       |hx AS (
+       |  SELECT cents, g,
+       |         md5(CAST(o_orderkey AS VARCHAR) || '_'
+       |             || CAST(g AS VARCHAR)) AS hx
+       |  FROM r),
+       |u AS (
+       |  SELECT cents, g * 4 + i AS b, substr(hx, i * 8 + 1, 8) AS h
+       |  FROM hx CROSS JOIN (SELECT unnest(range(0, 4)) AS i)),
+       |w AS (SELECT b, cents, CASE $cases ELSE 9 END AS w FROM u),
+       |m AS (
+       |  SELECT b, CAST(sum(w * cents) AS BIGINT) AS swc,
+       |         CAST(sum(w) AS BIGINT) AS sw
+       |  FROM w GROUP BY b),
+       |q AS (
+       |  SELECT quantile_cont(CAST(swc AS DOUBLE) / CAST(sw AS DOUBLE)
+       |           / 100.0, [0.025, 0.5, 0.975]) AS q
+       |  FROM m),
+       |pe AS (SELECT CAST(sum(cents) AS BIGINT) AS sc,
+       |              CAST(count(*) AS BIGINT) AS n FROM o)
+       |SELECT n AS n_orders, CAST($BOOT_B AS BIGINT) AS n_reps,
+       |       floor(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
+       |             * 10000.0 + 0.5) / 10000.0 AS point_est,
+       |       floor(q[1] * 10000.0 + 0.5) / 10000.0 AS ci_lo,
+       |       floor(q[2] * 10000.0 + 0.5) / 10000.0 AS ci_med,
+       |       floor(q[3] * 10000.0 + 0.5) / 10000.0 AS ci_hi
+       |FROM pe CROSS JOIN q""".stripMargin
+  }
+
+  /** Seasonal-naive forecast error: predict each day's per-type event
+    * count with the count from 7 days earlier, and score with WMAPE
+    * (Σ|x−x̂| / Σx) — the denominator-weighted form whose sums are exact
+    * BIGINTs, unlike MAPE's order-dependent per-day double ratios. The
+    * lag is an EQUI join on (type, day+7) — the lag-join learning: never
+    * an inequality join for a fixed offset. This is the baseline any
+    * real forecast must beat, and the standard sanity row in a forecast
+    * eval sheet. Day frame is calendar-bounded. */
+  def seasonalNaive(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val lag = daily.select(col("event_type"),
+      date_add(col("day"), 7).as("day"), col("x").as("xhat"))
+    daily.join(lag, Seq("event_type", "day"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("x") - col("xhat"))).as("sae"), sum("x").as("sx"))
+      .select(col("event_type"), col("n_days"),
+        (floor(col("sae").cast("double") / col("sx").cast("double")
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("wmape"))
+      .orderBy("event_type")
+  }
+
+  private val seasonalNaiveSql =
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |l AS (SELECT event_type, day + 7 AS day, x AS xhat FROM d)
+      |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |       floor(CAST(sum(abs(d.x - l.xhat)) AS DOUBLE)
+      |             / CAST(sum(d.x) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+      |         AS wmape
+      |FROM d JOIN l ON d.event_type = l.event_type AND d.day = l.day
+      |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
+
+  /** Mutual information (and normalized MI) between a document's source
+    * and its language — the categorical-dependence number that answers
+    * "does routing by source skew the language mix" (χ² tests existence;
+    * MI measures magnitude in nats). Exactness: every cell term is
+    * n_sl · floor-fixed-ln of a ratio of BIGINT products, so the sums
+    * are order-free BIGINT arithmetic; the entropies get the same
+    * treatment and feed one final NMI division. All frames past the one
+    * corpus scan are |sources|×|languages|-sized. */
+  def mutualInfo(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(s, dir)
+      .groupBy("source", "lang").agg(count(lit(1)).as("n_sl"))
+    val bySrc = cells.groupBy("source").agg(sum("n_sl").as("n_s"))
+    val byLang = cells.groupBy("lang").agg(sum("n_sl").as("n_l"))
+    val tot = cells.agg(sum("n_sl").as("n"))
+    val fixedLn = (x: org.apache.spark.sql.Column) =>
+      floor(log(x) * lit(1000000.0d) + lit(0.5d)).cast("long")
+    val sums = cells.join(bySrc, "source").join(byLang, "lang")
+      .join(broadcast(tot))
+      .select(col("n_sl"), col("n_s"), col("n_l"), col("n"),
+        (col("n_sl") * fixedLn((col("n_sl") * col("n")).cast("double")
+          / (col("n_s") * col("n_l")).cast("double"))).as("mi_t"))
+      .agg(count(lit(1)).as("n_cells"), sum("mi_t").as("mi_f"))
+    val hs = bySrc.join(broadcast(tot))
+      .agg(sum(col("n_s") * fixedLn(col("n_s").cast("double")
+        / col("n").cast("double"))).as("hs_f"))
+    val hl = byLang.join(broadcast(tot))
+      .agg(sum(col("n_l") * fixedLn(col("n_l").cast("double")
+        / col("n").cast("double"))).as("hl_f"))
+    val fix4 = (c: org.apache.spark.sql.Column) =>
+      floor(c * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)
+    sums.join(broadcast(hs)).join(broadcast(hl)).join(broadcast(tot))
+      .select(col("n_cells"),
+        fix4(col("mi_f").cast("double") / col("n").cast("double")
+          / lit(1000000.0d)).as("mi_nats"),
+        fix4(-col("hs_f").cast("double") / col("n").cast("double")
+          / lit(1000000.0d)).as("h_source"),
+        fix4(-col("hl_f").cast("double") / col("n").cast("double")
+          / lit(1000000.0d)).as("h_lang"),
+        fix4((col("mi_f").cast("double") / col("n").cast("double")
+          / lit(1000000.0d))
+          / sqrt((-col("hs_f").cast("double") / col("n").cast("double")
+            / lit(1000000.0d))
+            * (-col("hl_f").cast("double") / col("n").cast("double")
+              / lit(1000000.0d)))).as("nmi"))
+  }
+
+  private val mutualInfoSql =
+    """WITH c AS (
+      |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_sl
+      |  FROM documents GROUP BY 1, 2),
+      |s AS (SELECT source, CAST(sum(n_sl) AS BIGINT) AS n_s FROM c GROUP BY 1),
+      |l AS (SELECT lang, CAST(sum(n_sl) AS BIGINT) AS n_l FROM c GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_sl) AS BIGINT) AS n FROM c),
+      |mi AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+      |         CAST(sum(n_sl * CAST(floor(ln(CAST(n_sl * n AS DOUBLE)
+      |           / CAST(n_s * n_l AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT))
+      |           AS BIGINT) AS mi_f
+      |  FROM c JOIN s USING (source) JOIN l USING (lang) CROSS JOIN t),
+      |hs AS (
+      |  SELECT CAST(sum(n_s * CAST(floor(ln(CAST(n_s AS DOUBLE)
+      |           / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT))
+      |           AS BIGINT) AS hs_f
+      |  FROM s CROSS JOIN t),
+      |hl AS (
+      |  SELECT CAST(sum(n_l * CAST(floor(ln(CAST(n_l AS DOUBLE)
+      |           / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT))
+      |           AS BIGINT) AS hl_f
+      |  FROM l CROSS JOIN t)
+      |SELECT n_cells,
+      |       floor(CAST(mi_f AS DOUBLE) / n / 1000000.0 * 10000.0 + 0.5)
+      |         / 10000.0 AS mi_nats,
+      |       floor(-CAST(hs_f AS DOUBLE) / n / 1000000.0 * 10000.0 + 0.5)
+      |         / 10000.0 AS h_source,
+      |       floor(-CAST(hl_f AS DOUBLE) / n / 1000000.0 * 10000.0 + 0.5)
+      |         / 10000.0 AS h_lang,
+      |       floor((CAST(mi_f AS DOUBLE) / n / 1000000.0)
+      |             / sqrt((-CAST(hs_f AS DOUBLE) / n / 1000000.0)
+      |                    * (-CAST(hl_f AS DOUBLE) / n / 1000000.0))
+      |             * 10000.0 + 0.5) / 10000.0 AS nmi
+      |FROM mi CROSS JOIN hs CROSS JOIN hl CROSS JOIN t""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q_survival", survival, Some(survivalSql)),
+    Q("q_cusum", cusum, Some(cusumSql)),
+    Q("q_bootstrap_ci", bootstrapCi, Some(bootstrapCiSql)),
+    Q("q_seasonal_naive", seasonalNaive, Some(seasonalNaiveSql)),
+    Q("q_mutual_info", mutualInfo, Some(mutualInfoSql)))
+}

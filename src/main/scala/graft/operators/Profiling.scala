@@ -1071,8 +1071,88 @@ object Profiling {
        |FROM g ORDER BY decile""".stripMargin
   }
 
+  /** Price buckets the skyline scan partitions its windows by. */
+  private val SKY_BUCKETS = 32
+
+  /** 2-D skyline (Pareto frontier) of the parts catalog: the points not
+    * dominated on (price ↓ better, size ↑ better) — the preference-query
+    * operator family (maximal-vector / BNL literature). A point is
+    * dominated iff some part is ≤ on price AND ≥ on size with at least
+    * one strict.
+    *
+    * Scalable shape: dominance only ever flows from cheaper prices, so
+    * (1) collapse the corpus to one (price, best_size) row per DISTINCT
+    * price in the scan stage — a same-price point below its price's max
+    * size is dominated by that max (or is a duplicate of it, which
+    * survives with it); (2) range-bucket the distinct-price table and
+    * take the running max WITHIN each bucket (partitioned windows — no
+    * global window over data-sized input); (3) fold the strictly-lower
+    * buckets in via a bucket-count-sized prefix-max frame broadcast back.
+    * A price survives iff its best size strictly exceeds every earlier
+    * best; the surviving (price, size) pairs — skyline-sized — broadcast
+    * back onto the scan to count the points sitting ON the frontier.
+    * The bucket assignment only needs to be monotone in price for the
+    * decomposition to be exact, so FP boundary wobble is harmless. */
+  def skyline(s: SparkSession, dir: String): DataFrame =
+    skylineOn(Tables.part(s, dir)
+      .select(col("p_retailprice").as("p"), col("p_size").as("sz")))
+      .select(col("p").as("p_retailprice"), col("sz").as("p_size"),
+        col("n_points"))
+      .orderBy("p_retailprice")
+
+  /** Skyline core over a (p: minimize, sz: maximize) point frame;
+    * returns the frontier as (p, sz, n_points) unordered. */
+  private[graft] def skylineOn(pts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = pts.groupBy("p").agg(max("sz").as("best"))
+    val bounds = d.agg(min("p").as("lo"), max("p").as("hi"))
+    val withB = d.join(broadcast(bounds))
+      .withColumn("bucket",
+        when(col("hi") === col("lo"), lit(0))
+          .otherwise(least(
+            floor((col("p") - col("lo"))
+              / ((col("hi") - col("lo")) / lit(SKY_BUCKETS.toDouble))),
+            lit((SKY_BUCKETS - 1).toDouble)).cast("int")))
+      .select("p", "best", "bucket")
+    val wIn = Window.partitionBy("bucket").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perBucket = withB.groupBy("bucket").agg(max("best").as("bmax"))
+    // ≤ SKY_BUCKETS rows: the global window here is constant-sized
+    val wB = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = perBucket
+      .withColumn("pmax", max("bmax").over(wB)).select("bucket", "pmax")
+    val surv = withB.withColumn("im", max("best").over(wIn))
+      .join(broadcast(prefix), Seq("bucket"))
+      .filter(col("best") >
+        coalesce(greatest(col("im"), col("pmax")), lit(Int.MinValue)))
+      .select(col("p").as("sp"), col("best"))
+    pts.join(broadcast(surv),
+        col("p") === col("sp") && col("sz") === col("best"))
+      .groupBy("p", "sz").agg(count(lit(1)).as("n_points"))
+  }
+
+  /** Oracle: independent single-window formulation over the distinct-
+    * price table (fine at oracle scale; the Spark side must reach the
+    * identical fixpoint through the bucketed decomposition). */
+  private val skylineSql =
+    """WITH d AS (
+      |  SELECT p_retailprice AS p, max(p_size) AS best
+      |  FROM part GROUP BY p_retailprice),
+      |r AS (
+      |  SELECT p, best,
+      |         max(best) OVER (ORDER BY p
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mb
+      |  FROM d),
+      |s AS (SELECT p, best FROM r WHERE mb IS NULL OR best > mb)
+      |SELECT p AS p_retailprice, best AS p_size,
+      |       CAST(count(*) AS BIGINT) AS n_points
+      |FROM part JOIN s ON p_retailprice = s.p AND p_size = s.best
+      |GROUP BY p, best ORDER BY p""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_histogram", histogram, Some(histogramSql)),
+    Q("q_skyline", skyline, Some(skylineSql)),
     Q("q_auc", auc, Some(aucSql)),
     Q("q_lift_curve", liftCurve, Some(liftCurveSql)),
     Q("q_weighted_quantiles", weightedQuantiles, Some(weightedQuantilesSql)),

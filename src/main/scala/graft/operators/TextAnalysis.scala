@@ -1041,9 +1041,91 @@ object TextAnalysis {
     s"""SELECT * FROM ($bm25ScoredSql)
        |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
 
+  /** Cohen's kappa of the [[langId]] heuristic against the ground-truth
+    * label — chance-corrected agreement, the one number that exposes a
+    * classifier that "scores high" only because one class dominates
+    * (plain accuracy q_langid_eval cannot). All inputs are the BIGINT
+    * confusion-matrix marginals (per-label row/column sums over ≤
+    * |languages|² cells); p_o, p_e and kappa are single double divisions
+    * at the end, floor-fixed to 4 decimals. One corpus scan; every
+    * frame after the confusion aggregate is languages-sized. */
+  def langIdKappa(s: SparkSession, dir: String): DataFrame = {
+    val scoreCols = langMarkers.map { case (l, ws) =>
+      expr(s"size(filter(split(text, ' '), x -> array_contains(array(${sqlList(ws)}), x)))")
+        .as(s"s_$l")
+    }
+    val langs = langMarkers.map(_._1)
+    val caseExpr = langs.map { l =>
+      val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $geAll THEN '$l'"
+    }.mkString("CASE ", " ", " END")
+    val conf = Tables.documents(s, dir)
+      .select((col("lang") +: scoreCols): _*)
+      .withColumn("predicted", expr(caseExpr))
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+    val diag = conf.filter(col("lang") === col("predicted"))
+      .agg(coalesce(sum("n"), lit(0L)).as("agree"))
+    val rows = conf.groupBy("lang").agg(sum("n").as("rn"))
+    val cols = conf.groupBy("predicted").agg(sum("n").as("cn"))
+    val chance = rows.join(cols, col("lang") === col("predicted"))
+      .agg(sum(col("rn") * col("cn")).as("rc"))
+    val tot = conf.agg(sum("n").as("n_docs"))
+    tot.join(broadcast(diag)).join(broadcast(chance))
+      .select(col("n_docs"),
+        (floor(col("agree").cast("double") / col("n_docs").cast("double")
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("p_o"),
+        (floor(col("rc").cast("double")
+          / (col("n_docs") * col("n_docs")).cast("double")
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("p_e"),
+        (floor((col("agree").cast("double") / col("n_docs").cast("double")
+          - col("rc").cast("double")
+            / (col("n_docs") * col("n_docs")).cast("double"))
+          / (lit(1.0d) - col("rc").cast("double")
+            / (col("n_docs") * col("n_docs")).cast("double"))
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("kappa"))
+  }
+
+  private val langIdKappaSql = {
+    val scores = langMarkers.map { case (l, ws) =>
+      s"len(list_filter(string_split(text, ' '), x -> list_contains([${sqlList(ws)}], x))) AS s_$l"
+    }.mkString(",\n         ")
+    val langs = langMarkers.map(_._1)
+    val cases = langs.map { l =>
+      val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $geAll THEN '$l'"
+    }.mkString(" ")
+    s"""WITH scored AS (
+       |  SELECT lang,
+       |         $scores
+       |  FROM documents),
+       |conf AS (
+       |  SELECT lang, CASE $cases END AS predicted,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM scored GROUP BY lang, predicted),
+       |diag AS (SELECT coalesce(CAST(sum(n) AS BIGINT), 0) AS agree
+       |         FROM conf WHERE lang = predicted),
+       |r AS (SELECT lang, CAST(sum(n) AS BIGINT) AS rn FROM conf GROUP BY lang),
+       |c AS (SELECT predicted, CAST(sum(n) AS BIGINT) AS cn
+       |      FROM conf GROUP BY predicted),
+       |ch AS (SELECT CAST(sum(rn * cn) AS BIGINT) AS rc
+       |       FROM r JOIN c ON lang = predicted),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs FROM conf)
+       |SELECT n_docs,
+       |       floor(CAST(agree AS DOUBLE) / n_docs * 10000.0 + 0.5)
+       |         / 10000.0 AS p_o,
+       |       floor(CAST(rc AS DOUBLE) / (n_docs * n_docs) * 10000.0 + 0.5)
+       |         / 10000.0 AS p_e,
+       |       floor((CAST(agree AS DOUBLE) / n_docs
+       |              - CAST(rc AS DOUBLE) / (n_docs * n_docs))
+       |             / (1.0 - CAST(rc AS DOUBLE) / (n_docs * n_docs))
+       |             * 10000.0 + 0.5) / 10000.0 AS kappa
+       |FROM t CROSS JOIN diag CROSS JOIN ch""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_text_langid", langId, Some(langIdSql)),
     Q("q_langid_eval", langIdEval, Some(langIdEvalSql)),
+    Q("q_langid_kappa", langIdKappa, Some(langIdKappaSql)),
     Q("q_lm_score", lmScore, Some(lmScoreSql)),
     Q("q_bigram_lm", bigramLm, Some(bigramLmSql)),
     Q("q_pmi_colloc", pmiCollocations, Some(pmiCollocationsSql)),

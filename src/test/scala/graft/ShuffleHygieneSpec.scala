@@ -68,7 +68,23 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     // inherits the q_sim_topk_batch/q_sim_ann_batch broadcast shapes
     "q_ann_mrr",
     // 1-row quartile-boundary frame broadcast onto the user aggregate
-    "q_cmh_test")
+    "q_cmh_test",
+    // 1-row user-total frame broadcast onto the ≤horizon-row hour table
+    "q_survival",
+    // 1-row (n_days, n_total) + 1-row max|S| frames onto the day table
+    "q_cusum",
+    // 1-row CI-quantile frame crossJoined onto the 1-row point estimate
+    "q_bootstrap_ci",
+    // 1-row price-bounds frame onto the distinct-price aggregate (the
+    // q_histogram shape); the bucket-prefix and survivor frames join
+    // with equi-keys
+    "q_skyline",
+    // crossJoins of three ≤1-row agreement/chance/total aggregates
+    "q_langid_kappa",
+    // 1-row corpus-total frames broadcast onto the cell/marginal tables
+    "q_mutual_info",
+    // 1-row corpus-size frame broadcast onto the per-anchor draw frame
+    "q_negative_sample")
 
   // ONE sweep over the registry (executing every query once — the
   // dominant cost of this suite), with both plan properties checked off
