@@ -61,20 +61,34 @@ object Bench {
     // Per-query: min over samples, but if ANY pass failed the query is
     // flaky and reports a negative marker — min-over-passes must not let
     // an intermittent failure masquerade as a clean fast success.
-    val results = names.map { case (name, _) =>
+    def summarize(stat: Seq[Double] => Double) = names.map { case (name, _) =>
       val ts = samples.collect { case (`name`, dt) => dt }
       val good = ts.filter(_ > 0)
       val clean = good.size == ts.size && good.nonEmpty
-      name -> (if (clean) good.min
-               else if (good.nonEmpty) -good.min
+      name -> (if (clean) stat(good)
+               else if (good.nonEmpty) -stat(good)
                else ts.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val results = summarize(_.min)
+    // Medians ride along for round-over-round attribution: mins answer
+    // "how fast is the plan", medians answer "did the code actually
+    // change" — host-contention jitter moves mins between rounds on
+    // identical code, while medians are far more stable.
+    val medians = summarize(median)
+    def asJson(kvs: Seq[(String, Double)]) =
+      kvs.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+    val qs = asJson(results)
+    val ms = asJson(medians)
     // total counts SUCCESSFUL queries only — a failure (negative marker)
     // must never make the headline number smaller
     val total = results.map(_._2).filter(_ > 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$ms,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

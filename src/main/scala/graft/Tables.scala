@@ -22,19 +22,32 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet").alias(name)
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses natively
-    * (PARQUET_TYPE_ILLEGAL). Read nanos as Long, then floor-divide to µs —
-    * integer division, since ns-epoch (~1.7e18) exceeds double's 2^53
-    * mantissa — which is exactly DuckDB's ns→µs truncation, keeping the
-    * oracle comparable. */
+  /** events.ts has shipped in two fixture generations, both normalized here
+    * to `TimestampType` (µs, session-tz) so every downstream query sees ONE
+    * type regardless of which fixture is on disk:
+    *
+    *  - parquet TIMESTAMP(NANOS): Spark 4 refuses it natively
+    *    (PARQUET_TYPE_ILLEGAL). Read nanos as Long, floor-divide to µs —
+    *    integer division, since ns-epoch (~1.7e18) exceeds double's 2^53
+    *    mantissa — which is exactly DuckDB's ns→µs truncation.
+    *  - parquet timestamp[us] WITHOUT timezone: Spark reads TIMESTAMP_NTZ,
+    *    which `cast(ts as double)` / `unix_micros(ts)` reject at analysis
+    *    time. Cast NTZ→`TimestampType`: the session timezone is pinned UTC
+    *    everywhere (Bench/Verify/specs), so the wall-clock reinterpretation
+    *    is value-identical to DuckDB's naive reading of the same file.
+    */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    val df =
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts",
-          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      else raw
+    val df = raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
     df.alias("events")
   }
 

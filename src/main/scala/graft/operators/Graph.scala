@@ -29,25 +29,41 @@ object Graph {
   private val ROUNDS = 5
   private val TOP = 20
 
+  /** Orders with more DISTINCT parts than this are dropped from every
+    * co-purchase edge build: the pair explode is Σ|order|², so a single
+    * pathological giant order (a merged cart, an ingestion bug folding a
+    * day into one key) would emit |order|² pairs and dominate the whole
+    * build — the same cap-the-degenerate-key discipline as Dedup's
+    * BUCKET_CAP / POSTING_CAP. Real orders are a handful of lines (TPC-H
+    * maxes at 7), so the cap is semantic-free on sane data; the DuckDB
+    * oracles apply the identical HAVING so capped results stay
+    * hash-comparable. Planted-giant-order behavior is pinned in
+    * GraphSpec. */
+  private[graft] val ORDER_CAP = 256
+
+  /** Distinct directed co-purchase edges from a (l_orderkey, l_partkey)
+    * frame — per-order part-sets + a row-local pair explode: ONE fact
+    * scan and one (orderkey, partkey) shuffle instead of a self-join's
+    * two, and the exploded pairs stay bare int ids. Giant orders are
+    * capped out BEFORE the explode (see [[ORDER_CAP]]) — the filter runs
+    * on the collected set's size, so the quadratic fan-out never
+    * happens. */
+  private[graft] def copurchaseEdges(li: DataFrame): DataFrame =
+    li.groupBy("l_orderkey").agg(collect_set("l_partkey").as("ps"))
+      .filter(size(col("ps")) <= ORDER_CAP)
+      .select(explode(col("ps")).as("src"), col("ps"))
+      .select(col("src"), explode(col("ps")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
   /** PageRank (damping 0.85, 5 power iterations) over the co-purchase
     * graph: nodes = parts, edges = distinct same-order part pairs (both
     * directions, so the graph is symmetric and every node has outdegree
     * ≥ 1). Output: the TOP most central parts with their rank in nano
     * units — exact integers, no float compare anywhere. */
   def pagerank(s: SparkSession, dir: String): DataFrame = {
-    // distinct directed edges — built via per-order part-sets + a
-    // row-local pair explode: ONE fact scan and one (orderkey, partkey)
-    // shuffle instead of a self-join's two, and the exploded pairs stay
-    // bare int ids. Per-order fan-out is lines² — bounded by order size,
-    // the same Σ|group|² shape as the LSH bucket joins (an order is a
-    // handful of lines; a pathological giant order would get a cap, like
-    // BUCKET_CAP).
-    val edges = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
-      .groupBy("l_orderkey").agg(collect_set("l_partkey").as("ps"))
-      .select(explode(col("ps")).as("src"), col("ps"))
-      .select(col("src"), explode(col("ps")).as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
+    val edges = copurchaseEdges(
+      Tables.lineitem(s, dir).select("l_orderkey", "l_partkey"))
     pagerankOn(edges)
       .orderBy(col("r").desc, col("node").asc)
       .limit(TOP)
@@ -110,7 +126,10 @@ object Graph {
          |  CROSS JOIN params p
          |  GROUP BY ed.dst, p.base)""".stripMargin
     }.mkString(",\n")
-    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+    s"""WITH li0 AS (SELECT l_orderkey, l_partkey FROM lineitem),
+       |ok AS (SELECT l_orderkey FROM li0 GROUP BY 1
+       |       HAVING count(DISTINCT l_partkey) <= $ORDER_CAP),
+       |li AS (SELECT li0.* FROM li0 JOIN ok USING (l_orderkey)),
        |e AS (
        |  SELECT DISTINCT x.l_partkey AS src, y.l_partkey AS dst
        |  FROM li x JOIN li y
@@ -149,10 +168,11 @@ object Graph {
     * would be quadratic. Wedges close via a LEFT SEMI join (bare id
     * pairs). All shuffles carry int ids. */
   /** Support-thresholded undirected affinity edges (a < b), shared by
-    * [[triangles]] and [[degreeStats]]. */
-  private[graft] def affinityEdges(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
-      .groupBy("l_orderkey").agg(sort_array(collect_set("l_partkey")).as("ps"))
+    * [[triangles]] and [[degreeStats]]. Same [[ORDER_CAP]] guard as
+    * [[copurchaseEdges]] — the suffix explode is C(|order|, 2). */
+  private[graft] def affinityEdgesOn(li: DataFrame): DataFrame =
+    li.groupBy("l_orderkey").agg(sort_array(collect_set("l_partkey")).as("ps"))
+      .filter(size(col("ps")) <= ORDER_CAP)
       // upper triangle only: each element pairs with the SORTED array's
       // strict suffix, so a < b holds by construction and the generator
       // emits C(n,2) rows instead of n² rows filtered to half
@@ -162,6 +182,9 @@ object Graph {
       .groupBy("a", "b").agg(count(lit(1)).as("w"))
       .filter(col("w") >= TRI_MIN_ORDERS)
       .select("a", "b")
+
+  private[graft] def affinityEdges(s: SparkSession, dir: String): DataFrame =
+    affinityEdgesOn(Tables.lineitem(s, dir).select("l_orderkey", "l_partkey"))
 
   def triangles(s: SparkSession, dir: String): DataFrame =
     trianglesOn(affinityEdges(s, dir))
@@ -188,7 +211,10 @@ object Graph {
           / lit(10000.0d)).as("p90_deg"))
 
   private val degreeStatsSql =
-    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+    s"""WITH li0 AS (SELECT l_orderkey, l_partkey FROM lineitem),
+       |ok AS (SELECT l_orderkey FROM li0 GROUP BY 1
+       |       HAVING count(DISTINCT l_partkey) <= $ORDER_CAP),
+       |li AS (SELECT li0.* FROM li0 JOIN ok USING (l_orderkey)),
        |und AS (
        |  SELECT a, b FROM (
        |    SELECT x.l_partkey AS a, y.l_partkey AS b
@@ -237,7 +263,10 @@ object Graph {
   }
 
   private val trianglesSql =
-    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+    s"""WITH li0 AS (SELECT l_orderkey, l_partkey FROM lineitem),
+      |ok AS (SELECT l_orderkey FROM li0 GROUP BY 1
+      |       HAVING count(DISTINCT l_partkey) <= $ORDER_CAP),
+      |li AS (SELECT li0.* FROM li0 JOIN ok USING (l_orderkey)),
       |und AS (
       |  SELECT a, b FROM (
       |    SELECT x.l_partkey AS a, y.l_partkey AS b
@@ -405,9 +434,79 @@ object Graph {
     rows.toDF("k", "n_core_nodes", "n_core_edges")
   }
 
+  /** Oracle rounds unrolled per k. The Spark side peels to an EXACT
+    * fixpoint (and throws if it can't); the oracle unrolls a fixed,
+    * generous number of parallel peel rounds — legitimate because a peel
+    * past the fixpoint is a no-op (idempotent) and the k-core is unique
+    * regardless of peel order/granularity, so "enough rounds" ≡ exact.
+    * 40 covers a peeling depth (longest chain periphery / 2) far past
+    * anything the support-thresholded affinity graph exhibits; if a
+    * fixture ever exceeds it, the census mismatches loudly rather than
+    * silently passing. */
+  private val KCORE_ORACLE_ROUNDS = 40
+
+  /** The recursive-CTE replay VERDICT r5 asked for, expressed as a
+    * bounded unroll (DuckDB 1.0 recursive CTEs can't terminate on a
+    * fixpoint-of-aggregates condition — the recursive term may not
+    * aggregate over the recursive table — so the loop is unrolled like
+    * [[pagerankSql]]'s rounds). Each round drops every endpoint of
+    * degree < k, exactly the distributed peel's batch step. */
+  private val kcoreSql = {
+    // every CTE is MATERIALIZED: each peel references its predecessor
+    // three times, and DuckDB inlines plain CTEs per reference — a
+    // 40-round chain would otherwise expand 3^40 scans (observed as
+    // "Too many open files" on the base parquet before any memory blew)
+    def peel(k: Int, prev: String, cur: String): String =
+      s"""$cur AS MATERIALIZED (
+         |  SELECT a, b FROM $prev
+         |  WHERE a IN (SELECT n FROM (SELECT a AS n FROM $prev
+         |                             UNION ALL SELECT b FROM $prev)
+         |              GROUP BY n HAVING count(*) >= $k)
+         |    AND b IN (SELECT n FROM (SELECT a AS n FROM $prev
+         |                             UNION ALL SELECT b FROM $prev)
+         |              GROUP BY n HAVING count(*) >= $k))""".stripMargin
+    // cores are nested: each k's round-0 is the previous k's final core,
+    // mirroring the Spark side's start-from-previous-core loop
+    val chains = Seq(2, 3, 4).map { k =>
+      val rounds = (1 to KCORE_ORACLE_ROUNDS).map { r =>
+        peel(k, s"c${k}_${r - 1}", s"c${k}_$r")
+      }.mkString(",\n")
+      val seed =
+        if (k == 2) s"c2_0 AS MATERIALIZED (SELECT a, b FROM und)"
+        else s"c${k}_0 AS MATERIALIZED (SELECT a, b FROM " +
+          s"c${k - 1}_$KCORE_ORACLE_ROUNDS)"
+      s"$seed,\n$rounds"
+    }.mkString(",\n")
+    def census(k: Int): String =
+      s"""SELECT $k AS k,
+         |       CAST(count(DISTINCT n) AS BIGINT) AS n_core_nodes,
+         |       CAST(count(*) // 2 AS BIGINT) AS n_core_edges
+         |FROM (SELECT a AS n FROM c${k}_$KCORE_ORACLE_ROUNDS
+         |      UNION ALL SELECT b FROM c${k}_$KCORE_ORACLE_ROUNDS)""".stripMargin
+    s"""WITH li0 AS (SELECT l_orderkey, l_partkey FROM lineitem),
+       |ok AS (SELECT l_orderkey FROM li0 GROUP BY 1
+       |       HAVING count(DISTINCT l_partkey) <= $ORDER_CAP),
+       |li AS (SELECT li0.* FROM li0 JOIN ok USING (l_orderkey)),
+       |und AS (
+       |  SELECT a, b FROM (
+       |    SELECT x.l_partkey AS a, y.l_partkey AS b
+       |    FROM li x JOIN li y
+       |      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+       |    GROUP BY x.l_orderkey, a, b)
+       |  GROUP BY a, b HAVING count(*) >= $TRI_MIN_ORDERS),
+       |$chains
+       |SELECT * FROM (
+       |${census(2)}
+       |UNION ALL
+       |${census(3)}
+       |UNION ALL
+       |${census(4)})
+       |ORDER BY k""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_pagerank", pagerank, Some(pagerankSql)),
     Q("q_triangles", triangles, Some(trianglesSql)),
-    Q("q_kcore", kcore, None),
+    Q("q_kcore", kcore, Some(kcoreSql)),
     Q("q_degree_stats", degreeStats, Some(degreeStatsSql)))
 }

@@ -39,12 +39,15 @@ object Inference {
     *
     * The corpus collapses to per-user (first_ts, first_purchase_ts) in
     * one scan; everything after operates on ≤ horizon+1 distinct-hour
-    * rows, where S(t) = Π (1 - d/n) over death hours is taken as a
-    * cumulative BIGINT sum of 1e-6-fixed logs (the [[TextAnalysis]] Zipf
-    * pattern — pure IEEE ops, identical across engines) and exponentiated
-    * once. A death hour that exhausts the risk set (d = n) pins the tail
-    * at exactly 0.0 via a -1e12 sentinel log (exp underflows to +0.0 in
-    * both engines) instead of evaluating ln(0). */
+    * rows, where S(t) = Π (1 - d/n) over death hours is a sequential
+    * INTEGER fold: each factor is first fixed to 1e-6 units by exact
+    * integer division (round((n−d)·1e6 / n) — no libm anywhere; the
+    * earlier ln/exp formulation hash-mismatched DuckDB on 1-ulp log
+    * differences), then the ordered factor array (≤ horizon+1 elements,
+    * materialized per row by a running collect_list) is folded left with
+    * acc·f div 1e6 — identical two-operand integer ops in both engines,
+    * so the comparison is arithmetic identity. d = n yields factor 0 and
+    * pins the tail at exactly 0.0 with no sentinel. */
   def survival(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
     val first = e.groupBy("user_id").agg(min("ts").as("t0"))
@@ -77,16 +80,16 @@ object Inference {
       .withColumn("n_risk",
         col("n_users") - coalesce(sum("m").over(wLt), lit(0L)))
       .filter(col("d") > 0)
-      .withColumn("lf",
-        when(col("d") < col("n_risk"),
-          floor(log(lit(1.0d) - col("d").cast("double")
-            / col("n_risk").cast("double")) * lit(1000000.0d) + lit(0.5d))
-            .cast("long"))
-          .otherwise(lit(-1000000000000L)))
-      .withColumn("cum", sum("lf").over(wCum))
+      // round((n_risk−d)·1e6 / n_risk) in pure integer arithmetic
+      .withColumn("f6",
+        expr("((n_risk - d) * 2000000L + n_risk) div (2L * n_risk)"))
+      .withColumn("fs", collect_list("f6").over(wCum))
+      // left fold acc·f div 1e6, acc0 = 1e6; max intermediate 1e12 ≪ 2^63
+      .withColumn("acc6",
+        expr("aggregate(fs, 1000000L, (acc, x) -> acc * x div 1000000L)"))
       .select(col("t").as("t_hours"), col("n_risk"), col("d"),
-        (floor(exp(col("cum").cast("double") / lit(1000000.0d))
-          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("surv"))
+        (expr("(acc6 + 50L) div 100L").cast("double") / lit(10000.0d))
+          .as("surv"))
       .orderBy("t_hours")
   }
 
@@ -117,17 +120,18 @@ object Inference {
        |  FROM per_t CROSS JOIN tot),
        |km AS (
        |  SELECT t, n_risk, d,
-       |         CASE WHEN d < n_risk
-       |              THEN CAST(floor(ln(1.0 - CAST(d AS DOUBLE)
-       |                     / CAST(n_risk AS DOUBLE)) * 1000000.0 + 0.5)
-       |                   AS BIGINT)
-       |              ELSE -1000000000000 END AS lf
-       |  FROM risk WHERE d > 0)
+       |         ((n_risk - d) * 2000000 + n_risk) // (2 * n_risk) AS f6
+       |  FROM risk WHERE d > 0),
+       |arr AS (
+       |  SELECT t, n_risk, d,
+       |         list(f6) OVER (ORDER BY t
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fs
+       |  FROM km)
        |SELECT t AS t_hours, n_risk, d,
-       |       floor(exp(CAST(sum(lf) OVER (ORDER BY t
-       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-       |         / 1000000.0) * 10000.0 + 0.5) / 10000.0 AS surv
-       |FROM km ORDER BY t_hours""".stripMargin
+       |       CAST((list_reduce(list_prepend(CAST(1000000 AS BIGINT), fs),
+       |              (acc, x) -> (acc * x) // 1000000) + 50) // 100 AS DOUBLE)
+       |         / 10000.0 AS surv
+       |FROM arr ORDER BY t_hours""".stripMargin
 
   /** CUSUM changepoint location over the daily event-volume series —
     * where the cumulative deviation from a flat rate peaks. Computed

@@ -191,12 +191,14 @@ object Similarity {
       .limit(5)
   }
 
-  private val annLshSql = {
-    // Weights per plane are materialized as a LIST and the projection is
-    // list_dot_product — a sequential left-to-right fold, bit-identical
-    // to Spark's dot_d over the inlined literal array. (A GROUP BY
-    // sum(emb[j]*wt) would leave the summation order to the aggregate
-    // engine and could flip a near-zero sign bit.)
+  // Weights per plane are materialized as a LIST and the projection is
+  // list_dot_product — a sequential left-to-right fold, bit-identical
+  // to Spark's dot_d over the inlined literal array. (A GROUP BY
+  // sum(emb[j]*wt) would leave the summation order to the aggregate
+  // engine and could flip a near-zero sign bit.) Parameterized on the
+  // hamming radius so the single-probe (≤3) and multiprobe (≤7) oracles
+  // share one template instead of string-editing each other.
+  private def annLshSqlAt(radius: Int): String = {
     s"""WITH e AS (
        |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
@@ -222,9 +224,11 @@ object Similarity {
        |       CAST(bit_count(xor(sig, q_sig)) AS BIGINT) AS hamming,
        |       round(list_dot_product(emb, q_emb) / (nrm * q_nrm), 4) AS cos_sim
        |FROM es, q
-       |WHERE vec_id <> 0 AND bit_count(xor(sig, q_sig)) <= 3
+       |WHERE vec_id <> 0 AND bit_count(xor(sig, q_sig)) <= $radius
        |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin
   }
+
+  private val annLshSql = annLshSqlAt(3)
 
   /** Batched ANN over the same ingest-time band index: ALL of the batch's
     * (band, nibble) buckets probe in ONE index scan (≤ QBATCH × 4
@@ -1018,8 +1022,7 @@ object Similarity {
       .limit(5)
   }
 
-  private val annLshMultiprobeSql =
-    annLshSql.replace("<= 3", "<= 7")
+  private val annLshMultiprobeSql = annLshSqlAt(7)
 
   private val hybridRrfSql =
     s"""WITH bm AS (${TextAnalysis.bm25ScoredSql}),
@@ -1273,7 +1276,10 @@ object Similarity {
     // are 1e6-unit longs, so per-partition product sums stay exact up to
     // ~2.7e7 rows per partition (3.4e11 max product vs 2^63) — far past
     // any sane partition size; the cross-partition merge is arbitrary-
-    // precision, so total corpus size is unbounded.
+    // precision, so total corpus size is unbounded. The exact-arithmetic
+    // ops below turn a pathological partition (oversized, or wild
+    // component magnitudes) into a LOUD ArithmeticException instead of a
+    // silently wrong spectrum.
     val partials = e.select(expr(
       "transform(embedding, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))")
       .as("xi")).as[Seq[Long]]
@@ -1287,10 +1293,10 @@ object Similarity {
           var i = 0
           while (i < DIM) {
             val vi = v(i)
-            s1(i) += vi
+            s1(i) = Math.addExact(s1(i), vi)
             var j = i
             while (j < DIM) {
-              s2(idx) += vi * v(j)
+              s2(idx) = Math.addExact(s2(idx), Math.multiplyExact(vi, v(j)))
               idx += 1
               j += 1
             }

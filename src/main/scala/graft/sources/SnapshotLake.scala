@@ -216,9 +216,9 @@ object SnapshotLake {
   def create(df: DataFrame, root: String,
              statsCol: Option[String] = None): Int = {
     require(currentVersion(root) == 0, s"table at $root already exists")
-    val n = df.count()
     val files = stage(df, root, 1, statsCol)
-    commit(root, 0, "create", n, df.schema.toDDL, statsCol, files)
+    commit(root, 0, "create", files.map(_.rows).sum, df.schema.toDDL,
+      statsCol, files)
   }
 
   /** Append-only commit: previous files all carry over, the batch's files
@@ -227,11 +227,10 @@ object SnapshotLake {
   def append(spark: SparkSession, df: DataFrame, root: String): Int = {
     val prev = currentVersion(root)
     val snap = snapshot(root, prev)
-    val n = df.count()
     val files = stage(df, root, prev + 1, snap.statsCol)
     val schema = mergedDdl(snap.schemaDdl, df.schema)
-    commit(root, prev, "append", snap.nRows + n, schema, snap.statsCol,
-      snap.files ++ files)
+    commit(root, prev, "append", snap.nRows + files.map(_.rows).sum, schema,
+      snap.statsCol, snap.files ++ files)
   }
 
   /** WRITE-AUDIT-PUBLISH: the quality-gated append. The batch's files
@@ -254,8 +253,11 @@ object SnapshotLake {
                         audit: DataFrame => Seq[String]): Either[Seq[String], Int] = {
     val prev = currentVersion(root)
     val snap = snapshot(root, prev)
-    val n = df.count()
     val staged = stage(df, root, prev + 1, snap.statsCol)
+    // committed row count comes from the staged parquet footers — the
+    // exact bytes that publish — never from re-executing the incoming
+    // plan, which costs a second scan and could be nondeterministic
+    val n = staged.map(_.rows).sum
     val stagedDf =
       if (staged.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], df.schema)

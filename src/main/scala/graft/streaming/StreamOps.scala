@@ -26,24 +26,35 @@ final case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
 object StreamOps {
 
   /** File-source stream over the harness events parquet — the real
-    * `readStream` path (MemoryStream is for tests). Streaming sources
-    * need an explicit schema; events.ts is parquet TIMESTAMP(NANOS),
-    * which Spark 4 only reads as Long (nanosAsLong), so the stream
-    * applies the same ns→µs floor-conversion as the batch loader
-    * (graft.Tables.events) — keeping batch and stream bit-identical. */
+    * `readStream` path (MemoryStream is for tests). Streaming sources need
+    * an explicit schema, and the fixture's ts encoding has shipped in two
+    * generations (TIMESTAMP(NANOS); timestamp[us] without tz), so we sniff
+    * the on-disk type with a batch footer read and apply the SAME
+    * normalization as the batch loader (graft.Tables.events) — ns fixtures
+    * get the Long read + ns→µs floor-division, µs-NTZ fixtures get an
+    * NTZ→session-tz cast (UTC-pinned sessions make it value-identical) —
+    * keeping batch and stream bit-identical either way. */
   def eventsFileStream(spark: org.apache.spark.sql.SparkSession,
                        dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val onDiskTs =
+      spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", onDiskTs),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     // events.parquet is a single FILE; FileStreamSource only accepts a
     // directory or a glob, so the trailing [t] forces glob mode (matching
     // exactly that file) with the parent dir as basePath
-    spark.readStream.schema(schema).parquet(s"$dir/events.parque[t]")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.readStream.schema(schema).parquet(s"$dir/events.parque[t]")
+    onDiskTs match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Tumbling hourly aggregation — identical in batch and streaming; the

@@ -91,4 +91,31 @@ class GraphSpec extends SparkTestBase {
     assert(a == b)
     spark.catalog.clearCache()
   }
+
+  test("giant-order cap: an over-cap order contributes no edges, sane " +
+    "orders are untouched") {
+    import spark.implicits._
+    // two normal orders sharing parts, plus one pathological order with
+    // ORDER_CAP+1 distinct parts (the merged-cart / ingestion-bug shape
+    // whose |order|² explode the cap exists to prevent)
+    val giant = (1000L to 1000L + Graph.ORDER_CAP).map(p => (99L, p))
+    val sane = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (2L, 11L))
+    val li = (sane ++ giant).toDF("l_orderkey", "l_partkey")
+
+    val directed = Graph.copurchaseEdges(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // order 1 yields all 6 directed pairs of {10,11,12}; order 2 adds
+    // nothing new except the 10↔11 pair it shares with order 1
+    val expected = Set((10L, 11L), (11L, 10L), (10L, 12L), (12L, 10L),
+      (11L, 12L), (12L, 11L))
+    assert(directed == expected,
+      s"giant order leaked into the directed edge set: $directed")
+
+    // affinity build: {10,11} co-occur in 2 orders (≥ support), {10,12}
+    // and {11,12} only once — and nothing from the giant order
+    val und = Graph.affinityEdgesOn(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(und == Set((10L, 11L)),
+      s"affinity edges wrong under the cap: $und")
+  }
 }
