@@ -26,10 +26,19 @@ import graft.{Q, Tables}
   * merge application is leftmost non-overlapping ("a a a" merges to
   * "aa a", never "a aa"), matching the reference BPE implementations.
   *
-  * No DuckDB oracle: the merge loop is data-dependently sequential (each
-  * round's regex depends on the previous argmax) — the q_bpe_merges
-  * registration is declared rows-only; BpeSpec verifies the merge
-  * sequence on the classic hand-computable corpus and pins determinism.
+  * DuckDB oracle: the merge loop IS replayable as a bounded unroll —
+  * N_MERGES is a fixed constant, so each round becomes a (pair-count
+  * argmax, merge-apply) CTE pair chained off the previous round, with
+  * the data-dependent regex replaced by a plain string replace over a
+  * DOUBLE-SPACED symbol representation (` a  b  c `): RE2 has no
+  * lookbehind, but with every adjacent boundary two spaces wide, the
+  * pattern ` l  r ` consumes one space from each side and leaves the
+  * neighbor boundary intact — exactly the Java zero-width-guard
+  * leftmost-nonoverlap semantics ("a a a" → "aa a", shared-boundary
+  * runs like "x y x y" merge both). Tie-breaks agree because the corpus
+  * is BMP text: DuckDB memcmp on UTF-8 and Java UTF-16 compareTo induce
+  * the same order below the surrogate range. BpeSpec additionally pins
+  * the merge sequence on the classic hand-computable corpus.
   */
 object Bpe {
 
@@ -164,11 +173,87 @@ object Bpe {
           .as("chars_per_token"))
   }
 
+  /** Shared training pyramid: v0 (double-spaced per-word symbol reps),
+    * then per round r a `top_r` argmax CTE and a `v_{r+1}` merged-vocab
+    * CTE. Every CTE is MATERIALIZED — each round references its
+    * predecessor several times and DuckDB inlines plain CTEs per
+    * reference (the [[Graph]] kcoreSql lesson). */
+  private def trainCtes: String = {
+    val v0 =
+      """v0 AS MATERIALIZED (
+        |  SELECT ' ' || array_to_string(list_append(string_split(word, ''),
+        |           '·'), '  ') || ' ' AS rep, freq
+        |  FROM (SELECT word, CAST(count(*) AS BIGINT) AS freq
+        |        FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |              FROM documents)
+        |        WHERE length(word) > 0 GROUP BY word))""".stripMargin
+    val rounds = (0 until N_MERGES).map { r =>
+      val top =
+        s"""top$r AS MATERIALIZED (
+           |  SELECT split_part(pair, ' ', 1) AS lhs,
+           |         split_part(pair, ' ', 2) AS rhs, n
+           |  FROM (
+           |    SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
+           |      SELECT freq,
+           |             unnest(list_transform(generate_series(1, len(toks) - 1),
+           |               i -> toks[i] || ' ' || toks[i + 1])) AS pair
+           |      FROM (SELECT freq, string_split(trim(rep), '  ') AS toks
+           |            FROM v$r))
+           |    GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 1))""".stripMargin
+      val next =
+        s"""v${r + 1} AS MATERIALIZED (
+           |  SELECT rep, CAST(sum(freq) AS BIGINT) AS freq FROM (
+           |    SELECT replace(v.rep, ' ' || t.lhs || '  ' || t.rhs || ' ',
+           |                   ' ' || t.lhs || t.rhs || ' ') AS rep, v.freq
+           |    FROM v$r v CROSS JOIN top$r t)
+           |  GROUP BY rep)""".stripMargin
+      s"$top,\n$next"
+    }.mkString(",\n")
+    s"$v0,\n$rounds"
+  }
+
+  private val bpeMergesSql = {
+    val steps = (0 until N_MERGES).map { r =>
+      s"""SELECT CAST($r AS INTEGER) AS step, lhs AS "left", rhs AS "right",
+         |       n AS pair_count FROM top$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $trainCtes
+       |SELECT * FROM (
+       |$steps)
+       |ORDER BY step""".stripMargin
+  }
+
+  private val bpeEncodeSql = {
+    // encoding replays the merges over the per-WORD vocab (v0, no
+    // regrouping — Spark's encodeWith keeps one row per distinct word)
+    val chain = (0 until N_MERGES).map { r =>
+      s"""e${r + 1} AS MATERIALIZED (
+         |  SELECT replace(e.rep, ' ' || t.lhs || '  ' || t.rhs || ' ',
+         |                 ' ' || t.lhs || t.rhs || ' ') AS rep, e.freq
+         |  FROM e$r e CROSS JOIN top$r t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $trainCtes,
+       |e0 AS MATERIALIZED (SELECT rep, freq FROM v0),
+       |$chain
+       |SELECT CAST(count(*) AS BIGINT) AS n_distinct_words,
+       |       CAST(sum(freq) AS BIGINT) AS n_words,
+       |       CAST(sum(freq * n_tok) AS BIGINT) AS n_bpe_tokens,
+       |       CAST(sum(freq * n_chars) AS BIGINT) AS n_chars,
+       |       floor(CAST(sum(freq * n_chars) AS DOUBLE)
+       |             / CAST(sum(freq * n_tok) AS DOUBLE) * 10000.0 + 0.5)
+       |         / 10000.0 AS chars_per_token
+       |FROM (SELECT freq,
+       |             CAST(len(string_split(trim(rep), '  ')) AS BIGINT) AS n_tok,
+       |             CAST(length(replace(trim(rep), ' ', '')) AS BIGINT) - 1
+       |               AS n_chars
+       |      FROM e$N_MERGES)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
-    Q("q_bpe_merges", bpeMerges, None,
-      doc = "BPE tokenizer training: first merges + frequencies (rows-only: " +
-        "data-dependently sequential merge loop has no SQL replay)"),
-    Q("q_bpe_encode", bpeEncode, None,
-      doc = "BPE corpus encoding census with the trained merges (rows-only: " +
-        "depends on the sequential training loop)"))
+    Q("q_bpe_merges", bpeMerges, Some(bpeMergesSql),
+      doc = "BPE tokenizer training: first merges + frequencies, oracle-" +
+        "replayed as a bounded unroll of (argmax, merge) CTE rounds"),
+    Q("q_bpe_encode", bpeEncode, Some(bpeEncodeSql),
+      doc = "BPE corpus encoding census with the trained merges, oracle-" +
+        "replayed by chaining the trained merges over the word vocab"))
 }
