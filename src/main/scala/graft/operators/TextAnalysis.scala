@@ -360,10 +360,16 @@ object TextAnalysis {
 
   /** Rolling-hash (Karp-Rabin) fingerprinting — the O(1)-per-position
     * sliding-window complement to the shingle-md5 fingerprint: per source,
-    * distinct min-window-hash count and the minimum fingerprint. No DuckDB
-    * oracle (modular polynomial hashing isn't expressible there without
-    * modpow), so the driver records the rows-only check; correctness is
-    * pinned by a reference implementation in DotProductSpec. */
+    * distinct min-window-hash count and the minimum fingerprint.
+    *
+    * DuckDB oracle: the O(1) update trick is an optimization, not the
+    * semantics — hash(window j) is just a 16-term polynomial Σ b·B^k mod
+    * M, and the B^k mod M constants are compile-time literals, so each
+    * window evaluates directly as a bounded integer sum (≤ 16·255·M ≈
+    * 4.2e12 ≪ 2^63, one mod at the end; bytes = code points because the
+    * corpus is ASCII). Sub-window docs replay the whole-content Horner
+    * fold with list_reduce. Bit-identical to the codegen kernel, pinned
+    * additionally by the reference implementation in DotProductSpec. */
   def rollingFingerprint(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)
@@ -373,6 +379,36 @@ object TextAnalysis {
            countDistinct("fp").as("n_distinct_fp"),
            min("fp").as("min_fp"))
       .orderBy("source")
+  }
+
+  private val rollingFingerprintSql = {
+    import graft.functions.RollingHashKernel.{B, M, W}
+    // B^k mod M for k = W-1 .. 0, one literal per window position
+    val pows = Iterator.iterate(1L)(p => p * B % M).take(W).toSeq.reverse
+    val windowSum = pows.zipWithIndex
+      .map { case (p, k) => s"bs[j + $k] * ${p}" }
+      .mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT source, length(text) AS n,
+       |         list_transform(string_split(text, ''),
+       |           c -> CAST(unicode(c) AS BIGINT)) AS bs
+       |  FROM documents),
+       |fps AS (
+       |  SELECT source,
+       |         CASE
+       |           WHEN n = 0 THEN 0
+       |           WHEN n < $W THEN list_reduce(
+       |             list_prepend(CAST(0 AS BIGINT), bs),
+       |             (acc, x) -> (acc * $B + x) % $M)
+       |           ELSE list_aggregate(
+       |             list_transform(generate_series(1, n - ${W - 1}),
+       |               j -> ($windowSum) % $M), 'min')
+       |         END AS fp
+       |  FROM b)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fp,
+       |       CAST(min(fp) AS BIGINT) AS min_fp
+       |FROM fps GROUP BY source ORDER BY source""".stripMargin
   }
 
   /** Deterministic hash split — reproducible train/test assignment by the
@@ -1139,7 +1175,7 @@ object TextAnalysis {
     Q("q_decontaminate", decontaminate, Some(decontaminateSql)),
     Q("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     Q("q_hash_split", hashSplit, Some(hashSplitSql)),
-    Q("q_text_rollinghash", rollingFingerprint, None),
+    Q("q_text_rollinghash", rollingFingerprint, Some(rollingFingerprintSql)),
     Q("q_text_quality", quality, Some(qualitySql)),
     Q("q_text_tokens", tokenCounts, Some(tokenCountsSql)),
     Q("q_term_freq", termFreq, Some(termFreqSql)),
