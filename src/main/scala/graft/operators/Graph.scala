@@ -41,20 +41,20 @@ object Graph {
     * GraphSpec. */
   private[graft] val ORDER_CAP = 256
 
-  /** Distinct directed co-purchase edges from a (l_orderkey, l_partkey)
-    * frame — per-order part-sets + a row-local pair explode: ONE fact
-    * scan and one (orderkey, partkey) shuffle instead of a self-join's
-    * two, and the exploded pairs stay bare int ids. Giant orders are
-    * capped out BEFORE the explode (see [[ORDER_CAP]]) — the filter runs
-    * on the collected set's size, so the quadratic fan-out never
-    * happens. */
+  /** Directed co-purchase edge pairs (NOT yet deduplicated — the
+    * consumer dedups after partitioning, see [[pagerankOn]]) from a
+    * (l_orderkey, l_partkey) frame — per-order part-sets + a row-local
+    * pair explode: ONE fact scan and one (orderkey, partkey) shuffle
+    * instead of a self-join's two, and the exploded pairs stay bare int
+    * ids. Giant orders are capped out BEFORE the explode (see
+    * [[ORDER_CAP]]) — the filter runs on the collected set's size, so
+    * the quadratic fan-out never happens. */
   private[graft] def copurchaseEdges(li: DataFrame): DataFrame =
     li.groupBy("l_orderkey").agg(collect_set("l_partkey").as("ps"))
       .filter(size(col("ps")) <= ORDER_CAP)
       .select(explode(col("ps")).as("src"), col("ps"))
       .select(col("src"), explode(col("ps")).as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
 
   /** PageRank (damping 0.85, 5 power iterations) over the co-purchase
     * graph: nodes = parts, edges = distinct same-order part pairs (both
@@ -70,8 +70,9 @@ object Graph {
       .select(col("node").as("p_partkey"), col("r").as("rank_nano"))
   }
 
-  /** Core power iteration over a DISTINCT directed edge list (src, dst)
-    * whose every node has an out-edge AND an in-edge (symmetric edge sets
+  /** Core power iteration over a directed edge list (src, dst) — possibly
+    * with duplicate pairs, deduplicated here AFTER partitioning — whose
+    * every node has an out-edge AND an in-edge (symmetric edge sets
     * qualify). Returns the full (node, r) rank table in nano units. */
   private[graft] def pagerankOn(edges0: DataFrame): DataFrame = {
     // cache the edge list PRE-PARTITIONED on the join key: every round's
@@ -81,19 +82,28 @@ object Graph {
     // moves again). This also lets all ROUNDS execute as ONE lazy DAG:
     // no per-round broadcast build or checkpoint job, no driver
     // round-trips between rounds.
+    //
+    // ONE exchange builds the whole partitioned+deduped+degreed edge
+    // list: hash(src) satisfies the subset-clustering requirement of
+    // BOTH the (src, dst) dedup and the per-src degree aggregate, so
+    // after the explicit repartition the distinct, the degree count, and
+    // the degree equi-join all plan exchange-free (was: a full
+    // (src, dst)-hash distinct + a second repartition — two extra
+    // edge-sized shuffles per build).
     val nPart = edges0.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
-    val edges1 = edges0.repartition(nPart, col("src")).cache()
+    val edges1 = edges0.repartition(nPart, col("src")).distinct().cache()
     val deg = edges1.groupBy("src").agg(count(lit(1)).as("deg"))
     // bake out-degree INTO the cached edge list once (the oracle's `ed`
     // CTE does the same): the per-edge contribution floor(0.85·r/deg+0.5)
     // is constant across a source's edges, so computing it edge-local is
     // identical to the per-source form — and it deletes a whole
     // node-table join (+ its exchange) from EVERY round. deg rides the
-    // cached src-hash partitioning, so attaching it is exchange-free.
+    // cached src-hash partitioning, so attaching it is exchange-free,
+    // and the join output keeps hash(src) for the per-round joins.
     val edges = edges1.join(deg, "src")
       .select(col("src"), col("dst"), col("deg"))
-      .repartition(nPart, col("src")).cache()
+      .cache()
     val nodes = edges.select(col("src").as("node")).distinct().cache()
     val n = nodes.count()
     edges1.unpersist(blocking = false)

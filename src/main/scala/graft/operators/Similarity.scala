@@ -457,7 +457,15 @@ object Similarity {
     * the spherical k-means objective). Each round is one broadcast-join
     * assignment pass over the corpus plus a (k × DIM)-row aggregate; the
     * collected means are k×DIM driver metadata, not data. A list that
-    * loses all members keeps its previous centroid. */
+    * loses all members keeps its previous centroid.
+    *
+    * The direction sums are EXACT: each normalized component is fixed to
+    * 1e-6 units (one IEEE divide + floor per row) and summed as BIGINT,
+    * so the trained centroids are merge-order-independent — identical
+    * under any partitioning or cluster layout (a raw double sum would
+    * drift with the reduce tree), and replayable by the DuckDB oracle as
+    * the same integer arithmetic. |unit| ≤ 1e6 per row keeps the sums
+    * exact past 9e12 corpus rows. */
   private[graft] def trainCentroids(e: DataFrame, k: Int = NLIST,
                                     iters: Int = LLOYD_ITERS): Seq[(Int, Seq[Double])] = {
     var cents: Seq[(Int, Seq[Double])] = e.filter(col("vec_id") < k)
@@ -466,12 +474,13 @@ object Similarity {
     for (_ <- 1 to iters) {
       val cdf = centroidFrame(e.sparkSession, cents)
       val dirSums = assignToCentroids(e, cdf)
-        .select(col("cid"), posexplode(expr("transform(emb, v -> v / nrm)")))
-        .toDF("cid", "j", "v")
-        .groupBy("cid", "j").agg(sum("v").as("m"))
-        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+        .select(col("cid"), posexplode(expr(
+          "transform(emb, v -> CAST(floor(v / nrm * 1000000.0D + 0.5D) AS BIGINT))")))
+        .toDF("cid", "j", "f")
+        .groupBy("cid", "j").agg(sum("f").as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
       val byCid = dirSums.groupBy(_._1).map { case (cid, xs) =>
-        cid -> xs.sortBy(_._2).map(_._3).toSeq }
+        cid -> xs.sortBy(_._2).map(_._3 / 1000000.0d).toSeq }
       cents = cents.map { case (cid, old) => (cid, byCid.getOrElse(cid, old)) }
     }
     cents
@@ -517,14 +526,75 @@ object Similarity {
       .limit(5)
   }
 
-  /** Trained-IVF ANN probe (rows-only for the driver: DuckDB cannot
-    * cheaply replay k-means, so correctness is held by the recall /
-    * objective specs in SimilarityTrainingSpec plus the plan-pruning
-    * assert; the fixed-centroid q_sim_ivf keeps the exact oracle for the
-    * probe mechanics). */
+  /** Trained-IVF ANN probe. DuckDB oracle: with the direction sums now
+    * exact integers (see [[trainCentroids]]), the whole Lloyd loop
+    * replays as LLOYD_ITERS unrolled (assign, sum, rebuild) CTE rounds —
+    * assignment cosines and centroid norms are the established
+    * bit-identical dot/sqrt forms, the per-list sums are the same BIGINT
+    * arithmetic, and an emptied list COALESCEs to its previous centroid
+    * exactly like the driver loop. A 4th assignment under the converged
+    * centroids reproduces the ivft table, then the probe mirrors the
+    * fixed-centroid ivfSql. SimilarityTrainingSpec keeps the
+    * planted-cluster recovery / recall / objective specs. */
   def ivfTrained(s: SparkSession, dir: String): DataFrame = {
     val (cTbl, tTbl) = ensureIvfTrainedTables(s, dir)
     ivfProbe(s, tTbl, s.table(cTbl), corpus(s, dir), queryId = 0L)
+  }
+
+  private val ivfTrainedSql = {
+    def assign(cents: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT vec_id, label, emb, nrm, cid FROM (
+         |    SELECT e.vec_id, e.label, e.emb, e.nrm, c.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY list_dot_product(e.emb, c.c_emb)
+         |                        / (e.nrm * c.c_nrm) DESC,
+         |                      c.cid ASC) AS rn
+         |    FROM e CROSS JOIN $cents c)
+         |  WHERE rn = 1)""".stripMargin
+    val rounds = (1 to LLOYD_ITERS).map { r =>
+      s"""${assign(s"c${r - 1}", s"a$r")},
+         |s$r AS MATERIALIZED (
+         |  SELECT cid, j,
+         |         CAST(sum(CAST(floor(emb[j] / nrm * 1000000.0 + 0.5)
+         |                       AS BIGINT)) AS BIGINT) AS m
+         |  FROM a$r CROSS JOIN jx GROUP BY cid, j),
+         |c$r AS MATERIALIZED (
+         |  SELECT c.cid,
+         |         COALESCE(n.c_emb, c.c_emb) AS c_emb,
+         |         COALESCE(n.c_nrm, c.c_nrm) AS c_nrm
+         |  FROM c${r - 1} c LEFT JOIN (
+         |    SELECT cid, c_emb, sqrt(list_dot_product(c_emb, c_emb)) AS c_nrm
+         |    FROM (SELECT cid,
+         |                 list_transform(list(m ORDER BY j),
+         |                   x -> CAST(x AS DOUBLE) / 1000000.0) AS c_emb
+         |          FROM s$r GROUP BY cid)) n
+         |  ON c.cid = n.cid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+       |         sqrt(list_dot_product(embedding::DOUBLE[],
+       |                               embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings),
+       |jx AS (SELECT unnest(generate_series(1, $DIM)) AS j),
+       |c0 AS MATERIALIZED (
+       |  SELECT CAST(vec_id AS INTEGER) AS cid, emb AS c_emb, nrm AS c_nrm
+       |  FROM e WHERE vec_id < $NLIST),
+       |$rounds,
+       |${assign(s"c$LLOYD_ITERS", "t")},
+       |q AS (SELECT emb AS q_emb, nrm AS q_nrm FROM e WHERE vec_id = 0),
+       |probes AS (
+       |  SELECT cid FROM (
+       |    SELECT c.cid, row_number() OVER (
+       |      ORDER BY list_dot_product(c.c_emb, q.q_emb)
+       |                 / (c.c_nrm * q.q_nrm) DESC, c.cid) AS rn
+       |    FROM c$LLOYD_ITERS c CROSS JOIN q) WHERE rn <= $NPROBE)
+       |SELECT t.vec_id, t.label, CAST(t.cid AS BIGINT) AS probe_list,
+       |       round(list_dot_product(t.emb, q.q_emb) / (t.nrm * q.q_nrm), 4)
+       |         AS cos_sim
+       |FROM t JOIN probes p ON t.cid = p.cid CROSS JOIN q
+       |WHERE t.vec_id <> 0
+       |ORDER BY cos_sim DESC, t.vec_id LIMIT 5""".stripMargin
   }
 
   /** Fixture recall@5 vs the brute-force ground truth for one query, over
@@ -542,10 +612,18 @@ object Similarity {
     df.collect().map(_.getLong(0)).toSet
   }
 
+  /** Algorithm revision folded into every index-table name: bump when a
+    * build's ARITHMETIC changes (e.g. the r6 exact-integer Lloyd sums),
+    * so persisted tables built by older code rebuild instead of serving
+    * results the current oracle can't reproduce. Data drift is covered by
+    * the fingerprint; this covers code drift — both invalidate. */
+  private val INDEX_ALGO_VER = 2
+
   /** Shared ingest-time index-table scaffold: the table name carries a
-    * fingerprint of the source parquet (sizes + mtimes), so regenerated
-    * data in the same dir gets a REBUILD instead of a stale probe; older
-    * fingerprints of the same (kind, dir) are dropped. The one-time build
+    * fingerprint of the source parquet (sizes + mtimes) plus the
+    * algorithm revision, so regenerated data OR changed build code in
+    * the same dir gets a REBUILD instead of a stale probe; older
+    * variants of the same (kind, dir) are dropped. The one-time build
     * cost lands outside the per-query path by design — bench numbers for
     * the probe queries are probe-only, which is the documented
     * ingest/query split. */
@@ -556,16 +634,17 @@ object Similarity {
                                      (partCols: Seq[String]): String = synchronized {
     val db = "graft_ann"
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_").stripPrefix("_")
-    val fp = dataFingerprint(dir, srcTable)
+    val fp = s"${dataFingerprint(dir, srcTable)}v$INDEX_ALGO_VER"
     val name = s"${kind}_${tag}_$fp"
     val tbl = s"$db.$name"
     if (!s.catalog.tableExists(tbl)) {
       s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-      // stale variants of this index (other fingerprints) are garbage now.
-      // Match the EXACT tag boundary — a bare startsWith would let a dir
-      // whose tag is a prefix of another's (sf1 vs sf10) drop the other
-      // dir's live index (tag is sanitized to [A-Za-z0-9_], regex-safe)
-      val stale = s"${kind}_${tag}_[0-9a-f]{1,8}"
+      // stale variants of this index (other fingerprints or algo revs)
+      // are garbage now. Match the EXACT tag boundary — a bare startsWith
+      // would let a dir whose tag is a prefix of another's (sf1 vs sf10)
+      // drop the other dir's live index (tag is sanitized to
+      // [A-Za-z0-9_], regex-safe)
+      val stale = s"${kind}_${tag}_[0-9a-f]{1,8}(v[0-9]+)?"
       if (s.catalog.databaseExists(db)) {
         s.catalog.listTables(db).collect()
           .map(_.name)
@@ -1391,7 +1470,7 @@ object Similarity {
     Q("q_sim_ann_lsh", annLsh, Some(annLshSql)),
     Q("q_sim_ann_multiprobe", annLshMultiprobe, Some(annLshMultiprobeSql)),
     Q("q_sim_ivf", ivf, Some(ivfSql)),
-    Q("q_sim_ivf_trained", ivfTrained, None),
+    Q("q_sim_ivf_trained", ivfTrained, Some(ivfTrainedSql)),
     Q("q_sim_topk_batch", bruteTopKBatch, Some(bruteTopKBatchSql)),
     Q("q_sim_ann_batch", annLshBatch, Some(annLshBatchSql)),
     Q("q_knn_join", knnJoin, Some(knnJoinSql)),
