@@ -173,6 +173,42 @@ object Bpe {
           .as("chars_per_token"))
   }
 
+  /** Per-language tokenizer fertility with the trained merges — the
+    * standard "is one tokenizer fair across languages" census (fertility
+    * = BPE tokens per word; languages a tokenizer serves badly pay more
+    * sequence length per word, which is a real training-cost and
+    * eval-quality knob). Encoding runs ONCE over the distinct-word
+    * vocabulary (language-independent), and per-language corpus counts
+    * join back by word — the join shuffles bare words + counts at
+    * vocabulary cardinality, never documents. All sums are BIGINT; the
+    * two ratios are single floor-fixed divisions at the end. */
+  def bpeFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val lw = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("lang", "word").agg(count(lit(1)).as("freq"))
+    val wv = docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0).distinct()
+      .select(col("word"), concat(
+        concat_ws(" ", split(col("word"), "(?!^)(?!$)")), lit(" " + EOW))
+        .as("syms"))
+    val enc = encodeWith(wv, trainedMerges(s, dir))
+      .select(col("word"), size(split(col("syms"), " ")).as("n_tok"),
+        length(col("word")).cast("long").as("n_chr"))
+    lw.join(enc, "word")
+      .groupBy("lang")
+      .agg(sum("freq").as("n_words"),
+        sum(col("freq") * col("n_tok")).as("n_tokens"),
+        sum(col("freq") * col("n_chr")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_tokens"), col("n_chars"),
+        (floor(col("n_tokens").cast("double") / col("n_words").cast("double")
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("fertility"),
+        (floor(col("n_chars").cast("double") / col("n_tokens").cast("double")
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("chars_per_token"))
+      .orderBy("lang")
+  }
+
   /** Shared training pyramid: v0 (double-spaced per-word symbol reps),
     * then per round r a `top_r` argmax CTE and a `v_{r+1}` merged-vocab
     * CTE. Every CTE is MATERIALIZED — each round references its
@@ -249,11 +285,56 @@ object Bpe {
        |      FROM e$N_MERGES)""".stripMargin
   }
 
+  private val bpeFertilitySql = {
+    // word-keyed encode chain (the census chain in bpeEncodeSql is
+    // rep-keyed; fertility needs the word preserved for the per-lang join)
+    val chain = (0 until N_MERGES).map { r =>
+      s"""f${r + 1} AS MATERIALIZED (
+         |  SELECT word, replace(f.rep, ' ' || t.lhs || '  ' || t.rhs || ' ',
+         |                       ' ' || t.lhs || t.rhs || ' ') AS rep
+         |  FROM f$r f CROSS JOIN top$r t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $trainCtes,
+       |lw AS MATERIALIZED (
+       |  SELECT lang, word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+       |        FROM documents)
+       |  WHERE length(word) > 0 GROUP BY lang, word),
+       |f0 AS MATERIALIZED (
+       |  SELECT word, ' ' || array_to_string(list_append(
+       |           string_split(word, ''), '·'), '  ') || ' ' AS rep
+       |  FROM (SELECT DISTINCT word
+       |        FROM (SELECT unnest(string_split(text, ' ')) AS word
+       |              FROM documents)
+       |        WHERE length(word) > 0)),
+       |$chain,
+       |enc AS (
+       |  SELECT word,
+       |         CAST(len(string_split(trim(rep), '  ')) AS BIGINT) AS n_tok,
+       |         CAST(length(word) AS BIGINT) AS n_chr
+       |  FROM f$N_MERGES)
+       |SELECT lang, CAST(sum(freq) AS BIGINT) AS n_words,
+       |       CAST(sum(freq * n_tok) AS BIGINT) AS n_tokens,
+       |       CAST(sum(freq * n_chr) AS BIGINT) AS n_chars,
+       |       floor(CAST(sum(freq * n_tok) AS DOUBLE)
+       |             / CAST(sum(freq) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+       |         AS fertility,
+       |       floor(CAST(sum(freq * n_chr) AS DOUBLE)
+       |             / CAST(sum(freq * n_tok) AS DOUBLE) * 10000.0 + 0.5)
+       |         / 10000.0 AS chars_per_token
+       |FROM lw JOIN enc USING (word)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_bpe_merges", bpeMerges, Some(bpeMergesSql),
       doc = "BPE tokenizer training: first merges + frequencies, oracle-" +
         "replayed as a bounded unroll of (argmax, merge) CTE rounds"),
     Q("q_bpe_encode", bpeEncode, Some(bpeEncodeSql),
       doc = "BPE corpus encoding census with the trained merges, oracle-" +
-        "replayed by chaining the trained merges over the word vocab"))
+        "replayed by chaining the trained merges over the word vocab"),
+    Q("q_bpe_fertility", bpeFertility, Some(bpeFertilitySql),
+      doc = "Per-language tokenizer fertility (BPE tokens/word, " +
+        "chars/token) with the trained merges — the cross-language " +
+        "tokenizer-fairness census"))
 }

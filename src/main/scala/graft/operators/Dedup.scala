@@ -583,8 +583,12 @@ object Dedup {
     * converges in ~20 rounds, where plain propagation needs a round per
     * hop. Non-convergence within `maxRounds` THROWS rather than returning
     * silently-split clusters (a wrong answer is worse than a loud one). */
-  private[graft] def clustersFromEdges(edges: DataFrame,
-                                       maxRounds: Int = 50): DataFrame = {
+  /** The label-propagation loop alone: (doc_id, label) for every node
+    * that appears in an edge, labels = component-min doc_id at the unique
+    * fixpoint. Shared by the census ([[clustersFromEdges]]) and the
+    * canonical-representative selection ([[dedupCanonical]]). */
+  private[graft] def clusterLabels(edges: DataFrame,
+                                   maxRounds: Int = 50): DataFrame = {
     val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
     // first propagation round fused into initialization: label(x) =
     // min(x, neighbors(x)) — one aggregation instead of init + round 1
@@ -619,6 +623,12 @@ object Dedup {
       throw new IllegalStateException(
         s"dup-cluster label propagation did not converge in $maxRounds " +
           "rounds — component structure exceeds the round budget")
+    labels
+  }
+
+  private[graft] def clustersFromEdges(edges: DataFrame,
+                                       maxRounds: Int = 50): DataFrame = {
+    val labels = clusterLabels(edges, maxRounds)
     // Bounded output: full census (n_docs) + at most MEMBER_CAP member ids.
     // The member list is pre-capped with a per-cluster row_number window
     // (key-partitioned — no global sort) so no aggregation buffer ever
@@ -640,8 +650,12 @@ object Dedup {
       .orderBy("cluster_rep")
   }
 
-  private val dupClustersSql =
-    s"""WITH RECURSIVE d AS (
+  /** Shared oracle chain: documents → shingles → postings → candidate
+    * pairs → jaccard edges → recursive transitive closure → per-doc
+    * component label (`lab`). Prefixed by WITH RECURSIVE at the use
+    * sites. */
+  private val clusterLabChainSql =
+    s"""d AS (
       |  SELECT lang, source, doc_id,
       |         list_distinct(list_transform(
       |           generate_series(1, len(string_split(text, ' ')) - 1),
@@ -672,11 +686,89 @@ object Dedup {
       |  SELECT a, a FROM sym
       |  UNION
       |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.node = s.a),
-      |lab AS (SELECT src AS doc_id, min(node) AS label FROM reach GROUP BY src)
+      |lab AS (SELECT src AS doc_id, min(node) AS label FROM reach GROUP BY src)""".stripMargin
+
+  private val dupClustersSql =
+    s"""WITH RECURSIVE $clusterLabChainSql
       |SELECT label AS cluster_rep, count(*) AS n_docs,
       |       array_to_string((list_sort(list(doc_id)))[1:$MEMBER_CAP], ',') AS members,
       |       count(*) > $COMPONENT_CAP AS is_giant
       |FROM lab GROUP BY label ORDER BY cluster_rep""".stripMargin
+
+  /** Canonical-representative selection — the decision step AFTER cluster
+    * formation: every near-dup cluster keeps exactly one document, chosen
+    * by quality (the same cheap composite the curation filter uses:
+    * stopword ratio + length + word-length-band), everything else drops.
+    * This is the operator that actually shrinks a corpus; the census
+    * ([[dupClusters]]) only describes it.
+    *
+    * Exactness: the quality composite is row-local IEEE arithmetic fixed
+    * to 1e-6 integer units BEFORE ranking, so the per-cluster argmax is
+    * an integer compare with a doc_id tiebreak — engine-identical. Top
+    * clusters by size (doc_id tiebreak) keep the output bounded. */
+  def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabels(
+      similarityEdges(ngramDocs(s, dir), CLUSTER_JACCARD).localCheckpoint())
+    val score = Tables.documents(s, dir)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("double"))
+      .withColumn("avg_wlen",
+        (length(col("text")) - col("n_tok") + lit(1.0d)) / col("n_tok"))
+      .withColumn("stop_ratio",
+        expr("size(filter(split(text, ' '), x -> x = 'the' OR x = 'a'))")
+          .cast("double") / col("n_tok"))
+      .select(col("doc_id"),
+        floor((lit(0.5d) * col("stop_ratio")
+          + lit(0.3d) * least(col("n_tok") / lit(100.0d), lit(1.0d))
+          + lit(0.2d) * when(col("avg_wlen").between(3.0d, 8.0d), lit(1.0d))
+            .otherwise(lit(0.0d)))
+          * lit(1000000.0d) + lit(0.5d)).cast("long").as("s6"))
+    val byCluster = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy(col("s6").desc, col("doc_id").asc)
+    val counts = labels.groupBy("label").agg(count(lit(1)).as("n_docs"))
+    labels.join(score, "doc_id")
+      .withColumn("rn", row_number().over(byCluster))
+      .filter(col("rn") === 1)
+      .join(counts, "label")
+      .select(col("label").as("cluster_rep"), col("n_docs"),
+        col("doc_id").as("keep_doc_id"),
+        (expr("(s6 + 50L) div 100L").cast("double") / lit(10000.0d))
+          .as("keep_score"),
+        (col("n_docs") - 1).as("n_dropped"))
+      .orderBy(col("n_docs").desc, col("cluster_rep").asc)
+      .limit(20)
+  }
+
+  private val dedupCanonicalSql =
+    s"""WITH RECURSIVE $clusterLabChainSql,
+      |score AS (
+      |  SELECT doc_id,
+      |         CAST(floor((0.5 * stop_ratio + 0.3 * least(n_tok / 100.0, 1.0)
+      |               + 0.2 * (CASE WHEN avg_wlen BETWEEN 3 AND 8
+      |                        THEN 1.0 ELSE 0.0 END))
+      |               * 1000000.0 + 0.5) AS BIGINT) AS s6
+      |  FROM (SELECT doc_id,
+      |               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+      |               (length(text) - CAST(len(string_split(text, ' ')) AS DOUBLE)
+      |                  + 1) / CAST(len(string_split(text, ' ')) AS DOUBLE)
+      |                 AS avg_wlen,
+      |               CAST(len(list_filter(string_split(text, ' '),
+      |                                    x -> x = 'the' OR x = 'a')) AS DOUBLE)
+      |                 / CAST(len(string_split(text, ' ')) AS DOUBLE)
+      |                 AS stop_ratio
+      |        FROM documents)),
+      |cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS n_docs
+      |        FROM lab GROUP BY label),
+      |pick AS (
+      |  SELECT label, doc_id, s6,
+      |         row_number() OVER (PARTITION BY label
+      |                            ORDER BY s6 DESC, doc_id) AS rn
+      |  FROM lab JOIN score USING (doc_id))
+      |SELECT p.label AS cluster_rep, c.n_docs, p.doc_id AS keep_doc_id,
+      |       CAST((p.s6 + 50) // 100 AS DOUBLE) / 10000.0 AS keep_score,
+      |       c.n_docs - 1 AS n_dropped
+      |FROM pick p JOIN cnt c ON p.label = c.label
+      |WHERE p.rn = 1
+      |ORDER BY c.n_docs DESC, cluster_rep LIMIT 20""".stripMargin
 
   /** Embedding cosine near-dup: top-10 most similar candidate pairs, where
     * candidates come from random-hyperplane LSH BANDING — never an
@@ -931,6 +1023,9 @@ object Dedup {
     Q("q_dedup_ngram", ngramJaccard, Some(ngramJaccardSql)),
     Q("q_dedup_containment", ngramContainment, Some(ngramContainmentSql)),
     Q("q_dedup_clusters", dupClusters, Some(dupClustersSql)),
+    Q("q_dedup_canonical", dedupCanonical, Some(dedupCanonicalSql),
+      doc = "Canonical-representative selection: every near-dup cluster " +
+        "keeps its best-quality doc (1e-6-fixed composite, doc_id tiebreak)"),
     Q("q_dedup_embed", embedCosine, Some(embedCosineSql)),
     Q("q_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)))
 }
