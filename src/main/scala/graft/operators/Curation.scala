@@ -454,7 +454,108 @@ object Curation {
        |       neg_source
        |FROM k WHERE slot <= $NEG_K ORDER BY anchor, slot""".stripMargin
 
+  // --- quality-retention curve --------------------------------------------
+
+  /** Retention sweep over the quality cutoff — the knob-setting table a
+    * curation run reads BEFORE filtering: for each candidate threshold,
+    * how many documents and tokens survive. Choosing a cutoff without
+    * this table is guessing; with it, "keep ~80% of tokens" maps to a
+    * number.
+    *
+    * Exactness + scale: the quality composite (same row-local formula as
+    * the quality/canonical operators) fixes to 1e-6 integer units in the
+    * scan, docs collapse to ≤11 decile buckets (one narrow aggregate —
+    * the only shuffle), and each cutoff's retention is a reverse
+    * cumulative sum over that 11-row frame. Percentages are single fixed
+    * divisions at the end. */
+  def qualityRetention(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("double"))
+      .withColumn("avg_wlen",
+        (length(col("text")) - col("n_tok") + lit(1.0d)) / col("n_tok"))
+      .withColumn("stop_ratio",
+        expr("size(filter(split(text, ' '), x -> x = 'the' OR x = 'a'))")
+          .cast("double") / col("n_tok"))
+      .select(
+        floor((lit(0.5d) * col("stop_ratio")
+          + lit(0.3d) * least(col("n_tok") / lit(100.0d), lit(1.0d))
+          + lit(0.2d) * when(col("avg_wlen").between(3.0d, 8.0d), lit(1.0d))
+            .otherwise(lit(0.0d)))
+          * lit(1000000.0d) + lit(0.5d)).cast("long").as("s6"),
+        col("n_tok").cast("long").as("toks"))
+    // decile bucket of the fixed score; quality 1.0 folds into bucket 9
+    // (≥ every cutoff ≤ 0.9, so retention arithmetic is unaffected)
+    val buckets = d
+      .groupBy(least(expr("s6 div 100000L"), lit(9L)).as("b"))
+      .agg(count(lit(1)).as("nd"), sum("toks").as("nt"))
+    // dense 0..9 cutoff axis (empty buckets contribute zero), then the
+    // ≥-cutoff retention is a reverse running sum over ≤10 rows
+    val axis = s.range(0, 10).select(col("id").as("b"))
+    val wGe = Window.orderBy("b")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wAll = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val fix4 = (c: org.apache.spark.sql.Column) =>
+      floor(c * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)
+    axis.join(buckets, Seq("b"), "left")
+      .select(col("b"), coalesce(col("nd"), lit(0L)).as("nd"),
+        coalesce(col("nt"), lit(0L)).as("nt"))
+      .select(col("b"),
+        sum("nd").over(wGe).as("n_docs"), sum("nt").over(wGe).as("n_tokens"),
+        sum("nd").over(wAll).as("td"), sum("nt").over(wAll).as("tt"))
+      .select((col("b").cast("double") / lit(10.0d)).as("cutoff"),
+        col("n_docs"), col("n_tokens"),
+        fix4(col("n_docs").cast("double") / col("td").cast("double"))
+          .as("pct_docs"),
+        fix4(col("n_tokens").cast("double") / col("tt").cast("double"))
+          .as("pct_tokens"))
+      .orderBy("cutoff")
+  }
+
+  private val qualityRetentionSql =
+    """WITH m AS (
+      |  SELECT CAST(floor((0.5 * stop_ratio + 0.3 * least(n_tok / 100.0, 1.0)
+      |              + 0.2 * (CASE WHEN avg_wlen BETWEEN 3 AND 8
+      |                       THEN 1.0 ELSE 0.0 END))
+      |              * 1000000.0 + 0.5) AS BIGINT) AS s6,
+      |         CAST(n_tok AS BIGINT) AS toks
+      |  FROM (SELECT CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+      |               (length(text) - CAST(len(string_split(text, ' ')) AS DOUBLE)
+      |                  + 1) / CAST(len(string_split(text, ' ')) AS DOUBLE)
+      |                 AS avg_wlen,
+      |               CAST(len(list_filter(string_split(text, ' '),
+      |                                    x -> x = 'the' OR x = 'a')) AS DOUBLE)
+      |                 / CAST(len(string_split(text, ' ')) AS DOUBLE)
+      |                 AS stop_ratio
+      |        FROM documents)),
+      |bk AS (
+      |  SELECT least(s6 // 100000, 9) AS b,
+      |         CAST(count(*) AS BIGINT) AS nd, CAST(sum(toks) AS BIGINT) AS nt
+      |  FROM m GROUP BY 1),
+      |ax AS (
+      |  SELECT a.b, coalesce(bk.nd, 0) AS nd, coalesce(bk.nt, 0) AS nt
+      |  FROM (SELECT unnest(generate_series(0, 9)) AS b) a
+      |  LEFT JOIN bk ON a.b = bk.b),
+      |r AS (
+      |  SELECT b,
+      |         CAST(sum(nd) OVER (ORDER BY b ROWS BETWEEN CURRENT ROW
+      |           AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_docs,
+      |         CAST(sum(nt) OVER (ORDER BY b ROWS BETWEEN CURRENT ROW
+      |           AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_tokens,
+      |         CAST(sum(nd) OVER () AS BIGINT) AS td,
+      |         CAST(sum(nt) OVER () AS BIGINT) AS tt
+      |  FROM ax)
+      |SELECT CAST(b AS DOUBLE) / 10.0 AS cutoff, n_docs, n_tokens,
+      |       floor(CAST(n_docs AS DOUBLE) / CAST(td AS DOUBLE)
+      |             * 10000.0 + 0.5) / 10000.0 AS pct_docs,
+      |       floor(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE)
+      |             * 10000.0 + 0.5) / 10000.0 AS pct_tokens
+      |FROM r ORDER BY cutoff""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_quality_retention", qualityRetention, Some(qualityRetentionSql),
+      doc = "Quality-cutoff retention sweep: docs/tokens surviving each " +
+        "decile threshold — the knob-setting table before corpus filtering"),
     Q("q_negative_sample", negativeSample, Some(negativeSampleSql)),
     Q("q_pii_redact", piiRedact, Some(piiRedactSql)),
     Q("q_domain_mix", domainMix, Some(domainMixSql)),
