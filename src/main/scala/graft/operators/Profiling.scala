@@ -1150,7 +1150,73 @@ object Profiling {
       |FROM part JOIN s ON p_retailprice = s.p AND p_size = s.best
       |GROUP BY p, best ORDER BY p""".stripMargin
 
+  /** Candidate watermark delays (seconds) for the lateness sweep. */
+  private val WM_DELAYS = Seq(0L, 60L, 300L, 900L, 3600L)
+
+  /** Watermark-delay sweep over the event stream — the table read BEFORE
+    * choosing `withWatermark`: for each candidate delay D, how many
+    * events arrive more than D behind the latest event time already seen
+    * on their key (and would be dropped by a D watermark). Arrival order
+    * is the event_id sequence; disorder is measured per user, which is
+    * both the keyed-state semantics of a streaming aggregation and what
+    * keeps the window KEY-PARTITIONED — one hash exchange on user_id, no
+    * global arrival sort (a global running max is a sequential dependency
+    * no 100 TB scan can afford). The sweep itself is conditional
+    * aggregation in the same pass (exact BIGINT µs comparisons), so the
+    * whole census is one scan + one narrow shuffle. */
+  def watermarkSweep(s: SparkSession, dir: String): DataFrame = {
+    val wSpec = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val lag = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("lag_us", max("us").over(wSpec) - col("us"))
+    val counts = lag.agg(count(lit(1)).as("n_events"),
+      WM_DELAYS.map(d =>
+        sum(when(col("lag_us") > d * 1000000L, 1L).otherwise(0L))
+          .as(s"late_$d")): _*)
+    val stackArgs = WM_DELAYS.map(d => s"${d}L, late_$d").mkString(", ")
+    counts
+      .select(col("n_events"),
+        expr(s"stack(${WM_DELAYS.size}, $stackArgs) AS (delay_s, n_late)"))
+      .select(col("delay_s"), col("n_late"),
+        (floor(col("n_late").cast("double") / col("n_events").cast("double")
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("pct_late"))
+      .orderBy("delay_s")
+  }
+
+  private val watermarkSweepSql = {
+    val selects = WM_DELAYS.map { d =>
+      s"""SELECT CAST($d AS BIGINT) AS delay_s, late_$d AS n_late,
+         |       floor(CAST(late_$d AS DOUBLE) / CAST(n AS DOUBLE)
+         |             * 10000.0 + 0.5) / 10000.0 AS pct_late
+         |FROM c""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val aggs = WM_DELAYS.map(d =>
+      s"CAST(count(*) FILTER (lag_us > ${d * 1000000L}) AS BIGINT) AS late_$d")
+      .mkString(",\n       ")
+    s"""WITH l AS (
+       |  SELECT max(epoch_us(ts)) OVER (PARTITION BY user_id
+       |           ORDER BY event_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |         - epoch_us(ts) AS lag_us
+       |  FROM events),
+       |c AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |       $aggs
+       |  FROM l)
+       |SELECT * FROM (
+       |$selects)
+       |ORDER BY delay_s""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q_watermark_sweep", watermarkSweep, Some(watermarkSweepSql),
+      doc = "Watermark-delay sweep: per candidate delay, events arriving " +
+        "late vs their key's running max event time — the census behind " +
+        "choosing withWatermark"),
     Q("q_histogram", histogram, Some(histogramSql)),
     Q("q_skyline", skyline, Some(skylineSql)),
     Q("q_auc", auc, Some(aucSql)),

@@ -286,4 +286,39 @@ class PlanShapeSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
           "key) tuples may move")
     }
   }
+
+  /** Exchanges that see RAW scan rows: scan in the subtree with no other
+    * exchange in between (an outer exchange above another exchange only
+    * ever moves already-aggregated rows). */
+  private def rowFedExchanges(plan: org.apache.spark.sql.execution.SparkPlan) =
+    collect(plan) { case e: ShuffleExchangeExec
+        if collect(e.child) { case s: FileSourceScanExec => s }.nonEmpty &&
+           collect(e.child) { case i: ShuffleExchangeExec => i }.isEmpty => e }
+
+  test("quality retention: the corpus moves only as decile-bucket aggregates") {
+    val df = operators.Curation.qualityRetention(spark, sfDir)
+    val scanFed = rowFedExchanges(executed(df))
+    // the one exchange fed by raw documents rows must carry partial bucket
+    // aggregates (≤11 rows per task) — raw docs never shuffle; everything
+    // above serves the 10-row axis/window frame
+    assert(scanFed.size == 1, s"corpus shuffled ${scanFed.size}× raw — " +
+      "retention must aggregate to buckets inside the scan stage")
+    assert(scanFed.head.child.toString.contains("HashAggregate"),
+      "the corpus-side exchange must carry partial bucket aggregates")
+  }
+
+  test("watermark sweep: one data exchange (user_id window), then scalars") {
+    val df = operators.Profiling.watermarkSweep(spark, sfDir)
+    val plan = executed(df)
+    val scanFed = rowFedExchanges(plan)
+    // exactly one exchange moves event rows: the hash(user_id) exchange
+    // feeding the running-max window; the sweep itself is conditional
+    // aggregation (map-side partials above that window)
+    assert(scanFed.size == 1,
+      s"expected exactly 1 event-row exchange, got ${scanFed.size}:\n$plan")
+    val cols = scanFed.head.output.map(_.name).toSet
+    assert(!cols.contains("props") && !cols.contains("event_type"),
+      s"watermark sweep shuffles unneeded columns: $cols — column pruning " +
+        "must reach the exchange")
+  }
 }
