@@ -39,6 +39,94 @@ object Similarity {
       .select("vec_id", "label", "emb", "nrm")
   }
 
+  /** Embedding-corpus profile — the sanity census an ANN pipeline runs
+    * BEFORE building any index: vector count, zero-norm vectors (cosine
+    * is undefined on them; they poison normalization), the norm range
+    * and mean (un-normalized corpora change which metric is meaningful),
+    * collapsed dimensions (variance ≈ 0 — wasted index width, a classic
+    * symptom of a broken encoder), and the top dimension variance.
+    *
+    * Exactness + scale: norms fix to 1e-6 integer units row-locally; the
+    * per-dimension first/second moments are sums of 1e-6/1e-12-unit
+    * BIGINTs aggregated as DECIMAL(38,0) (merge-order-free at any corpus
+    * size — the labelCentroids discipline), and every division happens
+    * once, in the same order as the oracle. Shuffles carry (dim, partial
+    * moment) rows — never vectors. */
+  def embeddingProfile(s: SparkSession, dir: String): DataFrame = {
+    val e = corpus(s, dir)
+    val norms = e
+      .select(floor(col("nrm") * lit(1000000.0d) + lit(0.5d)).cast("long")
+        .as("n6"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("n6") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        min("n6").as("mn"), max("n6").as("mx"),
+        sum(col("n6").cast("decimal(38,0)")).as("sn"))
+    val dims = e.select(posexplode(col("emb"))).toDF("j", "x")
+      .select(col("j"),
+        floor(col("x") * lit(1000000.0d) + lit(0.5d)).cast("long").as("f"))
+      .groupBy("j")
+      .agg(count(lit(1)).as("n"),
+        sum(col("f").cast("decimal(38,0)")).as("sf"),
+        sum((col("f") * col("f")).cast("decimal(38,0)")).as("sf2"))
+      .select(col("j"),
+        (col("sf2").cast("double") / col("n") / lit(1.0e12d)
+          - (col("sf").cast("double") / col("n") / lit(1.0e6d))
+            * (col("sf").cast("double") / col("n") / lit(1.0e6d))).as("v"))
+      .agg(sum(when(col("v") < lit(0.0001d), 1L).otherwise(0L))
+        .as("n_collapsed_dims"),
+        max("v").as("vmax"), count(lit(1)).as("n_dims"))
+    norms.join(broadcast(dims))
+      .select(col("n_vecs"), col("n_dims"), col("n_zero"),
+        (expr("(mn + 50L) div 100L").cast("double") / lit(10000.0d))
+          .as("norm_min"),
+        (expr("(mx + 50L) div 100L").cast("double") / lit(10000.0d))
+          .as("norm_max"),
+        (floor(col("sn").cast("double") / col("n_vecs") / lit(1.0e6d)
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("norm_mean"),
+        col("n_collapsed_dims"),
+        (floor(col("vmax") * lit(100000000.0d) + lit(0.5d))
+          / lit(100000000.0d)).as("max_dim_var"))
+  }
+
+  private val embeddingProfileSql =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+       |         sqrt(list_dot_product(embedding::DOUBLE[],
+       |                               embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT CAST(floor(nrm * 1000000.0 + 0.5) AS BIGINT) AS n6 FROM e),
+       |ns AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+       |         CAST(count(*) FILTER (n6 = 0) AS BIGINT) AS n_zero,
+       |         min(n6) AS mn, max(n6) AS mx, sum(n6) AS sn
+       |  FROM n),
+       |dx AS (
+       |  SELECT j, CAST(floor(emb[j] * 1000000.0 + 0.5) AS BIGINT) AS f
+       |  FROM e CROSS JOIN (SELECT unnest(generate_series(1, $DIM)) AS j)),
+       |ds AS (
+       |  SELECT j, CAST(count(*) AS BIGINT) AS n, sum(f) AS sf,
+       |         sum(f * f) AS sf2
+       |  FROM dx GROUP BY j),
+       |dv AS (
+       |  SELECT j, CAST(sf2 AS DOUBLE) / n / 1.0e12
+       |           - (CAST(sf AS DOUBLE) / n / 1.0e6)
+       |             * (CAST(sf AS DOUBLE) / n / 1.0e6) AS v
+       |  FROM ds),
+       |da AS (
+       |  SELECT CAST(count(*) FILTER (v < 0.0001) AS BIGINT)
+       |           AS n_collapsed_dims,
+       |         max(v) AS vmax, CAST(count(*) AS BIGINT) AS n_dims
+       |  FROM dv)
+       |SELECT ns.n_vecs, da.n_dims, ns.n_zero,
+       |       CAST((ns.mn + 50) // 100 AS DOUBLE) / 10000.0 AS norm_min,
+       |       CAST((ns.mx + 50) // 100 AS DOUBLE) / 10000.0 AS norm_max,
+       |       floor(CAST(ns.sn AS DOUBLE) / ns.n_vecs / 1.0e6
+       |             * 10000.0 + 0.5) / 10000.0 AS norm_mean,
+       |       da.n_collapsed_dims,
+       |       floor(da.vmax * 100000000.0 + 0.5) / 100000000.0 AS max_dim_var
+       |FROM ns CROSS JOIN da""".stripMargin
+
   /** Brute-force cosine top-10 against the vec_id=0 query vector
     * (self excluded). */
   def bruteTopK(s: SparkSession, dir: String): DataFrame = {
@@ -1471,6 +1559,9 @@ object Similarity {
     Q("q_sim_ann_multiprobe", annLshMultiprobe, Some(annLshMultiprobeSql)),
     Q("q_sim_ivf", ivf, Some(ivfSql)),
     Q("q_sim_ivf_trained", ivfTrained, Some(ivfTrainedSql)),
+    Q("q_embedding_profile", embeddingProfile, Some(embeddingProfileSql),
+      doc = "Embedding-corpus sanity census before index builds: norms, " +
+        "zero vectors, collapsed dimensions, top dimension variance"),
     Q("q_sim_topk_batch", bruteTopKBatch, Some(bruteTopKBatchSql)),
     Q("q_sim_ann_batch", annLshBatch, Some(annLshBatchSql)),
     Q("q_knn_join", knnJoin, Some(knnJoinSql)),

@@ -71,6 +71,8 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     "q_cmh_test",
     // 1-row user-total frame broadcast onto the ≤horizon-row hour table
     "q_survival",
+    // crossJoin of the 1-row norm census onto the 1-row dimension census
+    "q_embedding_profile",
     // 1-row (n_days, n_total) + 1-row max|S| frames onto the day table
     "q_cusum",
     // 1-row CI-quantile frame crossJoined onto the 1-row point estimate
