@@ -738,6 +738,41 @@ object Dedup {
       .limit(20)
   }
 
+  /** Positive pairs emitted per cluster. */
+  private val POS_K = 5
+
+  /** Contrastive positive-pair mining — the training-data complement of
+    * [[graft.operators.Curation]]'s negative sampler: near-dup clusters
+    * are exactly the "same content, different surface" pairs an
+    * embedding model trains on. Each cluster's representative (its min
+    * doc_id — the label itself) anchors up to POS_K members as
+    * positives, so pair generation is LINEAR in cluster size (never the
+    * quadratic all-pairs within a cluster), capped, and deterministic
+    * (members rank by doc_id). */
+  def contrastivePairs(s: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabels(
+      similarityEdges(ngramDocs(s, dir), CLUSTER_JACCARD).localCheckpoint())
+    val byCluster = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy("doc_id")
+    labels.filter(col("doc_id") =!= col("label"))
+      .withColumn("slot", row_number().over(byCluster))
+      .filter(col("slot") <= POS_K)
+      .select(col("label").as("anchor_id"), col("slot").cast("long").as("slot"),
+        col("doc_id").as("positive_id"))
+      .orderBy("anchor_id", "slot")
+  }
+
+  private val contrastivePairsSql =
+    s"""WITH RECURSIVE $clusterLabChainSql
+      |SELECT label AS anchor_id, CAST(slot AS BIGINT) AS slot,
+      |       doc_id AS positive_id
+      |FROM (
+      |  SELECT label, doc_id,
+      |         row_number() OVER (PARTITION BY label ORDER BY doc_id) AS slot
+      |  FROM lab WHERE doc_id <> label)
+      |WHERE slot <= $POS_K
+      |ORDER BY anchor_id, slot""".stripMargin
+
   private val dedupCanonicalSql =
     s"""WITH RECURSIVE $clusterLabChainSql,
       |score AS (
@@ -1026,6 +1061,9 @@ object Dedup {
     Q("q_dedup_canonical", dedupCanonical, Some(dedupCanonicalSql),
       doc = "Canonical-representative selection: every near-dup cluster " +
         "keeps its best-quality doc (1e-6-fixed composite, doc_id tiebreak)"),
+    Q("q_contrastive_pairs", contrastivePairs, Some(contrastivePairsSql),
+      doc = "Contrastive positive-pair mining: cluster representative " +
+        "anchors up to 5 near-dup members — linear per cluster, capped"),
     Q("q_dedup_embed", embedCosine, Some(embedCosineSql)),
     Q("q_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)))
 }
