@@ -68,33 +68,64 @@ object Profiling {
 
   private val ED_BINS = 10
 
+  /** Exact interpolated quantiles by DISTRIBUTED order-statistic
+    * selection — the scale-true replacement for `percentile()`'s
+    * single-buffer aggregate (which materializes every distinct value in
+    * ONE task's OpenHashMap: fine at fixture scale, an OOM at 100 TB).
+    * Range-partitioned sort, then only the ≤ 2·|ps| globally-indexed
+    * elements the quantile positions touch come to the driver; the
+    * interpolation applies Spark Percentile's exact two-sided form
+    * ((hi−pos)·v_lo + (pos−lo)·v_hi), so results are bit-identical to
+    * the aggregate this replaces (and to DuckDB's quantile_cont, the
+    * established pairing). Cost is a few small parallel jobs instead of
+    * one unbounded-buffer aggregate. */
+  private[graft] def exactQuantiles(xs0: DataFrame, c: String,
+                                    ps: Seq[Double]): Seq[Double] = {
+    val sorted = xs0.select(col(c).cast("double")).na.drop()
+      .rdd.map(_.getDouble(0)).sortBy(identity)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = sorted.count()
+    val needed = ps.flatMap { p =>
+      val pos = p * (n - 1)
+      Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
+    }.toSet
+    val idxVal = sorted.zipWithIndex()
+      .filter { case (_, i) => needed.contains(i) }
+      .map(_.swap).collect().toMap
+    sorted.unpersist(false)
+    ps.map { p =>
+      val pos = p * (n - 1)
+      val lo = math.floor(pos).toLong
+      val hi = math.ceil(pos).toLong
+      if (hi == lo) idxVal(lo)
+      else (hi - pos) * idxVal(lo) + (pos - lo) * idxVal(hi)
+    }
+  }
+
   /** EQUI-DEPTH histogram of lineitem.l_extendedprice — the quantile
     * complement of [[histogram]]: bin boundaries are the exact deciles,
     * so bins hold ~equal row counts and the boundary VALUES carry the
     * distribution shape (the input range-partitioning and z-order
     * bucketing want — equal-work splits, not equal-width ones).
     *
-    * Same two-pass shape as [[histogram]]: exact decile array (1-row
-    * broadcast), then per-row bin assignment INSIDE the scan as "count
-    * of interior boundaries strictly below x" — a 9-element array probe,
-    * no join fan-out. Boundary doubles come from the same linear
-    * interpolation formula in both engines (percentile ↔ quantile_cont,
-    * the [[winsorized]] precedent); displayed edges floor to 4 dp.
-    * The exact percentile is a single-buffer aggregate (q_percentiles'
-    * documented caveat); the 100 TB variant swaps ONLY the boundary
-    * pass for approx_percentile or a deterministic key-sample — bin
-    * counts stay exact either way. */
+    * Boundaries come from [[exactQuantiles]] (distributed selection, no
+    * single-buffer aggregate) and inline as LITERALS, so the bin
+    * assignment is a 9-comparison codegen expression inside the scan —
+    * no join, no array probe. Boundary doubles match DuckDB's
+    * quantile_cont exactly (the [[winsorized]] precedent); displayed
+    * edges floor to 4 dp. */
   def equidepthHist(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("x"))
-    val ps = (0 until ED_BINS).map(k => s"${k / 10.0}D").mkString(", ")
-    val bounds = li.agg(expr(s"percentile(x, array($ps))").as("bs"))
-    li.join(broadcast(bounds))
-      .select(expr(s"size(filter(slice(bs, 2, ${ED_BINS - 1}), b -> x > b))")
-        .as("bin"), col("bs"))
+    val bs = exactQuantiles(li, "x", (0 until ED_BINS).map(_ / 10.0))
+    val binCol = bs.drop(1)
+      .map(b => when(col("x") > lit(b), 1).otherwise(0))
+      .reduce(_ + _)
+    val bsCol = array(bs.map(lit): _*)
+    li.select(binCol.as("bin"))
       .groupBy("bin")
-      .agg(count(lit(1)).as("n_items"), first("bs").as("bs"))
+      .agg(count(lit(1)).as("n_items"))
       .select(col("bin"),
-        (floor(element_at(col("bs"), col("bin") + lit(1)) * lit(10000.0d)
+        (floor(element_at(bsCol, col("bin") + lit(1)) * lit(10000.0d)
           + lit(0.5d)) / lit(10000.0d)).as("bin_lo"),
         col("n_items"))
       .orderBy("bin")
