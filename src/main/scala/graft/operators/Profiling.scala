@@ -1195,12 +1195,17 @@ object Profiling {
     * no 100 TB scan can afford). The sweep itself is conditional
     * aggregation in the same pass (exact BIGINT µs comparisons), so the
     * whole census is one scan + one narrow shuffle. */
-  def watermarkSweep(s: SparkSession, dir: String): DataFrame = {
+  def watermarkSweep(s: SparkSession, dir: String): DataFrame =
+    watermarkSweepOn(Tables.events(s, dir))
+
+  /** Core sweep over any (user_id, event_id, ts) frame — exposed for the
+    * planted-disorder spec. */
+  private[graft] def watermarkSweepOn(events: DataFrame): DataFrame = {
     val wSpec = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("event_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val lag = Tables.events(s, dir)
+    val lag = events
       .select(col("user_id"), col("event_id"),
         expr("unix_micros(ts)").as("us"))
       .withColumn("lag_us", max("us").over(wSpec) - col("us"))

@@ -52,8 +52,12 @@ object Similarity {
     * size — the labelCentroids discipline), and every division happens
     * once, in the same order as the oracle. Shuffles carry (dim, partial
     * moment) rows — never vectors. */
-  def embeddingProfile(s: SparkSession, dir: String): DataFrame = {
-    val e = corpus(s, dir)
+  def embeddingProfile(s: SparkSession, dir: String): DataFrame =
+    embeddingProfileOn(corpus(s, dir))
+
+  /** Core census over any (emb: array<double>, nrm) frame — exposed for
+    * the planted-pathology spec. */
+  private[graft] def embeddingProfileOn(e: DataFrame): DataFrame = {
     val norms = e
       .select(floor(col("nrm") * lit(1000000.0d) + lit(0.5d)).cast("long")
         .as("n6"))
