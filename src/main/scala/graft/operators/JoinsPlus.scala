@@ -201,22 +201,26 @@ object JoinsPlus {
       |ORDER BY user_id""".stripMargin
 
   /** Exact interpolated percentiles (quartiles + p95 of extended price per
-    * return flag). Spark's `percentile` and DuckDB's `quantile_cont` share
-    * the linear-interpolation definition. At 100 TB swap for
-    * percentile_approx (t-digest sketch, one pass, mergeable). */
-  def percentiles(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy("l_returnflag")
-      // ONE percentile agg with an array of percentages — four separate
-      // calls would each buffer the whole group's values (4× memory and
-      // time); the array form shares one buffer and one sort.
-      .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))").as("ps"))
+    * return flag), via [[graft.operators.Profiling.groupedQuantiles]]'
+    * buffer-free windowed selection — extended price is a continuous
+    * double, so the old per-group `percentile` buffer grew with the
+    * corpus. Results stay bit-identical to DuckDB's `quantile_cont` (the
+    * selection applies Spark Percentile's exact interpolation). The
+    * sketch alternative for per-key cardinality beyond dimension-bounded
+    * groups is q_percentile_approx. */
+  def percentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Profiling.groupedQuantiles(Tables.lineitem(s, dir),
+        "l_returnflag", "l_extendedprice", Seq(0.25d, 0.5d, 0.75d, 0.95d))
+      .toSeq.map { case (f, qs) => (f, qs.head, qs(1), qs(2), qs(3)) }
+      .toDF("l_returnflag", "p25r", "p50r", "p75r", "p95r")
       .select(col("l_returnflag"),
-        round(col("ps").getItem(0), 4).as("p25"),
-        round(col("ps").getItem(1), 4).as("p50"),
-        round(col("ps").getItem(2), 4).as("p75"),
-        round(col("ps").getItem(3), 4).as("p95"))
+        round(col("p25r"), 4).as("p25"),
+        round(col("p50r"), 4).as("p50"),
+        round(col("p75r"), 4).as("p75"),
+        round(col("p95r"), 4).as("p95"))
       .orderBy("l_returnflag")
+  }
 
   private val percentilesSql =
     """SELECT l_returnflag,

@@ -102,6 +102,49 @@ object Profiling {
     }
   }
 
+  /** Per-GROUP exact interpolated quantiles by windowed order-statistic
+    * selection — the grouped sibling of [[exactQuantiles]], replacing
+    * `percentile() GROUP BY k`'s per-group value buffer. The group
+    * counts collect to the driver (group cardinality is
+    * dimension-bounded for every caller — event types, return flags),
+    * the rank window's sort SPILLS instead of buffering, and only the
+    * ≤ 2·|ps| needed elements per group reach the driver, where the
+    * interpolation applies Spark Percentile's exact two-sided form.
+    * Parallelism is bounded by group count (the sort is per-group) —
+    * memory-safe over unbounded group SIZES, which is the failure mode
+    * that matters at 100 TB. */
+  private[graft] def groupedQuantiles(df: DataFrame, key: String, v: String,
+                                      ps: Seq[Double]): Map[String, Seq[Double]] = {
+    val s = df.sparkSession
+    import s.implicits._
+    val xs = df.select(col(key).cast("string").as("k"),
+      col(v).cast("double").as("x")).na.drop()
+    val counts = xs.groupBy("k").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val needed = counts.toSeq.flatMap { case (k, n) =>
+      ps.flatMap { p =>
+        val pos = p * (n - 1)
+        Seq(k -> math.floor(pos).toLong, k -> math.ceil(pos).toLong)
+      }
+    }.distinct
+    val needDf = needed.toDF("k", "idx")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy("x")
+    val got = xs.withColumn("idx", row_number().over(w).cast("long") - 1L)
+      .join(broadcast(needDf), Seq("k", "idx"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    counts.map { case (k, n) =>
+      k -> ps.map { p =>
+        val pos = p * (n - 1)
+        val lo = math.floor(pos).toLong
+        val hi = math.ceil(pos).toLong
+        if (hi == lo) got((k, lo))
+        else (hi - pos) * got((k, lo)) + (pos - lo) * got((k, hi))
+      }
+    }
+  }
+
   /** EQUI-DEPTH histogram of lineitem.l_extendedprice — the quantile
     * complement of [[histogram]]: bin boundaries are the exact deciles,
     * so bins hold ~equal row counts and the boundary VALUES carry the
@@ -370,15 +413,18 @@ object Profiling {
     * the outliers it is looking for; quartile fences are not.
     *
     * Scale shape: same two-pass discipline as [[winsorized]] — group
-    * quartiles (|event types| rows) broadcast back onto a second scan that
-    * flags each row inside the scan stage; only per-group counters
-    * shuffle. Fences are pure IEEE arithmetic off interpolated quartiles,
-    * so both engines draw identical boundaries. */
+    * quartiles (|event types| rows, via [[groupedQuantiles]]' buffer-free
+    * selection: `value` is a continuous double, so the old per-group
+    * percentile buffer grew with the corpus) broadcast back onto a second
+    * scan that flags each row inside the scan stage; only per-group
+    * counters shuffle. Fences are pure IEEE arithmetic off interpolated
+    * quartiles, so both engines draw identical boundaries. */
   def iqrOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val ev = Tables.events(s, dir).select("event_type", "value")
-    val quarts = ev.groupBy("event_type")
-      .agg(expr("percentile(value, array(0.25D, 0.75D))").as("p"))
-      .select(col("event_type"), col("p")(0).as("q1"), col("p")(1).as("q3"))
+    val quarts = groupedQuantiles(ev, "event_type", "value", Seq(0.25d, 0.75d))
+      .toSeq.map { case (t, qs) => (t, qs.head, qs(1)) }
+      .toDF("event_type", "q1", "q3")
       .withColumn("lo", col("q1") - lit(1.5d) * (col("q3") - col("q1")))
       .withColumn("hi", col("q3") + lit(1.5d) * (col("q3") - col("q1")))
     ev.join(broadcast(quarts), "event_type")
