@@ -122,10 +122,32 @@ object Dedup {
     }
   }
 
+  /** Candidate-pair memo per (session, corpus dir): the banding
+    * pipeline's output is bare id pairs — narrow enough to pin as
+    * localCheckpoint RDD blocks at any corpus scale — and three queries
+    * (the dedup census, the calibration audit, the source-pair rates)
+    * consume the IDENTICAL pair set. First touch pays the signature +
+    * banded self-join build; the rest reuse it (the [[clusterLabels]] /
+    * trained-merges first-touch split). The pinned frame replaces the
+    * per-query cache/unpersist dance for the pair set; the wide shingle
+    * docs stay per-query caches (pinning corpus-scale arrays is the
+    * memory trade the mhidx INDEX TABLE exists for). */
+  private val candMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  private def corpusMinhashCandidates(s: SparkSession, dir: String,
+                                      docs: DataFrame): DataFrame =
+    candMemo.computeIfAbsent((System.identityHashCode(s), dir), _ => {
+      val c = minhashCandidates(docs, cached = true)
+      val pinned = c.localCheckpoint()
+      c.unpersist(blocking = false)
+      pinned
+    })
+
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = docsWithShingles(s, dir).select("doc_id", "sh").cache()
-    val cand = minhashCandidates(docs, cached = true)
+    val cand = corpusMinhashCandidates(s, dir, docs)
     val verified = cand
       .join(docs.as("sa"), col("a") === col("sa.doc_id"))
       .join(docs.as("sb"), col("b") === col("sb.doc_id"))
@@ -136,7 +158,6 @@ object Dedup {
     val nCand = cand.count()
     val nVer = verified.filter(col("jac") >= 0.3).count()
     docs.unpersist()
-    cand.unpersist()
     Seq((nDocs, nCand, nVer)).toDF("n_docs", "n_candidates", "n_verified")
   }
 
@@ -208,7 +229,7 @@ object Dedup {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     val docs = docsWithShingles(s, dir).select("doc_id", "sh").cache()
-    val cand = minhashCandidates(docs, cached = true)
+    val cand = corpusMinhashCandidates(s, dir, docs)
     val sigs = docs.withColumn("mh", expr("minhash_slices(sh)"))
       .select("doc_id", "mh")
     val est = (0 until K).map(i =>
@@ -236,7 +257,6 @@ object Dedup {
           / lit(1000000.0d)).as("mean_bias"))
       .collect()(0)
     docs.unpersist()
-    cand.unpersist()
     Seq((row.getLong(0), row.getDouble(1), row.getDouble(2), row.getDouble(3)))
       .toDF("n_pairs", "mean_abs_err", "max_abs_err", "mean_bias")
   }
@@ -281,7 +301,7 @@ object Dedup {
     * output is bounded by source-pair count. */
   def dupRateBySource(s: SparkSession, dir: String): DataFrame = {
     val docs = docsWithShingles(s, dir).select("doc_id", "sh").cache()
-    val cand = minhashCandidates(docs, cached = true)
+    val cand = corpusMinhashCandidates(s, dir, docs)
     val src = Tables.documents(s, dir).select("doc_id", "source")
     val verified = cand
       .join(docs.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
@@ -297,7 +317,6 @@ object Dedup {
     val out = verified.cache()
     out.count() // materialize before releasing the upstream caches
     docs.unpersist()
-    cand.unpersist()
     out
   }
 
