@@ -74,6 +74,17 @@ object Graph {
     * with duplicate pairs, deduplicated here AFTER partitioning — whose
     * every node has an out-edge AND an in-edge (symmetric edge sets
     * qualify). Returns the full (node, r) rank table in nano units. */
+  /** Edges per round-partition: the per-round join + aggregate over a
+    * 5-round chain is STAGE-LAUNCH-bound when the per-partition slice is
+    * tiny (10 stages × shuffle-partition-many ~ms tasks), so the cached
+    * edge list is re-coalesced to ⌈|E| / this⌉ partitions (capped at the
+    * session's shuffle parallelism). At sf0.1 (2.4M edges) that is 4
+    * partitions and halves the round time; at 100 TB |E|/524288 exceeds
+    * any sane shuffle-partition conf, so the swap never triggers and the
+    * full parallelism is used — same adaptive-to-measured-size discipline
+    * as AQE's partition coalescing, applied to a cached iteration table. */
+  private val EDGES_PER_ROUND_PART = 524288L
+
   private[graft] def pagerankOn(edges0: DataFrame): DataFrame = {
     // cache the edge list PRE-PARTITIONED on the join key: every round's
     // fan-out join then reuses the cached partitioning (the in-memory
@@ -85,32 +96,41 @@ object Graph {
     //
     // ONE exchange builds the whole partitioned+deduped+degreed edge
     // list: hash(src) satisfies the subset-clustering requirement of
-    // BOTH the (src, dst) dedup and the per-src degree aggregate, so
-    // after the explicit repartition the distinct, the degree count, and
-    // the degree equi-join all plan exchange-free (was: a full
-    // (src, dst)-hash distinct + a second repartition — two extra
-    // edge-sized shuffles per build).
+    // BOTH the (src, dst) dedup and the per-src degree window, so after
+    // the explicit repartition the distinct and the degree count plan
+    // exchange-free. Out-degree is baked INTO the cached edge list as a
+    // partition-local window count (the oracle's `ed` CTE does the
+    // same): the per-edge contribution floor(0.85·r/deg+0.5) is constant
+    // across a source's edges, so computing it edge-local is identical
+    // to the per-source form — and it deletes a whole node-table join
+    // (+ its exchange) from EVERY round.
     val nPart = edges0.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
-    val edges1 = edges0.repartition(nPart, col("src")).distinct().cache()
-    val deg = edges1.groupBy("src").agg(count(lit(1)).as("deg"))
-    // bake out-degree INTO the cached edge list once (the oracle's `ed`
-    // CTE does the same): the per-edge contribution floor(0.85·r/deg+0.5)
-    // is constant across a source's edges, so computing it edge-local is
-    // identical to the per-source form — and it deletes a whole
-    // node-table join (+ its exchange) from EVERY round. deg rides the
-    // cached src-hash partitioning, so attaching it is exchange-free,
-    // and the join output keeps hash(src) for the per-round joins.
-    val edges = edges1.join(deg, "src")
-      .select(col("src"), col("dst"), col("deg"))
+    var edges = edges0.repartition(nPart, col("src")).distinct()
+      .withColumn("deg", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("src")))
       .cache()
-    val nodes = edges.select(col("src").as("node")).distinct().cache()
-    val n = nodes.count()
-    edges1.unpersist(blocking = false)
+    // one materializing job yields both census numbers (driver holds two
+    // longs, nothing more)
+    val c = edges.agg(count(lit(1)), countDistinct(col("src"))).collect().head
+    val (nEdges, n) = (c.getLong(0), c.getLong(1))
+    val roundParts =
+      math.max(1L, math.min(nPart.toLong, nEdges / EDGES_PER_ROUND_PART)).toInt
+    if (roundParts < nPart) {
+      // small graph: swap the cache for a few-partition copy so each of
+      // the 10 round stages launches a handful of tasks, not nPart
+      val small = edges.repartition(roundParts, col("src")).cache()
+      small.count()
+      edges.unpersist(blocking = false)
+      edges = small
+    }
     // same doubles DuckDB computes from its 1-row params frame
     val r0 = math.floor(1000000000.0d / n.toDouble).toLong
     val base = math.floor(150000000.0d / n.toDouble + 0.5d).toLong
-    var ranks = nodes.select(col("node"), lit(r0).as("r"))
+    // seed ranks straight off the cached edges: hash(src) already
+    // clusters the distinct, so the seed is exchange-free
+    var ranks = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(r0).as("r"))
     for (_ <- 1 to ROUNDS) {
       // one join per round: the node-sized rank table exchanges onto the
       // cached (src, dst, deg) partitioning, the contribution is computed

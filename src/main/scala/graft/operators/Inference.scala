@@ -114,9 +114,9 @@ object Inference {
        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM obs),
        |risk AS (
        |  SELECT t, d,
-       |         n_users - coalesce(sum(m) OVER (ORDER BY t
+       |         CAST(n_users - coalesce(sum(m) OVER (ORDER BY t
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-       |           AS n_risk
+       |           AS BIGINT) AS n_risk
        |  FROM per_t CROSS JOIN tot),
        |km AS (
        |  SELECT t, n_risk, d,

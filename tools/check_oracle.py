@@ -42,8 +42,19 @@ def main(sf_dir, out_dir):
             n_bad += 1
             continue
         try:
+            rel = con.sql(sql)
+            # Driver-faithful dtype gate: pandas widens DuckDB HUGEINT to
+            # float64, so the driver's hash sees int64-vs-float64 even when
+            # every value matches. Ban HUGEINT-typed oracle output outright.
+            huge = [c for c, t in zip(rel.columns, rel.types)
+                    if "HUGEINT" in str(t).upper()]
+            if huge:
+                print(f"FAIL {name}: oracle columns {huge} type as HUGEINT "
+                      f"(cast to BIGINT in the SQL)")
+                n_bad += 1
+                continue
             mine = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
-            ref = con.sql(sql).df()
+            ref = rel.df()
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_bad += 1
@@ -53,6 +64,27 @@ def main(sf_dir, out_dir):
         if list(mine.columns) != list(ref.columns):
             print(f"FAIL {name}: columns {list(mine.columns)} != "
                   f"{list(ref.columns)}")
+            n_bad += 1
+            continue
+        # The driver hashes the pandas VALUES (stringified), so dtype CLASS
+        # drift fails its gate even when values compare equal here: int64 1
+        # vs float64 1.0 hash differently, and float32 vs float64 repr can
+        # differ. Integer WIDTH (int32 vs int64) is invisible to it — warn
+        # only, so real queries using row_number() (int32) vs DuckDB BIGINT
+        # don't churn.
+        def dclass(dt):
+            return "int" if dt.kind in "iu" else str(dt)
+        dbad, dwarn = [], []
+        for c in mine.columns:
+            a, b = mine[c].dtype, ref[c].dtype
+            if dclass(a) != dclass(b):
+                dbad.append((c, str(a), str(b)))
+            elif a != b:
+                dwarn.append((c, str(a), str(b)))
+        if dwarn:
+            print(f"WARN {name}: int width differs {dwarn}")
+        if dbad:
+            print(f"FAIL {name}: dtype class mismatch {dbad}")
             n_bad += 1
             continue
         if len(mine) != len(ref):
