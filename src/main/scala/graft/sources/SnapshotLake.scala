@@ -33,8 +33,10 @@ import org.apache.spark.sql.types.StructType
   *   - time travel (`readAt`) and O(1) `rollback` — old snapshots stay
   *     readable until `expire` reclaims their unreferenced files;
   *   - copy-on-write row-level `deleteWhere` / `merge` that rewrite ONLY
-  *     the files containing hit rows (file pruning via
-  *     `input_file_name()`), not the table;
+  *     the files containing hit rows (file pruning via the
+  *     `_metadata.file_path` lineage column), not the table — and a
+  *     MERGE-ON-READ alternative (`deleteWhereMor`) that commits
+  *     position-delete files and rewrites nothing;
   *   - schema evolution: a commit may add columns; snapshot reads merge
   *     file schemas, old snapshots keep their old shape;
   *   - manifest-pinned scans: planning reads one manifest, not a
@@ -66,10 +68,19 @@ object SnapshotLake {
     case _ => FileEntry(s, -1L, None, None) // legacy bare-path line
   }
 
+  /** `deletes` are Iceberg-style POSITION-DELETE files: each is a parquet
+    * of (df = data-file basename, pos = row index in that file) rows.
+    * Data files they reference stay byte-identical on disk — a MOR
+    * delete commit only ADDS a delete file; readers subtract the
+    * positions at scan time ([[open]]). */
   final case class Snapshot(version: Int, op: String, nRows: Long,
                             schemaDdl: String, statsCol: Option[String],
-                            files: Seq[FileEntry]) {
+                            files: Seq[FileEntry],
+                            deletes: Seq[FileEntry] = Seq.empty) {
     def paths: Seq[String] = files.map(_.path)
+    /** Every file the snapshot pins — data AND delete files — for
+      * expire/reclaim accounting. */
+    def allPaths: Seq[String] = paths ++ deletes.map(_.path)
   }
 
   // ---- metadata ------------------------------------------------------------
@@ -102,7 +113,8 @@ object SnapshotLake {
       .map(_.drop(6)).filter(_.nonEmpty)
     Snapshot(field("version").toInt, field("op"), field("nRows").toLong,
       field("schema"), statsCol,
-      lines.filter(_.startsWith("file=")).map(l => parseEntry(l.drop(5))))
+      lines.filter(_.startsWith("file=")).map(l => parseEntry(l.drop(5))),
+      lines.filter(_.startsWith("delete=")).map(l => parseEntry(l.drop(7))))
   }
 
   /** Commit `files` as version `prev + 1`. Publishing is an ATOMIC_MOVE
@@ -111,13 +123,15 @@ object SnapshotLake {
     * corrupted table. */
   private[graft] def commit(root: String, prev: Int, op: String, nRows: Long,
                             schemaDdl: String, statsCol: Option[String],
-                            files: Seq[FileEntry]): Int = {
+                            files: Seq[FileEntry],
+                            deletes: Seq[FileEntry] = Seq.empty): Int = {
     val v = prev + 1
     Files.createDirectories(metaDir(root))
     val body =
       (Seq(s"version=$v", s"op=$op", s"nRows=$nRows", s"schema=$schemaDdl",
         s"stats=${statsCol.getOrElse("")}") ++
-        files.map(f => s"file=${f.serialized}")).mkString("", "\n", "\n")
+        files.map(f => s"file=${f.serialized}") ++
+        deletes.map(f => s"delete=${f.serialized}")).mkString("", "\n", "\n")
     val tmp = metaDir(root).resolve(s".v$v.tmp")
     Files.writeString(tmp, body)
     val target = metaDir(root).resolve(s"v$v.manifest")
@@ -171,6 +185,31 @@ object SnapshotLake {
       val rel = s"data/v$v-${offset + i}.parquet"
       Files.move(p, Paths.get(root, rel), StandardCopyOption.ATOMIC_MOVE)
       FileEntry(rel, rows, mn, mx)
+    }
+    deleteRecursively(scratch)
+    named
+  }
+
+  /** Stage a (df, pos) position-delete frame as `data/v{N}-del-{i}
+    * .parquet`. A delete set is tiny next to the data it tombstones, so
+    * it lands as one file; zero-row stages publish nothing. */
+  private def stageDeletes(dels: DataFrame, root: String, v: Int,
+                           offset: Int): Seq[FileEntry] = {
+    val scratch = Paths.get(root, s".stage-v$v-del")
+    dels.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+    Files.createDirectories(dataDir(root))
+    val parts = {
+      val s = Files.list(scratch)
+      try s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.getFileName.toString)
+        .map(p => (p, footerStats(p, None)._1))
+        .filter(_._2 > 0)
+      finally s.close()
+    }
+    val named = parts.zipWithIndex.map { case ((p, rows), i) =>
+      val rel = s"data/v$v-del-${offset + i}.parquet"
+      Files.move(p, Paths.get(root, rel), StandardCopyOption.ATOMIC_MOVE)
+      FileEntry(rel, rows, None, None)
     }
     deleteRecursively(scratch)
     named
@@ -230,7 +269,7 @@ object SnapshotLake {
     val files = stage(df, root, prev + 1, snap.statsCol)
     val schema = mergedDdl(snap.schemaDdl, df.schema)
     commit(root, prev, "append", snap.nRows + files.map(_.rows).sum, schema,
-      snap.statsCol, snap.files ++ files)
+      snap.statsCol, snap.files ++ files, snap.deletes)
   }
 
   /** WRITE-AUDIT-PUBLISH: the quality-gated append. The batch's files
@@ -270,35 +309,124 @@ object SnapshotLake {
     } else {
       val schema = mergedDdl(snap.schemaDdl, df.schema)
       Right(commit(root, prev, "append[wap]", snap.nRows + n, schema,
-        snap.statsCol, snap.files ++ staged))
+        snap.statsCol, snap.files ++ staged, snap.deletes))
     }
   }
 
+  /** The VISIBLE rows of `files` (pending position deletes subtracted)
+    * with the `_df`/`_pos` lineage columns still attached — the shared
+    * front half of every row-level write path. */
+  private def openVisible(spark: SparkSession, root: String, snap: Snapshot,
+                          files: Seq[FileEntry]): DataFrame = {
+    val raw = openRaw(spark, root, snap, files)
+    if (snap.deletes.isEmpty) raw
+    else {
+      val dels = deleteEntries(spark, root, snap)
+      raw.join(dels, col("_df") === dels("df") && col("_pos") === dels("pos"),
+        "left_anti")
+    }
+  }
+
+  /** Basenames of every data file a pending delete entry references —
+    * the files a COW op must also rewrite (entries live mixed inside
+    * delete parquet files, so per-file entry filtering would mean
+    * rewriting the delete files; COW ops instead materialize ALL pending
+    * deletes and leave a delete-free snapshot). */
+  private def deleteReferencedNames(spark: SparkSession, root: String,
+                                    snap: Snapshot): Set[String] =
+    if (snap.deletes.isEmpty) Set.empty
+    else deleteEntries(spark, root, snap).select("df").distinct()
+      .collect().map(_.getString(0)).toSet
+
+  private def baseName(p: String): String = p.split('/').last
+
   /** Copy-on-write row delete: only the files that CONTAIN a matching row
-    * are rewritten (their surviving rows restage as new files); every
-    * other file carries into the new snapshot untouched. File pruning via
-    * `input_file_name()` — the same file-level granularity Iceberg's COW
-    * delete uses. Returns (newVersion, rowsDeleted). */
+    * (plus any file a pending position delete references — COW commits
+    * always leave a delete-free snapshot) are rewritten; every other file
+    * carries into the new snapshot untouched. File identity comes from
+    * the `_metadata.file_path` lineage column — the same file-level
+    * granularity Iceberg's COW delete uses. Returns (newVersion,
+    * rowsDeleted). */
   def deleteWhere(spark: SparkSession, root: String, cond: Column): (Int, Long) = {
     val prev = currentVersion(root)
     val snap = snapshot(root, prev)
-    val cur = open(spark, root, snap).withColumn("_f", input_file_name())
-    val hitFiles = cur.filter(cond).select("_f").distinct()
-      .collect().map(r => relPath(root, r.getString(0))).toSet
-    if (hitFiles.isEmpty) (prev, 0L)
+    if (snap.files.isEmpty) return (prev, 0L)
+    val visible = openVisible(spark, root, snap, snap.files)
+    val condHit = visible.filter(cond).select("_df").distinct()
+      .collect().map(_.getString(0)).toSet
+    if (condHit.isEmpty) (prev, 0L)
     else {
-      val hitAbs = hitFiles.toSeq.sorted.map(f => Paths.get(root, f).toString)
-      val touched = spark.read.option("mergeSchema", "true")
-        .parquet(hitAbs: _*)
-      val survivors = touched.filter(!cond)
+      val hitNames = condHit ++ deleteReferencedNames(spark, root, snap)
+      val hitEntries = snap.files.filter(f => hitNames(baseName(f.path)))
+      val touched = openVisible(spark, root, snap, hitEntries)
+      val survivors = touched.filter(!cond).drop("_df", "_pos")
       val nDeleted = touched.count() - survivors.count()
       val newFiles = if (survivors.isEmpty) Seq.empty[FileEntry]
                      else stage(survivors, root, prev + 1, snap.statsCol)
-      val files = snap.files.filterNot(f => hitFiles(f.path)) ++ newFiles
+      val files = snap.files.filterNot(f => hitNames(baseName(f.path))) ++
+        newFiles
       val v = commit(root, prev, "delete", snap.nRows - nDeleted,
         snap.schemaDdl, snap.statsCol, files)
       (v, nDeleted)
     }
+  }
+
+  /** MERGE-ON-READ row delete (Iceberg's position-delete path): instead
+    * of rewriting hit files, commit a parquet DELETE FILE of
+    * (data-file basename, row position) entries; every data file —
+    * including the hit ones — carries into the new snapshot BYTE-
+    * IDENTICAL, and readers subtract the positions at scan time
+    * ([[openFiles]]). The write costs one scan + one tiny file no matter
+    * how many data files contain hits — the right trade when deletes are
+    * frequent and small relative to the files they touch (GDPR erasure,
+    * late-arriving retractions) and the 100 TB rewrite amplification of
+    * COW is the bottleneck. Read cost grows with the pending delete set;
+    * [[rewritePositionDeletes]] is the compaction that folds it back in.
+    * Returns (newVersion, rowsDeleted). */
+  def deleteWhereMor(spark: SparkSession, root: String,
+                     cond: Column): (Int, Long) = {
+    val prev = currentVersion(root)
+    val snap = snapshot(root, prev)
+    if (snap.files.isEmpty) return (prev, 0L)
+    // positions are computed against the VISIBLE state, so re-deleting an
+    // already-deleted row cannot duplicate an entry
+    val newDels = openVisible(spark, root, snap, snap.files)
+      .filter(cond)
+      .select(col("_df").as("df"), col("_pos").as("pos"))
+      .orderBy("df", "pos")
+    val staged = stageDeletes(newDels, root, prev + 1,
+      offset = snap.deletes.size)
+    val n = staged.map(_.rows).sum
+    if (n == 0) (prev, 0L)
+    else {
+      val v = commit(root, prev, "delete[mor]", snap.nRows - n,
+        snap.schemaDdl, snap.statsCol, snap.files, snap.deletes ++ staged)
+      (v, n)
+    }
+  }
+
+  /** Iceberg's `rewrite_position_deletes` + `rewrite_data_files` folded
+    * into the delete-maintenance compaction this layer needs: rewrite
+    * ONLY the data files that pending delete entries reference (their
+    * visible rows restage), carry every untouched file as-is, and commit
+    * a delete-free, content-identical snapshot. Returns (newVersion,
+    * filesRewritten). */
+  def rewritePositionDeletes(spark: SparkSession, root: String): (Int, Int) = {
+    val prev = currentVersion(root)
+    val snap = snapshot(root, prev)
+    if (snap.deletes.isEmpty) return (prev, 0)
+    val hitNames = deleteReferencedNames(spark, root, snap)
+    val hitEntries = snap.files.filter(f => hitNames(baseName(f.path)))
+    val survivors = openVisible(spark, root, snap, hitEntries)
+      .drop("_df", "_pos")
+    val newFiles = if (hitEntries.isEmpty || survivors.isEmpty)
+                     Seq.empty[FileEntry]
+                   else stage(survivors, root, prev + 1, snap.statsCol)
+    val files = snap.files.filterNot(f => hitNames(baseName(f.path))) ++
+      newFiles
+    val v = commit(root, prev, "rewrite_deletes", snap.nRows,
+      snap.schemaDdl, snap.statsCol, files)
+    (v, hitEntries.size)
   }
 
   /** Copy-on-write MERGE by key (the `MERGE INTO` the reference's Iceberg
@@ -312,16 +440,19 @@ object SnapshotLake {
     val snap = snapshot(root, prev)
     val up = updates.cache()
     val nUp = up.count()
-    val cur = open(spark, root, snap).withColumn("_f", input_file_name())
-    val hitFiles = cur.join(up.select(key), Seq(key), "left_semi")
-      .select("_f").distinct()
-      .collect().map(r => relPath(root, r.getString(0))).toSet
+    val visible = openVisible(spark, root, snap, snap.files)
+    val keyHit = visible.join(up.select(key), Seq(key), "left_semi")
+      .select("_df").distinct()
+      .collect().map(_.getString(0)).toSet
+    // COW commits leave a delete-free snapshot: files a pending position
+    // delete references rewrite too (see deleteWhere)
+    val hitNames = keyHit ++ deleteReferencedNames(spark, root, snap)
     val (survivorFiles, nUpdated) =
-      if (hitFiles.isEmpty) (Seq.empty[FileEntry], 0L)
+      if (hitNames.isEmpty) (Seq.empty[FileEntry], 0L)
       else {
-        val hitAbs = hitFiles.toSeq.sorted.map(f => Paths.get(root, f).toString)
-        val touched = spark.read.option("mergeSchema", "true")
-          .parquet(hitAbs: _*)
+        val hitEntries = snap.files.filter(f => hitNames(baseName(f.path)))
+        val touched = openVisible(spark, root, snap, hitEntries)
+          .drop("_df", "_pos")
         val survivors = touched.join(up.select(key), Seq(key), "left_anti")
         val nUpd = touched.count() - survivors.count()
         val fs = if (survivors.isEmpty) Seq.empty[FileEntry]
@@ -331,7 +462,7 @@ object SnapshotLake {
     // restaged survivors land as v{N}-{i}; the update rows stage into the
     // same version with an offset suffix so names stay unique
     val upFiles = stageAs(up, root, prev + 1, survivorFiles.size, snap.statsCol)
-    val files = snap.files.filterNot(f => hitFiles(f.path)) ++
+    val files = snap.files.filterNot(f => hitNames(baseName(f.path))) ++
       survivorFiles ++ upFiles
     val schema = mergedDdl(snap.schemaDdl, up.schema)
     val v = commit(root, prev, "merge", snap.nRows - nUpdated + nUp,
@@ -347,7 +478,7 @@ object SnapshotLake {
     val prev = currentVersion(root)
     val target = snapshot(root, toVersion)
     commit(root, prev, s"rollback[v$toVersion]", target.nRows,
-      target.schemaDdl, target.statsCol, target.files)
+      target.schemaDdl, target.statsCol, target.files, target.deletes)
   }
 
   // ---- reads ---------------------------------------------------------------
@@ -355,14 +486,46 @@ object SnapshotLake {
   private def open(spark: SparkSession, root: String, snap: Snapshot): DataFrame =
     openFiles(spark, root, snap, snap.files)
 
+  /** Data rows of `files` with LINEAGE columns attached: `_df` = data-file
+    * basename (unique within a table: `v{N}-{i}.parquet`), `_pos` = row
+    * position within that physical file (`_metadata.row_index` — stable
+    * across split planning). These two are exactly a position-delete
+    * entry's key, so MOR subtraction and COW file-pruning both hang off
+    * this frame. Basenames rather than absolute paths keep delete files
+    * valid when the table root relocates. */
+  private def openRaw(spark: SparkSession, root: String, snap: Snapshot,
+                      files: Seq[FileEntry]): DataFrame =
+    spark.read.option("mergeSchema", "true")
+      .parquet(files.map(f => Paths.get(root, f.path).toString): _*)
+      .select(col("*"),
+        element_at(split(col("_metadata.file_path"), "/"), -1).as("_df"),
+        col("_metadata.row_index").as("_pos"))
+
+  /** All position-delete entries of a snapshot as one (df, pos) frame. */
+  private def deleteEntries(spark: SparkSession, root: String,
+                            snap: Snapshot): DataFrame =
+    spark.read.parquet(snap.deletes.map(f => Paths.get(root, f.path).toString): _*)
+
   private def openFiles(spark: SparkSession, root: String, snap: Snapshot,
                         files: Seq[FileEntry]): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         StructType.fromDDL(snap.schemaDdl))
-    else
+    else if (snap.deletes.isEmpty)
+      // fast path: no pending deletes, no lineage columns, plain scan
       spark.read.option("mergeSchema", "true")
         .parquet(files.map(f => Paths.get(root, f.path).toString): _*)
+    else {
+      // merge-on-read: subtract delete positions at scan time. The delete
+      // set is (basename, BIGINT) pairs only — tiny next to the data — so
+      // AQE picks a broadcast anti-join; data files are NOT opened twice
+      // and never rewritten.
+      val dels = deleteEntries(spark, root, snap)
+      openRaw(spark, root, snap, files)
+        .join(dels, col("_df") === dels("df") && col("_pos") === dels("pos"),
+          "left_anti")
+        .drop("_df", "_pos")
+    }
 
   /** Manifest-level file skipping: the entries of snapshot `version`
     * whose [min, max] stats range intersects [lo, hi] (entries without
@@ -437,13 +600,13 @@ object SnapshotLake {
     val retained = (keepFrom to cur).flatMap { v =>
       try Some(snapshot(root, v)) catch { case _: Exception => None }
     }
-    val live = retained.flatMap(_.paths).toSet
+    val live = retained.flatMap(_.allPaths).toSet
     var droppedManifests = 0
     var droppedFiles = 0
     (1 until keepFrom).foreach { v =>
       val p = metaDir(root).resolve(s"v$v.manifest")
       if (Files.exists(p)) {
-        val dead = snapshot(root, v).paths.filterNot(live)
+        val dead = snapshot(root, v).allPaths.filterNot(live)
         dead.foreach { f =>
           if (Files.deleteIfExists(Paths.get(root, f))) droppedFiles += 1
         }
@@ -454,7 +617,7 @@ object SnapshotLake {
     // files may also be orphaned by dead manifests already gone; sweep
     // data/ against the union of ALL remaining manifests
     val stillReferenced = (1 to cur).flatMap { v =>
-      try snapshot(root, v).paths catch { case _: Exception => Seq.empty }
+      try snapshot(root, v).allPaths catch { case _: Exception => Seq.empty }
     }.toSet
     val d = dataDir(root)
     if (Files.isDirectory(d)) {
@@ -490,7 +653,7 @@ object SnapshotLake {
       val files = stage(batch, root, cur + 1, snap.statsCol)
       val schema = mergedDdl(snap.schemaDdl, batch.schema)
       commit(root, cur, opTag, snap.nRows + n, schema, snap.statsCol,
-        snap.files ++ files)
+        snap.files ++ files, snap.deletes)
       true
     }
   }
@@ -534,12 +697,6 @@ object SnapshotLake {
 
   // ---- helpers -------------------------------------------------------------
 
-  private def relPath(root: String, abs: String): String = {
-    val clean = abs.stripPrefix("file://").stripPrefix("file:")
-    Paths.get(root).toAbsolutePath.relativize(
-      Paths.get(clean).toAbsolutePath).toString
-  }
-
   /** Evolved schema: base columns keep their order/types, genuinely new
     * columns append — the add-column evolution path. */
   private def mergedDdl(baseDdl: String, next: StructType): String = {
@@ -558,13 +715,15 @@ object SnapshotLake {
 
   // ---- registered time-travel query ---------------------------------------
 
-  /** Deterministic 4-snapshot timeline over `documents`, built once per
+  /** Deterministic 5-snapshot timeline over `documents`, built once per
     * (dir, data fingerprint): create a third of the corpus, append a
-    * second third, COW-delete the English docs, then MERGE an updated
+    * second third, COW-delete the English docs, MERGE an updated
     * slice back in (n_chars + 1000 — touches both updates and
-    * reinserts). Every op is a pure function of the documents table, so
-    * DuckDB can replay each snapshot's state from filters alone — the
-    * oracle checks time travel itself, not just the final state. */
+    * reinserts), then MERGE-ON-READ-delete four sources (v5 — a
+    * position-delete commit that rewrites nothing). Every op is a pure
+    * function of the documents table, so DuckDB can replay each
+    * snapshot's state from filters alone — the oracle checks time travel
+    * itself, not just the final state. */
   private[graft] def ensureTimeline(s: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_").stripPrefix("_")
     val fp = {
@@ -590,7 +749,7 @@ object SnapshotLake {
       s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "graft_snap")
     val root = base.resolve(s"docs_${tag}_$fp")
     this.synchronized {
-      if (currentVersion(root.toString) < 4) {
+      if (currentVersion(root.toString) < 5) {
         // stale timelines of this dir (other fingerprints) and any
         // half-built attempt are garbage
         if (Files.isDirectory(base)) {
@@ -610,17 +769,31 @@ object SnapshotLake {
           d.filter(pmod(col("doc_id"), lit(6)) === 0)
             .withColumn("n_chars", col("n_chars") + lit(1000L)),
           "doc_id")
+        deleteWhereMor(s, root.toString,
+          col("source").isin(MOR_SOURCES: _*))
       }
     }
     root.toString
   }
 
+  /** The v5 MOR delete's predicate sources (and their SQL literal list
+    * for the oracles). */
+  private[graft] val MOR_SOURCES = Seq("src0", "src1", "src2", "src3")
+  private val morSourcesSql = MOR_SOURCES.map(s => s"'$s'").mkString(", ")
+
+  /** DuckDB replay of the timeline's v4 row set (post create + append +
+    * COW delete + merge). */
+  private val V4_WHERE =
+    """((doc_id % 3 IN (0, 1) AND lang <> 'en' AND doc_id % 6 <> 0)
+      |    OR doc_id % 6 = 0)""".stripMargin
+
   /** Per-snapshot census across the whole timeline — each row aggregates
     * `readAt(v)`, so matching the oracle means every historical snapshot
-    * (not just the head) reconstructed exactly. */
+    * (not just the head) reconstructed exactly; v5's row reads THROUGH
+    * the position-delete subtraction. */
   def timeTravel(s: SparkSession, dir: String): DataFrame = {
     val root = ensureTimeline(s, dir)
-    (1 to 4).map { v =>
+    (1 to 5).map { v =>
       readAt(s, root, v)
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
         .select(lit(v).as("version"), col("n_docs"), col("sum_chars"))
@@ -628,7 +801,7 @@ object SnapshotLake {
   }
 
   private val timeTravelSql =
-    """SELECT 1 AS version, count(*) AS n_docs,
+    s"""SELECT 1 AS version, count(*) AS n_docs,
       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents WHERE doc_id % 3 = 0
       |UNION ALL
@@ -642,15 +815,24 @@ object SnapshotLake {
       |       CAST(sum(CASE WHEN doc_id % 6 = 0 THEN n_chars + 1000
       |                     ELSE n_chars END) AS BIGINT)
       |FROM documents
-      |WHERE (doc_id % 3 IN (0, 1) AND lang <> 'en' AND doc_id % 6 <> 0)
-      |   OR doc_id % 6 = 0
+      |WHERE $V4_WHERE
+      |UNION ALL
+      |SELECT 5, count(*),
+      |       CAST(sum(CASE WHEN doc_id % 6 = 0 THEN n_chars + 1000
+      |                     ELSE n_chars END) AS BIGINT)
+      |FROM documents
+      |WHERE $V4_WHERE
+      |  AND source NOT IN ($morSourcesSql)
       |ORDER BY version""".stripMargin
 
   /** Range scan over the timeline's head snapshot THROUGH the
     * file-skipping path ([[readRange]]) — registering the pruned scan as
     * an oracle-checked query, so skipping can never silently drop rows:
-    * the oracle replays the v4 state plus the range predicate with no
-    * notion of files at all. */
+    * the oracle replays the head (v5) state plus the range predicate
+    * with no notion of files at all. Since v5 is the MOR delete, this
+    * also proves manifest pruning COMPOSES with position-delete
+    * subtraction (a delete entry whose data file pruned away just never
+    * matches the anti-join). */
   def snapshotRange(s: SparkSession, dir: String): DataFrame = {
     val root = ensureTimeline(s, dir)
     readRange(s, root, 100L, 400L)
@@ -659,12 +841,12 @@ object SnapshotLake {
   }
 
   private val snapshotRangeSql =
-    """SELECT doc_id, lang, source,
+    s"""SELECT doc_id, lang, source,
       |       CASE WHEN doc_id % 6 = 0 THEN n_chars + 1000
       |            ELSE n_chars END AS n_chars
       |FROM documents
-      |WHERE ((doc_id % 3 IN (0, 1) AND lang <> 'en' AND doc_id % 6 <> 0)
-      |    OR doc_id % 6 = 0)
+      |WHERE $V4_WHERE
+      |  AND source NOT IN ($morSourcesSql)
       |  AND doc_id BETWEEN 100 AND 400
       |ORDER BY doc_id""".stripMargin
 
@@ -717,8 +899,43 @@ object SnapshotLake {
       |FROM removed GROUP BY lang
       |ORDER BY change, lang""".stripMargin
 
+  /** Merge-on-read census: per-language breakdown of the v5 snapshot —
+    * the state AFTER the position-delete commit — next to the same
+    * breakdown of v4. Hash-matching the oracle proves the delete-file
+    * anti-join subtracts EXACTLY the predicate's rows and nothing else,
+    * per group; the byte-identity of the untouched data files is pinned
+    * in SnapshotLakeSpec (a census can't see bytes). */
+  def snapshotMor(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureTimeline(s, dir)
+    val proj = Seq("lang", "n_chars").map(col)
+    val v4 = readAt(s, root, 4).select(proj: _*).withColumn("version", lit(4))
+    val v5 = readAt(s, root, 5).select(proj: _*).withColumn("version", lit(5))
+    v4.unionByName(v5)
+      .groupBy("version", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("version", "lang")
+  }
+
+  private val snapshotMorSql =
+    s"""WITH v4 AS (
+      |  SELECT lang,
+      |         CASE WHEN doc_id % 6 = 0 THEN n_chars + 1000
+      |              ELSE n_chars END AS n_chars, source
+      |  FROM documents
+      |  WHERE $V4_WHERE)
+      |SELECT version, lang, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM (
+      |  SELECT 4 AS version, lang, n_chars FROM v4
+      |  UNION ALL
+      |  SELECT 5, lang, n_chars FROM v4
+      |  WHERE source NOT IN ($morSourcesSql))
+      |GROUP BY version, lang
+      |ORDER BY version, lang""".stripMargin
+
   val all: Seq[graft.Q] = Seq(
     graft.Q("q_time_travel", timeTravel, Some(timeTravelSql)),
     graft.Q("q_snapshot_range", snapshotRange, Some(snapshotRangeSql)),
-    graft.Q("q_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)))
+    graft.Q("q_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
+    graft.Q("q_snapshot_mor", snapshotMor, Some(snapshotMorSql)))
 }

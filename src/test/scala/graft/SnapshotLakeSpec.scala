@@ -281,6 +281,109 @@ class SnapshotLakeSpec extends SparkTestBase {
     assert(SnapshotLake.read(spark, root).count() == 2)
   }
 
+  private def md5s(root: String, rels: Seq[String]): Map[String, String] =
+    rels.map { f =>
+      val bytes = Files.readAllBytes(Paths.get(root, f))
+      f -> java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .map("%02x".format(_)).mkString
+    }.toMap
+
+  test("deleteWhereMor: data files stay byte-identical, readers subtract positions") {
+    val root = freshRoot("mor")
+    SnapshotLake.create(df((1L, "keep", 1L), (2L, "drop", 2L)), root)
+    SnapshotLake.append(spark, df((3L, "drop", 3L), (4L, "keep", 4L)), root)
+    val v2 = SnapshotLake.snapshot(root, 2)
+    val before = md5s(root, v2.paths)
+    val (v3, nDel) = SnapshotLake.deleteWhereMor(spark, root,
+      col("kind") === "drop")
+    assert(v3 == 3 && nDel == 2)
+    val snap3 = SnapshotLake.snapshot(root, 3)
+    // the MOR contract: EVERY data file (hit ones included) carries over
+    // byte-identical; the commit only added a delete file
+    assert(snap3.paths == v2.paths)
+    assert(md5s(root, snap3.paths) == before, "a data file was rewritten")
+    assert(snap3.deletes.nonEmpty &&
+      snap3.deletes.forall(_.path.contains("-del-")))
+    assert(snap3.nRows == 2)
+    // read-time subtraction, exact
+    assert(SnapshotLake.read(spark, root)
+      .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 4L))
+    // time travel to the pre-delete snapshot still sees the rows
+    assert(SnapshotLake.readAt(spark, root, 2).count() == 4)
+    // re-deleting the same predicate is a no-op (positions computed
+    // against the VISIBLE state — no duplicate tombstones)
+    assert(SnapshotLake.deleteWhereMor(spark, root,
+      col("kind") === "drop") == (3, 0L))
+    // appends carry the pending deletes forward
+    SnapshotLake.append(spark, df((5L, "keep", 5L)), root)
+    assert(SnapshotLake.read(spark, root)
+      .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 4L, 5L))
+    assert(SnapshotLake.snapshot(root, 4).deletes == snap3.deletes)
+  }
+
+  test("rewritePositionDeletes: folds tombstones in, carries untouched files, content identical") {
+    import spark.implicits._
+    val root = freshRoot("mor-rewrite")
+    // two single-file commits with disjoint ranges: the MOR delete hits
+    // only the first file, so the second must carry through the rewrite
+    SnapshotLake.create(
+      (0L until 50L).map(i => (i, s"r$i")).toDF("id", "kind").coalesce(1),
+      root, statsCol = Some("id"))
+    SnapshotLake.append(spark,
+      (50L until 100L).map(i => (i, s"r$i")).toDF("id", "kind").coalesce(1),
+      root)
+    val (_, nDel) = SnapshotLake.deleteWhereMor(spark, root, col("id") < 10L)
+    assert(nDel == 10)
+    val snap3 = SnapshotLake.snapshot(root, 3)
+    val untouched = snap3.files.filter(_.min.exists(_ >= 50L)).map(_.path)
+    assert(untouched.nonEmpty)
+    val beforeUntouched = md5s(root, untouched)
+    val (v4, nRewritten) = SnapshotLake.rewritePositionDeletes(spark, root)
+    assert(v4 == 4 && nRewritten == 1, "only the delete-referenced file rewrites")
+    val snap4 = SnapshotLake.snapshot(root, 4)
+    assert(snap4.deletes.isEmpty, "rewrite must leave a delete-free snapshot")
+    assert(snap4.nRows == 90)
+    untouched.foreach(f => assert(snap4.paths.contains(f)))
+    assert(md5s(root, untouched) == beforeUntouched)
+    assert(SnapshotLake.read(spark, root).count() == 90)
+    assert(SnapshotLake.read(spark, root).filter(col("id") < 10L).count() == 0)
+    // the MOR snapshot is still time-travelable until expired
+    assert(SnapshotLake.readAt(spark, root, 3).count() == 90)
+    assert(SnapshotLake.readAt(spark, root, 2).count() == 100)
+    // expire past it reclaims the delete file
+    val delPath = snap3.deletes.head.path
+    assert(Files.exists(Paths.get(root, delPath)))
+    SnapshotLake.expire(root, keepFrom = 4)
+    assert(!Files.exists(Paths.get(root, delPath)),
+      "expired delete file must be reclaimed")
+    assert(SnapshotLake.read(spark, root).count() == 90)
+  }
+
+  test("COW ops materialize pending MOR deletes and leave a delete-free snapshot") {
+    val root = freshRoot("mor-cow")
+    SnapshotLake.create(df((1L, "a", 1L), (2L, "b", 2L), (3L, "c", 3L)), root)
+    SnapshotLake.deleteWhereMor(spark, root, col("id") === 1L)
+    // COW delete of a different row: must ALSO fold the pending tombstone
+    val (v3, nDel) = SnapshotLake.deleteWhere(spark, root, col("id") === 2L)
+    assert(v3 == 3 && nDel == 1)
+    val snap3 = SnapshotLake.snapshot(root, 3)
+    assert(snap3.deletes.isEmpty)
+    assert(SnapshotLake.read(spark, root)
+      .select("id").collect().map(_.getLong(0)).toSet == Set(3L))
+    assert(snap3.nRows == 1)
+    // merge on a table with pending deletes behaves the same
+    val root2 = freshRoot("mor-merge")
+    SnapshotLake.create(df((1L, "a", 1L), (2L, "b", 2L)), root2)
+    SnapshotLake.deleteWhereMor(spark, root2, col("id") === 1L)
+    val (_, nUpd, nIns) = SnapshotLake.merge(spark, root2,
+      df((2L, "b2", 22L), (5L, "new", 50L)), "id")
+    assert(nUpd == 1 && nIns == 1)
+    assert(SnapshotLake.snapshot(root2, 3).deletes.isEmpty)
+    val got = SnapshotLake.read(spark, root2).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((2L, "b2"), (5L, "new")))
+  }
+
   test("write-audit-publish: failed audit leaves the table bit-identical") {
     val root = freshRoot("wap")
     SnapshotLake.create(df((1L, "a", 10L), (2L, "b", 20L)), root)
