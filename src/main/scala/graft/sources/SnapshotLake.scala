@@ -68,19 +68,42 @@ object SnapshotLake {
     case _ => FileEntry(s, -1L, None, None) // legacy bare-path line
   }
 
+  /** One logical column of an ID-BASED table: a stable field id (never
+    * reused), its CURRENT name, and its type DDL. Ids are written into
+    * every staged parquet file's schema (`parquet.field.id`, the same
+    * mechanism Iceberg uses) and reads resolve columns by id — which is
+    * what makes rename a metadata-only commit and makes a re-added name
+    * a genuinely NEW column that never resurfaces dropped data. */
+  final case class ColumnDef(id: Int, name: String, typeDdl: String) {
+    def serialized: String = s"$id|$name|$typeDdl"
+  }
+
+  private def parseCol(s: String): ColumnDef = {
+    // type DDL may itself contain '|'? No parquet-expressible Spark type
+    // DDL does, but split with a limit anyway so the type keeps any tail
+    val Array(id, name, ty) = s.split("\\|", 3)
+    ColumnDef(id.toInt, name, ty)
+  }
+
   /** `deletes` are Iceberg-style POSITION-DELETE files: each is a parquet
     * of (df = data-file basename, pos = row index in that file) rows.
     * Data files they reference stay byte-identical on disk — a MOR
     * delete commit only ADDS a delete file; readers subtract the
-    * positions at scan time ([[open]]). */
+    * positions at scan time ([[open]]).
+    *
+    * `cols` non-empty marks an ID-BASED table ([[ColumnDef]]); empty
+    * means the original name-resolved table (every pre-existing manifest
+    * parses as one). */
   final case class Snapshot(version: Int, op: String, nRows: Long,
                             schemaDdl: String, statsCol: Option[String],
                             files: Seq[FileEntry],
-                            deletes: Seq[FileEntry] = Seq.empty) {
+                            deletes: Seq[FileEntry] = Seq.empty,
+                            cols: Seq[ColumnDef] = Seq.empty) {
     def paths: Seq[String] = files.map(_.path)
     /** Every file the snapshot pins — data AND delete files — for
       * expire/reclaim accounting. */
     def allPaths: Seq[String] = paths ++ deletes.map(_.path)
+    def idBased: Boolean = cols.nonEmpty
   }
 
   // ---- metadata ------------------------------------------------------------
@@ -114,7 +137,8 @@ object SnapshotLake {
     Snapshot(field("version").toInt, field("op"), field("nRows").toLong,
       field("schema"), statsCol,
       lines.filter(_.startsWith("file=")).map(l => parseEntry(l.drop(5))),
-      lines.filter(_.startsWith("delete=")).map(l => parseEntry(l.drop(7))))
+      lines.filter(_.startsWith("delete=")).map(l => parseEntry(l.drop(7))),
+      lines.filter(_.startsWith("col=")).map(l => parseCol(l.drop(4))))
   }
 
   /** Commit `files` as version `prev + 1`. Publishing is an ATOMIC_MOVE
@@ -124,14 +148,16 @@ object SnapshotLake {
   private[graft] def commit(root: String, prev: Int, op: String, nRows: Long,
                             schemaDdl: String, statsCol: Option[String],
                             files: Seq[FileEntry],
-                            deletes: Seq[FileEntry] = Seq.empty): Int = {
+                            deletes: Seq[FileEntry] = Seq.empty,
+                            cols: Seq[ColumnDef] = Seq.empty): Int = {
     val v = prev + 1
     Files.createDirectories(metaDir(root))
     val body =
       (Seq(s"version=$v", s"op=$op", s"nRows=$nRows", s"schema=$schemaDdl",
         s"stats=${statsCol.getOrElse("")}") ++
         files.map(f => s"file=${f.serialized}") ++
-        deletes.map(f => s"delete=${f.serialized}")).mkString("", "\n", "\n")
+        deletes.map(f => s"delete=${f.serialized}") ++
+        cols.map(c => s"col=${c.serialized}")).mkString("", "\n", "\n")
     val tmp = metaDir(root).resolve(s".v$v.tmp")
     Files.writeString(tmp, body)
     val target = metaDir(root).resolve(s"v$v.manifest")
@@ -155,16 +181,50 @@ object SnapshotLake {
     v
   }
 
+  /** The two parquet field-id confs id-based tables need. They are set
+    * STICKY (never restored): both are no-ops for schemas carrying no
+    * `parquet.field.id` metadata — only this layer's id-tables do — and
+    * a restore would silently break LAZY reads, because Spark consults
+    * the conf at action time, not when `spark.read` builds the plan
+    * (empirically: a plan built with the conf on and collected after a
+    * restore resolves by NAME and returns nulls for renamed columns). */
+  private def ensureFieldIdConfs(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+  }
+
+  /** Re-alias every column that has a [[ColumnDef]] so its
+    * `parquet.field.id` lands in the staged parquet schema. */
+  private def withFieldIds(df: DataFrame, cols: Seq[ColumnDef]): DataFrame =
+    if (cols.isEmpty) df
+    else {
+      val byName = cols.map(c => c.name -> c.id).toMap
+      df.select(df.schema.fields.map { f =>
+        byName.get(f.name) match {
+          case Some(id) =>
+            val m = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata).putLong("parquet.field.id", id.toLong)
+              .build()
+            col(f.name).as(f.name, m)
+          case None => col(f.name)
+        }
+      }.toSeq: _*)
+    }
+
   /** Stage a DataFrame's rows as immutable data files for version `v`;
     * returns root-relative paths. The write lands in a scratch dir, then
     * each part renames into `data/` — readers never list a half-written
     * directory because readers never list at all (manifests pin files). */
   private def stage(df: DataFrame, root: String, v: Int,
-                    statsCol: Option[String]): Seq[FileEntry] =
-    stageAs(df, root, v, offset = 0, statsCol)
+                    statsCol: Option[String],
+                    cols: Seq[ColumnDef] = Seq.empty): Seq[FileEntry] =
+    stageAs(df, root, v, offset = 0, statsCol, cols)
 
-  private def stageAs(df: DataFrame, root: String, v: Int, offset: Int,
-                      statsCol: Option[String]): Seq[FileEntry] = {
+  private def stageAs(df0: DataFrame, root: String, v: Int, offset: Int,
+                      statsCol: Option[String],
+                      cols: Seq[ColumnDef] = Seq.empty): Seq[FileEntry] = {
+    val df = withFieldIds(df0, cols)
+    if (cols.nonEmpty) ensureFieldIdConfs(df.sparkSession)
     val scratch = Paths.get(root, s".stage-v$v-$offset")
     df.write.mode("overwrite").parquet(scratch.toString)
     Files.createDirectories(dataDir(root))
@@ -248,28 +308,106 @@ object SnapshotLake {
 
   // ---- writes --------------------------------------------------------------
 
+  private def ddlOf(cols: Seq[ColumnDef]): String =
+    cols.map(c => s"`${c.name}` ${c.typeDdl}").mkString(",")
+
+  /** Id assignment for schema evolution: existing columns keep their id,
+    * genuinely new names get FRESH ids past the historical maximum — an
+    * id is never reused, so a column dropped and re-added under the same
+    * name cannot resurface old data. `maxEverId` must be the max over
+    * ALL history (not just live columns), tracked as the running max so
+    * drops don't free ids. */
+  private def evolvedCols(cols: Seq[ColumnDef], maxEverId: Int,
+                          next: StructType): Seq[ColumnDef] =
+    if (cols.isEmpty) Seq.empty
+    else {
+      val have = cols.map(_.name).toSet
+      var nid = maxEverId
+      cols ++ next.fields.filterNot(f => have(f.name)).map { f =>
+        nid += 1; ColumnDef(nid, f.name, f.dataType.sql)
+      }
+    }
+
+  /** Max field id ever assigned in this table's history — scans every
+    * live manifest (ids must not be reused even after a drop + expire of
+    * the assigning snapshot; the running max over retained manifests is
+    * the conservative floor). */
+  private def maxEverId(root: String, cur: Int): Int =
+    (1 to cur).flatMap { v =>
+      try snapshot(root, v).cols.map(_.id)
+      catch { case _: Exception => Seq.empty }
+    }.foldLeft(0)(math.max)
+
   /** Create the table (version 1). `statsCol` names an integral column
     * whose per-file min/max every commit records in its manifest — the
-    * file-skipping index (see [[readRange]]). Fails if the table already
-    * has snapshots. */
+    * file-skipping index (see [[readRange]]). `columnIds = true` makes
+    * the table ID-BASED: every column gets a stable field id written
+    * into the parquet schema, reads resolve by id, and
+    * [[renameColumn]]/[[dropColumn]] become metadata-only commits.
+    * Fails if the table already has snapshots. */
   def create(df: DataFrame, root: String,
-             statsCol: Option[String] = None): Int = {
+             statsCol: Option[String] = None,
+             columnIds: Boolean = false): Int = {
     require(currentVersion(root) == 0, s"table at $root already exists")
-    val files = stage(df, root, 1, statsCol)
+    val cols =
+      if (!columnIds) Seq.empty
+      else df.schema.fields.zipWithIndex.map { case (f, i) =>
+        ColumnDef(i + 1, f.name, f.dataType.sql)
+      }.toSeq
+    val files = stage(df, root, 1, statsCol, cols)
     commit(root, 0, "create", files.map(_.rows).sum, df.schema.toDDL,
-      statsCol, files)
+      statsCol, files, Seq.empty, cols)
   }
 
   /** Append-only commit: previous files all carry over, the batch's files
     * add on. The batch may ADD columns (schema evolution) — snapshot
-    * reads merge file schemas and older snapshots keep their shape. */
+    * reads merge file schemas (by field id on id-based tables) and older
+    * snapshots keep their shape. */
   def append(spark: SparkSession, df: DataFrame, root: String): Int = {
     val prev = currentVersion(root)
     val snap = snapshot(root, prev)
-    val files = stage(df, root, prev + 1, snap.statsCol)
-    val schema = mergedDdl(snap.schemaDdl, df.schema)
+    val cols = evolvedCols(snap.cols, maxEverId(root, prev), df.schema)
+    val files = stage(df, root, prev + 1, snap.statsCol, cols)
+    val schema = if (snap.idBased) ddlOf(cols)
+                 else mergedDdl(snap.schemaDdl, df.schema)
     commit(root, prev, "append", snap.nRows + files.map(_.rows).sum, schema,
-      snap.statsCol, snap.files ++ files, snap.deletes)
+      snap.statsCol, snap.files ++ files, snap.deletes, cols)
+  }
+
+  /** Metadata-only RENAME on an id-based table: a new snapshot with the
+    * same files and deletes, whose column keeps its field id under a new
+    * name. Existing data files are untouched — reads resolve the id, so
+    * rows written under the OLD name surface under the new one, and
+    * time-traveling to a pre-rename snapshot still shows the old name. */
+  def renameColumn(root: String, from: String, to: String): Int = {
+    val prev = currentVersion(root)
+    val snap = snapshot(root, prev)
+    require(snap.idBased, s"table at $root is not id-based " +
+      "(create(..., columnIds = true))")
+    require(snap.cols.exists(_.name == from), s"no column '$from'")
+    require(!snap.cols.exists(_.name == to), s"column '$to' already exists")
+    val cols = snap.cols.map(c => if (c.name == from) c.copy(name = to) else c)
+    commit(root, prev, s"rename[$from->$to]", snap.nRows, ddlOf(cols),
+      snap.statsCol.map(c => if (c == from) to else c),
+      snap.files, snap.deletes, cols)
+  }
+
+  /** Metadata-only DROP on an id-based table: the column leaves the
+    * schema; its data stays in the files (old snapshots still read it)
+    * until compaction rewrites them. Its field id is never reused, so a
+    * later add of the same name is a fresh, all-null column. */
+  def dropColumn(root: String, name: String): Int = {
+    val prev = currentVersion(root)
+    val snap = snapshot(root, prev)
+    require(snap.idBased, s"table at $root is not id-based " +
+      "(create(..., columnIds = true))")
+    require(snap.cols.exists(_.name == name), s"no column '$name'")
+    require(snap.cols.size > 1, "cannot drop the last column")
+    require(!snap.statsCol.contains(name),
+      s"'$name' is the stats column — not droppable")
+    val cols = snap.cols.filterNot(_.name == name)
+    commit(root, prev, s"drop[$name]", snap.nRows, ddlOf(cols),
+      snap.statsCol, snap.files, snap.deletes, cols)
   }
 
   /** WRITE-AUDIT-PUBLISH: the quality-gated append. The batch's files
@@ -292,7 +430,8 @@ object SnapshotLake {
                         audit: DataFrame => Seq[String]): Either[Seq[String], Int] = {
     val prev = currentVersion(root)
     val snap = snapshot(root, prev)
-    val staged = stage(df, root, prev + 1, snap.statsCol)
+    val cols = evolvedCols(snap.cols, maxEverId(root, prev), df.schema)
+    val staged = stage(df, root, prev + 1, snap.statsCol, cols)
     // committed row count comes from the staged parquet footers — the
     // exact bytes that publish — never from re-executing the incoming
     // plan, which costs a second scan and could be nondeterministic
@@ -307,9 +446,10 @@ object SnapshotLake {
       staged.foreach(f => Files.deleteIfExists(Paths.get(root, f.path)))
       Left(violations)
     } else {
-      val schema = mergedDdl(snap.schemaDdl, df.schema)
+      val schema = if (snap.idBased) ddlOf(cols)
+                   else mergedDdl(snap.schemaDdl, df.schema)
       Right(commit(root, prev, "append[wap]", snap.nRows + n, schema,
-        snap.statsCol, snap.files ++ staged, snap.deletes))
+        snap.statsCol, snap.files ++ staged, snap.deletes, cols))
     }
   }
 
@@ -362,11 +502,12 @@ object SnapshotLake {
       val survivors = touched.filter(!cond).drop("_df", "_pos")
       val nDeleted = touched.count() - survivors.count()
       val newFiles = if (survivors.isEmpty) Seq.empty[FileEntry]
-                     else stage(survivors, root, prev + 1, snap.statsCol)
+                     else stage(survivors, root, prev + 1, snap.statsCol,
+                       snap.cols)
       val files = snap.files.filterNot(f => hitNames(baseName(f.path))) ++
         newFiles
       val v = commit(root, prev, "delete", snap.nRows - nDeleted,
-        snap.schemaDdl, snap.statsCol, files)
+        snap.schemaDdl, snap.statsCol, files, Seq.empty, snap.cols)
       (v, nDeleted)
     }
   }
@@ -400,7 +541,8 @@ object SnapshotLake {
     if (n == 0) (prev, 0L)
     else {
       val v = commit(root, prev, "delete[mor]", snap.nRows - n,
-        snap.schemaDdl, snap.statsCol, snap.files, snap.deletes ++ staged)
+        snap.schemaDdl, snap.statsCol, snap.files, snap.deletes ++ staged,
+        snap.cols)
       (v, n)
     }
   }
@@ -421,11 +563,12 @@ object SnapshotLake {
       .drop("_df", "_pos")
     val newFiles = if (hitEntries.isEmpty || survivors.isEmpty)
                      Seq.empty[FileEntry]
-                   else stage(survivors, root, prev + 1, snap.statsCol)
+                   else stage(survivors, root, prev + 1, snap.statsCol,
+                     snap.cols)
     val files = snap.files.filterNot(f => hitNames(baseName(f.path))) ++
       newFiles
     val v = commit(root, prev, "rewrite_deletes", snap.nRows,
-      snap.schemaDdl, snap.statsCol, files)
+      snap.schemaDdl, snap.statsCol, files, Seq.empty, snap.cols)
     (v, hitEntries.size)
   }
 
@@ -440,6 +583,7 @@ object SnapshotLake {
     val snap = snapshot(root, prev)
     val up = updates.cache()
     val nUp = up.count()
+    val cols = evolvedCols(snap.cols, maxEverId(root, prev), up.schema)
     val visible = openVisible(spark, root, snap, snap.files)
     val keyHit = visible.join(up.select(key), Seq(key), "left_semi")
       .select("_df").distinct()
@@ -456,17 +600,19 @@ object SnapshotLake {
         val survivors = touched.join(up.select(key), Seq(key), "left_anti")
         val nUpd = touched.count() - survivors.count()
         val fs = if (survivors.isEmpty) Seq.empty[FileEntry]
-                 else stage(survivors, root, prev + 1, snap.statsCol)
+                 else stage(survivors, root, prev + 1, snap.statsCol, cols)
         (fs, nUpd)
       }
     // restaged survivors land as v{N}-{i}; the update rows stage into the
     // same version with an offset suffix so names stay unique
-    val upFiles = stageAs(up, root, prev + 1, survivorFiles.size, snap.statsCol)
+    val upFiles = stageAs(up, root, prev + 1, survivorFiles.size,
+      snap.statsCol, cols)
     val files = snap.files.filterNot(f => hitNames(baseName(f.path))) ++
       survivorFiles ++ upFiles
-    val schema = mergedDdl(snap.schemaDdl, up.schema)
+    val schema = if (snap.idBased) ddlOf(cols)
+                 else mergedDdl(snap.schemaDdl, up.schema)
     val v = commit(root, prev, "merge", snap.nRows - nUpdated + nUp,
-      schema, snap.statsCol, files)
+      schema, snap.statsCol, files, Seq.empty, cols)
     up.unpersist()
     (v, nUpdated, nUp - nUpdated)
   }
@@ -478,13 +624,37 @@ object SnapshotLake {
     val prev = currentVersion(root)
     val target = snapshot(root, toVersion)
     commit(root, prev, s"rollback[v$toVersion]", target.nRows,
-      target.schemaDdl, target.statsCol, target.files, target.deletes)
+      target.schemaDdl, target.statsCol, target.files, target.deletes,
+      target.cols)
   }
 
   // ---- reads ---------------------------------------------------------------
 
   private def open(spark: SparkSession, root: String, snap: Snapshot): DataFrame =
     openFiles(spark, root, snap, snap.files)
+
+  /** The logical-schema scan of `files`: name-resolved with mergeSchema
+    * for classic tables; for id-based tables, an EXPLICIT schema built
+    * from the snapshot's [[ColumnDef]]s with `parquet.field.id` metadata
+    * — Spark's parquet reader then matches file columns by id, which is
+    * what makes renames read old files correctly and keeps dropped ids
+    * invisible. */
+  private def scanFiles(spark: SparkSession, root: String, snap: Snapshot,
+                        files: Seq[FileEntry]): DataFrame = {
+    val paths = files.map(f => Paths.get(root, f.path).toString)
+    if (snap.idBased) {
+      ensureFieldIdConfs(spark)
+      val base = StructType.fromDDL(ddlOf(snap.cols))
+      val withIds = StructType(base.fields.zip(snap.cols).map {
+        case (f, c) =>
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong("parquet.field.id", c.id.toLong).build())
+      })
+      spark.read.schema(withIds).parquet(paths: _*)
+    } else
+      spark.read.option("mergeSchema", "true").parquet(paths: _*)
+  }
 
   /** Data rows of `files` with LINEAGE columns attached: `_df` = data-file
     * basename (unique within a table: `v{N}-{i}.parquet`), `_pos` = row
@@ -495,8 +665,7 @@ object SnapshotLake {
     * valid when the table root relocates. */
   private def openRaw(spark: SparkSession, root: String, snap: Snapshot,
                       files: Seq[FileEntry]): DataFrame =
-    spark.read.option("mergeSchema", "true")
-      .parquet(files.map(f => Paths.get(root, f.path).toString): _*)
+    scanFiles(spark, root, snap, files)
       .select(col("*"),
         element_at(split(col("_metadata.file_path"), "/"), -1).as("_df"),
         col("_metadata.row_index").as("_pos"))
@@ -513,8 +682,7 @@ object SnapshotLake {
         StructType.fromDDL(snap.schemaDdl))
     else if (snap.deletes.isEmpty)
       // fast path: no pending deletes, no lineage columns, plain scan
-      spark.read.option("mergeSchema", "true")
-        .parquet(files.map(f => Paths.get(root, f.path).toString): _*)
+      scanFiles(spark, root, snap, files)
     else {
       // merge-on-read: subtract delete positions at scan time. The delete
       // set is (basename, BIGINT) pairs only — tiny next to the data — so
@@ -650,10 +818,12 @@ object SnapshotLake {
     else {
       val snap = snapshot(root, cur)
       val n = batch.count()
-      val files = stage(batch, root, cur + 1, snap.statsCol)
-      val schema = mergedDdl(snap.schemaDdl, batch.schema)
+      val cols = evolvedCols(snap.cols, maxEverId(root, cur), batch.schema)
+      val files = stage(batch, root, cur + 1, snap.statsCol, cols)
+      val schema = if (snap.idBased) ddlOf(cols)
+                   else mergedDdl(snap.schemaDdl, batch.schema)
       commit(root, cur, opTag, snap.nRows + n, schema, snap.statsCol,
-        snap.files ++ files, snap.deletes)
+        snap.files ++ files, snap.deletes, cols)
       true
     }
   }
@@ -689,9 +859,9 @@ object SnapshotLake {
       case Some(c) => cur.repartitionByRange(targetParts, col(c))
       case None => cur.repartition(targetParts)
     }
-    val files = stage(arranged, root, prev + 1, snap.statsCol)
+    val files = stage(arranged, root, prev + 1, snap.statsCol, snap.cols)
     val v = commit(root, prev, "compact", snap.nRows, snap.schemaDdl,
-      snap.statsCol, files)
+      snap.statsCol, files, Seq.empty, snap.cols)
     (v, snap.files.size, files.size)
   }
 
@@ -761,8 +931,10 @@ object SnapshotLake {
           finally ls.close()
         }
         val d = graft.Tables.documents(s, dir)
+        // id-based: the registered snapshot queries then exercise the
+        // field-id resolution read path end-to-end against the oracle
         create(d.filter(pmod(col("doc_id"), lit(3)) === 0), root.toString,
-          statsCol = Some("doc_id"))
+          statsCol = Some("doc_id"), columnIds = true)
         append(s, d.filter(pmod(col("doc_id"), lit(3)) === 1), root.toString)
         deleteWhere(s, root.toString, col("lang") === "en")
         merge(s, root.toString,

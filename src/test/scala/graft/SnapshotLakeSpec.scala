@@ -384,6 +384,89 @@ class SnapshotLakeSpec extends SparkTestBase {
     assert(got == Seq((2L, "b2"), (5L, "new")))
   }
 
+  test("id-based rename: metadata-only, old files read under the new name, old snapshots keep theirs") {
+    val root = freshRoot("rename")
+    SnapshotLake.create(df((1L, "a", 10L), (2L, "b", 20L)), root,
+      columnIds = true)
+    SnapshotLake.append(spark, df((3L, "c", 30L)), root)
+    val v2 = SnapshotLake.snapshot(root, 2)
+    val before = md5s(root, v2.paths)
+    val v3 = SnapshotLake.renameColumn(root, "kind", "category")
+    assert(v3 == 3)
+    // metadata-only: exact same files, byte-identical
+    assert(SnapshotLake.snapshot(root, 3).paths == v2.paths)
+    assert(md5s(root, v2.paths) == before)
+    // data written under the OLD name surfaces under the new one (id
+    // resolution, not name matching)
+    val cur = SnapshotLake.read(spark, root)
+    assert(cur.schema.fieldNames.toSeq == Seq("id", "category", "v"))
+    assert(cur.orderBy("id").select("category").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    // time travel to a pre-rename snapshot shows the old shape
+    assert(SnapshotLake.readAt(spark, root, 2)
+      .schema.fieldNames.toSeq == Seq("id", "kind", "v"))
+    // the rename SURVIVES compaction: rewritten files carry the new
+    // name + the same field id, content identical
+    val (v4, _, _) = SnapshotLake.compact(spark, root, targetParts = 1)
+    val compacted = SnapshotLake.read(spark, root)
+    assert(v4 == 4 &&
+      compacted.schema.fieldNames.toSeq == Seq("id", "category", "v"))
+    assert(compacted.orderBy("id").select("category").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    // and the pre-rename snapshot STILL reads with its old name
+    assert(SnapshotLake.readAt(spark, root, 2)
+      .schema.fieldNames.toSeq == Seq("id", "kind", "v"))
+  }
+
+  test("id-based drop: never resurfaces — a re-added name is a fresh all-null column") {
+    import spark.implicits._
+    val root = freshRoot("drop-readd")
+    SnapshotLake.create(df((1L, "secret1", 1L), (2L, "secret2", 2L)), root,
+      columnIds = true)
+    val v2 = SnapshotLake.dropColumn(root, "kind")
+    assert(v2 == 2)
+    assert(SnapshotLake.read(spark, root)
+      .schema.fieldNames.toSeq == Seq("id", "v"))
+    // the dropped data is still in the files — old snapshots see it
+    assert(SnapshotLake.readAt(spark, root, 1)
+      .select("kind").collect().map(_.getString(0)).toSet ==
+      Set("secret1", "secret2"))
+    // re-add the SAME name via an appended batch: new field id, so the
+    // old files' 'kind' bytes must NOT resurface under it
+    val wide = Seq((3L, 3L, "fresh")).toDF("id", "v", "kind")
+    SnapshotLake.append(spark, wide, root)
+    val cur = SnapshotLake.read(spark, root).orderBy("id")
+    val kinds = cur.select("kind").collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    assert(kinds == Seq(null, null, "fresh"),
+      s"dropped column data resurfaced: $kinds")
+    // distinct ids: the re-added column's id is fresh
+    val cols = SnapshotLake.snapshot(root, 3).cols
+    assert(cols.map(_.id).distinct.size == cols.size)
+    assert(cols.find(_.name == "kind").get.id > 3)
+  }
+
+  test("id-based rename of the stats column keeps file skipping working") {
+    import spark.implicits._
+    val root = freshRoot("rename-stats")
+    SnapshotLake.create(
+      (0L until 100L).map(i => (i, s"r$i")).toDF("id", "kind").coalesce(1),
+      root, statsCol = Some("id"), columnIds = true)
+    SnapshotLake.append(spark,
+      (100L until 200L).map(i => (i, s"r$i")).toDF("id", "kind").coalesce(1),
+      root)
+    SnapshotLake.renameColumn(root, "id", "doc_id")
+    assert(SnapshotLake.snapshot(root, 3).statsCol.contains("doc_id"))
+    val got = SnapshotLake.readRange(spark, root, 150, 199)
+    assert(got.count() == 50)
+    assert(got.schema.fieldNames.contains("doc_id"))
+    // MOR delete composes with the renamed id-based table
+    val (_, nDel) = SnapshotLake.deleteWhereMor(spark, root,
+      col("doc_id") < 10L)
+    assert(nDel == 10)
+    assert(SnapshotLake.read(spark, root).count() == 190)
+  }
+
   test("write-audit-publish: failed audit leaves the table bit-identical") {
     val root = freshRoot("wap")
     SnapshotLake.create(df((1L, "a", 10L), (2L, "b", 20L)), root)
