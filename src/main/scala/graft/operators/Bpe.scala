@@ -236,12 +236,18 @@ object Bpe {
            |      FROM (SELECT freq, string_split(trim(rep), '  ') AS toks
            |            FROM v$r))
            |    GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 1))""".stripMargin
+      // LEFT JOIN ON TRUE + COALESCE: if training exhausts mergeable pairs
+      // before N_MERGES, top$r is empty and a CROSS JOIN would empty the
+      // whole vocabulary — Spark's trainMerges just stops early, so the
+      // oracle must treat an empty round as a no-op (ADVICE r6).
       val next =
         s"""v${r + 1} AS MATERIALIZED (
            |  SELECT rep, CAST(sum(freq) AS BIGINT) AS freq FROM (
-           |    SELECT replace(v.rep, ' ' || t.lhs || '  ' || t.rhs || ' ',
-           |                   ' ' || t.lhs || t.rhs || ' ') AS rep, v.freq
-           |    FROM v$r v CROSS JOIN top$r t)
+           |    SELECT COALESCE(
+           |             replace(v.rep, ' ' || t.lhs || '  ' || t.rhs || ' ',
+           |                     ' ' || t.lhs || t.rhs || ' '),
+           |             v.rep) AS rep, v.freq
+           |    FROM v$r v LEFT JOIN top$r t ON TRUE)
            |  GROUP BY rep)""".stripMargin
       s"$top,\n$next"
     }.mkString(",\n")
@@ -264,9 +270,11 @@ object Bpe {
     // regrouping — Spark's encodeWith keeps one row per distinct word)
     val chain = (0 until N_MERGES).map { r =>
       s"""e${r + 1} AS MATERIALIZED (
-         |  SELECT replace(e.rep, ' ' || t.lhs || '  ' || t.rhs || ' ',
-         |                 ' ' || t.lhs || t.rhs || ' ') AS rep, e.freq
-         |  FROM e$r e CROSS JOIN top$r t)""".stripMargin
+         |  SELECT COALESCE(
+         |           replace(e.rep, ' ' || t.lhs || '  ' || t.rhs || ' ',
+         |                   ' ' || t.lhs || t.rhs || ' '),
+         |           e.rep) AS rep, e.freq
+         |  FROM e$r e LEFT JOIN top$r t ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""WITH $trainCtes,
        |e0 AS MATERIALIZED (SELECT rep, freq FROM v0),
@@ -290,9 +298,11 @@ object Bpe {
     // rep-keyed; fertility needs the word preserved for the per-lang join)
     val chain = (0 until N_MERGES).map { r =>
       s"""f${r + 1} AS MATERIALIZED (
-         |  SELECT word, replace(f.rep, ' ' || t.lhs || '  ' || t.rhs || ' ',
-         |                       ' ' || t.lhs || t.rhs || ' ') AS rep
-         |  FROM f$r f CROSS JOIN top$r t)""".stripMargin
+         |  SELECT word, COALESCE(
+         |           replace(f.rep, ' ' || t.lhs || '  ' || t.rhs || ' ',
+         |                   ' ' || t.lhs || t.rhs || ' '),
+         |           f.rep) AS rep
+         |  FROM f$r f LEFT JOIN top$r t ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""WITH $trainCtes,
        |lw AS MATERIALIZED (

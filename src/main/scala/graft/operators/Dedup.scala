@@ -133,16 +133,45 @@ object Dedup {
     * docs stay per-query caches (pinning corpus-scale arrays is the
     * memory trade the mhidx INDEX TABLE exists for). */
   private val candMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Long), DataFrame]()
+
+  /** Fingerprint of the corpus files backing a memo entry: (name, length,
+    * mtime) of every part file. Keying memos on it makes an IN-PLACE
+    * fixture regeneration a cache miss instead of a stale hit (ADVICE r6). */
+  private def corpusFingerprint(dir: String): Long = {
+    val f = new java.io.File(s"$dir/documents.parquet")
+    val files = if (f.isDirectory) f.listFiles() else Array(f)
+    files.foldLeft(f.getPath.hashCode.toLong) { (acc, x) =>
+      acc * 1000003L + x.getName.hashCode * 31L + x.length * 17L + x.lastModified
+    }
+  }
+
+  /** Memo lookup with the lifecycle guards ADVICE r6 asked for: entries
+    * whose SparkContext has stopped are swept on every lookup (their RDD
+    * blocks died with the context — holding the map entry leaks nothing
+    * on-heap but would serve a dead frame on an identity-hash collision),
+    * and a hit is only served when the cached frame's session IS the
+    * caller's session (`eq`, not hashCode — collisions rebuild). */
+  private def memoized(memo: java.util.concurrent.ConcurrentHashMap[(Int, String, Long), DataFrame],
+                       s: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
+    val it = memo.entrySet().iterator()
+    while (it.hasNext) {
+      if (it.next().getValue.sparkSession.sparkContext.isStopped) it.remove()
+    }
+    val key = (System.identityHashCode(s), dir, corpusFingerprint(dir))
+    val hit = memo.get(key)
+    if (hit != null && (hit.sparkSession eq s)) hit
+    else { val v = build; memo.put(key, v); v }
+  }
 
   private def corpusMinhashCandidates(s: SparkSession, dir: String,
                                       docs: DataFrame): DataFrame =
-    candMemo.computeIfAbsent((System.identityHashCode(s), dir), _ => {
+    memoized(candMemo, s, dir) {
       val c = minhashCandidates(docs, cached = true)
       val pinned = c.localCheckpoint()
       c.unpersist(blocking = false)
       pinned
-    })
+    }
 
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -601,12 +630,13 @@ object Dedup {
     * blocks, not catalog cache), so the per-query `clearCache()` between
     * bench/verify queries does not drop it. */
   private val labelMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Long), DataFrame]()
 
   private def corpusClusterLabels(s: SparkSession, dir: String): DataFrame =
-    labelMemo.computeIfAbsent((System.identityHashCode(s), dir), _ =>
+    memoized(labelMemo, s, dir) {
       clusterLabels(
-        similarityEdges(ngramDocs(s, dir), CLUSTER_JACCARD).localCheckpoint()))
+        similarityEdges(ngramDocs(s, dir), CLUSTER_JACCARD).localCheckpoint())
+    }
 
   /** Connected components over an (a, b) edge frame via min-label
     * propagation WITH pointer jumping: each round every node takes the min

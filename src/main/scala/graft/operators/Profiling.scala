@@ -85,6 +85,14 @@ object Profiling {
       .rdd.map(_.getDouble(0)).sortBy(identity)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = sorted.count()
+    if (n == 0L) {
+      // Empty / all-null column: `percentile()` (and DuckDB quantile_cont)
+      // return NULL; NaN is the Seq[Double] spelling of that. Without the
+      // short-circuit, pos = p·(n−1) = −p and idxVal(-1) would throw an
+      // unnamed NoSuchElementException (ADVICE r6).
+      sorted.unpersist(false)
+      return ps.map(_ => Double.NaN)
+    }
     val needed = ps.flatMap { p =>
       val pos = p * (n - 1)
       Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
@@ -112,7 +120,15 @@ object Profiling {
     * interpolation applies Spark Percentile's exact two-sided form.
     * Parallelism is bounded by group count (the sort is per-group) —
     * memory-safe over unbounded group SIZES, which is the failure mode
-    * that matters at 100 TB. */
+    * that matters at 100 TB.
+    *
+    * Degenerate-group contract (explicit, ADVICE r6): a group whose
+    * values are ALL null does not appear in the result map — callers
+    * that need the old `percentile()` NULL-row behavior must left-join
+    * their key domain against this map and treat absence as null. Both
+    * current callers run over never-null TPC-H measures, so the choice
+    * is oracle-invisible; dropping is the honest spelling ("no value
+    * has a quantile") and keeps the map total on its keys. */
   private[graft] def groupedQuantiles(df: DataFrame, key: String, v: String,
                                       ps: Seq[Double]): Map[String, Seq[Double]] = {
     val s = df.sparkSession

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.types.TimestampType
+import org.apache.spark.sql.types._
 
 /** Fixture-drift tripwire. The driver regenerates /root/testdata between
   * rounds and has already shipped events.ts in two encodings
@@ -32,6 +32,63 @@ class FixtureContractSpec extends SparkTestBase {
       .head()
     assert(row.getLong(0) > 0L)
     assert(row.getDouble(1) > 0d)
+  }
+
+  // ---- documents / embeddings loader contracts (VERDICT r6 #7) ----
+  // The dedup / text-analysis / similarity fleets assume these exact dtypes
+  // (e.g. 1e-6 fixed-point arithmetic on FloatType components, BIGINT ids in
+  // shuffle keys). A fixture regeneration that retypes any of them must fail
+  // HERE with the drifted table.column named, not at driver-verify time.
+
+  private def fixtureRoots: Array[java.io.File] = {
+    val roots = new java.io.File("/root/testdata").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("sf"))
+    assert(roots.nonEmpty, "no /root/testdata/sf* fixtures found")
+    roots
+  }
+
+  test("documents columns keep the pinned loader contract on every fixture") {
+    val want = Seq(
+      "doc_id" -> LongType, "text" -> StringType, "lang" -> StringType,
+      "source" -> StringType, "n_chars" -> LongType)
+    fixtureRoots.foreach { root =>
+      val schema = Tables.documents(spark, root.getPath).schema
+      want.foreach { case (c, dt) =>
+        assert(schema.fieldNames.contains(c),
+          s"${root.getName}: documents.$c missing — fixture drifted")
+        assert(schema(c).dataType == dt,
+          s"${root.getName}: documents.$c loaded as ${schema(c).dataType}, " +
+            s"contract is $dt — add a normalizing branch in Tables (cf. loadEvents)")
+      }
+    }
+  }
+
+  test("embeddings columns keep the pinned loader contract on every fixture") {
+    fixtureRoots.foreach { root =>
+      val schema = Tables.embeddings(spark, root.getPath).schema
+      assert(schema("vec_id").dataType == LongType,
+        s"${root.getName}: embeddings.vec_id is ${schema("vec_id").dataType}, not BIGINT")
+      assert(schema("embedding").dataType == ArrayType(FloatType, containsNull = true) ||
+             schema("embedding").dataType == ArrayType(FloatType, containsNull = false),
+        s"${root.getName}: embeddings.embedding is ${schema("embedding").dataType}, " +
+          "contract is array<float> — 1e-6 fixed-point paths assume Float components")
+      assert(schema("label").dataType == IntegerType,
+        s"${root.getName}: embeddings.label is ${schema("label").dataType}, not INT")
+    }
+  }
+
+  test("embedding vectors are uniformly 64-dimensional on every fixture") {
+    // Similarity pins DIM=64 (LSH hyperplanes, IVF centroids, codegen dot
+    // products all size to it); a regenerated fixture with a new DIM must
+    // trip here, not as silently-wrong cosine scores.
+    fixtureRoots.foreach { root =>
+      val row = Tables.embeddings(spark, root.getPath)
+        .selectExpr("min(size(embedding)) as lo", "max(size(embedding)) as hi")
+        .head()
+      assert(row.getInt(0) == 64 && row.getInt(1) == 64,
+        s"${root.getName}: embedding dims span [${row.getInt(0)}, ${row.getInt(1)}], " +
+          "contract is uniformly 64 (Similarity.DIM)")
+    }
   }
 
   test("streaming file source agrees with the batch loader on ts") {

@@ -132,6 +132,29 @@ class ProfilingSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("exactQuantiles on empty and all-null columns returns NaN, not a throw") {
+    // ADVICE r6: pos = p·(n−1) with n = 0 used to reach idxVal(-1)
+    import spark.implicits._
+    val empty = Seq.empty[Option[Double]].toDF("x")
+    val allNull = Seq[Option[Double]](None, None).toDF("x")
+    for (df <- Seq(empty, allNull)) {
+      val qs = Profiling.exactQuantiles(df, "x", Seq(0.25, 0.5, 0.75))
+      assert(qs.length == 3 && qs.forall(_.isNaN),
+        s"degenerate input must yield NaN quantiles, got $qs")
+    }
+  }
+
+  test("groupedQuantiles drops all-null groups (documented contract) and keeps mixed ones") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1.0)), ("a", Some(3.0)),
+      ("b", None), ("b", None), ("c", None), ("c", Some(5.0)))
+      .toDF("k", "x")
+    val m = Profiling.groupedQuantiles(df, "k", "x", Seq(0.5))
+    assert(!m.contains("b"), "all-null group must be absent, not a throw")
+    assert(m("a") == Seq(2.0))
+    assert(m("c") == Seq(5.0), "nulls within a mixed group are ignored")
+  }
+
   test("source overlap agrees with a direct two-source set intersection") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)

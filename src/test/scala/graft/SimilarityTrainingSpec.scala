@@ -199,6 +199,23 @@ class SimilarityTrainingSpec extends SparkTestBase {
     assert(fixture.getAs[Double]("explained_12") <= 1.0 + 1e-9)
   }
 
+  test("PCA moment table ties to the eigensolver: diagonal covariance sums to the trace") {
+    // q_pca_moments is the oracle-checked data half of q_pca_variance;
+    // this pins that they describe the SAME covariance: the 64 diagonal
+    // cells (floored to 8 dp each) must sum to pcaEig's trace within the
+    // accumulated flooring error.
+    val cells = Similarity.pcaMoments(spark, sfDir).collect()
+    assert(cells.length == 64 * 65 / 2)
+    val diagSum = cells.filter(r => r.getInt(0) == r.getInt(1))
+      .map(_.getAs[Double]("cov")).sum
+    val (_, trace, _, _, _) =
+      Similarity.pcaEig(spark, Tables.embeddings(spark, sfDir))
+    assert(math.abs(diagSum - trace) < 64 * 1e-8,
+      s"moment-table diagonal ($diagSum) != eigensolver trace ($trace)")
+    // symmetry-by-construction: only upper-triangle cells, i <= j
+    assert(cells.forall(r => r.getInt(0) <= r.getInt(1)))
+  }
+
   test("int8 quantization: top-10 substantially agrees with exact cosine") {
     val quant = Similarity.quantizedTopK(spark, sfDir)
       .select("vec_id").collect().map(_.getLong(0)).toSet
