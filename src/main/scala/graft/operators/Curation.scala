@@ -552,7 +552,79 @@ object Curation {
       |             * 10000.0 + 0.5) / 10000.0 AS pct_tokens
       |FROM r ORDER BY cutoff""".stripMargin
 
+  // --- Stratified hash-threshold sampling ---------------------------------
+
+  /** Equal-representation downsampling across language strata by
+    * DETERMINISTIC hash threshold: keep a doc iff
+    * `h(doc_id) · n_lang < B · 2³²`, where h is the first 8 hex digits of
+    * md5 (uniform in [0, 2³²)) and B = min stratum size. This is the
+    * coordination-free complement of [[tokenBudget]]'s exact prefix-sum
+    * cut: the keep/drop decision is ROW-LOCAL given the ≤|langs|-row
+    * broadcast of stratum sizes — no window, no sort, no shuffle of doc
+    * rows at all, which is the only sampling shape that is embarrassingly
+    * parallel at 100 TB (and re-runnable: membership is a pure function
+    * of doc_id, so a re-executed task keeps the same rows). The threshold
+    * compare runs in DECIMAL(38,0) — h·n_s overflows BIGINT once a
+    * stratum passes 2³¹ rows, which a 100 TB corpus does. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .withColumn("h",
+        expr("CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':ss')), 1, 8), 16, 10) AS BIGINT)"))
+    val sizes = d.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val budget = sizes.agg(min("n_lang").as("budget"))
+    val fix4 = (c: org.apache.spark.sql.Column) =>
+      floor(c * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)
+    d.join(broadcast(sizes), Seq("lang"))
+      .join(broadcast(budget))
+      .withColumn("keep",
+        col("h").cast("decimal(38,0)") * col("n_lang")
+          < col("budget").cast("decimal(38,0)") * lit(4294967296L))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_toks")).otherwise(0L)).as("toks_kept"),
+        first("budget").as("budget"))
+      .select(col("lang"), col("n_docs"), col("n_kept"), col("toks_kept"),
+        col("budget"),
+        fix4(col("budget").cast("double") / col("n_docs").cast("double"))
+          .as("target_rate"),
+        fix4(col("n_kept").cast("double") / col("n_docs").cast("double"))
+          .as("realized_rate"))
+      .orderBy("lang")
+  }
+
+  private val stratifiedSampleSql =
+    """WITH d AS (
+      |  SELECT lang, doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+      |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ss'), 1, 8))
+      |           ::BIGINT AS h
+      |  FROM documents),
+      |sz AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+      |       FROM d GROUP BY lang),
+      |b AS (SELECT min(n_lang) AS budget FROM sz),
+      |k AS (
+      |  SELECT d.lang, n_toks, budget,
+      |         CAST(h AS DECIMAL(38,0)) * n_lang
+      |           < CAST(budget AS DECIMAL(38,0)) * 4294967296 AS keep
+      |  FROM d JOIN sz ON d.lang = sz.lang CROSS JOIN b)
+      |SELECT lang, count(*) AS n_docs,
+      |       CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept,
+      |       CAST(coalesce(sum(n_toks) FILTER (keep), 0) AS BIGINT)
+      |         AS toks_kept,
+      |       budget,
+      |       floor(CAST(budget AS DOUBLE) / count(*) * 10000.0 + 0.5)
+      |         / 10000.0 AS target_rate,
+      |       floor(CAST(count(*) FILTER (keep) AS DOUBLE) / count(*)
+      |             * 10000.0 + 0.5) / 10000.0 AS realized_rate
+      |FROM k GROUP BY lang, budget ORDER BY lang""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql),
+      doc = "Equal-representation language downsampling by deterministic " +
+        "md5 threshold — row-local keep/drop, no shuffle of doc rows"),
     Q("q_quality_retention", qualityRetention, Some(qualityRetentionSql),
       doc = "Quality-cutoff retention sweep: docs/tokens surviving each " +
         "decile threshold — the knob-setting table before corpus filtering"),

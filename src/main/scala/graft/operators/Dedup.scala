@@ -837,6 +837,78 @@ object Dedup {
       |WHERE slot <= $POS_K
       |ORDER BY anchor_id, slot""".stripMargin
 
+  /** Cluster-aware train/val/test split — the assignment step that makes
+    * near-dup handling actually matter: if two near-duplicate documents
+    * land in train and test, the eval leaks. Split is a PURE FUNCTION of
+    * the cluster representative (md5-bucket of the component label;
+    * singletons represent themselves), so every member of a near-dup
+    * cluster lands in the same split BY CONSTRUCTION — leakage-free
+    * without any cross-split join. The census still COMPUTES the
+    * straddling-cluster count (rather than asserting it) so a future
+    * change to the assignment function that breaks the invariant shows
+    * up as a nonzero column, not a silent leak.
+    *
+    * Scale shape: the per-doc work is one broadcast-free left join
+    * against the (doc_id, label) frame — id pairs only — then a
+    * row-local hash; aggregates shuffle (rep, split) ids. The label
+    * build is the shared memoized once-per-corpus step. */
+  def splitAssign(s: SparkSession, dir: String): DataFrame = {
+    val labels = corpusClusterLabels(s, dir)
+    val asg = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("label"), col("doc_id")))
+      .withColumn("h",
+        expr("CAST(conv(substr(md5(concat(CAST(rep AS STRING), ':sp')), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("split",
+        expr("CASE WHEN h % 10 < 8 THEN 'train' WHEN h % 10 = 8 THEN 'val' ELSE 'test' END"))
+    val straddle = asg.groupBy("rep")
+      .agg(countDistinct("split").as("ns"))
+      .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("n_straddling"))
+    val W = org.apache.spark.sql.expressions.Window
+    val wAll = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    asg.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("rep").as("n_clusters"),
+        sum("n_toks").as("n_toks"))
+      .crossJoin(broadcast(straddle))
+      .select(col("split"), col("n_docs"), col("n_clusters"), col("n_toks"),
+        (floor(col("n_docs").cast("double") / sum("n_docs").over(wAll)
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("pct_docs"),
+        col("n_straddling").as("n_straddling_clusters"))
+      .orderBy("split")
+  }
+
+  private val splitAssignSql =
+    s"""WITH RECURSIVE $clusterLabChainSql,
+      |alld AS (
+      |  SELECT d0.doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+      |         coalesce(l.label, d0.doc_id) AS rep
+      |  FROM documents d0 LEFT JOIN lab l ON d0.doc_id = l.doc_id),
+      |asg AS (
+      |  SELECT rep, n_toks,
+      |         CASE WHEN h % 10 < 8 THEN 'train'
+      |              WHEN h % 10 = 8 THEN 'val' ELSE 'test' END AS split
+      |  FROM (SELECT rep, n_toks,
+      |               ('0x' || substr(md5(CAST(rep AS VARCHAR) || ':sp'), 1, 8))
+      |                 ::BIGINT AS h
+      |        FROM alld)),
+      |str AS (
+      |  SELECT CAST(count(*) FILTER (ns > 1) AS BIGINT) AS n_straddling
+      |  FROM (SELECT rep, count(DISTINCT split) AS ns FROM asg GROUP BY rep)),
+      |agg AS (
+      |  SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(count(DISTINCT rep) AS BIGINT) AS n_clusters,
+      |         CAST(sum(n_toks) AS BIGINT) AS n_toks
+      |  FROM asg GROUP BY split)
+      |SELECT split, n_docs, n_clusters, n_toks,
+      |       floor(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER ()
+      |             * 10000.0 + 0.5) / 10000.0 AS pct_docs,
+      |       n_straddling AS n_straddling_clusters
+      |FROM agg CROSS JOIN str ORDER BY split""".stripMargin
+
   private val dedupCanonicalSql =
     s"""WITH RECURSIVE $clusterLabChainSql,
       |score AS (
@@ -1128,6 +1200,10 @@ object Dedup {
     Q("q_contrastive_pairs", contrastivePairs, Some(contrastivePairsSql),
       doc = "Contrastive positive-pair mining: cluster representative " +
         "anchors up to 5 near-dup members — linear per cluster, capped"),
+    Q("q_split_assign", splitAssign, Some(splitAssignSql),
+      doc = "Cluster-aware train/val/test split: md5-bucket of the " +
+        "near-dup cluster representative, leakage-free by construction " +
+        "(straddling count computed, not assumed)"),
     Q("q_dedup_embed", embedCosine, Some(embedCosineSql)),
     Q("q_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)))
 }

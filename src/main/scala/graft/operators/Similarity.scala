@@ -1629,6 +1629,126 @@ object Similarity {
     rows.toDF("i", "j", "s2", "cov")
   }
 
+  /** Linear-probe training rounds. */
+  private val PROBE_ROUNDS = 5
+
+  /** Distributed linear-probe TRAINING over the embedding corpus — the
+    * "is this representation good enough" check a pipeline runs before
+    * shipping embeddings (a linear classifier trained on frozen features).
+    * Task: cluster 0 vs cluster 1, full-batch perceptron/hinge
+    * subgradient: per round, margin_i = y_i·(w·x_i) (row-local exact
+    * Long over 1e-6-fixed components + bias), misclassified set
+    * M = {margin ≤ 0}, and w ← w + floorDiv(Σ_{i∈M} y_i·x_i, n·(r+1)) —
+    * the MEAN subgradient with harmonic step decay, in fixed units, so
+    * |w| stays O(1e6·log R) bounded at ANY corpus size and the margin
+    * sum never overflows Long (the raw-sum perceptron update grows with
+    * n and would overflow at ~1e6 rows; undecayed full-batch steps
+    * oscillate around the decision boundary).
+    *
+    * Scale shape: the Lloyd-trainer split — per round ONE aggregation
+    * over the cached narrow feature frame producing 65 exact integer
+    * gradient sums + a miss count (model-sized driver state); no
+    * per-round shuffle of vectors, R bounded. Every quantity is exact
+    * integer arithmetic, so the DuckDB oracle replays training
+    * bit-for-bit as R unrolled MATERIALIZED rounds (floor-division
+    * spelled sign-portably on both sides). Output: the per-round error
+    * census — the training curve, each row pinned by the exact weights
+    * entering that round. */
+  def linearProbe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feats = Tables.embeddings(s, dir)
+      .filter(col("label").isin(0, 1))
+      .select(
+        expr("CASE WHEN label = 0 THEN 1L ELSE -1L END").as("y"),
+        // bias feature fixed at 0.01 (1e4 units), matched to the scale of
+        // the class-mean margin (~0.02) — a 1.0 bias would dominate every
+        // update and pin the classifier to the majority sign
+        expr("concat(transform(embedding, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)), array(10000L))")
+          .as("xi"))
+      .cache()
+    val n = feats.count()
+    require(n > 0, "linearProbe: no rows with label in {0, 1}")
+    val dims = DIM + 1
+    var w = Array.fill(dims)(0L)
+    val curve = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+    for (r <- 0 to PROBE_ROUNDS) {
+      val wArr = w.mkString("array(", "L, ", "L)")
+      val margin = expr(
+        s"y * aggregate(zip_with(xi, $wArr, (a, b) -> a * b), 0L, (acc, v) -> acc + v)")
+      val gCols = (0 until dims).map(j =>
+        sum(when(margin <= 0L, col("y") * element_at(col("xi"), j + 1)))
+          .as(s"g$j"))
+      val aggd = feats.agg(
+        sum(when(margin <= 0L, 1L).otherwise(0L)).as("n_wrong"),
+        gCols: _*).head()
+      curve += ((r, aggd.getLong(0)))
+      // harmonic step decay — floorDiv(g, n·(r+1)) — damps the
+      // full-batch oscillation while staying exact-integer
+      if (r < PROBE_ROUNDS)
+        w = Array.tabulate(dims)(j =>
+          w(j) + Math.floorDiv(aggd.getLong(1 + j), n * (r + 1)))
+    }
+    feats.unpersist(blocking = false)
+    curve.toSeq.map { case (r, miss) =>
+      (r, miss, math.floor((n - miss).toDouble / n * 10000.0 + 0.5) / 10000.0)
+    }.toDF("round", "n_wrong", "accuracy")
+  }
+
+  private val linearProbeSql = {
+    val base =
+      s"""b AS MATERIALIZED (
+         |  SELECT vec_id, CASE WHEN label = 0 THEN 1 ELSE -1 END AS y,
+         |         embedding
+         |  FROM embeddings WHERE label IN (0, 1)),
+         |comp AS MATERIALIZED (
+         |  SELECT vec_id, y, CAST(j - 1 AS BIGINT) AS j,
+         |         CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000000.0 + 0.5)
+         |              AS BIGINT) AS x
+         |  FROM b CROSS JOIN (SELECT unnest(generate_series(1, $DIM)) AS j)
+         |  UNION ALL
+         |  SELECT vec_id, y, $DIM, 10000 FROM b),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+         |w0 AS (SELECT CAST(j AS BIGINT) AS j, CAST(0 AS BIGINT) AS w
+         |       FROM (SELECT unnest(generate_series(0, $DIM)) AS j))""".stripMargin
+    val rounds = (0 to PROBE_ROUNDS).map { r =>
+      val m =
+        s"""m$r AS MATERIALIZED (
+           |  SELECT c.vec_id, any_value(c.y) AS y,
+           |         CAST(sum(w.w * c.x) AS BIGINT) AS margin
+           |  FROM comp c JOIN w$r w ON c.j = w.j GROUP BY c.vec_id)""".stripMargin
+      if (r == PROBE_ROUNDS) m
+      else {
+        // mean subgradient, floor-division spelled sign-portably:
+        // (g - ((g % n + n) % n)) // n == floorDiv(g, n) in both engines
+        val upd =
+          s"""g$r AS MATERIALIZED (
+             |  SELECT c.j,
+             |         CAST(coalesce(sum(CASE WHEN m.y * m.margin <= 0
+             |                           THEN m.y * c.x END), 0) AS BIGINT) AS g
+             |  FROM comp c JOIN m$r m ON c.vec_id = m.vec_id GROUP BY c.j),
+             |w${r + 1} AS MATERIALIZED (
+             |  SELECT w.j,
+             |         w.w + (g.g - ((g.g % (n.n * ${r + 1})
+             |                        + n.n * ${r + 1}) % (n.n * ${r + 1})))
+             |               // (n.n * ${r + 1}) AS w
+             |  FROM w$r w JOIN g$r g ON w.j = g.j CROSS JOIN nn n)""".stripMargin
+        s"$m,\n$upd"
+      }
+    }.mkString(",\n")
+    val census = (0 to PROBE_ROUNDS).map { r =>
+      s"""SELECT CAST($r AS INTEGER) AS round,
+         |       CAST(count(*) FILTER (y * margin <= 0) AS BIGINT) AS n_wrong,
+         |       floor(CAST(count(*) FILTER (y * margin > 0) AS DOUBLE)
+         |             / count(*) * 10000.0 + 0.5) / 10000.0 AS accuracy
+         |FROM m$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $base,
+       |$rounds
+       |SELECT * FROM (
+       |$census)
+       |ORDER BY round""".stripMargin
+  }
+
   private val pcaMomentsSql =
     s"""WITH comp AS MATERIALIZED (
        |  SELECT vec_id, CAST(j - 1 AS INTEGER) AS d,
@@ -1657,6 +1777,10 @@ object Similarity {
     Q("q_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     Q("q_ann_ndcg", annNdcg, Some(annNdcgSql)),
     Q("q_pca_variance", pcaVariance, None),
+    Q("q_linear_probe", linearProbe, Some(linearProbeSql),
+      doc = "Distributed linear-probe training on frozen embeddings " +
+        "(cluster 0 vs 1): full-batch mean-subgradient perceptron, exact " +
+        "integer rounds, DuckDB-replayed training curve"),
     Q("q_pca_moments", pcaMoments, Some(pcaMomentsSql),
       doc = "Exact PCA moment table: 2080-cell upper-triangle second " +
         "moments + derived covariance, DuckDB-replayed cell by cell " +

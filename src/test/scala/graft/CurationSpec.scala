@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.window.WindowExec
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Breadth, Curation, JoinsPlus, TextAnalysis}
+import graft.operators.{Breadth, Curation, Dedup, JoinsPlus, TextAnalysis}
 
 /** Scale-shape and semantics assertions for the curation operators — the
   * properties the row oracle cannot check: what shuffles, how window
@@ -147,6 +147,37 @@ class CurationSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       .map(_.aggregateFunction.dataType)
     assert(sumTypes.exists(_.isInstanceOf[org.apache.spark.sql.types.DecimalType]),
       s"score sum runs on $sumTypes — a double sum is merge-order-dependent")
+  }
+
+  test("stratified sample: min stratum kept whole; kept counts bounded and deterministic") {
+    val rows = Curation.stratifiedSample(spark, sfDir).collect()
+    val minDocs = rows.map(_.getAs[Long]("n_docs")).min
+    rows.foreach { r =>
+      val (nd, nk) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"))
+      assert(nk <= nd)
+      // h·n_s < B·2³² is ALWAYS true when n_s == B (h < 2³² by range), so
+      // the smallest stratum survives intact — the equal-representation
+      // anchor of the scheme
+      if (nd == minDocs) assert(nk == nd, s"min stratum dropped rows: $r")
+      assert(r.getAs[Long]("budget") == minDocs)
+    }
+    // membership is a pure function of doc_id — a re-run keeps identical rows
+    val again = Curation.stratifiedSample(spark, sfDir).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("cluster-aware split: zero straddling clusters, partitions cover the corpus") {
+    val rows = Dedup.splitAssign(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("split")).toSet == Set("train", "val", "test"))
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_straddling_clusters") == 0L,
+        s"near-dup cluster straddles splits: $r"))
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == Tables.documents(spark, sfDir).count(),
+      "split partitions must cover every document exactly once")
+    // train holds the bulk (8/10 hash buckets)
+    val train = rows.find(_.getAs[String]("split") == "train").get
+    assert(train.getAs[Long]("n_docs") > total / 2)
   }
 
   test("grouping sets levels are consistent: () row equals the sum of (rf) rows") {

@@ -86,7 +86,11 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     // 1-row corpus-total frames broadcast onto the cell/marginal tables
     "q_mutual_info",
     // 1-row corpus-size frame broadcast onto the per-anchor draw frame
-    "q_negative_sample")
+    "q_negative_sample",
+    // 1-row min-stratum budget frame broadcast onto the doc scan
+    "q_stratified_sample",
+    // 1-row straddling-cluster census crossJoined onto the 3-row split agg
+    "q_split_assign")
 
   // ONE sweep over the registry (executing every query once — the
   // dominant cost of this suite), with both plan properties checked off

@@ -199,6 +199,19 @@ class SimilarityTrainingSpec extends SparkTestBase {
     assert(fixture.getAs[Double]("explained_12") <= 1.0 + 1e-9)
   }
 
+  test("linear probe learns: error drops from all-wrong and beats chance") {
+    val curve = Similarity.linearProbe(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("round"))
+    val n0 = curve.head.getAs[Long]("n_wrong")
+    assert(curve.head.getAs[Double]("accuracy") == 0.0,
+      "round 0 runs with w = 0 — every margin is 0 and counted wrong")
+    val last = curve.last
+    assert(last.getAs[Long]("n_wrong") < n0 / 2,
+      s"training did not reduce error: $n0 -> ${last.getAs[Long]("n_wrong")}")
+    assert(last.getAs[Double]("accuracy") > 0.55,
+      s"final accuracy not above chance: $last")
+  }
+
   test("PCA moment table ties to the eigensolver: diagonal covariance sums to the trace") {
     // q_pca_moments is the oracle-checked data half of q_pca_variance;
     // this pins that they describe the SAME covariance: the 64 diagonal
