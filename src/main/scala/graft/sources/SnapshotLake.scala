@@ -85,11 +85,33 @@ object SnapshotLake {
     ColumnDef(id.toInt, name, ty)
   }
 
+  /** An Iceberg-style EQUALITY-DELETE file: a parquet of key VALUES
+    * (`keyCols`) whose matching rows are invisible — but only in data
+    * files committed at or before `version` (Iceberg's sequence-number
+    * rule: a later append legitimately re-inserts the same key). The
+    * write needs NO positions and therefore no data scan — the shape a
+    * streaming upsert/erasure ingest needs at 100 TB. */
+  final case class EqDelete(file: FileEntry, keyCols: Seq[String],
+                            version: Int) {
+    def serialized: String =
+      s"${file.serialized}|${keyCols.mkString(",")}|$version"
+  }
+
+  private def parseEqDelete(s: String): EqDelete = s.split('|') match {
+    case Array(p, r, mn, mx, ks, v) =>
+      EqDelete(FileEntry(p, r.toLong,
+        if (mn.isEmpty) None else Some(mn.toLong),
+        if (mx.isEmpty) None else Some(mx.toLong)),
+        ks.split(',').toSeq, v.toInt)
+    case _ => sys.error(s"unparseable eqdelete entry: $s")
+  }
+
   /** `deletes` are Iceberg-style POSITION-DELETE files: each is a parquet
     * of (df = data-file basename, pos = row index in that file) rows.
     * Data files they reference stay byte-identical on disk — a MOR
     * delete commit only ADDS a delete file; readers subtract the
-    * positions at scan time ([[open]]).
+    * positions at scan time ([[open]]). `eqDeletes` are the
+    * EQUALITY-DELETE siblings ([[EqDelete]]).
     *
     * `cols` non-empty marks an ID-BASED table ([[ColumnDef]]); empty
     * means the original name-resolved table (every pre-existing manifest
@@ -98,11 +120,13 @@ object SnapshotLake {
                             schemaDdl: String, statsCol: Option[String],
                             files: Seq[FileEntry],
                             deletes: Seq[FileEntry] = Seq.empty,
-                            cols: Seq[ColumnDef] = Seq.empty) {
+                            cols: Seq[ColumnDef] = Seq.empty,
+                            eqDeletes: Seq[EqDelete] = Seq.empty) {
     def paths: Seq[String] = files.map(_.path)
     /** Every file the snapshot pins — data AND delete files — for
       * expire/reclaim accounting. */
-    def allPaths: Seq[String] = paths ++ deletes.map(_.path)
+    def allPaths: Seq[String] =
+      paths ++ deletes.map(_.path) ++ eqDeletes.map(_.file.path)
     def idBased: Boolean = cols.nonEmpty
   }
 
@@ -138,7 +162,9 @@ object SnapshotLake {
       field("schema"), statsCol,
       lines.filter(_.startsWith("file=")).map(l => parseEntry(l.drop(5))),
       lines.filter(_.startsWith("delete=")).map(l => parseEntry(l.drop(7))),
-      lines.filter(_.startsWith("col=")).map(l => parseCol(l.drop(4))))
+      lines.filter(_.startsWith("col=")).map(l => parseCol(l.drop(4))),
+      lines.filter(_.startsWith("eqdelete="))
+        .map(l => parseEqDelete(l.drop(9))))
   }
 
   /** Commit `files` as version `prev + 1`. Publishing is an ATOMIC_MOVE
@@ -149,7 +175,8 @@ object SnapshotLake {
                             schemaDdl: String, statsCol: Option[String],
                             files: Seq[FileEntry],
                             deletes: Seq[FileEntry] = Seq.empty,
-                            cols: Seq[ColumnDef] = Seq.empty): Int = {
+                            cols: Seq[ColumnDef] = Seq.empty,
+                            eqDeletes: Seq[EqDelete] = Seq.empty): Int = {
     val v = prev + 1
     Files.createDirectories(metaDir(root))
     val body =
@@ -157,7 +184,8 @@ object SnapshotLake {
         s"stats=${statsCol.getOrElse("")}") ++
         files.map(f => s"file=${f.serialized}") ++
         deletes.map(f => s"delete=${f.serialized}") ++
-        cols.map(c => s"col=${c.serialized}")).mkString("", "\n", "\n")
+        cols.map(c => s"col=${c.serialized}") ++
+        eqDeletes.map(e => s"eqdelete=${e.serialized}")).mkString("", "\n", "\n")
     val tmp = metaDir(root).resolve(s".v$v.tmp")
     Files.writeString(tmp, body)
     val target = metaDir(root).resolve(s"v$v.manifest")
@@ -254,8 +282,8 @@ object SnapshotLake {
     * .parquet`. A delete set is tiny next to the data it tombstones, so
     * it lands as one file; zero-row stages publish nothing. */
   private def stageDeletes(dels: DataFrame, root: String, v: Int,
-                           offset: Int): Seq[FileEntry] = {
-    val scratch = Paths.get(root, s".stage-v$v-del")
+                           offset: Int, tag: String = "del"): Seq[FileEntry] = {
+    val scratch = Paths.get(root, s".stage-v$v-$tag")
     dels.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
     Files.createDirectories(dataDir(root))
     val parts = {
@@ -267,7 +295,7 @@ object SnapshotLake {
       finally s.close()
     }
     val named = parts.zipWithIndex.map { case ((p, rows), i) =>
-      val rel = s"data/v$v-del-${offset + i}.parquet"
+      val rel = s"data/v$v-$tag-${offset + i}.parquet"
       Files.move(p, Paths.get(root, rel), StandardCopyOption.ATOMIC_MOVE)
       FileEntry(rel, rows, None, None)
     }
@@ -371,7 +399,8 @@ object SnapshotLake {
     val schema = if (snap.idBased) ddlOf(cols)
                  else mergedDdl(snap.schemaDdl, df.schema)
     commit(root, prev, "append", snap.nRows + files.map(_.rows).sum, schema,
-      snap.statsCol, snap.files ++ files, snap.deletes, cols)
+      snap.statsCol, snap.files ++ files, snap.deletes, cols,
+      snap.eqDeletes)
   }
 
   /** Metadata-only RENAME on an id-based table: a new snapshot with the
@@ -389,7 +418,7 @@ object SnapshotLake {
     val cols = snap.cols.map(c => if (c.name == from) c.copy(name = to) else c)
     commit(root, prev, s"rename[$from->$to]", snap.nRows, ddlOf(cols),
       snap.statsCol.map(c => if (c == from) to else c),
-      snap.files, snap.deletes, cols)
+      snap.files, snap.deletes, cols, snap.eqDeletes)
   }
 
   /** Metadata-only DROP on an id-based table: the column leaves the
@@ -407,7 +436,7 @@ object SnapshotLake {
       s"'$name' is the stats column — not droppable")
     val cols = snap.cols.filterNot(_.name == name)
     commit(root, prev, s"drop[$name]", snap.nRows, ddlOf(cols),
-      snap.statsCol, snap.files, snap.deletes, cols)
+      snap.statsCol, snap.files, snap.deletes, cols, snap.eqDeletes)
   }
 
   /** WRITE-AUDIT-PUBLISH: the quality-gated append. The batch's files
@@ -449,22 +478,49 @@ object SnapshotLake {
       val schema = if (snap.idBased) ddlOf(cols)
                    else mergedDdl(snap.schemaDdl, df.schema)
       Right(commit(root, prev, "append[wap]", snap.nRows + n, schema,
-        snap.statsCol, snap.files ++ staged, snap.deletes, cols))
+        snap.statsCol, snap.files ++ staged, snap.deletes, cols,
+        snap.eqDeletes))
     }
   }
 
   /** The VISIBLE rows of `files` (pending position deletes subtracted)
     * with the `_df`/`_pos` lineage columns still attached — the shared
     * front half of every row-level write path. */
+  /** Data-file commit version parsed from the `_df` lineage basename
+    * (`v{N}-{i}.parquet`) — the sequence number equality deletes compare
+    * against. */
+  private def fileVersionExpr: Column =
+    regexp_extract(col("_df"), "^v(\\d+)-", 1).cast("int")
+
+  /** Subtract every pending equality delete from a lineage-carrying frame:
+    * per delete file, a broadcast anti-join on its key VALUES, restricted
+    * to data files committed at or before the delete's version — rows
+    * appended later with the same key legitimately survive (Iceberg's
+    * sequence-number rule). Key sets are erasure/upsert-sized (tiny next
+    * to data), so each anti-join broadcasts. */
+  private def subtractEqDeletes(spark: SparkSession, root: String,
+                                snap: Snapshot, df0: DataFrame): DataFrame =
+    snap.eqDeletes.foldLeft(df0) { (df, e) =>
+      val keys = spark.read
+        .parquet(Paths.get(root, e.file.path).toString)
+        .toDF(e.keyCols.map(c => s"__eq_$c"): _*)
+      val cond = e.keyCols.map(c => df(c) === keys(s"__eq_$c"))
+        .reduce(_ && _) && (fileVersionExpr <= lit(e.version))
+      df.join(broadcast(keys), cond, "left_anti")
+    }
+
   private def openVisible(spark: SparkSession, root: String, snap: Snapshot,
                           files: Seq[FileEntry]): DataFrame = {
     val raw = openRaw(spark, root, snap, files)
-    if (snap.deletes.isEmpty) raw
-    else {
-      val dels = deleteEntries(spark, root, snap)
-      raw.join(dels, col("_df") === dels("df") && col("_pos") === dels("pos"),
-        "left_anti")
-    }
+    val posFree =
+      if (snap.deletes.isEmpty) raw
+      else {
+        val dels = deleteEntries(spark, root, snap)
+        raw.join(dels,
+          col("_df") === dels("df") && col("_pos") === dels("pos"),
+          "left_anti")
+      }
+    subtractEqDeletes(spark, root, snap, posFree)
   }
 
   /** Basenames of every data file a pending delete entry references —
@@ -507,7 +563,8 @@ object SnapshotLake {
       val files = snap.files.filterNot(f => hitNames(baseName(f.path))) ++
         newFiles
       val v = commit(root, prev, "delete", snap.nRows - nDeleted,
-        snap.schemaDdl, snap.statsCol, files, Seq.empty, snap.cols)
+        snap.schemaDdl, snap.statsCol, files, Seq.empty, snap.cols,
+        snap.eqDeletes)
       (v, nDeleted)
     }
   }
@@ -542,7 +599,7 @@ object SnapshotLake {
     else {
       val v = commit(root, prev, "delete[mor]", snap.nRows - n,
         snap.schemaDdl, snap.statsCol, snap.files, snap.deletes ++ staged,
-        snap.cols)
+        snap.cols, snap.eqDeletes)
       (v, n)
     }
   }
@@ -568,8 +625,105 @@ object SnapshotLake {
     val files = snap.files.filterNot(f => hitNames(baseName(f.path))) ++
       newFiles
     val v = commit(root, prev, "rewrite_deletes", snap.nRows,
-      snap.schemaDdl, snap.statsCol, files, Seq.empty, snap.cols)
+      snap.schemaDdl, snap.statsCol, files, Seq.empty, snap.cols,
+      snap.eqDeletes)
     (v, hitEntries.size)
+  }
+
+  /** MERGE-ON-READ row delete by KEY VALUES (Iceberg's equality-delete
+    * path): commit a parquet file of the distinct rows of `keys` (its
+    * column set defines the equality columns) and rewrite NOTHING — not
+    * even positions are computed, so the data side of the write is
+    * O(|keys|) regardless of table size. Readers anti-join the key set
+    * at scan time against data files committed at or before this
+    * version; rows APPENDED LATER with the same key survive (the
+    * sequence-number rule), which is what makes equality deletes safe
+    * under concurrent upsert ingest — the GDPR-erasure / CDC-retraction
+    * shape at 100 TB.
+    *
+    * The one scan below only COUNTS the affected visible rows so this
+    * layer's manifests keep their exact `nRows` audit contract (real
+    * Iceberg leaves the summary approximate and skips the read); a
+    * count-free variant would commit blind. Returns
+    * (newVersion, rowsDeleted). */
+  def deleteWhereMorEq(spark: SparkSession, root: String,
+                       keys: DataFrame): (Int, Long) = {
+    val prev = currentVersion(root)
+    val snap = snapshot(root, prev)
+    if (snap.files.isEmpty) return (prev, 0L)
+    val keyCols = keys.columns.toSeq
+    val k = keys.distinct().cache()
+    val n = openVisible(spark, root, snap, snap.files)
+      .join(k, keyCols, "left_semi").count()
+    if (n == 0) { k.unpersist(); return (prev, 0L) }
+    val staged = stageDeletes(k, root, prev + 1,
+      offset = snap.eqDeletes.size, tag = "eqdel")
+    k.unpersist()
+    val v = commit(root, prev, "delete[eqmor]", snap.nRows - n,
+      snap.schemaDdl, snap.statsCol, snap.files, snap.deletes, snap.cols,
+      snap.eqDeletes ++ staged.map(f => EqDelete(f, keyCols, prev + 1)))
+    (v, n)
+  }
+
+  /** Row-level CHANGELOG between two snapshots (Iceberg's
+    * `create_changelog_view`): every row inserted or deleted in
+    * `(fromVersion, toVersion]`, tagged `_change_type` ∈
+    * {insert, delete} and `_commit_version`. Derived from MANIFEST diffs
+    * — appends contribute exactly their new files' rows, MOR commits
+    * contribute the rows their new (position or equality) delete files
+    * tombstone — so the cost is proportional to the CHANGED data, never
+    * a two-snapshot diff scan. COW commits (delete/merge/compact)
+    * restage untouched rows into new files, where a file diff
+    * over-reports; crossing one throws rather than lying — run changes
+    * up to the COW boundary and read the snapshots directly across it. */
+  def changes(spark: SparkSession, root: String,
+              fromVersion: Int, toVersion: Int): DataFrame = {
+    require(fromVersion < toVersion,
+      s"changes: need fromVersion < toVersion, got $fromVersion, $toVersion")
+    val frames = ((fromVersion + 1) to toVersion).map { v =>
+      val cur = snapshot(root, v)
+      val prevS =
+        if (v == 1) Snapshot(0, "none", 0L, cur.schemaDdl, cur.statsCol,
+          Seq.empty)
+        else snapshot(root, v - 1)
+      def tag(df: DataFrame, t: String): DataFrame =
+        df.withColumn("_change_type", lit(t))
+          .withColumn("_commit_version", lit(v))
+      cur.op match {
+        case op if op == "append" || op.startsWith("append[") ||
+                   op == "create" =>
+          val prevPaths = prevS.files.map(_.path).toSet
+          val added = cur.files.filterNot(f => prevPaths(f.path))
+          tag(scanFiles(spark, root, cur, added), "insert")
+        case "delete[mor]" =>
+          val prevDels = prevS.deletes.toSet
+          val newDels = cur.deletes.filterNot(prevDels)
+          val entries = spark.read.parquet(
+            newDels.map(f => Paths.get(root, f.path).toString): _*)
+          // tombstoned rows were VISIBLE at v-1; positions name them exactly
+          tag(openRaw(spark, root, prevS, prevS.files)
+            .join(entries,
+              col("_df") === entries("df") && col("_pos") === entries("pos"),
+              "left_semi")
+            .drop("_df", "_pos"), "delete")
+        case "delete[eqmor]" =>
+          val prevEq = prevS.eqDeletes.toSet
+          val newEq = cur.eqDeletes.filterNot(prevEq)
+          newEq.map { e =>
+            val keys = spark.read
+              .parquet(Paths.get(root, e.file.path).toString)
+            tag(openVisible(spark, root, prevS, prevS.files)
+              .join(broadcast(keys), e.keyCols, "left_semi")
+              .drop("_df", "_pos"), "delete")
+          }.reduce(_ unionByName _)
+        case op =>
+          sys.error(s"changes($fromVersion, $toVersion) crosses " +
+            s"non-incremental commit v$v ($op): COW rewrites restage " +
+            "rows and a manifest diff over-reports — read the snapshots " +
+            "directly across this boundary")
+      }
+    }
+    frames.reduce(_ unionByName _)
   }
 
   /** Copy-on-write MERGE by key (the `MERGE INTO` the reference's Iceberg
@@ -612,7 +766,7 @@ object SnapshotLake {
     val schema = if (snap.idBased) ddlOf(cols)
                  else mergedDdl(snap.schemaDdl, up.schema)
     val v = commit(root, prev, "merge", snap.nRows - nUpdated + nUp,
-      schema, snap.statsCol, files, Seq.empty, cols)
+      schema, snap.statsCol, files, Seq.empty, cols, snap.eqDeletes)
     up.unpersist()
     (v, nUpdated, nUp - nUpdated)
   }
@@ -625,7 +779,7 @@ object SnapshotLake {
     val target = snapshot(root, toVersion)
     commit(root, prev, s"rollback[v$toVersion]", target.nRows,
       target.schemaDdl, target.statsCol, target.files, target.deletes,
-      target.cols)
+      target.cols, target.eqDeletes)
   }
 
   // ---- reads ---------------------------------------------------------------
@@ -680,20 +834,15 @@ object SnapshotLake {
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         StructType.fromDDL(snap.schemaDdl))
-    else if (snap.deletes.isEmpty)
+    else if (snap.deletes.isEmpty && snap.eqDeletes.isEmpty)
       // fast path: no pending deletes, no lineage columns, plain scan
       scanFiles(spark, root, snap, files)
-    else {
-      // merge-on-read: subtract delete positions at scan time. The delete
-      // set is (basename, BIGINT) pairs only — tiny next to the data — so
-      // AQE picks a broadcast anti-join; data files are NOT opened twice
-      // and never rewritten.
-      val dels = deleteEntries(spark, root, snap)
-      openRaw(spark, root, snap, files)
-        .join(dels, col("_df") === dels("df") && col("_pos") === dels("pos"),
-          "left_anti")
-        .drop("_df", "_pos")
-    }
+    else
+      // merge-on-read: subtract position AND equality deletes at scan
+      // time. Both delete sets are tiny next to the data — (basename,
+      // BIGINT) pairs / bare key values — so the anti-joins broadcast;
+      // data files are NOT opened twice and never rewritten.
+      openVisible(spark, root, snap, files).drop("_df", "_pos")
 
   /** Manifest-level file skipping: the entries of snapshot `version`
     * whose [min, max] stats range intersects [lo, hi] (entries without
@@ -823,7 +972,7 @@ object SnapshotLake {
       val schema = if (snap.idBased) ddlOf(cols)
                    else mergedDdl(snap.schemaDdl, batch.schema)
       commit(root, cur, opTag, snap.nRows + n, schema, snap.statsCol,
-        snap.files ++ files, snap.deletes, cols)
+        snap.files ++ files, snap.deletes, cols, snap.eqDeletes)
       true
     }
   }
@@ -919,7 +1068,7 @@ object SnapshotLake {
       s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "graft_snap")
     val root = base.resolve(s"docs_${tag}_$fp")
     this.synchronized {
-      if (currentVersion(root.toString) < 5) {
+      if (currentVersion(root.toString) < 7) {
         // stale timelines of this dir (other fingerprints) and any
         // half-built attempt are garbage
         if (Files.isDirectory(base)) {
@@ -943,10 +1092,21 @@ object SnapshotLake {
           "doc_id")
         deleteWhereMor(s, root.toString,
           col("source").isin(MOR_SOURCES: _*))
+        // v6: EQUALITY MOR delete by key value (no scan of data files);
+        // v7: append AFTER it — same-key rows in the new files must
+        // SURVIVE (sequence rule), which q_snapshot_eqdel oracle-checks
+        deleteWhereMorEq(s, root.toString, {
+          import s.implicits._
+          Seq(EQ_DELETE_LANG).toDF("lang")
+        })
+        append(s, d.filter(pmod(col("doc_id"), lit(3)) === 2), root.toString)
       }
     }
     root.toString
   }
+
+  /** The v6 equality delete's key value. */
+  private[graft] val EQ_DELETE_LANG = "zh"
 
   /** The v5 MOR delete's predicate sources (and their SQL literal list
     * for the oracles). */
@@ -1012,14 +1172,22 @@ object SnapshotLake {
       .orderBy("doc_id")
   }
 
+  // readRange reads the CURRENT snapshot — v7 since the eq-delete/append
+  // extension: v5's visible rows minus the 'zh' equality delete, plus the
+  // v7 append (whose same-key rows out-sequence the delete)
   private val snapshotRangeSql =
-    s"""SELECT doc_id, lang, source,
-      |       CASE WHEN doc_id % 6 = 0 THEN n_chars + 1000
-      |            ELSE n_chars END AS n_chars
-      |FROM documents
-      |WHERE $V4_WHERE
-      |  AND source NOT IN ($morSourcesSql)
-      |  AND doc_id BETWEEN 100 AND 400
+    s"""SELECT doc_id, lang, source, n_chars FROM (
+      |  SELECT doc_id, lang, source,
+      |         CASE WHEN doc_id % 6 = 0 THEN n_chars + 1000
+      |              ELSE n_chars END AS n_chars
+      |  FROM documents
+      |  WHERE $V4_WHERE
+      |    AND source NOT IN ($morSourcesSql)
+      |    AND lang <> '$EQ_DELETE_LANG'
+      |  UNION ALL
+      |  SELECT doc_id, lang, source, n_chars
+      |  FROM documents WHERE doc_id % 3 = 2)
+      |WHERE doc_id BETWEEN 100 AND 400
       |ORDER BY doc_id""".stripMargin
 
   /** Content DIFF between two snapshot versions (v2 → v4, spanning the
@@ -1105,9 +1273,93 @@ object SnapshotLake {
       |GROUP BY version, lang
       |ORDER BY version, lang""".stripMargin
 
+  /** v6 (equality MOR delete) and v7 (append after it) censuses — the
+    * oracle-checked proof of BOTH halves of the equality-delete
+    * contract: v6 hides every 'zh' row without touching a data file,
+    * and v7's n_zh is NONZERO because rows appended after the delete
+    * out-sequence it. */
+  def snapshotEqDelete(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureTimeline(s, dir)
+    (6 to 7).map { v =>
+      readAt(s, root, v).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("lang") === EQ_DELETE_LANG, 1L).otherwise(0L))
+          .as("n_zh"),
+        sum("n_chars").as("sum_chars"))
+        .select(lit(v).as("version"), col("n_docs"), col("n_zh"),
+          col("sum_chars"))
+    }.reduce(_ unionByName _).orderBy("version")
+  }
+
+  private val snapshotEqDeleteSql =
+    s"""WITH v4 AS (
+      |  SELECT lang,
+      |         CASE WHEN doc_id % 6 = 0 THEN n_chars + 1000
+      |              ELSE n_chars END AS n_chars, source
+      |  FROM documents
+      |  WHERE $V4_WHERE),
+      |v6 AS (
+      |  SELECT lang, n_chars FROM v4
+      |  WHERE source NOT IN ($morSourcesSql) AND lang <> '$EQ_DELETE_LANG'),
+      |v7 AS (
+      |  SELECT lang, n_chars FROM v6
+      |  UNION ALL
+      |  SELECT lang, n_chars FROM documents WHERE doc_id % 3 = 2)
+      |SELECT 6 AS version, count(*) AS n_docs,
+      |       CAST(count(*) FILTER (lang = '$EQ_DELETE_LANG') AS BIGINT)
+      |         AS n_zh,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM v6
+      |UNION ALL
+      |SELECT 7, count(*),
+      |       CAST(count(*) FILTER (lang = '$EQ_DELETE_LANG') AS BIGINT),
+      |       CAST(sum(n_chars) AS BIGINT)
+      |FROM v7
+      |ORDER BY version""".stripMargin
+
+  /** Changelog census over (v4, v7]: the three incremental commits —
+    * position-delete, equality-delete, append — each contributing
+    * exactly its tombstoned/added rows with values. Matching the oracle
+    * means [[changes]] recovered the correct ROW SETS from manifest
+    * diffs alone. */
+  def snapshotCdc(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureTimeline(s, dir)
+    changes(s, root, 4, 7)
+      .groupBy(col("_commit_version").as("commit_version"),
+        col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n_rows"), sum("n_chars").as("sum_chars"))
+      .orderBy("commit_version", "change_type")
+  }
+
+  private val snapshotCdcSql =
+    s"""WITH v4 AS (
+      |  SELECT lang,
+      |         CASE WHEN doc_id % 6 = 0 THEN n_chars + 1000
+      |              ELSE n_chars END AS n_chars, source
+      |  FROM documents
+      |  WHERE $V4_WHERE)
+      |SELECT * FROM (
+      |SELECT 5 AS commit_version, 'delete' AS change_type,
+      |       count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM v4 WHERE source IN ($morSourcesSql)
+      |UNION ALL
+      |SELECT 6, 'delete', count(*), CAST(sum(n_chars) AS BIGINT)
+      |FROM v4
+      |WHERE source NOT IN ($morSourcesSql) AND lang = '$EQ_DELETE_LANG'
+      |UNION ALL
+      |SELECT 7, 'insert', count(*), CAST(sum(n_chars) AS BIGINT)
+      |FROM documents WHERE doc_id % 3 = 2)
+      |ORDER BY commit_version, change_type""".stripMargin
+
   val all: Seq[graft.Q] = Seq(
     graft.Q("q_time_travel", timeTravel, Some(timeTravelSql)),
     graft.Q("q_snapshot_range", snapshotRange, Some(snapshotRangeSql)),
     graft.Q("q_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
-    graft.Q("q_snapshot_mor", snapshotMor, Some(snapshotMorSql)))
+    graft.Q("q_snapshot_mor", snapshotMor, Some(snapshotMorSql)),
+    graft.Q("q_snapshot_eqdel", snapshotEqDelete, Some(snapshotEqDeleteSql),
+      doc = "Equality-delete MOR read + sequence rule: v6 hides the " +
+        "keyed rows scan-time, v7's later append re-surfaces the key"),
+    graft.Q("q_snapshot_cdc", snapshotCdc, Some(snapshotCdcSql),
+      doc = "Row-level changelog between snapshots from manifest diffs " +
+        "(inserts from new files, deletes from new delete files)"))
 }

@@ -321,6 +321,63 @@ class SnapshotLakeSpec extends SparkTestBase {
     assert(SnapshotLake.snapshot(root, 4).deletes == snap3.deletes)
   }
 
+  test("deleteWhereMorEq: no data file touched, keyed rows hidden, later appends out-sequence the delete") {
+    import spark.implicits._
+    val root = freshRoot("eqmor")
+    SnapshotLake.create(df((1L, "a", 1L), (2L, "b", 2L)), root)
+    SnapshotLake.append(spark, df((3L, "a", 3L), (4L, "c", 4L)), root)
+    val v2 = SnapshotLake.snapshot(root, 2)
+    val before = md5s(root, v2.paths)
+    val (v3, n) = SnapshotLake.deleteWhereMorEq(spark, root,
+      Seq("a").toDF("kind"))
+    assert(v3 == 3 && n == 2)
+    val snap3 = SnapshotLake.snapshot(root, 3)
+    assert(snap3.paths == v2.paths)
+    assert(md5s(root, snap3.paths) == before, "a data file was rewritten")
+    assert(snap3.eqDeletes.nonEmpty &&
+      snap3.eqDeletes.head.keyCols == Seq("kind") &&
+      snap3.eqDeletes.head.version == 3)
+    assert(snap3.nRows == 2)
+    assert(SnapshotLake.read(spark, root)
+      .select("id").collect().map(_.getLong(0)).toSet == Set(2L, 4L))
+    // time travel: pre-delete snapshot still sees the keyed rows
+    assert(SnapshotLake.readAt(spark, root, 2).count() == 4)
+    // the sequence rule: a row with the DELETED key appended AFTER the
+    // delete is visible (its file's version exceeds the delete's)
+    SnapshotLake.append(spark, df((5L, "a", 5L)), root)
+    assert(SnapshotLake.read(spark, root)
+      .select("id").collect().map(_.getLong(0)).toSet == Set(2L, 4L, 5L))
+    // a no-hit equality delete is a no-op commit
+    assert(SnapshotLake.deleteWhereMorEq(spark, root,
+      Seq("zzz").toDF("kind"))._2 == 0L)
+    // expire accounting pins the eq-delete file (allPaths)
+    assert(SnapshotLake.snapshot(root, 4).allPaths
+      .exists(_.contains("-eqdel-")))
+  }
+
+  test("changes: manifest-diff changelog recovers inserts and MOR deletes, refuses COW") {
+    import spark.implicits._
+    val root = freshRoot("cdc")
+    SnapshotLake.create(df((1L, "a", 1L), (2L, "b", 2L)), root)      // v1
+    SnapshotLake.append(spark, df((3L, "a", 3L)), root)              // v2
+    SnapshotLake.deleteWhereMor(spark, root, col("id") === 1L)       // v3
+    SnapshotLake.deleteWhereMorEq(spark, root, Seq("a").toDF("kind")) // v4
+    val ch = SnapshotLake.changes(spark, root, 1, 4)
+      .select("id", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(ch == Set(
+      (3L, "insert", 2),   // v2 append
+      (1L, "delete", 3),   // v3 position delete
+      (3L, "delete", 4)))  // v4 equality delete hits only the VISIBLE 'a'
+    // a COW commit inside the range is refused, not over-reported
+    SnapshotLake.deleteWhere(spark, root, col("id") === 2L)          // v5
+    val e = intercept[RuntimeException](
+      SnapshotLake.changes(spark, root, 1, 5).collect())
+    assert(e.getMessage.contains("non-incremental"))
+    // ...but the incremental prefix still reads fine
+    assert(SnapshotLake.changes(spark, root, 3, 4).count() == 1)
+  }
+
   test("rewritePositionDeletes: folds tombstones in, carries untouched files, content identical") {
     import spark.implicits._
     val root = freshRoot("mor-rewrite")
