@@ -744,20 +744,35 @@ object Similarity {
           .foreach(t => s.sql(s"DROP TABLE IF EXISTS $db.$t"))
       }
       // in-memory catalog forgets tables across JVMs but their files
-      // survive; drop the entry AND any stale location before writing
+      // survive; drop the stale catalog entry first
       s.sql(s"DROP TABLE IF EXISTS $tbl")
       val loc = java.nio.file.Paths.get(
         s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
         s"$db.db", name)
-      if (java.nio.file.Files.exists(loc)) {
-        val st = java.nio.file.Files.walk(loc)
-        try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(java.nio.file.Files.delete(_))
-        finally st.close()
+      if (java.nio.file.Files.exists(loc.resolve("_SUCCESS"))) {
+        // a COMPLETED build from a prior JVM: the table name carries the
+        // source-data fingerprint AND the algorithm revision, so the
+        // files are valid by construction — RE-REGISTER them instead of
+        // rebuilding. The index is ingest-owned state; a consumer process
+        // must not pay the build again (at 100 TB "again" is a full
+        // corpus pass). RECOVER PARTITIONS restores the (band, nib)
+        // partition pruning the probes rely on.
+        s.sql(s"CREATE TABLE $tbl USING parquet LOCATION '$loc'")
+        if (partCols.nonEmpty)
+          s.sql(s"ALTER TABLE $tbl RECOVER PARTITIONS")
+      } else {
+        // no completion marker: absent or half-written — clear and build
+        if (java.nio.file.Files.exists(loc)) {
+          val st = java.nio.file.Files.walk(loc)
+          try st.sorted(
+            java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(java.nio.file.Files.delete(_))
+          finally st.close()
+        }
+        build.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy(partCols: _*)
+          .saveAsTable(tbl)
       }
-      build.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .partitionBy(partCols: _*)
-        .saveAsTable(tbl)
     }
     tbl
   }
