@@ -621,7 +621,98 @@ object Curation {
       |             * 10000.0 + 0.5) / 10000.0 AS realized_rate
       |FROM k GROUP BY lang, budget ORDER BY lang""".stripMargin
 
+  // --- Span-corruption masking (T5-style denoising prep) ------------------
+
+  /** Span length in tokens and start-rate denominator: a position starts
+    * a span when its hash lands in 1/START_DIV, each span covers SPAN
+    * tokens → expected mask rate ≈ SPAN/START_DIV (~15%), before run
+    * merging. */
+  private val SPAN = 3
+  private val START_DIV = 20
+
+  /** Span-corruption census — the deterministic mask-planning pass of a
+    * T5/UL2 denoising objective: per document, positions whose
+    * md5(doc_id, position) lands in 1/20 START a 3-token span; a token
+    * is masked if any of the 3 preceding positions (itself included)
+    * started a span, and each MAXIMAL masked run is one sentinel.
+    * Reported per source: tokens, masked tokens, sentinel count, and the
+    * realized mask rate.
+    *
+    * Determinism makes the mask a PURE FUNCTION of (doc_id, position) —
+    * re-runs, retries, and the DuckDB oracle all derive the identical
+    * mask, the same property that makes [[stratifiedSample]] membership
+    * replayable. Everything is row-local lambda work inside the scan
+    * (the only shuffle carries the per-source partial aggregate), so the
+    * pass is embarrassingly parallel at any corpus size. */
+  def spanCorruption(s: SparkSession, dir: String): DataFrame = {
+    val fix4 = (c: org.apache.spark.sql.Column) =>
+      floor(c * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)
+    Tables.documents(s, dir)
+      .select(col("source"),
+        expr(s"""
+          transform(sequence(1, size(split(text, ' '))),
+            i -> CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':',
+                                             CAST(i AS STRING))), 1, 4),
+                           16, 10) AS BIGINT) % $START_DIV = 0)
+        """).as("starts"))
+      .select(col("source"), size(col("starts")).cast("long").as("n_tok"),
+        // masked(i) ⇔ ∃ j ∈ [i-SPAN+1, i]: starts(j)
+        expr(s"""
+          transform(sequence(1, size(starts)),
+            i -> exists(slice(starts, greatest(1, i - ${SPAN - 1}),
+                              i - greatest(1, i - ${SPAN - 1}) + 1),
+                        b -> b))
+        """).as("masked"))
+      .select(col("source"), col("n_tok"),
+        expr("size(filter(masked, b -> b))").cast("long").as("n_masked"),
+        // sentinels = maximal masked runs: masked(i) ∧ ¬masked(i-1)
+        expr("""
+          size(filter(sequence(1, size(masked)),
+            i -> masked[i - 1] AND (i = 1 OR NOT masked[i - 2])))
+        """).cast("long").as("n_spans"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        sum("n_masked").as("n_masked"), sum("n_spans").as("n_sentinels"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_masked"), col("n_sentinels"),
+        fix4(col("n_masked").cast("double") / col("n_tokens").cast("double"))
+          .as("mask_rate"))
+      .orderBy("source")
+  }
+
+  private val spanCorruptionSql =
+    s"""WITH t AS (
+      |  SELECT source,
+      |         list_transform(generate_series(1, len(string_split(text, ' '))),
+      |           i -> ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+      |                                    || CAST(i AS VARCHAR)), 1, 4))
+      |                  ::BIGINT % $START_DIV = 0) AS starts
+      |  FROM documents),
+      |m AS (
+      |  SELECT source, CAST(len(starts) AS BIGINT) AS n_tok,
+      |         list_transform(generate_series(1, len(starts)),
+      |           i -> len(list_filter(starts[greatest(1, i - ${SPAN - 1}):i],
+      |                                b -> b)) > 0) AS masked
+      |  FROM t),
+      |c AS (
+      |  SELECT source, n_tok,
+      |         CAST(len(list_filter(masked, b -> b)) AS BIGINT) AS n_masked,
+      |         CAST(len(list_filter(generate_series(1, len(masked)),
+      |                i -> masked[i] AND (i = 1 OR NOT masked[i - 1])))
+      |              AS BIGINT) AS n_spans
+      |  FROM m)
+      |SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |       CAST(sum(n_masked) AS BIGINT) AS n_masked,
+      |       CAST(sum(n_spans) AS BIGINT) AS n_sentinels,
+      |       floor(CAST(sum(n_masked) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE)
+      |             * 10000.0 + 0.5) / 10000.0 AS mask_rate
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_span_corruption", spanCorruption, Some(spanCorruptionSql),
+      doc = "T5-style span-corruption mask census: deterministic " +
+        "md5-seeded 3-token spans, masked/sentinel counts per source — " +
+        "row-local mask planning for a denoising objective"),
     Q("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql),
       doc = "Equal-representation language downsampling by deterministic " +
         "md5 threshold — row-local keep/drop, no shuffle of doc rows"),

@@ -180,6 +180,24 @@ class CurationSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(train.getAs[Long]("n_docs") > total / 2)
   }
 
+  test("span corruption: rates near theory, run structure consistent, deterministic") {
+    val rows = Curation.spanCorruption(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val (tok, masked, sent) = (
+      rows.map(_.getAs[Long]("n_tokens")).sum,
+      rows.map(_.getAs[Long]("n_masked")).sum,
+      rows.map(_.getAs[Long]("n_sentinels")).sum)
+    // theory: P(masked) = 1 − (19/20)^3 ≈ 0.1426; wide band for small SFs
+    val rate = masked.toDouble / tok
+    assert(rate > 0.10 && rate < 0.19, s"mask rate $rate far from 0.143")
+    // each sentinel replaces a maximal run of ≥ 1 and mean run ≈ 3.2
+    assert(sent <= masked && masked <= 6 * sent,
+      s"run structure off: $masked masked / $sent sentinels")
+    val again = Curation.spanCorruption(spark, sfDir).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)),
+      "mask must be a pure function of (doc_id, position)")
+  }
+
   test("grouping sets levels are consistent: () row equals the sum of (rf) rows") {
     val rows = JoinsPlus.groupingSets(spark, sfDir).collect()
     val totals = rows.filter(r => r.getString(0) == "ALL").map(_.getLong(2)).sum
