@@ -1351,7 +1351,54 @@ object SnapshotLake {
       |FROM documents WHERE doc_id % 3 = 2)
       |ORDER BY commit_version, change_type""".stripMargin
 
+  /** Incremental view maintenance over the changelog: the per-language
+    * census at the head (v7) computed as the v4 census PLUS the signed
+    * [[changes]] delta — the v5–v7 data itself is never re-read as a
+    * state. The oracle recomputes the same census DIRECTLY from the v7
+    * row set, so a hash match proves the changelog algebra (inserts −
+    * deletes) reconstructs exact aggregates — the contract an
+    * incremental materialized view or downstream CDC consumer relies on
+    * at 100 TB, where "just recompute the view" is the thing you cannot
+    * afford. */
+  def snapshotIvm(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureTimeline(s, dir)
+    val base = readAt(s, root, 4).groupBy("lang")
+      .agg(count(lit(1)).as("bn"), sum("n_chars").as("bc"))
+    val delta = changes(s, root, 4, 7)
+      .select(col("lang"), col("n_chars"),
+        when(col("_change_type") === "insert", 1L).otherwise(-1L).as("sgn"))
+      .groupBy("lang")
+      .agg(sum("sgn").as("dn"), sum(col("sgn") * col("n_chars")).as("dc"))
+    base.join(delta, Seq("lang"), "full_outer")
+      .select(col("lang"),
+        (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_docs"),
+        (coalesce(col("bc"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+          .as("sum_chars"))
+      .filter(col("n_docs") > 0)
+      .orderBy("lang")
+  }
+
+  private val snapshotIvmSql =
+    s"""WITH v4 AS (
+      |  SELECT lang,
+      |         CASE WHEN doc_id % 6 = 0 THEN n_chars + 1000
+      |              ELSE n_chars END AS n_chars, source
+      |  FROM documents
+      |  WHERE $V4_WHERE),
+      |v7 AS (
+      |  SELECT lang, n_chars FROM v4
+      |  WHERE source NOT IN ($morSourcesSql) AND lang <> '$EQ_DELETE_LANG'
+      |  UNION ALL
+      |  SELECT lang, n_chars FROM documents WHERE doc_id % 3 = 2)
+      |SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM v7 GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Seq[graft.Q] = Seq(
+    graft.Q("q_snapshot_ivm", snapshotIvm, Some(snapshotIvmSql),
+      doc = "Incremental view maintenance: v4 census + signed changelog " +
+        "delta == direct v7 recompute (oracle recomputes directly)"),
     graft.Q("q_time_travel", timeTravel, Some(timeTravelSql)),
     graft.Q("q_snapshot_range", snapshotRange, Some(snapshotRangeSql)),
     graft.Q("q_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
