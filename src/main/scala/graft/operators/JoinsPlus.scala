@@ -415,7 +415,110 @@ object JoinsPlus {
   def lateralTop(s: SparkSession, dir: String): DataFrame =
     graft.GraftSql.sql(s, dir, lateralTopQuery)
 
+  /** Bloom filter geometry: K md5-derived hash positions per key into
+    * m = BITS_PER_KEY·|S| bits — sized from the BUILD COUNT, the way a
+    * planner sizes a runtime filter (a fixed m saturates the moment |S|
+    * outgrows it: an early 8192-bit constant hit 8191 bits set and a
+    * 99.97% FP rate at sf0.1). With 16 bits/key and k = 3 the
+    * theoretical FP rate (1 − e^{−K/16})^K ≈ 0.5%. */
+  private val BLOOM_BITS_PER_KEY = 16L
+  private val BLOOM_K = 3
+
+  /** Runtime-filter (Bloom) join pruning census — the semi-join
+    * pushdown trick a 100 TB join plan lives on: build a BLOOM FILTER
+    * over the selective side's join keys (urgent orders), probe every
+    * big-side key ROW-LOCALLY against the broadcast bit set, and only
+    * candidates reach the real join. The census reports exactly what a
+    * planner wants to know before enabling the filter: bits set,
+    * candidate rate, and the realized false-positive rate vs the exact
+    * semi join.
+    *
+    * Determinism: positions are md5-derived, so the filter content — and
+    * therefore the FP set itself, not just its expected size — is a pure
+    * function of the data, which is what lets DuckDB replay the census
+    * bit-for-bit. Scale shape: the filter is ≤ K·|S| distinct SMALLINT
+    * positions (broadcast), the probe is row-local hashing + a broadcast
+    * semi-join per hash, and only (key, pos) pairs ever shuffle. */
+  def bloomPrune(s: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("k"))
+    // the filter is sized from the build-side cardinality — one scalar
+    // count to the driver, exactly what a runtime-filter planner does
+    val m = BLOOM_BITS_PER_KEY * urgent.distinct().count()
+    def positions(keyCol: String): org.apache.spark.sql.Column =
+      expr((0 until BLOOM_K).map(j =>
+        s"CAST(conv(substr(md5(concat(CAST($keyCol AS STRING), ':bf$j')), 1, 8), 16, 10) AS BIGINT) % ${m}L")
+        .mkString("array(", ", ", ")"))
+    val bits = urgent.select(explode(positions("k")).as("pos")).distinct()
+    val probe = Tables.lineitem(s, dir).select(col("l_orderkey").as("k"))
+      .distinct()
+      .withColumn("ps", positions("k"))
+    // candidate ⇔ ALL K positions set: explode, broadcast-join the bit
+    // set, and demand K hits back — keys and small ints only
+    val cand = probe.select(col("k"), explode(col("ps")).as("pos"))
+      .join(broadcast(bits), "pos")
+      .groupBy("k").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === BLOOM_K)
+      .select("k")
+    val truth = probe.select("k").join(urgent.distinct(), Seq("k"),
+      "left_semi")
+    val counts = probe.agg(count(lit(1)).as("n_probe"))
+      .crossJoin(broadcast(urgent.distinct().agg(count(lit(1)).as("n_build"))))
+      .crossJoin(broadcast(bits.agg(count(lit(1)).as("n_bits_set"))))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+    counts.select(col("n_build"), col("n_bits_set"), col("n_probe"),
+      col("n_candidates"), col("n_true"),
+      (col("n_candidates") - col("n_true")).as("n_false_pos"),
+      (floor((col("n_candidates") - col("n_true")).cast("double")
+        / (col("n_probe") - col("n_true")).cast("double")
+        * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("fp_rate"))
+  }
+
+  private val bloomPruneSql = {
+    val posList = (j: String, key: String) =>
+      s"('0x' || substr(md5(CAST($key AS VARCHAR) || ':bf$j'), 1, 8))::BIGINT % mm.m"
+    val posUnion = (key: String, src: String) =>
+      (0 until BLOOM_K).map(j =>
+        s"SELECT $key AS k, ${posList(j.toString, key)} AS pos FROM $src CROSS JOIN mm")
+        .mkString("\nUNION ALL\n")
+    s"""WITH urgent AS (
+       |  SELECT DISTINCT o_orderkey FROM orders
+       |  WHERE o_orderpriority = '1-URGENT'),
+       |mm AS (
+       |  SELECT $BLOOM_BITS_PER_KEY * CAST(count(*) AS BIGINT) AS m
+       |  FROM urgent),
+       |bits AS (
+       |  SELECT DISTINCT pos FROM (
+       |${posUnion("o_orderkey", "urgent")})),
+       |probe AS (SELECT DISTINCT l_orderkey FROM lineitem),
+       |phits AS (
+       |  SELECT k, count(*) AS hits FROM (
+       |${posUnion("l_orderkey", "probe")}) p
+       |  JOIN bits USING (pos) GROUP BY k),
+       |cand AS (SELECT k FROM phits WHERE hits = $BLOOM_K),
+       |c AS (
+       |  SELECT
+       |    (SELECT CAST(count(*) AS BIGINT) FROM urgent) AS n_build,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits_set,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM probe) AS n_probe,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM probe
+       |     WHERE l_orderkey IN (SELECT o_orderkey FROM urgent)) AS n_true)
+       |SELECT n_build, n_bits_set, n_probe, n_candidates, n_true,
+       |       n_candidates - n_true AS n_false_pos,
+       |       floor(CAST(n_candidates - n_true AS DOUBLE)
+       |             / CAST(n_probe - n_true AS DOUBLE) * 10000.0 + 0.5)
+       |         / 10000.0 AS fp_rate
+       |FROM c""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q_bloom_prune", bloomPrune, Some(bloomPruneSql),
+      doc = "Bloom-filter join pruning census: md5-derived bit set over " +
+        "the selective side, row-local probe, realized FP rate vs the " +
+        "exact semi join — deterministic, DuckDB-replayed bit-for-bit"),
     Q("q_semi_anti", semiAnti, Some(semiAntiSql)),
     Q("q_sql_text", sqlText, Some(sqlTextQuery)),
     Q("q_correlated", correlated, Some(correlatedQuery)),

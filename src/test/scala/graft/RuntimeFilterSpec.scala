@@ -53,6 +53,20 @@ class RuntimeFilterSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("explicit bloom prune: no false negatives, FP rate in the sized band") {
+    val r = graft.operators.JoinsPlus.bloomPrune(spark, sfDir).head()
+    // Bloom filters NEVER drop a true member — candidates ⊇ truth
+    assert(r.getAs[Long]("n_candidates") >= r.getAs[Long]("n_true"),
+      s"bloom dropped true members: $r")
+    // sized at 16 bits/key with k=3 the theoretical FP is ~0.5%; allow
+    // generous sampling noise at small SFs
+    val fp = r.getAs[Double]("fp_rate")
+    assert(fp >= 0.0 && fp < 0.05, s"FP rate $fp outside the sized band: $r")
+    // the filter actually prunes: candidates are far below the probe set
+    assert(r.getAs[Long]("n_candidates") < r.getAs[Long]("n_probe") / 2,
+      s"filter not selective: $r")
+  }
+
   test("AQE splits a skewed join partition instead of one straggler reducer") {
     import spark.implicits._
     // planted skew: 90% of the left rows share one key

@@ -90,7 +90,9 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     // 1-row min-stratum budget frame broadcast onto the doc scan
     "q_stratified_sample",
     // 1-row straddling-cluster census crossJoined onto the 3-row split agg
-    "q_split_assign")
+    "q_split_assign",
+    // crossJoins of five 1-row census aggregates (q_ref_integrity shape)
+    "q_bloom_prune")
 
   // ONE sweep over the registry (executing every query once — the
   // dominant cost of this suite), with both plan properties checked off
