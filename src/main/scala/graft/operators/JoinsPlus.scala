@@ -450,30 +450,37 @@ object JoinsPlus {
       expr((0 until BLOOM_K).map(j =>
         s"CAST(conv(substr(md5(concat(CAST($keyCol AS STRING), ':bf$j')), 1, 8), 16, 10) AS BIGINT) % ${m}L")
         .mkString("array(", ", ", ")"))
+    // probe keys and the bit set each feed several census branches —
+    // cache them so the big-side distinct runs ONCE, not per branch
     val bits = urgent.select(explode(positions("k")).as("pos")).distinct()
+      .cache()
     val probe = Tables.lineitem(s, dir).select(col("l_orderkey").as("k"))
       .distinct()
-      .withColumn("ps", positions("k"))
+      .cache()
     // candidate ⇔ ALL K positions set: explode, broadcast-join the bit
     // set, and demand K hits back — keys and small ints only
-    val cand = probe.select(col("k"), explode(col("ps")).as("pos"))
+    val cand = probe.select(col("k"), explode(positions("k")).as("pos"))
       .join(broadcast(bits), "pos")
       .groupBy("k").agg(count(lit(1)).as("hits"))
       .filter(col("hits") === BLOOM_K)
       .select("k")
-    val truth = probe.select("k").join(urgent.distinct(), Seq("k"),
-      "left_semi")
+    val truth = probe.join(urgent.distinct(), Seq("k"), "left_semi")
     val counts = probe.agg(count(lit(1)).as("n_probe"))
       .crossJoin(broadcast(urgent.distinct().agg(count(lit(1)).as("n_build"))))
       .crossJoin(broadcast(bits.agg(count(lit(1)).as("n_bits_set"))))
       .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
       .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
-    counts.select(col("n_build"), col("n_bits_set"), col("n_probe"),
+    val out = counts.select(col("n_build"), col("n_bits_set"), col("n_probe"),
       col("n_candidates"), col("n_true"),
       (col("n_candidates") - col("n_true")).as("n_false_pos"),
       (floor((col("n_candidates") - col("n_true")).cast("double")
         / (col("n_probe") - col("n_true")).cast("double")
         * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("fp_rate"))
+    val row = out.collect()
+    bits.unpersist(blocking = false)
+    probe.unpersist(blocking = false)
+    s.createDataFrame(s.sparkContext.parallelize(row.toIndexedSeq, 1),
+      out.schema)
   }
 
   private val bloomPruneSql = {

@@ -1687,13 +1687,17 @@ object Similarity {
     var w = Array.fill(dims)(0L)
     val curve = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
     for (r <- 0 to PROBE_ROUNDS) {
-      val wArr = w.mkString("array(", "L, ", "L)")
+      // w rides in as a broadcast 1-row RELATION, not a literal array:
+      // every round's plan is then STRUCTURALLY identical, so whole-stage
+      // codegen compiles once and round 2+ reuse the cached class
+      // (literal weights re-compiled a fresh 66-aggregate plan per round)
+      val wDf = Seq(Tuple1(w.toSeq)).toDF("wv")
       val margin = expr(
-        s"y * aggregate(zip_with(xi, $wArr, (a, b) -> a * b), 0L, (acc, v) -> acc + v)")
+        "y * aggregate(zip_with(xi, wv, (a, b) -> a * b), 0L, (acc, v) -> acc + v)")
       val gCols = (0 until dims).map(j =>
         sum(when(margin <= 0L, col("y") * element_at(col("xi"), j + 1)))
           .as(s"g$j"))
-      val aggd = feats.agg(
+      val aggd = feats.crossJoin(broadcast(wDf)).agg(
         sum(when(margin <= 0L, 1L).otherwise(0L)).as("n_wrong"),
         gCols: _*).head()
       curve += ((r, aggd.getLong(0)))
