@@ -252,6 +252,24 @@ object StreamOps {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** CDC-driven incremental view maintenance: consume a stream of
+    * changelog rows (the shape [[graft.sources.SnapshotLake.changes]]
+    * emits — `_change_type` ∈ {insert, delete} plus the row values) and
+    * maintain a per-key census as a STREAMING aggregation over SIGNED
+    * contributions: insert = +1, delete = −1. In complete output mode the
+    * sink always holds base ⊕ all deltas so far — the streaming twin of
+    * the batch `q_snapshot_ivm` algebra, and the shape a downstream
+    * materialized view consumes a 100 TB table's changelog with (the
+    * aggregate state is |keys|-sized; the stream only ever carries the
+    * CHANGED rows, never the table). */
+  def changelogCensus(changes: DataFrame, key: String,
+                      measure: String): DataFrame = {
+    val sgn = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+    changes.groupBy(col(key))
+      .agg(sum(sgn).as("n_rows"),
+        sum(sgn * col(measure)).as(s"sum_$measure"))
+  }
+
   /** Stream-static enrichment join: each micro-batch joins the (static)
     * user dimension — the canonical "decorate the event stream with
     * dimension attributes" shape. The static side re-plans per batch (so

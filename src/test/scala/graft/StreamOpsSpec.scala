@@ -305,6 +305,47 @@ class StreamOpsSpec extends SparkTestBase {
     assert(spark.table("session_sink").count() > 0)
   }
 
+  test("changelogCensus: streamed CDC delta reconciles the base census to the head") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.SnapshotLake
+    val root = java.nio.file.Files.createTempDirectory("cdcstream")
+      .toString + "/t"
+    def mk(rows: (Long, String, Long)*) =
+      rows.toDF("id", "kind", "v").repartition(2)
+    SnapshotLake.create(mk((1L, "a", 10L), (2L, "b", 20L)), root)     // v1
+    SnapshotLake.append(spark, mk((3L, "a", 30L), (4L, "c", 40L)), root) // v2
+    SnapshotLake.deleteWhereMor(spark, root, col("id") === 1L)        // v3
+    SnapshotLake.deleteWhereMorEq(spark, root, Seq("a").toDF("kind")) // v4
+    // the changelog lands as files — exactly how a downstream consumer
+    // would receive it — and streams from there
+    val chDir = root + "-changes"
+    SnapshotLake.changes(spark, root, 1, 4).write.parquet(chDir)
+    val schema = spark.read.parquet(chDir).schema
+    val stream = spark.readStream.schema(schema).parquet(chDir)
+    val q = StreamOps.changelogCensus(stream, "kind", "v")
+      .writeStream.format("memory").queryName("cdc_census")
+      .outputMode(OutputMode.Complete()).start()
+    try q.processAllAvailable() finally q.stop()
+    val delta = spark.table("cdc_census").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val base = SnapshotLake.readAt(spark, root, 1).groupBy("kind")
+      .agg(count(lit(1)), sum("v")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val head = SnapshotLake.read(spark, root).groupBy("kind")
+      .agg(count(lit(1)), sum("v")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val kinds = base.keySet ++ delta.keySet
+    val reconciled = kinds.map { k =>
+      val (bn, bv) = base.getOrElse(k, (0L, 0L))
+      val (dn, dv) = delta.getOrElse(k, (0L, 0L))
+      k -> (bn + dn, bv + dv)
+    }.filter(_._2._1 > 0).toMap
+    assert(reconciled == head,
+      s"base ⊕ streamed delta = $reconciled, head census = $head")
+    // and the stream really carried only changed rows (3 commits' worth)
+    assert(spark.read.parquet(chDir).count() == 4) // 2 inserts + 2 deletes
+  }
+
   test("streaming near-dup ingestion dedups against the lake AND earlier micro-batches") {
     val db = "graft_stream_lake"
     graft.sources.AppendJob.reset(spark, db)
