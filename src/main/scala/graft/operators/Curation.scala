@@ -708,7 +708,75 @@ object Curation {
       |             * 10000.0 + 0.5) / 10000.0 AS mask_rate
       |FROM c GROUP BY source ORDER BY source""".stripMargin
 
+  // --- Length-bucketed batching / padding waste ---------------------------
+
+  /** Power-of-two length-bucket boundaries for the padding census. */
+  private val PAD_BUCKETS = Seq(8L, 16L, 32L, 64L, 128L, 256L, 512L, 1024L)
+
+  /** Padding-waste census for length-bucketed batching — the table that
+    * decides a training job's batch geometry: bucket every document's
+    * token length up to the next power of two, and report per bucket how
+    * many pad tokens batching to the bucket ceiling costs, against the
+    * single-bucket baseline (pad everything to the global max). The
+    * decision is row-local (a CASE ladder over literal boundaries — no
+    * log2, which is libm and not engine-portable); the only shuffle is
+    * the ≤|buckets|-row aggregate, and the global-max baseline joins as
+    * a 1-row broadcast. */
+  def paddingWaste(s: SparkSession, dir: String): DataFrame = {
+    val fix4 = (c: org.apache.spark.sql.Column) =>
+      floor(c * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)
+    val ladder = PAD_BUCKETS.map(b => s"WHEN n_tok <= $b THEN ${b}L")
+      .mkString("CASE ", " ", s" ELSE ${PAD_BUCKETS.last}L END")
+    val d = Tables.documents(s, dir)
+      .select(least(size(split(col("text"), " ")).cast("long"),
+        lit(PAD_BUCKETS.last)).as("n_tok"))
+      .withColumn("bucket", expr(ladder))
+    val maxLen = d.agg(max("n_tok").as("max_len"))
+    d.groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .crossJoin(broadcast(maxLen))
+      // a batcher never pads past the longest observed sequence: the pad
+      // target is min(bucket ceiling, global max) — without this the TOP
+      // bucket pays ceiling − max per doc and can cost MORE than
+      // pad-to-max (observed at sf0.001: 9323 vs 3378)
+      .withColumn("pad_to", least(col("bucket"), col("max_len")))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        (col("pad_to") * col("n_docs") - col("n_tokens")).as("pad_tokens"),
+        fix4((col("pad_to") * col("n_docs") - col("n_tokens")).cast("double")
+          / (col("pad_to") * col("n_docs")).cast("double")).as("pad_rate"),
+        (col("max_len") * col("n_docs") - col("n_tokens"))
+          .as("pad_tokens_unbucketed"))
+      .orderBy("bucket")
+  }
+
+  private val paddingWasteSql = {
+    val ladder = PAD_BUCKETS.map(b => s"WHEN n_tok <= $b THEN $b")
+      .mkString("CASE ", " ", s" ELSE ${PAD_BUCKETS.last} END")
+    s"""WITH d AS (
+       |  SELECT least(CAST(len(string_split(text, ' ')) AS BIGINT),
+       |               ${PAD_BUCKETS.last}) AS n_tok
+       |  FROM documents),
+       |b AS (SELECT n_tok, CAST($ladder AS BIGINT) AS bucket FROM d),
+       |mx AS (SELECT max(n_tok) AS max_len FROM d)
+       |SELECT bucket, count(*) AS n_docs,
+       |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |       CAST(least(bucket, max_len) * count(*) - sum(n_tok) AS BIGINT)
+       |         AS pad_tokens,
+       |       floor(CAST(least(bucket, max_len) * count(*) - sum(n_tok)
+       |                  AS DOUBLE)
+       |             / CAST(least(bucket, max_len) * count(*) AS DOUBLE)
+       |             * 10000.0 + 0.5) / 10000.0 AS pad_rate,
+       |       CAST(max_len * count(*) - sum(n_tok) AS BIGINT)
+       |         AS pad_tokens_unbucketed
+       |FROM b CROSS JOIN mx
+       |GROUP BY bucket, max_len ORDER BY bucket""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q_padding_waste", paddingWaste, Some(paddingWasteSql),
+      doc = "Length-bucketed batching census: pad tokens per " +
+        "power-of-two bucket vs the pad-to-global-max baseline — the " +
+        "batch-geometry knob table"),
     Q("q_span_corruption", spanCorruption, Some(spanCorruptionSql),
       doc = "T5-style span-corruption mask census: deterministic " +
         "md5-seeded 3-token spans, masked/sentinel counts per source — " +

@@ -852,9 +852,11 @@ object Dedup {
     * against the (doc_id, label) frame — id pairs only — then a
     * row-local hash; aggregates shuffle (rep, split) ids. The label
     * build is the shared memoized once-per-corpus step. */
-  def splitAssign(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, n_toks, rep, split) assignment frame — the cluster-aware
+    * split shared by [[splitAssign]] and the contamination audit. */
+  private def splitFrame(s: SparkSession, dir: String): DataFrame = {
     val labels = corpusClusterLabels(s, dir)
-    val asg = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_toks"))
       .join(labels, Seq("doc_id"), "left")
@@ -863,6 +865,10 @@ object Dedup {
         expr("CAST(conv(substr(md5(concat(CAST(rep AS STRING), ':sp')), 1, 8), 16, 10) AS BIGINT)"))
       .withColumn("split",
         expr("CASE WHEN h % 10 < 8 THEN 'train' WHEN h % 10 = 8 THEN 'val' ELSE 'test' END"))
+  }
+
+  def splitAssign(s: SparkSession, dir: String): DataFrame = {
+    val asg = splitFrame(s, dir)
     val straddle = asg.groupBy("rep")
       .agg(countDistinct("split").as("ns"))
       .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("n_straddling"))
@@ -908,6 +914,146 @@ object Dedup {
       |             * 10000.0 + 0.5) / 10000.0 AS pct_docs,
       |       n_straddling AS n_straddling_clusters
       |FROM agg CROSS JOIN str ORDER BY split""".stripMargin
+
+  /** Contamination n-gram width. */
+  private val CONTAM_N = 8
+
+  /** Per-source n-gram novelty census — the memorization-risk table: how
+    * much of each source's 8-gram stream is a repeat (within or across
+    * its documents). High duplication predicts verbatim regurgitation
+    * after training; this is the gram-level complement of the doc-level
+    * dedup family. Grams hash to md5 digests in-scan, so the exact
+    * distinct shuffles 32-byte keys, never gram text. */
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, dir)
+      .select(col("source"),
+        explode(expr(s"word_shingles(split(text, ' '), $CONTAM_N)")).as("g"))
+      .select(col("source"), md5(col("g")).as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("h")).as("n_distinct"))
+      .select(col("source"), col("n_grams"), col("n_distinct"),
+        (floor((col("n_grams") - col("n_distinct")).cast("double")
+          / col("n_grams").cast("double") * lit(10000.0d) + lit(0.5d))
+          / lit(10000.0d)).as("dup_rate"))
+      .orderBy("source")
+  }
+
+  private val ngramNoveltySql =
+    s"""WITH g AS (
+      |  SELECT source, md5(g) AS h
+      |  FROM (
+      |    SELECT source,
+      |           unnest(CASE WHEN len(string_split(text, ' ')) >= $CONTAM_N
+      |             THEN list_transform(
+      |               range(1, len(string_split(text, ' ')) - ${CONTAM_N - 2}),
+      |               i -> array_to_string(
+      |                 string_split(text, ' ')[i:i+${CONTAM_N - 1}], ' '))
+      |             ELSE [] END) AS g
+      |    FROM documents))
+      |SELECT source, count(*) AS n_grams,
+      |       CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+      |       floor(CAST(count(*) - count(DISTINCT h) AS DOUBLE)
+      |             / count(*) * 10000.0 + 0.5) / 10000.0 AS dup_rate
+      |FROM g GROUP BY source ORDER BY source""".stripMargin
+
+  /** Train→test contamination audit, cluster-aware vs naive split: the
+    * fraction of the test split's distinct 8-grams that also appear in
+    * train — the eval-leakage number — measured for BOTH the
+    * [[splitFrame]] assignment (split by near-dup cluster representative)
+    * and a naive per-document hash split. The cluster-aware row should
+    * come out lower: near-duplicate documents are the main way verbatim
+    * grams straddle a naive split, and the cluster split pins them
+    * together by construction (spec-asserted; the ordering is a property
+    * of the data, the NUMBERS are oracle-checked).
+    *
+    * Scale shape: one shingle pass per method feeding a distinct over
+    * (split, digest); the leak count is a digest-keyed self-join of the
+    * two split sides — 32-byte keys end to end. */
+  def splitContamination(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(expr(s"array_distinct(word_shingles(split(text, ' '), $CONTAM_N))"))
+          .as("g"))
+      .select(col("doc_id"), md5(col("g")).as("h"))
+    def audit(asg: DataFrame, method: String): DataFrame = {
+      val sg = grams.join(asg, "doc_id")
+        .select(col("split"), col("h")).distinct()
+      val test = sg.filter(col("split") === "test").select("h")
+      val train = sg.filter(col("split") === "train").select("h")
+      val nTest = test.agg(count(lit(1)).as("n_test_grams"))
+      val nShared = test.join(train, "h")
+        .agg(count(lit(1)).as("n_shared"))
+      nTest.crossJoin(broadcast(nShared))
+        .select(lit(method).as("method"), col("n_test_grams"),
+          col("n_shared"),
+          (floor(col("n_shared").cast("double")
+            / col("n_test_grams").cast("double") * lit(10000.0d)
+            + lit(0.5d)) / lit(10000.0d)).as("contamination_rate"))
+    }
+    val cluster = splitFrame(s, dir).select("doc_id", "split")
+    val naive = Tables.documents(s, dir).select(col("doc_id"))
+      .withColumn("h0",
+        expr("CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':sp')), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("split",
+        expr("CASE WHEN h0 % 10 < 8 THEN 'train' WHEN h0 % 10 = 8 THEN 'val' ELSE 'test' END"))
+      .select("doc_id", "split")
+    audit(cluster, "cluster").unionByName(audit(naive, "naive"))
+      .orderBy("method")
+  }
+
+  private val splitContaminationSql = {
+    val gramCte =
+      s"""gr AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, md5(g) AS h
+        |  FROM (
+        |    SELECT doc_id,
+        |           unnest(CASE WHEN len(string_split(text, ' ')) >= $CONTAM_N
+        |             THEN list_transform(
+        |               range(1, len(string_split(text, ' ')) - ${CONTAM_N - 2}),
+        |               i -> array_to_string(
+        |                 string_split(text, ' ')[i:i+${CONTAM_N - 1}], ' '))
+        |             ELSE [] END) AS g
+        |    FROM documents))""".stripMargin
+    def auditSql(asgCte: String, method: String) =
+      s"""SELECT '$method' AS method,
+        |       (SELECT CAST(count(DISTINCT h) AS BIGINT) FROM $asgCte a
+        |        JOIN gr USING (doc_id) WHERE a.split = 'test') AS n_test_grams,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM
+        |          (SELECT DISTINCT h FROM $asgCte a JOIN gr USING (doc_id)
+        |           WHERE a.split = 'test') t
+        |        WHERE t.h IN (SELECT h FROM $asgCte a JOIN gr USING (doc_id)
+        |                      WHERE a.split = 'train')) AS n_shared""".stripMargin
+    s"""WITH RECURSIVE $clusterLabChainSql,
+      |$gramCte,
+      |casg AS MATERIALIZED (
+      |  SELECT d0.doc_id,
+      |         CASE WHEN h % 10 < 8 THEN 'train'
+      |              WHEN h % 10 = 8 THEN 'val' ELSE 'test' END AS split
+      |  FROM (SELECT d0.doc_id,
+      |               ('0x' || substr(md5(CAST(coalesce(l.label, d0.doc_id)
+      |                 AS VARCHAR) || ':sp'), 1, 8))::BIGINT AS h
+      |        FROM documents d0 LEFT JOIN lab l ON d0.doc_id = l.doc_id)
+      |          d0),
+      |nasg AS MATERIALIZED (
+      |  SELECT doc_id,
+      |         CASE WHEN h % 10 < 8 THEN 'train'
+      |              WHEN h % 10 = 8 THEN 'val' ELSE 'test' END AS split
+      |  FROM (SELECT doc_id,
+      |               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':sp'),
+      |                               1, 8))::BIGINT AS h
+      |        FROM documents))
+      |SELECT method, n_test_grams, n_shared,
+      |       floor(CAST(n_shared AS DOUBLE) / CAST(n_test_grams AS DOUBLE)
+      |             * 10000.0 + 0.5) / 10000.0 AS contamination_rate
+      |FROM (
+      |${auditSql("casg", "cluster")}
+      |UNION ALL
+      |${auditSql("nasg", "naive")})
+      |ORDER BY method""".stripMargin
+  }
 
   private val dedupCanonicalSql =
     s"""WITH RECURSIVE $clusterLabChainSql,
@@ -1204,6 +1350,13 @@ object Dedup {
       doc = "Cluster-aware train/val/test split: md5-bucket of the " +
         "near-dup cluster representative, leakage-free by construction " +
         "(straddling count computed, not assumed)"),
+    Q("q_ngram_novelty", ngramNovelty, Some(ngramNoveltySql),
+      doc = "Per-source 8-gram novelty: repeated-gram rate — the " +
+        "memorization-risk census, digests-only shuffles"),
+    Q("q_split_contamination", splitContamination,
+      Some(splitContaminationSql),
+      doc = "Train-test 8-gram contamination, cluster-aware vs naive " +
+        "doc-hash split — the eval-leakage audit"),
     Q("q_dedup_embed", embedCosine, Some(embedCosineSql)),
     Q("q_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)))
 }

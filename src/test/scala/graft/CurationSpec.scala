@@ -198,6 +198,46 @@ class CurationSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       "mask must be a pure function of (doc_id, position)")
   }
 
+  test("padding waste: arithmetic identities hold and bucketing beats pad-to-max") {
+    val rows = Curation.paddingWaste(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (b, nd, nt) = (r.getAs[Long]("bucket"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"))
+      // pad target is min(bucket ceiling, global max): bounded above by
+      // the raw ceiling arithmetic, non-negative, and pointwise ≤ the
+      // pad-to-global-max baseline
+      assert(r.getAs[Long]("pad_tokens") <= b * nd - nt)
+      assert(r.getAs[Long]("pad_tokens") >= 0L)
+      assert(r.getAs[Long]("pad_tokens") <=
+        r.getAs[Long]("pad_tokens_unbucketed"))
+    }
+  }
+
+  test("ngram novelty: distinct ≤ total; one source recomputed directly") {
+    import org.apache.spark.sql.functions._
+    val rows = Dedup.ngramNovelty(spark, sfDir).collect()
+    rows.foreach(r => assert(
+      r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_grams")))
+    graft.functions.GraftFunctions.register(spark)
+    val src = rows.head.getAs[String]("source")
+    val grams = Tables.documents(spark, sfDir)
+      .filter(col("source") === src)
+      .select(explode(expr("word_shingles(split(text, ' '), 8)")).as("g"))
+      .collect().map(_.getString(0))
+    assert(rows.head.getAs[Long]("n_grams") == grams.length)
+    assert(rows.head.getAs[Long]("n_distinct") == grams.distinct.length)
+  }
+
+  test("split contamination: cluster-aware split never leaks more than the naive split") {
+    val m = Dedup.splitContamination(spark, sfDir).collect()
+      .map(r => r.getAs[String]("method") -> r.getAs[Double]("contamination_rate"))
+      .toMap
+    assert(m.keySet == Set("cluster", "naive"))
+    assert(m("cluster") <= m("naive"),
+      s"cluster-aware split leaked MORE than naive: $m")
+  }
+
   test("grouping sets levels are consistent: () row equals the sum of (rf) rows") {
     val rows = JoinsPlus.groupingSets(spark, sfDir).collect()
     val totals = rows.filter(r => r.getString(0) == "ALL").map(_.getLong(2)).sum

@@ -92,7 +92,11 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     // 1-row straddling-cluster census crossJoined onto the 3-row split agg
     "q_split_assign",
     // crossJoins of five 1-row census aggregates (q_ref_integrity shape)
-    "q_bloom_prune")
+    "q_bloom_prune",
+    // 1-row global-max frame broadcast onto the ≤|buckets|-row aggregate
+    "q_padding_waste",
+    // two 1-row (test-grams × shared) census crossJoins, one per method
+    "q_split_contamination")
 
   // ONE sweep over the registry (executing every query once — the
   // dominant cost of this suite), with both plan properties checked off
