@@ -155,6 +155,50 @@ object JoinsPlus {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** The [[graft.plans.AsOf]] CUSTOM OPERATOR driving the same
+    * view→purchase attribution census as [[asofAttribution]] — but
+    * through a first-class physical as-of join (AsOfJoinExec: clustered
+    * + sorted children, single forward merge, one held row of state)
+    * instead of the union + last-ignore-nulls window. The oracle
+    * recomputes attribution from scratch with a correlated max, so a
+    * hash match checks the operator's SEMANTICS, not its plan. Delays
+    * subtract per-row BEFORE averaging: epoch-µs magnitudes (~1.7e15)
+    * overflow double's 2^53 exact-integer range once a handful are
+    * summed, per-purchase deltas (≤ days) never do. */
+  def asofCustom(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("b_us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), expr("unix_micros(ts)").as("v_us"))
+    graft.plans.AsOf.join(buys, views, "user_id", "b_us", "v_us")
+      .withColumn("delay_us", col("b_us") - col("__r_v_us"))
+      .withColumn("v_us", col("__r_v_us"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        count(col("v_us")).as("n_attributed"),
+        round(avg("delay_us") / lit(1000000.0d), 4).as("avg_delay_sec"))
+      .orderBy("user_id")
+  }
+
+  private val asofCustomSql =
+    """WITH b AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS b_us
+      |  FROM events WHERE event_type = 'purchase'),
+      |v AS (
+      |  SELECT user_id, epoch_us(ts) AS v_us
+      |  FROM events WHERE event_type = 'view'),
+      |m AS (
+      |  SELECT b.user_id, b.event_id, b.b_us, max(v.v_us) AS v_us
+      |  FROM b LEFT JOIN v
+      |    ON b.user_id = v.user_id AND v.v_us <= b.b_us
+      |  GROUP BY 1, 2, 3)
+      |SELECT user_id, count(*) AS n_purchases,
+      |       count(v_us) AS n_attributed,
+      |       round(avg(b_us - v_us) / 1000000.0, 4) AS avg_delay_sec
+      |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Range (interval) join: purchases within 24 h after each signup of
     * the same user. Equi-key on user_id keeps it a hash/SMJ join; the
     * range predicate filters within the key group, so the blow-up is
@@ -522,6 +566,11 @@ object JoinsPlus {
   }
 
   val all: Seq[Q] = Seq(
+    Q("q_asof_custom", asofCustom, Some(asofCustomSql),
+      doc = "As-of join as a FIRST-CLASS operator: custom LogicalPlan + " +
+        "Strategy + AsOfJoinExec (clustered/sorted children, one-pass " +
+        "merge, O(1) state) — semantics checked against a from-scratch " +
+        "correlated-max oracle"),
     Q("q_bloom_prune", bloomPrune, Some(bloomPruneSql),
       doc = "Bloom-filter join pruning census: md5-derived bit set over " +
         "the selective side, row-local probe, realized FP rate vs the " +

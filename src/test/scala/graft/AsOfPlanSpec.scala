@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.execution.SortExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.plans.{AsOf, AsOfJoinExec}
+
+/** The custom as-of operator's CONTRACT: the planner accepts the node,
+  * EnsureRequirements inserts the clustered exchanges + (key, time)
+  * sorts the exec demands, and the merge agrees row-for-row with the
+  * built-in spelling (union + last-ignore-nulls window). */
+class AsOfPlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
+
+  private def sides = {
+    val ev = Tables.events(spark, sfDir)
+    (ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("b_us")),
+      ev.filter(col("event_type") === "view")
+        .select(col("user_id"), expr("unix_micros(ts)").as("v_us")))
+  }
+
+  test("planner inserts hash exchanges and (key, time) sorts under AsOfJoinExec") {
+    val (buys, views) = sides
+    val j = AsOf.join(buys, views, "user_id", "b_us", "v_us")
+    j.collect() // force AQE to finalize the plan
+    val plan = j.queryExecution.executedPlan
+    val execs = collect(plan) { case e: AsOfJoinExec => e }
+    assert(execs.size == 1, s"expected one AsOfJoinExec:\n$plan")
+    val shuffles = collect(plan) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size == 2,
+      s"both sides must hash-cluster on the key: ${shuffles.size} exchanges")
+    val sorts = collect(plan) { case s: SortExec => s }
+    assert(sorts.size == 2 &&
+      sorts.forall(_.sortOrder.length == 2),
+      s"both sides must sort by (key, time):\n$plan")
+  }
+
+  test("custom merge agrees row-for-row with the window-based as-of spelling") {
+    val (buys, views) = sides
+    val custom = AsOf.join(buys, views, "user_id", "b_us", "v_us")
+      .select(col("user_id"), col("event_id"), col("b_us"),
+        col("__r_v_us").as("v_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    // independent spelling: union + running last-ignore-nulls
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us").asc, col("tag").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val ev = Tables.events(spark, sfDir)
+    val uni = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        lit(0L).as("event_id"), lit(0).as("tag"),
+        expr("unix_micros(ts)").as("vv"))
+      .unionByName(ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+          col("event_id"), lit(1).as("tag"),
+          lit(null).cast("long").as("vv")))
+    val expected = uni
+      .withColumn("last_v", last("vv", ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("user_id"), col("event_id"), col("us"), col("last_v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(custom == expected,
+      s"custom vs window diff: ${(custom diff expected).take(3)} / " +
+        s"${(expected diff custom).take(3)}")
+    assert(custom.nonEmpty)
+  }
+
+  test("self-join lineage: both sides from one table resolve distinct attributes") {
+    // the regression that shipped first: shared exprIds made rightKey
+    // bind to the LEFT side; the __r_ aliasing guard must prevent it
+    val (buys, views) = sides
+    val j = AsOf.join(buys, views, "user_id", "b_us", "v_us")
+    assert(j.columns.count(_ == "user_id") == 1)
+    assert(j.columns.contains("__r_user_id"))
+    // unmatched left rows carry NULL right columns, not zeros
+    val early = j.filter(col("__r_v_us").isNull)
+    assert(early.filter(col("__r_user_id").isNotNull).count() == 0,
+      "unmatched rows must be all-null on the right side")
+  }
+}
