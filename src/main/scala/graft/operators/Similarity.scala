@@ -1669,11 +1669,15 @@ object Similarity {
     * spelled sign-portably on both sides). Output: the per-round error
     * census — the training curve, each row pinned by the exact weights
     * entering that round. */
-  def linearProbe(s: SparkSession, dir: String): DataFrame = {
+  /** The shared training loop: cached (vec_id, y, xi) features, R exact
+    * full-batch rounds, returning (final weights, per-round miss curve,
+    * CACHED feature frame, n). Callers unpersist the frame. */
+  private def trainProbe(s: SparkSession, dir: String)
+      : (Array[Long], Seq[(Int, Long)], DataFrame, Long) = {
     import s.implicits._
     val feats = Tables.embeddings(s, dir)
       .filter(col("label").isin(0, 1))
-      .select(
+      .select(col("vec_id"),
         expr("CASE WHEN label = 0 THEN 1L ELSE -1L END").as("y"),
         // bias feature fixed at 0.01 (1e4 units), matched to the scale of
         // the class-mean margin (~0.02) — a 1.0 bias would dominate every
@@ -1707,13 +1711,57 @@ object Similarity {
         w = Array.tabulate(dims)(j =>
           w(j) + Math.floorDiv(aggd.getLong(1 + j), n * (r + 1)))
     }
+    (w, curve.toSeq, feats, n)
+  }
+
+  def linearProbe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, curve, feats, n) = trainProbe(s, dir)
     feats.unpersist(blocking = false)
-    curve.toSeq.map { case (r, miss) =>
+    curve.map { case (r, miss) =>
       (r, miss, math.floor((n - miss).toDouble / n * 10000.0 + 0.5) / 10000.0)
     }.toDF("round", "n_wrong", "accuracy")
   }
 
-  private val linearProbeSql = {
+  /** Calibration table of the trained probe — the "can I trust the
+    * score as a confidence" sheet read before a model-scored filter is
+    * allowed to gate data: rank every example by its FINAL margin
+    * (raw w·x, exact integer), cut into score deciles (ntile over the
+    * unique (margin, vec_id) order — engine-identical), and report each
+    * decile's positive rate. A monotone column means the margin ranks
+    * examples; ±extremes near 1.0/0.0 mean the score separates where it
+    * is confident. The global ntile sorts a MODEL-EVAL-sized frame (the
+    * labeled probe split), not a corpus. */
+  def probeCalibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (w, _, feats, _) = trainProbe(s, dir)
+    val wDf = Seq(Tuple1(w.toSeq)).toDF("wv")
+    val scored = feats.crossJoin(broadcast(wDf))
+      .select(col("vec_id"), col("y"),
+        expr("aggregate(zip_with(xi, wv, (a, b) -> a * b), 0L, (acc, v) -> acc + v)")
+          .as("margin"))
+    val byMargin = org.apache.spark.sql.expressions.Window
+      .orderBy(col("margin").asc, col("vec_id").asc)
+    val out = scored
+      .withColumn("decile", ntile(10).over(byMargin))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"))
+      .select(col("decile"), col("n"), col("n_pos"),
+        (floor(col("n_pos").cast("double") / col("n").cast("double")
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("pos_rate"))
+      .orderBy("decile")
+    val rows = out.collect()
+    feats.unpersist(blocking = false)
+    rows.toSeq.map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3)))
+      .toDF("decile", "n", "n_pos", "pos_rate")
+  }
+
+  /** Shared oracle chain: features + unrolled training rounds to
+    * m{PROBE_ROUNDS} (margins under the FINAL weights) — used by the
+    * training-curve census AND the calibration table. */
+  private val probeChainParts: (String, String) = {
     val base =
       s"""b AS MATERIALIZED (
          |  SELECT vec_id, CASE WHEN label = 0 THEN 1 ELSE -1 END AS y,
@@ -1761,11 +1809,27 @@ object Similarity {
          |             / count(*) * 10000.0 + 0.5) / 10000.0 AS accuracy
          |FROM m$r""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH $base,
-       |$rounds
+    (s"$base,\n$rounds", census)
+  }
+
+  private val linearProbeSql = {
+    val (chain, census) = probeChainParts
+    s"""WITH $chain
        |SELECT * FROM (
        |$census)
        |ORDER BY round""".stripMargin
+  }
+
+  private val probeCalibrationSql = {
+    val chain = probeChainParts._1
+    s"""WITH $chain
+       |SELECT CAST(decile AS INTEGER) AS decile, count(*) AS n,
+       |       CAST(count(*) FILTER (y = 1) AS BIGINT) AS n_pos,
+       |       floor(CAST(count(*) FILTER (y = 1) AS DOUBLE) / count(*)
+       |             * 10000.0 + 0.5) / 10000.0 AS pos_rate
+       |FROM (SELECT y, ntile(10) OVER (ORDER BY margin, vec_id) AS decile
+       |      FROM m$PROBE_ROUNDS)
+       |GROUP BY decile ORDER BY decile""".stripMargin
   }
 
   private val pcaMomentsSql =
@@ -1796,6 +1860,10 @@ object Similarity {
     Q("q_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     Q("q_ann_ndcg", annNdcg, Some(annNdcgSql)),
     Q("q_pca_variance", pcaVariance, None),
+    Q("q_probe_calibration", probeCalibration, Some(probeCalibrationSql),
+      doc = "Score-decile calibration of the trained linear probe: " +
+        "positive rate per final-margin decile — the trust sheet before " +
+        "a model-scored filter gates data"),
     Q("q_linear_probe", linearProbe, Some(linearProbeSql),
       doc = "Distributed linear-probe training on frozen embeddings " +
         "(cluster 0 vs 1): full-batch mean-subgradient perceptron, exact " +

@@ -212,6 +212,21 @@ class SimilarityTrainingSpec extends SparkTestBase {
       s"final accuracy not above chance: $last")
   }
 
+  test("probe calibration: deciles partition the split and the margin ranks classes") {
+    val rows = Similarity.probeCalibration(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("decile"))
+    assert(rows.length == 10)
+    val total = rows.map(_.getAs[Long]("n")).sum
+    val nPos = rows.map(_.getAs[Long]("n_pos")).sum
+    assert(nPos > 0 && nPos < total)
+    // the trained margin must RANK the classes: the top decile is
+    // substantially more positive than the bottom one
+    val lo = rows.head.getAs[Double]("pos_rate")
+    val hi = rows.last.getAs[Double]("pos_rate")
+    assert(hi > lo + 0.2,
+      s"final margin does not separate classes: bottom $lo vs top $hi")
+  }
+
   test("PCA moment table ties to the eigensolver: diagonal covariance sums to the trace") {
     // q_pca_moments is the oracle-checked data half of q_pca_variance;
     // this pins that they describe the SAME covariance: the 64 diagonal
