@@ -772,7 +772,263 @@ object Curation {
        |GROUP BY bucket, max_len ORDER BY bucket""".stripMargin
   }
 
+  // --- Temperature-scaled source mixture weights --------------------------
+
+  /** Temperature sampling weights per source — the multilingual/multi-
+    * domain mixing table (the p_s^α re-weighting of mT5/XLM-R data
+    * mixing): raising token shares to α < 1 upweights small sources.
+    * α ∈ {1, 1/2, 1/4} only, because sqrt (and sqrt∘sqrt) is an IEEE
+    * exactly-rounded operation in both the JVM and DuckDB — an arbitrary
+    * pow(x, 0.3) is not, and a last-ulp divergence would flip the 4-dp
+    * hash. The sqrt output is fixed to 1e6 integer units immediately, so
+    * the normalizing sums are EXACT BIGINT arithmetic (a sum of doubles
+    * is addition-order-dependent, which a 32-way partial aggregate does
+    * not control). One corpus scan → ≤|sources| rows; the weight
+    * normalization runs on that bounded aggregate. n_toks stays well
+    * under 2^53 (a 100 TB corpus is ~1e13-1e14 tokens), so the
+    * BIGINT→DOUBLE cast before sqrt is exact. */
+  def mixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    val fix4 = (c: org.apache.spark.sql.Column) =>
+      floor(c * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)
+    val perSrc = Tables.documents(s, dir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_toks"))
+      .withColumn("b_half",
+        floor(sqrt(col("n_toks").cast("double")) * lit(1000000.0d))
+          .cast("long"))
+      .withColumn("b_quarter",
+        floor(sqrt(sqrt(col("n_toks").cast("double"))) * lit(1000000.0d))
+          .cast("long"))
+    val totals = perSrc.agg(
+      sum("n_toks").as("t_raw"), sum("b_half").as("t_half"),
+      sum("b_quarter").as("t_quarter"))
+    perSrc.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_toks"),
+        fix4(col("n_toks").cast("double") / col("t_raw").cast("double"))
+          .as("w_raw"),
+        fix4(col("b_half").cast("double") / col("t_half").cast("double"))
+          .as("w_half"),
+        fix4(col("b_quarter").cast("double")
+          / col("t_quarter").cast("double")).as("w_quarter"))
+      .orderBy("source")
+  }
+
+  private val mixtureWeightsSql =
+    """WITH p AS (
+      |  SELECT source, count(*) AS n_docs,
+      |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_toks
+      |  FROM documents GROUP BY source),
+      |b AS (
+      |  SELECT source, n_docs, n_toks,
+      |         CAST(floor(sqrt(CAST(n_toks AS DOUBLE)) * 1000000.0)
+      |              AS BIGINT) AS b_half,
+      |         CAST(floor(sqrt(sqrt(CAST(n_toks AS DOUBLE))) * 1000000.0)
+      |              AS BIGINT) AS b_quarter
+      |  FROM p),
+      |t AS (SELECT CAST(sum(n_toks) AS BIGINT) AS t_raw,
+      |             CAST(sum(b_half) AS BIGINT) AS t_half,
+      |             CAST(sum(b_quarter) AS BIGINT) AS t_quarter
+      |      FROM b)
+      |SELECT source, n_docs, n_toks,
+      |       floor(CAST(n_toks AS DOUBLE) / CAST(t_raw AS DOUBLE)
+      |             * 10000.0 + 0.5) / 10000.0 AS w_raw,
+      |       floor(CAST(b_half AS DOUBLE) / CAST(t_half AS DOUBLE)
+      |             * 10000.0 + 0.5) / 10000.0 AS w_half,
+      |       floor(CAST(b_quarter AS DOUBLE) / CAST(t_quarter AS DOUBLE)
+      |             * 10000.0 + 0.5) / 10000.0 AS w_quarter
+      |FROM b CROSS JOIN t ORDER BY source""".stripMargin
+
+  // --- End-to-end corpus retention funnel ---------------------------------
+
+  /** The corpus-curation FUNNEL — the one-table summary a pipeline owner
+    * reads before a training run: docs/tokens surviving each cumulative
+    * stage (raw → exact dedup → near-dup canonical → quality cut →
+    * decontamination). Stages reuse the engine's own checked semantics:
+    *  - exact:   keep min(doc_id) per md5(normalized text) ([[Dedup.exact]]
+    *    keep-one rule);
+    *  - neardup: keep unclustered docs plus each n-gram-Jaccard cluster's
+    *    canonical pick ([[Dedup.dedupCanonical]]'s (score, doc_id) rule,
+    *    via the memoized once-per-corpus label build);
+    *  - quality: composite score ≥ the corpus-mean composite — both sides
+    *    in exact 1e-6 integer units (mean = BIGINT-sum div count, no FP);
+    *  - decontam: drop benchmark docs (doc_id % 23 = 5) and any doc
+    *    sharing a word-5-gram with them ([[TextAnalysis.decontaminate]]'s
+    *    predicate).
+    * Scale shape: one corpus scan feeds every stage predicate; the only
+    * per-doc state shuffled is (doc_id, flags, n_toks) — text never
+    * leaves the scan. The 5-row output is a final bounded aggregate. */
+  def corpusFunnel(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val fix4 = (c: org.apache.spark.sql.Column) =>
+      floor(c * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)
+    val docs = Tables.documents(s, dir)
+      .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+    // stage 2: exact keep-one — min doc_id per normalized-text hash
+    val exactKeep = docs
+      .withColumn("h", md5(graft.functions.TextFns.normalize(col("text"))))
+      .groupBy("h").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    // stage 3: near-dup canonical — unclustered ∪ per-cluster pick
+    val labels = Dedup.corpusClusterLabels(s, dir)
+    val score6 = Dedup.canonicalScore6(s, dir)
+    // Unclustered docs keep themselves: coalesce(label, doc_id) gives each
+    // its own singleton partition (a label IS a clustered component's min
+    // doc_id, so it can never collide with an unclustered doc's id).
+    val pickW = Window.partitionBy(coalesce(col("label"), col("doc_id")))
+      .orderBy(col("s6").desc, col("doc_id").asc)
+    val canonicalKeep = docs.select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .join(score6, Seq("doc_id"))
+      .withColumn("rn", row_number().over(pickW))
+      .filter(col("rn") === 1)
+      .select("doc_id")
+    // stage 4 threshold: exact integer corpus mean of s6
+    val meanRow = score6.agg(
+      expr("sum(s6) div count(1)").cast("long").as("mean6"))
+    // stage 5: benchmark 5-gram contamination (decontaminate's predicate)
+    val sh5 = docs
+      .withColumn("sh5",
+        array_distinct(expr("word_shingles(split(text, ' '), 5)")))
+    val benchGrams = sh5
+      .filter(pmod(col("doc_id"), lit(23L)) === lit(5L))
+      .select(explode(col("sh5")).as("g0"))
+      .select(md5(col("g0")).as("g")).distinct()
+    val contaminated = sh5
+      .filter(pmod(col("doc_id"), lit(23L)) =!= lit(5L))
+      .select(col("doc_id"), explode(col("sh5")).as("g0"))
+      .withColumn("g", md5(col("g0")))
+      .join(benchGrams, Seq("g"), "left_semi")
+      .select("doc_id").distinct()
+    val flagged = docs.select("doc_id", "n_toks")
+      .join(score6, Seq("doc_id"))
+      .crossJoin(broadcast(meanRow))
+      .join(exactKeep.withColumn("f_exact", lit(1L)), Seq("doc_id"), "left")
+      .join(canonicalKeep.withColumn("f_canon", lit(1L)), Seq("doc_id"), "left")
+      .join(contaminated.withColumn("f_contam", lit(1L)), Seq("doc_id"), "left")
+      .withColumn("s2", coalesce(col("f_exact"), lit(0L)))
+      .withColumn("s3", col("s2") * coalesce(col("f_canon"), lit(0L)))
+      .withColumn("s4",
+        col("s3") * when(col("s6") >= col("mean6"), 1L).otherwise(0L))
+      .withColumn("s5",
+        col("s4") * when(pmod(col("doc_id"), lit(23L)) === lit(5L), 0L)
+          .otherwise(lit(1L) - coalesce(col("f_contam"), lit(0L))))
+    // one aggregation row, unpivoted by a stack GENERATOR — the funnel
+    // subtree (clusters + contamination + dedup) evaluates exactly once,
+    // where a 5-way union of selects over `agg` would re-run it per stage
+    flagged.agg(
+        count(lit(1)).as("d1"), sum("n_toks").as("t1"),
+        sum("s2").as("d2"), sum(col("s2") * col("n_toks")).as("t2"),
+        sum("s3").as("d3"), sum(col("s3") * col("n_toks")).as("t3"),
+        sum("s4").as("d4"), sum(col("s4") * col("n_toks")).as("t4"),
+        sum("s5").as("d5"), sum(col("s5") * col("n_toks")).as("t5"))
+      .selectExpr(
+        """stack(5,
+          |  1, '1_raw', d1, t1,
+          |  2, '2_exact_dedup', d2, t2,
+          |  3, '3_neardup_canonical', d3, t3,
+          |  4, '4_quality_cut', d4, t4,
+          |  5, '5_decontaminated', d5, t5)
+          |  AS (stage_idx, stage, n_docs, n_tokens)""".stripMargin,
+        "d1", "t1")
+      .select(col("stage_idx"), col("stage"), col("n_docs"), col("n_tokens"),
+        fix4(col("n_docs").cast("double") / col("d1").cast("double"))
+          .as("pct_docs"),
+        fix4(col("n_tokens").cast("double") / col("t1").cast("double"))
+          .as("pct_tokens"))
+      .orderBy("stage_idx")
+  }
+
+  private val corpusFunnelSql =
+    s"""WITH RECURSIVE ${Dedup.clusterLabChainSql},
+      |dd AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+      |         md5(regexp_replace(lower(trim(text)), '[^a-z0-9 ]+', ' ',
+      |                            'g')) AS h,
+      |         CAST(floor((0.5 * (len(list_filter(string_split(text, ' '),
+      |                              x -> x = 'the' OR x = 'a'))
+      |                 / CAST(len(string_split(text, ' ')) AS DOUBLE))
+      |            + 0.3 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+      |            + 0.2 * (CASE WHEN (length(text)
+      |                     - CAST(len(string_split(text, ' ')) AS DOUBLE)
+      |                     + 1) / len(string_split(text, ' '))
+      |                    BETWEEN 3 AND 8 THEN 1.0 ELSE 0.0 END))
+      |           * 1000000.0 + 0.5) AS BIGINT) AS s6
+      |  FROM documents),
+      |ex AS (SELECT min(doc_id) AS doc_id FROM dd GROUP BY h),
+      |pick AS (
+      |  SELECT doc_id FROM (
+      |    SELECT l.doc_id, row_number() OVER (PARTITION BY l.label
+      |             ORDER BY s6 DESC, l.doc_id) AS rn
+      |    FROM lab l JOIN dd USING (doc_id)) WHERE rn = 1),
+      |canon AS (
+      |  SELECT dd.doc_id FROM dd LEFT JOIN lab USING (doc_id)
+      |  WHERE lab.label IS NULL OR dd.doc_id IN (SELECT doc_id FROM pick)),
+      |mn AS (SELECT CAST(sum(s6) // count(*) AS BIGINT) AS mean6 FROM dd),
+      |g5 AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |           generate_series(1, len(string_split(text, ' ')) - 4),
+      |           i -> md5(array_to_string((string_split(text, ' '))[i:i+4],
+      |                                    ' '))))) AS g
+      |  FROM documents),
+      |bg AS (SELECT DISTINCT g FROM g5 WHERE doc_id % 23 = 5),
+      |contam AS (
+      |  SELECT DISTINCT g5.doc_id FROM g5 JOIN bg USING (g)
+      |  WHERE g5.doc_id % 23 <> 5),
+      |fl AS (
+      |  SELECT dd.doc_id, n_toks,
+      |         CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END AS s2_f,
+      |         CASE WHEN ex.doc_id IS NOT NULL
+      |               AND canon.doc_id IS NOT NULL THEN 1 ELSE 0 END AS s3_f,
+      |         CASE WHEN ex.doc_id IS NOT NULL
+      |               AND canon.doc_id IS NOT NULL
+      |               AND s6 >= mean6 THEN 1 ELSE 0 END AS s4_f
+      |  FROM dd CROSS JOIN mn
+      |  LEFT JOIN ex ON dd.doc_id = ex.doc_id
+      |  LEFT JOIN canon ON dd.doc_id = canon.doc_id),
+      |fl2 AS (
+      |  SELECT fl.*,
+      |         CASE WHEN s4_f = 1 AND fl.doc_id % 23 <> 5
+      |               AND contam.doc_id IS NULL THEN 1 ELSE 0 END AS s5_f
+      |  FROM fl LEFT JOIN contam ON fl.doc_id = contam.doc_id),
+      |a AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS d1,
+      |         CAST(sum(n_toks) AS BIGINT) AS t1,
+      |         CAST(sum(s2_f) AS BIGINT) AS d2,
+      |         CAST(sum(s2_f * n_toks) AS BIGINT) AS t2,
+      |         CAST(sum(s3_f) AS BIGINT) AS d3,
+      |         CAST(sum(s3_f * n_toks) AS BIGINT) AS t3,
+      |         CAST(sum(s4_f) AS BIGINT) AS d4,
+      |         CAST(sum(s4_f * n_toks) AS BIGINT) AS t4,
+      |         CAST(sum(s5_f) AS BIGINT) AS d5,
+      |         CAST(sum(s5_f * n_toks) AS BIGINT) AS t5
+      |  FROM fl2),
+      |st(stage_idx, stage, n_docs, n_tokens) AS (
+      |  SELECT 1, '1_raw', d1, t1 FROM a UNION ALL
+      |  SELECT 2, '2_exact_dedup', d2, t2 FROM a UNION ALL
+      |  SELECT 3, '3_neardup_canonical', d3, t3 FROM a UNION ALL
+      |  SELECT 4, '4_quality_cut', d4, t4 FROM a UNION ALL
+      |  SELECT 5, '5_decontaminated', d5, t5 FROM a)
+      |SELECT stage_idx, stage, n_docs, n_tokens,
+      |       floor(CAST(n_docs AS DOUBLE)
+      |             / (SELECT CAST(d1 AS DOUBLE) FROM a) * 10000.0 + 0.5)
+      |         / 10000.0 AS pct_docs,
+      |       floor(CAST(n_tokens AS DOUBLE)
+      |             / (SELECT CAST(t1 AS DOUBLE) FROM a) * 10000.0 + 0.5)
+      |         / 10000.0 AS pct_tokens
+      |FROM st ORDER BY stage_idx""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_mixture_weights", mixtureWeights, Some(mixtureWeightsSql),
+      doc = "Temperature-scaled source mixing weights (α = 1, 1/2, 1/4 " +
+        "via exactly-rounded sqrt, 1e6-fixed bases, exact BIGINT " +
+        "normalizers) — the data-mixing knob table"),
+    Q("q_corpus_funnel", corpusFunnel, Some(corpusFunnelSql),
+      doc = "Cumulative curation funnel: docs/tokens after exact dedup, " +
+        "near-dup canonical, quality-vs-mean cut, and benchmark " +
+        "decontamination — each stage reusing the engine's checked rules"),
     Q("q_padding_waste", paddingWaste, Some(paddingWasteSql),
       doc = "Length-bucketed batching census: pad tokens per " +
         "power-of-two bucket vs the pad-to-global-max baseline — the " +

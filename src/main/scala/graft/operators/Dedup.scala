@@ -632,7 +632,7 @@ object Dedup {
   private val labelMemo =
     new java.util.concurrent.ConcurrentHashMap[(Int, String, Long), DataFrame]()
 
-  private def corpusClusterLabels(s: SparkSession, dir: String): DataFrame =
+  private[graft] def corpusClusterLabels(s: SparkSession, dir: String): DataFrame =
     memoized(labelMemo, s, dir) {
       clusterLabels(
         similarityEdges(ngramDocs(s, dir), CLUSTER_JACCARD).localCheckpoint())
@@ -720,7 +720,7 @@ object Dedup {
     * pairs → jaccard edges → recursive transitive closure → per-doc
     * component label (`lab`). Prefixed by WITH RECURSIVE at the use
     * sites. */
-  private val clusterLabChainSql =
+  private[graft] val clusterLabChainSql =
     s"""d AS (
       |  SELECT lang, source, doc_id,
       |         list_distinct(list_transform(
@@ -772,9 +772,12 @@ object Dedup {
     * to 1e-6 integer units BEFORE ranking, so the per-cluster argmax is
     * an integer compare with a doc_id tiebreak — engine-identical. Top
     * clusters by size (doc_id tiebreak) keep the output bounded. */
-  def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
-    val labels = corpusClusterLabels(s, dir)
-    val score = Tables.documents(s, dir)
+  /** The canonical-pick quality composite in 1e-6 integer units —
+    * (doc_id, s6). Shared by [[dedupCanonical]] and
+    * [[graft.operators.Curation.corpusFunnel]] so both stages apply the
+    * SAME keep rule (and the same FP-op sequence the oracle replays). */
+  private[graft] def canonicalScore6(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .withColumn("n_tok", size(split(col("text"), " ")).cast("double"))
       .withColumn("avg_wlen",
         (length(col("text")) - col("n_tok") + lit(1.0d)) / col("n_tok"))
@@ -787,6 +790,10 @@ object Dedup {
           + lit(0.2d) * when(col("avg_wlen").between(3.0d, 8.0d), lit(1.0d))
             .otherwise(lit(0.0d)))
           * lit(1000000.0d) + lit(0.5d)).cast("long").as("s6"))
+
+  def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
+    val labels = corpusClusterLabels(s, dir)
+    val score = canonicalScore6(s, dir)
     val byCluster = org.apache.spark.sql.expressions.Window
       .partitionBy("label").orderBy(col("s6").desc, col("doc_id").asc)
     val counts = labels.groupBy("label").agg(count(lit(1)).as("n_docs"))

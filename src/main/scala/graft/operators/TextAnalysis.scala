@@ -1158,8 +1158,247 @@ object TextAnalysis {
        |FROM t CROSS JOIN diag CROSS JOIN ch""".stripMargin
   }
 
+  // --- Diversity census: distinct n-gram ratios ---------------------------
+
+  /** Per-source lexical-diversity census — distinct-1/distinct-2/
+    * distinct-3 (the distinct-n metrics of generation-diversity papers,
+    * here applied to corpus health: a crawler stuck in a template farm
+    * shows up as a collapsing distinct-2). Shape: tokens/bigrams/trigrams
+    * explode to (source, gram) pairs that PARTIAL-AGGREGATE to distinct
+    * counts in two phases — grams are ≤ a few dozen bytes, text never
+    * shuffles; output is ≤|sources| rows. Exact distinct (not HLL): the
+    * census is the oracle-checked truth the sketch variants
+    * (q_approx_distinct) are judged against. */
+  def distinctNgrams(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val fix4 = (c: org.apache.spark.sql.Column) =>
+      floor(c * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)
+    // ONE corpus scan: unigrams, bigrams, and trigrams tag-union into a
+    // single exploded (source, n, g) stream — one partial-aggregate on
+    // (source, n, gram) and one shuffle, instead of three scans of the
+    // corpus (the scan is the 100 TB cost; the gram stream partial-
+    // aggregates to the per-source distinct counts before the exchange)
+    val grams = Tables.documents(s, dir)
+      .select(col("source"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("source"), explode(expr(
+        """concat(transform(toks, x -> struct(1 AS n, x AS g)),
+          |       transform(word_shingles(toks, 2),
+          |                 x -> struct(2 AS n, x AS g)),
+          |       transform(word_shingles(toks, 3),
+          |                 x -> struct(3 AS n, x AS g)))""".stripMargin))
+        .as("t"))
+      .select(col("source"), col("t.n").as("n"), col("t.g").as("g"))
+    val per = grams.groupBy("source", "n")
+      .agg(count(lit(1)).as("tot"), countDistinct("g").as("dst"))
+    per.groupBy("source")
+      .agg(
+        max(when(col("n") === 1, col("tot"))).as("n1"),
+        max(when(col("n") === 1, col("dst"))).as("d1"),
+        max(when(col("n") === 2, col("tot"))).as("n2"),
+        max(when(col("n") === 2, col("dst"))).as("d2"),
+        max(when(col("n") === 3, col("tot"))).as("n3"),
+        max(when(col("n") === 3, col("dst"))).as("d3"))
+      .select(col("source"), col("n1").as("n_tokens"),
+        col("d1").as("n_distinct_1"), col("d2").as("n_distinct_2"),
+        col("d3").as("n_distinct_3"),
+        fix4(col("d1").cast("double") / col("n1").cast("double"))
+          .as("distinct_1"),
+        fix4(col("d2").cast("double") / col("n2").cast("double"))
+          .as("distinct_2"),
+        fix4(col("d3").cast("double") / col("n3").cast("double"))
+          .as("distinct_3"))
+      .orderBy("source")
+  }
+
+  private val distinctNgramsSql =
+    """WITH t AS (
+      |  SELECT source, string_split(text, ' ') AS toks FROM documents),
+      |g AS (
+      |  SELECT source, len(toks) AS n1,
+      |         list_transform(generate_series(1, len(toks) - 1),
+      |           i -> array_to_string(toks[i:i+1], ' ')) AS big,
+      |         list_transform(generate_series(1, len(toks) - 2),
+      |           i -> array_to_string(toks[i:i+2], ' ')) AS tri
+      |  FROM t),
+      |u AS (SELECT source, count(DISTINCT g) AS d1
+      |      FROM (SELECT source, unnest(toks) AS g FROM t) GROUP BY source),
+      |b AS (SELECT source, count(*) AS n2, count(DISTINCT g) AS d2
+      |      FROM (SELECT source, unnest(big) AS g FROM g) GROUP BY source),
+      |r AS (SELECT source, count(*) AS n3, count(DISTINCT g) AS d3
+      |      FROM (SELECT source, unnest(tri) AS g FROM g) GROUP BY source),
+      |n AS (SELECT source, CAST(sum(n1) AS BIGINT) AS n1 FROM g
+      |      GROUP BY source)
+      |SELECT n.source AS source, n1 AS n_tokens,
+      |       CAST(d1 AS BIGINT) AS n_distinct_1,
+      |       CAST(d2 AS BIGINT) AS n_distinct_2,
+      |       CAST(d3 AS BIGINT) AS n_distinct_3,
+      |       floor(CAST(d1 AS DOUBLE) / n1 * 10000.0 + 0.5) / 10000.0
+      |         AS distinct_1,
+      |       floor(CAST(d2 AS DOUBLE) / n2 * 10000.0 + 0.5) / 10000.0
+      |         AS distinct_2,
+      |       floor(CAST(d3 AS DOUBLE) / n3 * 10000.0 + 0.5) / 10000.0
+      |         AS distinct_3
+      |FROM n JOIN u ON n.source = u.source JOIN b ON n.source = b.source
+      |JOIN r ON n.source = r.source
+      |ORDER BY source""".stripMargin
+
+  // --- Vocabulary coverage / OOV census -----------------------------------
+
+  private val COV_TIERS = Seq(1000L, 8000L, 32000L)
+
+  /** Top-V vocabulary coverage per language — the OOV-rate table read
+    * before fixing a word-level vocab size (and the sanity check behind a
+    * subword tokenizer's "bytes fall back" budget): what fraction of each
+    * language's token mass the top-1k/8k/32k global words cover. Shape:
+    * the (word, count) vocab aggregates once; top-32k selection is a
+    * distributed TakeOrdered (sort+limit pushes k into each partition —
+    * no global sort materializes); ranks attach on a ≤32k-row bounded
+    * frame and broadcast back to the per-(lang, word) aggregate. Ties at
+    * tier boundaries break by word ASC in both engines. */
+  def wordCoverage(s: SparkSession, dir: String): DataFrame = {
+    val fix4 = (c: org.apache.spark.sql.Column) =>
+      floor(c * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)
+    val pairs = Tables.documents(s, dir)
+      .select(col("lang"), explode(TextFns.tokens(col("text"))).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+    val vocabTop = pairs.groupBy("w").agg(sum("c").as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc)
+      .limit(COV_TIERS.last.toInt)
+      .withColumn("rank", row_number().over(Window
+        .orderBy(col("cnt").desc, col("w").asc)))
+      .select("w", "rank")
+    val covCols = COV_TIERS.map(v =>
+      sum(when(col("rank").isNotNull && col("rank") <= v, col("c"))
+        .otherwise(0L)).as(s"cov_$v"))
+    pairs.join(broadcast(vocabTop), Seq("w"), "left")
+      .groupBy("lang")
+      .agg(sum("c").as("n_tokens"), covCols: _*)
+      .select(col("lang") +: col("n_tokens") +:
+        COV_TIERS.map(v => fix4(col(s"cov_$v").cast("double")
+          / col("n_tokens").cast("double")).as(s"cov_rate_$v")) :+
+        (col("n_tokens") - col(s"cov_${COV_TIERS.last}"))
+          .as("oov_tokens"): _*)
+      .orderBy("lang")
+  }
+
+  private val wordCoverageSql = {
+    val tiers = COV_TIERS.map(v =>
+      s"""floor(CAST(sum(CASE WHEN rank IS NOT NULL AND rank <= $v
+         |                    THEN c ELSE 0 END) AS DOUBLE)
+         |      / sum(c) * 10000.0 + 0.5) / 10000.0 AS cov_rate_$v"""
+        .stripMargin).mkString(",\n       ")
+    s"""WITH p AS (
+      |  SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+      |        FROM documents)
+      |  GROUP BY lang, w),
+      |v AS (
+      |  SELECT w, row_number() OVER (ORDER BY cnt DESC, w) AS rank
+      |  FROM (SELECT w, sum(c) AS cnt FROM p GROUP BY w)
+      |  QUALIFY rank <= ${COV_TIERS.last})
+      |SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |       $tiers,
+      |       CAST(sum(c) - sum(CASE WHEN rank IS NOT NULL
+      |                              AND rank <= ${COV_TIERS.last}
+      |                         THEN c ELSE 0 END) AS BIGINT) AS oov_tokens
+      |FROM p LEFT JOIN v USING (w)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  // --- DSIR-style importance affinity -------------------------------------
+
+  /** Importance-resampling affinity (the DSIR recipe of Xie et al. 2023,
+    * re-expressed with this engine's fixed-point discipline): score every
+    * document by Σ_w c_{d,w}·λ(w), where λ(w) is the add-one-smoothed
+    * log-likelihood ratio between the TARGET unigram LM (here: the
+    * English subcorpus — the "high-quality reference" slot) and the raw
+    * corpus LM. λ fixes to 1e-6 units immediately after the single ln
+    * (the [[lmScore]]/[[pmiCollocations]] determinism pattern), so the
+    * per-doc reduce and per-source mean are EXACT integer sums. Shape:
+    * token pairs partial-aggregate before any shuffle; both LMs are
+    * vocab-sized tables; the scalar (T, R, V) frame broadcasts. The
+    * census reports per-source doc counts and mean affinity — the table
+    * that decides per-source resampling rates. */
+  def dsirAffinity(s: SparkSession, dir: String): DataFrame =
+    dsirAffinityOn(Tables.documents(s, dir))
+
+  /** [[dsirAffinity]] over an explicit (doc_id, source, lang, text) frame
+    * — the planted-semantics seam (CensusSemanticsSpec). */
+  private[graft] def dsirAffinityOn(docs: DataFrame): DataFrame = {
+    val fix4 = (c: org.apache.spark.sql.Column) =>
+      floor(c * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)
+    val pairs = docs
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(TextFns.tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "source", "lang", "w")
+      .agg(count(lit(1)).as("c"))
+    val raw = pairs.groupBy("w").agg(sum("c").as("cr"))
+    val tgt = pairs.filter(col("lang") === "en")
+      .groupBy("w").agg(sum("c").as("ct"))
+    val scal = raw.agg(sum("cr").as("bigR"), count(lit(1)).as("v"))
+      .crossJoin(tgt.agg(sum("ct").as("bigT")))
+    val lam = raw.join(tgt, Seq("w"), "left")
+      .crossJoin(broadcast(scal))
+      .select(col("w"),
+        floor(log(((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double")
+            / (col("bigT") + col("v")).cast("double"))
+          / ((col("cr") + lit(1L)).cast("double")
+            / (col("bigR") + col("v")).cast("double")))
+          * lit(1000000.0d) + lit(0.5d)).cast("long").as("lam6"))
+    pairs.join(lam, "w")
+      .groupBy("doc_id", "source")
+      .agg(sum(col("c") * col("lam6")).as("s6"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("s6").as("sum6"))
+      .select(col("source"), col("n_docs"),
+        fix4(col("sum6").cast("double")
+          / (col("n_docs") * lit(1000000L)).cast("double"))
+          .as("mean_affinity"))
+      .orderBy("source")
+  }
+
+  private val dsirAffinitySql =
+    """WITH p AS (
+      |  SELECT doc_id, source, lang, w, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT doc_id, source, lang,
+      |               unnest(string_split(text, ' ')) AS w
+      |        FROM documents)
+      |  GROUP BY doc_id, source, lang, w),
+      |raw AS (SELECT w, CAST(sum(c) AS BIGINT) AS cr FROM p GROUP BY w),
+      |tgt AS (SELECT w, CAST(sum(c) AS BIGINT) AS ct FROM p
+      |        WHERE lang = 'en' GROUP BY w),
+      |sc AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS bigR,
+      |              (SELECT CAST(count(*) AS BIGINT) FROM raw) AS v,
+      |              (SELECT CAST(sum(ct) AS BIGINT) FROM tgt) AS bigT),
+      |lam AS (
+      |  SELECT w,
+      |         CAST(floor(ln((CAST(coalesce(ct, 0) + 1 AS DOUBLE)
+      |                        / CAST(bigT + v AS DOUBLE))
+      |                       / (CAST(cr + 1 AS DOUBLE)
+      |                          / CAST(bigR + v AS DOUBLE)))
+      |                    * 1000000.0 + 0.5) AS BIGINT) AS lam6
+      |  FROM raw LEFT JOIN tgt USING (w) CROSS JOIN sc),
+      |ds AS (
+      |  SELECT doc_id, source, CAST(sum(c * lam6) AS BIGINT) AS s6
+      |  FROM p JOIN lam USING (w) GROUP BY doc_id, source)
+      |SELECT source, count(*) AS n_docs,
+      |       floor(CAST(sum(s6) AS DOUBLE)
+      |             / CAST(count(*) * 1000000 AS DOUBLE) * 10000.0 + 0.5)
+      |         / 10000.0 AS mean_affinity
+      |FROM ds GROUP BY source ORDER BY source""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_text_langid", langId, Some(langIdSql)),
+    Q("q_distinct_ngrams", distinctNgrams, Some(distinctNgramsSql),
+      doc = "Per-source distinct-1/2/3 lexical-diversity census — " +
+        "exact two-phase distinct over gram pairs, text never shuffles"),
+    Q("q_word_coverage", wordCoverage, Some(wordCoverageSql),
+      doc = "Top-1k/8k/32k vocabulary coverage and OOV token mass per " +
+        "language — TakeOrdered vocab selection, broadcast rank join"),
+    Q("q_dsir_affinity", dsirAffinity, Some(dsirAffinitySql),
+      doc = "DSIR-style importance affinity per source: smoothed " +
+        "target-vs-raw unigram log-ratio, 1e-6-fixed then exact integer " +
+        "doc and source reduces"),
     Q("q_langid_eval", langIdEval, Some(langIdEvalSql)),
     Q("q_langid_kappa", langIdKappa, Some(langIdKappaSql)),
     Q("q_lm_score", lmScore, Some(lmScoreSql)),
@@ -1173,7 +1412,10 @@ object TextAnalysis {
     Q("q_tfidf", tfidf, Some(tfidfSql)),
     Q("q_text_repetition", repetition, Some(repetitionSql)),
     Q("q_decontaminate", decontaminate, Some(decontaminateSql)),
-    Q("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
+    Q("q_stratified_topk", stratifiedSample, Some(stratifiedSampleSql),
+      doc = "Exact k-per-stratum sample by md5(doc_id) order — " +
+        "two-level top-k keeps every window partition bounded; " +
+        "complements Curation's rate-based q_stratified_sample"),
     Q("q_hash_split", hashSplit, Some(hashSplitSql)),
     Q("q_text_rollinghash", rollingFingerprint, Some(rollingFingerprintSql)),
     Q("q_text_quality", quality, Some(qualitySql)),

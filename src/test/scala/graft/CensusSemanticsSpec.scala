@@ -65,4 +65,83 @@ class CensusSemanticsSpec extends SparkTestBase {
     assert(math.abs(r3.getAs[Double]("max_dim_var") - 14.0 / 9.0) < 1e-6,
       s"max_dim_var: $r3")
   }
+
+  test("DSIR affinity separates planted target-like and off-target sources") {
+    import spark.implicits._
+    // target LM = lang 'en'. Source srcA's docs are English-vocabulary
+    // ('alpha beta'), srcB's are disjoint off-target vocabulary
+    // ('gamma delta'). λ(alpha/beta) > 0 > λ(gamma/delta), so srcA's
+    // mean affinity must exceed srcB's, and the signs must split.
+    val docs = Seq(
+      (1L, "srcA", "en", "alpha beta alpha beta"),
+      (2L, "srcA", "en", "beta alpha beta alpha"),
+      (3L, "srcB", "zh", "gamma delta gamma delta"),
+      (4L, "srcB", "zh", "delta gamma delta gamma")
+    ).toDF("doc_id", "source", "lang", "text")
+    val out = operators.TextAnalysis.dsirAffinityOn(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out("srcA") > 0d, s"target-like source must score positive: $out")
+    assert(out("srcB") < 0d, s"off-target source must score negative: $out")
+    assert(out("srcA") > out("srcB"))
+  }
+
+  test("mixture weights: each column normalizes and α<1 flattens shares") {
+    val rows = operators.Curation.mixtureWeights(spark, sfDir).collect()
+    val tol = 1e-4 * (rows.length + 1)
+    for (c <- Seq("w_raw", "w_half", "w_quarter")) {
+      val s = rows.map(_.getAs[Double](c)).sum
+      assert(math.abs(s - 1.0) < tol, s"$c sums to $s")
+    }
+    // temperature flattening: the smallest source gains share as α drops,
+    // the largest loses share
+    val smallest = rows.minBy(_.getAs[Long]("n_toks"))
+    val largest = rows.maxBy(_.getAs[Long]("n_toks"))
+    assert(smallest.getAs[Double]("w_quarter")
+      >= smallest.getAs[Double]("w_half"),
+      s"α=1/4 must upweight the smallest source: $smallest")
+    assert(smallest.getAs[Double]("w_half") >= smallest.getAs[Double]("w_raw"))
+    assert(largest.getAs[Double]("w_quarter") <= largest.getAs[Double]("w_raw"),
+      s"α=1/4 must downweight the largest source: $largest")
+  }
+
+  test("corpus funnel is monotone and anchored at the raw corpus") {
+    val rows = operators.Curation.corpusFunnel(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("stage_idx"))
+    assert(rows.length == 5)
+    val nDocs = rows.map(_.getAs[Long]("n_docs"))
+    val nToks = rows.map(_.getAs[Long]("n_tokens"))
+    assert(nDocs.zip(nDocs.tail).forall { case (a, b) => b <= a },
+      s"docs must be non-increasing: ${nDocs.toSeq}")
+    assert(nToks.zip(nToks.tail).forall { case (a, b) => b <= a },
+      s"tokens must be non-increasing: ${nToks.toSeq}")
+    val raw = Tables.documents(spark, sfDir)
+    assert(nDocs.head == raw.count(), "stage 1 is the raw corpus")
+    assert(rows.head.getAs[Double]("pct_docs") == 1.0d)
+    assert(nDocs.last > 0L, "the funnel must not empty the corpus")
+  }
+
+  test("word coverage is monotone across vocab tiers and OOV-consistent") {
+    val rows = operators.TextAnalysis.wordCoverage(spark, sfDir).collect()
+    rows.foreach { r =>
+      val (c1, c8, c32) = (r.getAs[Double]("cov_rate_1000"),
+        r.getAs[Double]("cov_rate_8000"), r.getAs[Double]("cov_rate_32000"))
+      assert(c1 <= c8 + 1e-9 && c8 <= c32 + 1e-9, s"tier monotonicity: $r")
+      assert(c32 <= 1.0d)
+      // the sf0.001 vocabulary is far under 32k words, so the top tier
+      // must cover everything
+      assert(r.getAs[Long]("oov_tokens") == 0L, s"no OOV at 32k here: $r")
+      assert(c32 == 1.0d)
+    }
+  }
+
+  test("distinct-ngram diversity stays within counting bounds") {
+    val rows = operators.TextAnalysis.distinctNgrams(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_distinct_1") <= r.getAs[Long]("n_tokens"))
+      for (c <- Seq("distinct_1", "distinct_2", "distinct_3")) {
+        val v = r.getAs[Double](c)
+        assert(v > 0d && v <= 1.0d, s"$c out of range: $r")
+      }
+    }
+  }
 }

@@ -96,7 +96,13 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     // 1-row global-max frame broadcast onto the ≤|buckets|-row aggregate
     "q_padding_waste",
     // two 1-row (test-grams × shared) census crossJoins, one per method
-    "q_split_contamination")
+    "q_split_contamination",
+    // 1-row weight-normalizer frame broadcast onto the ≤|sources|-row agg
+    "q_mixture_weights",
+    // 1-row corpus-mean-score frame broadcast onto the doc flag table
+    "q_corpus_funnel",
+    // 1-row (T, R, V) LM-scalar frame broadcast onto the vocab table
+    "q_dsir_affinity")
 
   // ONE sweep over the registry (executing every query once — the
   // dominant cost of this suite), with both plan properties checked off
