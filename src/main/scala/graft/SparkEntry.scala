@@ -19,6 +19,11 @@ object SparkEntry {
       Inference.all ++
       sources.Ddl.all ++ sources.SnapshotLake.all
 
+  /** Raw registration order, pre-Map — RegistryContractSpec asserts name
+    * uniqueness here (a duplicate would otherwise be silently dropped by
+    * the Map, shadowing one operator behind another). */
+  private[graft] def registeredNames: Seq[String] = registry.map(_.name)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.run).toMap
 
