@@ -840,6 +840,71 @@ object Curation {
       |             * 10000.0 + 0.5) / 10000.0 AS w_quarter
       |FROM b CROSS JOIN t ORDER BY source""".stripMargin
 
+  /** Epochs-per-source flagged as over-repeated beyond this many passes
+    * (the multi-epoch degradation regime of repeated-data scaling
+    * studies). */
+  private val EPOCH_CAP = 4.0d
+
+  /** Epoch/repetition schedule census — the follow-on decision table of
+    * [[mixtureWeights]]: under α=1/2 temperature sampling at a total
+    * budget of ONE corpus-pass of tokens, how many epochs does each
+    * source actually see? Upweighted small sources repeat
+    * (epochs = budget·w_s / tokens_s > 1); the census flags sources
+    * pushed past EPOCH_CAP passes — the knob check run before training,
+    * because repetition is where upweighting silently turns into
+    * memorization risk. Same exact-integer normalizer discipline as the
+    * weights table; one scan, ≤|sources|-row aggregate. */
+  def epochSchedule(s: SparkSession, dir: String): DataFrame = {
+    val fix4 = (c: org.apache.spark.sql.Column) =>
+      floor(c * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)
+    val perSrc = Tables.documents(s, dir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_toks"))
+      .withColumn("b_half",
+        floor(sqrt(col("n_toks").cast("double")) * lit(1000000.0d))
+          .cast("long"))
+    val totals = perSrc.agg(
+      sum("n_toks").as("budget"), sum("b_half").as("t_half"))
+    perSrc.crossJoin(broadcast(totals))
+      // epochs = (budget · b_half / t_half) / n_toks, evaluated in the
+      // exact same op order both engines: one double product, two divides
+      .withColumn("epochs",
+        fix4(col("budget").cast("double") * col("b_half").cast("double")
+          / col("t_half").cast("double") / col("n_toks").cast("double")))
+      .select(col("source"), col("n_docs"), col("n_toks"),
+        fix4(col("b_half").cast("double") / col("t_half").cast("double"))
+          .as("w_half"),
+        col("epochs"),
+        (col("epochs") > lit(EPOCH_CAP)).as("over_repeated"))
+      .orderBy("source")
+  }
+
+  private val epochScheduleSql =
+    s"""WITH p AS (
+      |  SELECT source, count(*) AS n_docs,
+      |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_toks
+      |  FROM documents GROUP BY source),
+      |b AS (
+      |  SELECT source, n_docs, n_toks,
+      |         CAST(floor(sqrt(CAST(n_toks AS DOUBLE)) * 1000000.0)
+      |              AS BIGINT) AS b_half
+      |  FROM p),
+      |t AS (SELECT CAST(sum(n_toks) AS BIGINT) AS budget,
+      |             CAST(sum(b_half) AS BIGINT) AS t_half FROM b),
+      |e AS (
+      |  SELECT source, n_docs, n_toks,
+      |         floor(CAST(b_half AS DOUBLE) / CAST(t_half AS DOUBLE)
+      |               * 10000.0 + 0.5) / 10000.0 AS w_half,
+      |         floor(CAST(budget AS DOUBLE) * CAST(b_half AS DOUBLE)
+      |               / CAST(t_half AS DOUBLE) / CAST(n_toks AS DOUBLE)
+      |               * 10000.0 + 0.5) / 10000.0 AS epochs
+      |  FROM b CROSS JOIN t)
+      |SELECT source, n_docs, n_toks, w_half, epochs,
+      |       epochs > $EPOCH_CAP AS over_repeated
+      |FROM e ORDER BY source""".stripMargin
+
   // --- End-to-end corpus retention funnel ---------------------------------
 
   /** The corpus-curation FUNNEL — the one-table summary a pipeline owner
@@ -1025,6 +1090,10 @@ object Curation {
       doc = "Temperature-scaled source mixing weights (α = 1, 1/2, 1/4 " +
         "via exactly-rounded sqrt, 1e6-fixed bases, exact BIGINT " +
         "normalizers) — the data-mixing knob table"),
+    Q("q_epoch_schedule", epochSchedule, Some(epochScheduleSql),
+      doc = "Epoch/repetition schedule under α=1/2 temperature sampling " +
+        "at a one-corpus-pass token budget — flags sources repeated past " +
+        s"$EPOCH_CAP passes (the memorization-risk knob check)"),
     Q("q_corpus_funnel", corpusFunnel, Some(corpusFunnelSql),
       doc = "Cumulative curation funnel: docs/tokens after exact dedup, " +
         "near-dup canonical, quality-vs-mean cut, and benchmark " +

@@ -104,6 +104,22 @@ class CensusSemanticsSpec extends SparkTestBase {
       s"α=1/4 must downweight the largest source: $largest")
   }
 
+  test("epoch schedule conserves the token budget and flags consistently") {
+    val rows = operators.Curation.epochSchedule(spark, sfDir).collect()
+    val totToks = rows.map(_.getAs[Long]("n_toks")).sum
+    // Σ_s epochs_s · tokens_s = budget (one corpus pass), up to the 4-dp
+    // fix on each epochs value
+    val spent = rows.map(r =>
+      r.getAs[Double]("epochs") * r.getAs[Long]("n_toks")).sum
+    assert(math.abs(spent - totToks) < 2e-4 * totToks,
+      s"budget conservation: spent $spent of $totToks")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("over_repeated")
+        == (r.getAs[Double]("epochs") > 4.0d), s"flag mismatch: $r")
+      assert(r.getAs[Double]("epochs") > 0d)
+    }
+  }
+
   test("corpus funnel is monotone and anchored at the raw corpus") {
     val rows = operators.Curation.corpusFunnel(spark, sfDir).collect()
       .sortBy(_.getAs[Int]("stage_idx"))

@@ -99,6 +99,8 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     "q_split_contamination",
     // 1-row weight-normalizer frame broadcast onto the ≤|sources|-row agg
     "q_mixture_weights",
+    // same 1-row normalizer shape as q_mixture_weights
+    "q_epoch_schedule",
     // 1-row corpus-mean-score frame broadcast onto the doc flag table
     "q_corpus_funnel",
     // 1-row (T, R, V) LM-scalar frame broadcast onto the vocab table
