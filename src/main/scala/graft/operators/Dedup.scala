@@ -471,21 +471,36 @@ object Dedup {
     * uncapped. */
   private[graft] def ngramJaccardPlan(d: DataFrame,
                                       cap: Long = POSTING_CAP): DataFrame =
-    ngramCandidates(d, cap)
+    ngramScored(ngramCandidates(d, cap))
+
+  private def ngramScored(cands: DataFrame): DataFrame =
+    cands
       .select(col("lang"), col("source"), col("a"), col("b"),
         round(col("c").cast("double") /
           (col("sza") + col("szb") - col("c")).cast("double"), 4).as("jac"))
       .orderBy(col("jac").desc, col("a").asc, col("b").asc)
       .limit(10)
 
-  /** Fully lazy plan — the shingle stage recomputes once per branch
-    * (sizes + both posting sides) rather than being cached: shingling is a
-    * compiled scan-local kernel, so the recompute costs extra scans, while
-    * a cache either leaks past the query or forces an eager driver-side
-    * materialization. A caller that reuses the frame can `.cache()` it and
-    * manage the lifetime itself. */
+  /** Capped ngram candidate-pair memo per (session, corpus dir) — the
+    * (lang, source, a, b, c, sza, szb) pair table (ids and counts only,
+    * never text) is the shared once-per-corpus build behind THREE
+    * consumers: the Jaccard top-10, the containment top-10, and the
+    * cluster-label edge set. Same lifecycle discipline as candMemo /
+    * labelMemo (fingerprint-keyed, localCheckpoint-pinned). */
+  private val ngramCandMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Long), DataFrame]()
+
+  private[graft] def corpusNgramCandidates(s: SparkSession,
+                                           dir: String): DataFrame =
+    memoized(ngramCandMemo, s, dir) {
+      ngramCandidates(ngramDocs(s, dir)).localCheckpoint()
+    }
+
+  /** Top-10 ngram-Jaccard pairs, from the shared memoized candidate
+    * table — the first consumer pays the inverted-index build, the
+    * containment and cluster queries reuse it. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
-    ngramJaccardPlan(ngramDocs(s, dir))
+    ngramScored(corpusNgramCandidates(s, dir))
 
   private val ngramJaccardSql =
     s"""WITH d AS (
@@ -525,7 +540,7 @@ object Dedup {
     * Same capped inverted index as [[ngramJaccard]] — the only new work
     * is the least() in the scoring expression. */
   def ngramContainment(s: SparkSession, dir: String): DataFrame =
-    ngramCandidates(ngramDocs(s, dir))
+    corpusNgramCandidates(s, dir)
       .select(col("lang"), col("source"), col("a"), col("b"),
         round(col("c").cast("double") /
           least(col("sza"), col("szb")).cast("double"), 4).as("containment"),
@@ -571,7 +586,11 @@ object Dedup {
     * index as [[ngramJaccard]]. (a, b) with a < b. */
   private[graft] def similarityEdges(d: DataFrame,
                                      threshold: Double): DataFrame =
-    ngramCandidates(d)
+    edgesFromCandidates(ngramCandidates(d), threshold)
+
+  private def edgesFromCandidates(cands: DataFrame,
+                                  threshold: Double): DataFrame =
+    cands
       .filter(col("c").cast("double") /
         (col("sza") + col("szb") - col("c")).cast("double") >= threshold)
       .select("a", "b")
@@ -635,7 +654,8 @@ object Dedup {
   private[graft] def corpusClusterLabels(s: SparkSession, dir: String): DataFrame =
     memoized(labelMemo, s, dir) {
       clusterLabels(
-        similarityEdges(ngramDocs(s, dir), CLUSTER_JACCARD).localCheckpoint())
+        edgesFromCandidates(corpusNgramCandidates(s, dir), CLUSTER_JACCARD)
+          .localCheckpoint())
     }
 
   /** Connected components over an (a, b) edge frame via min-label
