@@ -121,7 +121,13 @@ object SnapshotLake {
                             files: Seq[FileEntry],
                             deletes: Seq[FileEntry] = Seq.empty,
                             cols: Seq[ColumnDef] = Seq.empty,
-                            eqDeletes: Seq[EqDelete] = Seq.empty) {
+                            eqDeletes: Seq[EqDelete] = Seq.empty,
+                            /** Lineage: the snapshot this one was built
+                              * on. Explicit `parent=` line when present;
+                              * legacy linear manifests default to v−1
+                              * (exact for every pre-refs history, where
+                              * all commits chained through main). */
+                            parent: Int = -1) {
     def paths: Seq[String] = files.map(_.path)
     /** Every file the snapshot pins — data AND delete files — for
       * expire/reclaim accounting. */
@@ -148,6 +154,27 @@ object SnapshotLake {
     }
   }
 
+  /** The MAIN ref's version — what `read` and every main-chain mutation
+    * build on. Follows the `_current` pointer when present (every commit
+    * through main writes it); falls back to the max manifest number for
+    * pre-pointer tables. The distinction matters once BRANCHES exist:
+    * branch commits claim global snapshot numbers past main's head, so
+    * "latest manifest" stops meaning "main". */
+  def mainVersion(root: String): Int = {
+    val cur = metaDir(root).resolve("_current")
+    if (Files.exists(cur)) Files.readString(cur).trim.toInt
+    else currentVersion(root)
+  }
+
+  /** Content base + head snapshot + claim number for a main-chain
+    * mutation: content comes from the main ref, the claimed snapshot
+    * number from the GLOBAL max (branch snapshots share the number
+    * space), so staged file names and the committed version agree. */
+  private def mainMutationCtx(root: String): (Int, Snapshot, Int) = {
+    val base = mainVersion(root)
+    (base, snapshot(root, base), currentVersion(root) + 1)
+  }
+
   def snapshot(root: String, version: Int): Snapshot = {
     val p = metaDir(root).resolve(s"v$version.manifest")
     require(Files.exists(p),
@@ -158,30 +185,41 @@ object SnapshotLake {
       .getOrElse(sys.error(s"manifest v$version missing $k"))
     val statsCol = lines.find(_.startsWith("stats="))
       .map(_.drop(6)).filter(_.nonEmpty)
-    Snapshot(field("version").toInt, field("op"), field("nRows").toLong,
+    val ver = field("version").toInt
+    Snapshot(ver, field("op"), field("nRows").toLong,
       field("schema"), statsCol,
       lines.filter(_.startsWith("file=")).map(l => parseEntry(l.drop(5))),
       lines.filter(_.startsWith("delete=")).map(l => parseEntry(l.drop(7))),
       lines.filter(_.startsWith("col=")).map(l => parseCol(l.drop(4))),
       lines.filter(_.startsWith("eqdelete="))
-        .map(l => parseEqDelete(l.drop(9))))
+        .map(l => parseEqDelete(l.drop(9))),
+      lines.find(_.startsWith("parent=")).map(_.drop(7).toInt)
+        .getOrElse(ver - 1))
   }
 
-  /** Commit `files` as version `prev + 1`. Publishing is an ATOMIC_MOVE
-    * to a CREATE_NEW target: if another writer committed the same version
-    * first, the move fails and the caller gets a conflict — never a
-    * corrupted table. */
+  /** Commit `files` as a NEW snapshot built on content base `prev` (the
+    * recorded lineage parent). The claimed number is global-max + 1 —
+    * snapshot numbers are one space shared by main and every branch (the
+    * Iceberg model: snapshots are global, REFS select). Publishing is a
+    * hard-link claim on a CREATE_NEW target: if another writer claimed
+    * the same number first, the link fails and the caller gets a
+    * conflict — never a corrupted table. `advanceMain=false` leaves the
+    * main pointer untouched (branch commits). */
   private[graft] def commit(root: String, prev: Int, op: String, nRows: Long,
                             schemaDdl: String, statsCol: Option[String],
                             files: Seq[FileEntry],
                             deletes: Seq[FileEntry] = Seq.empty,
                             cols: Seq[ColumnDef] = Seq.empty,
-                            eqDeletes: Seq[EqDelete] = Seq.empty): Int = {
-    val v = prev + 1
+                            eqDeletes: Seq[EqDelete] = Seq.empty,
+                            advanceMain: Boolean = true,
+                            claim: Int = -1): Int = {
+    // claim number: explicit (branch-aware flows pass currentVersion+1,
+    // matching their staged file names) or the legacy linear parent+1
+    val v = if (claim > 0) claim else prev + 1
     Files.createDirectories(metaDir(root))
     val body =
       (Seq(s"version=$v", s"op=$op", s"nRows=$nRows", s"schema=$schemaDdl",
-        s"stats=${statsCol.getOrElse("")}") ++
+        s"stats=${statsCol.getOrElse("")}", s"parent=$prev") ++
         files.map(f => s"file=${f.serialized}") ++
         deletes.map(f => s"delete=${f.serialized}") ++
         cols.map(c => s"col=${c.serialized}") ++
@@ -201,12 +239,18 @@ object SnapshotLake {
             "writer — re-read current and retry")
     }
     Files.deleteIfExists(tmp)
+    if (advanceMain) setMainPointer(root, v)
+    v
+  }
+
+  /** Atomically repoint main at `v` (tmp + rename — last writer wins,
+    * which is correct for a pointer). */
+  private def setMainPointer(root: String, v: Int): Unit = {
     val cur = metaDir(root).resolve("_current")
     val curTmp = metaDir(root).resolve("._current.tmp")
     Files.writeString(curTmp, v.toString)
     Files.move(curTmp, cur, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    v
   }
 
   /** The two parquet field-id confs id-based tables need. They are set
@@ -248,12 +292,23 @@ object SnapshotLake {
                     cols: Seq[ColumnDef] = Seq.empty): Seq[FileEntry] =
     stageAs(df, root, v, offset = 0, statsCol, cols)
 
+  /** Per-stage nonce folded into every staged file name: with branch
+    * commits, two writers can stage under the SAME guessed version
+    * number (each computed its own head) — without a uniquifier the
+    * second ATOMIC_MOVE would silently overwrite the first's committed
+    * bytes. Names are opaque (manifests pin paths), so uniqueness is the
+    * only requirement. */
+  private def stageNonce(): String =
+    java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong() >>> 40)
+
   private def stageAs(df0: DataFrame, root: String, v: Int, offset: Int,
                       statsCol: Option[String],
                       cols: Seq[ColumnDef] = Seq.empty): Seq[FileEntry] = {
+    val nonce = stageNonce()
     val df = withFieldIds(df0, cols)
     if (cols.nonEmpty) ensureFieldIdConfs(df.sparkSession)
-    val scratch = Paths.get(root, s".stage-v$v-$offset")
+    val scratch = Paths.get(root, s".stage-v$v-$nonce-$offset")
     df.write.mode("overwrite").parquet(scratch.toString)
     Files.createDirectories(dataDir(root))
     // the writer emits a part file per task INCLUDING empty partitions;
@@ -270,7 +325,7 @@ object SnapshotLake {
       finally s.close()
     }
     val named = parts.zipWithIndex.map { case ((p, (rows, mn, mx)), i) =>
-      val rel = s"data/v$v-${offset + i}.parquet"
+      val rel = s"data/v$v-$nonce-${offset + i}.parquet"
       Files.move(p, Paths.get(root, rel), StandardCopyOption.ATOMIC_MOVE)
       FileEntry(rel, rows, mn, mx)
     }
@@ -283,7 +338,8 @@ object SnapshotLake {
     * it lands as one file; zero-row stages publish nothing. */
   private def stageDeletes(dels: DataFrame, root: String, v: Int,
                            offset: Int, tag: String = "del"): Seq[FileEntry] = {
-    val scratch = Paths.get(root, s".stage-v$v-$tag")
+    val nonce = stageNonce()
+    val scratch = Paths.get(root, s".stage-v$v-$nonce-$tag")
     dels.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
     Files.createDirectories(dataDir(root))
     val parts = {
@@ -295,7 +351,7 @@ object SnapshotLake {
       finally s.close()
     }
     val named = parts.zipWithIndex.map { case ((p, rows), i) =>
-      val rel = s"data/v$v-$tag-${offset + i}.parquet"
+      val rel = s"data/v$v-$nonce-$tag-${offset + i}.parquet"
       Files.move(p, Paths.get(root, rel), StandardCopyOption.ATOMIC_MOVE)
       FileEntry(rel, rows, None, None)
     }
@@ -392,15 +448,14 @@ object SnapshotLake {
     * reads merge file schemas (by field id on id-based tables) and older
     * snapshots keep their shape. */
   def append(spark: SparkSession, df: DataFrame, root: String): Int = {
-    val prev = currentVersion(root)
-    val snap = snapshot(root, prev)
+    val (prev, snap, claim) = mainMutationCtx(root)
     val cols = evolvedCols(snap.cols, maxEverId(root, prev), df.schema)
-    val files = stage(df, root, prev + 1, snap.statsCol, cols)
+    val files = stage(df, root, claim, snap.statsCol, cols)
     val schema = if (snap.idBased) ddlOf(cols)
                  else mergedDdl(snap.schemaDdl, df.schema)
     commit(root, prev, "append", snap.nRows + files.map(_.rows).sum, schema,
       snap.statsCol, snap.files ++ files, snap.deletes, cols,
-      snap.eqDeletes)
+      snap.eqDeletes, claim = claim)
   }
 
   /** Metadata-only RENAME on an id-based table: a new snapshot with the
@@ -409,8 +464,7 @@ object SnapshotLake {
     * rows written under the OLD name surface under the new one, and
     * time-traveling to a pre-rename snapshot still shows the old name. */
   def renameColumn(root: String, from: String, to: String): Int = {
-    val prev = currentVersion(root)
-    val snap = snapshot(root, prev)
+    val (prev, snap, claim) = mainMutationCtx(root)
     require(snap.idBased, s"table at $root is not id-based " +
       "(create(..., columnIds = true))")
     require(snap.cols.exists(_.name == from), s"no column '$from'")
@@ -418,7 +472,7 @@ object SnapshotLake {
     val cols = snap.cols.map(c => if (c.name == from) c.copy(name = to) else c)
     commit(root, prev, s"rename[$from->$to]", snap.nRows, ddlOf(cols),
       snap.statsCol.map(c => if (c == from) to else c),
-      snap.files, snap.deletes, cols, snap.eqDeletes)
+      snap.files, snap.deletes, cols, snap.eqDeletes, claim = claim)
   }
 
   /** Metadata-only DROP on an id-based table: the column leaves the
@@ -426,8 +480,7 @@ object SnapshotLake {
     * until compaction rewrites them. Its field id is never reused, so a
     * later add of the same name is a fresh, all-null column. */
   def dropColumn(root: String, name: String): Int = {
-    val prev = currentVersion(root)
-    val snap = snapshot(root, prev)
+    val (prev, snap, claim) = mainMutationCtx(root)
     require(snap.idBased, s"table at $root is not id-based " +
       "(create(..., columnIds = true))")
     require(snap.cols.exists(_.name == name), s"no column '$name'")
@@ -436,7 +489,8 @@ object SnapshotLake {
       s"'$name' is the stats column — not droppable")
     val cols = snap.cols.filterNot(_.name == name)
     commit(root, prev, s"drop[$name]", snap.nRows, ddlOf(cols),
-      snap.statsCol, snap.files, snap.deletes, cols, snap.eqDeletes)
+      snap.statsCol, snap.files, snap.deletes, cols, snap.eqDeletes,
+      claim = claim)
   }
 
   /** WRITE-AUDIT-PUBLISH: the quality-gated append. The batch's files
@@ -457,10 +511,9 @@ object SnapshotLake {
     *         Right(newVersion). */
   def writeAuditPublish(spark: SparkSession, root: String, df: DataFrame,
                         audit: DataFrame => Seq[String]): Either[Seq[String], Int] = {
-    val prev = currentVersion(root)
-    val snap = snapshot(root, prev)
+    val (prev, snap, claim) = mainMutationCtx(root)
     val cols = evolvedCols(snap.cols, maxEverId(root, prev), df.schema)
-    val staged = stage(df, root, prev + 1, snap.statsCol, cols)
+    val staged = stage(df, root, claim, snap.statsCol, cols)
     // committed row count comes from the staged parquet footers — the
     // exact bytes that publish — never from re-executing the incoming
     // plan, which costs a second scan and could be nondeterministic
@@ -479,7 +532,7 @@ object SnapshotLake {
                    else mergedDdl(snap.schemaDdl, df.schema)
       Right(commit(root, prev, "append[wap]", snap.nRows + n, schema,
         snap.statsCol, snap.files ++ staged, snap.deletes, cols,
-        snap.eqDeletes))
+        snap.eqDeletes, claim = claim))
     }
   }
 
@@ -544,8 +597,7 @@ object SnapshotLake {
     * granularity Iceberg's COW delete uses. Returns (newVersion,
     * rowsDeleted). */
   def deleteWhere(spark: SparkSession, root: String, cond: Column): (Int, Long) = {
-    val prev = currentVersion(root)
-    val snap = snapshot(root, prev)
+    val (prev, snap, claim) = mainMutationCtx(root)
     if (snap.files.isEmpty) return (prev, 0L)
     val visible = openVisible(spark, root, snap, snap.files)
     val condHit = visible.filter(cond).select("_df").distinct()
@@ -558,13 +610,13 @@ object SnapshotLake {
       val survivors = touched.filter(!cond).drop("_df", "_pos")
       val nDeleted = touched.count() - survivors.count()
       val newFiles = if (survivors.isEmpty) Seq.empty[FileEntry]
-                     else stage(survivors, root, prev + 1, snap.statsCol,
+                     else stage(survivors, root, claim, snap.statsCol,
                        snap.cols)
       val files = snap.files.filterNot(f => hitNames(baseName(f.path))) ++
         newFiles
       val v = commit(root, prev, "delete", snap.nRows - nDeleted,
         snap.schemaDdl, snap.statsCol, files, Seq.empty, snap.cols,
-        snap.eqDeletes)
+        snap.eqDeletes, claim = claim)
       (v, nDeleted)
     }
   }
@@ -583,8 +635,7 @@ object SnapshotLake {
     * Returns (newVersion, rowsDeleted). */
   def deleteWhereMor(spark: SparkSession, root: String,
                      cond: Column): (Int, Long) = {
-    val prev = currentVersion(root)
-    val snap = snapshot(root, prev)
+    val (prev, snap, claim) = mainMutationCtx(root)
     if (snap.files.isEmpty) return (prev, 0L)
     // positions are computed against the VISIBLE state, so re-deleting an
     // already-deleted row cannot duplicate an entry
@@ -592,14 +643,14 @@ object SnapshotLake {
       .filter(cond)
       .select(col("_df").as("df"), col("_pos").as("pos"))
       .orderBy("df", "pos")
-    val staged = stageDeletes(newDels, root, prev + 1,
+    val staged = stageDeletes(newDels, root, claim,
       offset = snap.deletes.size)
     val n = staged.map(_.rows).sum
     if (n == 0) (prev, 0L)
     else {
       val v = commit(root, prev, "delete[mor]", snap.nRows - n,
         snap.schemaDdl, snap.statsCol, snap.files, snap.deletes ++ staged,
-        snap.cols, snap.eqDeletes)
+        snap.cols, snap.eqDeletes, claim = claim)
       (v, n)
     }
   }
@@ -611,8 +662,7 @@ object SnapshotLake {
     * a delete-free, content-identical snapshot. Returns (newVersion,
     * filesRewritten). */
   def rewritePositionDeletes(spark: SparkSession, root: String): (Int, Int) = {
-    val prev = currentVersion(root)
-    val snap = snapshot(root, prev)
+    val (prev, snap, claim) = mainMutationCtx(root)
     if (snap.deletes.isEmpty) return (prev, 0)
     val hitNames = deleteReferencedNames(spark, root, snap)
     val hitEntries = snap.files.filter(f => hitNames(baseName(f.path)))
@@ -620,13 +670,13 @@ object SnapshotLake {
       .drop("_df", "_pos")
     val newFiles = if (hitEntries.isEmpty || survivors.isEmpty)
                      Seq.empty[FileEntry]
-                   else stage(survivors, root, prev + 1, snap.statsCol,
+                   else stage(survivors, root, claim, snap.statsCol,
                      snap.cols)
     val files = snap.files.filterNot(f => hitNames(baseName(f.path))) ++
       newFiles
     val v = commit(root, prev, "rewrite_deletes", snap.nRows,
       snap.schemaDdl, snap.statsCol, files, Seq.empty, snap.cols,
-      snap.eqDeletes)
+      snap.eqDeletes, claim = claim)
     (v, hitEntries.size)
   }
 
@@ -648,20 +698,20 @@ object SnapshotLake {
     * (newVersion, rowsDeleted). */
   def deleteWhereMorEq(spark: SparkSession, root: String,
                        keys: DataFrame): (Int, Long) = {
-    val prev = currentVersion(root)
-    val snap = snapshot(root, prev)
+    val (prev, snap, claim) = mainMutationCtx(root)
     if (snap.files.isEmpty) return (prev, 0L)
     val keyCols = keys.columns.toSeq
     val k = keys.distinct().cache()
     val n = openVisible(spark, root, snap, snap.files)
       .join(k, keyCols, "left_semi").count()
     if (n == 0) { k.unpersist(); return (prev, 0L) }
-    val staged = stageDeletes(k, root, prev + 1,
+    val staged = stageDeletes(k, root, claim,
       offset = snap.eqDeletes.size, tag = "eqdel")
     k.unpersist()
     val v = commit(root, prev, "delete[eqmor]", snap.nRows - n,
       snap.schemaDdl, snap.statsCol, snap.files, snap.deletes, snap.cols,
-      snap.eqDeletes ++ staged.map(f => EqDelete(f, keyCols, prev + 1)))
+      snap.eqDeletes ++ staged.map(f => EqDelete(f, keyCols, claim)),
+      claim = claim)
     (v, n)
   }
 
@@ -733,8 +783,7 @@ object SnapshotLake {
     * nInserted). */
   def merge(spark: SparkSession, root: String, updates: DataFrame,
             key: String): (Int, Long, Long) = {
-    val prev = currentVersion(root)
-    val snap = snapshot(root, prev)
+    val (prev, snap, claim) = mainMutationCtx(root)
     val up = updates.cache()
     val nUp = up.count()
     val cols = evolvedCols(snap.cols, maxEverId(root, prev), up.schema)
@@ -754,19 +803,20 @@ object SnapshotLake {
         val survivors = touched.join(up.select(key), Seq(key), "left_anti")
         val nUpd = touched.count() - survivors.count()
         val fs = if (survivors.isEmpty) Seq.empty[FileEntry]
-                 else stage(survivors, root, prev + 1, snap.statsCol, cols)
+                 else stage(survivors, root, claim, snap.statsCol, cols)
         (fs, nUpd)
       }
-    // restaged survivors land as v{N}-{i}; the update rows stage into the
-    // same version with an offset suffix so names stay unique
-    val upFiles = stageAs(up, root, prev + 1, survivorFiles.size,
+    // restaged survivors land as v{N}-{nonce}-{i}; the update rows stage
+    // into the same version with an offset suffix so names stay unique
+    val upFiles = stageAs(up, root, claim, survivorFiles.size,
       snap.statsCol, cols)
     val files = snap.files.filterNot(f => hitNames(baseName(f.path))) ++
       survivorFiles ++ upFiles
     val schema = if (snap.idBased) ddlOf(cols)
                  else mergedDdl(snap.schemaDdl, up.schema)
     val v = commit(root, prev, "merge", snap.nRows - nUpdated + nUp,
-      schema, snap.statsCol, files, Seq.empty, cols, snap.eqDeletes)
+      schema, snap.statsCol, files, Seq.empty, cols, snap.eqDeletes,
+      claim = claim)
     up.unpersist()
     (v, nUpdated, nUp - nUpdated)
   }
@@ -775,11 +825,11 @@ object SnapshotLake {
     * list — no data moves, and the rolled-back-over versions stay
     * readable (audit trail) until expired. */
   def rollback(root: String, toVersion: Int): Int = {
-    val prev = currentVersion(root)
+    val prev = mainVersion(root)
     val target = snapshot(root, toVersion)
     commit(root, prev, s"rollback[v$toVersion]", target.nRows,
       target.schemaDdl, target.statsCol, target.files, target.deletes,
-      target.cols, target.eqDeletes)
+      target.cols, target.eqDeletes, claim = currentVersion(root) + 1)
   }
 
   // ---- reads ---------------------------------------------------------------
@@ -862,7 +912,7 @@ object SnapshotLake {
     * manifest instead of the parquet footers themselves. Row-exact: the
     * residual predicate still applies inside the surviving files. */
   def readRange(spark: SparkSession, root: String, lo: Long, hi: Long): DataFrame = {
-    val snap = snapshot(root, currentVersion(root))
+    val snap = snapshot(root, mainVersion(root))
     val c = snap.statsCol.getOrElse(sys.error(
       s"table at $root has no stats column — create(..., statsCol) first"))
     openFiles(spark, root, snap, pruneEntries(snap, lo, hi))
@@ -875,14 +925,21 @@ object SnapshotLake {
     * range restages old rows into "new" files, so this refuses
     * non-append history rather than over-reporting. */
   def addedSince(spark: SparkSession, root: String, sinceVersion: Int): DataFrame = {
-    val cur = currentVersion(root)
+    val cur = mainVersion(root)
     val snap = snapshot(root, cur)
-    ((sinceVersion + 1) to cur).foreach { v =>
-      val op = snapshot(root, v).op
-      require(op == "append" || op.startsWith("append["),
-        s"addedSince(v$sinceVersion) crosses non-append commit v$v ($op) — " +
+    // walk the MAIN parent chain (version arithmetic would visit branch
+    // snapshots that share the number space)
+    var v = cur
+    while (v > sinceVersion) {
+      val s = snapshot(root, v)
+      require(s.op == "append" || s.op.startsWith("append["),
+        s"addedSince(v$sinceVersion) crosses non-append commit v$v (${s.op}) — " +
           "file-set diff no longer equals the row delta")
+      require(s.parent < v, s"corrupt lineage at v$v (parent=${s.parent})")
+      v = s.parent
     }
+    require(v == sinceVersion,
+      s"addedSince: v$sinceVersion is not on main's lineage (chain reached v$v)")
     val base = snapshot(root, sinceVersion).paths.toSet
     openFiles(spark, root, snap, snap.files.filterNot(f => base(f.path)))
   }
@@ -891,9 +948,10 @@ object SnapshotLake {
   def readAt(spark: SparkSession, root: String, version: Int): DataFrame =
     open(spark, root, snapshot(root, version))
 
-  /** The current snapshot. */
+  /** The current MAIN snapshot (branch snapshots are invisible here
+    * until fast-forwarded). */
   def read(spark: SparkSession, root: String): DataFrame =
-    readAt(spark, root, currentVersion(root))
+    readAt(spark, root, mainVersion(root))
 
   /** Snapshot history as a DataFrame — the audit surface (`version, op,
     * n_rows, n_files`), read from manifests only. */
@@ -914,13 +972,18 @@ object SnapshotLake {
   def expire(root: String, keepFrom: Int): (Int, Int) = {
     val cur = currentVersion(root)
     require(keepFrom <= cur, s"keepFrom=$keepFrom is past current v$cur")
-    val retained = (keepFrom to cur).flatMap { v =>
+    // REF-PINNED versions survive regardless of age: a tag or branch head
+    // (and main's own pointer) must stay readable — manifests are
+    // self-contained full file lists, so pinning the manifest alone keeps
+    // the snapshot reconstructable (Iceberg's ref-retention rule)
+    val pinned = (listRefs(root).map(_._3) :+ mainVersion(root)).toSet
+    val retained = ((keepFrom to cur) ++ pinned).distinct.flatMap { v =>
       try Some(snapshot(root, v)) catch { case _: Exception => None }
     }
     val live = retained.flatMap(_.allPaths).toSet
     var droppedManifests = 0
     var droppedFiles = 0
-    (1 until keepFrom).foreach { v =>
+    (1 until keepFrom).filterNot(pinned).foreach { v =>
       val p = metaDir(root).resolve(s"v$v.manifest")
       if (Files.exists(p)) {
         val dead = snapshot(root, v).allPaths.filterNot(live)
@@ -947,6 +1010,137 @@ object SnapshotLake {
     (droppedManifests, droppedFiles)
   }
 
+  // ---- refs: branches and tags ---------------------------------------------
+  //
+  // The Iceberg ref model on this store: snapshots live in ONE global
+  // number space; a REF is a named pointer into it. `main` is the
+  // `_current` pointer every ordinary commit advances; a BRANCH is a
+  // movable pointer its own commits advance (main never sees them until
+  // fast-forward — the write-audit-publish isolation, branch flavored);
+  // a TAG is an immutable pointer (a release/repro pin) that [[expire]]
+  // retains. Refs are tiny files under `meta/refs/`, created with the
+  // same CREATE_NEW hard-link claim as manifests.
+
+  private def refsDir(root: String): Path = metaDir(root).resolve("refs")
+  private def refFile(root: String, name: String): Path = {
+    require(name.matches("[A-Za-z0-9_-]{1,64}"),
+      s"ref name '$name' (allowed: [A-Za-z0-9_-]{1,64})")
+    refsDir(root).resolve(s"$name.ref")
+  }
+
+  private def writeRef(root: String, name: String, kind: String, v: Int,
+                       replace: Boolean): Unit = {
+    val f = refFile(root, name)
+    Files.createDirectories(refsDir(root))
+    val tmp = refsDir(root).resolve(s".$name.tmp")
+    Files.writeString(tmp, s"kind=$kind\nversion=$v\n")
+    if (replace)
+      Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    else {
+      try Files.createLink(f, tmp)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          throw new IllegalStateException(s"ref '$name' already exists")
+      }
+      Files.deleteIfExists(tmp)
+    }
+  }
+
+  private def readRefMeta(root: String, name: String): (String, Int) = {
+    val f = refFile(root, name)
+    require(Files.exists(f), s"no ref '$name'")
+    val lines = Files.readAllLines(f).asScala
+    (lines.find(_.startsWith("kind=")).map(_.drop(5)).getOrElse("branch"),
+      lines.find(_.startsWith("version=")).map(_.drop(8).toInt)
+        .getOrElse(sys.error(s"ref '$name' missing version")))
+  }
+
+  /** Create a branch at `from` (default: main's head). */
+  def createBranch(root: String, name: String, from: Int = -1): Int = {
+    val v = if (from > 0) from else mainVersion(root)
+    snapshot(root, v) // must exist
+    writeRef(root, name, "branch", v, replace = false)
+    v
+  }
+
+  /** Create an immutable tag at `version` (default: main's head). */
+  def createTag(root: String, name: String, version: Int = -1): Int = {
+    val v = if (version > 0) version else mainVersion(root)
+    snapshot(root, v)
+    writeRef(root, name, "tag", v, replace = false)
+    v
+  }
+
+  /** The snapshot a ref points at. */
+  def refVersion(root: String, name: String): Int = readRefMeta(root, name)._2
+
+  /** All refs: (name, kind, version). */
+  def listRefs(root: String): Seq[(String, String, Int)] = {
+    val d = refsDir(root)
+    if (!Files.isDirectory(d)) Seq.empty
+    else {
+      val s = Files.list(d)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".ref")).toSeq.sorted
+        .map { f =>
+          val name = f.stripSuffix(".ref")
+          val (kind, v) = readRefMeta(root, name)
+          (name, kind, v)
+        }
+      finally s.close()
+    }
+  }
+
+  /** Drop a ref (its snapshots stay until [[expire]]). */
+  def dropRef(root: String, name: String): Boolean =
+    Files.deleteIfExists(refFile(root, name))
+
+  /** The table as a ref sees it. */
+  def readRef(spark: SparkSession, root: String, name: String): DataFrame =
+    readAt(spark, root, refVersion(root, name))
+
+  /** Append onto a BRANCH: a global snapshot whose parent is the branch
+    * head; only the branch ref advances — main readers cannot observe
+    * the commit. The audit side of branch-WAP reads the branch
+    * ([[readRef]]) before [[fastForward]] publishes it. */
+  def appendToBranch(spark: SparkSession, df: DataFrame, root: String,
+                     name: String): Int = {
+    val (kind, head) = readRefMeta(root, name)
+    require(kind == "branch", s"ref '$name' is a $kind — append needs a branch")
+    val snap = snapshot(root, head)
+    val claim = currentVersion(root) + 1
+    val cols = evolvedCols(snap.cols, maxEverId(root, head), df.schema)
+    val files = stage(df, root, claim, snap.statsCol, cols)
+    val schema = if (snap.idBased) ddlOf(cols)
+                 else mergedDdl(snap.schemaDdl, df.schema)
+    val v = commit(root, head, s"append[branch=$name]",
+      snap.nRows + files.map(_.rows).sum, schema, snap.statsCol,
+      snap.files ++ files, snap.deletes, cols, snap.eqDeletes,
+      advanceMain = false, claim = claim)
+    writeRef(root, name, "branch", v, replace = true)
+    v
+  }
+
+  /** Publish a branch to main — O(1), metadata only. Requires main's
+    * head to be an ANCESTOR of the branch head (walked via parent
+    * lineage); a diverged main (it advanced since the fork) throws
+    * instead of silently dropping its commits. */
+  def fastForward(root: String, name: String): Int = {
+    val (kind, head) = readRefMeta(root, name)
+    require(kind == "branch", s"ref '$name' is a $kind — cannot fast-forward")
+    val m = mainVersion(root)
+    if (head == m) return m
+    var v = head
+    while (v > m) v = snapshot(root, v).parent
+    require(v == m,
+      s"branch '$name' (v$head) does not descend from main (v$m) — " +
+        "main advanced since the fork; rebase or merge the branch instead")
+    setMainPointer(root, head)
+    head
+  }
+
   /** Idempotent micro-batch append — the exactly-once building block for
     * a streaming sink: the micro-batch's id is recorded in the commit op
     * (`append[batch=N]`), and a replay of an already-committed batch id
@@ -965,14 +1159,17 @@ object SnapshotLake {
     }
     if (replay) false
     else {
-      val snap = snapshot(root, cur)
+      val base = mainVersion(root)
+      val snap = snapshot(root, base)
+      val claim = cur + 1
       val n = batch.count()
-      val cols = evolvedCols(snap.cols, maxEverId(root, cur), batch.schema)
-      val files = stage(batch, root, cur + 1, snap.statsCol, cols)
+      val cols = evolvedCols(snap.cols, maxEverId(root, base), batch.schema)
+      val files = stage(batch, root, claim, snap.statsCol, cols)
       val schema = if (snap.idBased) ddlOf(cols)
                    else mergedDdl(snap.schemaDdl, batch.schema)
-      commit(root, cur, opTag, snap.nRows + n, schema, snap.statsCol,
-        snap.files ++ files, snap.deletes, cols, snap.eqDeletes)
+      commit(root, base, opTag, snap.nRows + n, schema, snap.statsCol,
+        snap.files ++ files, snap.deletes, cols, snap.eqDeletes,
+        claim = claim)
       true
     }
   }
@@ -1001,16 +1198,15 @@ object SnapshotLake {
     * filesBefore, filesAfter). */
   def compact(spark: SparkSession, root: String,
               targetParts: Int = 1): (Int, Int, Int) = {
-    val prev = currentVersion(root)
-    val snap = snapshot(root, prev)
+    val (prev, snap, claim) = mainMutationCtx(root)
     val cur = open(spark, root, snap)
     val arranged = snap.statsCol match {
       case Some(c) => cur.repartitionByRange(targetParts, col(c))
       case None => cur.repartition(targetParts)
     }
-    val files = stage(arranged, root, prev + 1, snap.statsCol, snap.cols)
+    val files = stage(arranged, root, claim, snap.statsCol, snap.cols)
     val v = commit(root, prev, "compact", snap.nRows, snap.schemaDdl,
-      snap.statsCol, files, Seq.empty, snap.cols)
+      snap.statsCol, files, Seq.empty, snap.cols, claim = claim)
     (v, snap.files.size, files.size)
   }
 

@@ -559,4 +559,88 @@ class SnapshotLakeSpec extends SparkTestBase {
     assert(SnapshotLake.read(spark, root).count() == 3)
     assert(SnapshotLake.snapshot(root, 2).op == "append[wap]")
   }
+
+  test("branch commits are invisible to main until fast-forward") {
+    val root = freshRoot("branch-ff")
+    SnapshotLake.create(df((1L, "a", 10L)), root)
+    SnapshotLake.createBranch(root, "audit")
+    val bv = SnapshotLake.appendToBranch(spark, df((2L, "b", 20L)), root,
+      "audit")
+    assert(bv == 2)
+    // main still reads the fork point; the branch sees its commit
+    assert(SnapshotLake.read(spark, root).count() == 1)
+    assert(SnapshotLake.mainVersion(root) == 1)
+    assert(SnapshotLake.readRef(spark, root, "audit").count() == 2)
+    // lineage recorded explicitly
+    assert(SnapshotLake.snapshot(root, 2).parent == 1)
+    // branch-WAP publish: audit passed -> fast-forward, O(1) metadata
+    assert(SnapshotLake.fastForward(root, "audit") == 2)
+    assert(SnapshotLake.read(spark, root).count() == 2)
+    // main's next commit builds on the published head
+    SnapshotLake.append(spark, df((3L, "c", 30L)), root)
+    assert(SnapshotLake.mainVersion(root) == 3)
+    assert(SnapshotLake.snapshot(root, 3).parent == 2)
+  }
+
+  test("fast-forward refuses a diverged main; main stays isolated from the branch") {
+    val root = freshRoot("branch-diverge")
+    SnapshotLake.create(df((1L, "a", 10L)), root)
+    SnapshotLake.createBranch(root, "wip")
+    SnapshotLake.appendToBranch(spark, df((2L, "b", 20L)), root, "wip")
+    // main advances independently — claims the next GLOBAL number with
+    // parent = its own head, not the branch snapshot
+    val mv = SnapshotLake.append(spark, df((9L, "z", 90L)), root)
+    assert(mv == 3 && SnapshotLake.snapshot(root, 3).parent == 1)
+    assert(SnapshotLake.read(spark, root).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 9L), "no branch rows on main")
+    val e = intercept[IllegalArgumentException](
+      SnapshotLake.fastForward(root, "wip"))
+    assert(e.getMessage.contains("does not descend"))
+  }
+
+  test("tags are immutable pins that expire retains") {
+    val root = freshRoot("tags")
+    SnapshotLake.create(df((1L, "a", 10L)), root)
+    SnapshotLake.append(spark, df((2L, "b", 20L)), root)
+    SnapshotLake.createTag(root, "rel1", 1)
+    SnapshotLake.append(spark, df((3L, "c", 30L)), root)
+    // tags cannot move or take branch writes
+    intercept[IllegalArgumentException](
+      SnapshotLake.appendToBranch(spark, df((4L, "d", 40L)), root, "rel1"))
+    intercept[IllegalStateException](SnapshotLake.createTag(root, "rel1", 2))
+    // expire keeps the tagged v1 (and its files) while dropping v2
+    val (droppedM, _) = SnapshotLake.expire(root, keepFrom = 3)
+    assert(droppedM == 1, "only the untagged v2 manifest drops")
+    assert(SnapshotLake.readAt(spark, root, 1).count() == 1,
+      "tag-pinned snapshot must stay readable")
+    intercept[IllegalArgumentException](SnapshotLake.readAt(spark, root, 2))
+    // dropping the tag releases the pin for the next expire
+    assert(SnapshotLake.dropRef(root, "rel1"))
+    val (droppedM2, _) = SnapshotLake.expire(root, keepFrom = 3)
+    assert(droppedM2 == 1)
+    assert(SnapshotLake.listRefs(root).isEmpty)
+  }
+
+  test("interleaved branch and main staging never collide on file names") {
+    val root = freshRoot("branch-files")
+    SnapshotLake.create(df((1L, "a", 10L)), root)
+    SnapshotLake.createBranch(root, "b1")
+    // both stage "after v1": without per-stage nonces these would both
+    // name files data/v2-* and the second would overwrite the first
+    SnapshotLake.appendToBranch(spark, df((2L, "b", 20L)), root, "b1")
+    SnapshotLake.append(spark, df((3L, "c", 30L)), root)
+    val branchRows = SnapshotLake.readRef(spark, root, "b1")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val mainRows = SnapshotLake.read(spark, root)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(branchRows == Set(1L, 2L) && mainRows == Set(1L, 3L))
+    // the base file is legitimately shared; the two NEWLY STAGED files
+    // must be distinct names (and all rows above proved distinct content)
+    val base = SnapshotLake.snapshot(root, 1).paths.toSet
+    val staged2 = SnapshotLake.snapshot(root, 2).paths.filterNot(base)
+    val staged3 = SnapshotLake.snapshot(root, 3).paths.filterNot(base)
+    assert(staged2.nonEmpty && staged3.nonEmpty)
+    assert(staged2.toSet.intersect(staged3.toSet).isEmpty,
+      s"file-name collision: $staged2 vs $staged3")
+  }
 }
