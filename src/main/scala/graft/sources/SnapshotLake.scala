@@ -1239,27 +1239,32 @@ object SnapshotLake {
     * function of the documents table, so DuckDB can replay each
     * snapshot's state from filters alone — the oracle checks time travel
     * itself, not just the final state. */
+  /** Fingerprint of a fixture's documents parquet (count, bytes, max
+    * mtime) — folded into lab-table names so an in-place fixture
+    * regeneration rebuilds instead of serving stale snapshots. */
+  private def docsFingerprint(dir: String): String = {
+    val p = Paths.get(dir, "documents.parquet")
+    val (n, bytes, mtime) =
+      if (Files.isDirectory(p)) {
+        val st = Files.walk(p)
+        try {
+          val fs = st.filter(Files.isRegularFile(_))
+            .toArray.toSeq.map(_.asInstanceOf[Path])
+          (fs.size.toLong, fs.map(Files.size).sum,
+            fs.map(f => Files.getLastModifiedTime(f).toMillis)
+              .foldLeft(0L)(math.max))
+        } finally st.close()
+      } else if (Files.exists(p))
+        (1L, Files.size(p), Files.getLastModifiedTime(p).toMillis)
+      else (0L, 0L, 0L)
+    java.lang.Long.toHexString(
+      java.util.Objects.hash(Long.box(n), Long.box(bytes), Long.box(mtime))
+        .toLong & 0xffffffffL)
+  }
+
   private[graft] def ensureTimeline(s: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_").stripPrefix("_")
-    val fp = {
-      val p = Paths.get(dir, "documents.parquet")
-      val (n, bytes, mtime) =
-        if (Files.isDirectory(p)) {
-          val st = Files.walk(p)
-          try {
-            val fs = st.filter(Files.isRegularFile(_))
-              .toArray.toSeq.map(_.asInstanceOf[Path])
-            (fs.size.toLong, fs.map(Files.size).sum,
-              fs.map(f => Files.getLastModifiedTime(f).toMillis)
-                .foldLeft(0L)(math.max))
-          } finally st.close()
-        } else if (Files.exists(p))
-          (1L, Files.size(p), Files.getLastModifiedTime(p).toMillis)
-        else (0L, 0L, 0L)
-      java.lang.Long.toHexString(
-        java.util.Objects.hash(Long.box(n), Long.box(bytes), Long.box(mtime))
-          .toLong & 0xffffffffL)
-    }
+    val fp = docsFingerprint(dir)
     val base = Paths.get(
       s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "graft_snap")
     val root = base.resolve(s"docs_${tag}_$fp")
@@ -1591,7 +1596,80 @@ object SnapshotLake {
       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM v7 GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Once-per-fixture BRANCH LAB: a small refs timeline exercising the
+    * branch/tag surface end-to-end — v1 create (doc_id%3=0), tag `base`
+    * + branch `staging` at v1, a branch append (%3=1, snapshot v2,
+    * main-invisible), then a DIVERGING main append (%3=2, snapshot v3).
+    * Separate root from [[ensureTimeline]] so the existing snapshot
+    * oracles stay untouched. */
+  private[graft] def ensureBranchLab(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_").stripPrefix("_")
+    val base = Paths.get(
+      s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "graft_snap_branch")
+    val root = base.resolve(s"docs_${tag}_${docsFingerprint(dir)}")
+    this.synchronized {
+      if (currentVersion(root.toString) < 3) {
+        // stale labs of this dir (other fingerprints) are garbage
+        if (Files.isDirectory(base)) {
+          val ls = Files.list(base)
+          try ls.iterator().asScala.toSeq
+            .filter(_.getFileName.toString.matches(
+              s"docs_${tag}_[0-9a-f]{1,8}"))
+            .foreach(deleteRecursively)
+          finally ls.close()
+        }
+        deleteRecursively(root)
+        val d = graft.Tables.documents(s, dir)
+        create(d.filter(pmod(col("doc_id"), lit(3)) === 0), root.toString,
+          statsCol = Some("doc_id"))
+        createTag(root.toString, "base")
+        createBranch(root.toString, "staging")
+        appendToBranch(s, d.filter(pmod(col("doc_id"), lit(3)) === 1),
+          root.toString, "staging")
+        append(s, d.filter(pmod(col("doc_id"), lit(3)) === 2), root.toString)
+      }
+    }
+    root.toString
+  }
+
+  /** Census of every ref's view of the branch lab — oracle-checked proof
+    * that main, the branch, and the tag each read their own row set
+    * (main NOT containing the branch append is the isolation property;
+    * the tag pinning v1 is the retention property). */
+  def snapshotBranch(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureBranchLab(s, dir)
+    def census(df: DataFrame, ref: String, kind: String, v: Int) =
+      df.agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .select(lit(ref).as("ref"), lit(kind).as("kind"),
+          lit(v).as("version"), col("n_docs"), col("sum_chars"))
+    census(read(s, root), "main", "main", mainVersion(root))
+      .unionByName(census(readRef(s, root, "staging"), "staging", "branch",
+        refVersion(root, "staging")))
+      .unionByName(census(readRef(s, root, "base"), "base", "tag",
+        refVersion(root, "base")))
+      .orderBy("ref")
+  }
+
+  private val snapshotBranchSql =
+    """SELECT ref, kind, version, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM (
+      |  SELECT 'main' AS ref, 'main' AS kind, 3 AS version, n_chars
+      |  FROM documents WHERE doc_id % 3 IN (0, 2)
+      |  UNION ALL
+      |  SELECT 'staging', 'branch', 2, n_chars
+      |  FROM documents WHERE doc_id % 3 IN (0, 1)
+      |  UNION ALL
+      |  SELECT 'base', 'tag', 1, n_chars
+      |  FROM documents WHERE doc_id % 3 = 0)
+      |GROUP BY ref, kind, version ORDER BY ref""".stripMargin
+
   val all: Seq[graft.Q] = Seq(
+    graft.Q("q_snapshot_branch", snapshotBranch, Some(snapshotBranchSql),
+      doc = "Branch/tag refs census: main, a diverged branch, and a tag " +
+        "each read their own snapshot (isolation + retention), " +
+        "oracle-recomputed from the base table"),
     graft.Q("q_snapshot_ivm", snapshotIvm, Some(snapshotIvmSql),
       doc = "Incremental view maintenance: v4 census + signed changelog " +
         "delta == direct v7 recompute (oracle recomputes directly)"),
