@@ -40,7 +40,11 @@ class PlanShapeSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
   }
 
   test("inverted-index ngram dedup shuffles postings, not shingle arrays") {
-    val ex = exchanges(Dedup.ngramJaccard(spark, sfDir))
+    // the registered query reads the memoized candidate table (its own
+    // plan is exchange-free by design); the property under test is the
+    // BUILD's shuffle hygiene, so assert on the un-memoized plan
+    val ex = exchanges(
+      Dedup.ngramJaccardPlan(Dedup.ngramDocs(spark, sfDir)))
     assert(ex.nonEmpty)
     ex.foreach { e =>
       val arrayCols = e.output.filter(_.dataType.isInstanceOf[ArrayType])

@@ -104,7 +104,9 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     // 1-row corpus-mean-score frame broadcast onto the doc flag table
     "q_corpus_funnel",
     // 1-row (T, R, V) LM-scalar frame broadcast onto the vocab table
-    "q_dsir_affinity")
+    "q_dsir_affinity",
+    // 1-row trained-weights frame broadcast onto the scoring scan
+    "q_probe_calibration")
 
   // ONE sweep over the registry (executing every query once — the
   // dominant cost of this suite), with both plan properties checked off
