@@ -286,4 +286,53 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
       .select(col("window.start").as("hour_start"), col("segment"),
         col("n_events"), col("sum_value"))
+
+  /** Streaming DISTRIBUTION-DRIFT monitor — the production guardrail in
+    * front of a training-data pipeline: per tumbling hour, the PSI terms
+    * of the window's event_type distribution against a fixed reference
+    * (the distribution the consumers were tuned on). Emits
+    * (window_start, event_type, n, share, ref_share, psi_term) in APPEND
+    * mode once the watermark closes the window; alerting is
+    * `sum(psi_term) > 0.2 per window` downstream.
+    *
+    * Shape: CHAINED stateful aggregations — (window, type) counts feed a
+    * second window aggregation (via window_time) that computes the
+    * window total and re-expands the per-type rows; Spark 4 runs
+    * multiple watermark-bounded stateful operators in one append-mode
+    * query, so the whole monitor is a single streaming plan with
+    * O(|types|) state per open window and NO custom state code. The
+    * reference is a driver-provided map (model-sized), riding the plan
+    * as a broadcast literal frame. Laplace (+1) smoothing over the
+    * reference's type universe keeps the log finite when a type is
+    * absent on either side — the q_drift_psi discipline. */
+  def driftMonitor(events: DataFrame, ref: Map[String, Long]): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val k = ref.size
+    val refN = ref.values.sum
+    val refDf = broadcast(ref.toSeq.toDF("event_type", "ref_n"))
+    val perType = events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    perType
+      .groupBy(window(window_time(col("window")), "1 hour").as("w"))
+      .agg(sum("n").as("n_w"),
+        collect_list(struct(col("event_type"), col("n"))).as("types"))
+      .select(col("w.start").as("window_start"), col("n_w"),
+        explode(col("types")).as("t"))
+      .select(col("window_start"), col("n_w"),
+        col("t.event_type").as("event_type"), col("t.n").as("n"))
+      .join(refDf, Seq("event_type"), "left")
+      .withColumn("p_w",
+        (col("n") + lit(1.0d)) / (col("n_w") + lit(k.toDouble)))
+      .withColumn("p_ref",
+        (coalesce(col("ref_n"), lit(0L)) + lit(1.0d))
+          / lit((refN + k).toDouble))
+      .select(col("window_start"), col("event_type"), col("n"),
+        round(col("p_w"), 6).as("share"),
+        round(col("p_ref"), 6).as("ref_share"),
+        round((col("p_w") - col("p_ref")) * log(col("p_w") / col("p_ref")),
+          6).as("psi_term"))
+  }
 }

@@ -396,4 +396,45 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
     graft.sources.AppendJob.reset(spark, db)
   }
+
+  test("drift monitor: chained stateful aggs emit per-window PSI on close") {
+    // reference = window 0's distribution (3 clicks, 1 view). Window 0
+    // replays it exactly -> every psi_term 0 (smoothed shares equal).
+    // Window 1 is all views -> click underrepresented, view over, both
+    // terms strictly positive. Window 2's late event just advances the
+    // watermark past window 1.
+    val ref = Map("click" -> 3L, "view" -> 1L)
+    val rows = Seq(
+      UserEvent(1L, ts(0, 5), "click", 1.0),
+      UserEvent(1L, ts(0, 15), "click", 1.0),
+      UserEvent(2L, ts(0, 25), "click", 1.0),
+      UserEvent(2L, ts(0, 35), "view", 1.0),
+      UserEvent(1L, ts(1, 10), "view", 1.0),
+      UserEvent(2L, ts(1, 20), "view", 1.0),
+      UserEvent(1L, ts(3, 0), "click", 1.0)) // watermark pusher
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val q = StreamOps.driftMonitor(mem.toDF(), ref)
+      .writeStream.format("memory").queryName("drift_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      // append mode: emit only after the watermark closes a window; the
+      // pusher event landed with the same batch, so windows 0 and 1 are
+      // closed once a second (empty) batch lets the watermark advance
+      mem.addData(UserEvent(9L, ts(4, 0), "click", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("drift_sink")
+      .collect().map(r => (r.getTimestamp(0).getHours, r.getString(1),
+        r.getLong(2), r.getDouble(5))).toSeq
+    val w0 = out.filter(_._1 == 0)
+    assert(w0.map(t => t._2 -> t._3).toMap == Map("click" -> 3L, "view" -> 1L))
+    w0.foreach(t => assert(t._4 == 0.0d,
+      s"window 0 replays the reference, psi must be 0: $t"))
+    val w1 = out.filter(_._1 == 1)
+    assert(w1.map(t => t._2 -> t._3).toMap == Map("view" -> 2L))
+    w1.foreach(t => assert(t._4 > 0.0d, s"drifted window must score: $t"))
+  }
 }
