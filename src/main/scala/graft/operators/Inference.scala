@@ -411,7 +411,112 @@ object Inference {
       |             * 10000.0 + 0.5) / 10000.0 AS nmi
       |FROM mi CROSS JOIN hs CROSS JOIN hl CROSS JOIN t""".stripMargin
 
+  /** Mann-Whitney U (Wilcoxon rank-sum) — the nonparametric two-sample
+    * location test a pipeline runs when distributions are skewed and a
+    * t-test's normality assumption is junk (here: are English documents
+    * longer than non-English?). EVERYTHING sufficient is exact integer:
+    * ranks arrive as DOUBLED midranks (2·avg = 2s + t − 1 per tie group,
+    * so ties never produce fractions), the rank sum and the tie
+    * correction Σ(t³−t) are BIGINT, and the z-score's floating sequence
+    * runs once over those exact stats (identical IEEE op order in the
+    * oracle). Shape: one scan → per-(value, group) counts (value-domain-
+    * sized, the q_equidepth precedent), a bounded prefix window over
+    * DISTINCT values, one final 1-row reduce. */
+  def mannWhitney(s: SparkSession, dir: String): DataFrame =
+    mannWhitneyOn(Tables.documents(s, dir))
+
+  /** [[mannWhitney]] over an explicit (n_chars, lang) frame — the
+    * planted-semantics seam. */
+  private[graft] def mannWhitneyOn(docs: DataFrame): DataFrame = {
+    val byVal = docs
+      .select(col("n_chars"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("is_en"))
+      .groupBy("n_chars")
+      .agg(count(lit(1)).as("t"), sum("is_en").as("t1"))
+    val w = Window.orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byVal
+      // 2·midrank of the tie group at prefix position s: 2s + t − 1,
+      // with s = (running count) − t counted BEFORE the group
+      .withColumn("cum", sum("t").over(w))
+      .withColumn("r2", lit(2L) * (col("cum") - col("t")) + col("t") + lit(1L))
+    val agg = ranked.agg(
+      sum("t").as("n"), sum("t1").as("n1"),
+      sum(col("t1") * col("r2")).as("r1x2"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+    agg.select(
+        col("n1"), (col("n") - col("n1")).as("n2"), col("n"),
+        (col("r1x2") - col("n1") * (col("n1") + lit(1L))).as("u1x2"),
+        col("ties"))
+      // z = (U1 − n1·n2/2) / sqrt(n1·n2/12·((N+1) − Σ(t³−t)/(N(N−1)))) —
+      // one fixed double sequence over exact integers, then fix4. The
+      // N(N−1) denominator is floored at 1 (exact: ties = 0 when N ≤ 1)
+      // and a zero variance (all values identical) yields a NULL z
+      // instead of an ANSI divide-by-zero — degenerate inputs must
+      // surface, not throw (the exactQuantiles precedent).
+      .withColumn("varx",
+        col("n1").cast("double") * col("n2").cast("double") / lit(12.0d)
+          * ((col("n").cast("double") + lit(1.0d))
+            - col("ties").cast("double")
+              / greatest(col("n").cast("double")
+                * (col("n").cast("double") - lit(1.0d)), lit(1.0d))))
+      .select(col("n1"), col("n2"),
+        col("u1x2"),
+        when(col("varx") > 0d,
+          floor((col("u1x2").cast("double") / lit(2.0d)
+              - col("n1").cast("double") * col("n2").cast("double")
+                / lit(2.0d))
+            / sqrt(col("varx"))
+            * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("z"),
+        // rank-biserial effect size r = 1 − 2·U1/(n1·n2), in the same
+        // exact-numerator discipline
+        (floor((lit(1.0d) - col("u1x2").cast("double")
+            / (col("n1").cast("double") * col("n2").cast("double")))
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("rank_biserial"))
+  }
+
+  private val mannWhitneySql =
+    """WITH bv AS (
+      |  SELECT n_chars, CAST(count(*) AS BIGINT) AS t,
+      |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS t1
+      |  FROM documents GROUP BY n_chars),
+      |rk AS (
+      |  SELECT t, t1,
+      |         2 * (sum(t) OVER (ORDER BY n_chars
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t)
+      |           + t + 1 AS r2
+      |  FROM bv),
+      |a AS (
+      |  SELECT CAST(sum(t) AS BIGINT) AS n, CAST(sum(t1) AS BIGINT) AS n1,
+      |         CAST(sum(t1 * r2) AS BIGINT) AS r1x2,
+      |         CAST(sum(t * t * t - t) AS BIGINT) AS ties
+      |  FROM rk),
+      |b AS (SELECT n1, n - n1 AS n2, n,
+      |             r1x2 - n1 * (n1 + 1) AS u1x2, ties FROM a),
+      |v AS (SELECT *,
+      |             CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+      |               * ((CAST(n AS DOUBLE) + 1.0)
+      |                 - CAST(ties AS DOUBLE)
+      |                   / greatest(CAST(n AS DOUBLE)
+      |                       * (CAST(n AS DOUBLE) - 1.0), 1.0)) AS varx
+      |      FROM b)
+      |SELECT n1, n2, u1x2,
+      |       CASE WHEN varx > 0 THEN
+      |         floor((CAST(u1x2 AS DOUBLE) / 2.0
+      |                - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+      |               / sqrt(varx)
+      |               * 10000.0 + 0.5) / 10000.0 END AS z,
+      |       floor((1.0 - CAST(u1x2 AS DOUBLE)
+      |              / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+      |             * 10000.0 + 0.5) / 10000.0 AS rank_biserial
+      |FROM v""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_mann_whitney", mannWhitney, Some(mannWhitneySql),
+      doc = "Mann-Whitney U / Wilcoxon rank-sum (en vs non-en document " +
+        "length): doubled midranks, BIGINT rank sums + tie correction, " +
+        "one fixed FP sequence for z and rank-biserial r"),
     Q("q_survival", survival, Some(survivalSql)),
     Q("q_cusum", cusum, Some(cusumSql)),
     Q("q_bootstrap_ci", bootstrapCi, Some(bootstrapCiSql)),

@@ -120,6 +120,26 @@ class CensusSemanticsSpec extends SparkTestBase {
     }
   }
 
+  test("Mann-Whitney: planted separation gives the textbook extremes") {
+    import spark.implicits._
+    // en strictly above non-en: U1 = n1·n2 (every pair won), so
+    // rank_biserial = 1 − 2U1/(n1·n2) = −1 and z > 0; a tie-heavy
+    // overlap case checks the doubled-midrank path stays exact
+    val sep = Seq((100L, "en"), (110L, "en"), (10L, "zh"), (20L, "zh"),
+      (30L, "zh")).toDF("n_chars", "lang")
+    val r = operators.Inference.mannWhitneyOn(sep).collect().head
+    assert(r.getAs[Long]("n1") == 2L && r.getAs[Long]("n2") == 3L)
+    assert(r.getAs[Long]("u1x2") == 2L * 2L * 3L, s"U1 must be n1*n2: $r")
+    assert(r.getAs[Double]("rank_biserial") == -1.0d)
+    assert(r.getAs[Double]("z") > 0d)
+    // all-equal values: U1 = n1·n2/2 exactly (pure midranks), z = 0
+    val ties = Seq((5L, "en"), (5L, "en"), (5L, "zh"), (5L, "zh"))
+      .toDF("n_chars", "lang")
+    val t = operators.Inference.mannWhitneyOn(ties).collect().head
+    assert(t.getAs[Long]("u1x2") == 2L * 2L, s"tied U1 must be n1*n2/2: $t")
+    assert(t.getAs[Double]("rank_biserial") == 0.0d)
+  }
+
   test("corpus funnel is monotone and anchored at the raw corpus") {
     val rows = operators.Curation.corpusFunnel(spark, sfDir).collect()
       .sortBy(_.getAs[Int]("stage_idx"))
