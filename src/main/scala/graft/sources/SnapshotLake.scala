@@ -1141,6 +1141,55 @@ object SnapshotLake {
     head
   }
 
+  /** The parent-chain versions from `v` down to the create (inclusive). */
+  private def lineage(root: String, v: Int): List[Int] = {
+    var cur = v
+    val acc = List.newBuilder[Int]
+    while (cur >= 1) {
+      acc += cur
+      val p = snapshot(root, cur).parent
+      require(p < cur, s"corrupt lineage at v$cur (parent=$p)")
+      cur = p
+    }
+    acc.result()
+  }
+
+  /** REBASE a diverged branch onto main — the recovery path when
+    * [[fastForward]] refuses. Valid when every branch commit past the
+    * fork point is an APPEND (file-set additions commute with main's
+    * history): the branch's added files replay onto main's head as one
+    * new branch snapshot, parented at main, and the branch ref moves
+    * there — after which fastForward succeeds. Data files are REUSED
+    * (O(1) metadata, no rewrite). Non-append branch segments (deletes,
+    * schema changes) don't commute and throw. */
+  def rebaseBranch(root: String, name: String): Int = {
+    val (kind, head) = readRefMeta(root, name)
+    require(kind == "branch", s"ref '$name' is a $kind — cannot rebase")
+    val m = mainVersion(root)
+    val mainChain = lineage(root, m).toSet
+    val branchChain = lineage(root, head)
+    val fork = branchChain.find(mainChain).getOrElse(
+      sys.error(s"branch '$name' shares no ancestor with main"))
+    if (fork == head) return head // nothing to replay
+    val segment = branchChain.takeWhile(_ != fork)
+    segment.foreach { v =>
+      val op = snapshot(root, v).op
+      require(op.startsWith("append"),
+        s"rebase: branch commit v$v is '$op' — only append-only branch " +
+          "segments commute with main's history")
+    }
+    val forkPaths = snapshot(root, fork).paths.toSet
+    val added = snapshot(root, head).files.filterNot(f => forkPaths(f.path))
+    val msnap = snapshot(root, m)
+    val claim = currentVersion(root) + 1
+    val v = commit(root, m, s"rebase[branch=$name,from=v$fork]",
+      msnap.nRows + added.map(_.rows).sum, msnap.schemaDdl, msnap.statsCol,
+      msnap.files ++ added, msnap.deletes, msnap.cols, msnap.eqDeletes,
+      advanceMain = false, claim = claim)
+    writeRef(root, name, "branch", v, replace = true)
+    v
+  }
+
   /** Idempotent micro-batch append — the exactly-once building block for
     * a streaming sink: the micro-batch's id is recorded in the commit op
     * (`append[batch=N]`), and a replay of an already-committed batch id
