@@ -106,24 +106,22 @@ object Graph {
     // (+ its exchange) from EVERY round.
     val nPart = edges0.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
-    var edges = edges0.repartition(nPart, col("src")).distinct()
+    // size the round partitioning BEFORE building the cache, from the
+    // PRE-dedup pair count — an upper bound on |E| that costs one light
+    // job over the pair explode (no dedup pass), so the partitioned+
+    // deduped+degreed edge list is built and materialized exactly ONCE
+    // at its final partitioning (the old shape built a 32-partition
+    // cache, counted it, then re-cached a coalesced copy — two
+    // materializations of the same table)
+    val pairEstimate = edges0.count()
+    val roundParts = math.max(1L,
+      math.min(nPart.toLong, pairEstimate / EDGES_PER_ROUND_PART)).toInt
+    val edges = edges0.repartition(roundParts, col("src")).distinct()
       .withColumn("deg", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window.partitionBy("src")))
       .cache()
-    // one materializing job yields both census numbers (driver holds two
-    // longs, nothing more)
-    val c = edges.agg(count(lit(1)), countDistinct(col("src"))).collect().head
-    val (nEdges, n) = (c.getLong(0), c.getLong(1))
-    val roundParts =
-      math.max(1L, math.min(nPart.toLong, nEdges / EDGES_PER_ROUND_PART)).toInt
-    if (roundParts < nPart) {
-      // small graph: swap the cache for a few-partition copy so each of
-      // the 10 round stages launches a handful of tasks, not nPart
-      val small = edges.repartition(roundParts, col("src")).cache()
-      small.count()
-      edges.unpersist(blocking = false)
-      edges = small
-    }
+    // one materializing job yields the exact census (driver holds one long)
+    val n = edges.agg(countDistinct(col("src"))).collect().head.getLong(0)
     // same doubles DuckDB computes from its 1-row params frame
     val r0 = math.floor(1000000000.0d / n.toDouble).toLong
     val base = math.floor(150000000.0d / n.toDouble + 0.5d).toLong
