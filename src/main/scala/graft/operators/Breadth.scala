@@ -1554,6 +1554,53 @@ object Breadth {
       |CROSS JOIN n
       |ORDER BY type_a, type_b""".stripMargin
 
+  /** UNPIVOT / melt — the wide→long reshape dual of
+    * [[JoinsPlus.pivotDaily]]: a
+    * per-returnflag measure block (quantity, price, line count) turns
+    * into one (flag, measure, val) row per cell via `stack`, Spark's
+    * generator-based unpivot (codegen'd, no shuffle beyond the tiny
+    * aggregate that feeds it). Measures are summed in exact integer
+    * cents first (the corpus-scan aggregation is order-independent
+    * BIGINT, per the FP discipline) and only the 15-row reshaped frame
+    * converts to doubles. The oracle spells the same reshape as the
+    * ANSI UNION ALL every engine agrees on. */
+  def unpivotMeasures(s: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        sum(expr("CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)"))
+          .as("qty_c"),
+        sum(expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)"))
+          .as("price_c"),
+        count(lit(1)).as("cnt"))
+    wide.select(col("l_returnflag"), expr(
+      """stack(3,
+        |  'cnt',   CAST(cnt AS DOUBLE),
+        |  'price', CAST(price_c AS DOUBLE) / 100.0,
+        |  'qty',   CAST(qty_c AS DOUBLE) / 100.0) AS (measure, val)"""
+        .stripMargin))
+      .orderBy("l_returnflag", "measure")
+  }
+
+  private val unpivotMeasuresSql =
+    """WITH w AS (
+      |  SELECT l_returnflag,
+      |         CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT))
+      |           AS BIGINT) AS qty_c,
+      |         CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
+      |           AS BIGINT)) AS BIGINT) AS price_c,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, measure, val FROM (
+      |  SELECT l_returnflag, 'cnt' AS measure, CAST(cnt AS DOUBLE) AS val
+      |  FROM w
+      |  UNION ALL
+      |  SELECT l_returnflag, 'price', CAST(price_c AS DOUBLE) / 100.0
+      |  FROM w
+      |  UNION ALL
+      |  SELECT l_returnflag, 'qty', CAST(qty_c AS DOUBLE) / 100.0 FROM w)
+      |ORDER BY l_returnflag, measure""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_window_rank", windowRank, Some(windowRankSql)),
     Q("q_ab_test", abTest, Some(abTestSql)),
@@ -1582,6 +1629,9 @@ object Breadth {
     Q("q_json_props", jsonProps, Some(jsonPropsSql)),
     Q("q_variant_props", variantProps, Some(variantPropsSql)),
     Q("q_setops", setOps, Some(setOpsSql)),
+    Q("q_unpivot", unpivotMeasures, Some(unpivotMeasuresSql),
+      doc = "UNPIVOT/melt via stack() over an exact-cents aggregate — " +
+        "the wide→long dual of q_pivot; oracle is the ANSI UNION ALL"),
     Q("q_rollup", rollupAgg, Some(rollupAggSql)),
     Q("q_sessionize", sessionize, Some(sessionizeSql)),
     Q("q_session_window", sessionWindowAgg, Some(sessionWindowAggSql)),

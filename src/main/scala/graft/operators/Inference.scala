@@ -133,6 +133,90 @@ object Inference {
        |         / 10000.0 AS surv
        |FROM arr ORDER BY t_hours""".stripMargin
 
+  /** Nelson-Aalen cumulative hazard over the same time-to-first-purchase
+    * observation frame as [[survival]] — H(t) = Σ_{t_i ≤ t} d_i/n_i, the
+    * estimator a reliability/retention report pairs with the KM curve
+    * (its slope is the instantaneous conversion intensity). Same at-risk
+    * accounting (deaths-before-censoring ties), same scale posture: the
+    * corpus collapses to per-user pairs in one scan, the windows run over
+    * ≤ horizon+1 rows. Each increment d/n fixes to 1e-6 units by exact
+    * integer rounding ((2·d·1e6 + n) div 2n — all operands positive, so
+    * Spark's truncating `div` ≡ DuckDB's flooring `//`), and H is a plain
+    * BIGINT running sum of the increments — arithmetic identity with the
+    * oracle, no libm. */
+  def nelsonAalen(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val first = e.groupBy("user_id").agg(min("ts").as("t0"))
+    val purch = e.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min("ts").as("tp"))
+    val obs = first.join(purch, Seq("user_id"), "left")
+      .select(expr(
+        "(unix_micros(tp) div 1000000 - unix_micros(t0) div 1000000) div 3600")
+        .as("h"))
+      .select(
+        when(col("h").isNotNull && col("h") <= SURV_HORIZON_H, col("h"))
+          .otherwise(lit(SURV_HORIZON_H)).as("t"),
+        when(col("h").isNotNull && col("h") <= SURV_HORIZON_H, lit(1L))
+          .otherwise(lit(0L)).as("death"))
+    naOn(obs)
+  }
+
+  /** Nelson-Aalen core over the same (t, death) observation frame shape
+    * as [[kmOn]] — one row per death time with the 1e-6-fixed cumulative
+    * hazard. */
+  private[graft] def naOn(obs: DataFrame): DataFrame = {
+    val perT = obs.groupBy("t")
+      .agg(count(lit(1)).as("m"), sum("death").as("d"))
+    val tot = obs.agg(count(lit(1)).as("n_users"))
+    val wLt = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    perT.join(broadcast(tot))
+      .withColumn("n_risk",
+        col("n_users") - coalesce(sum("m").over(wLt), lit(0L)))
+      .filter(col("d") > 0)
+      .withColumn("h6", expr("(2L * d * 1000000L + n_risk) div (2L * n_risk)"))
+      .withColumn("cum6", sum("h6").over(wCum))
+      .select(col("t").as("t_hours"), col("n_risk"), col("d"),
+        (expr("(cum6 + 50L) div 100L").cast("double") / lit(10000.0d))
+          .as("cumhaz"))
+      .orderBy("t_hours")
+  }
+
+  private val nelsonAalenSql =
+    s"""WITH f AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id),
+       |p AS (SELECT user_id, min(ts) AS tp FROM events
+       |      WHERE event_type = 'purchase' GROUP BY user_id),
+       |hrs AS (
+       |  SELECT (epoch_us(tp) // 1000000 - epoch_us(t0) // 1000000) // 3600
+       |           AS h
+       |  FROM f LEFT JOIN p USING (user_id)),
+       |obs AS (
+       |  SELECT CASE WHEN h IS NOT NULL AND h <= $SURV_HORIZON_H
+       |              THEN h ELSE $SURV_HORIZON_H END AS t,
+       |         CASE WHEN h IS NOT NULL AND h <= $SURV_HORIZON_H
+       |              THEN 1 ELSE 0 END AS death
+       |  FROM hrs),
+       |per_t AS (
+       |  SELECT t, CAST(count(*) AS BIGINT) AS m,
+       |         CAST(sum(death) AS BIGINT) AS d
+       |  FROM obs GROUP BY t),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM obs),
+       |risk AS (
+       |  SELECT t, d,
+       |         CAST(n_users - coalesce(sum(m) OVER (ORDER BY t
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS BIGINT) AS n_risk
+       |  FROM per_t CROSS JOIN tot),
+       |na AS (
+       |  SELECT t, n_risk, d,
+       |         (2 * d * 1000000 + n_risk) // (2 * n_risk) AS h6
+       |  FROM risk WHERE d > 0)
+       |SELECT t AS t_hours, n_risk, d,
+       |       CAST((CAST(sum(h6) OVER (ORDER BY t
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |             AS BIGINT) + 50) // 100 AS DOUBLE) / 10000.0 AS cumhaz
+       |FROM na ORDER BY t_hours""".stripMargin
+
   /** CUSUM changepoint location over the daily event-volume series —
     * where the cumulative deviation from a flat rate peaks. Computed
     * ENTIRELY in integers: with T days, grand total N, and running total
@@ -512,12 +596,144 @@ object Inference {
       |             * 10000.0 + 0.5) / 10000.0 AS rank_biserial
       |FROM v""".stripMargin
 
+  /** Exponentially-weighted moving average of the daily event volume per
+    * event type, α = 1/2 — the smoothing a monitoring dashboard draws
+    * under the raw series. α = 1/2 is not a simplification, it is the
+    * choice that makes the recursion EXACT: with the state in 1e-6
+    * units, e_t = (e_{t-1} + x_t·1e6) div 2 is pure BIGINT (dyadic
+    * weights terminate, no FP accumulation, merge drift impossible), so
+    * the oracle comparison is arithmetic identity via the same left fold
+    * (`aggregate` here, `list_reduce` there), seeded e_1 = x_1·1e6.
+    *
+    * Scale posture: the corpus collapses to (type, day) counts in one
+    * scan; the running collect_list runs per type over ≤ a few dozen
+    * calendar days — the same aggregate-cardinality window discipline as
+    * [[survival]]. The fold is O(days) per row over a calendar-bounded
+    * array, not over facts. */
+  def ewma(s: SparkSession, dir: String): DataFrame =
+    ewmaOn(Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x")))
+
+  /** EWMA core over an (event_type, day, x) daily frame. */
+  private[graft] def ewmaOn(daily: DataFrame): DataFrame = {
+    val wCum = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily.withColumn("xs", collect_list("x").over(wCum))
+      .withColumn("e6", expr(
+        """aggregate(slice(xs, 2, size(xs) - 1),
+          |          element_at(xs, 1) * 1000000L,
+          |          (acc, v) -> (acc + v * 1000000L) div 2L)""".stripMargin))
+      .select(col("event_type"), col("day"), col("x"),
+        (expr("(e6 + 50L) div 100L").cast("double") / lit(10000.0d))
+          .as("ewma"))
+      .orderBy("event_type", "day")
+  }
+
+  private val ewmaSql =
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |l AS (
+      |  SELECT event_type, day, x,
+      |         list(x) OVER (PARTITION BY event_type ORDER BY day
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS xs
+      |  FROM d)
+      |SELECT event_type, day, x,
+      |       CAST((list_reduce(list_transform(xs, v -> v * 1000000),
+      |               (acc, v) -> (acc + v) // 2) + 50) // 100 AS DOUBLE)
+      |         / 10000.0 AS ewma
+      |FROM l ORDER BY event_type, day""".stripMargin
+
+  /** STL-style additive decomposition of the daily total-event series:
+    * x = trend + seasonal + residual, with trend = centered 7-day moving
+    * average (full windows only), seasonal = per-day-of-week mean of the
+    * detrended series, residual the remainder — the classic one-pass
+    * decomposition a capacity/seasonality report runs before alerting on
+    * the residual.
+    *
+    * Exactness: everything is 1e-4 fixed-point BIGINT. trend4 is the
+    * exactly-rounded 7-day mean ((s7·2e4 + 7) div 14, positive operands);
+    * the seasonal mean must round a possibly-NEGATIVE sum, where Spark's
+    * `div` truncates toward zero but DuckDB's `//` floors — so the
+    * division shifts by OFF = 1e9 per element first (a' = sdetr + n·OFF
+    * ≥ 0), rounds in the positive domain where the two semantics agree,
+    * and shifts back. Residual is a subtraction. The final /1e4 casts are
+    * exact binary divisions of ≤ 2^53 integers — no FP rounding anywhere.
+    *
+    * Scale posture: one scan collapses the corpus to ≤ calendar-days
+    * rows; the MA window and dow aggregate run on that tiny frame. */
+  def stlDecompose(s: SparkSession, dir: String): DataFrame =
+    stlOn(Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x")))
+
+  /** Decomposition core over a (day, x) daily frame. */
+  private[graft] def stlOn(daily: DataFrame): DataFrame = {
+    val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("s7", sum("x").over(w7))
+      .withColumn("c7", count(lit(1)).over(w7))
+      .filter(col("c7") === 7)
+      .withColumn("trend4", expr("(s7 * 20000L + 7L) div 14L"))
+      .withColumn("detr4", col("x") * lit(10000L) - col("trend4"))
+      .withColumn("dow", expr("datediff(day, date'1970-01-01') % 7"))
+    val seasonal = trended.groupBy("dow")
+      .agg(count(lit(1)).as("n"), sum("detr4").as("sdetr"))
+      .withColumn("s4", expr(
+        "(2L * (sdetr + n * 1000000000L) + n) div (2L * n) - 1000000000L"))
+      .select("dow", "s4")
+    trended.join(broadcast(seasonal), "dow")
+      .select(col("day"), col("x"),
+        (col("trend4").cast("double") / lit(10000.0d)).as("trend"),
+        (col("s4").cast("double") / lit(10000.0d)).as("seasonal"),
+        ((col("detr4") - col("s4")).cast("double") / lit(10000.0d))
+          .as("resid"))
+      .orderBy("day")
+  }
+
+  private val stlDecomposeSql =
+    """WITH d AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1),
+      |t AS (
+      |  SELECT day, x,
+      |         CAST(sum(x) OVER w7 AS BIGINT) AS s7,
+      |         count(*) OVER w7 AS c7
+      |  FROM d WINDOW w7 AS (ORDER BY day
+      |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |tr AS (
+      |  SELECT day, x, (s7 * 20000 + 7) // 14 AS trend4,
+      |         x * 10000 - ((s7 * 20000 + 7) // 14) AS detr4,
+      |         datediff('day', DATE '1970-01-01', day) % 7 AS dow
+      |  FROM t WHERE c7 = 7),
+      |se AS (
+      |  SELECT dow,
+      |         (2 * (CAST(sum(detr4) AS BIGINT) + count(*) * 1000000000)
+      |           + count(*)) // (2 * count(*)) - 1000000000 AS s4
+      |  FROM tr GROUP BY dow)
+      |SELECT day, x,
+      |       CAST(trend4 AS DOUBLE) / 10000.0 AS trend,
+      |       CAST(s4 AS DOUBLE) / 10000.0 AS seasonal,
+      |       CAST(detr4 - s4 AS DOUBLE) / 10000.0 AS resid
+      |FROM tr JOIN se USING (dow) ORDER BY day""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_mann_whitney", mannWhitney, Some(mannWhitneySql),
       doc = "Mann-Whitney U / Wilcoxon rank-sum (en vs non-en document " +
         "length): doubled midranks, BIGINT rank sums + tie correction, " +
         "one fixed FP sequence for z and rank-biserial r"),
     Q("q_survival", survival, Some(survivalSql)),
+    Q("q_nelson_aalen", nelsonAalen, Some(nelsonAalenSql),
+      doc = "Nelson-Aalen cumulative hazard of time-to-first-purchase: " +
+        "1e-6-fixed exact-integer d/n increments, BIGINT running sum"),
+    Q("q_ewma", ewma, Some(ewmaSql),
+      doc = "dyadic EWMA (α=1/2) of daily volume per type — exact " +
+        "BIGINT recursion via left fold, arithmetic identity with oracle"),
+    Q("q_stl_decompose", stlDecompose, Some(stlDecomposeSql),
+      doc = "additive trend/seasonal/residual decomposition of daily " +
+        "volume — 1e-4 fixed-point, offset-shifted signed rounding"),
     Q("q_cusum", cusum, Some(cusumSql)),
     Q("q_bootstrap_ci", bootstrapCi, Some(bootstrapCiSql)),
     Q("q_seasonal_naive", seasonalNaive, Some(seasonalNaiveSql)),

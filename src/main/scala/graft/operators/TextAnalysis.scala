@@ -1387,8 +1387,82 @@ object TextAnalysis {
       |         / 10000.0 AS mean_affinity
       |FROM ds GROUP BY source ORDER BY source""".stripMargin
 
+  /** Per-language readability census — words/sentence, syllables/word
+    * (vowel-group heuristic), and a Flesch-reading-ease-style score: the
+    * quality signal a curation pipeline thresholds on alongside
+    * q_text_quality. All counting is engine-neutral string arithmetic:
+    * sentences = terminal-punctuation chars via a translate length diff,
+    * syllable proxy = maximal vowel runs via a regexp_replace length
+    * diff (both engines run RE2-compatible '[aeiou]+' identically; the
+    * DuckDB side needs the explicit 'g' flag Spark implies), words = the
+    * repo-standard space split. Per-language sums are BIGINT; the three
+    * ratios and the Flesch formula are ONE fixed FP sequence floor-fixed
+    * to 4 decimals, mirrored operand-for-operand in the oracle.
+    *
+    * Scale posture: row-local counters in the scan stage (codegen'd, no
+    * UDF), one |langs|-cardinality aggregate — text never shuffles. */
+  def readability(s: SparkSession, dir: String): DataFrame =
+    readabilityOn(Tables.documents(s, dir))
+
+  /** Readability core over any (lang, text) frame. */
+  private[graft] def readabilityOn(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn
+      .withColumn("lo", lower(col("text")))
+      .withColumn("w", size(split(col("text"), " ")).cast("long"))
+      .withColumn("sen", greatest(lit(1L),
+        (length(col("text")) -
+          length(translate(col("text"), ".!?", ""))).cast("long")))
+      .withColumn("syl", greatest(lit(1L),
+        (length(regexp_replace(col("lo"), "[aeiou]+", "#")) -
+          length(regexp_replace(col("lo"), "[aeiou]+", ""))).cast("long")))
+    docs.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("w").as("sw"), sum("sen").as("ss"), sum("syl").as("sy"))
+      .select(col("lang"), col("n_docs"),
+        (floor(col("sw").cast("double") / col("ss").cast("double")
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("wps"),
+        (floor(col("sy").cast("double") / col("sw").cast("double")
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("spw"),
+        (floor((lit(206.835d)
+          - lit(1.015d) * (col("sw").cast("double") / col("ss").cast("double"))
+          - lit(84.6d) * (col("sy").cast("double") / col("sw").cast("double")))
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("flesch"))
+      .orderBy("lang")
+  }
+
+  private val readabilitySql =
+    """WITH d AS (
+      |  SELECT lang,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+      |         greatest(1, CAST(length(text)
+      |           - length(translate(text, '.!?', '')) AS BIGINT)) AS sen,
+      |         greatest(1, CAST(
+      |           length(regexp_replace(lower(text), '[aeiou]+', '#', 'g'))
+      |           - length(regexp_replace(lower(text), '[aeiou]+', '', 'g'))
+      |           AS BIGINT)) AS syl
+      |  FROM documents),
+      |a AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(w) AS BIGINT) AS sw, CAST(sum(sen) AS BIGINT) AS ss,
+      |         CAST(sum(syl) AS BIGINT) AS sy
+      |  FROM d GROUP BY lang)
+      |SELECT lang, n_docs,
+      |       floor(CAST(sw AS DOUBLE) / CAST(ss AS DOUBLE)
+      |             * 10000.0 + 0.5) / 10000.0 AS wps,
+      |       floor(CAST(sy AS DOUBLE) / CAST(sw AS DOUBLE)
+      |             * 10000.0 + 0.5) / 10000.0 AS spw,
+      |       floor((206.835
+      |              - 1.015 * (CAST(sw AS DOUBLE) / CAST(ss AS DOUBLE))
+      |              - 84.6 * (CAST(sy AS DOUBLE) / CAST(sw AS DOUBLE)))
+      |             * 10000.0 + 0.5) / 10000.0 AS flesch
+      |FROM a ORDER BY lang""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_text_langid", langId, Some(langIdSql)),
+    Q("q_readability", readability, Some(readabilitySql),
+      doc = "per-language readability census (words/sentence, vowel-" +
+        "group syllables/word, Flesch-style score) — engine-neutral " +
+        "string arithmetic, BIGINT sums, one fixed FP sequence"),
     Q("q_distinct_ngrams", distinctNgrams, Some(distinctNgramsSql),
       doc = "Per-source distinct-1/2/3 lexical-diversity census — " +
         "exact two-phase distinct over gram pairs, text never shuffles"),

@@ -180,4 +180,29 @@ class CensusSemanticsSpec extends SparkTestBase {
       }
     }
   }
+
+  test("readability: planted doc counts words, sentences, vowel groups") {
+    import spark.implicits._
+    val docs = Seq(("en", "Hello world. Foo bar!")).toDF("lang", "text")
+    val r = operators.TextAnalysis.readabilityOn(docs).collect().head
+    // 4 words, 2 terminal marks, vowel groups: e,o / o / oo / a = 5
+    assert(r.getAs[Long]("n_docs") == 1L)
+    assert(r.getAs[Double]("wps") == 2.0, s"words/sentence: $r")
+    assert(r.getAs[Double]("spw") == 1.25, s"syllables/word: $r")
+    // a no-terminal-punctuation doc clamps to 1 sentence, not div-by-zero
+    val bare = Seq(("en", "just words no stops")).toDF("lang", "text")
+    val b = operators.TextAnalysis.readabilityOn(bare).collect().head
+    assert(b.getAs[Double]("wps") == 4.0)
+  }
+
+  test("unpivot: one row per (flag, measure), cnt cells sum to |lineitem|") {
+    val rows = operators.Breadth.unpivotMeasures(spark, sfDir).collect()
+    val flags = rows.map(_.getString(0)).distinct
+    assert(rows.length == flags.length * 3, "3 measures per flag")
+    assert(rows.map(r => (r.getString(0), r.getString(1))).distinct.length
+      == rows.length, "cells are unique")
+    val cntSum = rows.filter(_.getString(1) == "cnt").map(_.getDouble(2)).sum
+    val total = Tables.lineitem(spark, sfDir).count()
+    assert(cntSum.toLong == total, s"cnt cells sum to $total, got $cntSum")
+  }
 }

@@ -105,4 +105,66 @@ class InferenceSpec extends SparkTestBase {
     assert(row.getDouble(3) == fix4((po - pe) / (1.0 - pe)), "kappa identity")
     assert(row.getDouble(3) <= 1.0)
   }
+
+  test("Nelson-Aalen: textbook increments sum, same risk sets as KM") {
+    import spark.implicits._
+    val obs = Seq((1L, 1L), (2L, 0L), (3L, 1L), (4L, 0L), (5L, 1L))
+    val rows = Inference.naOn(obs.toDF("t", "death"))
+      .orderBy("t_hours").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // H(1) = 1/5 = 0.2; H(3) = 0.2 + 1/3 -> 533333 -> 0.5333;
+    // H(5) = + 1/1 -> 1533333 -> 1.5333
+    assert(rows.toSeq == Seq((1L, 5L, 1L, 0.2), (3L, 3L, 1L, 0.5333),
+      (5L, 1L, 1L, 1.5333)), s"got ${rows.toSeq}")
+    // risk sets agree with the KM core on the identical frame
+    val km = kmRows(obs)
+    assert(rows.map(r => (r._1, r._2)).toSeq == km.map(r => (r._1, r._2)).toSeq)
+  }
+
+  test("EWMA: dyadic recursion is exact and per-type independent") {
+    import spark.implicits._
+    val daily = Seq(
+      ("a", "2024-01-01", 10L), ("a", "2024-01-02", 20L),
+      ("a", "2024-01-03", 40L),
+      ("b", "2024-01-01", 100L), ("b", "2024-01-02", 0L))
+      .map { case (t, d, x) => (t, java.sql.Date.valueOf(d), x) }
+      .toDF("event_type", "day", "x")
+    val got = Inference.ewmaOn(daily).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(3)))
+    // a: 10 -> (10+20)/2 = 15 -> (15+40)/2 = 27.5; b: 100 -> 50
+    assert(got.toSeq == Seq(
+      ("a", "2024-01-01", 10.0), ("a", "2024-01-02", 15.0),
+      ("a", "2024-01-03", 27.5),
+      ("b", "2024-01-01", 100.0), ("b", "2024-01-02", 50.0)),
+      s"got ${got.toSeq}")
+  }
+
+  test("STL: periodic series decomposes to flat trend, exact seasonal, " +
+    "zero residual") {
+    import spark.implicits._
+    // x = 10 + p[dow], p = (0,7,14,0,0,0,0): any 7-day sum is 91 -> the
+    // centered MA is exactly 13 on every full-window day, the seasonal
+    // component absorbs the pattern, and the residual vanishes.
+    val p = Seq(0L, 7L, 14L, 0L, 0L, 0L, 0L)
+    val daily = (1 to 21).map { d =>
+      val day = java.sql.Date.valueOf(f"2024-03-$d%02d")
+      val dow = ((day.toLocalDate.toEpochDay) % 7).toInt
+      (day, 10L + p(dow))
+    }.toDF("day", "x")
+    val rows = Inference.stlOn(daily).orderBy("day").collect()
+    assert(rows.length == 15, "only full 7-day windows survive")
+    rows.foreach { r =>
+      val (x, tr, se, res) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(tr == 13.0, s"flat trend, got $tr")
+      assert(se == x - 13.0, s"seasonal absorbs the pattern, got $se for $x")
+      assert(res == 0.0, s"residual vanishes, got $res")
+    }
+    // decomposition identity holds exactly on the engine's own corpus
+    Inference.stlDecompose(spark, sfDir).collect().foreach { r =>
+      val sum = r.getDouble(2) + r.getDouble(3) + r.getDouble(4)
+      assert(math.abs(sum - r.getLong(1)) < 1e-9,
+        s"x = trend + seasonal + resid, got $sum vs ${r.getLong(1)}")
+    }
+  }
 }
