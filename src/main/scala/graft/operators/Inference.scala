@@ -719,11 +719,140 @@ object Inference {
       |       CAST(detr4 - s4 AS DOUBLE) / 10000.0 AS resid
       |FROM tr JOIN se USING (dow) ORDER BY day""".stripMargin
 
+  /** Randomization-test permutation count. */
+  private val PERM_R = 99
+
+  /** Randomization (permutation-style) test for the difference in MEAN
+    * document length between English and non-English docs — the
+    * mean-based complement of [[mannWhitney]]'s rank test. Each of the
+    * [[PERM_R]] replicates reassigns every doc to group A independently
+    * with probability n_a/n via a salted md5 draw (the scale-native
+    * shape: rank-order permutations with exactly-preserved group sizes
+    * need a global sort PER replicate — one reducer holding the corpus,
+    * R times; the binomial reassignment is a pure map + one R-row
+    * aggregate, and at the null both randomization schemes are valid).
+    *
+    * Determinism/exactness: the draw is the first 4 md5 hex digits as an
+    * integer vs the threshold (n_a·65536) div n — no RNG state, stable
+    * across runs, engines, layouts (the q_hash_split property). The
+    * "replicate at least as extreme as observed" comparison is EXACT
+    * cross-multiplied integers — |Δmean_r| ≥ |Δmean_obs| ⟺
+    * |sa_r·nb_r − sb_r·na_r|·(n_a·n_b) ≥ |s_a·n_b − s_b·n_a|·(na_r·nb_r)
+    * — evaluated in DECIMAL(38,0) here and HUGEINT in the oracle (the
+    * BIGINT cross-products overflow at ~500k docs; the widening keeps
+    * the operator correct at any corpus size). A replicate that draws an
+    * empty group compares 0 ≥ 0 and counts as extreme — the
+    * deterministic convention both engines share. p = (1+extreme)/(R+1),
+    * the standard add-one permutation p-value. */
+  def permTest(s: SparkSession, dir: String): DataFrame =
+    permTestOn(Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("v"),
+        (col("lang") === "en").as("ga")))
+
+  /** Randomization-test core over a (doc_id, v, ga) frame. */
+  private[graft] def permTestOn(docs: DataFrame): DataFrame = {
+    val obs = docs.agg(
+      sum(when(col("ga"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("ga"), col("v")).otherwise(0L)).as("s_a"),
+      sum(when(!col("ga"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(!col("ga"), col("v")).otherwise(0L)).as("s_b"))
+    val h4 =
+      """(instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+        | + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+        | + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+        | + (instr('0123456789abcdef', substr(h, 4, 1)) - 1)""".stripMargin
+    val perR = docs.select(col("doc_id"), col("v"),
+        explode(expr(s"sequence(1, $PERM_R)")).as("r"))
+      .crossJoin(broadcast(obs))
+      .withColumn("h",
+        md5(concat(col("doc_id").cast("string"), lit(":perm:"),
+          col("r").cast("string"))))
+      .withColumn("pa", expr(h4) < expr("(n_a * 65536L) div (n_a + n_b)"))
+      .groupBy("r")
+      .agg(sum(when(col("pa"), 1L).otherwise(0L)).as("na_r"),
+        sum(when(col("pa"), col("v")).otherwise(0L)).as("sa_r"))
+      .crossJoin(broadcast(obs))
+      .withColumn("nb_r", expr("n_a + n_b - na_r"))
+      .withColumn("sb_r", expr("s_a + s_b - sa_r"))
+      .withColumn("ext", expr(
+        """CASE WHEN CAST(abs(sa_r * nb_r - sb_r * na_r) AS DECIMAL(19,0))
+          |          * CAST(n_a * n_b AS DECIMAL(19,0))
+          |       >= CAST(abs(s_a * n_b - s_b * n_a) AS DECIMAL(19,0))
+          |          * CAST(na_r * nb_r AS DECIMAL(19,0))
+          |     THEN 1L ELSE 0L END""".stripMargin))
+    perR.agg(sum("ext").as("n_extreme"))
+      .crossJoin(broadcast(obs))
+      .select(col("n_a"), col("n_b"),
+        (floor((col("s_a").cast("double") / col("n_a").cast("double")
+          - col("s_b").cast("double") / col("n_b").cast("double"))
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("obs_diff"),
+        col("n_extreme"),
+        (floor((lit(1.0d) + col("n_extreme").cast("double"))
+          / lit((PERM_R + 1).toDouble) * lit(10000.0d) + lit(0.5d))
+          / lit(10000.0d)).as("p_value"))
+  }
+
+  private val permTestSql = {
+    def h4(col: String) =
+      s"""(strpos('0123456789abcdef', substr($col, 1, 1)) - 1) * 4096
+         | + (strpos('0123456789abcdef', substr($col, 2, 1)) - 1) * 256
+         | + (strpos('0123456789abcdef', substr($col, 3, 1)) - 1) * 16
+         | + (strpos('0123456789abcdef', substr($col, 4, 1)) - 1)"""
+        .stripMargin
+    s"""WITH docs AS (
+       |  SELECT doc_id, CAST(n_chars AS BIGINT) AS v, lang = 'en' AS ga
+       |  FROM documents),
+       |obs AS (
+       |  SELECT CAST(sum(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |         CAST(sum(CASE WHEN ga THEN v ELSE 0 END) AS BIGINT) AS s_a,
+       |         CAST(sum(CASE WHEN ga THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+       |         CAST(sum(CASE WHEN ga THEN 0 ELSE v END) AS BIGINT) AS s_b
+       |  FROM docs),
+       |d AS (
+       |  SELECT doc_id, v, r,
+       |         md5(CAST(doc_id AS VARCHAR) || ':perm:'
+       |             || CAST(r AS VARCHAR)) AS h
+       |  FROM docs CROSS JOIN (SELECT unnest(range(1, ${PERM_R + 1})) AS r)),
+       |a AS (
+       |  SELECT r,
+       |         CAST(sum(CASE WHEN ${h4("h")}
+       |             < (n_a * 65536) // (n_a + n_b) THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS na_r,
+       |         CAST(sum(CASE WHEN ${h4("h")}
+       |             < (n_a * 65536) // (n_a + n_b) THEN v ELSE 0 END)
+       |           AS BIGINT) AS sa_r
+       |  FROM d CROSS JOIN obs GROUP BY r),
+       |e AS (
+       |  SELECT r, na_r, sa_r, n_a + n_b - na_r AS nb_r,
+       |         s_a + s_b - sa_r AS sb_r
+       |  FROM a CROSS JOIN obs),
+       |x AS (
+       |  SELECT CAST(sum(CASE WHEN
+       |           CAST(abs(sa_r * nb_r - sb_r * na_r) AS HUGEINT)
+       |             * CAST(n_a * n_b AS HUGEINT)
+       |           >= CAST(abs(s_a * n_b - s_b * n_a) AS HUGEINT)
+       |             * CAST(na_r * nb_r AS HUGEINT)
+       |         THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+       |  FROM e CROSS JOIN obs)
+       |SELECT n_a, n_b,
+       |       floor((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+       |              - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+       |             * 10000.0 + 0.5) / 10000.0 AS obs_diff,
+       |       n_extreme,
+       |       floor((1.0 + CAST(n_extreme AS DOUBLE)) / ${PERM_R + 1}.0
+       |             * 10000.0 + 0.5) / 10000.0 AS p_value
+       |FROM x CROSS JOIN obs""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_mann_whitney", mannWhitney, Some(mannWhitneySql),
       doc = "Mann-Whitney U / Wilcoxon rank-sum (en vs non-en document " +
         "length): doubled midranks, BIGINT rank sums + tie correction, " +
         "one fixed FP sequence for z and rank-biserial r"),
+    Q("q_perm_test", permTest, Some(permTestSql),
+      doc = "randomization test for Δmean doc length (en vs non-en): " +
+        "salted-md5 binomial reassignment ×99, exact cross-multiplied " +
+        "DECIMAL/HUGEINT extremeness compare, add-one p-value"),
     Q("q_survival", survival, Some(survivalSql)),
     Q("q_nelson_aalen", nelsonAalen, Some(nelsonAalenSql),
       doc = "Nelson-Aalen cumulative hazard of time-to-first-purchase: " +

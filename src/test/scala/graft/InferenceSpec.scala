@@ -121,6 +121,29 @@ class InferenceSpec extends SparkTestBase {
     assert(rows.map(r => (r._1, r._2)).toSeq == km.map(r => (r._1, r._2)).toSeq)
   }
 
+  test("perm test: planted extreme separation pins p at the add-one floor") {
+    import spark.implicits._
+    // group A values dwarf group B: no binomial reshuffle of 40 docs can
+    // reproduce a mean gap this extreme except by re-drawing (near-)the
+    // same split — expect very few extreme replicates.
+    val docs = ((1 to 20).map(i => (i.toLong, 1000000L, true)) ++
+      (21 to 40).map(i => (i.toLong, 1L, false)))
+      .toDF("doc_id", "v", "ga")
+    val r = Inference.permTestOn(docs).collect().head
+    assert(r.getAs[Long]("n_a") == 20L && r.getAs[Long]("n_b") == 20L)
+    assert(r.getAs[Double]("p_value") <= 0.05,
+      s"planted separation must be significant: $r")
+    // identical groups: every replicate is at least as extreme as the
+    // observed zero gap -> p pins at exactly 1.0
+    val flat = (1 to 40).map(i => (i.toLong, 7L, i <= 20))
+      .toDF("doc_id", "v", "ga")
+    val f = Inference.permTestOn(flat).collect().head
+    assert(f.getAs[Double]("obs_diff") == 0.0)
+    assert(f.getAs[Double]("p_value") == 1.0, s"null case: $f")
+    // determinism: bit-identical on a rerun (no RNG state)
+    assert(Inference.permTestOn(docs).collect().head == r)
+  }
+
   test("EWMA: dyadic recursion is exact and per-type independent") {
     import spark.implicits._
     val daily = Seq(

@@ -71,6 +71,8 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     "q_cmh_test",
     // 1-row user-total frame broadcast onto the ≤horizon-row hour table
     "q_survival",
+    // same 1-row user-total shape as q_survival
+    "q_nelson_aalen",
     // crossJoin of the 1-row norm census onto the 1-row dimension census
     "q_embedding_profile",
     // 1-row (n_days, n_total) + 1-row max|S| frames onto the day table
@@ -106,7 +108,10 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     // 1-row (T, R, V) LM-scalar frame broadcast onto the vocab table
     "q_dsir_affinity",
     // 1-row trained-weights frame broadcast onto the scoring scan
-    "q_probe_calibration")
+    "q_probe_calibration",
+    // 1-row observed-groups frame crossJoined onto the doc scan, the
+    // R-row replicate aggregate, and the 1-row extremeness count
+    "q_perm_test")
 
   // ONE sweep over the registry (executing every query once — the
   // dominant cost of this suite), with both plan properties checked off
