@@ -106,6 +106,34 @@ object SnapshotLake {
     case _ => sys.error(s"unparseable eqdelete entry: $s")
   }
 
+  /** One PARTITION SPEC of the table — Iceberg's partition-evolution
+    * unit. A spec is a transform over one column; files record which
+    * spec they were written under plus their single partition VALUE, and
+    * specs never change once assigned — evolution ADDS a spec and
+    * repoints the default, so files written under an older spec keep
+    * their own layout and simply stop pruning on the new transform
+    * (scans stay correct: pruning is lossy-never, the residual predicate
+    * still applies). Transforms are deliberately engine-replayable:
+    * `identity(col)` and `mod(n, col)` (the deterministic stand-in for
+    * Iceberg's murmur bucket, which no second engine reproduces). */
+  final case class PartSpec(id: Int, kind: String, n: Int, colName: String) {
+    def serialized: String = s"$id|$kind|$n|$colName"
+    /** The transform as a STRING-valued column — one representation for
+      * every transform kind, so partition values compare uniformly. */
+    def expr: Column = kind match {
+      case "identity" => col(colName).cast("string")
+      case "mod"      => pmod(col(colName), lit(n.toLong)).cast("string")
+      case k          => sys.error(s"unknown partition transform: $k")
+    }
+    def describe: String =
+      if (kind == "identity") s"identity($colName)" else s"mod($n,$colName)"
+  }
+
+  private def parsePartSpec(s: String): PartSpec = {
+    val Array(id, kind, n, cn) = s.split("\\|", 4)
+    PartSpec(id.toInt, kind, n.toInt, cn)
+  }
+
   /** `deletes` are Iceberg-style POSITION-DELETE files: each is a parquet
     * of (df = data-file basename, pos = row index in that file) rows.
     * Data files they reference stay byte-identical on disk — a MOR
@@ -127,7 +155,19 @@ object SnapshotLake {
                               * legacy linear manifests default to v−1
                               * (exact for every pre-refs history, where
                               * all commits chained through main). */
-                            parent: Int = -1) {
+                            parent: Int = -1,
+                            /** Every partition spec ever added (specs are
+                              * immutable; evolution appends). */
+                            specs: Seq[PartSpec] = Seq.empty,
+                            /** Spec id new appends write under; −1 =
+                              * unpartitioned. */
+                            defaultSpec: Int = -1,
+                            /** path → (specId, partitionValue) for files
+                              * written under a spec; files absent here
+                              * (pre-spec eras, restaged COW output) are
+                              * simply never pruned by partition. */
+                            partInfo: Map[String, (Int, String)] =
+                              Map.empty) {
     def paths: Seq[String] = files.map(_.path)
     /** Every file the snapshot pins — data AND delete files — for
       * expire/reclaim accounting. */
@@ -194,7 +234,14 @@ object SnapshotLake {
       lines.filter(_.startsWith("eqdelete="))
         .map(l => parseEqDelete(l.drop(9))),
       lines.find(_.startsWith("parent=")).map(_.drop(7).toInt)
-        .getOrElse(ver - 1))
+        .getOrElse(ver - 1),
+      lines.filter(_.startsWith("spec=")).map(l => parsePartSpec(l.drop(5))),
+      lines.find(_.startsWith("defaultspec=")).map(_.drop(12).toInt)
+        .getOrElse(-1),
+      lines.filter(_.startsWith("pfile=")).map { l =>
+        val Array(sid, pv, p) = l.drop(6).split("\\|", 3)
+        p -> (sid.toInt, pv)
+      }.toMap)
   }
 
   /** Commit `files` as a NEW snapshot built on content base `prev` (the
@@ -212,10 +259,32 @@ object SnapshotLake {
                             cols: Seq[ColumnDef] = Seq.empty,
                             eqDeletes: Seq[EqDelete] = Seq.empty,
                             advanceMain: Boolean = true,
-                            claim: Int = -1): Int = {
+                            claim: Int = -1,
+                            newPartInfo: Map[String, (Int, String)] =
+                              Map.empty,
+                            specsOverride: Option[(Seq[PartSpec], Int)] =
+                              None): Int = {
     // claim number: explicit (branch-aware flows pass currentVersion+1,
     // matching their staged file names) or the legacy linear parent+1
     val v = if (claim > 0) claim else prev + 1
+    // Partition-spec metadata INHERITS through every commit (specs are
+    // table-level state like the stats column, and threading them through
+    // 15 call sites invites a silent drop): the parent's specs/default
+    // carry forward unless the evolve op overrides, and per-file
+    // partition values survive for exactly the files still present —
+    // restaged (COW) files fall out of partInfo and simply stop pruning,
+    // which is the lossy-never direction.
+    val parentSnap =
+      if (prev > 0 &&
+        Files.exists(metaDir(root).resolve(s"v$prev.manifest")))
+        Some(snapshot(root, prev))
+      else None
+    val (specs, defSpec) = specsOverride.getOrElse(
+      parentSnap.map(p => (p.specs, p.defaultSpec)).getOrElse((Seq.empty, -1)))
+    val keep = files.map(_.path).toSet
+    val partInfo =
+      (parentSnap.map(_.partInfo).getOrElse(Map.empty) ++ newPartInfo)
+        .filter { case (p, _) => keep(p) }
     Files.createDirectories(metaDir(root))
     val body =
       (Seq(s"version=$v", s"op=$op", s"nRows=$nRows", s"schema=$schemaDdl",
@@ -223,7 +292,14 @@ object SnapshotLake {
         files.map(f => s"file=${f.serialized}") ++
         deletes.map(f => s"delete=${f.serialized}") ++
         cols.map(c => s"col=${c.serialized}") ++
-        eqDeletes.map(e => s"eqdelete=${e.serialized}")).mkString("", "\n", "\n")
+        eqDeletes.map(e => s"eqdelete=${e.serialized}") ++
+        specs.map(sp => s"spec=${sp.serialized}") ++
+        (if (defSpec >= 0) Seq(s"defaultspec=$defSpec") else Seq.empty) ++
+        partInfo.toSeq.sortBy(_._1).map { case (p, (sid, pv)) =>
+          require(!pv.contains("|") && !pv.contains("\n"),
+            s"partition value not serializable: $pv")
+          s"pfile=$sid|$pv|$p"
+        }).mkString("", "\n", "\n")
     val tmp = metaDir(root).resolve(s".v$v.tmp")
     Files.writeString(tmp, body)
     val target = metaDir(root).resolve(s"v$v.manifest")
@@ -450,12 +526,119 @@ object SnapshotLake {
   def append(spark: SparkSession, df: DataFrame, root: String): Int = {
     val (prev, snap, claim) = mainMutationCtx(root)
     val cols = evolvedCols(snap.cols, maxEverId(root, prev), df.schema)
-    val files = stage(df, root, claim, snap.statsCol, cols)
+    // a table with a default partition spec lays the batch out under it;
+    // files from earlier specs (or the unpartitioned era) are untouched —
+    // THE partition-evolution contract: layout changes apply forward only
+    val (files, pinfo) = snap.specs.find(_.id == snap.defaultSpec) match {
+      case Some(spec) =>
+        stagePartitioned(df, root, claim, spec, snap.statsCol, cols)
+      case None => (stage(df, root, claim, snap.statsCol, cols),
+        Map.empty[String, (Int, String)])
+    }
     val schema = if (snap.idBased) ddlOf(cols)
                  else mergedDdl(snap.schemaDdl, df.schema)
     commit(root, prev, "append", snap.nRows + files.map(_.rows).sum, schema,
       snap.statsCol, snap.files ++ files, snap.deletes, cols,
-      snap.eqDeletes, claim = claim)
+      snap.eqDeletes, claim = claim, newPartInfo = pinfo)
+  }
+
+  /** PARTITION EVOLUTION — the metadata-only commit that changes how
+    * FUTURE appends lay data out, without touching a byte of existing
+    * data (Iceberg's spec-evolution rule). The new spec gets a fresh id;
+    * earlier specs stay in the manifest because the files written under
+    * them still carry their values and still prune on THEIR transform.
+    * `kind` = "identity" (n ignored) or "mod" (value % n). */
+  def evolvePartitionSpec(root: String, kind: String, colName: String,
+                          n: Int = 0): Int = {
+    require(kind == "identity" || kind == "mod",
+      s"unknown partition transform kind: $kind")
+    val (prev, snap, claim) = mainMutationCtx(root)
+    val id = (snap.specs.map(_.id) :+ 0).max + 1
+    val spec = PartSpec(id, kind, n, colName)
+    commit(root, prev, s"evolve-spec[${spec.describe}]", snap.nRows,
+      snap.schemaDdl, snap.statsCol, snap.files, snap.deletes, snap.cols,
+      snap.eqDeletes, claim = claim,
+      specsOverride = Some((snap.specs :+ spec, id)))
+  }
+
+  /** Stage `df` laid out by `spec`: one staged file per partition value
+    * (hash-repartition on the transform keeps a value on one task;
+    * `partitionBy` splits tasks by value), each recorded in the manifest
+    * with its (specId, value) — the metadata [[prunePartition]] skips
+    * files by. The transform column is derived for layout only and never
+    * lands in the data pages. */
+  private def stagePartitioned(df0: DataFrame, root: String, v: Int,
+                               spec: PartSpec, statsCol: Option[String],
+                               cols: Seq[ColumnDef])
+      : (Seq[FileEntry], Map[String, (Int, String)]) = {
+    val nonce = stageNonce()
+    val df = withFieldIds(df0, cols)
+    if (cols.nonEmpty) ensureFieldIdConfs(df.sparkSession)
+    val scratch = Paths.get(root, s".stage-v$v-$nonce-p")
+    df.withColumn("_pval", spec.expr)
+      .repartition(col("_pval"))
+      .write.mode("overwrite").partitionBy("_pval")
+      .parquet(scratch.toString)
+    Files.createDirectories(dataDir(root))
+    val subdirs = {
+      val s = Files.list(scratch)
+      try s.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith("_pval="))
+        .sortBy(_.getFileName.toString)
+      finally s.close()
+    }
+    var i = 0
+    val staged = subdirs.flatMap { sub =>
+      // partitionBy URL-escapes values into the directory name
+      val pval = java.net.URLDecoder.decode(
+        sub.getFileName.toString.drop("_pval=".length), "UTF-8")
+      val parts = {
+        val s = Files.list(sub)
+        try s.iterator().asScala.toSeq
+          .filter(_.toString.endsWith(".parquet"))
+          .sortBy(_.getFileName.toString)
+          .map(p => (p, footerStats(p, statsCol)))
+          .filter(_._2._1 > 0)
+        finally s.close()
+      }
+      parts.map { case (p, (rows, mn, mx)) =>
+        val rel = s"data/v$v-$nonce-$i.parquet"
+        i += 1
+        Files.move(p, Paths.get(root, rel), StandardCopyOption.ATOMIC_MOVE)
+        (FileEntry(rel, rows, mn, mx), rel -> (spec.id, pval))
+      }
+    }
+    deleteRecursively(scratch)
+    (staged.map(_._1), staged.map(_._2).toMap)
+  }
+
+  /** Manifest-level PARTITION pruning under the CURRENT default spec:
+    * files recorded under it with a different value are skipped; files
+    * from earlier specs (or none) are kept — pruning is lossy-never, the
+    * caller's residual predicate restores exactness. */
+  private[graft] def prunePartition(snap: Snapshot,
+                                    value: String): Seq[FileEntry] =
+    snap.files.filter { f =>
+      snap.partInfo.get(f.path) match {
+        case Some((sid, pv)) if sid == snap.defaultSpec => pv == value
+        case _ => true
+      }
+    }
+
+  /** The rows whose CURRENT-spec transform equals `value`, scanning only
+    * the files partition pruning keeps: exact pruning for files written
+    * under the current spec, fall-through + residual filter for earlier
+    * eras — correctness never depends on WHEN a file was written, only
+    * scan cost does (new data prunes; old data re-prunes after a
+    * compaction rewrites it under the current spec). */
+  def readPartition(spark: SparkSession, root: String,
+                    value: String): DataFrame = {
+    val snap = snapshot(root, mainVersion(root))
+    val spec = snap.specs.find(_.id == snap.defaultSpec).getOrElse(
+      sys.error(s"table at $root has no partition spec — " +
+        "evolvePartitionSpec first"))
+    openFiles(spark, root, snap, prunePartition(snap, value))
+      .filter(spec.expr === lit(value))
   }
 
   /** Metadata-only RENAME on an id-based table: a new snapshot with the
@@ -1714,7 +1897,88 @@ object SnapshotLake {
       |  FROM documents WHERE doc_id % 3 = 0)
       |GROUP BY ref, kind, version ORDER BY ref""".stripMargin
 
+  /** Once-per-fixture PARTITION-EVOLUTION LAB: three layout eras of one
+    * table — v1 create (doc_id%3=0, unpartitioned), v2 evolve to
+    * mod(4,doc_id), v3 append (%3=1, laid out in 4 mod-files), v4 evolve
+    * to identity(lang), v5 append (%3=2, one file per language). Every
+    * era's files survive verbatim; only NEW appends adopt the new
+    * layout. */
+  private[graft] def ensurePartLab(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_").stripPrefix("_")
+    val base = Paths.get(
+      s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "graft_snap_partevo")
+    val root = base.resolve(s"docs_${tag}_${docsFingerprint(dir)}")
+    this.synchronized {
+      if (currentVersion(root.toString) < 5) {
+        if (Files.isDirectory(base)) {
+          val ls = Files.list(base)
+          try ls.iterator().asScala.toSeq
+            .filter(_.getFileName.toString.matches(
+              s"docs_${tag}_[0-9a-f]{1,8}"))
+            .foreach(deleteRecursively)
+          finally ls.close()
+        }
+        deleteRecursively(root)
+        val d = graft.Tables.documents(s, dir)
+        create(d.filter(pmod(col("doc_id"), lit(3)) === 0), root.toString,
+          statsCol = Some("doc_id"))
+        evolvePartitionSpec(root.toString, "mod", "doc_id", 4)
+        append(s, d.filter(pmod(col("doc_id"), lit(3)) === 1), root.toString)
+        evolvePartitionSpec(root.toString, "identity", "lang")
+        append(s, d.filter(pmod(col("doc_id"), lit(3)) === 2), root.toString)
+      }
+    }
+    root.toString
+  }
+
+  /** Partition-evolution census: per spec era, the distinct partition
+    * values and row counts recorded in the MANIFEST (matching the oracle
+    * proves the staged layout + metadata are exactly the transform's
+    * arithmetic), plus a partition read under the CURRENT spec whose
+    * count spans all three eras (old files can't prune on the new
+    * transform but still surface their matching rows — the correctness
+    * half of evolution; [[SnapshotLakeSpec]] pins the pruning half). */
+  def partitionEvolution(s: SparkSession, dir: String): DataFrame = {
+    val root = ensurePartLab(s, dir)
+    val snap = snapshot(root, mainVersion(root))
+    val rowsFor = snap.files.map(f => f.path -> f.rows).toMap
+    def eraRow(sid: Int): (String, Long, Long) = {
+      val files = snap.partInfo.toSeq.filter(_._2._1 == sid)
+      val desc = snap.specs.find(_.id == sid).get.describe
+      (s"spec:$desc", files.map(_._2._2).distinct.size.toLong,
+        files.map(f => rowsFor(f._1)).sum)
+    }
+    import s.implicits._
+    val meta = Seq(eraRow(1), eraRow(2)).toDF("era", "n_parts", "n_rows")
+    val en = readPartition(s, root, "en")
+      .agg(count(lit(1)).as("n_rows"))
+      .select(lit("read:en").as("era"), lit(1L).as("n_parts"),
+        col("n_rows"))
+    meta.unionByName(en).orderBy("era")
+  }
+
+  private val partitionEvolutionSql =
+    """SELECT era, n_parts, n_rows FROM (
+      |  SELECT 'read:en' AS era, CAST(1 AS BIGINT) AS n_parts,
+      |         count(*) AS n_rows
+      |  FROM documents WHERE lang = 'en'
+      |  UNION ALL
+      |  SELECT 'spec:identity(lang)', CAST(count(DISTINCT lang) AS BIGINT),
+      |         count(*)
+      |  FROM documents WHERE doc_id % 3 = 2
+      |  UNION ALL
+      |  SELECT 'spec:mod(4,doc_id)',
+      |         CAST(count(DISTINCT doc_id % 4) AS BIGINT), count(*)
+      |  FROM documents WHERE doc_id % 3 = 1)
+      |ORDER BY era""".stripMargin
+
   val all: Seq[graft.Q] = Seq(
+    graft.Q("q_partition_evolution", partitionEvolution,
+      Some(partitionEvolutionSql),
+      doc = "Partition-spec evolution: per-era manifest layout census " +
+        "(mod then identity specs) + a cross-era partition read — old " +
+        "files keep their layout, new appends adopt the new spec"),
     graft.Q("q_snapshot_branch", snapshotBranch, Some(snapshotBranchSql),
       doc = "Branch/tag refs census: main, a diverged branch, and a tag " +
         "each read their own snapshot (isolation + retention), " +

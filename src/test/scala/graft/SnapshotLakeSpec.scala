@@ -678,4 +678,62 @@ class SnapshotLakeSpec extends SparkTestBase {
     assert(staged2.toSet.intersect(staged3.toSet).isEmpty,
       s"file-name collision: $staged2 vs $staged3")
   }
+
+  test("partition evolution: metadata-only evolve, forward-only layout, " +
+    "exact pruning with old-era fall-through") {
+    val root = freshRoot("partevo")
+    SnapshotLake.create(df((1L, "a", 1L), (2L, "b", 2L), (3L, "a", 3L)), root)
+    val v1Files = SnapshotLake.snapshot(root, 1).paths
+    // evolve commits touch no data: same file set, byte-identical
+    val sizes = v1Files.map(f => f -> Files.size(Paths.get(root, f))).toMap
+    SnapshotLake.evolvePartitionSpec(root, "identity", "kind")
+    val s2 = SnapshotLake.snapshot(root, 2)
+    assert(s2.paths == v1Files, "evolve must not restage files")
+    v1Files.foreach(f =>
+      assert(Files.size(Paths.get(root, f)) == sizes(f), s"$f rewritten"))
+    assert(s2.defaultSpec == 1 && s2.specs.map(_.describe)
+      == Seq("identity(kind)"))
+    // append under the spec: every staged file records (spec, value),
+    // one value per file
+    SnapshotLake.append(spark,
+      df((4L, "a", 4L), (5L, "b", 5L), (6L, "c", 6L)), root)
+    val s3 = SnapshotLake.snapshot(root, 3)
+    val staged = s3.paths.filterNot(v1Files.toSet)
+    assert(staged.nonEmpty &&
+      staged.forall(p => s3.partInfo.get(p).exists(_._1 == 1)),
+      s"staged files missing partition info: ${s3.partInfo}")
+    assert(staged.map(p => s3.partInfo(p)._2).sorted == Seq("a", "b", "c"))
+    // pruning keeps ALL pre-spec files (can't prune) + only matching new
+    val kept = SnapshotLake.prunePartition(s3, "a").map(_.path)
+    assert(v1Files.forall(kept.contains), "old-era files must fall through")
+    assert(kept.toSet.intersect(staged.toSet)
+      == staged.filter(p => s3.partInfo(p)._2 == "a").toSet)
+    // the pruned read is row-exact across both eras
+    val got = SnapshotLake.readPartition(spark, root, "a")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L, 4L), s"got $got")
+    // a second evolution: old spec's files stop pruning (different spec
+    // id), new appends adopt the new transform
+    SnapshotLake.evolvePartitionSpec(root, "mod", "id", 2)
+    SnapshotLake.append(spark, df((7L, "a", 7L), (8L, "b", 8L)), root)
+    val s5 = SnapshotLake.snapshot(root, 5)
+    assert(s5.defaultSpec == 2 && s5.specs.size == 2)
+    val even = SnapshotLake.readPartition(spark, root, "0")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(even == Set(2L, 4L, 6L, 8L), s"got $even")
+    val keptMod = SnapshotLake.prunePartition(s5, "0").map(_.path).toSet
+    // kind-era files fall through (spec 1 ≠ default 2); of the two new
+    // mod-files only the even one survives pruning
+    val modStaged = s5.paths.filterNot(s3.paths.toSet)
+    assert(modStaged.count(keptMod) == 1,
+      s"mod-era pruning kept ${modStaged.filter(keptMod)}")
+    // spec metadata survives an unrelated COW commit; restaged files
+    // merely drop out of partInfo (lossy-never direction)
+    SnapshotLake.deleteWhere(spark, root, col("id") === 7L)
+    val s6 = SnapshotLake.snapshot(root, 6)
+    assert(s6.specs.size == 2 && s6.defaultSpec == 2,
+      "COW commit lost the partition specs")
+    assert(SnapshotLake.readPartition(spark, root, "0")
+      .count() == 4, "partition read wrong after COW delete")
+  }
 }
