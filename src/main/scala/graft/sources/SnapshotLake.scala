@@ -1432,13 +1432,24 @@ object SnapshotLake {
               targetParts: Int = 1): (Int, Int, Int) = {
     val (prev, snap, claim) = mainMutationCtx(root)
     val cur = open(spark, root, snap)
-    val arranged = snap.statsCol match {
-      case Some(c) => cur.repartitionByRange(targetParts, col(c))
-      case None => cur.repartition(targetParts)
+    // a partitioned table compacts INTO its current spec — the rewrite
+    // that migrates pre-evolution eras: every compacted file gets a
+    // (specId, value) entry, so data that predated the spec (and could
+    // only fall through pruning) prunes exactly afterwards
+    val (files, pinfo) = snap.specs.find(_.id == snap.defaultSpec) match {
+      case Some(spec) =>
+        stagePartitioned(cur, root, claim, spec, snap.statsCol, snap.cols)
+      case None =>
+        val arranged = snap.statsCol match {
+          case Some(c) => cur.repartitionByRange(targetParts, col(c))
+          case None => cur.repartition(targetParts)
+        }
+        (stage(arranged, root, claim, snap.statsCol, snap.cols),
+          Map.empty[String, (Int, String)])
     }
-    val files = stage(arranged, root, claim, snap.statsCol, snap.cols)
     val v = commit(root, prev, "compact", snap.nRows, snap.schemaDdl,
-      snap.statsCol, files, Seq.empty, snap.cols, claim = claim)
+      snap.statsCol, files, Seq.empty, snap.cols, claim = claim,
+      newPartInfo = pinfo)
     (v, snap.files.size, files.size)
   }
 

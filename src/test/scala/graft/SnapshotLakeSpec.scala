@@ -735,5 +735,18 @@ class SnapshotLakeSpec extends SparkTestBase {
       "COW commit lost the partition specs")
     assert(SnapshotLake.readPartition(spark, root, "0")
       .count() == 4, "partition read wrong after COW delete")
+    // compaction migrates every era into the CURRENT spec: afterwards
+    // ALL files carry (spec 2, value) info, pruning goes exact
+    // everywhere, and content is unchanged
+    SnapshotLake.compact(spark, root)
+    val s7 = SnapshotLake.snapshot(root, SnapshotLake.mainVersion(root))
+    assert(s7.paths.forall(p => s7.partInfo.get(p).exists(_._1 == 2)),
+      s"compaction left files outside the current spec: ${s7.partInfo}")
+    val keptAfter = SnapshotLake.prunePartition(s7, "0")
+    assert(keptAfter.forall(f => s7.partInfo(f.path)._2 == "0"),
+      "post-compaction pruning must be exact (no fall-through files)")
+    assert(SnapshotLake.readPartition(spark, root, "0")
+      .select("id").collect().map(_.getLong(0)).toSet
+      == Set(2L, 4L, 6L, 8L))
   }
 }
