@@ -1601,6 +1601,151 @@ object Breadth {
       |  SELECT l_returnflag, 'qty', CAST(qty_c AS DOUBLE) / 100.0 FROM w)
       |ORDER BY l_returnflag, measure""".stripMargin
 
+  /** MATCH_RECOGNIZE-style path-pattern census: each 30-min-gap session
+    * becomes a character string (one char per event, ordered by time)
+    * and regex patterns classify sessions — "viewed then purchased",
+    * "signup-led", "repeated errors", "browse-only". This is the
+    * row-pattern-matching capability SQL spells MATCH_RECOGNIZE,
+    * re-expressed as sessionize → string-fold → regex, which Catalyst
+    * keeps fully codegen'd (vs a per-row NFA UDF). Patterns use only
+    * anchors/classes/quantifiers shared by Java regex and RE2, so the
+    * oracle replays them verbatim.
+    *
+    * Scale posture: the shuffle carries (user, ts, event_id, 1 char);
+    * per-session strings are session-bounded (the gap rule keeps them
+    * small on any human-scale stream — same exposure as q_sessionize).
+    * The census is ONE aggregate row (conditional sums) reshaped by
+    * `stack` — patterns don't re-scan. */
+  def pathRegex(s: SparkSession, dir: String): DataFrame =
+    pathRegexOn(Tables.events(s, dir))
+
+  /** Path-pattern core over an (user_id, event_id, ts, event_type)
+    * frame. */
+  private[graft] def pathRegexOn(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val ev = events
+      .withColumn("sec", col("ts").cast("double"))
+      .withColumn("prev_sec", lag("sec", 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_sec").isNull || col("sec") - col("prev_sec") > 1800d,
+          1L).otherwise(0L))
+      .withColumn("session_id",
+        sum("is_new").over(byUser.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("c", substring(col("event_type"), 1, 1))
+    val paths = ev.groupBy("user_id", "session_id")
+      .agg(expr("concat_ws('', transform(array_sort(" +
+        "collect_list(struct(sec, event_id, c))), x -> x.c))").as("path"))
+    val wide = paths.agg(
+      count(lit(1)).as("n_sessions"),
+      sum(when(col("path").rlike("v.*p"), 1L).otherwise(0L)).as("m_vp"),
+      sum(when(col("path").rlike("^s"), 1L).otherwise(0L)).as("m_signup"),
+      sum(when(col("path").rlike("ee"), 1L).otherwise(0L)).as("m_errs"),
+      sum(when(col("path").rlike("^[vc]+$"), 1L).otherwise(0L)).as("m_browse"))
+    wide.select(expr(
+      """stack(4,
+        |  'browse_only[^[vc]+$]',        m_browse,
+        |  'error_pair[ee]',              m_errs,
+        |  'signup_start[^s]',            m_signup,
+        |  'view_then_purchase[v.*p]',    m_vp) AS (pattern, n_matched)"""
+        .stripMargin), col("n_sessions"))
+      .select(col("pattern"), col("n_sessions"), col("n_matched"),
+        (floor(col("n_matched").cast("double")
+          / col("n_sessions").cast("double") * lit(10000.0d) + lit(0.5d))
+          / lit(10000.0d)).as("share"))
+      .orderBy("pattern")
+  }
+
+  private val pathRegexSql =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, epoch(ts) AS sec,
+      |         substr(event_type, 1, 1) AS c,
+      |         CASE WHEN lag(epoch(ts)) OVER w IS NULL
+      |                   OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+      |              THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, sec, event_id, c,
+      |         sum(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS session_id
+      |  FROM marked),
+      |paths AS (
+      |  SELECT user_id, session_id,
+      |         string_agg(c, '' ORDER BY sec, event_id) AS path
+      |  FROM sess GROUP BY user_id, session_id),
+      |wide AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+      |         CAST(sum(CASE WHEN regexp_matches(path, 'v.*p')
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS m_vp,
+      |         CAST(sum(CASE WHEN regexp_matches(path, '^s')
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS m_signup,
+      |         CAST(sum(CASE WHEN regexp_matches(path, 'ee')
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS m_errs,
+      |         CAST(sum(CASE WHEN regexp_matches(path, '^[vc]+$')
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS m_browse
+      |  FROM paths)
+      |SELECT pattern, n_sessions, n_matched,
+      |       floor(CAST(n_matched AS DOUBLE) / CAST(n_sessions AS DOUBLE)
+      |             * 10000.0 + 0.5) / 10000.0 AS share
+      |FROM (
+      |  SELECT 'browse_only[^[vc]+$]' AS pattern, n_sessions,
+      |         m_browse AS n_matched FROM wide
+      |  UNION ALL
+      |  SELECT 'error_pair[ee]', n_sessions, m_errs FROM wide
+      |  UNION ALL
+      |  SELECT 'signup_start[^s]', n_sessions, m_signup FROM wide
+      |  UNION ALL
+      |  SELECT 'view_then_purchase[v.*p]', n_sessions, m_vp FROM wide)
+      |ORDER BY pattern""".stripMargin
+
+  /** Trailing 7-day distinct users per active day (DAU / WAU /
+    * stickiness) — the engagement census every product dashboard leads
+    * with, and a genuinely different window shape: a SLIDING DISTINCT,
+    * which no frame-based window computes (distinct doesn't decompose
+    * over frame increments). The scale-native shape: collapse to
+    * distinct (day, user) pairs in one scan, fan each pair out to the 7
+    * window-end days it serves (the explode + EQUI-join idiom — narrow
+    * tuples, never event rows), and count distinct per end day. */
+  def rollingDistinct(s: SparkSession, dir: String): DataFrame =
+    rollingDistinctOn(Tables.events(s, dir))
+
+  /** Sliding-distinct core over a (ts, user_id) frame. */
+  private[graft] def rollingDistinctOn(events: DataFrame): DataFrame = {
+    val pairs = events
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val dau = pairs.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = pairs
+      .select(col("day"), col("user_id"),
+        explode(expr("sequence(0, 6)")).as("o"))
+      .select(expr("date_add(day, o)").as("wday"), col("user_id"))
+      .groupBy("wday").agg(count_distinct(col("user_id")).as("wau"))
+    dau.join(wau, col("day") === col("wday"))
+      .select(col("day"), col("dau"), col("wau"),
+        (floor(col("dau").cast("double") / col("wau").cast("double")
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("stickiness"))
+      .orderBy("day")
+  }
+
+  private val rollingDistinctSql =
+    """WITH pairs AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |dau AS (
+      |  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM pairs GROUP BY day),
+      |w AS (
+      |  SELECT day + CAST(o AS INTEGER) AS wday, user_id
+      |  FROM pairs CROSS JOIN (SELECT unnest(range(0, 7)) AS o)),
+      |wau AS (
+      |  SELECT wday, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      |  FROM w GROUP BY wday)
+      |SELECT day, dau, wau,
+      |       floor(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE)
+      |             * 10000.0 + 0.5) / 10000.0 AS stickiness
+      |FROM dau JOIN wau ON day = wday
+      |ORDER BY day""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_window_rank", windowRank, Some(windowRankSql)),
     Q("q_ab_test", abTest, Some(abTestSql)),
@@ -1632,6 +1777,14 @@ object Breadth {
     Q("q_unpivot", unpivotMeasures, Some(unpivotMeasuresSql),
       doc = "UNPIVOT/melt via stack() over an exact-cents aggregate — " +
         "the wide→long dual of q_pivot; oracle is the ANSI UNION ALL"),
+    Q("q_path_regex", pathRegex, Some(pathRegexSql),
+      doc = "MATCH_RECOGNIZE-style session path-pattern census: " +
+        "sessionize → ordered char fold → shared-dialect regexes, one " +
+        "conditional-sum aggregate reshaped by stack"),
+    Q("q_rolling_distinct", rollingDistinct, Some(rollingDistinctSql),
+      doc = "trailing 7-day distinct users (DAU/WAU/stickiness): " +
+        "sliding DISTINCT via distinct-pair fan-out + equi-join — the " +
+        "window shape frames can't express"),
     Q("q_rollup", rollupAgg, Some(rollupAggSql)),
     Q("q_sessionize", sessionize, Some(sessionizeSql)),
     Q("q_session_window", sessionWindowAgg, Some(sessionWindowAggSql)),

@@ -195,6 +195,46 @@ class CensusSemanticsSpec extends SparkTestBase {
     assert(b.getAs[Double]("wps") == 4.0)
   }
 
+  test("path regex: planted sessions classify by pattern, order by time") {
+    import spark.implicits._
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    // user 1, one session: arrival order scrambled, event-time order is
+    // view, click, purchase -> path "vcp": matches v.*p, not ^s/ee/^[vc]+$
+    // user 1, second session (gap > 1800 s): error, error -> "ee"
+    // user 2, one session: signup, view, click -> "svc": ^s only
+    val events = Seq(
+      (1L, 3L, ts(300), "purchase"), (1L, 1L, ts(100), "view"),
+      (1L, 2L, ts(200), "click"),
+      (1L, 4L, ts(9000), "error"), (1L, 5L, ts(9010), "error"),
+      (2L, 6L, ts(50), "signup"), (2L, 7L, ts(60), "view"),
+      (2L, 8L, ts(70), "click")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = operators.Breadth.pathRegexOn(events).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.values.forall(_._1 == 3L), s"3 sessions total: $got")
+    assert(got("view_then_purchase[v.*p]")._2 == 1L, s"$got")
+    assert(got("error_pair[ee]")._2 == 1L, s"$got")
+    assert(got("signup_start[^s]")._2 == 1L, s"$got")
+    assert(got("browse_only[^[vc]+$]")._2 == 0L, s"$got")
+  }
+
+  test("rolling distinct: trailing-7-day union, not a sum of DAUs") {
+    import spark.implicits._
+    def ts(day: Int) = Timestamp.valueOf(f"2024-05-$day%02d 12:00:00")
+    // user 1 active on days 1 and 5 (one WAU member, two DAU hits);
+    // user 2 active on day 5 only
+    val events = Seq((ts(1), 1L), (ts(5), 1L), (ts(5), 2L), (ts(5), 2L))
+      .toDF("ts", "user_id")
+    val got = operators.Breadth.rollingDistinctOn(events).collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+    // day 1: dau 1, wau 1; day 5: dau 2, but WAU window [apr 29..may 5]
+    // holds the UNION {1, 2} = 2 (user 1 counted once despite two
+    // active days in the window)
+    assert(got("2024-05-01") == ((1L, 1L)), s"$got")
+    assert(got("2024-05-05") == ((2L, 2L)), s"$got")
+    assert(got.size == 2, "only active days emit rows")
+  }
+
   test("unpivot: one row per (flag, measure), cnt cells sum to |lineitem|") {
     val rows = operators.Breadth.unpivotMeasures(spark, sfDir).collect()
     val flags = rows.map(_.getString(0)).distinct
