@@ -114,6 +114,11 @@ object GraftFunctions {
       FunctionIdentifier("fingerprint_min"),
       new ExpressionInfo(classOf[FingerprintMin].getName, "fingerprint_min"),
       exprs => FingerprintMin(exprs(0), extractIntLiteral(exprs(1), "fingerprint_min")))
+    reg.registerFunction(
+      FunctionIdentifier("hilbert_d"),
+      new ExpressionInfo(classOf[HilbertD].getName, "hilbert_d"),
+      exprs => HilbertD(exprs(0), exprs(1),
+        extractIntLiteral(exprs(2), "hilbert_d")))
   }
 
   private[functions] def extractIntLiteral(e: Expression, fn: String): Int = e match {
@@ -151,5 +156,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FingerprintMin].getName, "fingerprint_min"),
       (exprs: Seq[Expression]) =>
         FingerprintMin(exprs(0), GraftFunctions.extractIntLiteral(exprs(1), "fingerprint_min"))))
+    ext.injectFunction((
+      FunctionIdentifier("hilbert_d"),
+      new ExpressionInfo(classOf[HilbertD].getName, "hilbert_d"),
+      (exprs: Seq[Expression]) =>
+        HilbertD(exprs(0), exprs(1),
+          GraftFunctions.extractIntLiteral(exprs(2), "hilbert_d"))))
   }
 }

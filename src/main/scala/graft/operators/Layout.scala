@@ -95,6 +95,66 @@ object Layout {
       .parquet(out)
   }
 
+  /** The Hilbert kernel as a checked query — [[zorderKeys]]'s sibling on
+    * the stronger curve: the 20 smallest Hilbert indexes of the
+    * (l_partkey, l_suppkey) plane. Spark computes through the codegen'd
+    * [[graft.functions.HilbertD]] loop; the oracle replays the SAME
+    * top-down walk as 16 chained per-bit CTE rounds (each MATERIALIZED —
+    * a round references its predecessor's state several times, so the
+    * naive inline chain expands exponentially; the quadrant xor is
+    * spelled 3·rx + ry − 2·rx·ry, identical on {0,1}²). A hash match is
+    * bit-equality between the compiled kernel and portable SQL at corpus
+    * scale — the custom-Expression contract
+    * (memory: new-query-checklist). */
+  def hilbertKeys(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        expr("hilbert_d(CAST(l_partkey AS BIGINT), " +
+          "CAST(l_suppkey AS BIGINT), 16)").as("hval"))
+      .orderBy(col("hval").asc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+      .limit(20)
+  }
+
+  private val hilbertKeysSql = {
+    val rounds = (15 to 0 by -1).map { i =>
+      val s = 1L << i
+      val prev = if (i == 15) "base" else s"r${i + 1}"
+      // rx/ry spelled inline so each round is one SELECT over the
+      // materialized predecessor
+      val rx = s"CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END"
+      val ry = s"CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END"
+      s"""r$i AS MATERIALIZED (
+         |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |    CASE WHEN $ry = 0 THEN
+         |      CASE WHEN $rx = 1 THEN $s - 1 - y ELSE y END
+         |    ELSE x END AS x,
+         |    CASE WHEN $ry = 0 THEN
+         |      CASE WHEN $rx = 1 THEN $s - 1 - x ELSE x END
+         |    ELSE y END AS y,
+         |    d + $s * $s *
+         |      (3 * ($rx) + ($ry) - 2 * ($rx) * ($ry)) AS d
+         |  FROM $prev)""".stripMargin
+    }
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |         CAST(l_partkey AS BIGINT) AS x,
+       |         CAST(l_suppkey AS BIGINT) AS y,
+       |         CAST(0 AS BIGINT) AS d
+       |  FROM lineitem),
+       |${rounds.mkString(",\n")}
+       |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |       CAST(d AS BIGINT) AS hval
+       |FROM r0
+       |ORDER BY hval, l_orderkey, l_linenumber LIMIT 20""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
-    Q("q_zorder_keys", zorderKeys, Some(zorderKeysSql)))
+    Q("q_zorder_keys", zorderKeys, Some(zorderKeysSql)),
+    Q("q_hilbert_keys", hilbertKeys, Some(hilbertKeysSql),
+      doc = "Hilbert space-filling index via a custom codegen " +
+        "Expression (compiled 16-round state walk) vs a 16-round " +
+        "materialized-CTE oracle — bit-equality at corpus scale"))
 }

@@ -128,4 +128,43 @@ class DotProductSpec extends SparkTestBase {
     assert(plan.contains("*(1) Project [dot_d"))
     assert(df.agg(sum("v")).collect()(0).getDouble(0) == 9900.0)
   }
+
+  test("hilbert_d: bijective on the grid, strict neighbor adjacency") {
+    // the property Morton lacks and Hilbert is FOR: consecutive indexes
+    // are always grid neighbors (|Δx|+|Δy| = 1) — checked exhaustively
+    // at several orders, plus bijectivity (every cell exactly once)
+    for (bits <- 1 to 5) {
+      val n = 1 << bits
+      val cells = for (x <- 0 until n; y <- 0 until n)
+        yield graft.functions.HilbertKernel.hilbert(bits, x, y) -> (x, y)
+      val byD = cells.sortBy(_._1)
+      assert(byD.map(_._1) == (0L until n.toLong * n).toSeq,
+        s"bits=$bits: not a bijection onto 0..${n * n - 1}")
+      byD.sliding(2).foreach { case Seq((_, (x1, y1)), (_, (x2, y2))) =>
+        assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+          s"bits=$bits: ($x1,$y1) -> ($x2,$y2) not adjacent")
+      }
+    }
+  }
+
+  test("hilbert_d matches the kernel through codegen and rejects bad args") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(11)
+    val pts = Seq.fill(200)((rnd.nextInt(65536).toLong,
+      rnd.nextInt(65536).toLong))
+    val got = pts.toDF("x", "y")
+      .selectExpr("x", "y", "hilbert_d(x, y, 16) AS d").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (x, y) =>
+      assert(got((x, y)) == graft.functions.HilbertKernel.hilbert(16, x, y))
+    }
+    val plan = spark.range(100)
+      .selectExpr("hilbert_d(id, id + 1, 16) AS d")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [hilbert_d"),
+      s"hilbert_d outside whole-stage codegen:\n$plan")
+    val e = intercept[Exception](
+      spark.sql("SELECT hilbert_d('a', 'b', 16)").collect())
+    assert(e.getMessage.contains("hilbert_d"))
+  }
 }
