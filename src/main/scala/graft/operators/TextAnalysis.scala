@@ -516,6 +516,80 @@ object TextAnalysis {
       |FROM pairs p JOIN dfs d ON p.term = d.term CROSS JOIN n
       |ORDER BY tfidf DESC, p.doc_id, p.term LIMIT 20""".stripMargin
 
+  /** Distinctive-keyword extraction per source: the top-5 terms by LIFT
+    * — the term's per-million rate inside the source over its corpus-wide
+    * rate — the table a corpus auditor reads to see WHAT a source
+    * contributes (a df-over-sources TF-IDF saturates here: with few
+    * sources sharing a vocabulary every df hits the ceiling and the
+    * census empties).
+    *
+    * Exactness at any scale: both rates round to 1e-6 units by exact
+    * integer division, and the lift is the exactly-rounded 1e-4 ratio of
+    * those two BOUNDED integers (≤ 1e6 each — no cross-product of raw
+    * corpus-scale counts, so nothing overflows no matter the corpus
+    * size). Rank key = (lift4 desc, term asc): pure integers, no libm,
+    * no FP-order tie risk. tf ≥ 5 is the noise floor. Scale shape: same
+    * as [[tfidf]] — (source, term) partial-aggregated pairs, never text;
+    * the per-source top-5 is a bounded rank window over |sources|
+    * groups. */
+  def keywords(s: SparkSession, dir: String): DataFrame =
+    keywordsOn(Tables.documents(s, dir))
+
+  /** Lift-keyword core over a (source, text) frame. */
+  private[graft] def keywordsOn(docs: DataFrame): DataFrame = {
+    val pairs = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("tf"))
+    val srcTot = pairs.groupBy("source").agg(sum("tf").as("t_s"))
+    val termTot = pairs.groupBy("term").agg(sum("tf").as("tf_c"))
+    val corpusTot = pairs.agg(sum("tf").as("t_c"))
+    val bySrc = Window.partitionBy("source")
+      .orderBy(col("lift4").desc, col("term").asc)
+    pairs.filter(col("tf") >= 5)
+      .join(srcTot, "source").join(termTot, "term")
+      .crossJoin(broadcast(corpusTot))
+      .withColumn("r_s", expr("(2L * tf * 1000000L + t_s) div (2L * t_s)"))
+      .withColumn("r_c",
+        expr("greatest(1L, (2L * tf_c * 1000000L + t_c) div (2L * t_c))"))
+      .withColumn("lift4", expr("(2L * r_s * 10000L + r_c) div (2L * r_c)"))
+      .withColumn("rank", row_number().over(bySrc).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("source"), col("rank"), col("term"),
+        col("tf").cast("long").as("tf"),
+        (col("lift4").cast("double") / lit(10000.0d)).as("lift"))
+      .orderBy("source", "rank")
+  }
+
+  private val keywordsSql =
+    """WITH pairs AS (
+      |  SELECT source, term, CAST(count(*) AS BIGINT) AS tf FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS term
+      |    FROM documents)
+      |  GROUP BY source, term),
+      |st AS (SELECT source, CAST(sum(tf) AS BIGINT) AS t_s
+      |       FROM pairs GROUP BY source),
+      |tt AS (SELECT term, CAST(sum(tf) AS BIGINT) AS tf_c
+      |       FROM pairs GROUP BY term),
+      |ct AS (SELECT CAST(sum(tf) AS BIGINT) AS t_c FROM pairs),
+      |sc AS (
+      |  SELECT source, term, tf,
+      |         (2 * tf * 1000000 + t_s) // (2 * t_s) AS r_s,
+      |         greatest(1, (2 * tf_c * 1000000 + t_c) // (2 * t_c)) AS r_c
+      |  FROM pairs JOIN st USING (source) JOIN tt USING (term)
+      |  CROSS JOIN ct
+      |  WHERE tf >= 5),
+      |r AS (
+      |  SELECT source, term, tf,
+      |         (2 * r_s * 10000 + r_c) // (2 * r_c) AS lift4,
+      |         row_number() OVER (PARTITION BY source
+      |           ORDER BY (2 * r_s * 10000 + r_c) // (2 * r_c) DESC, term)
+      |           AS rank
+      |  FROM sc)
+      |SELECT source, CAST(rank AS BIGINT) AS rank, term, tf,
+      |       CAST(lift4 AS DOUBLE) / 10000.0 AS lift
+      |FROM r WHERE rank <= 5
+      |ORDER BY source, rank""".stripMargin
+
   /** Repetition signal (the Gopher-style quality filter): per-document
     * duplicate-token and duplicate-bigram fractions. Both are ROW-LOCAL —
     * computed inside the scan's codegen stage from the token array itself
@@ -1484,6 +1558,10 @@ object TextAnalysis {
     Q("q_bm25", bm25, Some(bm25Sql)),
     Q("q_token_entropy", tokenEntropy, Some(tokenEntropySql)),
     Q("q_tfidf", tfidf, Some(tfidfSql)),
+    Q("q_keywords", keywords, Some(keywordsSql),
+      doc = "distinctive terms per source by exact-integer lift " +
+        "(1e-6-fixed in-source vs corpus rates, 1e-4 ratio) — bounded " +
+        "per-source top-5 rank window, no libm in the rank key"),
     Q("q_text_repetition", repetition, Some(repetitionSql)),
     Q("q_decontaminate", decontaminate, Some(decontaminateSql)),
     Q("q_stratified_topk", stratifiedSample, Some(stratifiedSampleSql),

@@ -235,6 +235,31 @@ class CensusSemanticsSpec extends SparkTestBase {
     assert(got.size == 2, "only active days emit rows")
   }
 
+  test("keywords: planted source-specific term outranks shared vocabulary") {
+    import spark.implicits._
+    // 'zebra' lives only in source A (rate 5/15 vs corpus 5/30 -> lift 2);
+    // 'the' is everywhere (lift 1); both clear the tf >= 5 floor
+    val a = "the zebra the zebra the zebra the zebra the zebra"
+    val b = "the cat the cat the cat the cat the cat"
+    val docs = Seq(("A", a + " safari park camp"),
+      ("B", b + " sofa nap rug")).toDF("source", "text")
+    val rows = operators.TextAnalysis.keywordsOn(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getDouble(4)))
+    val aTop = rows.filter(_._1 == "A").minBy(_._2)
+    assert(aTop._3 == "zebra", s"A's top term: $rows")
+    // exact integer arithmetic: A holds 13 tokens, the corpus 26 ->
+    // r_s = round(5e6/13), r_c = round(5e6/26), lift ~ 2.0
+    val rs = (2L * 5 * 1000000L + 13) / (2 * 13)
+    val rc = (2L * 5 * 1000000L + 26) / (2 * 26)
+    val lift4 = (2 * rs * 10000L + rc) / (2 * rc)
+    assert(aTop._4 == lift4.toDouble / 10000.0, s"lift mismatch: $aTop")
+    // ranks are 1..k and unique per source
+    rows.groupBy(_._1).foreach { case (_, rs2) =>
+      assert(rs2.map(_._2).sorted.sameElements(1L to rs2.length))
+    }
+  }
+
   test("unpivot: one row per (flag, measure), cnt cells sum to |lineitem|") {
     val rows = operators.Breadth.unpivotMeasures(spark, sfDir).collect()
     val flags = rows.map(_.getString(0)).distinct

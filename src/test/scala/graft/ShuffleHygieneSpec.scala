@@ -111,7 +111,9 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     "q_probe_calibration",
     // 1-row observed-groups frame crossJoined onto the doc scan, the
     // R-row replicate aggregate, and the 1-row extremeness count
-    "q_perm_test")
+    "q_perm_test",
+    // 1-row corpus-token-total frame broadcast onto the pair table
+    "q_keywords")
 
   // ONE sweep over the registry (executing every query once — the
   // dominant cost of this suite), with both plan properties checked off
