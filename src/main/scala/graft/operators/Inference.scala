@@ -844,11 +844,181 @@ object Inference {
        |FROM x CROSS JOIN obs""".stripMargin
   }
 
+  /** Fixed iteration count for the absorbing-chain walk: both engines
+    * run EXACTLY this many rounds, so the comparison is arithmetic
+    * identity whether or not the chain has fully absorbed (the output is
+    * the well-defined 40-step conversion probability; transient mass
+    * decays geometrically, so 40 steps is far past practical
+    * absorption on journey-shaped chains). */
+  private val MARKOV_T = 40
+
+  /** Markov-chain (removal-effect) attribution — the data-driven upgrade
+    * of positional attribution (q_attribution): model user journeys as
+    * an absorbing Markov chain (__start → event types → __conv at first
+    * purchase, unconverted journeys leak to __null), then credit each
+    * channel by how much the start→conversion probability DROPS when the
+    * channel's outgoing transitions are removed (mass entering a removed
+    * channel is stranded — the standard removal-effect construction).
+    *
+    * Exactness (the reason this is oracle-checkable at all): transition
+    * probabilities stay RATIONAL (count/out-count, never divided into
+    * floats); each mass transfer rounds to 1e-6 units by exact integer
+    * division ((2·c·v + r) div 2r), and a round is a plain BIGINT sum of
+    * those terms — associative, order-free, identical in Scala and SQL.
+    * The oracle replays the same [[MARKOV_T]] rounds as unrolled
+    * MATERIALIZED CTEs over the (scenario, state, mass) table, with
+    * removal expressed as the join predicate scenario ≠ from_state.
+    *
+    * Scale posture: the corpus collapses to the ≤(|types|+2)² transition
+    * COUNT table in one windowed pass (narrow (user, rank, type) rows
+    * shuffle, never raw events twice); the chain solve walks that tiny
+    * table on the driver — the Lloyd/k-core bounded-driver-state
+    * pattern, |states|·T integer ops. */
+  def markovAttribution(s: SparkSession, dir: String): DataFrame =
+    markovOn(Tables.events(s, dir))
+
+  /** Attribution core over a (user_id, event_id, ts, event_type)
+    * frame. */
+  private[graft] def markovOn(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val ev = events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("rn", row_number().over(byUser))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min("rn").as("fp_rn"))
+    val j = ev.join(fp, Seq("user_id"), "left")
+      .filter(col("fp_rn").isNull || col("rn") <= col("fp_rn"))
+      .withColumn("st",
+        when(col("rn") === col("fp_rn"), lit("__conv"))
+          .otherwise(col("event_type")))
+    val led = j
+      .withColumn("nxt", lead("st", 1).over(
+        Window.partitionBy("user_id").orderBy(col("rn").asc)))
+    val edges = led.filter(col("st") =!= "__conv")
+      .select(col("st").as("from_st"),
+        coalesce(col("nxt"), lit("__null")).as("to_st"))
+      .unionByName(led.filter(col("rn") === 1)
+        .select(lit("__start").as("from_st"), col("st").as("to_st")))
+    val cnt = edges.groupBy("from_st", "to_st")
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val rOut = cnt.groupBy(_._1._1).map { case (f, m) => f -> m.values.sum }
+    // the exact 40-round walk; removal strands mass entering the channel
+    def conv6(removed: Option[String]): Long = {
+      var v = Map("__start" -> 1000000L).withDefaultValue(0L)
+      var it = 0
+      while (it < MARKOV_T) {
+        val nv = scala.collection.mutable.Map[String, Long]()
+          .withDefaultValue(0L)
+        nv("__conv") += v("__conv")
+        for (((f, t), c) <- cnt
+             if t != "__null" && !removed.contains(f) && f != "__conv") {
+          val vf = v(f)
+          if (vf != 0L)
+            nv(t) += (2L * c * vf + rOut(f)) / (2L * rOut(f))
+        }
+        v = nv.toMap.withDefaultValue(0L)
+        it += 1
+      }
+      v("__conv")
+    }
+    val base6 = conv6(None)
+    val channels = cnt.keysIterator.map(_._1)
+      .filter(f => f != "__start" && f != "__conv").toSeq.distinct.sorted
+    def p4(x6: Long): Double = ((x6 + 50L) / 100L).toDouble / 10000.0
+    import s.implicits._
+    channels.map { ch =>
+      val rem6 = conv6(Some(ch))
+      val eff4 = (2L * (base6 - rem6) * 10000L + base6) /
+        (2L * math.max(base6, 1L))
+      (ch, p4(base6), p4(rem6), eff4.toDouble / 10000.0)
+    }.toDF("channel", "base_p", "removed_p", "effect")
+      .orderBy("channel")
+  }
+
+  private val markovAttributionSql = {
+    val rounds = (1 to MARKOV_T).map { n =>
+      val prev = if (n == 1) "r0" else s"r${n - 1}"
+      s"""r$n AS MATERIALIZED (
+         |  SELECT scenario, st, CAST(sum(v6) AS BIGINT) AS v6 FROM (
+         |    SELECT v.scenario, t.to_st AS st,
+         |           (2 * t.c * v.v6 + t.r) // (2 * t.r) AS v6
+         |    FROM $prev v JOIN trans t ON t.from_st = v.st
+         |    WHERE v.st <> '__conv' AND t.to_st <> '__null'
+         |      AND (v.scenario = '__none' OR v.scenario <> t.from_st)
+         |      AND v.v6 <> 0
+         |    UNION ALL
+         |    SELECT scenario, st, v6 FROM $prev WHERE st = '__conv'
+         |  ) GROUP BY scenario, st)""".stripMargin
+    }
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type,
+       |         row_number() OVER (PARTITION BY user_id
+       |           ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |fp AS (SELECT user_id, min(rn) AS fp_rn FROM ev
+       |       WHERE event_type = 'purchase' GROUP BY user_id),
+       |j AS (
+       |  SELECT e.user_id, e.rn,
+       |         CASE WHEN e.rn = f.fp_rn THEN '__conv'
+       |              ELSE e.event_type END AS st
+       |  FROM ev e LEFT JOIN fp f USING (user_id)
+       |  WHERE f.fp_rn IS NULL OR e.rn <= f.fp_rn),
+       |led AS (
+       |  SELECT user_id, rn, st,
+       |         lead(st) OVER (PARTITION BY user_id ORDER BY rn) AS nxt
+       |  FROM j),
+       |edges AS (
+       |  SELECT st AS from_st, coalesce(nxt, '__null') AS to_st
+       |  FROM led WHERE st <> '__conv'
+       |  UNION ALL
+       |  SELECT '__start', st FROM led WHERE rn = 1),
+       |cnt AS (SELECT from_st, to_st, CAST(count(*) AS BIGINT) AS c
+       |        FROM edges GROUP BY 1, 2),
+       |rout AS (SELECT from_st, CAST(sum(c) AS BIGINT) AS r
+       |         FROM cnt GROUP BY 1),
+       |trans AS MATERIALIZED (
+       |  SELECT c.from_st, c.to_st, c.c, r.r
+       |  FROM cnt c JOIN rout r USING (from_st)),
+       |chan AS (SELECT DISTINCT event_type AS channel FROM events
+       |         WHERE event_type <> 'purchase'),
+       |r0 AS MATERIALIZED (
+       |  SELECT scenario, '__start' AS st, CAST(1000000 AS BIGINT) AS v6
+       |  FROM (SELECT '__none' AS scenario
+       |        UNION ALL SELECT channel FROM chan)),
+       |${rounds.mkString(",\n")},
+       |base AS (
+       |  SELECT coalesce((SELECT v6 FROM r$MARKOV_T
+       |                   WHERE scenario = '__none' AND st = '__conv'), 0)
+       |    AS base6)
+       |SELECT channel,
+       |       CAST((base6 + 50) // 100 AS DOUBLE) / 10000.0 AS base_p,
+       |       CAST((rem6 + 50) // 100 AS DOUBLE) / 10000.0 AS removed_p,
+       |       CAST((2 * (base6 - rem6) * 10000 + base6)
+       |            // (2 * greatest(base6, 1)) AS DOUBLE) / 10000.0
+       |         AS effect
+       |FROM (
+       |  SELECT c.channel,
+       |         coalesce(r.v6, 0) AS rem6
+       |  FROM chan c LEFT JOIN r$MARKOV_T r
+       |    ON r.scenario = c.channel AND r.st = '__conv') t
+       |CROSS JOIN base
+       |ORDER BY channel""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_mann_whitney", mannWhitney, Some(mannWhitneySql),
       doc = "Mann-Whitney U / Wilcoxon rank-sum (en vs non-en document " +
         "length): doubled midranks, BIGINT rank sums + tie correction, " +
         "one fixed FP sequence for z and rank-biserial r"),
+    Q("q_markov_attribution", markovAttribution,
+      Some(markovAttributionSql),
+      doc = "Markov removal-effect attribution: absorbing journey " +
+        "chain, exact 1e-6 fixed-point 40-round walk (driver solve " +
+        "over the bounded transition table; oracle = 40 unrolled " +
+        "materialized CTE rounds, removal as a join predicate)"),
     Q("q_perm_test", permTest, Some(permTestSql),
       doc = "randomization test for Δmean doc length (en vs non-en): " +
         "salted-md5 binomial reassignment ×99, exact cross-multiplied " +

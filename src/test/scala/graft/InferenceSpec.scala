@@ -144,6 +144,35 @@ class InferenceSpec extends SparkTestBase {
     assert(Inference.permTestOn(docs).collect().head == r)
   }
 
+  test("Markov attribution: hand-computed removal effects on a planted " +
+    "journey set") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // journeys: 2× (view -> purchase), 1× (click -> purchase), 1× click
+    // only. Base P(conv) = 0.5·1 + 0.5·0.5 = 0.75; removing view strands
+    // its half (P = 0.25, effect 2/3); removing click leaves P = 0.5
+    // (effect 1/3).
+    val events = Seq(
+      (1L, 1L, ts(10), "view"), (1L, 2L, ts(20), "purchase"),
+      (2L, 3L, ts(10), "view"), (2L, 4L, ts(20), "purchase"),
+      (3L, 5L, ts(10), "click"), (3L, 6L, ts(20), "purchase"),
+      (4L, 7L, ts(10), "click")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = Inference.markovOn(events).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.keySet == Set("view", "click"), s"channels: $got")
+    assert(got("view") == ((0.75, 0.25, 0.6667)), s"view: ${got("view")}")
+    assert(got("click") == ((0.75, 0.5, 0.3333)), s"click: ${got("click")}")
+    // a user whose FIRST event is the purchase routes start -> conv
+    // directly and no removal can strand it
+    val direct = Seq((9L, 8L, ts(5), "purchase"),
+      (10L, 9L, ts(5), "view")).toDF("user_id", "event_id", "ts", "event_type")
+    val d = Inference.markovOn(direct).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(d("view") == 0.5, s"direct conversion must survive removal: $d")
+  }
+
   test("EWMA: dyadic recursion is exact and per-type independent") {
     import spark.implicits._
     val daily = Seq(
