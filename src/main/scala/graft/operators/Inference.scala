@@ -1008,11 +1008,163 @@ object Inference {
        |ORDER BY channel""".stripMargin
   }
 
+  /** Shapley-value attribution — the order-free coalition complement of
+    * [[markovAttribution]]: each user journey reduces to the SET of
+    * channels touched before first purchase (a bitmask) plus a converted
+    * flag; the characteristic function v(S) = converting journeys whose
+    * channel set ⊆ S; channel k's credit is the Shapley value
+    * φ_k = Σ_{S ∌ k} |S|!·(n−1−|S|)!/n! · (v(S∪k) − v(S)).
+    *
+    * Exactness: every v(S) is an integer COUNT, the combinatorial
+    * weights are integer factorial products (φ_k·n!·N is a plain integer
+    * sum — marginals are non-negative since a superset admits every
+    * journey its subset does), and the single division at the end is the
+    * exactly-rounded 1e-4 fix. The oracle enumerates all 2^n subsets
+    * (unnest(range)), tests containment as (mask | S) = S, and reads the
+    * weights from a generated factorial CASE — identical integers
+    * end-to-end.
+    *
+    * Scale posture: one windowed pass reduces the corpus to ≤ 2^n
+    * (mask, conv) count rows (n = |channels|, a handful); the subset
+    * enumeration walks that driver-side table — bounded like the Markov
+    * transition solve. The 2^n blowup is intrinsic to exact Shapley;
+    * the operator guards n ≤ 20 rather than silently sampling. */
+  def shapleyAttribution(s: SparkSession, dir: String): DataFrame =
+    shapleyOn(Tables.events(s, dir))
+
+  /** Shapley core over a (user_id, event_id, ts, event_type) frame. */
+  private[graft] def shapleyOn(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val ev = events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("rn", row_number().over(byUser))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min("rn").as("fp_rn"))
+    val channels = ev.filter(col("event_type") =!= "purchase")
+      .select("event_type").distinct().collect().map(_.getString(0))
+      .sorted
+    require(channels.length <= 20,
+      s"exact Shapley enumerates 2^n subsets; n = ${channels.length}")
+    val idx = channels.zipWithIndex.toMap
+    val bitOf = channels.map(c => s"WHEN '$c' THEN ${1L << idx(c)}L")
+      .mkString("CASE event_type ", " ", " ELSE 0L END")
+    // per-user prefix-channel bitmask: DISTINCT (user, bit) first — a
+    // straight sum of per-event bits would double-count repeat visits
+    val pre = ev.join(fp, Seq("user_id"), "left")
+      .filter(col("fp_rn").isNull || col("rn") < col("fp_rn"))
+      .filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), expr(bitOf).as("bit")).distinct()
+      .groupBy("user_id").agg(sum("bit").as("mask"))
+    val users = ev.select("user_id").distinct()
+    val groups = users
+      .join(pre, Seq("user_id"), "left")
+      .join(fp.select(col("user_id"), lit(1L).as("conv")),
+        Seq("user_id"), "left")
+      .select(coalesce(col("mask"), lit(0L)).as("mask"),
+        coalesce(col("conv"), lit(0L)).as("conv"))
+      .groupBy("mask").agg(sum("conv").as("nconv"), count(lit(1)).as("nt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = channels.length
+    val nUsers = groups.map(_._3).sum
+    def fact(k: Int): Long = (1 to k).foldLeft(1L)(_ * _)
+    val full = (1L << n) - 1L
+    // v(S): converting journeys whose mask ⊆ S
+    def v(sMask: Long): Long =
+      groups.iterator.filter { case (m, _, _) => (m | sMask) == sMask }
+        .map(_._2).sum
+    import s.implicits._
+    val nf = fact(n)
+    channels.toSeq.map { ch =>
+      val bit = 1L << idx(ch)
+      var num = 0L
+      var sMask = 0L
+      while (sMask <= full) {
+        if ((sMask & bit) == 0L) {
+          val bc = java.lang.Long.bitCount(sMask)
+          num += fact(bc) * fact(n - 1 - bc) * (v(sMask | bit) - v(sMask))
+        }
+        sMask += 1L
+      }
+      val phi4 = (2L * num * 10000L + nf * nUsers) /
+        (2L * math.max(nf * nUsers, 1L))
+      (ch, phi4.toDouble / 10000.0)
+    }.toDF("channel", "shapley").orderBy("channel")
+  }
+
+  private val shapleyAttributionSql = {
+    def factCase(arg: String): String = (0 to 20)
+      .map(k => s"WHEN $k THEN ${(1 to k).foldLeft(1L)(_ * _)}")
+      .mkString(s"CASE $arg ", " ", " ELSE 0 END")
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type,
+       |         row_number() OVER (PARTITION BY user_id
+       |           ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |fp AS (SELECT user_id, min(rn) AS fp_rn FROM ev
+       |       WHERE event_type = 'purchase' GROUP BY user_id),
+       |chan AS (
+       |  SELECT ch, row_number() OVER (ORDER BY ch) - 1 AS idx FROM (
+       |    SELECT DISTINCT event_type AS ch FROM events
+       |    WHERE event_type <> 'purchase')),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM chan),
+       |pre AS (
+       |  SELECT DISTINCT e.user_id, c.idx
+       |  FROM ev e JOIN chan c ON e.event_type = c.ch
+       |  LEFT JOIN fp f ON e.user_id = f.user_id
+       |  WHERE f.fp_rn IS NULL OR e.rn < f.fp_rn),
+       |users AS (SELECT DISTINCT user_id FROM events),
+       |umask AS (
+       |  SELECT u.user_id,
+       |         coalesce(m.mask, 0) AS mask,
+       |         CASE WHEN f.user_id IS NULL THEN 0 ELSE 1 END AS conv
+       |  FROM users u
+       |  LEFT JOIN (SELECT user_id, CAST(sum(1 << idx) AS BIGINT) AS mask
+       |             FROM pre GROUP BY user_id) m ON u.user_id = m.user_id
+       |  LEFT JOIN fp f ON u.user_id = f.user_id),
+       |groups AS (
+       |  SELECT mask, CAST(sum(conv) AS BIGINT) AS nconv
+       |  FROM umask GROUP BY mask),
+       |nu AS (SELECT CAST(count(*) AS BIGINT) AS nusers FROM umask),
+       |subsets AS (
+       |  SELECT CAST(unnest(range(0, (SELECT 1 << n FROM nn))) AS BIGINT)
+       |    AS s),
+       |v AS MATERIALIZED (
+       |  SELECT s.s, CAST(coalesce(sum(g.nconv), 0) AS BIGINT) AS conv
+       |  FROM subsets s LEFT JOIN groups g ON (g.mask | s.s) = s.s
+       |  GROUP BY s.s),
+       |terms AS (
+       |  SELECT c.ch AS channel,
+       |         CAST(sum(
+       |           (${factCase("bit_count(v0.s)")})
+       |           * (${factCase("n - 1 - bit_count(v0.s)")})
+       |           * (v1.conv - v0.conv)) AS BIGINT) AS num
+       |  FROM chan c
+       |  JOIN v v0 ON ((v0.s >> c.idx) & 1) = 0
+       |  JOIN v v1 ON v1.s = (v0.s | (1 << c.idx))
+       |  CROSS JOIN nn
+       |  GROUP BY c.ch),
+       |nf AS (SELECT (${factCase("n")}) AS nfact FROM nn)
+       |SELECT channel,
+       |       CAST((2 * num * 10000 + nfact * nusers)
+       |            // (2 * greatest(nfact * nusers, 1)) AS DOUBLE)
+       |         / 10000.0 AS shapley
+       |FROM terms CROSS JOIN nf CROSS JOIN nu
+       |ORDER BY channel""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_mann_whitney", mannWhitney, Some(mannWhitneySql),
       doc = "Mann-Whitney U / Wilcoxon rank-sum (en vs non-en document " +
         "length): doubled midranks, BIGINT rank sums + tie correction, " +
         "one fixed FP sequence for z and rank-biserial r"),
+    Q("q_shapley_attribution", shapleyAttribution,
+      Some(shapleyAttributionSql),
+      doc = "Shapley coalition attribution over prefix-channel bitmask " +
+        "journeys: integer v(S) counts, factorial weights, one exact " +
+        "1e-4 division; oracle enumerates 2^n subsets with a generated " +
+        "factorial CASE"),
     Q("q_markov_attribution", markovAttribution,
       Some(markovAttributionSql),
       doc = "Markov removal-effect attribution: absorbing journey " +

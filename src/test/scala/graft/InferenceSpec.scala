@@ -173,6 +173,26 @@ class InferenceSpec extends SparkTestBase {
     assert(d("view") == 0.5, s"direct conversion must survive removal: $d")
   }
 
+  test("Shapley attribution: hand-computed coalition credit, efficiency") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // masks: u1 {A} conv, u2 {B} no-conv, u3 {A,B} conv, u4 {} conv.
+    // v(∅)=1 v(A)=2 v(B)=1 v(AB)=3 over N=4 ->
+    // φ_A = (1 + 2)/(2!·4) = 0.375, φ_B = (0 + 1)/8 = 0.125
+    val events = Seq(
+      (1L, 1L, ts(10), "chA"), (1L, 2L, ts(20), "purchase"),
+      (2L, 3L, ts(10), "chB"),
+      (3L, 4L, ts(10), "chA"), (3L, 5L, ts(15), "chB"),
+      (3L, 6L, ts(20), "purchase"),
+      (4L, 7L, ts(10), "purchase")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = Inference.shapleyOn(events).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("chA" -> 0.375, "chB" -> 0.125), s"got $got")
+    // efficiency: Σφ = (v(full) − v(∅))/N exactly on dyadic values
+    assert(got.values.sum == 0.5)
+  }
+
   test("EWMA: dyadic recursion is exact and per-type independent") {
     import spark.implicits._
     val daily = Seq(
