@@ -1166,6 +1166,111 @@ object Similarity {
         round(col("rrf"), 6).as("rrf"))
   }
 
+  /** Rank-biased overlap (RBO, Webber et al.) between the engine's two
+    * checked rankers — the keyword (BM25) and dense (cosine) top-20
+    * lists — the ranker-agreement metric a hybrid-retrieval operator
+    * (q_hybrid_rrf) is tuned against: top-weighted, defined on
+    * non-conjoint lists, unlike Kendall/Spearman.
+    *
+    * p = 1/2 is the dyadic choice that makes the truncated form EXACT:
+    * weights (1−p)·p^{d−1} = 2^{−d}, so each agreement A_d =
+    * overlap@d / d rounds once to 1e-6 units ((2·ov·1e6 + d) div 2d) and
+    * the weighted sum is a plain BIGINT dot with powers of two — one
+    * final exactly-rounded shift recovers the score. Truncated at
+    * depth 20 (the residual-extrapolation variant needs p^∞ tails that
+    * no second engine reproduces bit-for-bit; truncation is the
+    * documented, deterministic choice).
+    *
+    * Scale posture: both inputs are the already-bounded top-20 frames;
+    * everything after is constant-size arithmetic. */
+  def rankBiasedOverlap(s: SparkSession, dir: String): DataFrame = {
+    val wAll = org.apache.spark.sql.expressions.Window
+    val bmTop = TextAnalysis.bm25Scored(s, dir)
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(RRF_DEPTH)
+      .withColumn("br", row_number().over(
+        wAll.orderBy(col("bm25").desc, col("doc_id").asc)).cast("long"))
+      .select("doc_id", "br")
+    val e = corpus(s, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val csTop = e.filter(col("vec_id") =!= 0)
+      .join(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        round(VectorFns.cosineWithNorms("emb", "q_emb", "nrm", "q_nrm"), 4)
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("doc_id").asc).limit(RRF_DEPTH)
+      .withColumn("cr", row_number().over(
+        wAll.orderBy(col("cos_sim").desc, col("doc_id").asc)).cast("long"))
+      .select("doc_id", "cr")
+    rboOf(s, bmTop.join(csTop, "doc_id").select(col("br"), col("cr")))
+  }
+
+  /** RBO tail over the joined rank pairs (br, cr) — one row per doc
+    * present in BOTH top-[[RRF_DEPTH]] lists. A pair counts toward every
+    * depth ≥ max(br, cr); the LEFT join keeps all depths alive when the
+    * intersection is EMPTY (disjoint top-k lists are a legal input — RBO
+    * is defined on non-conjoint lists, and a dropped depth row would
+    * null the output). */
+  private[graft] def rboOf(s: SparkSession, pairs: DataFrame): DataFrame = {
+    val joint = pairs.select(greatest(col("br"), col("cr")).as("m"))
+    val depths = s.range(1, RRF_DEPTH + 1).select(col("id").as("d"))
+    val ov = depths.join(broadcast(joint), col("m") <= col("d"), "left")
+      .groupBy("d")
+      .agg(sum(when(col("m").isNotNull, 1L).otherwise(0L)).as("ovd"))
+    ov.withColumn("term6", expr("(2L * ovd * 1000000L + d) div (2L * d)"))
+      .withColumn("w", expr(s"shiftleft(1L, ${RRF_DEPTH} - cast(d as int))"))
+      .agg(sum(expr("term6 * w")).as("acc"),
+        max(when(col("d") === RRF_DEPTH, col("ovd"))).as("ov_k"))
+      .select(lit(RRF_DEPTH.toLong).as("depth"), col("ov_k"),
+        (expr(s"((2L * acc + shiftleft(1L, $RRF_DEPTH)) div " +
+          s"shiftleft(1L, ${RRF_DEPTH + 1}) + 50L) div 100L")
+          .cast("double") / lit(10000.0d)).as("rbo"))
+  }
+
+  private val rankBiasedOverlapSql =
+    s"""WITH bm AS (${TextAnalysis.bm25ScoredSql}),
+       |bmr AS (
+       |  SELECT doc_id,
+       |         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS br
+       |  FROM bm
+       |  QUALIFY br <= $RRF_DEPTH),
+       |e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+       |         sqrt(list_dot_product(embedding::DOUBLE[],
+       |              embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT emb AS q_emb, nrm AS q_nrm FROM e WHERE vec_id = 0),
+       |cs AS (
+       |  SELECT vec_id AS doc_id,
+       |         round(list_dot_product(emb, q_emb) / (nrm * q_nrm), 4)
+       |           AS cos_sim
+       |  FROM e, q WHERE vec_id <> 0),
+       |csr AS (
+       |  SELECT doc_id,
+       |         row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS cr
+       |  FROM cs
+       |  QUALIFY cr <= $RRF_DEPTH),
+       |j AS (SELECT b.br, c.cr FROM bmr b JOIN csr c USING (doc_id)),
+       |ds AS (SELECT CAST(unnest(range(1, ${RRF_DEPTH + 1})) AS BIGINT)
+       |         AS d),
+       |ov AS (
+       |  SELECT d.d,
+       |         CAST(coalesce(sum(CASE WHEN j.br <= d.d AND j.cr <= d.d
+       |           THEN 1 ELSE 0 END), 0) AS BIGINT) AS ovd
+       |  FROM ds d LEFT JOIN j ON true GROUP BY d.d),
+       |acc AS (
+       |  SELECT CAST(sum(((2 * ovd * 1000000 + d) // (2 * d))
+       |           * (1 << ($RRF_DEPTH - CAST(d AS INTEGER)))) AS BIGINT)
+       |           AS acc,
+       |         CAST(max(CASE WHEN d = $RRF_DEPTH THEN ovd END) AS BIGINT)
+       |           AS ov_k
+       |  FROM ov)
+       |SELECT CAST($RRF_DEPTH AS BIGINT) AS depth, ov_k,
+       |       CAST(((2 * acc + (1 << $RRF_DEPTH))
+       |             // (1 << ${RRF_DEPTH + 1}) + 50) // 100 AS DOUBLE)
+       |         / 10000.0 AS rbo
+       |FROM acc""".stripMargin
+
   /** Multi-probe ANN over the SAME ingest-time band index: besides the
     * query's own 4 (band, nibble) buckets, probe every nibble at hamming
     * distance 1 (4 bands × 4 flips) — 20 partition-pruned buckets instead
@@ -1879,6 +1984,10 @@ object Similarity {
   val all: Seq[Q] = Seq(
     Q("q_sim_topk", bruteTopK, Some(bruteTopKSql)),
     Q("q_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
+    Q("q_rbo", rankBiasedOverlap, Some(rankBiasedOverlapSql),
+      doc = "rank-biased overlap between the BM25 and dense top-20 " +
+        "rankers, dyadic p=1/2 — per-depth agreement 1e-6-fixed, " +
+        "power-of-two weighted BIGINT sum, truncated form"),
     Q("q_ann_ndcg", annNdcg, Some(annNdcgSql)),
     Q("q_pca_variance", pcaVariance, None),
     Q("q_probe_calibration", probeCalibration, Some(probeCalibrationSql),

@@ -254,4 +254,25 @@ class SimilarityTrainingSpec extends SparkTestBase {
     assert(overlap >= 6,
       s"int8 ranking diverged from exact cosine: overlap $overlap/10")
   }
+
+  test("RBO: identical lists score 1.0, disjoint 0.0, singleton matches " +
+    "the closed form") {
+    import spark.implicits._
+    def run(pairs: Seq[(Long, Long)]): (Long, Double) = {
+      val r = Similarity.rboOf(spark, pairs.toDF("br", "cr")).collect().head
+      (r.getLong(1), r.getDouble(2))
+    }
+    // identical top-20 lists: A_d = 1 at every depth -> truncated RBO
+    // rounds to exactly 1.0
+    assert(run((1L to 20L).map(i => (i, i))) == ((20L, 1.0)))
+    // disjoint lists: empty pair set must still emit (0, 0.0), not null
+    assert(run(Seq.empty) == ((0L, 0.0)))
+    // one shared doc at rank 1 both sides: A_d = 1/d; replay the exact
+    // integer recipe and compare
+    val acc = (1 to 20).map { d =>
+      ((2L * 1000000L + d) / (2L * d)) * (1L << (20 - d))
+    }.sum
+    val want = (((2L * acc + (1L << 20)) / (1L << 21)) + 50L) / 100L
+    assert(run(Seq((1L, 1L))) == ((1L, want.toDouble / 10000.0)))
+  }
 }
