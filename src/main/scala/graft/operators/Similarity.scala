@@ -689,6 +689,173 @@ object Similarity {
        |ORDER BY cos_sim DESC, t.vec_id LIMIT 5""".stripMargin
   }
 
+  // ---- product quantization -------------------------------------------
+
+  private val PQ_M = 2       // subspaces
+  private val PQ_K = 8       // codes per subspace
+  private val PQ_ITERS = 2   // L2 k-means rounds per subspace
+  private val PQ_SUB = DIM / PQ_M
+  /** Offset that shifts signed 1e-6-fixed component sums positive before
+    * the rounding division (Spark `div` truncates, DuckDB `//` floors —
+    * they agree only in the positive domain). Covers |component| ≤ 1e4. */
+  private val PQ_OFF = 10000000000L
+
+  /** Corpus split into per-subspace sub-vectors: (vec_id, m, sv). */
+  private def pqSub(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), posexplode(expr(
+      s"array(${(0 until PQ_M).map(m =>
+        s"slice(emb, ${m * PQ_SUB + 1}, $PQ_SUB)").mkString(", ")})")))
+      .toDF("vec_id", "m", "sv")
+
+  /** L2 assignment of sub-vectors to a (m, cid, c_sv) codebook frame:
+    * argmin ||x − c||² = argmin (c·c − 2·x·c) — both dots are the
+    * engines' established bit-identical sequential folds, so the argmin
+    * (ties → cid asc) is engine-identical without any distance rounding. */
+  private def pqAssign(sub: DataFrame, cdf: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(sub.sparkSession)
+    val byVec = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id", "m")
+      .orderBy(col("key").asc, col("cid").asc)
+    sub.join(broadcast(cdf), "m")
+      .withColumn("key",
+        expr("dot_d(c_sv, c_sv) - 2.0D * dot_d(sv, c_sv)"))
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") === 1)
+      .select("vec_id", "m", "sv", "cid")
+  }
+
+  /** Product-quantized ANN: train PQ_K centroids per subspace with
+    * [[PQ_ITERS]] exact L2 k-means rounds (seeds = the first PQ_K
+    * vectors' sub-slices — the [[trainCentroids]] determinism rule),
+    * encode every vector as [[PQ_M]] one-byte codes, and answer the
+    * query by ASYMMETRIC DISTANCE COMPUTATION: the query meets each
+    * subspace codebook once (PQ_M·PQ_K dots) and every corpus score is a
+    * table lookup sum — the memory/bandwidth shape that serves
+    * billion-vector ANN (codes are M bytes/vector; raw vectors never
+    * rescanned for ranking).
+    *
+    * Exactness: centroid updates fix components to 1e-6 BIGINT units and
+    * round the mean through the [[PQ_OFF]] positive shift (signed sums;
+    * truncating vs flooring div agree only shifted positive) — so the
+    * trained codebooks are merge-order-independent and the whole
+    * pipeline (train → encode → ADC) replays in DuckDB as unrolled
+    * MATERIALIZED rounds. The final ADC sum adds the M=2 partial dots in
+    * a FIXED order (explicit per-subspace pivot, not an aggregate whose
+    * order the engine picks). */
+  def pqTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = corpus(s, dir)
+    val sub = pqSub(e)
+    // seed codebooks from the first PQ_K vectors' sub-slices
+    var cents: Map[(Int, Int), Seq[Double]] = sub
+      .filter(col("vec_id") < PQ_K)
+      .collect()
+      .map(r => (r.getInt(1), r.getLong(0).toInt) -> r.getSeq[Double](2))
+      .toMap
+    def cdf(): DataFrame = {
+      import s.implicits._
+      cents.toSeq.map { case ((m, cid), v) => (m, cid, v) }
+        .toDF("m", "cid", "c_sv")
+    }
+    for (_ <- 1 to PQ_ITERS) {
+      val assigned = pqAssign(sub, cdf())
+      val sums = assigned
+        .select(col("m"), col("cid"), posexplode(expr(
+          "transform(sv, v -> CAST(floor(v * 1000000.0D + 0.5D) AS BIGINT))")))
+        .toDF("m", "cid", "j", "f")
+        .groupBy("m", "cid", "j")
+        .agg(sum("f").as("f6"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+          r.getLong(3), r.getLong(4)))
+      val rebuilt = sums.groupBy(t => (t._1, t._2)).map { case (k, xs) =>
+        k -> xs.sortBy(_._3).map { case (_, _, _, f6, n) =>
+          ((2L * (f6 + n * PQ_OFF) + n) / (2L * n) - PQ_OFF) / 1000000.0d
+        }.toSeq
+      }
+      cents = cents.map { case (k, old) => k -> rebuilt.getOrElse(k, old) }
+    }
+    val codes = pqAssign(sub, cdf()).select("vec_id", "m", "cid")
+    // ADC: the query meets each codebook once
+    val q = pqSub(e.filter(col("vec_id") === 0))
+      .select(col("m"), col("sv").as("q_sv"))
+    val qd = cdf().join(broadcast(q), "m")
+      .select(col("m"), col("cid"), expr("dot_d(c_sv, q_sv)").as("qd"))
+    val scored = codes.join(broadcast(qd), Seq("m", "cid"))
+      .groupBy("vec_id")
+      .agg(
+        max(when(col("m") === 0, col("qd"))).as("a0"),
+        max(when(col("m") === 1, col("qd"))).as("a1"))
+      .withColumn("pq_dot",
+        floor((col("a0") + col("a1")) * lit(10000.0d) + lit(0.5d)) /
+          lit(10000.0d))
+    scored.filter(col("vec_id") =!= 0)
+      .join(e.select("vec_id", "label"), "vec_id")
+      .select(col("vec_id"), col("label"), col("pq_dot"))
+      .orderBy(col("pq_dot").desc, col("vec_id").asc)
+      .limit(5)
+  }
+
+  private val pqTopKSql = {
+    val subCase = (0 until PQ_M).map(m =>
+      s"WHEN $m THEN emb[${m * PQ_SUB + 1}:${(m + 1) * PQ_SUB}]")
+      .mkString("CASE m ", " ", " END")
+    def assign(cents: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT vec_id, m, sv, cid FROM (
+         |    SELECT s.vec_id, s.m, s.sv, c.cid,
+         |           row_number() OVER (PARTITION BY s.vec_id, s.m
+         |             ORDER BY list_dot_product(c.c_sv, c.c_sv)
+         |                      - 2.0 * list_dot_product(s.sv, c.c_sv) ASC,
+         |                      c.cid ASC) AS rn
+         |    FROM sub s JOIN $cents c ON s.m = c.m)
+         |  WHERE rn = 1)""".stripMargin
+    val rounds = (1 to PQ_ITERS).map { r =>
+      s"""${assign(s"c${r - 1}", s"a$r")},
+         |s$r AS MATERIALIZED (
+         |  SELECT m, cid, j,
+         |         CAST(sum(CAST(floor(sv[j] * 1000000.0 + 0.5) AS BIGINT))
+         |           AS BIGINT) AS f6,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM a$r CROSS JOIN jx GROUP BY m, cid, j),
+         |c$r AS MATERIALIZED (
+         |  SELECT c.m, c.cid, COALESCE(n.c_sv, c.c_sv) AS c_sv
+         |  FROM c${r - 1} c LEFT JOIN (
+         |    SELECT m, cid,
+         |           list(CAST((2 * (f6 + n * $PQ_OFF) + n) // (2 * n)
+         |                     - $PQ_OFF AS DOUBLE) / 1000000.0
+         |                ORDER BY j) AS c_sv
+         |    FROM s$r GROUP BY m, cid) n
+         |  ON c.m = n.m AND c.cid = n.cid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS emb
+       |  FROM embeddings),
+       |sub AS MATERIALIZED (
+       |  SELECT vec_id, m, $subCase AS sv
+       |  FROM e CROSS JOIN (SELECT unnest(range(0, $PQ_M)) AS m)),
+       |jx AS (SELECT unnest(generate_series(1, $PQ_SUB)) AS j),
+       |c0 AS MATERIALIZED (
+       |  SELECT m, CAST(vec_id AS INTEGER) AS cid, sv AS c_sv
+       |  FROM sub WHERE vec_id < $PQ_K),
+       |$rounds,
+       |${assign(s"c$PQ_ITERS", "t")},
+       |qs AS (SELECT m, sv AS q_sv FROM sub WHERE vec_id = 0),
+       |qd AS (
+       |  SELECT c.m, c.cid, list_dot_product(c.c_sv, q.q_sv) AS qd
+       |  FROM c$PQ_ITERS c JOIN qs q ON c.m = q.m),
+       |scored AS (
+       |  SELECT t.vec_id,
+       |         max(CASE WHEN t.m = 0 THEN d.qd END) AS a0,
+       |         max(CASE WHEN t.m = 1 THEN d.qd END) AS a1
+       |  FROM t JOIN qd d ON t.m = d.m AND t.cid = d.cid
+       |  GROUP BY t.vec_id)
+       |SELECT s.vec_id, e.label,
+       |       floor((s.a0 + s.a1) * 10000.0 + 0.5) / 10000.0 AS pq_dot
+       |FROM scored s JOIN e ON s.vec_id = e.vec_id
+       |WHERE s.vec_id <> 0
+       |ORDER BY pq_dot DESC, s.vec_id LIMIT 5""".stripMargin
+  }
+
   /** Fixture recall@5 vs the brute-force ground truth for one query, over
     * either assignment table — used by SimilarityTrainingSpec to compare
     * trained vs fixed. */
@@ -1984,6 +2151,10 @@ object Similarity {
   val all: Seq[Q] = Seq(
     Q("q_sim_topk", bruteTopK, Some(bruteTopKSql)),
     Q("q_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
+    Q("q_sim_pq", pqTopK, Some(pqTopKSql),
+      doc = "product-quantized ANN: per-subspace exact-integer L2 " +
+        "k-means codebooks, M-byte codes, ADC table-lookup ranking — " +
+        "train/encode/score replayed by unrolled materialized CTEs"),
     Q("q_rbo", rankBiasedOverlap, Some(rankBiasedOverlapSql),
       doc = "rank-biased overlap between the BM25 and dense top-20 " +
         "rankers, dyadic p=1/2 — per-depth agreement 1e-6-fixed, " +

