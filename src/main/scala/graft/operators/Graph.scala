@@ -532,7 +532,87 @@ object Graph {
        |ORDER BY k""".stripMargin
   }
 
+  /** Degree assortativity of the affinity graph — the Pearson
+    * correlation of endpoint degrees over all directed edge instances
+    * (each undirected edge counted in both orientations, the standard
+    * Newman construction; with both orientations Σd_a ≡ Σd_b and
+    * Σd_a² ≡ Σd_b², so three sums suffice). Positive = hubs link to
+    * hubs; negative (typical of co-purchase/dependency graphs) = hubs
+    * link to the periphery — the one-number structure summary read next
+    * to [[degreeStats]] before choosing a partitioning strategy.
+    *
+    * Exactness: degrees are integer counts and all five sufficient
+    * statistics are exact BIGINT sums over the edge list (d_a·d_b stays
+    * far under 2^63 at any plausible degree cap); the correlation is ONE
+    * fixed FP sequence over those integers, floor-fixed to 4 decimals —
+    * identical operand order in the oracle. A degree-regular graph has
+    * zero variance and yields NULL rather than an ANSI divide error. */
+  def assortativity(s: SparkSession, dir: String): DataFrame =
+    assortativityOn(affinityEdges(s, dir))
+
+  /** Assortativity core over an undirected (a, b) edge frame, a < b. */
+  private[graft] def assortativityOn(e: DataFrame): DataFrame = {
+    val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val both = e.select(col("a"), col("b"))
+      .unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    both
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .agg(count(lit(1)).as("n"), sum("da").as("sx"),
+        sum(expr("da * da")).as("sxx"), sum(expr("da * db")).as("sxy"))
+      .select(expr("n div 2").as("n_edges"),
+        expr(
+          """CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0D
+            |     THEN floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            |                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            |                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            |                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            |                * 10000.0D + 0.5D) / 10000.0D
+            |END""".stripMargin).as("assortativity"))
+  }
+
+  private val assortativitySql =
+    s"""WITH li0 AS (SELECT l_orderkey, l_partkey FROM lineitem),
+       |ok AS (SELECT l_orderkey FROM li0 GROUP BY 1
+       |       HAVING count(DISTINCT l_partkey) <= $ORDER_CAP),
+       |li AS (SELECT li0.* FROM li0 JOIN ok USING (l_orderkey)),
+       |und AS (
+       |  SELECT a, b FROM (
+       |    SELECT x.l_partkey AS a, y.l_partkey AS b
+       |    FROM li x JOIN li y
+       |      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+       |    GROUP BY x.l_orderkey, a, b)
+       |  GROUP BY a, b HAVING count(*) >= $TRI_MIN_ORDERS),
+       |deg AS (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+       |  GROUP BY 1),
+       |ori AS (
+       |  SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+       |st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(x.deg) AS BIGINT) AS sx,
+       |         CAST(sum(x.deg * x.deg) AS BIGINT) AS sxx,
+       |         CAST(sum(x.deg * y.deg) AS BIGINT) AS sxy
+       |  FROM ori e JOIN deg x ON e.a = x.node JOIN deg y ON e.b = y.node)
+       |SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+       |       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+       |            THEN floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |                       * 10000.0 + 0.5) / 10000.0
+       |       END AS assortativity
+       |FROM st""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_assortativity", assortativity, Some(assortativitySql),
+      doc = "degree assortativity of the affinity graph: exact BIGINT " +
+        "sufficient statistics over both edge orientations, one fixed " +
+        "FP sequence; NULL on zero variance"),
     Q("q_pagerank", pagerank, Some(pagerankSql)),
     Q("q_triangles", triangles, Some(trianglesSql)),
     Q("q_kcore", kcore, Some(kcoreSql)),

@@ -1154,6 +1154,54 @@ object Inference {
        |ORDER BY channel""".stripMargin
   }
 
+  /** Seasonal anomaly detection — the consumer of [[stlDecompose]]: a
+    * day is anomalous when its RESIDUAL (what trend and weekly
+    * seasonality cannot explain) sits more than 3 robust sigmas from the
+    * residual median, with sigma = 1.4826·MAD — the
+    * median-of-absolute-deviations scale that one genuine outlier cannot
+    * inflate (the flaw of z-scores on the raw series: the spike moves
+    * the mean and stddev it is judged against, and weekly peaks flag as
+    * anomalies every week).
+    *
+    * Portability: residuals are 1e-4-exact integers from the
+    * decomposition; both medians are `percentile` ≡ `quantile_cont`
+    * (bit-identical interpolation, the established cross-engine
+    * identity); the 3·1.4826·MAD threshold compare runs on identical
+    * doubles in both engines. Windows run on the ≤ calendar-days frame. */
+  def stlAnomaly(s: SparkSession, dir: String): DataFrame =
+    stlAnomalyOn(Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x")))
+
+  /** Anomaly core over a (day, x) daily frame. */
+  private[graft] def stlAnomalyOn(daily: DataFrame): DataFrame = {
+    val dec = stlOn(daily)
+    val med = dec.agg(expr("percentile(resid, 0.5D)").as("med"))
+    val mad = dec.crossJoin(broadcast(med))
+      .agg(expr("percentile(abs(resid - med), 0.5D)").as("mad"),
+        first("med").as("med"))
+    dec.crossJoin(broadcast(mad))
+      .select(col("day"), col("x"), col("resid"),
+        (abs(col("resid") - col("med")) >
+          lit(3.0d) * lit(1.4826d) * col("mad")).as("is_anomaly"))
+      .orderBy("day")
+  }
+
+  private val stlAnomalySql = {
+    // the decomposition replayed, then the robust threshold
+    val dec = stlDecomposeSql.replace("ORDER BY day", "")
+    s"""WITH dec AS MATERIALIZED ($dec),
+       |med AS (SELECT quantile_cont(resid, 0.5) AS med FROM dec),
+       |mad AS (
+       |  SELECT quantile_cont(abs(resid - med), 0.5) AS mad,
+       |         any_value(med) AS med
+       |  FROM dec CROSS JOIN med)
+       |SELECT day, x, resid,
+       |       abs(resid - med) > 3.0 * 1.4826 * mad AS is_anomaly
+       |FROM dec CROSS JOIN mad
+       |ORDER BY day""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_mann_whitney", mannWhitney, Some(mannWhitneySql),
       doc = "Mann-Whitney U / Wilcoxon rank-sum (en vs non-en document " +
@@ -1185,6 +1233,10 @@ object Inference {
     Q("q_stl_decompose", stlDecompose, Some(stlDecomposeSql),
       doc = "additive trend/seasonal/residual decomposition of daily " +
         "volume — 1e-4 fixed-point, offset-shifted signed rounding"),
+    Q("q_stl_anomaly", stlAnomaly, Some(stlAnomalySql),
+      doc = "seasonal anomaly flags: decomposition residual vs a " +
+        "3·1.4826·MAD robust threshold — medians via the bit-identical " +
+        "percentile/quantile_cont pair"),
     Q("q_cusum", cusum, Some(cusumSql)),
     Q("q_bootstrap_ci", bootstrapCi, Some(bootstrapCiSql)),
     Q("q_seasonal_naive", seasonalNaive, Some(seasonalNaiveSql)),

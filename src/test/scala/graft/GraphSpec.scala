@@ -118,4 +118,19 @@ class GraphSpec extends SparkTestBase {
     assert(und == Set((10L, 11L)),
       s"affinity edges wrong under the cap: $und")
   }
+
+  test("assortativity: star is maximally disassortative, cycle is NULL") {
+    import spark.implicits._
+    // star K1,3: hub degree 3 meets leaves of degree 1 on every edge —
+    // the textbook r = −1
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val rs = Graph.assortativityOn(star).collect().head
+    assert(rs.getLong(0) == 3L)
+    assert(rs.getDouble(1) == -1.0, s"star assortativity: $rs")
+    // 4-cycle: every degree is 2 — zero variance must yield NULL, not a
+    // divide error
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    val rc = Graph.assortativityOn(cyc).collect().head
+    assert(rc.getLong(0) == 4L && rc.isNullAt(1), s"cycle: $rc")
+  }
 }

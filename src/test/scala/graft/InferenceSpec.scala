@@ -193,6 +193,24 @@ class InferenceSpec extends SparkTestBase {
     assert(got.values.sum == 0.5)
   }
 
+  test("STL anomaly: a planted spike flags; its clean twin days do not") {
+    import spark.implicits._
+    // flat weekly-periodic series with ONE spiked day in the interior
+    val p = Seq(0L, 7L, 14L, 0L, 0L, 0L, 0L)
+    val daily = (1 to 28).map { d =>
+      val day = java.sql.Date.valueOf(f"2024-03-$d%02d")
+      val dow = (day.toLocalDate.toEpochDay % 7).toInt
+      val x = 10L + p(dow) + (if (d == 14) 40L else 0L)
+      (day, x)
+    }.toDF("day", "x")
+    val rows = Inference.stlAnomalyOn(daily).collect()
+      .map(r => r.getDate(0).toString -> r.getBoolean(3)).toMap
+    assert(rows("2024-03-14"), "planted spike must flag")
+    // clean interior days far from the spike's MA window stay quiet
+    Seq("2024-03-05", "2024-03-06", "2024-03-22", "2024-03-23")
+      .foreach(d => assert(!rows(d), s"clean day $d flagged"))
+  }
+
   test("EWMA: dyadic recursion is exact and per-type independent") {
     import spark.implicits._
     val daily = Seq(

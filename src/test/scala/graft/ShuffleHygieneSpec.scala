@@ -113,7 +113,9 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     // R-row replicate aggregate, and the 1-row extremeness count
     "q_perm_test",
     // 1-row corpus-token-total frame broadcast onto the pair table
-    "q_keywords")
+    "q_keywords",
+    // 1-row median + 1-row MAD frames crossJoined onto the ≤31-day table
+    "q_stl_anomaly")
 
   // ONE sweep over the registry (executing every query once — the
   // dominant cost of this suite), with both plan properties checked off
