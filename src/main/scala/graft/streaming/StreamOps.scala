@@ -335,4 +335,75 @@ object StreamOps {
         round((col("p_w") - col("p_ref")) * log(col("p_w") / col("p_ref")),
           6).as("psi_term"))
   }
+
+  /** One emitted smoothing point of [[ewmaMonitor]]. */
+  final case class EwmaPoint(event_type: String, day: String, x: Long,
+                             ewma: Double)
+
+  /** Per-type fold state: counts of still-open days (epochDay → n), the
+    * 1e-6-fixed smoothed level of the CLOSED prefix, and whether the
+    * seed day has been consumed. */
+  final case class EwmaFold(open: Map[Long, Long], e6: Long,
+                            seeded: Boolean)
+
+  /** Streaming twin of the batch dyadic-EWMA census (q_ewma): per event
+    * type, the SAME exact recursion e_t = (e_{t-1} + x_t·1e6) div 2 over
+    * per-day counts, emitted as each day CLOSES under the watermark.
+    * Because the recursion is pure BIGINT, the stream's emitted points
+    * are BIT-IDENTICAL to the batch fold over the same rows
+    * (StreamOpsSpec asserts it against Inference.ewmaOn) — the
+    * batch/stream-parity property every operator in this module holds,
+    * extended to custom sequential state.
+    *
+    * Shape: flatMapGroupsWithState keyed by type; state = open-day
+    * counts + the folded prefix (O(open days) per type — watermark
+    * bounds it); days close IN ORDER once the watermark passes their
+    * end, so out-of-order arrival within the horizon cannot reorder the
+    * fold. Events for already-closed days are dropped (the
+    * dropDuplicatesWithinWatermark trade: exactness inside the horizon,
+    * bounded state). EventTimeTimeout flushes closable days when a type
+    * goes quiet. */
+  def ewmaMonitor(events: Dataset[UserEvent]): Dataset[EwmaPoint] = {
+    import events.sparkSession.implicits._
+    val DAY_MS = 86400000L
+    events
+      .withWatermark("ts", "1 second")
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[EwmaFold, EwmaPoint](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (tp: String, evs: Iterator[UserEvent], state: GroupState[EwmaFold]) =>
+          var st = state.getOption.getOrElse(EwmaFold(Map.empty, 0L, false))
+          val wm = state.getCurrentWatermarkMs()
+          if (!state.hasTimedOut) {
+            // fold the batch into open-day counts; a day at or before the
+            // watermark is already closed — its stragglers drop
+            evs.foreach { e =>
+              val d = Math.floorDiv(e.ts.getTime, DAY_MS)
+              if ((d + 1) * DAY_MS > wm)
+                st = st.copy(open =
+                  st.open.updated(d, st.open.getOrElse(d, 0L) + 1L))
+            }
+          }
+          // close every day the watermark has passed, ASCENDING — the
+          // fold order is the batch fold order
+          val closable = st.open.keys.filter(d => (d + 1) * DAY_MS <= wm)
+            .toSeq.sorted
+          val out = closable.map { d =>
+            val x = st.open(d)
+            val e6 =
+              if (!st.seeded) x * 1000000L
+              else (st.e6 + x * 1000000L) / 2L
+            st = EwmaFold(st.open - d, e6, seeded = true)
+            EwmaPoint(tp, java.time.LocalDate.ofEpochDay(d).toString, x,
+              ((e6 + 50L) / 100L).toDouble / 10000.0)
+          }
+          if (st.open.isEmpty && !st.seeded) state.remove()
+          else {
+            state.update(st)
+            if (st.open.nonEmpty)
+              state.setTimeoutTimestamp((st.open.keys.min + 1) * DAY_MS)
+          }
+          out.iterator
+      }
+  }
 }

@@ -437,4 +437,51 @@ class StreamOpsSpec extends SparkTestBase {
     assert(w1.map(t => t._2 -> t._3).toMap == Map("view" -> 2L))
     w1.foreach(t => assert(t._4 > 0.0d, s"drifted window must score: $t"))
   }
+
+  test("ewmaMonitor: stream emits the batch dyadic fold bit-identically " +
+    "as days close") {
+    implicit val ctx = spark.sqlContext
+    def dts(day: Int, h: Int) =
+      Timestamp.valueOf(f"2026-02-$day%02d $h%02d:00:00")
+    def burst(day: Int, n: Int) =
+      (1 to n).map(i => UserEvent(i.toLong, dts(day, 1), "a", 0.0))
+    val mem = MemoryStream[UserEvent]
+    val q = StreamOps.ewmaMonitor(mem.toDS())
+      .writeStream.format("memory").queryName("ewma_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // day 1: 10 events; day 2's arrival advances the watermark past
+      // day 1's end and closes it
+      mem.addData(burst(1, 10): _*)
+      q.processAllAvailable()
+      mem.addData(burst(2, 20): _*)
+      q.processAllAvailable()
+      mem.addData(burst(3, 40): _*)
+      q.processAllAvailable()
+      // sentinel far in the future closes day 3 via the event-time
+      // timeout (different type — the 'a' fold must not see it)
+      mem.addData(UserEvent(99L, dts(28, 0), "z", 0.0))
+      q.processAllAvailable()
+      mem.addData(UserEvent(99L, dts(28, 1), "z", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ewma_sink")
+      .filter($"event_type" === "a").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    // the planted dyadic fold: 10 -> 15 -> 27.5 (InferenceSpec's values)
+    assert(got.toSeq == Seq(
+      ("2026-02-01", 10L, 10.0), ("2026-02-02", 20L, 15.0),
+      ("2026-02-03", 40L, 27.5)), s"got ${got.toSeq}")
+    // and bit-identical to the BATCH fold over the same rows
+    val batchRows = burst(1, 10) ++ burst(2, 20) ++ burst(3, 40)
+    val batch = graft.operators.Inference.ewmaOn(
+      batchRows.toDF()
+        .select($"event_type",
+          org.apache.spark.sql.functions.to_date($"ts").as("day"))
+        .groupBy("event_type", "day").count().withColumnRenamed("count", "x"))
+      .collect()
+      .map(r => (r.getDate(1).toString, r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == batch.toSeq, "stream and batch folds diverged")
+  }
 }
