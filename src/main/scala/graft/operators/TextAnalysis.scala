@@ -590,6 +590,65 @@ object TextAnalysis {
       |FROM r WHERE rank <= 5
       |ORDER BY source, rank""".stripMargin
 
+  /** Term burstiness — the variance-to-mean ratio (index of dispersion)
+    * of a term's per-document count, zeros included: ≈1 means the term
+    * arrives Poisson-like (function words), ≫1 means it BURSTS — a few
+    * documents use it heavily (topical/content words). The census a
+    * stopword-list builder or keyword extractor reads next to raw
+    * frequency, because frequency alone cannot separate 'the' from a
+    * common topic word.
+    *
+    * Exactness: with N docs, tf = Σc and s2 = Σc² (BIGINT, zeros add
+    * nothing so only (doc, term) pairs aggregate), VMR =
+    * (N·s2 − tf²)/(N·tf) — both cross products exact BIGINT, one fixed
+    * FP division floor-fixed to 4 decimals, ranked by the fixed value
+    * with the term tiebreak. tf ≥ 50 is the support floor. */
+  def burstiness(s: SparkSession, dir: String): DataFrame =
+    burstinessOn(Tables.documents(s, dir))
+
+  /** Burstiness core over a (doc_id, text) frame. */
+  private[graft] def burstinessOn(docs: DataFrame): DataFrame = {
+    val nDocs = docs.count()
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      .groupBy("term")
+      .agg(sum("c").as("tf"), sum(expr("c * c")).as("s2"),
+        count(lit(1)).as("df"))
+      .filter(col("tf") >= 50)
+      .withColumn("vmr4", expr(
+        s"""CAST(floor(CAST($nDocs * s2 - tf * tf AS DOUBLE)
+           |           / CAST($nDocs * tf AS DOUBLE)
+           |           * 10000.0D + 0.5D) AS BIGINT)""".stripMargin))
+      .select(col("term"), col("tf"), col("df"),
+        (col("vmr4").cast("double") / lit(10000.0d)).as("vmr"))
+      .orderBy(col("vmr4").desc, col("term").asc)
+      .limit(10)
+      .drop("vmr4")
+      .select("term", "tf", "df", "vmr")
+  }
+
+  private val burstinessSql =
+    """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+      |pairs AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |    FROM documents)
+      |  GROUP BY doc_id, term),
+      |t AS (
+      |  SELECT term, CAST(sum(c) AS BIGINT) AS tf,
+      |         CAST(sum(c * c) AS BIGINT) AS s2,
+      |         CAST(count(*) AS BIGINT) AS df
+      |  FROM pairs GROUP BY term),
+      |sc AS (
+      |  SELECT term, tf, df,
+      |         CAST(floor(CAST(nd * s2 - tf * tf AS DOUBLE)
+      |                    / CAST(nd * tf AS DOUBLE)
+      |                    * 10000.0 + 0.5) AS BIGINT) AS vmr4
+      |  FROM t CROSS JOIN n WHERE tf >= 50)
+      |SELECT term, tf, df, CAST(vmr4 AS DOUBLE) / 10000.0 AS vmr
+      |FROM sc ORDER BY vmr4 DESC, term LIMIT 10""".stripMargin
+
   /** Repetition signal (the Gopher-style quality filter): per-document
     * duplicate-token and duplicate-bigram fractions. Both are ROW-LOCAL —
     * computed inside the scan's codegen stage from the token array itself
@@ -1558,6 +1617,10 @@ object TextAnalysis {
     Q("q_bm25", bm25, Some(bm25Sql)),
     Q("q_token_entropy", tokenEntropy, Some(tokenEntropySql)),
     Q("q_tfidf", tfidf, Some(tfidfSql)),
+    Q("q_burstiness", burstiness, Some(burstinessSql),
+      doc = "term burstiness (variance-to-mean over per-doc counts, " +
+        "zeros implicit): exact BIGINT cross products, one fixed FP " +
+        "division, fixed-value rank key"),
     Q("q_keywords", keywords, Some(keywordsSql),
       doc = "distinctive terms per source by exact-integer lift " +
         "(1e-6-fixed in-source vs corpus rates, 1e-4 ratio) — bounded " +

@@ -260,6 +260,22 @@ class CensusSemanticsSpec extends SparkTestBase {
     }
   }
 
+  test("burstiness: a one-doc burst dwarfs an evenly spread term") {
+    import spark.implicits._
+    // 'burst' = 60× in doc 1 only: mean 15, E[x²] 900, VMR = 675/15 = 45
+    // 'even'  = 15× in each of 4 docs: zero variance, VMR = 0
+    val docs = Seq(
+      (1L, (Seq.fill(60)("burst") ++ Seq.fill(15)("even")).mkString(" ")),
+      (2L, Seq.fill(15)("even").mkString(" ")),
+      (3L, Seq.fill(15)("even").mkString(" ")),
+      (4L, Seq.fill(15)("even").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = operators.TextAnalysis.burstinessOn(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(got("burst") == ((60L, 45.0)), s"got $got")
+    assert(got("even") == ((60L, 0.0)), s"got $got")
+  }
+
   test("unpivot: one row per (flag, measure), cnt cells sum to |lineitem|") {
     val rows = operators.Breadth.unpivotMeasures(spark, sfDir).collect()
     val flags = rows.map(_.getString(0)).distinct
