@@ -325,4 +325,45 @@ class PlanShapeSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       s"watermark sweep shuffles unneeded columns: $cols — column pruning " +
         "must reach the exchange")
   }
+
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // the 100 TB skew story in miniature: one key holds most of the fact
+    // side. With AQE + skew-join thresholds scaled to the fixture, the
+    // final adaptive plan must mark the skewed SMJ side split into
+    // multiple reader slices — the runtime re-plan that replaces manual
+    // salting when skew is discovered only at execution time (the engine
+    // still ships q_salted_agg for the planned-ahead variant).
+    import spark.implicits._
+    import org.apache.spark.sql.functions.when
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 50k rows of key 0 vs a uniform spread; dim side small but not
+      // broadcast (disabled above) so the join stays sort-merge
+      val fact = spark.range(0, 60000)
+        .select(when($"id" < 50000, 0L).otherwise($"id" % 1000).as("k"),
+          $"id".as("v"))
+      val dim = spark.range(0, 1000).select($"id".as("k"),
+        ($"id" * 2).as("w"))
+      val joined = fact.join(dim, "k")
+      // execute THIS frame (count() builds a different plan) so the
+      // adaptive plan finalizes before inspection
+      assert(joined.collect().length == 60000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin(skew=true)"),
+        s"AQE did not mark the SMJ as skew-handled:\n$plan")
+      assert(plan.contains("AQEShuffleRead coalesced and skewed"),
+        s"AQE did not split the skewed reader side:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
