@@ -1746,7 +1746,76 @@ object Breadth {
       |FROM dau JOIN wau ON day = wday
       |ORDER BY day""".stripMargin
 
+  /** Cohort LTV triangle — the cumulative-revenue table under every
+    * retention chart: users cohort by FIRST-EVENT week, purchase revenue
+    * accrues to (cohort, week-offset) cells, and each row carries the
+    * running cumulative revenue per cohort user — "how much is a week-W
+    * signup worth after k weeks". Weeks are epoch-week integers
+    * (days div 7 — no engine's WEEK() truncation semantics involved),
+    * revenue is exact integer cents from the scan on, and the per-user
+    * division is the only FP op, floor-fixed at the end. The cumulative
+    * window runs over ≤ calendar-weeks rows per cohort. */
+  def cohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("w", expr("datediff(to_date(ts), date'1970-01-01') div 7"))
+    val cohort = ev.groupBy("user_id").agg(min("w").as("cw"))
+    val nu = cohort.groupBy("cw").agg(count(lit(1)).as("n_users"))
+    val rev = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("w"),
+        expr("CAST(floor(value * 100.0D + 0.5D) AS BIGINT)").as("cents"))
+      .join(cohort, "user_id")
+      .groupBy(col("cw"), (col("w") - col("cw")).as("week_offset"))
+      .agg(sum("cents").as("rev_c"))
+    val wCum = Window.partitionBy("cw").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    rev.join(nu, "cw")
+      .withColumn("cum_c", sum("rev_c").over(wCum))
+      .select(
+        expr("date_add(date'1970-01-01', CAST(cw * 7 AS INT))")
+          .as("cohort_week"),
+        col("week_offset"), col("n_users"),
+        (col("cum_c").cast("double") / lit(100.0d)).as("cum_revenue"),
+        (floor(col("cum_c").cast("double")
+          / (col("n_users").cast("double") * lit(100.0d))
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("ltv_per_user"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  private val cohortLtvSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, value,
+      |         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+      |           AS w
+      |  FROM events),
+      |cohort AS (SELECT user_id, min(w) AS cw FROM ev GROUP BY user_id),
+      |nu AS (SELECT cw, CAST(count(*) AS BIGINT) AS n_users
+      |       FROM cohort GROUP BY cw),
+      |rev AS (
+      |  SELECT c.cw, e.w - c.cw AS week_offset,
+      |         CAST(sum(CAST(floor(e.value * 100.0 + 0.5) AS BIGINT))
+      |           AS BIGINT) AS rev_c
+      |  FROM ev e JOIN cohort c USING (user_id)
+      |  WHERE e.event_type = 'purchase'
+      |  GROUP BY c.cw, e.w - c.cw),
+      |cum AS (
+      |  SELECT cw, week_offset, rev_c,
+      |         CAST(sum(rev_c) OVER (PARTITION BY cw ORDER BY week_offset
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS BIGINT) AS cum_c
+      |  FROM rev)
+      |SELECT DATE '1970-01-01' + CAST(cw * 7 AS INTEGER) AS cohort_week,
+      |       week_offset, n_users,
+      |       CAST(cum_c AS DOUBLE) / 100.0 AS cum_revenue,
+      |       floor(CAST(cum_c AS DOUBLE)
+      |             / (CAST(n_users AS DOUBLE) * 100.0)
+      |             * 10000.0 + 0.5) / 10000.0 AS ltv_per_user
+      |FROM cum JOIN nu USING (cw)
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_cohort_ltv", cohortLtv, Some(cohortLtvSql),
+      doc = "cohort LTV triangle: epoch-week cohorts, exact-cents " +
+        "cumulative revenue, one floor-fixed per-user division"),
     Q("q_window_rank", windowRank, Some(windowRankSql)),
     Q("q_ab_test", abTest, Some(abTestSql)),
     Q("q_cmh_test", cmhTest, Some(cmhTestSql)),
