@@ -976,6 +976,68 @@ object Profiling {
       |             * 1000000.0 + 0.5) / 1000000.0 AS gini
       |FROM stats ORDER BY source""".stripMargin
 
+  /** Lorenz-curve deciles of customer revenue — the table behind the
+    * [[gini]] scalar: customers sort by lifetime revenue (exact integer
+    * cents), split into ntile(10) deciles with the repo-standard unique
+    * tiebreak, and each row reports the decile's revenue share plus the
+    * running cumulative share — "the top decile books X% of revenue",
+    * read directly. Both engines implement ntile identically (floor/
+    * ceil split over the SAME total order, pinned by the custkey
+    * tiebreak), cents sums are BIGINT, and the two share divisions are
+    * the only FP, floor-fixed. Windows run over |customers| narrow rows
+    * and the 10-row decile table. */
+  def lorenz(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(sum(expr("CAST(floor(o_totalprice * 100.0D + 0.5D) AS BIGINT)"))
+        .as("cents"))
+    val byRev = Window.orderBy(col("cents").asc, col("o_custkey").asc)
+    val tot = rev.agg(sum("cents").as("t_c"), count(lit(1)).as("n"))
+    rev.withColumn("decile", ntile(10).over(byRev).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_cust"), sum("cents").as("d_c"))
+      .crossJoin(broadcast(tot))
+      .withColumn("cum_c", sum("d_c").over(
+        Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("decile"), col("n_cust"),
+        (floor(col("d_c").cast("double") / col("t_c").cast("double")
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("rev_share"),
+        (floor(col("cum_c").cast("double") / col("t_c").cast("double")
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("cum_share"))
+      .orderBy("decile")
+  }
+
+  private val lorenzSql =
+    """WITH rev AS (
+      |  SELECT o_custkey,
+      |         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+      |           AS BIGINT) AS cents
+      |  FROM orders GROUP BY o_custkey),
+      |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t_c FROM rev),
+      |dec AS (
+      |  SELECT ntile(10) OVER (ORDER BY cents, o_custkey) AS decile,
+      |         cents
+      |  FROM rev),
+      |agg AS (
+      |  SELECT CAST(decile AS BIGINT) AS decile,
+      |         CAST(count(*) AS BIGINT) AS n_cust,
+      |         CAST(sum(cents) AS BIGINT) AS d_c
+      |  FROM dec GROUP BY decile),
+      |cum AS (
+      |  SELECT decile, n_cust, d_c,
+      |         CAST(sum(d_c) OVER (ORDER BY decile
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS BIGINT) AS cum_c
+      |  FROM agg)
+      |SELECT decile, n_cust,
+      |       floor(CAST(d_c AS DOUBLE) / CAST(t_c AS DOUBLE)
+      |             * 10000.0 + 0.5) / 10000.0 AS rev_share,
+      |       floor(CAST(cum_c AS DOUBLE) / CAST(t_c AS DOUBLE)
+      |             * 10000.0 + 0.5) / 10000.0 AS cum_share
+      |FROM cum CROSS JOIN tot ORDER BY decile""".stripMargin
+
   /** Exact WEIGHTED quantiles: per-source p50/p90 of document length
     * where each document counts with its TOKEN weight, not once — the
     * distribution a token-budgeted training run actually samples from
@@ -1328,6 +1390,10 @@ object Profiling {
     Q("q_benford", benford, Some(benfordSql)),
     Q("q_acf", acf, Some(acfSql)),
     Q("q_gini", gini, Some(giniSql)),
+    Q("q_lorenz", lorenz, Some(lorenzSql),
+      doc = "Lorenz deciles of customer revenue: exact-cents ntile(10) " +
+        "with unique tiebreak, per-decile + cumulative shares — the " +
+        "table behind the q_gini scalar"),
     Q("q_skew_profile", skewProfile, Some(skewProfileSql)),
     Q("q_source_overlap", sourceOverlap, Some(sourceOverlapSql)),
     Q("q_winsorized", winsorized, Some(winsorizedSql)),

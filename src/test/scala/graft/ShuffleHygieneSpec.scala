@@ -115,7 +115,9 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     // 1-row corpus-token-total frame broadcast onto the pair table
     "q_keywords",
     // 1-row median + 1-row MAD frames crossJoined onto the ≤31-day table
-    "q_stl_anomaly")
+    "q_stl_anomaly",
+    // 1-row revenue-total frame crossJoined onto the 10-row decile table
+    "q_lorenz")
 
   // ONE sweep over the registry (executing every query once — the
   // dominant cost of this suite), with both plan properties checked off
