@@ -211,8 +211,42 @@ object Graph {
       .filter(col("w") >= TRI_MIN_ORDERS)
       .select("a", "b")
 
-  private[graft] def affinityEdges(s: SparkSession, dir: String): DataFrame =
-    affinityEdgesOn(Tables.lineitem(s, dir).select("l_orderkey", "l_partkey"))
+  /** Memoized per (session, dir, fixture fingerprint) affinity edge
+    * table — FOUR registered queries consume the identical build
+    * (triangles, k-core, degree census, assortativity), so it joins the
+    * shared once-per-corpus builds (the Dedup cand/label-memo pattern,
+    * same lifecycle guards): pinned as narrow (a, b) id-pair blocks via
+    * localCheckpoint, first consumer pays, an in-place fixture
+    * regeneration is a cache miss, stopped sessions sweep out, and an
+    * identity-hash collision rebuilds instead of serving a dead frame. */
+  private val edgeMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Long), DataFrame]()
+
+  private def lineitemFingerprint(dir: String): Long = {
+    val f = new java.io.File(s"$dir/lineitem.parquet")
+    val files = if (f.isDirectory) f.listFiles() else Array(f)
+    files.foldLeft(f.getPath.hashCode.toLong) { (acc, x) =>
+      acc * 1000003L + x.getName.hashCode * 31L + x.length * 17L +
+        x.lastModified
+    }
+  }
+
+  private[graft] def affinityEdges(s: SparkSession, dir: String): DataFrame = {
+    val it = edgeMemo.entrySet().iterator()
+    while (it.hasNext) {
+      if (it.next().getValue.sparkSession.sparkContext.isStopped) it.remove()
+    }
+    val key = (System.identityHashCode(s), dir, lineitemFingerprint(dir))
+    val hit = edgeMemo.get(key)
+    if (hit != null && (hit.sparkSession eq s)) hit
+    else {
+      val v = affinityEdgesOn(
+        Tables.lineitem(s, dir).select("l_orderkey", "l_partkey"))
+        .localCheckpoint()
+      edgeMemo.put(key, v)
+      v
+    }
+  }
 
   def triangles(s: SparkSession, dir: String): DataFrame =
     trianglesOn(affinityEdges(s, dir))
@@ -447,7 +481,7 @@ object Graph {
     * SQL replay; structural invariants (planted K4 + chain, nesting) are
     * pinned in GraphSpec. */
   def kcore(s: SparkSession, dir: String): DataFrame = {
-    val e = affinityEdges(s, dir).localCheckpoint()
+    val e = affinityEdges(s, dir) // already pinned by the memo
     var core = e
     val rows = Seq(2, 3, 4).map { k =>
       core = kCoreOn(core, k)
