@@ -1984,7 +1984,61 @@ object SnapshotLake {
       |  FROM documents WHERE doc_id % 3 = 1)
       |ORDER BY era""".stripMargin
 
+  /** The `table.history` metadata query as an oracle-checked census:
+    * every snapshot's op + manifest-recorded row count over the 7-commit
+    * timeline lab. The oracle recomputes each version's TRUE cardinality
+    * from the base table's filters — so a hash match proves the COMMIT
+    * ACCOUNTING (create/append sums, COW delete/merge deltas, MOR
+    * position/equality subtractions) kept `nRows` exactly right through
+    * every mutation family, without re-reading any data file here
+    * (history is pure manifest metadata — the point of the Iceberg
+    * metadata tables at 100 TB). File counts are layout-dependent and
+    * stay out of the compare. */
+  def snapshotHistory(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureTimeline(s, dir)
+    history(s, root)
+      .select(col("version").cast("long").as("version"), col("op"),
+        col("n_rows"))
+      .orderBy("version")
+  }
+
+  private val snapshotHistorySql =
+    s"""SELECT version, op, n_rows FROM (
+       |  SELECT CAST(1 AS BIGINT) AS version, 'create' AS op,
+       |         count(*) AS n_rows
+       |  FROM documents WHERE doc_id % 3 = 0
+       |  UNION ALL
+       |  SELECT 2, 'append', count(*)
+       |  FROM documents WHERE doc_id % 3 IN (0, 1)
+       |  UNION ALL
+       |  SELECT 3, 'delete', count(*)
+       |  FROM documents WHERE doc_id % 3 IN (0, 1) AND lang <> 'en'
+       |  UNION ALL
+       |  SELECT 4, 'merge', count(*)
+       |  FROM documents WHERE $V4_WHERE
+       |  UNION ALL
+       |  SELECT 5, 'delete[mor]', count(*)
+       |  FROM documents
+       |  WHERE $V4_WHERE AND source NOT IN ($morSourcesSql)
+       |  UNION ALL
+       |  SELECT 6, 'delete[eqmor]', count(*)
+       |  FROM documents
+       |  WHERE $V4_WHERE AND source NOT IN ($morSourcesSql)
+       |    AND lang <> '$EQ_DELETE_LANG'
+       |  UNION ALL
+       |  SELECT 7, 'append',
+       |         (SELECT count(*) FROM documents
+       |          WHERE $V4_WHERE AND source NOT IN ($morSourcesSql)
+       |            AND lang <> '$EQ_DELETE_LANG')
+       |         + (SELECT count(*) FROM documents WHERE doc_id % 3 = 2))
+       |ORDER BY version""".stripMargin
+
   val all: Seq[graft.Q] = Seq(
+    graft.Q("q_snapshot_history", snapshotHistory,
+      Some(snapshotHistorySql),
+      doc = "table.history metadata census over the 7-commit timeline: " +
+        "manifest nRows vs the oracle's true per-version cardinality — " +
+        "proves commit accounting through every mutation family"),
     graft.Q("q_partition_evolution", partitionEvolution,
       Some(partitionEvolutionSql),
       doc = "Partition-spec evolution: per-era manifest layout census " +
