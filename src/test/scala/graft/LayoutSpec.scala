@@ -53,6 +53,31 @@ class LayoutSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
         s"z=$zRead linear=$linRead total=$total")
   }
 
+  test("hilbert layout prunes a 2-D box at least as well as the linear " +
+    "sort") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_hlayout").toString
+    val hDir = s"$base/hilbert"
+    val linDir = s"$base/linear"
+    Layout.writeHilbertOrdered(li, "l_partkey", "l_suppkey", hDir, 4 * 1024)
+    Layout.writeLinearSorted(li, "l_partkey", linDir, 4 * 1024)
+    val (pMax, sMax) = {
+      val r = li.agg(max("l_partkey"), max("l_suppkey")).collect()(0)
+      (r.getLong(0).toInt, r.getLong(1).toInt)
+    }
+    val (hRead, hN) = rowsRead(hDir, 0, pMax / 4, 0, sMax / 4)
+    val (linRead, linN) = rowsRead(linDir, 0, pMax / 4, 0, sMax / 4)
+    assert(hN == linN, "layouts must agree on the answer")
+    val total = li.count()
+    assert(hRead < total, "hilbert layout should prune some row groups")
+    assert(hRead < linRead,
+      s"hilbert must out-prune the linear sort on a 2-D box: " +
+        s"hilbert=$hRead linear=$linRead total=$total")
+  }
+
   test("range-partitioned sorted write yields files with disjoint key " +
     "ranges — the file-skipping contract") {
     val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
