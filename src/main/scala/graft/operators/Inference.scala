@@ -270,6 +270,82 @@ object Inference {
       |       abs(cusum) = (SELECT max(abs(cusum)) FROM x) AS is_peak
       |FROM x ORDER BY day""".stripMargin
 
+  /** Two-level BINARY SEGMENTATION over the exact CUSUM statistic — the
+    * standard multiple-changepoint recipe: locate the global |S| peak τ,
+    * split the series there, and re-run the identical statistic on each
+    * side, yielding the second-level candidates a step-trend report
+    * drills into. Every number stays the exact BIGINT T·C_t − t·N
+    * statistic ([[cusumOn]]); τ is the EARLIEST argmax (min-day
+    * tiebreak), so the split — and therefore everything downstream — is
+    * engine-identical. Output: one row per segment (all/left/right) with
+    * its size, earliest peak day, and peak statistic. The corpus
+    * collapses to the daily frame once; each segment pass runs over ≤
+    * calendar-days rows. */
+  def binarySegmentation(s: SparkSession, dir: String): DataFrame =
+    binarySegmentationOn(Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events")))
+
+  /** Segmentation core over a (day, n_events) daily frame. */
+  private[graft] def binarySegmentationOn(daily: DataFrame): DataFrame = {
+    val s = daily.sparkSession
+    def seg(d: DataFrame, name: String): DataFrame =
+      cusumOn(d).filter(col("is_peak"))
+        .agg(min("day").as("peak_day"),
+          max(abs(col("cusum"))).as("s_stat"))
+        .crossJoin(broadcast(d.agg(count(lit(1)).as("n_days"))))
+        .select(lit(name).as("segment"), col("n_days"), col("peak_day"),
+          col("s_stat"))
+    val tau = cusumOn(daily).filter(col("is_peak"))
+      .agg(min("day")).collect()(0).getDate(0)
+    seg(daily, "all")
+      .unionByName(seg(daily.filter(col("day") <= lit(tau)), "left"))
+      .unionByName(seg(daily.filter(col("day") > lit(tau)), "right"))
+      .orderBy("segment")
+  }
+
+  private val binarySegmentationSql = {
+    def segSql(dcte: String, seg: String): String =
+      s"""s_$seg AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+         |           CAST(sum(n_events) AS BIGINT) AS nt FROM $dcte),
+         |c_$seg AS (
+         |  SELECT day,
+         |         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS ti,
+         |         CAST(sum(n_events) OVER (ORDER BY day
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS cum
+         |  FROM $dcte),
+         |x_$seg AS (
+         |  SELECT day, s.nd * cum - ti * s.nt AS cusum
+         |  FROM c_$seg CROSS JOIN s_$seg s),
+         |p_$seg AS (
+         |  SELECT min(day) AS peak_day,
+         |         CAST(max(abs(cusum)) AS BIGINT) AS s_stat,
+         |         (SELECT nd FROM s_$seg) AS n_days
+         |  FROM x_$seg
+         |  WHERE abs(cusum) = (SELECT max(abs(cusum)) FROM x_$seg))"""
+        .stripMargin
+    s"""WITH d AS (
+       |  SELECT CAST(ts AS DATE) AS day,
+       |         CAST(count(*) AS BIGINT) AS n_events
+       |  FROM events GROUP BY 1),
+       |${segSql("d", "all")},
+       |tau AS (SELECT peak_day AS tau FROM p_all),
+       |dl AS (SELECT day, n_events FROM d CROSS JOIN tau
+       |       WHERE day <= tau),
+       |dr AS (SELECT day, n_events FROM d CROSS JOIN tau
+       |       WHERE day > tau),
+       |${segSql("dl", "left")},
+       |${segSql("dr", "right")}
+       |SELECT segment, n_days, peak_day, s_stat FROM (
+       |  SELECT 'all' AS segment, n_days, peak_day, s_stat FROM p_all
+       |  UNION ALL
+       |  SELECT 'left', n_days, peak_day, s_stat FROM p_left
+       |  UNION ALL
+       |  SELECT 'right', n_days, peak_day, s_stat FROM p_right)
+       |ORDER BY segment""".stripMargin
+  }
+
   /** Bootstrap replicate count. */
   private val BOOT_B = 32
 
@@ -1238,6 +1314,11 @@ object Inference {
         "3·1.4826·MAD robust threshold — medians via the bit-identical " +
         "percentile/quantile_cont pair"),
     Q("q_cusum", cusum, Some(cusumSql)),
+    Q("q_binary_segmentation", binarySegmentation,
+      Some(binarySegmentationSql),
+      doc = "two-level binary segmentation: split at the exact-integer " +
+        "CUSUM peak (earliest-argmax tiebreak), re-run the statistic " +
+        "per side — one row per segment with peak day and statistic"),
     Q("q_bootstrap_ci", bootstrapCi, Some(bootstrapCiSql)),
     Q("q_seasonal_naive", seasonalNaive, Some(seasonalNaiveSql)),
     Q("q_mutual_info", mutualInfo, Some(mutualInfoSql)))

@@ -211,6 +211,24 @@ class InferenceSpec extends SparkTestBase {
       .foreach(d => assert(!rows(d), s"clean day $d flagged"))
   }
 
+  test("binary segmentation: two planted steps localize at both levels") {
+    import spark.implicits._
+    // three regimes: 10/day (days 1-10), 30/day (11-20), 90/day (21-30).
+    // Level 1 finds the bigger break at day 20; the left re-run finds
+    // the day-10 step.
+    val daily = (1 to 30).map { d =>
+      val x = if (d <= 10) 10L else if (d <= 20) 30L else 90L
+      (java.sql.Date.valueOf(f"2024-06-$d%02d"), x)
+    }.toDF("day", "n_events")
+    val rows = Inference.binarySegmentationOn(daily).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDate(2).toString)).toMap
+    assert(rows("all") == ((30L, "2024-06-20")), s"got $rows")
+    assert(rows("left")._2 == "2024-06-10",
+      s"left re-run must find the smaller step: $rows")
+    assert(rows("left")._1 == 20L && rows("right")._1 == 10L)
+  }
+
   test("EWMA: dyadic recursion is exact and per-type independent") {
     import spark.implicits._
     val daily = Seq(

@@ -117,7 +117,10 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     // 1-row median + 1-row MAD frames crossJoined onto the ≤31-day table
     "q_stl_anomaly",
     // 1-row revenue-total frame crossJoined onto the 10-row decile table
-    "q_lorenz")
+    "q_lorenz",
+    // per segment: 1-row stats + 1-row max frames onto the day table
+    // (the q_cusum shape ×3 segments)
+    "q_binary_segmentation")
 
   // ONE sweep over the registry (executing every query once — the
   // dominant cost of this suite), with both plan properties checked off
