@@ -287,20 +287,37 @@ object Inference {
       .agg(count(lit(1)).as("n_events")))
 
   /** Segmentation core over a (day, n_events) daily frame. */
-  private[graft] def binarySegmentationOn(daily: DataFrame): DataFrame = {
-    val s = daily.sparkSession
-    def seg(d: DataFrame, name: String): DataFrame =
-      cusumOn(d).filter(col("is_peak"))
-        .agg(min("day").as("peak_day"),
-          max(abs(col("cusum"))).as("s_stat"))
-        .crossJoin(broadcast(d.agg(count(lit(1)).as("n_days"))))
-        .select(lit(name).as("segment"), col("n_days"), col("peak_day"),
-          col("s_stat"))
+  private[graft] def binarySegmentationOn(daily0: DataFrame): DataFrame = {
+    // The daily frame is ≤ calendar-days rows but sits on an events scan;
+    // cache it once — the tau probe plus three segment passes would
+    // otherwise each re-aggregate the corpus.
+    val daily = daily0.cache()
     val tau = cusumOn(daily).filter(col("is_peak"))
       .agg(min("day")).collect()(0).getDate(0)
-    seg(daily, "all")
-      .unionByName(seg(daily.filter(col("day") <= lit(tau)), "left"))
-      .unionByName(seg(daily.filter(col("day") > lit(tau)), "right"))
+    // With τ known, every day belongs to "all" plus exactly one of
+    // left/right — explode the membership and run the statistic for all
+    // three segments in ONE window pass partitioned by segment (a single
+    // exchange; segments compute in parallel), instead of three separate
+    // single-partition global-window builds.
+    val wSeg = Window.partitionBy("segment")
+    val wOrd = wSeg.orderBy("day")
+    val cus = daily.select(explode(array(lit("all"),
+        when(col("day") <= lit(tau), "left").otherwise("right")))
+        .as("segment"), col("day"), col("n_events"))
+      .withColumn("n_days", count(lit(1)).over(wSeg))
+      .withColumn("n_total", sum("n_events").over(wSeg))
+      .withColumn("t_idx", row_number().over(wOrd).cast("long"))
+      .withColumn("cum",
+        sum("n_events").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("segment"), col("day"), col("n_days"),
+        abs(col("n_days") * col("cum") - col("t_idx") * col("n_total"))
+          .as("s_abs"))
+      .withColumn("mx", max("s_abs").over(wSeg))
+    // Earliest argmax per segment, same tiebreak as [[cusumOn]]'s is_peak.
+    cus.groupBy(col("segment"))
+      .agg(first("n_days").as("n_days"),
+        min(when(col("s_abs") === col("mx"), col("day"))).as("peak_day"),
+        max("s_abs").as("s_stat"))
       .orderBy("segment")
   }
 
