@@ -2148,8 +2148,99 @@ object Similarity {
        |JOIN s1 sj ON s2.j = sj.d
        |ORDER BY i, j""".stripMargin
 
+  /** Matryoshka truncation depths (powers of two up to the full DIM —
+    * the nesting MRL-style encoders are trained for) and eval depth. */
+  private val MRL_DIMS = Seq(8, 16, 32, DIM)
+  private val MRL_K = 10
+
+  /** Matryoshka truncation evaluation: recall@10 of the top-k ranking
+    * under PREFIX-truncated embeddings (8/16/32 dims) against the
+    * full-dimension ranking — the measurement that decides how short a
+    * stored vector can get before retrieval quality pays for the 2-8×
+    * index-size saving. The full-dim row (recall 1.0 by construction)
+    * anchors the protocol.
+    *
+    * Scale shape: ONE corpus scan serves all depths (explode to
+    * (dims, prefix-slice) rows — a narrow map, never shuffled with the
+    * vectors), the per-depth query vector broadcasts, and the per-depth
+    * top-k uses the same two-level salted ranking as [[bruteTopKBatch]]
+    * — no reducer ever sorts a whole depth's scored corpus. Only
+    * (dims, vec_id, rounded score) rows shuffle. */
+  def matryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = corpus(s, dir)
+    val sliced = e.select(col("vec_id"),
+        explode(array(MRL_DIMS.map(d => lit(d)): _*)).as("dims"),
+        col("emb"))
+      .withColumn("pe", expr("slice(emb, 1, dims)"))
+      .withColumn("pn", VectorFns.norm("pe"))
+    val q = sliced.filter(col("vec_id") === 0)
+      .select(col("dims"), col("pe").as("q_pe"), col("pn").as("q_pn"))
+    val scored = sliced.filter(col("vec_id") =!= 0)
+      .join(broadcast(q), Seq("dims"))
+      .select(col("dims"), col("vec_id"),
+        round(VectorFns.cosineWithNorms("pe", "q_pe", "pn", "q_pn"), 4)
+          .as("cs"),
+        pmod(col("vec_id"), lit(TOPK_SALTS.toLong)).as("salt"))
+    val bySalt = org.apache.spark.sql.expressions.Window
+      .partitionBy("dims", "salt")
+      .orderBy(col("cs").desc, col("vec_id").asc)
+    val byDims = org.apache.spark.sql.expressions.Window
+      .partitionBy("dims")
+      .orderBy(col("cs").desc, col("vec_id").asc)
+    // ≤ |MRL_DIMS|·k rows; cached because the full-dim slice of THIS
+    // frame is the ground truth the other depths join against.
+    val top = scored
+      .withColumn("srn", row_number().over(bySalt))
+      .filter(col("srn") <= MRL_K)
+      .withColumn("rn", row_number().over(byDims))
+      .filter(col("rn") <= MRL_K)
+      .select("dims", "vec_id")
+      .cache()
+    val gt = top.filter(col("dims") === DIM)
+      .select(col("vec_id").as("g"), lit(1L).as("hit"))
+    // Each dims group always has exactly k rows, so no depth can vanish
+    // from the census even at zero overlap (r7 empty-aggregate trap).
+    top.join(gt, col("vec_id") === col("g"), "left")
+      .groupBy("dims")
+      .agg(coalesce(sum("hit"), lit(0L)).as("n_overlap"))
+      .select(col("dims"), col("n_overlap"),
+        round(col("n_overlap") / lit(MRL_K.toDouble), 4).as("recall"))
+      .orderBy("dims")
+  }
+
+  private val matryoshkaRecallSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |s AS (
+       |  SELECT d.dims, e.vec_id, e.emb[1:d.dims] AS pe
+       |  FROM e CROSS JOIN
+       |       (SELECT unnest([${MRL_DIMS.mkString(", ")}]) AS dims) d),
+       |n AS (SELECT dims, vec_id, pe,
+       |             sqrt(list_dot_product(pe, pe)) AS pn FROM s),
+       |q AS (SELECT dims, pe AS q_pe, pn AS q_pn FROM n WHERE vec_id = 0),
+       |scored AS (
+       |  SELECT n.dims, n.vec_id,
+       |         round(list_dot_product(n.pe, q.q_pe) / (n.pn * q.q_pn), 4)
+       |           AS cs
+       |  FROM n JOIN q USING (dims) WHERE n.vec_id <> 0),
+       |ranked AS (
+       |  SELECT dims, vec_id,
+       |         row_number() OVER (PARTITION BY dims
+       |                            ORDER BY cs DESC, vec_id) AS rn
+       |  FROM scored),
+       |top AS (SELECT dims, vec_id FROM ranked WHERE rn <= $MRL_K),
+       |gt AS (SELECT vec_id FROM top WHERE dims = $DIM)
+       |SELECT t.dims, CAST(count(g.vec_id) AS BIGINT) AS n_overlap,
+       |       round(count(g.vec_id) / $MRL_K.0, 4) AS recall
+       |FROM top t LEFT JOIN gt g ON t.vec_id = g.vec_id
+       |GROUP BY t.dims ORDER BY t.dims""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_sim_topk", bruteTopK, Some(bruteTopKSql)),
+    Q("q_matryoshka_recall", matryoshkaRecall, Some(matryoshkaRecallSql),
+      doc = "Matryoshka truncation eval: recall@10 of prefix-truncated " +
+        "(8/16/32-dim) cosine rankings vs the full 64-dim ranking — one " +
+        "exploded corpus scan, salted two-level per-depth top-k"),
     Q("q_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     Q("q_sim_pq", pqTopK, Some(pqTopKSql),
       doc = "product-quantized ANN: per-subspace exact-integer L2 " +

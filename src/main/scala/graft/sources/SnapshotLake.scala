@@ -2033,7 +2033,91 @@ object SnapshotLake {
        |         + (SELECT count(*) FROM documents WHERE doc_id % 3 = 2))
        |ORDER BY version""".stripMargin
 
+  /** Expiry-lab root: a dedicated 5-commit table (create / append /
+    * COW-delete / append / COW-delete), a TAG pinning v2, then
+    * `expire(keepFrom = 4)`. Expiry is destructive, so the lab NEVER
+    * shares the main timeline root. Idempotent: after the first build
+    * `currentVersion` is 5 and re-runs observe the already-expired
+    * state (manifests {2, 4, 5} — v1/v3 dropped, v2 tag-pinned). */
+  private[graft] def ensureExpireLab(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_").stripPrefix("_")
+    val fp = docsFingerprint(dir)
+    val base = Paths.get(
+      s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "graft_snap")
+    val root = base.resolve(s"exp_${tag}_$fp")
+    this.synchronized {
+      if (currentVersion(root.toString) < 5) {
+        if (Files.isDirectory(base)) {
+          val ls = Files.list(base)
+          try ls.iterator().asScala.toSeq
+            .filter(_.getFileName.toString.matches(
+              s"exp_${tag}_[0-9a-f]{1,8}"))
+            .foreach(deleteRecursively)
+          finally ls.close()
+        }
+        val d = graft.Tables.documents(s, dir)
+        create(d.filter(pmod(col("doc_id"), lit(3)) === 0), root.toString,
+          statsCol = Some("doc_id"))
+        append(s, d.filter(pmod(col("doc_id"), lit(3)) === 1), root.toString)
+        deleteWhere(s, root.toString, col("lang") === "en")
+        append(s, d.filter(pmod(col("doc_id"), lit(3)) === 2), root.toString)
+        deleteWhere(s, root.toString, col("source").isin(MOR_SOURCES: _*))
+        createTag(root.toString, "repro", 2)
+        expire(root.toString, keepFrom = 4)
+      }
+    }
+    root.toString
+  }
+
+  /** Snapshot-expiry census (Iceberg's `expire_snapshots` semantics):
+    * after expiring below the retention floor, exactly the retained
+    * manifests remain — the floor's {4, 5} plus the TAG-pinned v2 — and
+    * both pinned-but-old snapshots still READ correctly, which proves
+    * file-level reclamation never touched a data file shared with a
+    * retained snapshot (v2 shares v1's files; v4 shares v3's rewrites).
+    * The oracle recomputes every surviving version's true cardinality
+    * from the base table, so a wrongly-kept manifest (extra row), a
+    * wrongly-dropped one (missing row), or a reclaimed shared file
+    * (read undercount / crash) all hash-fail. */
+  def snapshotExpire(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureExpireLab(s, dir)
+    val manifests = history(s, root)
+      .select(col("version").cast("long").as("version"),
+        lit("manifest").as("src"), col("n_rows"))
+    import s.implicits._
+    val reads = Seq(
+      (2L, "read", readRef(s, root, "repro").count()),
+      (4L, "read", readAt(s, root, 4).count()))
+      .toDF("version", "src", "n_rows")
+    manifests.unionByName(reads).orderBy("version", "src")
+  }
+
+  private val snapshotExpireSql =
+    s"""SELECT version, src, n_rows FROM (
+       |  SELECT CAST(2 AS BIGINT) AS version, 'manifest' AS src,
+       |         count(*) AS n_rows
+       |  FROM documents WHERE doc_id % 3 IN (0, 1)
+       |  UNION ALL
+       |  SELECT 2, 'read', count(*)
+       |  FROM documents WHERE doc_id % 3 IN (0, 1)
+       |  UNION ALL
+       |  SELECT 4, 'manifest', count(*) FROM documents
+       |  WHERE (doc_id % 3 IN (0, 1) AND lang <> 'en') OR doc_id % 3 = 2
+       |  UNION ALL
+       |  SELECT 4, 'read', count(*) FROM documents
+       |  WHERE (doc_id % 3 IN (0, 1) AND lang <> 'en') OR doc_id % 3 = 2
+       |  UNION ALL
+       |  SELECT 5, 'manifest', count(*) FROM documents
+       |  WHERE ((doc_id % 3 IN (0, 1) AND lang <> 'en') OR doc_id % 3 = 2)
+       |    AND source NOT IN ($morSourcesSql))
+       |ORDER BY version, src""".stripMargin
+
   val all: Seq[graft.Q] = Seq(
+    graft.Q("q_snapshot_expire", snapshotExpire, Some(snapshotExpireSql),
+      doc = "expire_snapshots census: retention floor + tag-pinned v2 " +
+        "survive with exact manifest nRows, and both pinned-but-old " +
+        "snapshots still read — shared data files were never reclaimed"),
     graft.Q("q_snapshot_history", snapshotHistory,
       Some(snapshotHistorySql),
       doc = "table.history metadata census over the 7-commit timeline: " +

@@ -292,4 +292,20 @@ class SimilarityTrainingSpec extends SparkTestBase {
     val want = (((2L * acc + (1L << 20)) / (1L << 21)) + 50L) / 100L
     assert(run(Seq((1L, 1L))) == ((1L, want.toDouble / 10000.0)))
   }
+
+  test("matryoshka recall: full depth is its own ground truth, every " +
+    "depth reports a k-consistent fraction") {
+    val rows = Similarity.matryoshkaRecall(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(8, 16, 32, 64),
+      "one row per truncation depth, ascending")
+    rows.foreach { r =>
+      val (overlap, recall) = (r.getLong(1), r.getDouble(2))
+      assert(overlap >= 0L && overlap <= 10L)
+      assert(recall == overlap / 10.0,
+        s"recall must be overlap/k exactly: $r")
+    }
+    val full = rows.find(_.getInt(0) == 64).get
+    assert(full.getLong(1) == 10L && full.getDouble(2) == 1.0,
+      "the 64-dim ranking must recall itself perfectly")
+  }
 }

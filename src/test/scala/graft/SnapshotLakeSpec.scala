@@ -119,6 +119,23 @@ class SnapshotLakeSpec extends SparkTestBase {
       .sameElements(Array("id", "kind", "v")))
   }
 
+  test("expiry lab: v1/v3 manifests dropped, tag-pinned v2 and its shared " +
+    "files survive the reclaim sweep") {
+    val root = SnapshotLake.ensureExpireLab(spark, sfDir)
+    def manifest(v: Int) = Paths.get(root, "meta", s"v$v.manifest")
+    Seq(1, 3).foreach(v => assert(!Files.exists(manifest(v)),
+      s"v$v is below the floor and unpinned — manifest must be gone"))
+    Seq(2, 4, 5).foreach(v => assert(Files.exists(manifest(v)),
+      s"v$v is retained (floor or tag) — manifest must survive"))
+    // v2's data files are v1's files plus the append batch; v1's manifest
+    // is gone but its FILES are shared with pinned v2 — all must remain
+    SnapshotLake.snapshot(root, 2).paths.foreach(f =>
+      assert(Files.exists(Paths.get(root, f)), s"shared file $f reclaimed"))
+    // and the tag read agrees with v2's manifest accounting
+    assert(SnapshotLake.readRef(spark, root, "repro").count() ==
+      SnapshotLake.snapshot(root, 2).nRows)
+  }
+
   test("commit conflict: a concurrently published version loses atomically") {
     val root = freshRoot("conflict")
     SnapshotLake.create(df((1L, "a", 1L)), root)
