@@ -1399,5 +1399,93 @@ object Profiling {
     Q("q_winsorized", winsorized, Some(winsorizedSql)),
     Q("q_ref_integrity", refIntegrity, Some(refIntegritySql)),
     Q("q_drift_psi", driftPsi, Some(driftPsiSql)),
-    Q("q_iqr_outliers", iqrOutliers, Some(iqrOutliersSql)))
+    Q("q_iqr_outliers", iqrOutliers, Some(iqrOutliersSql)),
+    Q("q_expectations", expectations, Some(expectationsSql),
+      doc = "Declarative data-quality verification suite (deequ-style): " +
+        "8 heterogeneous constraints — completeness, ranges, value sets, " +
+        "positivity, key uniqueness — verdicts + violation counts in one " +
+        "scan; the fixture's non-unique line key genuinely fails"))
+
+  /** Declarative constraint-verification suite — the deequ/Great-
+    * Expectations shape: a fixed battery of heterogeneous constraints
+    * (completeness, numeric ranges, value-set membership, positivity,
+    * composite-key uniqueness) evaluated over lineitem, one verdict row
+    * per constraint with exact violation counts. This is the GATE a
+    * pipeline blocks on before a new drop enters training, one level up
+    * from [[columnProfile]]'s descriptive census and [[refIntegrity]]'s
+    * join closure.
+    *
+    * Scale shape: every constraint folds into ONE aggregate over one
+    * scan (the uniqueness term rides the same agg as a two-column
+    * distinct — Catalyst Expand, not a second pass); the wide 1-row
+    * result then unpivots driver-free via `stack`. Violation counts stay
+    * exact BIGINTs; verdict is their zero test. */
+  def expectations(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    def viol(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+    val wide = li.agg(
+      count(lit(1)).as("n"),
+      viol(col("l_orderkey").isNull).as("v_oknull"),
+      viol(col("l_shipdate").isNull).as("v_sdnull"),
+      viol(col("l_extendedprice").isNull ||
+        col("l_extendedprice") <= 0).as("v_price"),
+      viol(col("l_discount").isNull ||
+        col("l_discount") < 0 || col("l_discount") > 0.1).as("v_disc"),
+      viol(col("l_quantity").isNull ||
+        col("l_quantity") < 1 || col("l_quantity") > 50).as("v_qty"),
+      viol(col("l_linestatus").isNull ||
+        !col("l_linestatus").isin("O", "F")).as("v_ls"),
+      viol(col("l_returnflag").isNull ||
+        !col("l_returnflag").isin("A", "N", "R")).as("v_rf"),
+      (count(lit(1)) -
+        countDistinct(col("l_orderkey"), col("l_linenumber"))).as("v_uniq"))
+    wide.select(col("n").as("n_rows"), expr(
+      """stack(8,
+        |  'complete:l_orderkey', v_oknull,
+        |  'complete:l_shipdate', v_sdnull,
+        |  'positive:l_extendedprice', v_price,
+        |  'range:l_discount', v_disc,
+        |  'range:l_quantity', v_qty,
+        |  'set:l_linestatus', v_ls,
+        |  'set:l_returnflag', v_rf,
+        |  'unique:l_orderkey+l_linenumber', v_uniq)
+        |  AS (check_name, n_violations)""".stripMargin))
+      .select(col("check_name"), col("n_rows"), col("n_violations"),
+        (col("n_violations") === 0L).as("passed"))
+      .orderBy("check_name")
+  }
+
+  // NOTE: initialization-order hazard — `val all` captures this string at
+  // object init; as a plain val declared after `all` it would still be
+  // null when captured. `lazy val` makes the capture order-independent.
+  private lazy val expectationsSql =
+    """WITH a AS MATERIALIZED (
+      |  SELECT count(*) AS n,
+      |    count(*) FILTER (l_orderkey IS NULL) AS v_oknull,
+      |    count(*) FILTER (l_shipdate IS NULL) AS v_sdnull,
+      |    count(*) FILTER (l_extendedprice IS NULL
+      |                     OR l_extendedprice <= 0) AS v_price,
+      |    count(*) FILTER (l_discount IS NULL
+      |                     OR l_discount < 0 OR l_discount > 0.1) AS v_disc,
+      |    count(*) FILTER (l_quantity IS NULL
+      |                     OR l_quantity < 1 OR l_quantity > 50) AS v_qty,
+      |    count(*) FILTER (l_linestatus IS NULL
+      |                     OR l_linestatus NOT IN ('O', 'F')) AS v_ls,
+      |    count(*) FILTER (l_returnflag IS NULL
+      |                     OR l_returnflag NOT IN ('A', 'N', 'R')) AS v_rf,
+      |    count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS v_uniq
+      |  FROM lineitem)
+      |SELECT check_name, n AS n_rows, n_violations,
+      |       n_violations = 0 AS passed
+      |FROM (
+      |  SELECT 'complete:l_orderkey' AS check_name,
+      |         v_oknull AS n_violations, n FROM a
+      |  UNION ALL SELECT 'complete:l_shipdate', v_sdnull, n FROM a
+      |  UNION ALL SELECT 'positive:l_extendedprice', v_price, n FROM a
+      |  UNION ALL SELECT 'range:l_discount', v_disc, n FROM a
+      |  UNION ALL SELECT 'range:l_quantity', v_qty, n FROM a
+      |  UNION ALL SELECT 'set:l_linestatus', v_ls, n FROM a
+      |  UNION ALL SELECT 'set:l_returnflag', v_rf, n FROM a
+      |  UNION ALL SELECT 'unique:l_orderkey+l_linenumber', v_uniq, n FROM a)
+      |ORDER BY check_name""".stripMargin
 }

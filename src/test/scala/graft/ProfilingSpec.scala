@@ -174,4 +174,25 @@ class ProfilingSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(row.getAs[Long]("nb") == xb.size)
     assert(row.getAs[Long]("n_shared") == (xa intersect xb).size)
   }
+
+  test("expectations: one lineitem scan serves all eight constraints; " +
+    "only the known non-unique line key fails") {
+    val df = graft.operators.Profiling.expectations(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      assert((r.getAs[Long]("n_violations") == 0L) == r.getAs[Boolean]("passed"),
+        s"verdict must be the zero test of the violation count: $r")
+    }
+    val failed = rows.filterNot(_.getAs[Boolean]("passed"))
+      .map(_.getAs[String]("check_name")).toSeq
+    assert(failed == Seq("unique:l_orderkey+l_linenumber"),
+      s"fixture verdicts drifted: failed=$failed")
+    // the whole battery folds into one pass — a second FileSourceScan
+    // would mean a constraint fell out of the shared aggregate
+    val scans = collect(df.queryExecution.executedPlan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 1, s"expected exactly one scan, got ${scans.size}")
+  }
 }
