@@ -132,6 +132,35 @@ final class AsOfJoinStrategy extends SparkStrategy {
   }
 }
 
+/** Filter pushdown through [[AsOfJoinPlan]] — the optimizer half a custom
+  * logical node must bring along: Catalyst's PushPredicateThroughJoin only
+  * understands built-in Join nodes, so without this rule a `Filter` above
+  * an as-of join reads BOTH sides in full and filters after the merge. A
+  * deterministic conjunct referencing only LEFT-side attributes commutes
+  * with the left-outer as-of semantics (every output row derives from
+  * exactly one left row, and dropping a left row never affects another
+  * row's matched candidate), so it moves to the left child — where normal
+  * pushdown carries it all the way into the parquet scan. Right-side
+  * conjuncts stay put: they see null-extended slots and filtering the
+  * right INPUT would change which candidate is "latest". */
+object PushFilterThroughAsOf
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, a: AsOfJoinPlan) =>
+      val (push, keep) = splitConjunctivePredicates(cond).partition(p =>
+        p.deterministic && p.references.subsetOf(a.left.outputSet))
+      if (push.isEmpty) f
+      else {
+        val pushed = a.copy(left = Filter(push.reduce(And), a.left))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 /** Public entry: `AsOf.join(left, right, key, leftTime, rightTime)` —
   * `key` names the join key on BOTH input sides; all columns involved
   * must be BIGINT (cast timestamps to `unix_micros` first). The right
@@ -149,6 +178,9 @@ object AsOf {
     if (!s.experimental.extraStrategies.exists(_.isInstanceOf[AsOfJoinStrategy]))
       s.experimental.extraStrategies =
         s.experimental.extraStrategies :+ new AsOfJoinStrategy
+    if (!s.experimental.extraOptimizations.contains(PushFilterThroughAsOf))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ PushFilterThroughAsOf
     val rAliased = right.select(
       right.columns.toIndexedSeq.map(c => right(c).as(s"__r_$c")): _*)
     val lp = left.queryExecution.analyzed

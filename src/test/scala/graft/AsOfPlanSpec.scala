@@ -37,6 +37,40 @@ class AsOfPlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       s"both sides must sort by (key, time):\n$plan")
   }
 
+  test("left-side filters push through the custom node; right-side " +
+    "conjuncts stay above it") {
+    val (buys, views) = sides
+    val j = AsOf.join(buys, views, "user_id", "b_us", "v_us")
+      // one left-only conjunct (pushable) + one right-side conjunct (must
+      // NOT move: it sees null-extended slots)
+      .filter(col("event_id") % 2 === 0 && col("__r_v_us").isNotNull)
+    val opt = j.queryExecution.optimizedPlan
+    val asof = opt.collect { case a: graft.plans.AsOfJoinPlan => a }
+    assert(asof.size == 1, s"expected the custom node to survive:\n$opt")
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    // the left subtree now carries the event_id conjunct…
+    val leftFilters = asof.head.left.collect { case f: Filter => f }
+    assert(leftFilters.exists(_.condition.references.exists(
+      _.name == "event_id")),
+      s"left conjunct was not pushed into the left child:\n$opt")
+    // …and no filter above the node mentions event_id (only the right
+    // conjunct may remain there)
+    var above = true
+    val stillAbove = opt.collect {
+      case f: Filter if above &&
+        f.condition.references.exists(_.name == "event_id") => f
+      case a: graft.plans.AsOfJoinPlan => above = false; null
+    }.filter(_ != null)
+    assert(stillAbove.isEmpty,
+      s"event_id conjunct still filters above the as-of node:\n$opt")
+    // pushdown must not change results: filtering the left input first is
+    // the same query
+    val manual = AsOf.join(
+      buys.filter(col("event_id") % 2 === 0), views,
+      "user_id", "b_us", "v_us").filter(col("__r_v_us").isNotNull)
+    assert(j.count() == manual.count() && j.count() > 0)
+  }
+
   test("custom merge agrees row-for-row with the window-based as-of spelling") {
     val (buys, views) = sides
     val custom = AsOf.join(buys, views, "user_id", "b_us", "v_us")
