@@ -47,6 +47,12 @@ object HilbertKernel {
 case class HilbertD(left: Expression, right: Expression, bits: Int)
     extends BinaryExpression {
 
+  // bits = 0 would make the kernel's initial mask 1L << -1 (negative, so
+  // the walk never runs and EVERY key maps to 0); bits > 31 overflows the
+  // s*s quadrant weight. Fail analysis instead of emitting degenerate keys.
+  require(bits >= 1 && bits <= 31,
+    s"hilbert_d: bits must be in [1, 31], got $bits")
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess

@@ -288,37 +288,52 @@ object Inference {
 
   /** Segmentation core over a (day, n_events) daily frame. */
   private[graft] def binarySegmentationOn(daily0: DataFrame): DataFrame = {
+    val sess = daily0.sparkSession
     // The daily frame is ≤ calendar-days rows but sits on an events scan;
-    // cache it once — the tau probe plus three segment passes would
-    // otherwise each re-aggregate the corpus.
+    // cache it once — the tau probe plus the segment pass would otherwise
+    // each re-aggregate the corpus. The 3-row census is materialized
+    // below, so the cache can be released before returning (laziness
+    // loses nothing and the executor memory is handed back).
     val daily = daily0.cache()
-    val tau = cusumOn(daily).filter(col("is_peak"))
-      .agg(min("day")).collect()(0).getDate(0)
-    // With τ known, every day belongs to "all" plus exactly one of
-    // left/right — explode the membership and run the statistic for all
-    // three segments in ONE window pass partitioned by segment (a single
-    // exchange; segments compute in parallel), instead of three separate
-    // single-partition global-window builds.
-    val wSeg = Window.partitionBy("segment")
-    val wOrd = wSeg.orderBy("day")
-    val cus = daily.select(explode(array(lit("all"),
-        when(col("day") <= lit(tau), "left").otherwise("right")))
-        .as("segment"), col("day"), col("n_events"))
-      .withColumn("n_days", count(lit(1)).over(wSeg))
-      .withColumn("n_total", sum("n_events").over(wSeg))
-      .withColumn("t_idx", row_number().over(wOrd).cast("long"))
-      .withColumn("cum",
-        sum("n_events").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
-      .select(col("segment"), col("day"), col("n_days"),
-        abs(col("n_days") * col("cum") - col("t_idx") * col("n_total"))
-          .as("s_abs"))
-      .withColumn("mx", max("s_abs").over(wSeg))
-    // Earliest argmax per segment, same tiebreak as [[cusumOn]]'s is_peak.
-    cus.groupBy(col("segment"))
-      .agg(first("n_days").as("n_days"),
-        min(when(col("s_abs") === col("mx"), col("day"))).as("peak_day"),
-        max("s_abs").as("s_stat"))
-      .orderBy("segment")
+    try {
+      val tau = cusumOn(daily).filter(col("is_peak"))
+        .agg(min("day")).collect()(0).getDate(0)
+      // With τ known, every day belongs to "all" plus exactly one of
+      // left/right — explode the membership and run the statistic for all
+      // three segments in ONE window pass partitioned by segment (a single
+      // exchange; segments compute in parallel), instead of three separate
+      // single-partition global-window builds.
+      val wSeg = Window.partitionBy("segment")
+      val wOrd = wSeg.orderBy("day")
+      val cus = daily.select(explode(array(lit("all"),
+          when(col("day") <= lit(tau), "left").otherwise("right")))
+          .as("segment"), col("day"), col("n_events"))
+        .withColumn("n_days", count(lit(1)).over(wSeg))
+        .withColumn("n_total", sum("n_events").over(wSeg))
+        .withColumn("t_idx", row_number().over(wOrd).cast("long"))
+        .withColumn("cum",
+          sum("n_events").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("segment"), col("day"), col("n_days"),
+          abs(col("n_days") * col("cum") - col("t_idx") * col("n_total"))
+            .as("s_abs"))
+        .withColumn("mx", max("s_abs").over(wSeg))
+      // Earliest argmax per segment, same tiebreak as [[cusumOn]]'s is_peak.
+      val agg = cus.groupBy(col("segment"))
+        .agg(first("n_days").as("n_days"),
+          min(when(col("s_abs") === col("mx"), col("day"))).as("peak_day"),
+          max("s_abs").as("s_stat"))
+      val got = agg.collect().map(r => r.getString(0) -> r).toMap
+      // A segment with no days (τ = last day, e.g. a single-day corpus)
+      // must still emit the oracle's empty-input aggregate row:
+      // count(*) = 0, min/max = NULL — groupBy alone would drop it.
+      val schema = org.apache.spark.sql.types.StructType(
+        agg.schema.fields.map(_.copy(nullable = true)))
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(Seq("all", "left", "right").map(seg =>
+          got.getOrElse(seg,
+            org.apache.spark.sql.Row(seg, 0L, null, null))): _*)
+      sess.createDataFrame(rows, schema)
+    } finally daily.unpersist()
   }
 
   private val binarySegmentationSql = {
@@ -840,7 +855,11 @@ object Inference {
   def permTest(s: SparkSession, dir: String): DataFrame =
     permTestOn(Tables.documents(s, dir)
       .select(col("doc_id"), col("n_chars").cast("long").as("v"),
-        (col("lang") === "en").as("ga")))
+        // NULL lang must land in group B in BOTH engines: a bare
+        // `lang = 'en'` is NULL for NULL lang, which Spark's two
+        // sum(when(ga)/when(!ga)) columns would drop from BOTH groups
+        // while the oracle's CASE ELSE counts it into n_b.
+        coalesce(col("lang") === "en", lit(false)).as("ga")))
 
   /** Randomization-test core over a (doc_id, v, ga) frame. */
   private[graft] def permTestOn(docs: DataFrame): DataFrame = {
@@ -893,7 +912,8 @@ object Inference {
          | + (strpos('0123456789abcdef', substr($col, 4, 1)) - 1)"""
         .stripMargin
     s"""WITH docs AS (
-       |  SELECT doc_id, CAST(n_chars AS BIGINT) AS v, lang = 'en' AS ga
+       |  SELECT doc_id, CAST(n_chars AS BIGINT) AS v,
+       |         coalesce(lang = 'en', FALSE) AS ga
        |  FROM documents),
        |obs AS (
        |  SELECT CAST(sum(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
@@ -1018,8 +1038,15 @@ object Inference {
       v("__conv")
     }
     val base6 = conv6(None)
-    val channels = cnt.keysIterator.map(_._1)
-      .filter(f => f != "__start" && f != "__conv").toSeq.distinct.sorted
+    // Channels = distinct non-purchase event types over ALL events — the
+    // oracle's `chan` CTE, NOT the transition-table from_st keys: an event
+    // type that only ever occurs after first purchases never enters the
+    // truncated journeys, so it has no outgoing transitions, but the
+    // oracle still emits its row (removal of an absent channel strands no
+    // mass, so conv6 returns base6 and effect is exactly 0).
+    val channels = events.filter(col("event_type") =!= "purchase")
+      .select("event_type").distinct().collect()
+      .map(_.getString(0)).toSeq.sorted
     def p4(x6: Long): Double = ((x6 + 50L) / 100L).toDouble / 10000.0
     import s.implicits._
     channels.map { ch =>

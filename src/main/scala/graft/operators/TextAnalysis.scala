@@ -830,7 +830,8 @@ object TextAnalysis {
     val sliceOf = expr(
       "instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 32, 1)) - 1")
     val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), sliceOf.as("slice"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), sliceOf.cast("long").as("slice"),
+        split(col("text"), " ").as("toks"))
     val firstSlice = docs
       .select(col("slice"), explode(col("toks")).as("tok"))
       .groupBy("tok").agg(min("slice").as("fs"))

@@ -589,9 +589,13 @@ object SnapshotLake {
     }
     var i = 0
     val staged = subdirs.flatMap { sub =>
-      // partitionBy URL-escapes values into the directory name
-      val pval = java.net.URLDecoder.decode(
-        sub.getFileName.toString.drop("_pval=".length), "UTF-8")
+      // partitionBy PERCENT-escapes values into the directory name
+      // (Hive path escaping). Crucially it does NOT encode '+', so a
+      // URLDecoder round-trip would corrupt a literal '+' into a space
+      // and prunePartition would then silently skip the file that holds
+      // the matching rows. Decode with Spark's own inverse instead.
+      val pval = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(sub.getFileName.toString.drop("_pval=".length))
       val parts = {
         val s = Files.list(sub)
         try s.iterator().asScala.toSeq

@@ -766,4 +766,33 @@ class SnapshotLakeSpec extends SparkTestBase {
       .select("id").collect().map(_.getLong(0)).toSet
       == Set(2L, 4L, 6L, 8L))
   }
+
+  test("partition values round-trip through path escaping: '+', '%', " +
+    "space and '=' never corrupt partInfo or prune live files") {
+    // Spark's Hive-style path escaping percent-encodes '%', '=', ' '
+    // etc. but leaves '+' literal; a URLDecoder-based decode turns that
+    // literal '+' into a space, so prunePartition would silently drop
+    // the only file holding "a+b" rows — the lossy-never violation this
+    // test pins (ADVICE round 7).
+    val root = freshRoot("escape")
+    val tricky = Seq("a+b", "50%", "x y", "k=v", "plain")
+    SnapshotLake.create(df(
+      tricky.zipWithIndex.map { case (k, i) => (i.toLong, k, i.toLong) }: _*),
+      root)
+    SnapshotLake.evolvePartitionSpec(root, "identity", "kind")
+    SnapshotLake.append(spark, df(
+      tricky.zipWithIndex.map { case (k, i) =>
+        (10L + i, k, 10L + i) }: _*), root)
+    val s = SnapshotLake.snapshot(root, SnapshotLake.mainVersion(root))
+    // every staged value decoded back to EXACTLY the raw string
+    val recorded = s.partInfo.values.map(_._2).toSet
+    assert(recorded == tricky.toSet,
+      s"partition values corrupted by path decoding: $recorded")
+    // and each pruned read returns precisely its two rows (one per era)
+    tricky.zipWithIndex.foreach { case (k, i) =>
+      val got = SnapshotLake.readPartition(spark, root, k)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == Set(i.toLong, 10L + i), s"value '$k': got $got")
+    }
+  }
 }
