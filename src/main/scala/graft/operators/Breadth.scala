@@ -645,36 +645,11 @@ object Breadth {
     * The custkey tiebreak makes the total order unique, so the result is
     * identical to the single-task window at every scale. */
   def balanceQuartiles(s: SparkSession, dir: String): DataFrame = {
-    val nb = 4
-    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val keyed = Tables.customer(s, dir)
-      .select(col("c_acctbal"), col("c_custkey"))
-      .repartitionByRange(parts, col("c_acctbal").asc, col("c_custkey").asc)
-      .withColumn("pid", spark_partition_id())
-    // per-range-partition counts: tiny (≤ `parts` rows); offsets = rows in
-    // all lower-ranged partitions (left join keeps the pid=0 offset row)
-    val counts = keyed.groupBy("pid").agg(count(lit(1)).as("cnt"))
-    val offsets = counts.as("a")
-      .join(counts.as("b"), col("b.pid") < col("a.pid"), "left")
-      .groupBy(col("a.pid").as("pid"))
-      .agg(coalesce(sum("b.cnt"), lit(0L)).as("off"))
-    val total = counts.agg(sum("cnt").as("n_total"))
-    val localW = Window.partitionBy("pid")
-      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
-    val ranked = keyed
-      .withColumn("rn", row_number().over(localW).cast("long"))
-      .join(broadcast(offsets), "pid")
-      .crossJoin(broadcast(total))
-      .withColumn("rnk", col("off") + col("rn"))
-    val base = floor(col("n_total") / nb).cast("long")
-    val rem  = (col("n_total") % nb).cast("long")
-    val head = rem * (base + lit(1L)) // rows covered by the base+1 buckets
-    ranked
-      .withColumn("q",
-        when(col("rnk") <= head,
-             floor((col("rnk") - 1) / (base + lit(1L))).cast("long") + 1L)
-          .otherwise(
-             rem + floor((col("rnk") - head - 1) / base).cast("long") + 1L))
+    // the decomposition itself now lives in [[DistNtile.withNtile]] (the
+    // fleet-standard helper q_lorenz and q_probe_calibration also use)
+    DistNtile.withNtile(
+        Tables.customer(s, dir).select(col("c_acctbal"), col("c_custkey")),
+        4, Seq(col("c_acctbal").asc, col("c_custkey").asc), "q")
       .groupBy("q")
       .agg(count(lit(1)).as("n"),
            round(min("c_acctbal"), 4).as("min_bal"),

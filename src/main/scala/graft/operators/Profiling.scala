@@ -984,17 +984,23 @@ object Profiling {
     * read directly. Both engines implement ntile identically (floor/
     * ceil split over the SAME total order, pinned by the custkey
     * tiebreak), cents sums are BIGINT, and the two share divisions are
-    * the only FP, floor-fixed. Windows run over |customers| narrow rows
-    * and the 10-row decile table. */
+    * the only FP, floor-fixed.
+    *
+    * Scale shape: customers grow with the corpus, so the decile split is
+    * the DISTRIBUTED exact ntile ([[DistNtile.withNtile]] — range
+    * exchange + per-partition rank + offset join), never a bare global
+    * window; the only unpartitioned window left runs over the 10-row
+    * decile table. Result is identical to the window form by
+    * construction. */
   def lorenz(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rev = Tables.orders(s, dir)
       .groupBy("o_custkey")
       .agg(sum(expr("CAST(floor(o_totalprice * 100.0D + 0.5D) AS BIGINT)"))
         .as("cents"))
-    val byRev = Window.orderBy(col("cents").asc, col("o_custkey").asc)
     val tot = rev.agg(sum("cents").as("t_c"), count(lit(1)).as("n"))
-    rev.withColumn("decile", ntile(10).over(byRev).cast("long"))
+    DistNtile.withNtile(rev, 10,
+        Seq(col("cents").asc, col("o_custkey").asc), "decile")
       .groupBy("decile")
       .agg(count(lit(1)).as("n_cust"), sum("cents").as("d_c"))
       .crossJoin(broadcast(tot))

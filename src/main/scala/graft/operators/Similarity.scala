@@ -2028,20 +2028,26 @@ object Similarity {
     * unique (margin, vec_id) order — engine-identical), and report each
     * decile's positive rate. A monotone column means the margin ranks
     * examples; ±extremes near 1.0/0.0 mean the score separates where it
-    * is confident. The global ntile sorts a MODEL-EVAL-sized frame (the
-    * labeled probe split), not a corpus. */
+    * is confident.
+    *
+    * Scale shape: the scored frame is the labeled split, which grows
+    * with the corpus at the 10⁹-vector posture this family targets — so
+    * the decile cut is the DISTRIBUTED exact ntile
+    * ([[DistNtile.withNtile]]), never a bare global window sort on one
+    * task. Identical result to the window form by construction. */
   def probeCalibration(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (w, _, _) = trainedProbe(s, dir)
     // scoring is ONE pass over the feature frame — no cache needed; on a
     // memo hit this query never re-runs the training rounds
     val wDf = Seq(Tuple1(w.toSeq)).toDF("wv")
-    probeFeatures(s, dir).crossJoin(broadcast(wDf))
+    val scored = probeFeatures(s, dir).crossJoin(broadcast(wDf))
       .select(col("vec_id"), col("y"),
         expr("aggregate(zip_with(xi, wv, (a, b) -> a * b), 0L, (acc, v) -> acc + v)")
           .as("margin"))
-      .withColumn("decile", ntile(10).over(org.apache.spark.sql.expressions
-        .Window.orderBy(col("margin").asc, col("vec_id").asc)))
+    DistNtile.withNtile(scored, 10,
+        Seq(col("margin").asc, col("vec_id").asc), "decile")
+      .withColumn("decile", col("decile").cast("int"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n"),
         sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"))

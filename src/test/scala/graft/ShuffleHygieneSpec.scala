@@ -146,6 +146,52 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       s"document-scale columns crossing shuffles:\n${offenders.mkString("\n")}")
   }
 
+  /** Queries allowed an UNPARTITIONED window (Window.orderBy with no
+    * partitionBy — a single-task sort): each documented entry runs over a
+    * provably BOUNDED frame (calendar days/hours, deciles, hash slices,
+    * top-k heads, distinct-value domains, replicate counts), never over a
+    * corpus-cardinality one. Data-cardinality global cuts must use
+    * [[graft.operators.DistNtile]] instead (the q_lorenz /
+    * q_probe_calibration round-8 fix) — this sweep is what keeps the
+    * bare-ntile pattern from shipping again. */
+  private val globalWindowAllowed: Map[String, String] = Map(
+    "q_ann_ndcg" -> "rank windows over the ≤k-row retrieval lists",
+    "q_cusum" -> "running stat over the calendar-day frame",
+    "q_hybrid_rrf" -> "rank windows over the two ≤20-row ranker heads",
+    "q_ks_test" -> "cumulative CDF over the distinct-value domain",
+    "q_lift_curve" -> "boundary/cumulative windows over the 10-row decile table",
+    "q_lorenz" -> ("cumulative share over the 10-row decile table " +
+      "(the decile CUT itself is DistNtile)"),
+    "q_mann_whitney" -> "rank-sum over the distinct-value domain",
+    "q_nelson_aalen" -> "cumulative hazard over the ≤horizon-hour table",
+    "q_quality_retention" -> "cumulative retention over the 10-row decile table",
+    "q_skyline" -> "prefix-max over the distinct-price aggregate",
+    "q_split_assign" -> "ordering the 3-row split census",
+    "q_stl_anomaly" -> "trend/MAD windows over the calendar-day frame",
+    "q_stl_decompose" -> "trend windows over the calendar-day frame",
+    "q_survival" -> "KM product over the ≤horizon-hour table",
+    "q_user_growth" -> "running distinct over the calendar-day frame",
+    "q_vocab_growth" -> "cumulative curve over the 16 md5 slices",
+    "q_word_coverage" -> "cumulative coverage over the top-k token head",
+    "q_zipf_fit" -> "rank over the top-k token head")
+
+  test("no registered query runs an unpartitioned window over a " +
+    "data-cardinality frame") {
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    val offenders = executedPlans.flatMap { case (name, plan) =>
+      val globals = collect(plan) {
+        case w: WindowExec if w.partitionSpec.isEmpty => w: Any
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w: Any
+      }
+      if (globals.nonEmpty && !globalWindowAllowed.contains(name))
+        Some(s"$name plans ${globals.size} unpartitioned window(s)")
+      else None
+    }
+    assert(offenders.isEmpty,
+      "unpartitioned windows outside the bounded-frame allow-list " +
+        s"(use DistNtile for data-sized cuts):\n${offenders.mkString("\n")}")
+  }
+
   test("no registered query runs an unbounded cartesian or nested-loop join") {
     val offenders = executedPlans.flatMap { case (name, plan) =>
       val loops = collect(plan) {
