@@ -17,7 +17,12 @@ import org.apache.spark.sql.types.StructType
   * Layout under one table root:
   *   - `data/v{N}-{i}.parquet` — immutable; a commit only ADDS files,
   *     never mutates or deletes one (expire is the only deleter).
-  *   - `meta/v{N}.manifest` — the file list + stats pinning snapshot N.
+  *   - `meta/v{N}.manifest` — the MANIFEST LIST pinning snapshot N:
+  *     header + `segment=` references (plus small inline delete/col/spec
+  *     state). Legacy manifests with inline `file=` lines still parse.
+  *   - `meta/v{N}-{nonce}.seg` — immutable manifest SEGMENTS: batches of
+  *     data-file entries shared across snapshots by reference, so a
+  *     commit writes O(changed files) metadata, not O(table).
   *   - `meta/_current` — advisory pointer to the latest version.
   *
   * Commit protocol (optimistic concurrency, single-filesystem): stage
@@ -114,8 +119,12 @@ object SnapshotLake {
     * their own layout and simply stop pruning on the new transform
     * (scans stay correct: pruning is lossy-never, the residual predicate
     * still applies). Transforms are deliberately engine-replayable:
-    * `identity(col)` and `mod(n, col)` (the deterministic stand-in for
-    * Iceberg's murmur bucket, which no second engine reproduces). */
+    * `identity(col)`, `mod(n, col)` (the deterministic stand-in for
+    * Iceberg's murmur bucket, which no second engine reproduces),
+    * `truncate(w, col)` (Iceberg's string truncate: the first w chars —
+    * `substr` in any engine), and the date family `year/month/day(col)`
+    * (Iceberg's temporal transforms — `date_trunc`/`strftime` in any
+    * engine; what an append-only log evolves TO in practice). */
   final case class PartSpec(id: Int, kind: String, n: Int, colName: String) {
     def serialized: String = s"$id|$kind|$n|$colName"
     /** The transform as a STRING-valued column — one representation for
@@ -123,16 +132,37 @@ object SnapshotLake {
     def expr: Column = kind match {
       case "identity" => col(colName).cast("string")
       case "mod"      => pmod(col(colName), lit(n.toLong)).cast("string")
+      case "truncate" => substring(col(colName).cast("string"), 1, n)
+      case "year"     => date_format(col(colName), "yyyy")
+      case "month"    => date_format(col(colName), "yyyy-MM")
+      case "day"      => date_format(col(colName), "yyyy-MM-dd")
       case k          => sys.error(s"unknown partition transform: $k")
     }
-    def describe: String =
-      if (kind == "identity") s"identity($colName)" else s"mod($n,$colName)"
+    def describe: String = kind match {
+      case "identity"         => s"identity($colName)"
+      case "mod"              => s"mod($n,$colName)"
+      case "truncate"         => s"truncate($n,$colName)"
+      case "year" | "month" | "day" => s"$kind($colName)"
+    }
   }
 
   private def parsePartSpec(s: String): PartSpec = {
     val Array(id, kind, n, cn) = s.split("\\|", 4)
     PartSpec(id.toInt, kind, n.toInt, cn)
   }
+
+  /** One immutable MANIFEST SEGMENT: a named batch of data-file entries
+    * (plus their partition info) stored in its own `.seg` file under
+    * `meta` —
+    * Iceberg's manifest-file / manifest-list split re-expressed on the
+    * line-oriented store. Segments are write-once: a commit REUSES the
+    * parent's segments by reference (one `segment=` line each) and
+    * writes only its DELTA as one new segment, so commit metadata is
+    * O(changed files), not O(table) — at 100 TB (~10⁶ live files) an
+    * append stops paying a full-file-list serialization and the driver
+    * stops re-parsing unchanged entries ([[segCache]]). */
+  final case class Segment(name: String, files: Seq[FileEntry],
+                           partInfo: Map[String, (Int, String)])
 
   /** `deletes` are Iceberg-style POSITION-DELETE files: each is a parquet
     * of (df = data-file basename, pos = row index in that file) rows.
@@ -167,7 +197,14 @@ object SnapshotLake {
                               * (pre-spec eras, restaged COW output) are
                               * simply never pruned by partition. */
                             partInfo: Map[String, (Int, String)] =
-                              Map.empty) {
+                              Map.empty,
+                            /** The manifest segments this snapshot
+                              * references, in manifest order; `files` /
+                              * `partInfo` above are already the flattened
+                              * union (segments first, then any inline
+                              * legacy entries). Kept so [[commit]] can
+                              * reuse unchanged segments by reference. */
+                            segments: Seq[Segment] = Seq.empty) {
     def paths: Seq[String] = files.map(_.path)
     /** Every file the snapshot pins — data AND delete files — for
       * expire/reclaim accounting. */
@@ -215,6 +252,34 @@ object SnapshotLake {
     (base, snapshot(root, base), currentVersion(root) + 1)
   }
 
+  /** Parsed-segment cache: segments are IMMUTABLE once published, so a
+    * (path, size) key can never serve stale content — repeated snapshot
+    * reads of a long-lived table re-parse only the manifest list plus
+    * any segment seen for the first time, never the whole file list.
+    * Bounded by a full clear past a fixed entry count (reloading is
+    * always correct, just slower). */
+  private val segCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Segment]()
+
+  private def loadSegment(root: String, name: String): Segment = {
+    val p = metaDir(root).resolve(name)
+    val key = s"${p.toAbsolutePath.normalize}|${Files.size(p)}"
+    val hit = segCache.get(key)
+    if (hit != null) hit
+    else {
+      val lines = Files.readAllLines(p).asScala.toSeq
+      val seg = Segment(name,
+        lines.filter(_.startsWith("file=")).map(l => parseEntry(l.drop(5))),
+        lines.filter(_.startsWith("pfile=")).map { l =>
+          val Array(sid, pv, path) = l.drop(6).split("\\|", 3)
+          path -> (sid.toInt, pv)
+        }.toMap)
+      if (segCache.size > 8192) segCache.clear()
+      segCache.put(key, seg)
+      seg
+    }
+  }
+
   def snapshot(root: String, version: Int): Snapshot = {
     val p = metaDir(root).resolve(s"v$version.manifest")
     require(Files.exists(p),
@@ -226,9 +291,12 @@ object SnapshotLake {
     val statsCol = lines.find(_.startsWith("stats="))
       .map(_.drop(6)).filter(_.nonEmpty)
     val ver = field("version").toInt
+    val segs = lines.filter(_.startsWith("segment="))
+      .map(l => loadSegment(root, l.drop(8)))
     Snapshot(ver, field("op"), field("nRows").toLong,
       field("schema"), statsCol,
-      lines.filter(_.startsWith("file=")).map(l => parseEntry(l.drop(5))),
+      segs.flatMap(_.files) ++
+        lines.filter(_.startsWith("file=")).map(l => parseEntry(l.drop(5))),
       lines.filter(_.startsWith("delete=")).map(l => parseEntry(l.drop(7))),
       lines.filter(_.startsWith("col=")).map(l => parseCol(l.drop(4))),
       lines.filter(_.startsWith("eqdelete="))
@@ -238,11 +306,18 @@ object SnapshotLake {
       lines.filter(_.startsWith("spec=")).map(l => parsePartSpec(l.drop(5))),
       lines.find(_.startsWith("defaultspec=")).map(_.drop(12).toInt)
         .getOrElse(-1),
-      lines.filter(_.startsWith("pfile=")).map { l =>
-        val Array(sid, pv, p) = l.drop(6).split("\\|", 3)
-        p -> (sid.toInt, pv)
-      }.toMap)
+      segs.map(_.partInfo).foldLeft(Map.empty[String, (Int, String)])(_ ++ _)
+        ++ lines.filter(_.startsWith("pfile=")).map { l =>
+          val Array(sid, pv, p) = l.drop(6).split("\\|", 3)
+          p -> (sid.toInt, pv)
+        }.toMap,
+      segs)
   }
+
+  /** Max manifest segments a snapshot may reference before a commit
+    * coalesces the file list into one fresh segment (the metadata-LSM
+    * merge bound — see the segment-reuse block in [[commit]]). */
+  private val SEG_CAP = 64
 
   /** Commit `files` as a NEW snapshot built on content base `prev` (the
     * recorded lineage parent). The claimed number is global-max + 1 —
@@ -286,20 +361,53 @@ object SnapshotLake {
       (parentSnap.map(_.partInfo).getOrElse(Map.empty) ++ newPartInfo)
         .filter { case (p, _) => keep(p) }
     Files.createDirectories(metaDir(root))
+    // --- O(delta) metadata: segment reuse ---------------------------------
+    // Parent segments whose files ALL survive are referenced unchanged
+    // (one `segment=` line each — zero bytes rewritten, zero re-parse on
+    // read thanks to segCache); everything else (new files + survivors of
+    // partially-invalidated segments) lands in ONE new segment. Past
+    // SEG_CAP referenced segments the commit coalesces the full list into
+    // one segment — the LSM-style amortization that bounds both the
+    // manifest-list length and read fan-out at O(SEG_CAP) while keeping
+    // per-commit writes O(delta + table/SEG_CAP) amortized.
+    val parentSegs = parentSnap.map(_.segments).getOrElse(Seq.empty)
+    val keptSegs0 = parentSegs.filter(_.files.forall(f => keep(f.path)))
+    val covered = keptSegs0.flatMap(_.files.map(_.path)).toSet
+    val fresh = files.filter(f => !covered(f.path))
+    val (keptSegs, toWrite) =
+      if (keptSegs0.size >= SEG_CAP) (Seq.empty[Segment], files)
+      else (keptSegs0, fresh)
+    def pfileLine(p: String, sid: Int, pv: String): String = {
+      require(!pv.contains("|") && !pv.contains("\n"),
+        s"partition value not serializable: $pv")
+      s"pfile=$sid|$pv|$p"
+    }
+    val newSegName =
+      if (toWrite.isEmpty) None
+      else {
+        val name = s"v$v-${stageNonce()}.seg"
+        val segBody = toWrite.flatMap { f =>
+          s"file=${f.serialized}" +:
+            partInfo.get(f.path).toSeq.map { case (sid, pv) =>
+              pfileLine(f.path, sid, pv)
+            }
+        }.mkString("", "\n", "\n")
+        val segTmp = metaDir(root).resolve(s".$name.tmp")
+        Files.writeString(segTmp, segBody)
+        Files.move(segTmp, metaDir(root).resolve(name),
+          StandardCopyOption.ATOMIC_MOVE)
+        Some(name)
+      }
     val body =
       (Seq(s"version=$v", s"op=$op", s"nRows=$nRows", s"schema=$schemaDdl",
         s"stats=${statsCol.getOrElse("")}", s"parent=$prev") ++
-        files.map(f => s"file=${f.serialized}") ++
+        (keptSegs.map(_.name) ++ newSegName).map(n => s"segment=$n") ++
         deletes.map(f => s"delete=${f.serialized}") ++
         cols.map(c => s"col=${c.serialized}") ++
         eqDeletes.map(e => s"eqdelete=${e.serialized}") ++
         specs.map(sp => s"spec=${sp.serialized}") ++
-        (if (defSpec >= 0) Seq(s"defaultspec=$defSpec") else Seq.empty) ++
-        partInfo.toSeq.sortBy(_._1).map { case (p, (sid, pv)) =>
-          require(!pv.contains("|") && !pv.contains("\n"),
-            s"partition value not serializable: $pv")
-          s"pfile=$sid|$pv|$p"
-        }).mkString("", "\n", "\n")
+        (if (defSpec >= 0) Seq(s"defaultspec=$defSpec") else Seq.empty))
+        .mkString("", "\n", "\n")
     val tmp = metaDir(root).resolve(s".v$v.tmp")
     Files.writeString(tmp, body)
     val target = metaDir(root).resolve(s"v$v.manifest")
@@ -547,11 +655,14 @@ object SnapshotLake {
     * data (Iceberg's spec-evolution rule). The new spec gets a fresh id;
     * earlier specs stay in the manifest because the files written under
     * them still carry their values and still prune on THEIR transform.
-    * `kind` = "identity" (n ignored) or "mod" (value % n). */
+    * `kind` = "identity" (n ignored), "mod" (value % n), "truncate"
+    * (first n chars), or "year"/"month"/"day" (temporal, n ignored). */
   def evolvePartitionSpec(root: String, kind: String, colName: String,
                           n: Int = 0): Int = {
-    require(kind == "identity" || kind == "mod",
+    require(Set("identity", "mod", "truncate", "year", "month", "day")(kind),
       s"unknown partition transform kind: $kind")
+    require(kind != "mod" && kind != "truncate" || n >= 1,
+      s"$kind transform requires n >= 1, got $n")
     val (prev, snap, claim) = mainMutationCtx(root)
     val id = (snap.specs.map(_.id) :+ 0).max + 1
     val spec = PartSpec(id, kind, n, colName)
@@ -1193,6 +1304,24 @@ object SnapshotLake {
         val rel = s"data/${p.getFileName}"
         if (!stillReferenced(rel) && Files.deleteIfExists(p)) droppedFiles += 1
       } finally s.close()
+    }
+    // manifest SEGMENTS are shared across snapshots by reference, so one
+    // is reclaimable only when NO remaining manifest references it (this
+    // also sweeps orphans from lost commit races, whose manifest link
+    // never published). Not counted in droppedFiles — the return contract
+    // counts data files, segments are metadata.
+    val liveSegs = (1 to cur).flatMap { v =>
+      try snapshot(root, v).segments.map(_.name)
+      catch { case _: Exception => Seq.empty }
+    }.toSet
+    val m = metaDir(root)
+    if (Files.isDirectory(m)) {
+      val s = Files.list(m)
+      try s.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".seg"))
+        .foreach { p =>
+          if (!liveSegs(p.getFileName.toString)) Files.deleteIfExists(p)
+        } finally s.close()
     }
     (droppedManifests, droppedFiles)
   }
@@ -1912,12 +2041,13 @@ object SnapshotLake {
       |  FROM documents WHERE doc_id % 3 = 0)
       |GROUP BY ref, kind, version ORDER BY ref""".stripMargin
 
-  /** Once-per-fixture PARTITION-EVOLUTION LAB: three layout eras of one
+  /** Once-per-fixture PARTITION-EVOLUTION LAB: four layout eras of one
     * table — v1 create (doc_id%3=0, unpartitioned), v2 evolve to
     * mod(4,doc_id), v3 append (%3=1, laid out in 4 mod-files), v4 evolve
-    * to identity(lang), v5 append (%3=2, one file per language). Every
-    * era's files survive verbatim; only NEW appends adopt the new
-    * layout. */
+    * to truncate(2,source), v5 append (%6=2, one file per source
+    * prefix), v6 evolve to identity(lang), v7 append (%6=5, one file per
+    * language). Every era's files survive verbatim; only NEW appends
+    * adopt the new layout. */
   private[graft] def ensurePartLab(s: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_").stripPrefix("_")
     val base = Paths.get(
@@ -1925,7 +2055,7 @@ object SnapshotLake {
       "graft_snap_partevo")
     val root = base.resolve(s"docs_${tag}_${docsFingerprint(dir)}")
     this.synchronized {
-      if (currentVersion(root.toString) < 5) {
+      if (currentVersion(root.toString) < 7) {
         if (Files.isDirectory(base)) {
           val ls = Files.list(base)
           try ls.iterator().asScala.toSeq
@@ -1940,8 +2070,44 @@ object SnapshotLake {
           statsCol = Some("doc_id"))
         evolvePartitionSpec(root.toString, "mod", "doc_id", 4)
         append(s, d.filter(pmod(col("doc_id"), lit(3)) === 1), root.toString)
+        evolvePartitionSpec(root.toString, "truncate", "source", 2)
+        append(s, d.filter(pmod(col("doc_id"), lit(6)) === 2), root.toString)
         evolvePartitionSpec(root.toString, "identity", "lang")
-        append(s, d.filter(pmod(col("doc_id"), lit(3)) === 2), root.toString)
+        append(s, d.filter(pmod(col("doc_id"), lit(6)) === 5), root.toString)
+      }
+    }
+    root.toString
+  }
+
+  /** Once-per-fixture DATE-TRANSFORM LAB over the events table — the
+    * layout an append-only event log evolves to in practice: v1 create
+    * (event_id%3=0, unpartitioned), v2 evolve to day(ts), v3 append
+    * (%3=1, one file per calendar day), v4 evolve to month(ts), v5
+    * append (%3=2, one file per month). */
+  private[graft] def ensureDateLab(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_").stripPrefix("_")
+    val base = Paths.get(
+      s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "graft_snap_datelab")
+    val root = base.resolve(s"ev_${tag}_${docsFingerprint(dir)}")
+    this.synchronized {
+      if (currentVersion(root.toString) < 5) {
+        if (Files.isDirectory(base)) {
+          val ls = Files.list(base)
+          try ls.iterator().asScala.toSeq
+            .filter(_.getFileName.toString.matches(s"ev_${tag}_[0-9a-f]{1,8}"))
+            .foreach(deleteRecursively)
+          finally ls.close()
+        }
+        deleteRecursively(root)
+        val e = graft.Tables.events(s, dir)
+          .select("event_id", "ts", "user_id", "event_type")
+        create(e.filter(pmod(col("event_id"), lit(3)) === 0), root.toString,
+          statsCol = Some("event_id"))
+        evolvePartitionSpec(root.toString, "day", "ts")
+        append(s, e.filter(pmod(col("event_id"), lit(3)) === 1), root.toString)
+        evolvePartitionSpec(root.toString, "month", "ts")
+        append(s, e.filter(pmod(col("event_id"), lit(3)) === 2), root.toString)
       }
     }
     root.toString
@@ -1956,16 +2122,19 @@ object SnapshotLake {
     * half of evolution; [[SnapshotLakeSpec]] pins the pruning half). */
   def partitionEvolution(s: SparkSession, dir: String): DataFrame = {
     val root = ensurePartLab(s, dir)
-    val snap = snapshot(root, mainVersion(root))
-    val rowsFor = snap.files.map(f => f.path -> f.rows).toMap
-    def eraRow(sid: Int): (String, Long, Long) = {
-      val files = snap.partInfo.toSeq.filter(_._2._1 == sid)
-      val desc = snap.specs.find(_.id == sid).get.describe
-      (s"spec:$desc", files.map(_._2._2).distinct.size.toLong,
-        files.map(f => rowsFor(f._1)).sum)
+    val dateRoot = ensureDateLab(s, dir)
+    def eraRows(r: String): Seq[(String, Long, Long)] = {
+      val snap = snapshot(r, mainVersion(r))
+      val rowsFor = snap.files.map(f => f.path -> f.rows).toMap
+      snap.specs.map { sp =>
+        val files = snap.partInfo.toSeq.filter(_._2._1 == sp.id)
+        (s"spec:${sp.describe}", files.map(_._2._2).distinct.size.toLong,
+          files.map(f => rowsFor(f._1)).sum)
+      }
     }
     import s.implicits._
-    val meta = Seq(eraRow(1), eraRow(2)).toDF("era", "n_parts", "n_rows")
+    val meta = (eraRows(root) ++ eraRows(dateRoot))
+      .toDF("era", "n_parts", "n_rows")
     val en = readPartition(s, root, "en")
       .agg(count(lit(1)).as("n_rows"))
       .select(lit("read:en").as("era"), lit(1L).as("n_parts"),
@@ -1981,11 +2150,25 @@ object SnapshotLake {
       |  UNION ALL
       |  SELECT 'spec:identity(lang)', CAST(count(DISTINCT lang) AS BIGINT),
       |         count(*)
-      |  FROM documents WHERE doc_id % 3 = 2
+      |  FROM documents WHERE doc_id % 6 = 5
+      |  UNION ALL
+      |  SELECT 'spec:truncate(2,source)',
+      |         CAST(count(DISTINCT substr(source, 1, 2)) AS BIGINT),
+      |         count(*)
+      |  FROM documents WHERE doc_id % 6 = 2
       |  UNION ALL
       |  SELECT 'spec:mod(4,doc_id)',
       |         CAST(count(DISTINCT doc_id % 4) AS BIGINT), count(*)
-      |  FROM documents WHERE doc_id % 3 = 1)
+      |  FROM documents WHERE doc_id % 3 = 1
+      |  UNION ALL
+      |  SELECT 'spec:day(ts)',
+      |         CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT), count(*)
+      |  FROM events WHERE event_id % 3 = 1
+      |  UNION ALL
+      |  SELECT 'spec:month(ts)',
+      |         CAST(count(DISTINCT strftime(ts, '%Y-%m')) AS BIGINT),
+      |         count(*)
+      |  FROM events WHERE event_id % 3 = 2)
       |ORDER BY era""".stripMargin
 
   /** The `table.history` metadata query as an oracle-checked census:

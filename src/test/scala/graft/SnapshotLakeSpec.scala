@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.sources.SnapshotLake
@@ -92,8 +94,13 @@ class SnapshotLakeSpec extends SparkTestBase {
     SnapshotLake.deleteWhere(spark, root, col("id") === 1)
     val v4 = SnapshotLake.rollback(root, 2)
     assert(v4 == 4)
-    assert(SnapshotLake.snapshot(root, 4).paths ==
-      SnapshotLake.snapshot(root, 2).paths)
+    // SET equality: with segment-reuse manifests the rollback commit
+    // references the head's surviving segments first and batches the
+    // re-exposed files into its delta segment, so list ORDER may differ
+    // from the target's — the pinned CONTENT (and O(1) no-restage
+    // behavior) is the contract, file order never was
+    assert(SnapshotLake.snapshot(root, 4).paths.toSet ==
+      SnapshotLake.snapshot(root, 2).paths.toSet)
     assert(SnapshotLake.read(spark, root).count() == 2)
     // the rolled-over delete stays readable for audit
     assert(SnapshotLake.readAt(spark, root, 3).count() == 1)
@@ -765,6 +772,90 @@ class SnapshotLakeSpec extends SparkTestBase {
     assert(SnapshotLake.readPartition(spark, root, "0")
       .select("id").collect().map(_.getLong(0)).toSet
       == Set(2L, 4L, 6L, 8L))
+  }
+
+  test("partition evolution: date and truncate transforms prune exactly " +
+    "across eras and compact migrates them") {
+    import spark.implicits._
+    def edf(rows: (Long, String)*) = rows.toDF("id", "tss")
+      .select(col("id"), col("tss").cast("timestamp").as("ts"))
+      .repartition(2)
+    val root = freshRoot("partdate")
+    SnapshotLake.create(edf(
+      (1L, "2024-01-01 10:00:00"), (2L, "2024-02-03 11:00:00")), root)
+    SnapshotLake.evolvePartitionSpec(root, "day", "ts")
+    SnapshotLake.append(spark, edf(
+      (3L, "2024-01-01 23:00:00"), (4L, "2024-03-05 00:30:00")), root)
+    def ids(r: String, v: String) = SnapshotLake.readPartition(spark, r, v)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // id 3 prunes in via its day file; id 1 falls through the pre-spec
+    // era and survives the residual — lossy-never across eras
+    assert(ids(root, "2024-01-01") == Set(1L, 3L))
+    SnapshotLake.evolvePartitionSpec(root, "month", "ts")
+    SnapshotLake.append(spark, edf((5L, "2024-01-15 09:00:00")), root)
+    assert(ids(root, "2024-01") == Set(1L, 3L, 5L))
+    // compaction migrates every era into month(ts): pruning goes exact
+    SnapshotLake.compact(spark, root)
+    val s = SnapshotLake.snapshot(root, SnapshotLake.mainVersion(root))
+    val monthSpec = s.specs.find(_.describe == "month(ts)").get.id
+    assert(s.paths.forall(p => s.partInfo.get(p).exists(_._1 == monthSpec)))
+    assert(SnapshotLake.prunePartition(s, "2024-01")
+      .forall(f => s.partInfo(f.path)._2 == "2024-01"))
+    assert(ids(root, "2024-01") == Set(1L, 3L, 5L))
+    // truncate(w, stringCol): prefix layout + residual on old eras
+    val r2 = freshRoot("parttrunc")
+    SnapshotLake.create(df((1L, "alpha", 1L), (2L, "beta", 2L)), r2)
+    SnapshotLake.evolvePartitionSpec(r2, "truncate", "kind", 3)
+    SnapshotLake.append(spark, df((3L, "alps", 3L), (4L, "beat", 4L)), r2)
+    assert(ids(r2, "alp") == Set(1L, 3L) && ids(r2, "bet") == Set(2L)
+      && ids(r2, "bea") == Set(4L))
+  }
+
+  test("manifest segmentation: a commit writes O(batch) metadata, " +
+    "unchanged segments are reused by reference, expire sweeps dead ones") {
+    val root = freshRoot("segments")
+    SnapshotLake.create(df((0L, "s", 0L)), root)
+    val appends = 12
+    (1 to appends).foreach(i =>
+      SnapshotLake.append(spark, df((i.toLong, "s", i.toLong)), root))
+    val cur = SnapshotLake.mainVersion(root)
+    val manifest = Files.readString(Paths.get(root, "meta", s"v$cur.manifest"))
+    // the manifest is a LIST of segment references, not the file list
+    assert(!manifest.linesIterator.exists(_.startsWith("file=")),
+      "manifest must not inline the file list")
+    val segNames = manifest.linesIterator.filter(_.startsWith("segment="))
+      .map(_.drop(8)).toSeq
+    assert(segNames.size == appends + 1, s"got ${segNames.size} segments")
+    // measured O(batch): the last commit's new segment holds ONE file
+    // entry; the full live list is 13× that — at 10⁶ files the gap is 10⁶×
+    val lastSegBytes = Files.size(Paths.get(root, "meta", segNames.last))
+    val fullListBytes = SnapshotLake.snapshot(root, cur).files
+      .map(_.serialized.length + "file=\n".length).sum
+    assert(lastSegBytes * 3 < fullListBytes,
+      s"last segment $lastSegBytes B vs full list $fullListBytes B — " +
+        "commit metadata is not O(batch)")
+    // unchanged segments carried over BY REFERENCE from the parent
+    val prevSegs = Files.readString(
+        Paths.get(root, "meta", s"v${cur - 1}.manifest"))
+      .linesIterator.filter(_.startsWith("segment=")).map(_.drop(8)).toSeq
+    assert(prevSegs.forall(segNames.contains),
+      "parent segments must be reused, not rewritten")
+    // every snapshot in the chain stays exactly reconstructible
+    (1 to cur).foreach(v =>
+      assert(SnapshotLake.readAt(spark, root, v).count() == v.toLong))
+    // a full rewrite invalidates every old segment; expire then reclaims
+    // them (they are referenced only by dropped manifests) but keeps the
+    // live one
+    SnapshotLake.compact(spark, root)
+    SnapshotLake.expire(root, SnapshotLake.mainVersion(root))
+    val segsLeft = {
+      val s = Files.list(Paths.get(root, "meta"))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".seg")).toSeq
+      finally s.close()
+    }
+    assert(segsLeft.size == 1, s"dead segments not swept: $segsLeft")
+    assert(SnapshotLake.read(spark, root).count() == appends + 1)
   }
 
   test("partition values round-trip through path escaping: '+', '%', " +
