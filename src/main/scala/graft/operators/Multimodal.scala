@@ -22,10 +22,17 @@ final case class DecodedMedia(doc_id: Long, media_type: String, width: Int,
   * (an Iterator of rows per partition = one batch; Tungsten encoders
   * handle (de)serialization at the partition boundary only).
   *
-  * The decode itself is a STUB — image/audio codecs are not in this
-  * environment — but a deterministic one (pure arithmetic over payload
-  * bytes), so the whole pipeline is testable end-to-end and even
-  * oracle-checkable. The Spark-side plumbing is real: binary column
+  * The decode is REAL: payloads are spec-conformant PPM / WAV / Y4M
+  * bytes ([[MediaCodecs]] — the uncompressed containers a zero-dependency
+  * JVM can encode AND parse honestly), and every downstream number
+  * (width/height/frames/brightness/phash) is read out of parsed headers
+  * and content planes. The fixture payloads are SYNTHESIZED
+  * deterministically from documents.text (no media ships with the
+  * harness), which is what keeps the whole chain oracle-checkable: the
+  * oracle replays generation+decode arithmetic straight from the text.
+  * Compressed codecs (JPEG/MP3/H.264) stay the documented swap point for
+  * a JNI-backed library at deployment — [[MediaCodecs.decode]] is that
+  * boundary. The Spark-side plumbing is real throughout: binary column
   * synthesis, repartition-by-modality (batch homogeneity on a cluster:
   * co-locates same-codec blobs so a real decoder's model/codec state is
   * reused within a partition), typed mapPartitions, downstream relational
@@ -33,36 +40,71 @@ final case class DecodedMedia(doc_id: Long, media_type: String, width: Int,
   */
 object Multimodal {
 
-  /** Synthesized media table: documents.text re-cast as an opaque binary
-    * payload with a modality assigned by doc_id (no real media ships with
-    * the harness; at 100 TB this is the parquet `binary` column written by
-    * ingest). */
-  def mediaTable(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(
-      col("doc_id"),
-      expr("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' " +
-        "WHEN 1 THEN 'audio' ELSE 'video' END").as("media_type"),
-      col("text").cast("binary").as("payload"))
+  /** Media-generation arithmetic — ONE place for the dims both the
+    * encoder-side synthesis and the DuckDB oracle derive from text
+    * length (all small enough that every container stays a few KB). */
+  private[graft] def imageDims(len: Int): (Int, Int) =
+    (4 + len % 13, 4 + (len * 7) % 11)
+  private[graft] def videoDims(len: Int): (Int, Int) =
+    (2 * (2 + len % 7), 2 * (2 + (len * 7) % 5))
 
-  /** Deterministic fake decode — the `???` boundary where a real codec
-    * (pillow/ffmpeg-equivalent JNI lib) would run. Shapes and dtypes are
-    * what a real decoder would produce; values are pure functions of the
-    * payload so tests and the oracle can verify the plumbing. */
-  def decodeStub(rows: Iterator[MediaRow]): Iterator[DecodedMedia] =
+  /** Synthesized media table: REAL container bytes (P6 PPM images,
+    * RIFF/PCM WAV audio, YUV4MPEG2 4:2:0 video) whose dims/frame counts
+    * and content plane derive deterministically from each document
+    * (content byte i = text byte i mod len) — at 100 TB this is the
+    * parquet `binary` column written by ingest. */
+  def mediaTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val tb = text.getBytes("UTF-8") // fixture text is ASCII
+        val len = tb.length
+        def content(from: Int, n: Int): Array[Byte] =
+          Array.tabulate(n)(i => tb((from + i) % len))
+        (id % 3) match {
+          case 0 =>
+            val (w, h) = imageDims(len)
+            MediaRow(id, "image",
+              MediaCodecs.encodePpm(w, h, content(0, w * h * 3)))
+          case 1 =>
+            MediaRow(id, "audio", MediaCodecs.encodeWav(8000, content(0, len)))
+          case _ =>
+            val (w, h) = videoDims(len)
+            val fs = w * h * 3 / 2
+            val nf = (1 + id % 24).toInt
+            MediaRow(id, "video", MediaCodecs.encodeY4m(w, h,
+              Seq.tabulate(nf)(f => content(f * fs, fs))))
+        }
+      }.toDF()
+  }
+
+  /** Real batch decode: sniff + parse each container
+    * ([[MediaCodecs.decode]]) and surface typed metadata plus an 8-point
+    * content-plane feature sample. A corrupt/unparseable blob decodes to
+    * a zero row rather than killing the task — a bad blob must never
+    * fail a 100 TB batch (the skip-and-count posture of every real media
+    * ingest). */
+  def decodeMedia(rows: Iterator[MediaRow]): Iterator[DecodedMedia] =
     rows.map { r =>
-      val len = r.payload.length
-      val width = 64 + len % 640
-      val height = 64 + (len * 7) % 480
-      val nFrames = (1 + r.doc_id % 24).toInt
-      val nSampled = (nFrames + 5) / 6 // every-6th frame sampling
-      // empty payloads decode to zeros rather than killing the task —
-      // a corrupt/empty blob must never fail a 100 TB batch
-      val brightness = if (len == 0) 0.0 else (r.payload(0) & 0xff).toDouble
-      val feature =
-        if (len == 0) Array.fill(8)(0f)
-        else Array.tabulate(8)(i => (r.payload(i % len) & 0xff).toFloat / 255f)
-      DecodedMedia(r.doc_id, r.media_type, width, height, nFrames, nSampled,
-        brightness, feature)
+      val dec =
+        try Some(MediaCodecs.decode(r.payload))
+        catch { case scala.util.control.NonFatal(_) => None }
+      dec match {
+        case None =>
+          DecodedMedia(r.doc_id, r.media_type, 0, 0, 0, 0, 0.0,
+            Array.fill(8)(0f))
+        case Some(d) =>
+          val nSampled = (d.nFrames + 5) / 6 // every-6th frame sampling
+          val c = d.content
+          val brightness = if (c.isEmpty) 0.0 else (c(0) & 0xff).toDouble
+          val feature =
+            if (c.isEmpty) Array.fill(8)(0f)
+            else Array.tabulate(8)(i =>
+              (c(i * c.length / 8) & 0xff).toFloat / 255f)
+          DecodedMedia(r.doc_id, r.media_type, d.width, d.height,
+            d.nFrames, nSampled, brightness, feature)
+      }
     }
 
   /** Modalities the synthetic corpus carries — the salt key-space divides
@@ -93,7 +135,7 @@ object Multimodal {
       .repartition(col("media_type"),
         pmod(col("doc_id"), lit(decodeSaltModulus(s).toLong)))
       .as[MediaRow]
-      .mapPartitions(decodeStub _)
+      .mapPartitions(decodeMedia _)
   }
 
   /** Resize stage (aspect-fit into a 224×224 box) — the second batch
@@ -135,8 +177,14 @@ object Multimodal {
       |  SELECT doc_id,
       |         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
       |              WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-      |         CAST(64 + length(text) % 640 AS INTEGER) AS w,
-      |         CAST(64 + (length(text) * 7) % 480 AS INTEGER) AS h
+      |         CAST(CASE CAST(doc_id % 3 AS INTEGER)
+      |              WHEN 0 THEN 4 + length(text) % 13
+      |              WHEN 1 THEN length(text)
+      |              ELSE 2 * (2 + length(text) % 7) END AS INTEGER) AS w,
+      |         CAST(CASE CAST(doc_id % 3 AS INTEGER)
+      |              WHEN 0 THEN 4 + (length(text) * 7) % 11
+      |              WHEN 1 THEN 1
+      |              ELSE 2 * (2 + (length(text) * 7) % 5) END AS INTEGER) AS h
       |  FROM documents),
       |r AS (
       |  SELECT media_type,
@@ -164,36 +212,57 @@ object Multimodal {
            round(avg("brightness"), 4).as("avg_brightness"))
       .orderBy("media_type")
 
-  /** Oracle recomputes the stub arithmetic straight from documents.text —
-    * identical values because payload == utf8(text) and text is ASCII. */
+  /** Oracle recomputes the generation+decode arithmetic straight from
+    * documents.text — identical values because the encoders write
+    * exactly these dims/frames into real container headers, the decoder
+    * parses them back, content byte 0 is text byte 0, and text is
+    * ASCII. */
   private val metaAggSql =
-    """SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
-      |            WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-      |       count(*) AS n,
-      |       round(avg(64 + length(text) % 640), 4) AS avg_width,
-      |       round(avg(64 + (length(text) * 7) % 480), 4) AS avg_height,
-      |       CAST(sum(1 + doc_id % 24) AS BIGINT) AS total_frames,
-      |       CAST(sum((1 + doc_id % 24 + 5) // 6) AS BIGINT) AS total_sampled,
-      |       round(avg(ascii(substr(text, 1, 1))), 4) AS avg_brightness
-      |FROM documents
+    """WITH dec AS (
+      |  SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+      |              WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |         CASE CAST(doc_id % 3 AS INTEGER)
+      |              WHEN 0 THEN 4 + length(text) % 13
+      |              WHEN 1 THEN length(text)
+      |              ELSE 2 * (2 + length(text) % 7) END AS w,
+      |         CASE CAST(doc_id % 3 AS INTEGER)
+      |              WHEN 0 THEN 4 + (length(text) * 7) % 11
+      |              WHEN 1 THEN 1
+      |              ELSE 2 * (2 + (length(text) * 7) % 5) END AS h,
+      |         CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 24
+      |              ELSE 1 END AS frames,
+      |         ascii(substr(text, 1, 1)) AS bright
+      |  FROM documents)
+      |SELECT media_type, count(*) AS n,
+      |       round(avg(w), 4) AS avg_width,
+      |       round(avg(h), 4) AS avg_height,
+      |       CAST(sum(frames) AS BIGINT) AS total_frames,
+      |       CAST(sum((frames + 5) // 6) AS BIGINT) AS total_sampled,
+      |       round(avg(bright), 4) AS avg_brightness
+      |FROM dec
       |GROUP BY 1
       |ORDER BY media_type""".stripMargin
 
-  /** Per-blob 64-bit perceptual hash (average-hash): 64 evenly-spaced
-    * payload samples, bit k set iff sample k ≥ the sample mean —
-    * all-integer (`s·64 ≥ Σ` instead of a float mean), so the oracle
-    * reproduces every bit from documents.text (payload == utf8(text),
-    * ASCII). A real image pipeline computes the same 64 bits from an
-    * 8×8 downscale of decoded pixels; the sampling arithmetic is the
-    * stub boundary, the hash/banding machinery is the real thing. */
+  /** Per-blob 64-bit perceptual hash (average-hash) over the DECODED
+    * content plane: 64 evenly-spaced samples of the parsed pixel / PCM /
+    * YUV bytes (never the container bytes — headers don't hash), bit k
+    * set iff sample k ≥ the sample mean — all-integer (`s·64 ≥ Σ`
+    * instead of a float mean), so the oracle reproduces every bit from
+    * documents.text via the generation rule (content byte i = text byte
+    * i mod len). A real image pipeline computes the same 64 bits from an
+    * 8×8 downscale; swapping that in changes only the sampling line. */
   final case class MediaHash(doc_id: Long, media_type: String, phash: Long)
 
-  def phashStub(rows: Iterator[MediaRow]): Iterator[MediaHash] =
+  def phashMedia(rows: Iterator[MediaRow]): Iterator[MediaHash] =
     rows.map { r =>
-      val len = r.payload.length
-      val h = if (len == 0) 0L
+      val c =
+        try MediaCodecs.decode(r.payload).content
+        catch { case scala.util.control.NonFatal(_) => Array.empty[Byte] }
+      val clen = c.length
+      val h = if (clen == 0) 0L
       else {
-        val s = Array.tabulate(64)(k => (r.payload(k * len / 64) & 0xff).toLong)
+        val s = Array.tabulate(64)(k =>
+          (c((k.toLong * clen / 64).toInt) & 0xff).toLong)
         val total = s.sum
         (0 until 64).foldLeft(0L)((acc, k) =>
           if (s(k) * 64 >= total) acc | (1L << k) else acc)
@@ -221,7 +290,7 @@ object Multimodal {
       .repartition(col("media_type"),
         pmod(col("doc_id"), lit(decodeSaltModulus(s).toLong)))
       .as[MediaRow]
-      .mapPartitions(phashStub _)
+      .mapPartitions(phashMedia _)
       .toDF()
     val banded = ph.select(col("doc_id"), col("media_type"), col("phash"),
       posexplode(array((0 until PHASH_BANDS).map(b =>
@@ -249,22 +318,37 @@ object Multimodal {
   }
 
   private val phashNearDupSql =
-    s"""WITH ph AS (
-       |  SELECT doc_id,
+    s"""WITH base AS (
+       |  SELECT doc_id, text, length(text) AS len,
        |         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
        |              WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-       |         -- bit 63 via the two's-complement identity (adding
-       |         -- -2^63) because DuckDB rejects 1::BIGINT << 63
+       |         -- decoded content-plane length per container:
+       |         -- image w*h*3, audio = samples, video frames*w*h*3/2
+       |         CASE CAST(doc_id % 3 AS INTEGER)
+       |           WHEN 0 THEN (4 + length(text) % 13)
+       |                       * (4 + (length(text) * 7) % 11) * 3
+       |           WHEN 1 THEN length(text)
+       |           ELSE (1 + doc_id % 24) * (2 * (2 + length(text) % 7))
+       |                * (2 * (2 + (length(text) * 7) % 5)) * 3 // 2
+       |         END AS clen
+       |  FROM documents),
+       |ph AS (
+       |  SELECT doc_id, media_type,
+       |         -- content byte i = text byte (i mod len); bit 63 via the
+       |         -- two's-complement identity (adding -2^63) because DuckDB
+       |         -- rejects 1::BIGINT << 63
        |         (SELECT CAST(sum(CASE WHEN
-       |              ord(substr(text, 1 + (k * length(text)) // 64, 1)) * 64
+       |              ord(substr(text,
+       |                  1 + CAST(((k * clen) // 64) % len AS INTEGER), 1))
+       |                * 64
        |              >= (SELECT sum(ord(substr(text,
-       |                    1 + (j * length(text)) // 64, 1)))
+       |                    1 + CAST(((j * clen) // 64) % len AS INTEGER), 1)))
        |                  FROM range(0, 64) r2(j))
        |            THEN CASE WHEN k = 63 THEN -9223372036854775808
        |                 ELSE 1::BIGINT << CAST(k AS INTEGER) END
        |            ELSE 0 END) AS BIGINT)
        |          FROM range(0, 64) r1(k)) AS phash
-       |  FROM documents),
+       |  FROM base),
        |banded AS (
        |  SELECT doc_id, media_type, phash, b.b AS band,
        |         (phash >> (16 * b.b)) & 65535 AS key

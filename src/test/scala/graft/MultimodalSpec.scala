@@ -2,31 +2,91 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{DecodedMedia, MediaRow, Multimodal}
+import graft.operators.{MediaCodecs, MediaRow, Multimodal}
 
 class MultimodalSpec extends SparkTestBase {
 
-  test("payload binary roundtrips the utf8 text") {
-    val row = Multimodal.mediaTable(spark, sfDir)
-      .filter(col("doc_id") === 0).head()
-    val payload = row.getAs[Array[Byte]]("payload")
-    val text = Tables.documents(spark, sfDir)
-      .filter(col("doc_id") === 0).head().getAs[String]("text")
-    assert(new String(payload, "UTF-8") == text)
+  test("PPM decode parses a hand-built image byte-exactly, including " +
+    "comments and whitespace variants") {
+    val rgb = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+    val enc = MediaCodecs.encodePpm(2, 2, rgb)
+    val d = MediaCodecs.decodePpm(enc)
+    assert(d.width == 2 && d.height == 2 && d.nFrames == 1)
+    assert(d.content.sameElements(rgb))
+    // a foreign tool's header shape: comment line + mixed whitespace
+    val foreign = "P6 # written elsewhere\n# comment line\n 2\t2\n255\n"
+      .getBytes("US-ASCII") ++ rgb
+    val df = MediaCodecs.decodePpm(foreign)
+    assert(df.width == 2 && df.height == 2 && df.content.sameElements(rgb))
+    // truncated pixel data must fail loudly, not return garbage
+    intercept[IllegalArgumentException] {
+      MediaCodecs.decodePpm(enc.dropRight(1))
+    }
   }
 
-  test("decode stub is deterministic and batch-shaped") {
+  test("WAV decode walks RIFF chunks: fmt/data parsed, unknown chunks " +
+    "skipped, word alignment honored") {
+    val samples = Array.tabulate(11)(i => (i * 7).toByte)
+    val enc = MediaCodecs.encodeWav(8000, samples)
+    val d = MediaCodecs.decodeWav(enc)
+    assert(d.width == 11 && d.height == 1 && d.content.sameElements(samples))
+    // splice an odd-sized unknown chunk between fmt and data: a correct
+    // chunk walk pads to word alignment and still finds data
+    val junk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0, 1, 2, 3, 0) // size 3 + 1 pad byte
+    val spliced = enc.take(36) ++ junk ++ enc.drop(36)
+    val d2 = MediaCodecs.decodeWav(spliced)
+    assert(d2.content.sameElements(samples))
+  }
+
+  test("Y4M decode parses the stream header and counts FRAME-delimited " +
+    "4:2:0 planes") {
+    val fs = 4 * 2 * 3 / 2
+    val frames = Seq.tabulate(3)(f => Array.tabulate(fs)(i => (f * 16 + i).toByte))
+    val enc = MediaCodecs.encodeY4m(4, 2, frames)
+    val d = MediaCodecs.decodeY4m(enc)
+    assert(d.width == 4 && d.height == 2 && d.nFrames == 3)
+    assert(d.content.sameElements(Array.concat(frames: _*)))
+    // magic sniffing dispatches all three containers
+    assert(MediaCodecs.decode(enc).kind == "video")
+    assert(MediaCodecs.decode(
+      MediaCodecs.encodeWav(8000, Array[Byte](1))).kind == "audio")
+    assert(MediaCodecs.decode(
+      MediaCodecs.encodePpm(1, 1, Array[Byte](1, 2, 3))).kind == "image")
+  }
+
+  test("corrupt payloads decode to zero rows instead of failing the batch") {
+    val rows = Iterator(
+      MediaRow(1L, "image", Array[Byte]('X', 'Y', 'Z')),
+      MediaRow(2L, "image",
+        MediaCodecs.encodePpm(1, 1, Array[Byte](100, 100, 100))))
+    val out = Multimodal.decodeMedia(rows).toSeq
+    assert(out.head.width == 0 && out.head.brightness == 0.0)
+    assert(out(1).width == 1 && out(1).brightness == 100.0)
+  }
+
+  test("media payloads are real containers and decode is deterministic " +
+    "and batch-shaped") {
     val a = Multimodal.decoded(spark, sfDir).collect().sortBy(_.doc_id)
     val b = Multimodal.decoded(spark, sfDir).collect().sortBy(_.doc_id)
     assert(a.length == 500)
     assert(a.map(_.doc_id).sameElements(b.map(_.doc_id)))
     assert(a.zip(b).forall { case (x, y) =>
       x.width == y.width && x.feature.sameElements(y.feature) })
-    // shapes a real decoder would produce
+    // no corrupt rows: every generated payload parses
+    assert(a.forall(d => d.width > 0 && d.height > 0 && d.n_frames > 0))
     assert(a.forall(_.feature.length == 8))
-    assert(a.forall(d => d.width >= 64 && d.height >= 64))
     assert(a.forall(d => d.n_sampled == (d.n_frames + 5) / 6))
     assert(a.forall(d => d.feature(0) == (d.brightness / 255.0).toFloat))
+    // parsed dims come from real headers: image dims live in the
+    // generator's ranges, audio is samples×1, video frames vary
+    val byType = a.groupBy(_.media_type)
+    assert(byType("image").forall(d =>
+      d.width >= 4 && d.width <= 16 && d.height >= 4 && d.height <= 14
+        && d.n_frames == 1))
+    assert(byType("audio").forall(d => d.height == 1 && d.n_frames == 1))
+    assert(byType("video").exists(_.n_frames > 1))
+    assert(byType("video").forall(d => d.width % 2 == 0 && d.height % 2 == 0))
   }
 
   test("modalities partition the corpus") {
