@@ -41,8 +41,13 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // first-touch tracking: a query whose run performed a shared
+    // memo/index/lab build ([[BuildMeter]]) gets flagged, so
+    // round-over-round diffs can separate build cost from plan cost
+    val touched = scala.collection.mutable.Set[String]()
     val samples = (1 to passes).flatMap { _ =>
       names.map { case (name, fn) =>
+        val b0 = BuildMeter.count
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -52,6 +57,7 @@ object Bench {
         // failed queries report negative elapsed so they can't masquerade
         // as fast successes in BENCH_r{N}.json
         val dt = (System.nanoTime() - t0) / 1e9 * (if (ok) 1 else -1)
+        if (BuildMeter.count > b0) touched += name
         // isolate queries: drop caches a query created so the next one isn't
         // measured under its memory pressure
         spark.catalog.clearCache()
@@ -85,10 +91,13 @@ object Bench {
         .mkString("{", ",", "}")
     val qs = asJson(results)
     val ms = asJson(medians)
+    val ft = names.map { case (name, _) =>
+      s"\"" + name + "\":" + touched.contains(name)
+    }.mkString("{", ",", "}")
     // total counts SUCCESSFUL queries only — a failure (negative marker)
     // must never make the headline number smaller
     val total = results.map(_._2).filter(_ > 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$ms,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$ms,"first_touch":$ft,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

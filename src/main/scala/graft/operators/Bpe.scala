@@ -125,8 +125,10 @@ object Bpe {
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, String, String, Long)]]()
 
   private def trainedMerges(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
-    trained.computeIfAbsent(dir,
-      _ => trainMerges(wordTable(Tables.documents(s, dir)), N_MERGES))
+    trained.computeIfAbsent(dir, { _ =>
+      graft.BuildMeter.record()
+      trainMerges(wordTable(Tables.documents(s, dir)), N_MERGES)
+    })
 
   /** Registered query: the first N_MERGES BPE merges learned from the
     * documents corpus, with their pair frequencies. */

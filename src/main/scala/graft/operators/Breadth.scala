@@ -464,6 +464,32 @@ object Breadth {
            count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** ORACLE-CHECKED error contract of [[approxDistinct]]: the estimate
+    * itself is engine-internal (DuckDB runs a different sketch), but the
+    * CONTRACT — estimate within a deterministic band of the exact
+    * distinct — is oracle-expressible: Spark evaluates the band test,
+    * the oracle recomputes the exact side and pins the verdict at TRUE,
+    * so a sketch regression past the band hash-fails the round instead
+    * of hiding behind a rows-only check. Band = 5% = 2.5× the
+    * configured 2% rsd (the estimate is ~N(exact, rsd·exact); 2.5σ
+    * one-off failure odds ≈ 1%, and the fixture is fixed, so the test
+    * is deterministic in practice — a flip means the sketch changed). */
+  def approxDistinctContract(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct("l_partkey", 0.02).as("est"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("exact_parts"), col("n"),
+        (abs(col("est").cast("double") - col("exact_parts"))
+          / col("exact_parts") <= 0.05d).as("within_bound"))
+      .orderBy("l_returnflag")
+
+  private val approxDistinctContractSql =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+      |       count(*) AS n, TRUE AS within_bound
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Stratified A/B readout: Cochran–Mantel–Haenszel test of variant →
     * conversion CONTROLLING for user activity level — the guard against
     * Simpson's paradox that a pooled z-test ([[abTest]]) cannot give:
@@ -599,6 +625,32 @@ object Breadth {
           / lit(10000.0d)).as("rel_err_pct"))
       .orderBy("event_type")
   }
+
+  /** ORACLE-CHECKED error contract of [[hllRollup]] (same construction
+    * as [[approxDistinctContract]]): the union-of-parts and direct
+    * estimates each sit within 5% of the exact distinct, and the two
+    * estimators agree within the 2% band StatsOpsSpec documents — all
+    * three verdicts pinned TRUE by the oracle, with the exact side
+    * (n_days, exact_users) recomputed in DuckDB. */
+  def hllContract(s: SparkSession, dir: String): DataFrame =
+    hllRollup(s, dir).select(
+      col("event_type"), col("n_days"), col("exact_users"),
+      (abs(col("est_union").cast("double") - col("exact_users"))
+        / col("exact_users") <= 0.05d).as("union_in_band"),
+      (abs(col("est_direct").cast("double") - col("exact_users"))
+        / col("exact_users") <= 0.05d).as("direct_in_band"),
+      (abs(col("est_union").cast("double") - col("est_direct"))
+        / greatest(col("est_direct").cast("double"), lit(1.0d)) <= 0.02d)
+        .as("merge_agrees"))
+      .orderBy("event_type")
+
+  private val hllContractSql =
+    """SELECT event_type,
+      |       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+      |       count(DISTINCT user_id) AS exact_users,
+      |       TRUE AS union_in_band, TRUE AS direct_in_band,
+      |       TRUE AS merge_agrees
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** lead/lag: inter-event-time statistics per user — the offset-window
     * complement to frames (same single exchange on user_id). */
@@ -1833,5 +1885,8 @@ object Breadth {
     Q("q_sessionize", sessionize, Some(sessionizeSql)),
     Q("q_session_window", sessionWindowAgg, Some(sessionWindowAggSql)),
     Q("q_approx_distinct", approxDistinct, None),
-    Q("q_hll_rollup", hllRollup, None))
+    Q("q_hll_rollup", hllRollup, None),
+    Q("q_approx_distinct_contract", approxDistinctContract,
+      Some(approxDistinctContractSql)),
+    Q("q_hll_contract", hllContract, Some(hllContractSql)))
 }

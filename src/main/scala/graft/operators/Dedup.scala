@@ -161,7 +161,7 @@ object Dedup {
     val key = (System.identityHashCode(s), dir, corpusFingerprint(dir))
     val hit = memo.get(key)
     if (hit != null && (hit.sparkSession eq s)) hit
-    else { val v = build; memo.put(key, v); v }
+    else { graft.BuildMeter.record(); val v = build; memo.put(key, v); v }
   }
 
   private def corpusMinhashCandidates(s: SparkSession, dir: String,

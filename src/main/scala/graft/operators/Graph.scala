@@ -240,6 +240,7 @@ object Graph {
     val hit = edgeMemo.get(key)
     if (hit != null && (hit.sparkSession eq s)) hit
     else {
+      graft.BuildMeter.record()
       val v = affinityEdgesOn(
         Tables.lineitem(s, dir).select("l_orderkey", "l_partkey"))
         .localCheckpoint()

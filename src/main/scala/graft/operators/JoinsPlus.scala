@@ -295,6 +295,51 @@ object JoinsPlus {
         round(col("ps").getItem(3), 4).as("p95"))
       .orderBy("l_returnflag")
 
+  /** ORACLE-CHECKED error contract of [[percentilesApprox]]: the
+    * Greenwald–Khanna sketch's documented guarantee is a RANK bound —
+    * the returned element's rank is within ε·n of p·n, ε = 1/accuracy —
+    * which IS oracle-expressible even though the value itself is not:
+    * Spark counts how many rows fall below/at each approx value and
+    * tests the rank window (with one row of slack for the boundary),
+    * the oracle recomputes n and pins every verdict TRUE. One broadcast
+    * join of the 3-row approx frame back onto the scan. */
+  def percentileApproxContract(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val appr = li.groupBy("l_returnflag")
+      .agg(expr(
+        "percentile_approx(l_extendedprice, array(0.25, 0.5, 0.75, 0.95), 10000)")
+        .as("ps"))
+    val qs = Seq(0.25d, 0.5d, 0.75d, 0.95d)
+    val counts = qs.indices.flatMap { i =>
+      Seq(
+        sum(when(col("l_extendedprice") <= col("ps").getItem(i), 1L)
+          .otherwise(0L)).as(s"le$i"),
+        sum(when(col("l_extendedprice") < col("ps").getItem(i), 1L)
+          .otherwise(0L)).as(s"lt$i"))
+    }
+    val g = li.join(broadcast(appr), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), counts: _*)
+    val eps = 1.0d / 10000.0d
+    val oks = qs.zipWithIndex.map { case (p, i) =>
+      (col(s"le$i").cast("double") / col("n")
+          >= lit(p - eps) - lit(1.0d) / col("n")) &&
+        (col(s"lt$i").cast("double") / col("n")
+          <= lit(p + eps) + lit(1.0d) / col("n"))
+    }
+    g.select(col("l_returnflag"), col("n"),
+        oks(0).as("rank_ok_p25"), oks(1).as("rank_ok_p50"),
+        oks(2).as("rank_ok_p75"), oks(3).as("rank_ok_p95"))
+      .orderBy("l_returnflag")
+  }
+
+  private val percentileApproxContractSql =
+    """SELECT l_returnflag, count(*) AS n,
+      |       TRUE AS rank_ok_p25, TRUE AS rank_ok_p50,
+      |       TRUE AS rank_ok_p75, TRUE AS rank_ok_p95
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Salted two-phase aggregation — the skew-mitigation pattern: a hot
     * group key is split across `SALTS` reducers by a deterministic salt
     * (key-derived, NOT rand(): re-execution of a lost task must produce
@@ -589,5 +634,7 @@ object JoinsPlus {
     Q("q_range_join", rangeJoin, Some(rangeJoinSql)),
     Q("q_percentiles", percentiles, Some(percentilesSql)),
     Q("q_percentile_approx", percentilesApprox, None),
+    Q("q_percentile_approx_contract", percentileApproxContract,
+      Some(percentileApproxContractSql)),
     Q("q_salted_agg", saltedAgg, Some(saltedAggSql)))
 }

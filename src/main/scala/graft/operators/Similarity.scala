@@ -929,6 +929,7 @@ object Similarity {
           s.sql(s"ALTER TABLE $tbl RECOVER PARTITIONS")
       } else {
         // no completion marker: absent or half-written — clear and build
+        graft.BuildMeter.record()
         if (java.nio.file.Files.exists(loc)) {
           val st = java.nio.file.Files.walk(loc)
           try st.sorted(
@@ -1958,6 +1959,7 @@ object Similarity {
     val hit = probeMemo.get(key)
     if (hit != null) hit
     else {
+      graft.BuildMeter.record()
       val feats = probeFeatures(s, dir).cache()
       try {
         val v = trainProbe(s, feats)

@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindRefe
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.catalyst.expressions.Cast
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
 
 /** AS-OF JOIN as a first-class operator — logical node + planner
   * strategy + physical exec, the (c)-tier extension path for semantics
@@ -24,8 +25,9 @@ import org.apache.spark.sql.types.LongType
   * pass over each partition pair holding ONE candidate row: no window
   * buffer, no per-key group materialization, O(1) state per partition.
   *
-  * Keys and times are BIGINT by contract (ids + epoch-µs); the API layer
-  * enforces it. Null key/time on the left → unmatched; on the right →
+  * The merge compares BIGINT; the API layer widens narrower integrals
+  * with casts and passes timestamps through (their internal form is
+  * epoch-µs). Null key/time on the left → unmatched; on the right →
   * the row is skipped.
   */
 final case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
@@ -162,8 +164,13 @@ object PushFilterThroughAsOf
 }
 
 /** Public entry: `AsOf.join(left, right, key, leftTime, rightTime)` —
-  * `key` names the join key on BOTH input sides; all columns involved
-  * must be BIGINT (cast timestamps to `unix_micros` first). The right
+  * `key` names the join key on BOTH input sides. Key/time columns may be
+  * any integral type (widened to BIGINT with an inserted cast) or —
+  * for the time pair — TIMESTAMP/TIMESTAMP_NTZ, whose internal
+  * representation already IS epoch-µs BIGINT, so they flow through the
+  * merge unchanged; the two time columns must share a category
+  * (both temporal or both integral — comparing raw integers against
+  * epoch-µs is a semantic error this API refuses to guess at). The right
   * side's columns come back prefixed `__r_`: the rename doubles as the
   * self-join guard — aliasing mints FRESH exprIds, so a right side that
   * shares lineage with the left (both filtered from one table — the
@@ -191,9 +198,26 @@ object AsOf {
     val (lk, lt) = (att(lp, key, "left"), att(lp, leftTime, "left"))
     val rk = att(rp, s"__r_$key", "right")
     val rt = att(rp, s"__r_$rightTime", "right")
-    Seq(lk, lt, rk, rt).foreach(a => require(a.dataType == LongType,
-      s"AsOf.join: column '${a.name}' must be BIGINT, got ${a.dataType}"))
+    // widen to the exec's BIGINT merge: narrower integrals get an
+    // explicit cast (EnsureRequirements then clusters/sorts on the cast
+    // expression); timestamps pass through — their internal form is
+    // epoch-µs as Long, exactly what the merge compares
+    def widened(a: Attribute): Expression = a.dataType match {
+      case LongType | TimestampType | TimestampNTZType => a
+      case IntegerType | ShortType | ByteType => Cast(a, LongType)
+      case dt => sys.error(s"AsOf.join: column '${a.name}' must be an " +
+        s"integral or timestamp type, got ${dt.catalogString}")
+    }
+    def temporal(a: Attribute): Boolean = a.dataType match {
+      case TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    require(temporal(lt) == temporal(rt),
+      s"AsOf.join: time columns '${lt.name}' (${lt.dataType.catalogString}) " +
+        s"and '${rt.name}' (${rt.dataType.catalogString}) must both be " +
+        "temporal or both integral")
     org.apache.spark.sql.graft.PlanShim.ofRows(
-      s, AsOfJoinPlan(lp, rp, lk, rk, lt, rt))
+      s, AsOfJoinPlan(lp, rp, widened(lk), widened(rk),
+        widened(lt), widened(rt)))
   }
 }

@@ -1646,6 +1646,7 @@ object SnapshotLake {
     val root = base.resolve(s"docs_${tag}_$fp")
     this.synchronized {
       if (currentVersion(root.toString) < 7) {
+        graft.BuildMeter.record()
         // stale timelines of this dir (other fingerprints) and any
         // half-built attempt are garbage
         if (Files.isDirectory(base)) {
@@ -1986,6 +1987,7 @@ object SnapshotLake {
     val root = base.resolve(s"docs_${tag}_${docsFingerprint(dir)}")
     this.synchronized {
       if (currentVersion(root.toString) < 3) {
+        graft.BuildMeter.record()
         // stale labs of this dir (other fingerprints) are garbage
         if (Files.isDirectory(base)) {
           val ls = Files.list(base)
@@ -2056,6 +2058,7 @@ object SnapshotLake {
     val root = base.resolve(s"docs_${tag}_${docsFingerprint(dir)}")
     this.synchronized {
       if (currentVersion(root.toString) < 7) {
+        graft.BuildMeter.record()
         if (Files.isDirectory(base)) {
           val ls = Files.list(base)
           try ls.iterator().asScala.toSeq
@@ -2092,6 +2095,7 @@ object SnapshotLake {
     val root = base.resolve(s"ev_${tag}_${docsFingerprint(dir)}")
     this.synchronized {
       if (currentVersion(root.toString) < 5) {
+        graft.BuildMeter.record()
         if (Files.isDirectory(base)) {
           val ls = Files.list(base)
           try ls.iterator().asScala.toSeq
@@ -2235,6 +2239,7 @@ object SnapshotLake {
     val root = base.resolve(s"exp_${tag}_$fp")
     this.synchronized {
       if (currentVersion(root.toString) < 5) {
+        graft.BuildMeter.record()
         if (Files.isDirectory(base)) {
           val ls = Files.list(base)
           try ls.iterator().asScala.toSeq

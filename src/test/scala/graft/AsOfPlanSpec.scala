@@ -104,6 +104,58 @@ class AsOfPlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(custom.nonEmpty)
   }
 
+  test("timestamp and integer key/time columns join without manual casts") {
+    val ev = Tables.events(spark, sfDir)
+    // raw TIMESTAMP time columns + an INT-cast key: the API inserts the
+    // widening casts; result must equal the hand-cast BIGINT spelling
+    val buysTs = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").cast("int").as("uid"), col("event_id"),
+        col("ts"))
+    val viewsTs = ev.filter(col("event_type") === "view")
+      .select(col("user_id").cast("int").as("uid"), col("ts"))
+    val viaTs = AsOf.join(buysTs, viewsTs, "uid", "ts", "ts")
+      .select(col("event_id"), expr("unix_micros(__r_ts)").as("v_us"))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    val (buys, views) = sides
+    val viaUs = AsOf.join(buys, views, "user_id", "b_us", "v_us")
+      .select(col("event_id"), col("__r_v_us"))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    assert(viaTs == viaUs && viaTs.nonEmpty)
+    // mixed temporal/integral time pair is refused, not guessed at
+    intercept[RuntimeException] {
+      AsOf.join(buysTs, views.withColumnRenamed("user_id", "uid")
+        .withColumn("uid", col("uid").cast("int")), "uid", "ts", "v_us")
+    }
+  }
+
+  test("exec partition alignment survives AQE coalescing across shuffle " +
+    "widths") {
+    // zipPartitions requires equal child partition counts; this pins that
+    // EnsureRequirements + AQE (coalescing enabled) keep the two sides
+    // aligned whatever the configured width — a mismatch throws inside
+    // zipPartitions, so agreeing row sets ARE the alignment proof
+    val (buys, views) = sides
+    val expected = AsOf.join(buys, views, "user_id", "b_us", "v_us")
+      .select(col("event_id"), col("__r_v_us")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    val widths = Seq("3", "7", "64")
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    try widths.foreach { w =>
+      spark.conf.set("spark.sql.shuffle.partitions", w)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      val got = AsOf.join(buys, views, "user_id", "b_us", "v_us")
+        .select(col("event_id"), col("__r_v_us")).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      assert(got == expected, s"as-of result drifted at width $w")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
   test("self-join lineage: both sides from one table resolve distinct attributes") {
     // the regression that shipped first: shared exprIds made rightKey
     // bind to the LEFT side; the __r_ aliasing guard must prevent it
