@@ -1288,6 +1288,102 @@ object Similarity {
       |WHERE vec_id <> 0
       |ORDER BY q_dot DESC, vec_id LIMIT 10""".stripMargin
 
+  /** Two-stage shortlist size: stage 1 keeps this many candidates. */
+  private val RERANK_C = 50
+
+  /** TWO-STAGE RETRIEVAL — the pattern every production ANN service runs
+    * ([[quantizedTopK]] is stage 1 alone, [[topkCosine]] is the exact
+    * answer): stage 1 ranks the corpus by the CHEAP int8-quantized
+    * integer dot and cuts a [[RERANK_C]]-candidate shortlist
+    * (TakeOrdered — O(C) driver memory, integer-deterministic order);
+    * stage 2 rescores ONLY the shortlist with the exact float cosine and
+    * returns the top 5, alongside the shortlist's measured recall of the
+    * brute-force top 5 — the self-eval a rerank depth is tuned against.
+    *
+    * Scale shape: the corpus is touched by stage 1's streaming int8 scan
+    * (4× smaller codes, no FP) and by the recall census's exact scan;
+    * the exact FLOAT work of the answer path touches C = 50 rows. All
+    * ranking keys are cross-engine exact (integer dot; list_dot_product
+    * sequential fold), windows run over ≤C-row frames. */
+  def simRerank(s: SparkSession, dir: String): DataFrame = {
+    val wAll = org.apache.spark.sql.expressions.Window
+    val e = corpus(s, dir)
+      .withColumn("qv",
+        expr("transform(emb, x -> cast(floor(x / nrm * 127.0d + 0.5d) as double))"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("qv").as("q_qv"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val shortlist = e.filter(col("vec_id") =!= 0)
+      .join(broadcast(q))
+      .select(col("vec_id"), col("label"), col("emb"), col("nrm"),
+        col("q_emb"), col("q_nrm"),
+        expr(s"cast(${VectorFns.dotSql("qv", "q_qv")} as bigint)")
+          .as("q_dot"))
+      .orderBy(col("q_dot").desc, col("vec_id").asc).limit(RERANK_C)
+    val reranked = shortlist.select(col("vec_id"), col("label"),
+      VectorFns.cosineWithNorms("emb", "q_emb", "nrm", "q_nrm").as("cos"))
+    val brute5 = e.filter(col("vec_id") =!= 0)
+      .join(broadcast(q))
+      .select(col("vec_id"),
+        VectorFns.cosineWithNorms("emb", "q_emb", "nrm", "q_nrm").as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(5)
+      .select("vec_id")
+    val recall = broadcast(brute5)
+      .join(shortlist.select("vec_id"), Seq("vec_id"), "left_semi")
+      .agg((count(lit(1)).cast("double") / lit(5.0d))
+        .as("shortlist_recall5"))
+    reranked.orderBy(col("cos").desc, col("vec_id").asc).limit(5)
+      .withColumn("rank", row_number().over(
+        wAll.orderBy(col("cos").desc, col("vec_id").asc)).cast("long"))
+      .crossJoin(broadcast(recall))
+      .select(col("rank"), col("vec_id"), col("label"),
+        round(col("cos"), 4).as("cos_sim"), col("shortlist_recall5"))
+      .orderBy("rank")
+  }
+
+  private val simRerankSql =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings),
+       |qz AS MATERIALIZED (
+       |  SELECT vec_id, label, emb, nrm,
+       |         list_transform(emb, x -> floor(x / nrm * 127.0 + 0.5)) AS qv
+       |  FROM e),
+       |q AS MATERIALIZED (
+       |  SELECT qv AS q_qv, emb AS q_emb, nrm AS q_nrm FROM qz
+       |  WHERE vec_id = 0),
+       |short AS MATERIALIZED (
+       |  SELECT vec_id, label, emb, nrm FROM (
+       |    SELECT qz.vec_id, qz.label, qz.emb, qz.nrm,
+       |           row_number() OVER (
+       |             ORDER BY CAST(list_dot_product(qv, q_qv) AS BIGINT) DESC,
+       |                      vec_id) AS rn
+       |    FROM qz, q WHERE vec_id <> 0)
+       |  WHERE rn <= $RERANK_C),
+       |rr AS (
+       |  SELECT vec_id, label,
+       |         list_dot_product(emb, q_emb) / (nrm * q_nrm) AS cos
+       |  FROM short, q),
+       |brute AS (
+       |  SELECT vec_id FROM (
+       |    SELECT e.vec_id,
+       |           row_number() OVER (
+       |             ORDER BY list_dot_product(emb, q_emb) / (nrm * q_nrm)
+       |               DESC, vec_id) AS rn
+       |    FROM e, q WHERE vec_id <> 0)
+       |  WHERE rn <= 5),
+       |rec AS (
+       |  SELECT CAST(count(*) AS DOUBLE) / 5.0 AS shortlist_recall5
+       |  FROM brute b JOIN short s ON b.vec_id = s.vec_id)
+       |SELECT rank, vec_id, label, round(cos, 4) AS cos_sim,
+       |       shortlist_recall5
+       |FROM (SELECT vec_id, label, cos,
+       |             CAST(row_number() OVER (ORDER BY cos DESC, vec_id)
+       |               AS BIGINT) AS rank
+       |      FROM rr) CROSS JOIN rec
+       |WHERE rank <= 5 ORDER BY rank""".stripMargin
+
   /** RRF constant (the standard 60 from the original reciprocal-rank
     * fusion paper) and per-side candidate depth. */
   private val RRF_K = 60
@@ -2275,6 +2371,7 @@ object Similarity {
     Q("q_ann_mrr", annMrr, Some(annMrrSql)),
     Q("q_label_prop", labelProp, Some(labelPropSql)),
     Q("q_sim_quantized", quantizedTopK, Some(quantizedTopKSql)),
+    Q("q_sim_rerank", simRerank, Some(simRerankSql)),
     Q("q_ann_recall", annRecall, Some(annRecallSql)),
     Q("q_sim_ann_lsh", annLsh, Some(annLshSql)),
     Q("q_sim_ann_multiprobe", annLshMultiprobe, Some(annLshMultiprobeSql)),

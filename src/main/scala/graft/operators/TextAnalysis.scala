@@ -954,6 +954,71 @@ object TextAnalysis {
     * on the vocabulary-sized pair table (cached — three consumers); N is
     * a driver scalar. PMI is one IEEE expression over exact BIGINT
     * counts, floor-6dp, with a (w1, w2) tiebreak under the top-k sort. */
+  /** EXACT PHRASE SEARCH via positional posting intersection — the IR
+    * primitive BM25's bag-of-words scoring cannot express ("new york" ≠
+    * "york new"): tokens explode to a positional posting list (term,
+    * doc, pos); the query phrase — the corpus's most frequent bigram,
+    * picked deterministically (count desc, w1, w2) so both engines ask
+    * the same question — intersects its two terms' postings on
+    * (doc, pos+1 = pos); per-doc occurrence counts rank the answer.
+    *
+    * Scale shape: the posting build is the one corpus-sized pass (at
+    * 100 TB it is the ingest-time inverted index q_dedup_ngram already
+    * materializes); the INTERSECTION only ever moves the two query
+    * terms' postings — document-frequency-bounded, never the corpus —
+    * joined by equi-key (doc_id, offset position). The phrase frame is
+    * one broadcast row; counts are exact integers; top-10 is a
+    * TakeOrdered. */
+  def phraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+    val phrase = docs.select(
+        expr(
+          """inline(CASE WHEN size(toks) >= 2
+            |  THEN transform(sequence(1, size(toks) - 1),
+            |    i -> named_struct('w1', element_at(toks, i),
+            |                      'w2', element_at(toks, i + 1)))
+            |  ELSE cast(array() as array<struct<w1:string,w2:string>>)
+            |END)""".stripMargin))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w1").asc, col("w2").asc).limit(1)
+      .select("w1", "w2")
+    val toks = docs
+      .select(col("doc_id"), posexplode(col("toks")))
+      .toDF("doc_id", "pos", "tok")
+    // one pass over the postings: the 1-row phrase broadcasts, rows
+    // keep only the two query terms (document-frequency-bounded)
+    val p = toks.join(broadcast(phrase),
+      col("tok") === col("w1") || col("tok") === col("w2"))
+    val p1 = p.filter(col("tok") === col("w1"))
+      .select(col("doc_id"), col("pos"), col("w1"), col("w2"))
+    val p2 = p.filter(col("tok") === col("w2"))
+      .select(col("doc_id").as("d2"), col("pos").as("pos2"))
+    p1.join(p2,
+        col("doc_id") === col("d2") && col("pos2") === col("pos") + 1)
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("doc_id").asc).limit(10)
+  }
+
+  private val phraseSearchSql =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |pairs AS MATERIALIZED (
+      |  SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(t)),
+      |             i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS bg
+      |    FROM toks)),
+      |top AS (
+      |  SELECT w1, w2 FROM (
+      |    SELECT w1, w2,
+      |           row_number() OVER (ORDER BY count(*) DESC, w1, w2) AS rn
+      |    FROM pairs GROUP BY w1, w2)
+      |  WHERE rn = 1)
+      |SELECT p.doc_id, t.w1, t.w2, count(*) AS n_occ
+      |FROM pairs p JOIN top t ON p.w1 = t.w1 AND p.w2 = t.w2
+      |GROUP BY 1, 2, 3
+      |ORDER BY n_occ DESC, doc_id LIMIT 10""".stripMargin
+
   def pmiCollocations(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .withColumn("toks", split(col("text"), " "))
@@ -1612,6 +1677,7 @@ object TextAnalysis {
     Q("q_lm_score", lmScore, Some(lmScoreSql)),
     Q("q_bigram_lm", bigramLm, Some(bigramLmSql)),
     Q("q_pmi_colloc", pmiCollocations, Some(pmiCollocationsSql)),
+    Q("q_phrase_search", phraseSearch, Some(phraseSearchSql)),
     Q("q_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     Q("q_vocab_growth", vocabGrowth, Some(vocabGrowthSql)),
     Q("q_zipf_fit", zipfFit, Some(zipfFitSql)),

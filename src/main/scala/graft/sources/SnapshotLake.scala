@@ -1586,6 +1586,45 @@ object SnapshotLake {
     (v, snap.files.size, files.size)
   }
 
+  /** INCREMENTAL bin-pack compaction — Iceberg's `rewrite_data_files`
+    * with a min-size filter, and the form compaction takes at 100 TB
+    * (a FULL rewrite per maintenance pass is a non-starter): only files
+    * under `minRows` — the small-file debris frequent appends leave —
+    * are read and re-packed; every file at or above the threshold keeps
+    * its byte identity, so the commit costs O(debris), not O(table).
+    * Partitioned tables pack into the current spec (per-partition
+    * bin-packing, like Iceberg's binpack-within-partition); packed
+    * files on unpartitioned tables range-arrange on the stats column so
+    * file skipping survives the rewrite. MOR tables must
+    * [[rewritePositionDeletes]] first — delete files reference data-file
+    * identity, which packing destroys.
+    * Returns (version, smallFilesPacked, packedFilesWritten); packing
+    * 0 or 1 small files is a no-op that commits nothing. */
+  def compactSmall(spark: SparkSession, root: String,
+                   minRows: Long, targetParts: Int = 1): (Int, Int, Int) = {
+    val (prev, snap, claim) = mainMutationCtx(root)
+    require(snap.deletes.isEmpty && snap.eqDeletes.isEmpty,
+      "binpack on a MOR table: rewrite position/equality deletes first")
+    val (small, big) = snap.files.partition(_.rows < minRows)
+    if (small.size <= 1) return (prev, small.size, 0)
+    val smallDf = openFiles(spark, root, snap, small)
+    val (packed, pinfo) = snap.specs.find(_.id == snap.defaultSpec) match {
+      case Some(spec) =>
+        stagePartitioned(smallDf, root, claim, spec, snap.statsCol, snap.cols)
+      case None =>
+        val arranged = snap.statsCol match {
+          case Some(c) => smallDf.repartitionByRange(targetParts, col(c))
+          case None => smallDf.repartition(targetParts)
+        }
+        (stage(arranged, root, claim, snap.statsCol, snap.cols),
+          Map.empty[String, (Int, String)])
+    }
+    val v = commit(root, prev, s"binpack[<$minRows]", snap.nRows,
+      snap.schemaDdl, snap.statsCol, big ++ packed, Seq.empty, snap.cols,
+      claim = claim, newPartInfo = pinfo)
+    (v, small.size, packed.size)
+  }
+
   // ---- helpers -------------------------------------------------------------
 
   /** Evolved schema: base columns keep their order/types, genuinely new
@@ -2305,7 +2344,84 @@ object SnapshotLake {
        |    AND source NOT IN ($morSourcesSql))
        |ORDER BY version, src""".stripMargin
 
+  /** Once-per-fixture BIN-PACK LAB: one chunky create (doc_id%4=0, one
+    * file, ~n/4 rows) + three tiny appends (doc_id%16 ∈ {1,2,3}, one
+    * file each, ~n/16 rows) — the small-file debris shape — then
+    * `compactSmall(minRows = n/8)`: the threshold sits between the
+    * debris and the create file at EVERY sf, so exactly the three small
+    * files pack and the create file survives untouched. */
+  private[graft] def ensureBinpackLab(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_").stripPrefix("_")
+    val base = Paths.get(
+      s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "graft_snap_binpack")
+    val root = base.resolve(s"docs_${tag}_${docsFingerprint(dir)}")
+    this.synchronized {
+      if (currentVersion(root.toString) < 5) {
+        graft.BuildMeter.record()
+        if (Files.isDirectory(base)) {
+          val ls = Files.list(base)
+          try ls.iterator().asScala.toSeq
+            .filter(_.getFileName.toString.matches(
+              s"docs_${tag}_[0-9a-f]{1,8}"))
+            .foreach(deleteRecursively)
+          finally ls.close()
+        }
+        deleteRecursively(root)
+        val d = graft.Tables.documents(s, dir)
+        val n = d.count()
+        create(d.filter(pmod(col("doc_id"), lit(4)) === 0).repartition(1),
+          root.toString, statsCol = Some("doc_id"))
+        (1 to 3).foreach(k =>
+          append(s, d.filter(pmod(col("doc_id"), lit(16)) === k)
+            .repartition(1), root.toString))
+        compactSmall(s, root.toString, minRows = n / 8)
+      }
+    }
+    root.toString
+  }
+
+  /** Bin-pack census: v4 (pre) and v5 (post) manifest cardinality, the
+    * post-pack read, and the post-pack file count — 2 by construction
+    * (the untouched create file + one packed file). The oracle
+    * recomputes every row count from the base table, so lost or
+    * duplicated rows in the selective rewrite hash-fail; the byte-
+    * identity of the untouched file is pinned by SnapshotLakeSpec. */
+  def snapshotBinpack(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureBinpackLab(s, dir)
+    val h = history(s, root)
+      .filter(col("version").isin(4, 5))
+      .select(col("version").cast("long").as("version"),
+        lit("manifest").as("src"), col("n_rows"))
+    import s.implicits._
+    val snap5 = snapshot(root, 5)
+    val extra = Seq(
+      (5L, "read", read(s, root).count()),
+      (5L, "n_files", snap5.files.size.toLong))
+      .toDF("version", "src", "n_rows")
+    h.unionByName(extra).orderBy("version", "src")
+  }
+
+  private val snapshotBinpackSql =
+    """SELECT version, src, n_rows FROM (
+      |  SELECT CAST(4 AS BIGINT) AS version, 'manifest' AS src,
+      |         count(*) AS n_rows
+      |  FROM documents WHERE doc_id % 4 = 0 OR doc_id % 16 IN (1, 2, 3)
+      |  UNION ALL
+      |  SELECT 5, 'manifest', count(*)
+      |  FROM documents WHERE doc_id % 4 = 0 OR doc_id % 16 IN (1, 2, 3)
+      |  UNION ALL
+      |  SELECT 5, 'read', count(*)
+      |  FROM documents WHERE doc_id % 4 = 0 OR doc_id % 16 IN (1, 2, 3)
+      |  UNION ALL
+      |  SELECT 5, 'n_files', CAST(2 AS BIGINT))
+      |ORDER BY version, src""".stripMargin
+
   val all: Seq[graft.Q] = Seq(
+    graft.Q("q_snapshot_binpack", snapshotBinpack, Some(snapshotBinpackSql),
+      doc = "Incremental bin-pack compaction census: three small-file " +
+        "appends pack into one file while the large create file keeps " +
+        "byte identity; pre/post cardinality oracle-recomputed"),
     graft.Q("q_snapshot_expire", snapshotExpire, Some(snapshotExpireSql),
       doc = "expire_snapshots census: retention floor + tag-pinned v2 " +
         "survive with exact manifest nRows, and both pinned-but-old " +

@@ -32,6 +32,8 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     "q_histogram", "q_skew_profile",
     // 1-row broadcast query vector (same shape as q_sim_topk)
     "q_sim_quantized",
+    // inherits the broadcast query vector + a 1-row recall census frame
+    "q_sim_rerank",
     // |sources|-row size-table self-join on an inequality key
     "q_source_overlap",
     // 7 crossJoins of 1-row orphan-count aggregates
@@ -114,6 +116,9 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     "q_perm_test",
     // 1-row corpus-token-total frame broadcast onto the pair table
     "q_keywords",
+    // 1-row query-phrase frame broadcast onto the posting scan (the OR
+    // tok-match makes it a nested loop; build side is one row)
+    "q_phrase_search",
     // 1-row median + 1-row MAD frames crossJoined onto the ≤31-day table
     "q_stl_anomaly",
     // 1-row revenue-total frame crossJoined onto the 10-row decile table
@@ -165,6 +170,7 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     "q_mann_whitney" -> "rank-sum over the distinct-value domain",
     "q_nelson_aalen" -> "cumulative hazard over the ≤horizon-hour table",
     "q_quality_retention" -> "cumulative retention over the 10-row decile table",
+    "q_sim_rerank" -> "rank over the 5-row reranked head",
     "q_skyline" -> "prefix-max over the distinct-price aggregate",
     "q_split_assign" -> "ordering the 3-row split census",
     "q_stl_anomaly" -> "trend/MAD windows over the calendar-day frame",

@@ -858,6 +858,38 @@ class SnapshotLakeSpec extends SparkTestBase {
     assert(SnapshotLake.read(spark, root).count() == appends + 1)
   }
 
+  test("compactSmall bin-packs only sub-threshold files: the big file " +
+    "keeps byte identity, debris packs, re-run is a no-op") {
+    val root = freshRoot("binpack")
+    SnapshotLake.create(df(
+      (0 until 10).map(i => (i.toLong, "big", i.toLong)): _*)
+      .repartition(1), root)
+    (1 to 3).foreach(k =>
+      SnapshotLake.append(spark,
+        df((100L + k, "tiny", k.toLong)).repartition(1), root))
+    val before = SnapshotLake.snapshot(root, SnapshotLake.mainVersion(root))
+    val bigFile = before.files.maxBy(_.rows)
+    val bigSize = Files.size(Paths.get(root, bigFile.path))
+    val (v, packedIn, packedOut) = SnapshotLake.compactSmall(spark, root, 5L)
+    assert(packedIn == 3 && packedOut == 1, s"packed $packedIn -> $packedOut")
+    val after = SnapshotLake.snapshot(root, v)
+    // the big file survives by IDENTITY (same path, same bytes) — the
+    // O(debris)-not-O(table) property
+    assert(after.paths.contains(bigFile.path))
+    assert(Files.size(Paths.get(root, bigFile.path)) == bigSize)
+    assert(after.files.size == 2)
+    // content exactly preserved
+    assert(SnapshotLake.read(spark, root)
+      .select("id").collect().map(_.getLong(0)).toSet
+      == ((0 until 10).map(_.toLong) ++ Seq(101L, 102L, 103L)).toSet)
+    // nothing left under the threshold → no commit
+    val cur = SnapshotLake.mainVersion(root)
+    val (v2, in2, out2) = SnapshotLake.compactSmall(spark, root, 5L)
+    assert(v2 == cur && in2 <= 1 && out2 == 0,
+      "re-running binpack with no debris must not commit")
+    assert(SnapshotLake.mainVersion(root) == cur)
+  }
+
   test("partition values round-trip through path escaping: '+', '%', " +
     "space and '=' never corrupt partInfo or prune live files") {
     // Spark's Hive-style path escaping percent-encodes '%', '=', ' '
