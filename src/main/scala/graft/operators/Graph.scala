@@ -62,12 +62,37 @@ object Graph {
     * ≥ 1). Output: the TOP most central parts with their rank in nano
     * units — exact integers, no float compare anywhere. */
   def pagerank(s: SparkSession, dir: String): DataFrame = {
-    val edges = copurchaseEdges(
-      Tables.lineitem(s, dir).select("l_orderkey", "l_partkey"))
-    pagerankOn(edges)
+    pagerankRounds(copurchasePrep(s, dir))
       .orderBy(col("r").desc, col("node").asc)
       .limit(TOP)
       .select(col("node").as("p_partkey"), col("r").as("rank_nano"))
+  }
+
+  /** Memoized prepared co-purchase edge table + node census for
+    * [[pagerank]] — the build (pair count, repartition+dedup+degree,
+    * cache materialization, census) costs 3 jobs over the fact table and
+    * is identical across calls, while the 5 power rounds are the actual
+    * query. Same per-(session, dir, fingerprint) lifecycle as
+    * [[affinityEdges]]: first consumer pays (BuildMeter-flagged),
+    * stopped sessions sweep out, an in-place fixture change is a miss. */
+  private val prMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, Long), (DataFrame, Long)]()
+
+  private def copurchasePrep(s: SparkSession, dir: String): (DataFrame, Long) = {
+    val it = prMemo.entrySet().iterator()
+    while (it.hasNext) {
+      if (it.next().getValue._1.sparkSession.sparkContext.isStopped) it.remove()
+    }
+    val key = (System.identityHashCode(s), dir, lineitemFingerprint(dir))
+    val hit = prMemo.get(key)
+    if (hit != null && (hit._1.sparkSession eq s)) hit
+    else {
+      graft.BuildMeter.record()
+      val v = prepareRankEdges(copurchaseEdges(
+        Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")))
+      prMemo.put(key, v)
+      v
+    }
   }
 
   /** Core power iteration over a directed edge list (src, dst) — possibly
@@ -85,7 +110,10 @@ object Graph {
     * as AQE's partition coalescing, applied to a cached iteration table. */
   private val EDGES_PER_ROUND_PART = 524288L
 
-  private[graft] def pagerankOn(edges0: DataFrame): DataFrame = {
+  private[graft] def pagerankOn(edges0: DataFrame): DataFrame =
+    pagerankRounds(prepareRankEdges(edges0))
+
+  private[graft] def prepareRankEdges(edges0: DataFrame): (DataFrame, Long) = {
     // cache the edge list PRE-PARTITIONED on the join key: every round's
     // fan-out join then reuses the cached partitioning (the in-memory
     // relation reports hash(src) output partitioning, so only the
@@ -122,6 +150,11 @@ object Graph {
       .cache()
     // one materializing job yields the exact census (driver holds one long)
     val n = edges.agg(countDistinct(col("src"))).collect().head.getLong(0)
+    (edges, n)
+  }
+
+  private def pagerankRounds(prep: (DataFrame, Long)): DataFrame = {
+    val (edges, n) = prep
     // same doubles DuckDB computes from its 1-row params frame
     val r0 = math.floor(1000000000.0d / n.toDouble).toLong
     val base = math.floor(150000000.0d / n.toDouble + 0.5d).toLong
@@ -643,7 +676,116 @@ object Graph {
        |       END AS assortativity
        |FROM st""".stripMargin
 
+  /** Attribute modularity of the affinity graph under the BRAND
+    * partition — "do co-purchases concentrate within a brand?", the
+    * community-QUALITY score behind every community-detection loop
+    * (Louvain locally maximizes exactly this objective; scoring a given
+    * partition is its evaluation half). Q = Σ_c [e_c/m − (d_c/2m)²] over
+    * communities c, with e_c = edges internal to c, d_c = Σ degrees of
+    * c's nodes, m = |E|.
+    *
+    * Exactness: everything reduces to ONE exact integer per community —
+    * num_c = 4·m·e_c − d_c² (DECIMAL(38,0): d_c² passes int64 at the
+    * 10⁹-edge posture) — summed order-free, then Q = Σnum_c/(4m²) in a
+    * single final IEEE sequence (floor-6dp; contributions are O(1/m)).
+    * Shape: the memoized [[affinityEdges]] build + a broadcast of the
+    * part dim for brand lookup; every post-scan frame is brand- or
+    * node-cardinality. Communities whose nodes have no internal edge
+    * still contribute their −(d_c/2m)² term via the left join. */
+  def modularity(s: SparkSession, dir: String): DataFrame =
+    modularityOn(affinityEdges(s, dir),
+      Tables.part(s, dir).select(col("p_partkey"), col("p_brand")))
+
+  /** Modularity core over an undirected (a, b) edge frame (a < b) and a
+    * (p_partkey, p_brand) community assignment covering every node. */
+  private[graft] def modularityOn(e: DataFrame, brand0: DataFrame): DataFrame = {
+    val brand = broadcast(brand0)
+    val degC = e.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .join(brand, col("node") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_nodes"), sum("deg").as("d_c"))
+    val intC = e
+      .join(brand.select(col("p_partkey").as("a"), col("p_brand").as("ba")),
+        "a")
+      .join(brand.select(col("p_partkey").as("b"), col("p_brand").as("bb")),
+        "b")
+      .filter(col("ba") === col("bb"))
+      .groupBy(col("ba").as("p_brand")).agg(count(lit(1)).as("e_c"))
+    val m = e.agg(count(lit(1)).as("m"))
+    val per = degC.join(intC, Seq("p_brand"), "left")
+      .na.fill(0L, Seq("e_c"))
+      .crossJoin(broadcast(m))
+      .withColumn("num_c",
+        lit(4L) * col("m").cast("decimal(38,0)") * col("e_c")
+          - col("d_c").cast("decimal(38,0)") * col("d_c"))
+    val q = per.agg(sum("num_c").as("num"), first("m").as("m"))
+      .select((floor(col("num").cast("double")
+        / (lit(4.0d) * col("m").cast("double") * col("m").cast("double"))
+        * lit(1000000.0d) + lit(0.5d)) / lit(1000000.0d)).as("modularity"))
+    per.select(col("p_brand"), col("n_nodes"), col("d_c"), col("e_c"),
+        (floor(col("num_c").cast("double")
+          / (lit(4.0d) * col("m").cast("double") * col("m").cast("double"))
+          * lit(1000000.0d) + lit(0.5d)) / lit(1000000.0d)).as("contrib"))
+      .crossJoin(broadcast(q))
+      .orderBy("p_brand")
+  }
+
+  private val modularitySql =
+    s"""WITH li0 AS (SELECT l_orderkey, l_partkey FROM lineitem),
+       |ok AS (SELECT l_orderkey FROM li0 GROUP BY 1
+       |       HAVING count(DISTINCT l_partkey) <= $ORDER_CAP),
+       |li AS (SELECT li0.* FROM li0 JOIN ok USING (l_orderkey)),
+       |und AS MATERIALIZED (
+       |  SELECT a, b FROM (
+       |    SELECT x.l_partkey AS a, y.l_partkey AS b
+       |    FROM li x JOIN li y
+       |      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+       |    GROUP BY x.l_orderkey, a, b)
+       |  GROUP BY a, b HAVING count(*) >= $TRI_MIN_ORDERS),
+       |degc AS (
+       |  SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_nodes,
+       |         CAST(sum(d.deg) AS BIGINT) AS d_c
+       |  FROM (SELECT node, count(*) AS deg FROM (
+       |          SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+       |        GROUP BY 1) d
+       |  JOIN part p ON d.node = p.p_partkey
+       |  GROUP BY 1),
+       |intc AS (
+       |  SELECT pa.p_brand, CAST(count(*) AS BIGINT) AS e_c
+       |  FROM und
+       |  JOIN part pa ON und.a = pa.p_partkey
+       |  JOIN part pb ON und.b = pb.p_partkey
+       |  WHERE pa.p_brand = pb.p_brand
+       |  GROUP BY 1),
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+       |per AS (
+       |  SELECT degc.p_brand, degc.n_nodes, degc.d_c,
+       |         coalesce(intc.e_c, 0) AS e_c,
+       |         mm.m,
+       |         CAST(4 * CAST(mm.m AS DECIMAL(38,0)) * coalesce(intc.e_c, 0)
+       |              - CAST(degc.d_c AS DECIMAL(38,0)) * degc.d_c
+       |              AS DECIMAL(38,0)) AS num_c
+       |  FROM degc LEFT JOIN intc USING (p_brand) CROSS JOIN mm),
+       |qq AS (
+       |  SELECT floor(CAST(sum(num_c) AS DOUBLE)
+       |               / (4.0 * CAST(any_value(m) AS DOUBLE)
+       |                  * CAST(any_value(m) AS DOUBLE))
+       |               * 1000000.0 + 0.5) / 1000000.0 AS modularity
+       |  FROM per)
+       |SELECT p_brand, n_nodes, d_c, CAST(e_c AS BIGINT) AS e_c,
+       |       floor(CAST(num_c AS DOUBLE)
+       |             / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE))
+       |             * 1000000.0 + 0.5) / 1000000.0 AS contrib,
+       |       modularity
+       |FROM per CROSS JOIN qq
+       |ORDER BY p_brand""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_modularity", modularity, Some(modularitySql),
+      doc = "brand-partition modularity of the affinity graph: one " +
+        "exact DECIMAL integer per community (4·m·e_c − d_c²), " +
+        "order-free sum, single final IEEE division"),
     Q("q_assortativity", assortativity, Some(assortativitySql),
       doc = "degree assortativity of the affinity graph: exact BIGINT " +
         "sufficient statistics over both edge orientations, one fixed " +

@@ -704,6 +704,145 @@ object Inference {
       |             * 10000.0 + 0.5) / 10000.0 AS rank_biserial
       |FROM v""".stripMargin
 
+  /** Kruskal-Wallis H — [[mannWhitney]]'s k-group generalization: does
+    * document length differ across ALL languages at once (one omnibus
+    * rank test instead of k² pairwise U tests with multiplicity
+    * problems)? Same exact-integer rank machinery: ranks enter as
+    * DOUBLED midranks over the (bounded) distinct-value domain, so every
+    * sufficient statistic — per-group rank sums S2_g, sizes n_g, the tie
+    * term Σ(t³−t) — is an exact integer (DECIMAL(38,0) sums: at the
+    * 10¹¹-doc posture S2_g = Σ t_g·r2 exceeds int64).
+    *
+    * FP determinism across k groups: H = 3/(N(N+1))·Σ_g d_g²/n_g −
+    * 3(N+1)·0 with d_g = S2_g − n_g(N+1) (the doubled-rank deviation
+    * form; the −3(N+1) constant cancels into the deviation). A naive
+    * float SUM over groups is summation-order-dependent, so each group's
+    * contribution is quantized FIRST — h6_g = floor(3·d_g²/(n_g·N·(N+1))
+    * ·1e6 + 0.5), one fixed IEEE sequence over exact integers per group
+    * — and the order-free BIGINT sum of h6_g is the statistic. Tie
+    * correction divides by c = 1 − Σ(t³−t)/(N³−N) (N³ computed in
+    * doubles: both engines run the identical sequence).
+    *
+    * Shape: one scan → (n_chars, lang) counts (value×group-domain-sized),
+    * a prefix window over DISTINCT values ([[mannWhitney]]'s bounded
+    * frame), a group-domain-sized aggregate, one 1-row reduce broadcast
+    * back onto the per-group rows. */
+  def kruskalWallis(s: SparkSession, dir: String): DataFrame =
+    kruskalWallisOn(Tables.documents(s, dir))
+
+  /** [[kruskalWallis]] over an explicit (n_chars, lang) frame — the
+    * planted-semantics seam. */
+  private[graft] def kruskalWallisOn(docs: DataFrame): DataFrame = {
+    val byVal = docs.groupBy("n_chars", "lang")
+      .agg(count(lit(1)).as("tg"))
+    val byValTot = byVal.groupBy("n_chars")
+      .agg(sum("tg").as("t"))
+    val w = Window.orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byValTot
+      .withColumn("cum", sum("t").over(w))
+      .withColumn("r2", lit(2L) * (col("cum") - col("t")) + col("t") + lit(1L))
+    val groups = byVal.join(ranked.select("n_chars", "r2"), "n_chars")
+      .groupBy("lang")
+      .agg(sum("tg").as("n_g"),
+        sum(col("tg").cast("decimal(38,0)") * col("r2")).as("s2_g"))
+    val totals = ranked.agg(
+      sum("t").as("n"),
+      sum(col("t").cast("decimal(38,0)") * col("t") * col("t") - col("t"))
+        .as("ties"))
+    val perGroup = groups.crossJoin(broadcast(totals))
+      .withColumn("d_g",
+        col("s2_g") - col("n_g").cast("decimal(38,0)") * (col("n") + lit(1L)))
+      // one fixed IEEE sequence per group over exact integers, quantized
+      // to 1e-6 BEFORE the cross-group sum (order-free BIGINT from here)
+      .withColumn("h6_g",
+        floor(lit(3.0d) * col("d_g").cast("double") * col("d_g").cast("double")
+          / (col("n_g").cast("double") * col("n").cast("double")
+            * (col("n").cast("double") + lit(1.0d)))
+          * lit(1000000.0d) + lit(0.5d)).cast("long"))
+    val h = perGroup.agg(
+        sum("h6_g").as("h6"),
+        count(lit(1)).as("k"),
+        first("n").as("n"), first("ties").as("ties"))
+      .withColumn("c_tie",
+        lit(1.0d) - col("ties").cast("double")
+          / greatest(col("n").cast("double") * col("n").cast("double")
+            * col("n").cast("double") - col("n").cast("double"), lit(1.0d)))
+      .select(col("k"),
+        (col("k") - lit(1L)).as("df"),
+        (floor(col("h6").cast("double") / lit(100.0d) + lit(0.5d))
+          / lit(10000.0d)).as("h"),
+        when(col("c_tie") > 0d,
+          floor(col("h6").cast("double") / lit(1000000.0d) / col("c_tie")
+            * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("h_tie_corrected"))
+    perGroup.select(col("lang"), col("n_g").as("n"),
+        (floor(col("s2_g").cast("double")
+          / (lit(2.0d) * col("n_g").cast("double"))
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("mean_rank"))
+      .crossJoin(broadcast(h))
+      .orderBy("lang")
+  }
+
+  private val kruskalWallisSql =
+    """WITH bv AS (
+      |  SELECT n_chars, lang, CAST(count(*) AS BIGINT) AS tg
+      |  FROM documents GROUP BY 1, 2),
+      |bt AS (
+      |  SELECT n_chars, CAST(sum(tg) AS BIGINT) AS t FROM bv GROUP BY 1),
+      |rk AS (
+      |  SELECT n_chars,
+      |         2 * (sum(t) OVER (ORDER BY n_chars
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t)
+      |           + t + 1 AS r2
+      |  FROM bt),
+      |g AS (
+      |  SELECT lang, CAST(sum(tg) AS BIGINT) AS n_g,
+      |         CAST(sum(CAST(tg AS DECIMAL(38,0)) * r2) AS DECIMAL(38,0))
+      |           AS s2_g
+      |  FROM bv JOIN rk USING (n_chars) GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(t) AS BIGINT) AS n,
+      |         CAST(sum(CAST(t AS DECIMAL(38,0)) * t * t - t)
+      |              AS DECIMAL(38,0)) AS ties
+      |  FROM bt),
+      |pg AS (
+      |  SELECT lang, n_g, s2_g, n, ties,
+      |         s2_g - CAST(n_g AS DECIMAL(38,0)) * (n + 1) AS d_g
+      |  FROM g CROSS JOIN tot),
+      |pg6 AS (
+      |  SELECT *,
+      |         CAST(floor(3.0 * CAST(d_g AS DOUBLE) * CAST(d_g AS DOUBLE)
+      |                / (CAST(n_g AS DOUBLE) * CAST(n AS DOUBLE)
+      |                   * (CAST(n AS DOUBLE) + 1.0))
+      |                * 1000000.0 + 0.5) AS BIGINT) AS h6_g
+      |  FROM pg),
+      |h AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS k,
+      |         CAST(count(*) - 1 AS BIGINT) AS df,
+      |         CAST(sum(h6_g) AS BIGINT) AS h6,
+      |         any_value(n) AS n, any_value(ties) AS ties
+      |  FROM pg6),
+      |hs AS (
+      |  SELECT k, df,
+      |         floor(CAST(h6 AS DOUBLE) / 100.0 + 0.5) / 10000.0 AS h,
+      |         CASE WHEN 1.0 - CAST(ties AS DOUBLE)
+      |                    / greatest(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+      |                               * CAST(n AS DOUBLE) - CAST(n AS DOUBLE),
+      |                               1.0) > 0
+      |           THEN floor(CAST(h6 AS DOUBLE) / 1000000.0
+      |                  / (1.0 - CAST(ties AS DOUBLE)
+      |                     / greatest(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+      |                                * CAST(n AS DOUBLE) - CAST(n AS DOUBLE),
+      |                                1.0))
+      |                  * 10000.0 + 0.5) / 10000.0 END AS h_tie_corrected
+      |  FROM h)
+      |SELECT lang, n_g AS n,
+      |       floor(CAST(s2_g AS DOUBLE) / (2.0 * CAST(n_g AS DOUBLE))
+      |             * 10000.0 + 0.5) / 10000.0 AS mean_rank,
+      |       k, df, h, h_tie_corrected
+      |FROM pg6 CROSS JOIN hs
+      |ORDER BY lang""".stripMargin
+
   /** Exponentially-weighted moving average of the daily event volume per
     * event type, α = 1/2 — the smoothing a monitoring dashboard draws
     * under the raw series. α = 1/2 is not a simplification, it is the
@@ -753,6 +892,99 @@ object Inference {
       |               (acc, v) -> (acc + v) // 2) + 50) // 100 AS DOUBLE)
       |         / 10000.0 AS ewma
       |FROM l ORDER BY event_type, day""".stripMargin
+
+  /** Shift that turns truncating integer division into floor division on
+    * both engines for the Holt fold: operands can go negative (a falling
+    * series drives the trend term below zero), and Spark's `div`
+    * truncates toward zero while DuckDB's `//` floors — they agree only
+    * on non-negative operands, so every halving runs as
+    * ((v + OFF) div 2) − OFF/2 with |v| ≪ OFF (the round-7 signed-divide
+    * discipline). 2⁵⁰ keeps v + OFF < 2⁵¹ — no overflow headroom issues
+    * against the ~10¹⁰ micro-unit state. */
+  private val H_OFF = 1L << 50
+  private val H_HALF = 1L << 49
+
+  /** Holt's linear-trend smoothing of the per-type daily event volume —
+    * [[ewma]]'s big sibling: EWMA tracks a level only and lags any
+    * sustained ramp by a constant; Holt carries an explicit trend state
+    * (level l_t, trend b_t) and its one-step forecast l + b is the
+    * capacity number a planning dashboard actually wants. α = β = 1/2 —
+    * the dyadic choice, same reason as EWMA's: both recurrences
+    *   l_t = (y_t + l_{t−1} + b_{t−1}) / 2
+    *   b_t = (b_{t−1} + (l_t − l_{t−1})) / 2
+    * are then pure BIGINT halvings in 1e-6 units (seed l_1 = y_1,
+    * b_1 = 0), so batch and oracle agree bit-for-bit via the same left
+    * fold. The two-component state rides a 2-element ARRAY accumulator:
+    * Spark's `aggregate` takes any accumulator type directly; DuckDB's
+    * `list_reduce` requires acc ≡ element type, so the oracle lifts each
+    * y into a singleton list and folds LIST(BIGINT) over LIST(LIST).
+    *
+    * Scale posture: identical to [[ewma]] — the stream collapses to
+    * (type, day) counts in one scan, the fold runs over calendar-bounded
+    * arrays, never facts. */
+  def holt(s: SparkSession, dir: String): DataFrame =
+    holtOn(Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x")))
+
+  /** Holt core over an (event_type, day, x) daily frame. */
+  private[graft] def holtOn(daily: DataFrame): DataFrame = {
+    val wCum = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // l' appears inside b's update, so the halving expression is spelled
+    // twice — the fold stays a single expression in both engines
+    val lNext = s"((v * 1000000L + element_at(acc, 1) + element_at(acc, 2)" +
+      s" + ${H_OFF}L) div 2L) - ${H_HALF}L"
+    // display rounding to 1e-4 via a floor-division shift (trend can be
+    // negative; bare `div 100` would truncate toward zero on Spark only)
+    def disp(e6: String) =
+      s"cast(((($e6) + 50L + 1000000000000000L) div 100L)" +
+        s" - 10000000000000L as double) / 10000.0d"
+    daily.withColumn("xs", collect_list("x").over(wCum))
+      .withColumn("st", expr(
+        s"""aggregate(slice(xs, 2, size(xs) - 1),
+           |          array(element_at(xs, 1) * 1000000L, 0L),
+           |          (acc, v) -> array(
+           |            $lNext,
+           |            ((element_at(acc, 2) + ($lNext)
+           |              - element_at(acc, 1) + ${H_OFF}L) div 2L)
+           |              - ${H_HALF}L))""".stripMargin))
+      .select(col("event_type"), col("day"), col("x"),
+        expr(disp("element_at(st, 1)")).as("level"),
+        expr(disp("element_at(st, 2)")).as("trend"),
+        expr(disp("element_at(st, 1) + element_at(st, 2)")).as("forecast"))
+      .orderBy("event_type", "day")
+  }
+
+  private val holtSql = {
+    val lNext = s"((e[1] + acc[1] + acc[2] + ${H_OFF}) // 2) - ${H_HALF}"
+    def disp(e6: String) =
+      s"CAST(((($e6) + 50 + 1000000000000000) // 100)" +
+        s" - 10000000000000 AS DOUBLE) / 10000.0"
+    s"""WITH d AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |         CAST(count(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2),
+       |l AS (
+       |  SELECT event_type, day, x,
+       |         list(x) OVER (PARTITION BY event_type ORDER BY day
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS xs
+       |  FROM d),
+       |f AS (
+       |  SELECT event_type, day, x,
+       |         list_reduce(
+       |           list_prepend([xs[1] * 1000000, CAST(0 AS BIGINT)],
+       |             list_transform(xs[2:], v -> [v * 1000000])),
+       |           (acc, e) -> [ $lNext,
+       |             ((acc[2] + ($lNext) - acc[1] + ${H_OFF}) // 2)
+       |               - ${H_HALF} ]) AS st
+       |  FROM l)
+       |SELECT event_type, day, x,
+       |       ${disp("st[1]")} AS level,
+       |       ${disp("st[2]")} AS trend,
+       |       ${disp("st[1] + st[2]")} AS forecast
+       |FROM f ORDER BY event_type, day""".stripMargin
+  }
 
   /** STL-style additive decomposition of the daily total-event series:
     * x = trend + seasonal + residual, with trend = centered 7-day moving
@@ -1323,6 +1555,10 @@ object Inference {
   }
 
   val all: Seq[Q] = Seq(
+    Q("q_kruskal_wallis", kruskalWallis, Some(kruskalWallisSql),
+      doc = "Kruskal-Wallis H across languages: doubled-midrank exact " +
+        "integers, per-group contribution quantized to 1e-6 before the " +
+        "order-free cross-group sum, tie-corrected"),
     Q("q_mann_whitney", mannWhitney, Some(mannWhitneySql),
       doc = "Mann-Whitney U / Wilcoxon rank-sum (en vs non-en document " +
         "length): doubled midranks, BIGINT rank sums + tie correction, " +
@@ -1347,6 +1583,10 @@ object Inference {
     Q("q_nelson_aalen", nelsonAalen, Some(nelsonAalenSql),
       doc = "Nelson-Aalen cumulative hazard of time-to-first-purchase: " +
         "1e-6-fixed exact-integer d/n increments, BIGINT running sum"),
+    Q("q_holt", holt, Some(holtSql),
+      doc = "Holt linear-trend smoothing of per-type daily volume, " +
+        "dyadic alpha=beta=1/2: exact BIGINT two-state fold (array " +
+        "accumulator), one-step forecast = level + trend"),
     Q("q_ewma", ewma, Some(ewmaSql),
       doc = "dyadic EWMA (α=1/2) of daily volume per type — exact " +
         "BIGINT recursion via left fold, arithmetic identity with oracle"),

@@ -650,6 +650,258 @@ object Profiling {
        |ORDER BY col_a, col_b""".stripMargin
   }
 
+  /** Spearman rank-correlation matrix over the same four lineitem
+    * measures as [[corrMatrix]] — the monotonic-association profile that
+    * survives outliers and nonlinear scalings Pearson is blind to (a
+    * single 1000× price glitch saturates Pearson; it moves one rank).
+    * Ranks are tie-AVERAGED (the textbook definition), held exact as
+    * doubled integers: avg_rank·2 = min_rank + max_rank of the value's
+    * tie run, so every sufficient statistic is an exact integer sum and
+    * ρ = Pearson over the doubled ranks (the ×2 cancels).
+    *
+    * Scale shape: per column, facts first collapse to a DISTINCT-VALUE
+    * frame (skew-safe partial agg absorbs hot values), and the doubled
+    * tie-averaged rank is computed on THAT frame as r2(v) = 2·(count of
+    * strictly-smaller rows) + t(v) + 1 via the fleet-standard
+    * [[DistNtile.withPrefixSum]] range-exchange decomposition — NO
+    * single-task sort and NO per-fact ranking anywhere; facts are only
+    * touched by the four value-keyed equi-joins that attach r2 (an
+    * earlier spelling that chained [[DistNtile.withRank]] over the fact
+    * table re-executed the growing upstream plan at every level — the
+    * lesson is rank the value DOMAIN, not the facts). Measures are
+    * cent-fixed (`floor(x·100+0.5)`) so rank ties are engine-identical;
+    * sums run DECIMAL(38,0) then collapse to the same IEEE doubles both
+    * engines round, floor-4dp ([[corrMatrix]] discipline). */
+  def spearmanMatrix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val shortNames = Seq("d", "p", "q", "t")
+    val pretty = Map("q" -> "quantity", "p" -> "extendedprice",
+      "d" -> "discount", "t" -> "tax")
+    val srcCol = Map("q" -> "l_quantity", "p" -> "l_extendedprice",
+      "d" -> "l_discount", "t" -> "l_tax")
+    val pairs = for {
+      i <- shortNames.indices; j <- (i + 1) until shortNames.size
+    } yield (shortNames(i), shortNames(j))
+    val base = Tables.lineitem(s, dir).select(
+      shortNames.map(c =>
+        floor(col(srcCol(c)) * lit(100.0d) + lit(0.5d)).cast("bigint")
+          .as(c)): _*)
+      .cache()
+    // ALL FOUR columns' distinct-value counts ride ONE long-format
+    // build: explode to (cname, v) → one partial-agg shuffle → ONE
+    // global prefix sum under the (cname, v) total order. Because every
+    // column's weights total exactly N, the per-column prefix is the
+    // global prefix minus k·N for the column's alphabetical index k —
+    // no per-column pass, no per-column offsets job. The doubled
+    // tie-averaged rank is then r2(v) = 2·(s − k·N − t) + t + 1.
+    // Join-back: discount, quantity and tax have BOUNDED value domains
+    // (≤ ~50 cents values by schema semantics at any corpus size), so
+    // their rank tables broadcast; only extendedprice — genuinely
+    // data-cardinality — pays a shuffle join. Facts are never ranked.
+    val longVals = base
+      .select(explode(map(shortNames.flatMap(c =>
+        Seq(lit(c), col(c))): _*)).as(Seq("cname", "v")))
+      .groupBy("cname", "v").agg(count(lit(1)).as("tw"))
+    val pre = DistNtile.withPrefixSum(longVals,
+      Seq(col("cname").asc, col("v").asc), col("tw"), "s")
+      .cache() // consumed once per column below; value-cardinality
+    val nRows = base.count()
+    val colIdx = shortNames.sorted.zipWithIndex.toMap
+    val boundedDomain = Set("d", "q", "t")
+    val ranked = shortNames.foldLeft(base) { (df, c) =>
+      val r2 = pre.filter(col("cname") === c)
+        .select(col("v").as(s"_v_$c"),
+          (lit(2L) * (col("s") - lit(colIdx(c) * nRows) - col("tw"))
+            + col("tw") + lit(1L)).as(s"r2_$c"))
+      val build = if (boundedDomain(c)) broadcast(r2) else r2
+      df.join(build, df(c) === col(s"_v_$c")).drop(s"_v_$c")
+    }
+    def dsum(e: Column, alias: String) =
+      sum(e.cast("decimal(38,0)")).cast("double").as(alias)
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).cast("double").as("n")) ++
+        shortNames.map(c => dsum(col(s"r2_$c"), s"s_$c")) ++
+        shortNames.map(c => dsum(col(s"r2_$c") * col(s"r2_$c"), s"s_$c$c")) ++
+        pairs.map { case (a, b) =>
+          dsum(col(s"r2_$a") * col(s"r2_$b"), s"s_$a$b") }
+    val w = ranked.agg(aggs.head, aggs.tail: _*)
+    def rhoc(a: String, b: String): Column = {
+      val num = col("n") * col(s"s_$a$b") - col(s"s_$a") * col(s"s_$b")
+      val den = sqrt((col("n") * col(s"s_$a$a") - col(s"s_$a") * col(s"s_$a")) *
+        (col("n") * col(s"s_$b$b") - col(s"s_$b") * col(s"s_$b")))
+      floor(num / den * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)
+    }
+    val wide = pairs.foldLeft(w) { case (df, (a, b)) =>
+      df.withColumn(s"c_$a$b", rhoc(a, b))
+    }
+    val stackArgs = pairs.map { case (a, b) =>
+      s"'${pretty(a)}', '${pretty(b)}', c_$a$b"
+    }.mkString(", ")
+    wide.select(
+        expr(s"stack(${pairs.size}, $stackArgs) AS (col_a, col_b, rho)"),
+        col("n").cast("bigint").as("n_rows"))
+      .select("col_a", "col_b", "n_rows", "rho")
+      .orderBy("col_a", "col_b")
+  }
+
+  private val spearmanMatrixSql = {
+    val shortNames = Seq("d", "p", "q", "t")
+    val pretty = Map("q" -> "quantity", "p" -> "extendedprice",
+      "d" -> "discount", "t" -> "tax")
+    val srcCol = Map("q" -> "l_quantity", "p" -> "l_extendedprice",
+      "d" -> "l_discount", "t" -> "l_tax")
+    val pairs = for {
+      i <- shortNames.indices; j <- (i + 1) until shortNames.size
+    } yield (shortNames(i), shortNames(j))
+    val fxCols = shortNames.map(c =>
+      s"CAST(floor(${srcCol(c)} * 100.0 + 0.5) AS BIGINT) AS $c")
+      .mkString(", ")
+    // doubled tie-averaged rank: 2·rank() + |tie run| − 1
+    //   = 2·cnt_less + cnt + 1 = min_rank + max_rank (the Spark spelling)
+    val rkCols = shortNames.map(c =>
+      s"""2 * rank() OVER (ORDER BY $c)
+         |           + count(*) OVER (PARTITION BY $c) - 1 AS r2_$c"""
+        .stripMargin).mkString(",\n         ")
+    val sums =
+      (shortNames.map(c =>
+        s"CAST(sum(CAST(r2_$c AS HUGEINT)) AS DOUBLE) AS s_$c") ++
+        shortNames.map(c =>
+          s"CAST(sum(CAST(r2_$c * r2_$c AS HUGEINT)) AS DOUBLE) AS s_$c$c") ++
+        pairs.map { case (a, b) =>
+          s"CAST(sum(CAST(r2_$a * r2_$b AS HUGEINT)) AS DOUBLE) AS s_$a$b" })
+        .mkString(",\n         ")
+    val rows = pairs.map { case (a, b) =>
+      s"""  SELECT '${pretty(a)}' AS col_a, '${pretty(b)}' AS col_b,
+         |         CAST(n AS BIGINT) AS n_rows,
+         |         floor((n * s_$a$b - s_$a * s_$b)
+         |               / sqrt((n * s_$a$a - s_$a * s_$a) * (n * s_$b$b - s_$b * s_$b))
+         |               * 10000.0 + 0.5) / 10000.0 AS rho
+         |  FROM w""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH fx AS MATERIALIZED (
+       |  SELECT $fxCols
+       |  FROM lineitem),
+       |rk AS MATERIALIZED (
+       |  SELECT $rkCols
+       |  FROM fx),
+       |w AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n,
+       |         $sums
+       |  FROM rk)
+       |$rows
+       |ORDER BY col_a, col_b""".stripMargin
+  }
+
+  /** Kendall's τ-b between quantity and discount — the third
+    * correlation lens after Pearson ([[corrMatrix]]) and Spearman
+    * ([[spearmanMatrix]]): a PAIR-concordance measure, the most
+    * ties-robust of the three and the one with a direct probabilistic
+    * reading (P[concordant] − P[discordant]). Naively O(N²) over facts;
+    * here both columns have BOUNDED value domains (50 quantities × 11
+    * discount cents), so the corpus collapses to a ≤550-cell contingency
+    * table in one scan and every pair statistic is exact integer
+    * arithmetic over CELL pairs (≤550² = 3·10⁵ driver-free combinations,
+    * domain²-sized forever — the q_equidepth/q_mutual_info precedent):
+    *   C = Σ n_a·n_b over cell pairs with x_a<x_b ∧ y_a<y_b
+    *   D = Σ n_a·n_b over cell pairs with x_a<x_b ∧ y_a>y_b
+    *   τ_b = (C−D) / √((n0−n1)(n0−n2)),  n0 = C(N,2), n1/n2 = Σ C(n_x,2)
+    * over row/column marginals. Sums ride DECIMAL(38,0) (C ~ N² overflows
+    * int64 at the 10¹¹-row posture); the √ sequence runs once over exact
+    * integers. The inequality cell join is a broadcast nested loop over
+    * the domain-sized frame — allow-listed, same class as the 1-row
+    * stats-frame crossJoins. */
+  def kendallTau(s: SparkSession, dir: String): DataFrame =
+    kendallTauOn(Tables.lineitem(s, dir)
+      .select(
+        floor(col("l_quantity") * lit(100.0d) + lit(0.5d)).cast("bigint")
+          .as("x"),
+        floor(col("l_discount") * lit(100.0d) + lit(0.5d)).cast("bigint")
+          .as("y")))
+
+  /** [[kendallTau]] core over an explicit (x, y) integer-pair frame —
+    * the planted-semantics seam. */
+  private[graft] def kendallTauOn(xy: DataFrame): DataFrame = {
+    val cells = xy
+      .groupBy("x", "y").agg(count(lit(1)).as("cnt"))
+      .cache()
+    val pairs = cells.as("a").join(broadcast(cells.as("b")),
+        col("a.x") < col("b.x") &&
+          (col("a.y") < col("b.y") || col("a.y") > col("b.y")))
+      .agg(
+        sum(when(col("a.y") < col("b.y"),
+          col("a.cnt").cast("decimal(38,0)") * col("b.cnt"))
+          .otherwise(lit(0L))).as("c_pairs"),
+        sum(when(col("a.y") > col("b.y"),
+          col("a.cnt").cast("decimal(38,0)") * col("b.cnt"))
+          .otherwise(lit(0L))).as("d_pairs"))
+    // doubled total pair count 2·n0 = N(N−1) — kept doubled so no
+    // division touches the integer path
+    val n0 = cells.agg(sum("cnt").as("n"))
+      .select(col("n"),
+        (col("n").cast("decimal(38,0)") * (col("n") - lit(1L))).as("n0x2"))
+    val n1 = cells.groupBy("x").agg(sum("cnt").as("nx"))
+      .agg(sum(col("nx").cast("decimal(38,0)") * (col("nx") - lit(1L)))
+        .as("n1x2"))
+    val n2 = cells.groupBy("y").agg(sum("cnt").as("ny"))
+      .agg(sum(col("ny").cast("decimal(38,0)") * (col("ny") - lit(1L)))
+        .as("n2x2"))
+    // doubled non-tied pair counts A = 2·n0 − n1x2 stay EXACT integers
+    // (both terms even, no division anywhere until the final τ sequence:
+    // τ = 2(C−D)/√(A·B))
+    pairs.crossJoin(broadcast(n0)).crossJoin(broadcast(n1))
+      .crossJoin(broadcast(n2))
+      .withColumn("ax2", col("n0x2") - col("n1x2"))
+      .withColumn("bx2", col("n0x2") - col("n2x2"))
+      .select(col("n"),
+        col("c_pairs").cast("bigint").as("c_pairs"),
+        col("d_pairs").cast("bigint").as("d_pairs"),
+        expr("cast(ax2 as bigint) div 2").as("nontied_x"),
+        expr("cast(bx2 as bigint) div 2").as("nontied_y"),
+        (floor(lit(2.0d)
+          * (col("c_pairs").cast("double") - col("d_pairs").cast("double"))
+          / sqrt(col("ax2").cast("double") * col("bx2").cast("double"))
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("tau_b"))
+  }
+
+  private val kendallTauSql =
+    """WITH cells AS MATERIALIZED (
+      |  SELECT CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS x,
+      |         CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS y,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |  FROM lineitem GROUP BY 1, 2),
+      |p AS (
+      |  SELECT CAST(sum(CASE WHEN a.y < b.y
+      |                THEN CAST(a.cnt AS DECIMAL(38,0)) * b.cnt
+      |                ELSE 0 END) AS DECIMAL(38,0)) AS c_pairs,
+      |         CAST(sum(CASE WHEN a.y > b.y
+      |                THEN CAST(a.cnt AS DECIMAL(38,0)) * b.cnt
+      |                ELSE 0 END) AS DECIMAL(38,0)) AS d_pairs
+      |  FROM cells a JOIN cells b
+      |    ON a.x < b.x AND a.y <> b.y),
+      |t AS (
+      |  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+      |         CAST(CAST(sum(cnt) AS DECIMAL(38,0)) * (sum(cnt) - 1)
+      |              AS DECIMAL(38,0)) AS n0x2
+      |  FROM cells),
+      |m1 AS (
+      |  SELECT CAST(sum(CAST(nx AS DECIMAL(38,0)) * (nx - 1))
+      |              AS DECIMAL(38,0)) AS n1x2
+      |  FROM (SELECT CAST(sum(cnt) AS BIGINT) AS nx FROM cells GROUP BY x)),
+      |m2 AS (
+      |  SELECT CAST(sum(CAST(ny AS DECIMAL(38,0)) * (ny - 1))
+      |              AS DECIMAL(38,0)) AS n2x2
+      |  FROM (SELECT CAST(sum(cnt) AS BIGINT) AS ny FROM cells GROUP BY y))
+      |SELECT n,
+      |       CAST(c_pairs AS BIGINT) AS c_pairs,
+      |       CAST(d_pairs AS BIGINT) AS d_pairs,
+      |       CAST(n0x2 - n1x2 AS BIGINT) // 2 AS nontied_x,
+      |       CAST(n0x2 - n2x2 AS BIGINT) // 2 AS nontied_y,
+      |       floor(2.0 * (CAST(c_pairs AS DOUBLE) - CAST(d_pairs AS DOUBLE))
+      |             / sqrt(CAST(n0x2 - n1x2 AS DOUBLE)
+      |                    * CAST(n0x2 - n2x2 AS DOUBLE))
+      |             * 10000.0 + 0.5) / 10000.0 AS tau_b
+      |FROM p CROSS JOIN t CROSS JOIN m1 CROSS JOIN m2""".stripMargin
+
   /** Per-event-type volume trend: closed-form OLS slope of daily event
     * counts over time — the drift monitor that answers "is error volume
     * growing?" with a number instead of a dashboard squint.
@@ -1389,6 +1641,14 @@ object Profiling {
     Q("q_lift_curve", liftCurve, Some(liftCurveSql)),
     Q("q_weighted_quantiles", weightedQuantiles, Some(weightedQuantilesSql)),
     Q("q_corr_matrix", corrMatrix, Some(corrMatrixSql)),
+    Q("q_spearman", spearmanMatrix, Some(spearmanMatrixSql),
+      doc = "Spearman rank-correlation matrix: tie-averaged ranks as " +
+        "exact doubled integers via the distributed range-exchange " +
+        "rank, Pearson over ranks with DECIMAL(38,0) sums"),
+    Q("q_kendall_tau", kendallTau, Some(kendallTauSql),
+      doc = "Kendall tau-b from the bounded-domain contingency table: " +
+        "exact integer concordant/discordant cell-pair sums, doubled " +
+        "non-tied counts, one final IEEE sequence"),
     Q("q_daily_trend", dailyTrend, Some(dailyTrendSql)),
     Q("q_equidepth_hist", equidepthHist, Some(equidepthHistSql)),
     Q("q_theil_sen", theilSen, Some(theilSenSql)),

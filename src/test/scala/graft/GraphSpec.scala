@@ -57,6 +57,30 @@ class GraphSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("modularity: two brand-aligned triangles joined by one bridge " +
+    "score 6/7 - 1/2; a brand-orthogonal partition goes negative") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val aligned = Seq((1L, "X"), (2L, "X"), (3L, "X"),
+      (4L, "Y"), (5L, "Y"), (6L, "Y")).toDF("p_partkey", "p_brand")
+    val rows = operators.Graph.modularityOn(und, aligned).collect()
+    assert(rows.length == 2)
+    // m=7, each community: e_c=3, d_c=7 => Q = 2*(3/7 - (7/14)^2)
+    val q = rows.head.getAs[Double]("modularity")
+    assert(math.abs(q - (6.0 / 7.0 - 0.5)) < 1e-5, s"Q=$q")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("e_c") == 3L && r.getAs[Long]("d_c") == 7L)
+    }
+    // checkerboard assignment cuts every triangle: internal edges only
+    // where parity ties happen; modularity must drop below the aligned Q
+    val ortho = Seq((1L, "X"), (2L, "Y"), (3L, "X"),
+      (4L, "Y"), (5L, "X"), (6L, "Y")).toDF("p_partkey", "p_brand")
+    val q2 = operators.Graph.modularityOn(und, ortho).collect()
+      .head.getAs[Double]("modularity")
+    assert(q2 < q, s"orthogonal partition must score below aligned: $q2 vs $q")
+  }
+
   test("k-core: chain periphery peels away, K4 survives to k=3, " +
     "nothing survives k=4") {
     import spark.implicits._

@@ -247,6 +247,55 @@ class InferenceSpec extends SparkTestBase {
       s"got ${got.toSeq}")
   }
 
+  test("Holt: two-state dyadic fold matches the hand recurrence, " +
+    "negative trend floors identically") {
+    import spark.implicits._
+    val daily = Seq(
+      ("a", "2024-01-01", 4L), ("a", "2024-01-02", 8L),
+      ("a", "2024-01-03", 4L),
+      // falling series: trend goes NEGATIVE, exercising the signed
+      // floor-division shift
+      ("b", "2024-01-01", 100L), ("b", "2024-01-02", 0L))
+      .map { case (t, d, x) => (t, java.sql.Date.valueOf(d), x) }
+      .toDF("event_type", "day", "x")
+    val got = Inference.holtOn(daily).collect().map(r =>
+      (r.getString(0), r.getDate(1).toString,
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+    // a: l1=4,b1=0; l2=(8+4+0)/2=6, b2=(0+2)/2=1;
+    //    l3=(4+6+1)/2=5.5, b3=(1+(5.5-6))/2=0.25 -> forecast 5.75
+    // b: l1=100,b1=0; l2=(0+100+0)/2=50, b2=(0-50)/2=-25 -> forecast 25
+    assert(got.toSeq == Seq(
+      ("a", "2024-01-01", (4.0, 0.0, 4.0)),
+      ("a", "2024-01-02", (6.0, 1.0, 7.0)),
+      ("a", "2024-01-03", (5.5, 0.25, 5.75)),
+      ("b", "2024-01-01", (100.0, 0.0, 100.0)),
+      ("b", "2024-01-02", (50.0, -25.0, 25.0))), s"got ${got.toSeq}")
+  }
+
+  test("Kruskal-Wallis: textbook no-tie fixture hits H = 7.2; tie " +
+    "correction scales a tied fixture to exactly 1.0") {
+    import spark.implicits._
+    // groups a/b/c at 1-2-3 / 4-5-6 / 7-8-9: ranks 1..9, H = 7.2, no ties
+    val clean = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 4L), ("b", 5L),
+      ("b", 6L), ("c", 7L), ("c", 8L), ("c", 9L))
+      .toDF("lang", "n_chars")
+    val rows = Inference.kruskalWallisOn(clean).collect()
+    assert(rows.length == 3)
+    val r0 = rows.head
+    assert(r0.getAs[Long]("df") == 2L)
+    assert(math.abs(r0.getAs[Double]("h") - 7.2) < 1e-9)
+    assert(math.abs(r0.getAs[Double]("h_tie_corrected") - 7.2) < 1e-9)
+    assert(rows.map(r => (r.getString(0), r.getAs[Double]("mean_rank")))
+      .toSeq == Seq(("a", 2.0), ("b", 5.0), ("c", 8.0)))
+    // ties: a=[1,1], b=[1,2] -> H = 0.6, sum(t^3-t) = 24,
+    // c = 1 - 24/60 = 0.6 -> corrected exactly 1.0
+    val tied = Seq(("a", 1L), ("a", 1L), ("b", 1L), ("b", 2L))
+      .toDF("lang", "n_chars")
+    val t0 = Inference.kruskalWallisOn(tied).collect().head
+    assert(math.abs(t0.getAs[Double]("h") - 0.6) < 1e-9)
+    assert(math.abs(t0.getAs[Double]("h_tie_corrected") - 1.0) < 1e-9)
+  }
+
   test("STL: periodic series decomposes to flat trend, exact seasonal, " +
     "zero residual") {
     import spark.implicits._

