@@ -1656,6 +1656,141 @@ object TextAnalysis {
       |             * 10000.0 + 0.5) / 10000.0 AS flesch
       |FROM a ORDER BY lang""".stripMargin
 
+  /** Multinomial naive-Bayes language classifier, trained on the 80%
+    * doc_id-hash split and evaluated on the 20% holdout (the
+    * [[graft.operators.Similarity]] label-prop convention) — the LEARNED
+    * upgrade of [[langId]]'s fixed marker lists, and the classic
+    * fast-is-fine baseline a data pipeline runs before reaching for a
+    * neural model. Laplace-smoothed: P(t|l) = (c_lt+1)/(c_l+V).
+    *
+    * Exactness: every per-token log-likelihood is quantized to integer
+    * MICRO-NATS at the (term, lang) MODEL table — the quantized model IS
+    * the semantics (the q_lm_score/q_pmi precedent) — so document scores
+    * are exact BIGINT sums and the argmax is engine-identical. Tokens
+    * unseen for a language share one per-language constant oov6(l) =
+    * ⌊ln(1/(c_l+V))·1e6⌉, which turns the score into
+    *   prior6(l) + n_tok·oov6(l) + Σ_seen (llr6(t,l) − oov6(l))
+    * — only TRAINED (term, lang) pairs need a join; out-of-vocabulary
+    * handling costs nothing.
+    *
+    * Scale shape: training is one token-count aggregation (vocab-sized
+    * model, never raw text in a shuffle); scoring joins holdout tokens
+    * to the model on term and reduces to (doc, lang) sums; the dense
+    * doc×lang frame is a 5-row broadcast crossJoin. */
+  def naiveBayes(s: SparkSession, dir: String): DataFrame =
+    naiveBayesOn(Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang")))
+
+  /** [[naiveBayes]] over an explicit (doc_id, text, lang) frame — the
+    * planted-semantics seam. */
+  private[graft] def naiveBayesOn(docs: DataFrame): DataFrame = {
+    val train = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+    val hold = docs.filter(pmod(col("doc_id"), lit(5L)) === 0)
+    val clt = train
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("lang", "term").agg(count(lit(1)).as("c_lt"))
+      .cache()
+    val vFrame = clt.agg(countDistinct("term").as("v"))
+    val langStats = clt.groupBy("lang").agg(sum("c_lt").as("c_l"))
+      .crossJoin(broadcast(vFrame))
+      .select(col("lang"), (col("c_l") + col("v")).as("den"),
+        floor(log(lit(1.0d) / (col("c_l") + col("v")).cast("double"))
+          * lit(1000000.0d) + lit(0.5d)).cast("long").as("oov6"))
+    val priors = train.groupBy("lang").agg(count(lit(1)).as("n_l"))
+      .crossJoin(broadcast(train.agg(count(lit(1)).as("n_train"))))
+      .select(col("lang"),
+        floor(log(col("n_l").cast("double") / col("n_train").cast("double"))
+          * lit(1000000.0d) + lit(0.5d)).cast("long").as("prior6"))
+    val adj = clt.join(broadcast(langStats), Seq("lang"))
+      .select(col("term"), col("lang"),
+        (floor(log((col("c_lt") + lit(1L)).cast("double")
+          / col("den").cast("double"))
+          * lit(1000000.0d) + lit(0.5d)).cast("long") - col("oov6"))
+          .as("adj6"))
+    val hTok = hold
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val matched = hTok.join(adj, Seq("term"))
+      .groupBy("doc_id", "lang").agg(sum("adj6").as("madj6"))
+    val params = priors.join(langStats.select("lang", "oov6"), Seq("lang"))
+    val dense = hold.select(col("doc_id"), col("lang").as("true_lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .crossJoin(broadcast(params))
+      .join(matched, Seq("doc_id", "lang"), "left")
+      .na.fill(0L, Seq("madj6"))
+      .withColumn("score6",
+        col("prior6") + col("n_tok") * col("oov6") + col("madj6"))
+    val byDoc = Window.partitionBy("doc_id")
+      .orderBy(col("score6").desc, col("lang").asc)
+    val pred = dense.withColumn("rn", row_number().over(byDoc))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("true_lang"), col("lang").as("predicted"))
+    val acc = pred.agg(
+      (floor(sum((col("true_lang") === col("predicted")).cast("long"))
+        .cast("double") / count(lit(1)).cast("double")
+        * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("accuracy"))
+    pred.groupBy(col("true_lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(acc))
+      .orderBy("true_lang", "predicted")
+  }
+
+  private val naiveBayesSql =
+    """WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+      |hold AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+      |clt AS MATERIALIZED (
+      |  SELECT lang, term, CAST(count(*) AS BIGINT) AS c_lt
+      |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS term
+      |        FROM train)
+      |  GROUP BY 1, 2),
+      |vf AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM clt),
+      |ls AS (
+      |  SELECT lang, c_l + v AS den,
+      |         CAST(floor(ln(1.0 / CAST(c_l + v AS DOUBLE))
+      |              * 1000000.0 + 0.5) AS BIGINT) AS oov6
+      |  FROM (SELECT lang, CAST(sum(c_lt) AS BIGINT) AS c_l
+      |        FROM clt GROUP BY 1) CROSS JOIN vf),
+      |pri AS (
+      |  SELECT lang,
+      |         CAST(floor(ln(CAST(n_l AS DOUBLE) / CAST(n_train AS DOUBLE))
+      |              * 1000000.0 + 0.5) AS BIGINT) AS prior6
+      |  FROM (SELECT lang, count(*) AS n_l FROM train GROUP BY 1)
+      |  CROSS JOIN (SELECT count(*) AS n_train FROM train)),
+      |adj AS MATERIALIZED (
+      |  SELECT clt.term, clt.lang,
+      |         CAST(floor(ln(CAST(c_lt + 1 AS DOUBLE) / CAST(den AS DOUBLE))
+      |              * 1000000.0 + 0.5) AS BIGINT) - oov6 AS adj6
+      |  FROM clt JOIN ls ON clt.lang = ls.lang),
+      |htok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM hold),
+      |matched AS (
+      |  SELECT doc_id, lang, CAST(sum(adj6) AS BIGINT) AS madj6
+      |  FROM htok JOIN adj USING (term) GROUP BY 1, 2),
+      |dense AS (
+      |  SELECT h.doc_id, h.lang AS true_lang, p.lang,
+      |         p.prior6
+      |           + CAST(len(string_split(h.text, ' ')) AS BIGINT) * l.oov6
+      |           + coalesce(m.madj6, 0) AS score6
+      |  FROM hold h
+      |  CROSS JOIN pri p
+      |  JOIN ls l ON p.lang = l.lang
+      |  LEFT JOIN matched m ON m.doc_id = h.doc_id AND m.lang = p.lang),
+      |pred AS (
+      |  SELECT doc_id, true_lang, lang AS predicted FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY doc_id
+      |               ORDER BY score6 DESC, lang) AS rn
+      |    FROM dense)
+      |  WHERE rn = 1),
+      |acc AS (
+      |  SELECT floor(CAST(sum(CASE WHEN true_lang = predicted
+      |                       THEN 1 ELSE 0 END) AS DOUBLE)
+      |               / count(*) * 10000.0 + 0.5) / 10000.0 AS accuracy
+      |  FROM pred)
+      |SELECT true_lang, predicted, CAST(count(*) AS BIGINT) AS n_docs,
+      |       accuracy
+      |FROM pred CROSS JOIN acc
+      |GROUP BY true_lang, predicted, accuracy
+      |ORDER BY true_lang, predicted""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_text_langid", langId, Some(langIdSql)),
     Q("q_readability", readability, Some(readabilitySql),
@@ -1673,6 +1808,11 @@ object TextAnalysis {
         "target-vs-raw unigram log-ratio, 1e-6-fixed then exact integer " +
         "doc and source reduces"),
     Q("q_langid_eval", langIdEval, Some(langIdEvalSql)),
+    Q("q_naive_bayes", naiveBayes, Some(naiveBayesSql),
+      doc = "multinomial naive-Bayes language classifier: 80/20 " +
+        "doc_id-hash split, Laplace smoothing, integer micro-nat model " +
+        "quantization, exact BIGINT document scores, confusion matrix " +
+        "+ holdout accuracy"),
     Q("q_langid_kappa", langIdKappa, Some(langIdKappaSql)),
     Q("q_lm_score", lmScore, Some(lmScoreSql)),
     Q("q_bigram_lm", bigramLm, Some(bigramLmSql)),

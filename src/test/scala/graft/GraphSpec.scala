@@ -81,6 +81,32 @@ class GraphSpec extends SparkTestBase {
     assert(q2 < q, s"orthogonal partition must score below aligned: $q2 vs $q")
   }
 
+  test("link prediction: square predicts both diagonals at jaccard 1, " +
+    "existing edges are excluded, hub centers contribute no evidence") {
+    import spark.implicits._
+    // square 1-2-3-4-1: non-edges (1,3) and (2,4) each share BOTH
+    // opposite corners -> inter=2, union=2+2-2=2 -> jaccard 1.0
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    val got = operators.Graph.linkPredictionOn(square).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("common_nb"),
+        r.getAs[Double]("jaccard")))
+    assert(got.toSet == Set((1L, 3L, 2L, 1.0), (2L, 4L, 2L, 1.0)),
+      s"got ${got.toSeq}")
+    spark.catalog.clearCache()
+    // a path 1-2-3 predicts (1,3) through center 2; an over-cap hub
+    // (degree 65 > 64) is excluded as evidence, so its spokes yield
+    // NO candidate pairs
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val p = operators.Graph.linkPredictionOn(path).collect()
+    assert(p.length == 1 && p.head.getLong(0) == 1L &&
+      p.head.getLong(1) == 3L && p.head.getAs[Double]("jaccard") == 1.0)
+    spark.catalog.clearCache()
+    val hub = (1L to 65L).map(i => (100L, 100L + i)).toDF("a", "b")
+    assert(operators.Graph.linkPredictionOn(hub).isEmpty,
+      "over-cap hub must contribute no wedge evidence")
+    spark.catalog.clearCache()
+  }
+
   test("k-core: chain periphery peels away, K4 survives to k=3, " +
     "nothing survives k=4") {
     import spark.implicits._

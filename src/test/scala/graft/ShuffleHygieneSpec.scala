@@ -127,6 +127,9 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     // |brands|-row community frame crossJoined with the 1-row edge-count
     // and 1-row modularity frames
     "q_modularity",
+    // 5-row per-language parameter frame crossJoined onto the holdout
+    // scan + the 1-row vocab/train-count/accuracy frames
+    "q_naive_bayes",
     // 1-row corpus-token-total frame broadcast onto the pair table
     "q_keywords",
     // 1-row query-phrase frame broadcast onto the posting scan (the OR

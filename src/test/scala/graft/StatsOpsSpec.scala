@@ -108,6 +108,27 @@ class StatsOpsSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("naive Bayes: perfectly separable planted vocabularies classify " +
+    "the holdout with accuracy 1; confusion matrix is diagonal") {
+    import spark.implicits._
+    // lang aa speaks {xa, ya}, lang bb speaks {zb, wb} — disjoint
+    // vocabularies, so every holdout doc (doc_id % 5 == 0) must score
+    // its own language strictly higher. 20 docs per lang, 4 holdout.
+    val docs = (0 until 20).flatMap { i =>
+      Seq((i * 2L, "xa ya xa", "aa"), (i * 2L + 1L, "zb wb zb", "bb"))
+    }.toDF("doc_id", "text", "lang")
+    val rows = operators.TextAnalysis.naiveBayesOn(docs).collect()
+    assert(rows.forall(_.getAs[Double]("accuracy") == 1.0),
+      s"expected perfect separation: ${rows.toSeq}")
+    rows.foreach { r =>
+      assert(r.getString(0) == r.getString(1),
+        s"off-diagonal confusion row: $r")
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == 8L,
+      s"holdout census wrong: ${rows.toSeq}")
+    spark.catalog.clearCache()
+  }
+
   test("HLL rollup: union of daily sketches equals the direct build; " +
     "both within the error band of exact") {
     val rows = Breadth.hllRollup(spark, sfDir).collect()
