@@ -228,9 +228,13 @@ object Graph {
     * linear-ish on power-law graphs where a hub's naive wedge count
     * would be quadratic. Wedges close via a LEFT SEMI join (bare id
     * pairs). All shuffles carry int ids. */
-  /** Support-thresholded undirected affinity edges (a < b), shared by
-    * [[triangles]] and [[degreeStats]]. Same [[ORDER_CAP]] guard as
-    * [[copurchaseEdges]] — the suffix explode is C(|order|, 2). */
+  /** Support-thresholded undirected affinity edges (a < b) with their
+    * co-occurrence support `w`, shared by [[triangles]], [[degreeStats]],
+    * [[kcore]], [[assortativity]], [[modularity]], [[linkPrediction]]
+    * and [[assocRules]] (the topology consumers ignore `w`; it rides the
+    * memo so the rule miner doesn't pay a second pair build). Same
+    * [[ORDER_CAP]] guard as [[copurchaseEdges]] — the suffix explode is
+    * C(|order|, 2). */
   private[graft] def affinityEdgesOn(li: DataFrame): DataFrame =
     li.groupBy("l_orderkey").agg(sort_array(collect_set("l_partkey")).as("ps"))
       .filter(size(col("ps")) <= ORDER_CAP)
@@ -242,7 +246,7 @@ object Graph {
         explode(expr("slice(ps, i + 2, size(ps))")).as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("w"))
       .filter(col("w") >= TRI_MIN_ORDERS)
-      .select("a", "b")
+      .select("a", "b", "w")
 
   /** Memoized per (session, dir, fixture fingerprint) affinity edge
     * table — FOUR registered queries consume the identical build
@@ -875,7 +879,98 @@ object Graph {
        |         p_a, p_b
        |LIMIT $LP_TOP""".stripMargin
 
+  private val AR_TOP = 20
+
+  /** Market-basket association rules over co-purchase pairs — the
+    * classic support/confidence/lift miner, the attribute-free sibling
+    * of [[linkPrediction]] (that one scores ABSENT edges by topology;
+    * this one scores PRESENT edges by conditional probability). A rule
+    * a→b reads "baskets containing a also contain b":
+    *   confidence = w(a,b)/n(a),  lift = N·w(a,b)/(n(a)·n(b))
+    * over the [[ORDER_CAP]]-filtered basket universe (pair supports
+    * come from the memoized [[affinityEdges]] build, which now carries
+    * `w`; item supports and the basket census are one extra
+    * aggregate-shaped scan). Both rule directions are emitted; top
+    * [[AR_TOP]] by confidence with (antecedent, consequent) tiebreak.
+    *
+    * Exactness: confidence is the exact integer ⌊w·10⁶/n(a)⌋ (both
+    * engines' non-negative integer division); lift runs one fixed IEEE
+    * sequence over exact integer (N, w, n_a, n_b), floor-4dp. */
+  def assocRules(s: SparkSession, dir: String): DataFrame =
+    assocRulesOn(Tables.lineitem(s, dir).select("l_orderkey", "l_partkey"),
+      affinityEdges(s, dir))
+
+  /** [[assocRules]] core over an explicit (l_orderkey, l_partkey) frame
+    * and a matching (a, b, w) pair-support frame — the seam. */
+  private[graft] def assocRulesOn(li: DataFrame, und: DataFrame): DataFrame = {
+    val baskets = li.groupBy("l_orderkey")
+      .agg(collect_set("l_partkey").as("ps"))
+      .filter(size(col("ps")) <= ORDER_CAP)
+      .cache()
+    val nBaskets = baskets.agg(count(lit(1)).as("n_baskets"))
+    val itemCnt = baskets.select(explode(col("ps")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("n_item"))
+    val rules = und.select(col("a").as("ante"), col("b").as("cons"), col("w"))
+      .unionByName(und.select(col("b").as("ante"), col("a").as("cons"),
+        col("w")))
+    rules
+      .join(itemCnt.select(col("item").as("ante"), col("n_item").as("n_a")),
+        "ante")
+      .join(itemCnt.select(col("item").as("cons"), col("n_item").as("n_b")),
+        "cons")
+      .crossJoin(broadcast(nBaskets))
+      .withColumn("conf6", expr("w * 1000000L div n_a"))
+      .orderBy(col("conf6").desc, col("ante").asc, col("cons").asc)
+      .limit(AR_TOP)
+      .select(col("ante").as("antecedent"), col("cons").as("consequent"),
+        col("w").as("pair_support"), col("n_a").as("ante_support"),
+        col("n_b").as("cons_support"),
+        (col("conf6").cast("double") / lit(1000000.0d)).as("confidence"),
+        (floor(col("n_baskets").cast("double") * col("w").cast("double")
+          / (col("n_a").cast("double") * col("n_b").cast("double"))
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("lift"))
+  }
+
+  private val assocRulesSql =
+    s"""WITH li0 AS (SELECT l_orderkey, l_partkey FROM lineitem),
+       |ok AS (SELECT l_orderkey FROM li0 GROUP BY 1
+       |       HAVING count(DISTINCT l_partkey) <= $ORDER_CAP),
+       |li AS (SELECT li0.* FROM li0 JOIN ok USING (l_orderkey)),
+       |und AS MATERIALIZED (
+       |  SELECT a, b, CAST(count(*) AS BIGINT) AS w FROM (
+       |    SELECT x.l_partkey AS a, y.l_partkey AS b
+       |    FROM li x JOIN li y
+       |      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+       |    GROUP BY x.l_orderkey, a, b)
+       |  GROUP BY a, b HAVING count(*) >= $TRI_MIN_ORDERS),
+       |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_baskets FROM ok),
+       |ic AS MATERIALIZED (
+       |  SELECT l_partkey AS item, CAST(count(DISTINCT l_orderkey) AS BIGINT)
+       |           AS n_item
+       |  FROM li GROUP BY 1),
+       |rules AS (
+       |  SELECT a AS ante, b AS cons, w FROM und
+       |  UNION ALL SELECT b, a, w FROM und)
+       |SELECT r.ante AS antecedent, r.cons AS consequent,
+       |       r.w AS pair_support, ia.n_item AS ante_support,
+       |       ib.n_item AS cons_support,
+       |       CAST(r.w * 1000000 // ia.n_item AS DOUBLE) / 1000000.0
+       |         AS confidence,
+       |       floor(CAST(n_baskets AS DOUBLE) * CAST(r.w AS DOUBLE)
+       |             / (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE))
+       |             * 10000.0 + 0.5) / 10000.0 AS lift
+       |FROM rules r
+       |JOIN ic ia ON r.ante = ia.item
+       |JOIN ic ib ON r.cons = ib.item
+       |CROSS JOIN nb
+       |ORDER BY r.w * 1000000 // ia.n_item DESC, antecedent, consequent
+       |LIMIT $AR_TOP""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_assoc_rules", assocRules, Some(assocRulesSql),
+      doc = "market-basket association rules from the memoized pair " +
+        "build: exact integer-division confidence, fixed-IEEE lift, " +
+        "top-20 with deterministic tiebreak"),
     Q("q_link_prediction", linkPrediction, Some(linkPredictionSql),
       doc = "Jaccard link prediction on the affinity graph: capped " +
         "wedge self-join for common-neighbor evidence, anti-join " +

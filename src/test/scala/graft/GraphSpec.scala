@@ -81,6 +81,24 @@ class GraphSpec extends SparkTestBase {
     assert(q2 < q, s"orthogonal partition must score below aligned: $q2 vs $q")
   }
 
+  test("assoc rules: hand baskets give exact confidence and lift, " +
+    "ordered by confidence with id tiebreaks") {
+    import spark.implicits._
+    // baskets: {1,2} x2, {1,3} x2 -> pairs (1,2) w=2, (1,3) w=2;
+    // item supports 1:4, 2:2, 3:2; N=4
+    val li = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 3L), (13L, 1L), (13L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+    val und = operators.Graph.affinityEdgesOn(li)
+    val got = operators.Graph.assocRulesOn(li, und).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getAs[Long]("pair_support"),
+        r.getAs[Double]("confidence"), r.getAs[Double]("lift")))
+    assert(got.toSeq == Seq(
+      (2L, 1L, 2L, 1.0, 1.0), (3L, 1L, 2L, 1.0, 1.0),
+      (1L, 2L, 2L, 0.5, 1.0), (1L, 3L, 2L, 0.5, 1.0)), s"got ${got.toSeq}")
+    spark.catalog.clearCache()
+  }
+
   test("link prediction: square predicts both diagonals at jaccard 1, " +
     "existing edges are excluded, hub centers contribute no evidence") {
     import spark.implicits._

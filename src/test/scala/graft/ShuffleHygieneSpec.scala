@@ -130,6 +130,8 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     // 5-row per-language parameter frame crossJoined onto the holdout
     // scan + the 1-row vocab/train-count/accuracy frames
     "q_naive_bayes",
+    // 1-row basket-census frame broadcast onto the rule table
+    "q_assoc_rules",
     // 1-row corpus-token-total frame broadcast onto the pair table
     "q_keywords",
     // 1-row query-phrase frame broadcast onto the posting scan (the OR
