@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -703,6 +703,218 @@ object Inference {
       |              / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
       |             * 10000.0 + 0.5) / 10000.0 AS rank_biserial
       |FROM v""".stripMargin
+
+  /** Welch's unequal-variance t-test — [[mannWhitney]]'s parametric
+    * twin on the same question (are English documents longer?), the
+    * test a pipeline reports when means, not ranks, are the deliverable.
+    * No pooled-variance assumption: t = (m₁−m₂)/√(v₁/n₁+v₂/n₂) with the
+    * Welch–Satterthwaite df.
+    *
+    * Exactness: both groups' sufficient statistics (n, Σx, Σx²) are
+    * exact integer sums PIVOTED WIDE by conditional aggregation, so the
+    * whole t/df/Cohen's-d computation is ONE fixed IEEE sequence over
+    * six exact integers on one row — no cross-group float sum exists to
+    * be order-dependent. Sums ride DECIMAL(38,0) (Σx² passes int64 at
+    * the 10¹¹-doc posture). Zero-variance degenerates yield NULL t
+    * rather than an ANSI divide error ([[mannWhitney]] precedent).
+    * Shape: one scan, one 1-row reduce. */
+  def welchTtest(s: SparkSession, dir: String): DataFrame =
+    welchTtestOn(Tables.documents(s, dir))
+
+  /** [[welchTtest]] over an explicit (n_chars, lang) frame. */
+  private[graft] def welchTtestOn(docs: DataFrame): DataFrame = {
+    val x = col("n_chars").cast("decimal(38,0)")
+    val en = col("lang") === "en"
+    val w = docs.agg(
+      sum(when(en, 1L).otherwise(0L)).as("n1"),
+      sum(when(!en, 1L).otherwise(0L)).as("n2"),
+      sum(when(en, x).otherwise(lit(0L))).as("s1"),
+      sum(when(!en, x).otherwise(lit(0L))).as("s2"),
+      sum(when(en, x * x).otherwise(lit(0L))).as("q1"),
+      sum(when(!en, x * x).otherwise(lit(0L))).as("q2"))
+    def d(c: String) = col(c).cast("double")
+    // sample variances v_i = (Σx² − (Σx)²/n) / (n−1), then the Welch
+    // sequence — every operand exact, identical operand order in SQL
+    val withV = w
+      .withColumn("v1", (d("q1") - d("s1") * d("s1") / d("n1"))
+        / (d("n1") - lit(1.0d)))
+      .withColumn("v2", (d("q2") - d("s2") * d("s2") / d("n2"))
+        / (d("n2") - lit(1.0d)))
+      .withColumn("se2", col("v1") / d("n1") + col("v2") / d("n2"))
+    def fix4(c: Column) =
+      floor(c * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)
+    withV.select(
+      col("n1").cast("bigint").as("n1"), col("n2").cast("bigint").as("n2"),
+      fix4(d("s1") / d("n1")).as("mean_en"),
+      fix4(d("s2") / d("n2")).as("mean_other"),
+      when(col("se2") > 0d,
+        fix4((d("s1") / d("n1") - d("s2") / d("n2")) / sqrt(col("se2"))))
+        .as("t"),
+      when(col("se2") > 0d,
+        fix4(col("se2") * col("se2")
+          / (col("v1") * col("v1") / (d("n1") * d("n1") * (d("n1") - 1.0d))
+            + col("v2") * col("v2")
+              / (d("n2") * d("n2") * (d("n2") - 1.0d))))).as("df"),
+      when(col("se2") > 0d,
+        fix4((d("s1") / d("n1") - d("s2") / d("n2"))
+          / sqrt(((d("n1") - 1.0d) * col("v1") + (d("n2") - 1.0d) * col("v2"))
+            / (d("n1") + d("n2") - 2.0d)))).as("cohens_d"))
+  }
+
+  private val welchTtestSql =
+    """WITH w AS (
+      |  SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n1,
+      |         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+      |           AS n2,
+      |         sum(CASE WHEN lang = 'en'
+      |             THEN CAST(n_chars AS DECIMAL(38,0)) ELSE 0 END) AS s1,
+      |         sum(CASE WHEN lang = 'en'
+      |             THEN 0 ELSE CAST(n_chars AS DECIMAL(38,0)) END) AS s2,
+      |         sum(CASE WHEN lang = 'en'
+      |             THEN CAST(n_chars AS DECIMAL(38,0)) * n_chars
+      |             ELSE 0 END) AS q1,
+      |         sum(CASE WHEN lang = 'en'
+      |             THEN 0
+      |             ELSE CAST(n_chars AS DECIMAL(38,0)) * n_chars END) AS q2
+      |  FROM documents),
+      |v AS (
+      |  SELECT n1, n2, s1, s2,
+      |         (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+      |            / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) AS v1,
+      |         (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+      |            / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0) AS v2
+      |  FROM w),
+      |v2t AS (
+      |  SELECT *, v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE) AS se2
+      |  FROM v)
+      |SELECT n1, n2,
+      |       floor(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) * 10000.0 + 0.5)
+      |         / 10000.0 AS mean_en,
+      |       floor(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) * 10000.0 + 0.5)
+      |         / 10000.0 AS mean_other,
+      |       CASE WHEN se2 > 0 THEN
+      |         floor((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |                - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+      |               / sqrt(se2) * 10000.0 + 0.5) / 10000.0 END AS t,
+      |       CASE WHEN se2 > 0 THEN
+      |         floor(se2 * se2
+      |               / (v1 * v1 / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+      |                             * (CAST(n1 AS DOUBLE) - 1.0))
+      |                  + v2 * v2 / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE)
+      |                               * (CAST(n2 AS DOUBLE) - 1.0)))
+      |               * 10000.0 + 0.5) / 10000.0 END AS df,
+      |       CASE WHEN se2 > 0 THEN
+      |         floor((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |                - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+      |               / sqrt(((CAST(n1 AS DOUBLE) - 1.0) * v1
+      |                       + (CAST(n2 AS DOUBLE) - 1.0) * v2)
+      |                      / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0))
+      |               * 10000.0 + 0.5) / 10000.0 END AS cohens_d
+      |FROM v2t""".stripMargin
+
+  /** One-way ANOVA F across all languages — [[kruskalWallis]]'s
+    * parametric twin, same omnibus question on means instead of ranks.
+    * F = (SSB/(k−1)) / (SSW/(N−k)).
+    *
+    * FP determinism across k groups (the [[kruskalWallis]] discipline):
+    * each group's SSB and SSW contributions are computed as one fixed
+    * IEEE sequence over that group's exact integers (n_g, Σx_g, Σx²_g,
+    * global N, Σx) and quantized to 1e-3 units BEFORE the order-free
+    * BIGINT cross-group sum:
+    *   ssw_g = Σx²_g − (Σx_g)²/n_g
+    *   ssb_g = n_g·(Σx_g/n_g − Σx/N)²
+    * Shape: one scan → per-group integer stats (k rows) → 1-row totals
+    * broadcast back → k-row reduce. */
+  def anovaF(s: SparkSession, dir: String): DataFrame =
+    anovaFOn(Tables.documents(s, dir))
+
+  /** [[anovaF]] over an explicit (n_chars, lang) frame. */
+  private[graft] def anovaFOn(docs: DataFrame): DataFrame = {
+    val x = col("n_chars").cast("decimal(38,0)")
+    val g = docs.groupBy("lang").agg(
+      count(lit(1)).as("n_g"), sum(x).as("s_g"), sum(x * x).as("q_g"))
+    val tot = g.agg(sum("n_g").as("n"), sum("s_g").as("s"),
+      count(lit(1)).as("k"))
+    def d(c: String) = col(c).cast("double")
+    val per = g.crossJoin(broadcast(tot))
+      .withColumn("ssw3",
+        floor((d("q_g") - d("s_g") * d("s_g") / d("n_g")) * lit(1000.0d)
+          + lit(0.5d)).cast("long"))
+      .withColumn("ssb3",
+        floor(d("n_g")
+          * (d("s_g") / d("n_g") - d("s") / d("n"))
+          * (d("s_g") / d("n_g") - d("s") / d("n")) * lit(1000.0d)
+          + lit(0.5d)).cast("long"))
+    def fix4(c: Column) =
+      floor(c * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)
+    val f = per.agg(sum("ssb3").as("ssb3"), sum("ssw3").as("ssw3"),
+        first("n").as("n"), first("k").as("k"))
+      .select(
+        (col("k") - lit(1L)).as("df_between"),
+        (col("n") - col("k")).cast("bigint").as("df_within"),
+        fix4(col("ssb3").cast("double") / lit(1000.0d)).as("ss_between"),
+        fix4(col("ssw3").cast("double") / lit(1000.0d)).as("ss_within"),
+        when(col("ssw3") > 0L && col("n").cast("long") > col("k"),
+          fix4((col("ssb3").cast("double") / (col("k") - lit(1L))
+            .cast("double"))
+            / (col("ssw3").cast("double")
+              / (col("n").cast("double") - col("k").cast("double")))))
+          .as("f_stat"))
+    g.select(col("lang"), col("n_g").as("n"),
+        fix4(d("s_g") / d("n_g")).as("mean_chars"))
+      .crossJoin(broadcast(f))
+      .orderBy("lang")
+  }
+
+  private val anovaFSql =
+    """WITH g AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n_g,
+      |         CAST(sum(CAST(n_chars AS DECIMAL(38,0))) AS DECIMAL(38,0))
+      |           AS s_g,
+      |         CAST(sum(CAST(n_chars AS DECIMAL(38,0)) * n_chars)
+      |              AS DECIMAL(38,0)) AS q_g
+      |  FROM documents GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(n_g) AS BIGINT) AS n,
+      |         CAST(sum(s_g) AS DECIMAL(38,0)) AS s,
+      |         CAST(count(*) AS BIGINT) AS k
+      |  FROM g),
+      |per AS (
+      |  SELECT g.*, tot.n, tot.s, tot.k,
+      |         CAST(floor((CAST(q_g AS DOUBLE)
+      |                - CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+      |                  / CAST(n_g AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT)
+      |           AS ssw3,
+      |         CAST(floor(CAST(n_g AS DOUBLE)
+      |                * (CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE)
+      |                   - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+      |                * (CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE)
+      |                   - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+      |                * 1000.0 + 0.5) AS BIGINT) AS ssb3
+      |  FROM g CROSS JOIN tot),
+      |f AS (
+      |  SELECT CAST(any_value(k) - 1 AS BIGINT) AS df_between,
+      |         CAST(any_value(n) - any_value(k) AS BIGINT) AS df_within,
+      |         floor(CAST(sum(ssb3) AS DOUBLE) / 1000.0 * 10000.0 + 0.5)
+      |           / 10000.0 AS ss_between,
+      |         floor(CAST(sum(ssw3) AS DOUBLE) / 1000.0 * 10000.0 + 0.5)
+      |           / 10000.0 AS ss_within,
+      |         CASE WHEN CAST(sum(ssw3) AS BIGINT) > 0
+      |                   AND any_value(n) > any_value(k) THEN
+      |           floor((CAST(sum(ssb3) AS DOUBLE)
+      |                  / (CAST(any_value(k) AS DOUBLE) - 1.0))
+      |                 / (CAST(sum(ssw3) AS DOUBLE)
+      |                    / (CAST(any_value(n) AS DOUBLE)
+      |                       - CAST(any_value(k) AS DOUBLE)))
+      |                 * 10000.0 + 0.5) / 10000.0 END AS f_stat
+      |  FROM per)
+      |SELECT lang, n_g AS n,
+      |       floor(CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE) * 10000.0 + 0.5)
+      |         / 10000.0 AS mean_chars,
+      |       df_between, df_within, ss_between, ss_within, f_stat
+      |FROM g CROSS JOIN f
+      |ORDER BY lang""".stripMargin
 
   /** Kruskal-Wallis H — [[mannWhitney]]'s k-group generalization: does
     * document length differ across ALL languages at once (one omnibus
@@ -1555,6 +1767,14 @@ object Inference {
   }
 
   val all: Seq[Q] = Seq(
+    Q("q_welch_ttest", welchTtest, Some(welchTtestSql),
+      doc = "Welch unequal-variance t-test en-vs-other doc length: " +
+        "exact integer sufficient stats pivoted wide, one fixed IEEE " +
+        "sequence for t / Welch-Satterthwaite df / Cohen's d"),
+    Q("q_anova_f", anovaF, Some(anovaFSql),
+      doc = "one-way ANOVA F across languages: per-group SSB/SSW " +
+        "contributions quantized to 1e-3 before the order-free " +
+        "cross-group sum (the Kruskal-Wallis discipline)"),
     Q("q_kruskal_wallis", kruskalWallis, Some(kruskalWallisSql),
       doc = "Kruskal-Wallis H across languages: doubled-midrank exact " +
         "integers, per-group contribution quantized to 1e-6 before the " +

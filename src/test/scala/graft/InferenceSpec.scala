@@ -272,6 +272,43 @@ class InferenceSpec extends SparkTestBase {
       ("b", "2024-01-02", (50.0, -25.0, 25.0))), s"got ${got.toSeq}")
   }
 
+  test("Welch t-test: hand two-group fixture hits the textbook " +
+    "t / Welch df / Cohen's d") {
+    import spark.implicits._
+    // en = [1,2,3] (mean 2, var 1), other = [4,6] (mean 5, var 2):
+    // t = -3/sqrt(1/3 + 1) = -2.5981, df = (4/3)^2/(1/18 + 1) = 1.6842,
+    // d = -3/sqrt(4/3) = -2.5981
+    val docs = Seq((1L, "en"), (2L, "en"), (3L, "en"),
+      (4L, "fr"), (6L, "fr")).toDF("n_chars", "lang")
+    val r = Inference.welchTtestOn(docs).collect().head
+    assert(r.getAs[Long]("n1") == 3L && r.getAs[Long]("n2") == 2L)
+    assert(r.getAs[Double]("mean_en") == 2.0)
+    assert(r.getAs[Double]("mean_other") == 5.0)
+    assert(math.abs(r.getAs[Double]("t") - (-2.5981)) < 1e-9, s"$r")
+    assert(math.abs(r.getAs[Double]("df") - 1.6842) < 1e-9, s"$r")
+    assert(math.abs(r.getAs[Double]("cohens_d") - (-2.5981)) < 1e-9, s"$r")
+  }
+
+  test("ANOVA F: three planted groups with equal within-variance hit " +
+    "the exact textbook F") {
+    import spark.implicits._
+    // [1,2,3], [2,3,4], [6,7,8]: SSW = 6, SSB = 42, F = (42/2)/(6/6) = 21
+    val docs = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 2L), ("b", 3L), ("b", 4L),
+      ("c", 6L), ("c", 7L), ("c", 8L))
+      .toDF("lang", "n_chars")
+    val rows = Inference.anovaFOn(docs).collect()
+    assert(rows.length == 3)
+    val r = rows.head
+    assert(r.getAs[Long]("df_between") == 2L &&
+      r.getAs[Long]("df_within") == 6L)
+    assert(r.getAs[Double]("ss_between") == 42.0, s"$r")
+    assert(r.getAs[Double]("ss_within") == 6.0, s"$r")
+    assert(r.getAs[Double]("f_stat") == 21.0, s"$r")
+    assert(rows.map(x => (x.getString(0), x.getAs[Double]("mean_chars")))
+      .toSeq == Seq(("a", 2.0), ("b", 3.0), ("c", 7.0)))
+  }
+
   test("Kruskal-Wallis: textbook no-tie fixture hits H = 7.2; tie " +
     "correction scales a tied fixture to exactly 1.0") {
     import spark.implicits._

@@ -121,6 +121,8 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     // |langs|-row group frame crossJoined with the 1-row totals and the
     // 1-row H frames
     "q_kruskal_wallis",
+    // same |langs|-row group frame + 1-row totals/F shape
+    "q_anova_f",
     // inequality join over the ≤550-cell contingency table (domain² cell
     // pairs, never facts) + 1-row marginal-census crossJoins
     "q_kendall_tau",
