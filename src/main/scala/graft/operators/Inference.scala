@@ -1198,6 +1198,101 @@ object Inference {
        |FROM f ORDER BY event_type, day""".stripMargin
   }
 
+  /** Holt-Winters additive triple smoothing (period 7) of the per-type
+    * daily volume — the final member of the exponential family
+    * ([[ewma]] level → [[holt]] level+trend → here level+trend+weekly
+    * seasonal), the classic capacity-planning forecaster for traffic
+    * with a day-of-week shape. α = β = γ = 1/2: all three recurrences
+    *   l_t = (y_t − s_{t−7} + l_{t−1} + b_{t−1}) / 2
+    *   b_t = (b_{t−1} + (l_t − l_{t−1})) / 2
+    *   s_t = (s_{t−7} + (y_t − l_t)) / 2
+    * are pure BIGINT halvings in 1e-6 units (signed-shift floor
+    * division; seeds l₁ = y₁, b = 0, s ≡ 0).
+    *
+    * The 9-slot state [l, b, s⁰..s⁶] uses ROTATION encoding: the
+    * seasonal due NOW is always slot 3, and each step emits
+    * [l', b', s⁴..s⁹ shifted up, s'] — appending the refreshed seasonal
+    * at the tail instead of updating by index, because neither engine's
+    * fold lambda has a portable indexed-update primitive. One-step
+    * forecast = l' + b' + (next slot-3). Scale posture: the [[ewma]] /
+    * [[holt]] shape — facts collapse to (type, day) counts; folds run
+    * over calendar-bounded arrays. */
+  def holtWinters(s: SparkSession, dir: String): DataFrame =
+    holtWintersOn(Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x")))
+
+  /** Holt-Winters core over an (event_type, day, x) daily frame. */
+  private[graft] def holtWintersOn(daily: DataFrame): DataFrame = {
+    val wCum = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // l' feeds both b' and s', so its halving is spelled inline thrice
+    // (the [[holtOn]] precedent, one more consumer)
+    val lNext = s"((v * 1000000L - element_at(acc, 3) + element_at(acc, 1)" +
+      s" + element_at(acc, 2) + ${H_OFF}L) div 2L) - ${H_HALF}L"
+    def disp(e6: String) =
+      s"cast(((($e6) + 50L + 1000000000000000L) div 100L)" +
+        s" - 10000000000000L as double) / 10000.0d"
+    daily.withColumn("xs", collect_list("x").over(wCum))
+      .withColumn("st", expr(
+        s"""aggregate(slice(xs, 2, size(xs) - 1),
+           |          array(element_at(xs, 1) * 1000000L,
+           |                0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L),
+           |          (acc, v) -> concat(
+           |            array(
+           |              $lNext,
+           |              ((element_at(acc, 2) + ($lNext)
+           |                - element_at(acc, 1) + ${H_OFF}L) div 2L)
+           |                - ${H_HALF}L),
+           |            slice(acc, 4, 6),
+           |            array(
+           |              ((element_at(acc, 3) + v * 1000000L - ($lNext)
+           |                + ${H_OFF}L) div 2L) - ${H_HALF}L)))""".stripMargin))
+      .select(col("event_type"), col("day"), col("x"),
+        expr(disp("element_at(st, 1)")).as("level"),
+        expr(disp("element_at(st, 2)")).as("trend"),
+        expr(disp("element_at(st, 9)")).as("seasonal"),
+        expr(disp("element_at(st, 1) + element_at(st, 2)"
+          + " + element_at(st, 3)")).as("forecast"))
+      .orderBy("event_type", "day")
+  }
+
+  private val holtWintersSql = {
+    val lNext = s"((e[1] - acc[3] + acc[1] + acc[2] + ${H_OFF}) // 2)" +
+      s" - ${H_HALF}"
+    def disp(e6: String) =
+      s"CAST(((($e6) + 50 + 1000000000000000) // 100)" +
+        s" - 10000000000000 AS DOUBLE) / 10000.0"
+    s"""WITH d AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |         CAST(count(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2),
+       |l AS (
+       |  SELECT event_type, day, x,
+       |         list(x) OVER (PARTITION BY event_type ORDER BY day
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS xs
+       |  FROM d),
+       |f AS (
+       |  SELECT event_type, day, x,
+       |         list_reduce(
+       |           list_prepend(
+       |             [xs[1] * 1000000, CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0, 0],
+       |             list_transform(xs[2:], v -> [v * 1000000])),
+       |           (acc, e) -> [ $lNext,
+       |             ((acc[2] + ($lNext) - acc[1] + ${H_OFF}) // 2)
+       |               - ${H_HALF} ]
+       |             || acc[4:9]
+       |             || [ ((acc[3] + e[1] - ($lNext) + ${H_OFF}) // 2)
+       |                  - ${H_HALF} ]) AS st
+       |  FROM l)
+       |SELECT event_type, day, x,
+       |       ${disp("st[1]")} AS level,
+       |       ${disp("st[2]")} AS trend,
+       |       ${disp("st[9]")} AS seasonal,
+       |       ${disp("st[1] + st[2] + st[3]")} AS forecast
+       |FROM f ORDER BY event_type, day""".stripMargin
+  }
+
   /** STL-style additive decomposition of the daily total-event series:
     * x = trend + seasonal + residual, with trend = centered 7-day moving
     * average (full windows only), seasonal = per-day-of-week mean of the
@@ -1803,6 +1898,10 @@ object Inference {
     Q("q_nelson_aalen", nelsonAalen, Some(nelsonAalenSql),
       doc = "Nelson-Aalen cumulative hazard of time-to-first-purchase: " +
         "1e-6-fixed exact-integer d/n increments, BIGINT running sum"),
+    Q("q_holt_winters", holtWinters, Some(holtWintersSql),
+      doc = "Holt-Winters additive triple smoothing, period 7, dyadic " +
+        "alpha=beta=gamma=1/2: 9-slot rotation-encoded BIGINT state " +
+        "fold, exact in both engines"),
     Q("q_holt", holt, Some(holtSql),
       doc = "Holt linear-trend smoothing of per-type daily volume, " +
         "dyadic alpha=beta=1/2: exact BIGINT two-state fold (array " +

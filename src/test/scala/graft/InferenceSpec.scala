@@ -333,6 +333,32 @@ class InferenceSpec extends SparkTestBase {
     assert(math.abs(t0.getAs[Double]("h_tie_corrected") - 1.0) < 1e-9)
   }
 
+  test("Holt-Winters: hand 3-day recurrence with negative trend and " +
+    "seasonal; constant series is a fixpoint through full rotation") {
+    import spark.implicits._
+    def daily(t: String, xs: Seq[Long]) = xs.zipWithIndex.map {
+      case (x, i) =>
+        (t, java.sql.Date.valueOf(f"2024-01-${i + 1}%02d"), x)
+    }
+    val df = (daily("a", Seq(8L, 12L, 6L)) ++
+      daily("c", Seq.fill(10)(5L)))
+      .toDF("event_type", "day", "x")
+    val got = Inference.holtWintersOn(df).collect().map(r =>
+      (r.getString(0), r.getDate(1).toString,
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+    // a: seed l=8,b=0,s=0; day2: l=(12-0+8+0)/2=10, b=(0+2)/2=1,
+    //    s'=(0+12-10)/2=1, fc=10+1+0=11
+    //    day3: l=(6-0+10+1)/2=8.5, b=(1-1.5)/2=-0.25, s'=(0+6-8.5)/2=-1.25,
+    //    fc=8.5-0.25+0=8.25
+    val a = got.filter(_._1 == "a").map(_._3)
+    assert(a.toSeq == Seq((8.0, 0.0, 0.0, 8.0), (10.0, 1.0, 1.0, 11.0),
+      (8.5, -0.25, -1.25, 8.25)), s"got ${a.toSeq}")
+    // constant series: l=c, b=0, s=0 is a fixpoint of all three
+    // recurrences, and 10 days > period 7 exercises a full rotation
+    val c = got.filter(_._1 == "c").map(_._3)
+    assert(c.forall(_ == (5.0, 0.0, 0.0, 5.0)), s"got ${c.toSeq}")
+  }
+
   test("STL: periodic series decomposes to flat trend, exact seasonal, " +
     "zero residual") {
     import spark.implicits._
