@@ -363,6 +363,76 @@ object StreamOps {
     * dropDuplicatesWithinWatermark trade: exactness inside the horizon,
     * bounded state). EventTimeTimeout flushes closable days when a type
     * goes quiet. */
+  /** One emitted forecasting point of [[holtWintersMonitor]]. */
+  final case class HwPoint(event_type: String, day: String, x: Long,
+                           level: Double, trend: Double, seasonal: Double,
+                           forecast: Double)
+
+  /** Per-type fold state for [[holtWintersMonitor]]: open-day counts +
+    * the 9-slot [l, b, s⁰..s⁶] rotation-encoded vector in 1e-6 units. */
+  final case class HwFold(open: Map[Long, Long], st: Array[Long],
+                          seeded: Boolean)
+
+  /** Streaming twin of the batch Holt-Winters census (q_holt_winters):
+    * the SAME 9-slot BIGINT state machine — dyadic level/trend/seasonal
+    * halvings via floorDiv, rotation-encoded weekly seasonals — run as
+    * flatMapGroupsWithState, emitting one forecasting point as each day
+    * closes under the watermark. Pure-integer state means the stream is
+    * BIT-IDENTICAL to the batch fold over the same rows (StreamOpsSpec
+    * asserts it against Inference.holtWintersOn). Same open-day
+    * bookkeeping, in-order closing, and timeout flush as
+    * [[ewmaMonitor]]. */
+  def holtWintersMonitor(events: Dataset[UserEvent]): Dataset[HwPoint] = {
+    import events.sparkSession.implicits._
+    val DAY_MS = 86400000L
+    def disp(v: Long): Double =
+      Math.floorDiv(v + 50L, 100L).toDouble / 10000.0
+    events
+      .withWatermark("ts", "1 second")
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[HwFold, HwPoint](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (tp: String, evs: Iterator[UserEvent], state: GroupState[HwFold]) =>
+          var st = state.getOption
+            .getOrElse(HwFold(Map.empty, Array.fill(9)(0L), false))
+          val wm = state.getCurrentWatermarkMs()
+          if (!state.hasTimedOut) {
+            evs.foreach { e =>
+              val d = Math.floorDiv(e.ts.getTime, DAY_MS)
+              if ((d + 1) * DAY_MS > wm)
+                st = st.copy(open =
+                  st.open.updated(d, st.open.getOrElse(d, 0L) + 1L))
+            }
+          }
+          val closable = st.open.keys.filter(d => (d + 1) * DAY_MS <= wm)
+            .toSeq.sorted
+          val out = closable.map { d =>
+            val x = st.open(d)
+            val v = x * 1000000L
+            val next =
+              if (!st.seeded) Array(v, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+              else {
+                val (l, b, sDue) = (st.st(0), st.st(1), st.st(2))
+                val lN = Math.floorDiv(v - sDue + l + b, 2L)
+                val bN = Math.floorDiv(b + lN - l, 2L)
+                val sN = Math.floorDiv(sDue + v - lN, 2L)
+                Array(lN, bN) ++ st.st.slice(3, 9) :+ sN
+              }
+            st = HwFold(st.open - d, next, seeded = true)
+            HwPoint(tp, java.time.LocalDate.ofEpochDay(d).toString, x,
+              disp(next(0)), disp(next(1)), disp(next(8)),
+              disp(next(0) + next(1) + next(2)))
+          }
+          if (st.open.isEmpty && !st.seeded) state.remove()
+          else {
+            state.update(st)
+            if (st.open.nonEmpty)
+              state.setTimeoutTimestamp((st.open.keys.min + 1) * DAY_MS)
+          }
+          out.iterator
+      }
+  }
+
   def ewmaMonitor(events: Dataset[UserEvent]): Dataset[EwmaPoint] = {
     import events.sparkSession.implicits._
     val DAY_MS = 86400000L

@@ -438,6 +438,53 @@ class StreamOpsSpec extends SparkTestBase {
     w1.foreach(t => assert(t._4 > 0.0d, s"drifted window must score: $t"))
   }
 
+  test("holtWintersMonitor: stream emits the batch 9-slot fold " +
+    "bit-identically, negative trend included") {
+    implicit val ctx = spark.sqlContext
+    def dts(day: Int, h: Int) =
+      Timestamp.valueOf(f"2026-03-$day%02d $h%02d:00:00")
+    def burst(day: Int, n: Int) =
+      (1 to n).map(i => UserEvent(i.toLong, dts(day, 1), "a", 0.0))
+    val mem = MemoryStream[UserEvent]
+    val q = StreamOps.holtWintersMonitor(mem.toDS())
+      .writeStream.format("memory").queryName("hw_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // falling series 8 -> 12 -> 6 (the InferenceSpec hand recurrence:
+      // day 3 has negative trend and seasonal)
+      mem.addData(burst(1, 8): _*)
+      q.processAllAvailable()
+      mem.addData(burst(2, 12): _*)
+      q.processAllAvailable()
+      mem.addData(burst(3, 6): _*)
+      q.processAllAvailable()
+      mem.addData(UserEvent(99L, dts(28, 0), "z", 0.0))
+      q.processAllAvailable()
+      mem.addData(UserEvent(99L, dts(28, 1), "z", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("hw_sink")
+      .filter($"event_type" === "a").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("2026-03-01", 8L, 8.0, 0.0, 0.0, 8.0),
+      ("2026-03-02", 12L, 10.0, 1.0, 1.0, 11.0),
+      ("2026-03-03", 6L, 8.5, -0.25, -1.25, 8.25)), s"got ${got.toSeq}")
+    // bit-identical to the BATCH fold over the same rows
+    val batchRows = burst(1, 8) ++ burst(2, 12) ++ burst(3, 6)
+    val batch = graft.operators.Inference.holtWintersOn(
+      batchRows.toDF()
+        .select($"event_type",
+          org.apache.spark.sql.functions.to_date($"ts").as("day"))
+        .groupBy("event_type", "day").count().withColumnRenamed("count", "x"))
+      .collect()
+      .map(r => (r.getDate(1).toString, r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      .sortBy(_._1)
+    assert(got.toSeq == batch.toSeq, "stream and batch folds diverged")
+  }
+
   test("ewmaMonitor: stream emits the batch dyadic fold bit-identically " +
     "as days close") {
     implicit val ctx = spark.sqlContext
