@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -1113,6 +1113,139 @@ object Profiling {
        |             * 10000.0 + 0.5) / 10000.0 AS acf
        |FROM st ORDER BY lag""".stripMargin
 
+  /** AR(2) fit of the per-type daily volume by Yule-Walker — [[acf]]'s
+    * consumer: the closed-form autoregression a capacity model starts
+    * from (φ₁ tells momentum, φ₂ mean-reversion, and 1−φ·ρ the
+    * fraction of variance the AR structure leaves unexplained).
+    *   φ₁ = ρ₁(1−ρ₂)/(1−ρ₁²), φ₂ = (ρ₂−ρ₁²)/(1−ρ₁²),
+    *   σ²/c₀ = 1 − φ₁ρ₁ − φ₂ρ₂.
+    *
+    * Exactness: autocovariances use the GLOBAL per-type mean via the
+    * integer substitution a_t = n·y_t − Σy (n² cancels in every ratio),
+    * so ρ_k = Σa_t·a_{t+k} / Σa_t² is a single division of two exact
+    * DECIMAL(38,0) sums and the φ sequence is one fixed IEEE chain per
+    * type (no cross-group sums exist). A constant series has c₀ = 0 and
+    * a unit-root-like ρ₁² = 1 degenerates — both yield NULL φ rather
+    * than a divide error.
+    *
+    * Shape: facts collapse to (type, day) counts; lag alignment is the
+    * [[acf]] explode + EQUI join on the calendar-sized frame; the
+    * per-type totals frame is broadcast back. */
+  def arFit(s: SparkSession, dir: String): DataFrame =
+    arFitOn(Tables.events(s, dir)
+      .select(col("event_type"),
+        datediff(to_date(date_trunc("DAY", col("ts"))),
+          lit("1970-01-01").cast("date")).cast("bigint").as("x")))
+
+  /** [[arFit]] core over an explicit (event_type, x=epoch-day) frame. */
+  private[graft] def arFitOn(ev: DataFrame): DataFrame = {
+    val daily = ev.groupBy("event_type", "x").agg(count(lit(1)).as("y"))
+      .cache()
+    val tot = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum("y").as("sy"))
+    val a = daily.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("x"),
+        (col("n_days").cast("decimal(38,0)") * col("y") - col("sy"))
+          .as("av"))
+      .cache()
+    val c0 = a.groupBy("event_type")
+      .agg(sum(col("av") * col("av")).as("c0"))
+    val ck = a
+      .withColumn("lag", explode(array(lit(1L), lit(2L))))
+      .select(col("event_type"), col("lag"), col("av").as("a1"),
+        (col("x") + col("lag")).as("qx"))
+      .join(a.select(col("event_type"), col("x").as("qx"),
+        col("av").as("a2")), Seq("event_type", "qx"))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("lag") === 1L, col("a1") * col("a2"))
+          .otherwise(lit(0L))).as("c1"),
+        sum(when(col("lag") === 2L, col("a1") * col("a2"))
+          .otherwise(lit(0L))).as("c2"))
+    def fix4(c: Column) =
+      floor(c * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)
+    tot.join(c0, "event_type").join(ck, "event_type")
+      // guard INSIDE the ratio: ANSI mode turns an eager c1/c0 into a
+      // divide error on the degenerate constant series (c0 = 0); the
+      // NULL then propagates through every downstream when()
+      .withColumn("r1", when(col("c0") > 0L,
+        col("c1").cast("double") / col("c0").cast("double")))
+      .withColumn("r2", when(col("c0") > 0L,
+        col("c2").cast("double") / col("c0").cast("double")))
+      .select(col("event_type"), col("n_days"),
+        when(col("c0") > 0L, fix4(col("r1"))).as("rho1"),
+        when(col("c0") > 0L, fix4(col("r2"))).as("rho2"),
+        when(col("c0") > 0L &&
+          lit(1.0d) - col("r1") * col("r1") > 0d,
+          fix4(col("r1") * (lit(1.0d) - col("r2"))
+            / (lit(1.0d) - col("r1") * col("r1")))).as("phi1"),
+        when(col("c0") > 0L &&
+          lit(1.0d) - col("r1") * col("r1") > 0d,
+          fix4((col("r2") - col("r1") * col("r1"))
+            / (lit(1.0d) - col("r1") * col("r1")))).as("phi2"),
+        when(col("c0") > 0L &&
+          lit(1.0d) - col("r1") * col("r1") > 0d,
+          fix4(lit(1.0d)
+            - (col("r1") * (lit(1.0d) - col("r2"))
+              / (lit(1.0d) - col("r1") * col("r1"))) * col("r1")
+            - ((col("r2") - col("r1") * col("r1"))
+              / (lit(1.0d) - col("r1") * col("r1"))) * col("r2")))
+          .as("resid_var_ratio"))
+      .orderBy("event_type")
+  }
+
+  private val arFitSql =
+    """WITH daily AS MATERIALIZED (
+      |  SELECT event_type,
+      |         CAST(CAST(date_trunc('day', ts) AS DATE)
+      |              - DATE '1970-01-01' AS BIGINT) AS x,
+      |         CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |         CAST(sum(y) AS BIGINT) AS sy
+      |  FROM daily GROUP BY 1),
+      |a AS MATERIALIZED (
+      |  SELECT daily.event_type, x,
+      |         CAST(CAST(n_days AS DECIMAL(38,0)) * y - sy
+      |              AS DECIMAL(38,0)) AS av
+      |  FROM daily JOIN tot USING (event_type)),
+      |c0 AS (
+      |  SELECT event_type, CAST(sum(av * av) AS DECIMAL(38,0)) AS c0
+      |  FROM a GROUP BY 1),
+      |ck AS (
+      |  SELECT p.event_type,
+      |         CAST(sum(CASE WHEN l.lag = 1 THEN p.av * q.av
+      |                  ELSE 0 END) AS DECIMAL(38,0)) AS c1,
+      |         CAST(sum(CASE WHEN l.lag = 2 THEN p.av * q.av
+      |                  ELSE 0 END) AS DECIMAL(38,0)) AS c2
+      |  FROM a p
+      |  CROSS JOIN (SELECT unnest(generate_series(1, 2)) AS lag) l
+      |  JOIN a q ON p.event_type = q.event_type AND p.x + l.lag = q.x
+      |  GROUP BY 1),
+      |r AS (
+      |  SELECT tot.event_type, n_days, c0,
+      |         CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r1,
+      |         CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r2
+      |  FROM tot JOIN c0 USING (event_type) JOIN ck USING (event_type))
+      |SELECT event_type, n_days,
+      |       CASE WHEN c0 > 0 THEN
+      |         floor(r1 * 10000.0 + 0.5) / 10000.0 END AS rho1,
+      |       CASE WHEN c0 > 0 THEN
+      |         floor(r2 * 10000.0 + 0.5) / 10000.0 END AS rho2,
+      |       CASE WHEN c0 > 0 AND 1.0 - r1 * r1 > 0 THEN
+      |         floor(r1 * (1.0 - r2) / (1.0 - r1 * r1) * 10000.0 + 0.5)
+      |           / 10000.0 END AS phi1,
+      |       CASE WHEN c0 > 0 AND 1.0 - r1 * r1 > 0 THEN
+      |         floor((r2 - r1 * r1) / (1.0 - r1 * r1) * 10000.0 + 0.5)
+      |           / 10000.0 END AS phi2,
+      |       CASE WHEN c0 > 0 AND 1.0 - r1 * r1 > 0 THEN
+      |         floor((1.0
+      |                - (r1 * (1.0 - r2) / (1.0 - r1 * r1)) * r1
+      |                - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r2)
+      |               * 10000.0 + 0.5) / 10000.0 END AS resid_var_ratio
+      |FROM r ORDER BY event_type""".stripMargin
+
   /** KOLMOGOROV-SMIRNOV two-sample test between the train and test
     * splits' doc-length distributions — the exact-statistic complement
     * of [[driftPsi]]'s binned divergence: D = max |F_train − F_test|
@@ -1655,6 +1788,11 @@ object Profiling {
     Q("q_ks_test", ksTest, Some(ksTestSql)),
     Q("q_benford", benford, Some(benfordSql)),
     Q("q_acf", acf, Some(acfSql)),
+    Q("q_ar_fit", arFit, Some(arFitSql),
+      doc = "AR(2) Yule-Walker fit per event type: global-mean " +
+        "autocovariances as exact DECIMAL sums via the n*y - S " +
+        "substitution, closed-form phi with degenerate-series NULL " +
+        "guards"),
     Q("q_gini", gini, Some(giniSql)),
     Q("q_lorenz", lorenz, Some(lorenzSql),
       doc = "Lorenz deciles of customer revenue: exact-cents ntile(10) " +

@@ -66,6 +66,30 @@ class ProfilingSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("AR(2) fit: alternating series hits the hand Yule-Walker " +
+    "solution; constant series degenerates to NULL") {
+    import spark.implicits._
+    // y = 1,2,1,2,1,2: a_t = 6y-9 = ±3; c0=54, c1=-45, c2=36 ->
+    // rho1=-0.8333, rho2=0.6667, phi1=-0.9091, phi2=-0.0909, resid=0.3030
+    val ev = ((0 until 6).flatMap { d =>
+      Seq.fill(if (d % 2 == 0) 1 else 2)(("a", d.toLong))
+    } ++ (0 until 4).flatMap { d => Seq.fill(7)(("c", d.toLong)) })
+      .toDF("event_type", "x")
+    val rows = Profiling.arFitOn(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = rows("a")
+    assert(a.getAs[Double]("rho1") == -0.8333 &&
+      a.getAs[Double]("rho2") == 0.6667, s"$a")
+    assert(a.getAs[Double]("phi1") == -0.9091 &&
+      a.getAs[Double]("phi2") == -0.0909, s"$a")
+    assert(a.getAs[Double]("resid_var_ratio") == 0.303, s"$a")
+    // constant series: c0 = 0 -> every statistic NULL, no divide error
+    val c = rows("c")
+    assert(c.isNullAt(c.fieldIndex("rho1")) &&
+      c.isNullAt(c.fieldIndex("phi1")), s"$c")
+    spark.catalog.clearCache()
+  }
+
   test("kendall tau-b: perfect concordance hits 1, one swap gives 1/3, " +
     "tied fixture matches the hand tau-b") {
     import spark.implicits._
