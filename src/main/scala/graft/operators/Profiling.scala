@@ -1246,6 +1246,174 @@ object Profiling {
       |               * 10000.0 + 0.5) / 10000.0 END AS resid_var_ratio
       |FROM r ORDER BY event_type""".stripMargin
 
+  /** Partial autocorrelation (lags 1..7) of the per-type daily volume
+    * via DURBIN-LEVINSON — the AR-order selector: [[acf]] says "lag-7
+    * correlates", PACF says whether that is NEW structure or just lag-1
+    * echoing through (an AR(p) series has pacf ≈ 0 beyond p, so the
+    * cut-off picks p; [[arFit]] then fits it). pacf(L) = φ_LL from the
+    * recursion
+    *   φ_kk = (ρ_k − Σ_{j<k} φ_j ρ_{k−j}) / v,
+    *   φ_j ← φ_j − φ_kk φ_{k−j},   v ← v(1 − φ_kk²).
+    *
+    * Exactness: the ρ inputs are the [[arFit]] integer autocovariances
+    * quantized to 1e-6 (exact rational → identical doubles in both
+    * engines), and the recursion is a SEQUENTIAL FOLD over the lag
+    * index — [v, φ₁..φ_{k−1}, φ_k]-shaped array accumulator, the new
+    * φ_kk appended last so pacf(L) = acc[-1] — evaluated with the
+    * identical operation order in Spark `aggregate` and DuckDB
+    * `list_reduce` (the verify-skill sequential-fold rule: never a
+    * GROUP-BY sum over FP terms). A degenerate v = 0 (|ρ₁| = 1) turns
+    * into NULL via nullif, not an ANSI divide error.
+    *
+    * Shape: facts collapse to (type, day) counts; lag products ride the
+    * [[acf]] explode + equi-join; everything after is per-type rows
+    * folding ≤7-element arrays. */
+  def pacf(s: SparkSession, dir: String): DataFrame =
+    pacfOn(Tables.events(s, dir)
+      .select(col("event_type"),
+        datediff(to_date(date_trunc("DAY", col("ts"))),
+          lit("1970-01-01").cast("date")).cast("bigint").as("x")))
+
+  /** [[pacf]] core over an explicit (event_type, x=epoch-day) frame. */
+  private[graft] def pacfOn(ev: DataFrame): DataFrame = {
+    val daily = ev.groupBy("event_type", "x").agg(count(lit(1)).as("y"))
+      .cache()
+    val tot = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum("y").as("sy"))
+    val a = daily.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("x"),
+        (col("n_days").cast("decimal(38,0)") * col("y") - col("sy"))
+          .as("av"))
+      .cache()
+    val c0 = a.groupBy("event_type")
+      .agg(sum(col("av") * col("av")).as("c0"))
+    val lags = (1 to ACF_MAX_LAG).map(_.toLong)
+    val ck = a
+      .withColumn("lag", explode(array(lags.map(lit): _*)))
+      .select(col("event_type"), col("lag"), col("av").as("a1"),
+        (col("x") + col("lag")).as("qx"))
+      .join(a.select(col("event_type"), col("x").as("qx"),
+        col("av").as("a2")), Seq("event_type", "qx"))
+      .groupBy("event_type", "lag")
+      .agg(sum(col("a1") * col("a2")).as("ck"))
+    // ρ_k quantized to 1e-6: exact integers → identical doubles
+    val rhoWide = ck.join(c0, "event_type")
+      .withColumn("rho", when(col("c0") > 0L,
+        floor(col("ck").cast("double") / col("c0").cast("double")
+          * lit(1000000.0d) + lit(0.5d)) / lit(1000000.0d)))
+      .groupBy("event_type")
+      .agg(max(when(col("lag") === lags.head, col("rho")))
+        .as(s"r${lags.head}"),
+        lags.tail.map(k =>
+          max(when(col("lag") === k, col("rho"))).as(s"r$k")): _*)
+      .withColumn("rhos", array(lags.map(k => col(s"r$k")): _*))
+    // the Durbin-Levinson fold: φ_kk spelled inline wherever it appears
+    // (the holtWinters precedent); k = size(acc) at each step
+    val num = "element_at(rhos, size(acc))" +
+      " - aggregate(sequence(1, size(acc) - 1), 0.0d," +
+      " (s, j) -> s + element_at(acc, j + 1)" +
+      " * element_at(rhos, size(acc) - j))"
+    val phikk = s"(($num) / nullif(element_at(acc, 1), 0.0d))"
+    // slice(…, 2, lag−1) instead of sequence(2, lag): Spark's
+    // sequence(2, 1) is DESCENDING [2, 1] (step −1 default) where
+    // DuckDB's generate_series(2, 1) is empty — the slice spelling is
+    // empty at lag 1 in both engines
+    val pacfExpr =
+      s"""element_at(
+         |  aggregate(slice(sequence(1, int(lag)), 2, int(lag) - 1),
+         |    array(1.0d - element_at(rhos, 1) * element_at(rhos, 1),
+         |          element_at(rhos, 1)),
+         |    (acc, ig) -> concat(
+         |      array(element_at(acc, 1) * (1.0d - $phikk * $phikk)),
+         |      transform(sequence(1, size(acc) - 1),
+         |        m -> element_at(acc, m + 1)
+         |             - $phikk * element_at(acc, size(acc) + 1 - m)),
+         |      array($phikk))),
+         |  -1)""".stripMargin
+    rhoWide
+      .select(col("event_type"), col("rhos"),
+        explode(array(lags.map(lit): _*)).as("lag"))
+      .withColumn("rho", element_at(col("rhos"), col("lag").cast("int")))
+      .withColumn("pacf",
+        floor(expr(pacfExpr) * lit(10000.0d) + lit(0.5d)) / lit(10000.0d))
+      .select(col("event_type"), col("lag"),
+        (floor(col("rho") * lit(10000.0d) + lit(0.5d)) / lit(10000.0d))
+          .as("acf"),
+        col("pacf"))
+      .orderBy("event_type", "lag")
+  }
+
+  private val pacfSql = {
+    val lags = 1 to ACF_MAX_LAG
+    val num = "rhos[CAST(len(acc) AS INT)]" +
+      " - list_reduce(list_prepend(CAST(0.0 AS DOUBLE)," +
+      " list_transform(generate_series(1, len(acc) - 1)," +
+      " j -> CAST(j AS DOUBLE)))," +
+      " (s, j) -> s + acc[CAST(j AS INT) + 1]" +
+      " * rhos[CAST(len(acc) AS INT) - CAST(j AS INT)])"
+    val phikk = s"(($num) / nullif(acc[1], 0.0))"
+    val rWide = lags.map(k =>
+      s"max(CASE WHEN lag = $k THEN rho END) AS r$k").mkString(",\n         ")
+    s"""WITH daily AS MATERIALIZED (
+       |  SELECT event_type,
+       |         CAST(CAST(date_trunc('day', ts) AS DATE)
+       |              - DATE '1970-01-01' AS BIGINT) AS x,
+       |         CAST(count(*) AS BIGINT) AS y
+       |  FROM events GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+       |         CAST(sum(y) AS BIGINT) AS sy
+       |  FROM daily GROUP BY 1),
+       |a AS MATERIALIZED (
+       |  SELECT daily.event_type, x,
+       |         CAST(CAST(n_days AS DECIMAL(38,0)) * y - sy
+       |              AS DECIMAL(38,0)) AS av
+       |  FROM daily JOIN tot USING (event_type)),
+       |c0 AS (
+       |  SELECT event_type, CAST(sum(av * av) AS DECIMAL(38,0)) AS c0
+       |  FROM a GROUP BY 1),
+       |ck AS (
+       |  SELECT p.event_type, l.lag,
+       |         CAST(sum(p.av * q.av) AS DECIMAL(38,0)) AS ck
+       |  FROM a p
+       |  CROSS JOIN (SELECT unnest(generate_series(1, $ACF_MAX_LAG)) AS lag) l
+       |  JOIN a q ON p.event_type = q.event_type AND p.x + l.lag = q.x
+       |  GROUP BY 1, 2),
+       |rho AS (
+       |  SELECT ck.event_type, lag,
+       |         CASE WHEN c0 > 0 THEN
+       |           floor(CAST(ck AS DOUBLE) / CAST(c0 AS DOUBLE)
+       |                 * 1000000.0 + 0.5) / 1000000.0 END AS rho
+       |  FROM ck JOIN c0 USING (event_type)),
+       |rw AS (
+       |  SELECT event_type,
+       |         $rWide
+       |  FROM rho GROUP BY 1),
+       |rl AS (
+       |  SELECT event_type,
+       |         [${lags.map(k => s"r$k").mkString(", ")}] AS rhos,
+       |         unnest(generate_series(1, $ACF_MAX_LAG)) AS lag
+       |  FROM rw),
+       |f AS (
+       |  SELECT event_type, lag, rhos[CAST(lag AS INT)] AS rho,
+       |         list_reduce(
+       |           list_prepend(
+       |             [1.0 - rhos[1] * rhos[1], rhos[1]],
+       |             list_transform(generate_series(2, CAST(lag AS INT)),
+       |                            x -> [CAST(0.0 AS DOUBLE)])),
+       |           (acc, e) ->
+       |             [ acc[1] * (1.0 - $phikk * $phikk) ]
+       |             || list_transform(generate_series(1, len(acc) - 1),
+       |                  m -> acc[CAST(m AS INT) + 1]
+       |                       - $phikk * acc[len(acc) + 1 - CAST(m AS INT)])
+       |             || [ $phikk ])[-1] AS pacf
+       |  FROM rl)
+       |SELECT event_type, CAST(lag AS BIGINT) AS lag,
+       |       floor(rho * 10000.0 + 0.5) / 10000.0 AS acf,
+       |       floor(pacf * 10000.0 + 0.5) / 10000.0 AS pacf
+       |FROM f ORDER BY event_type, lag""".stripMargin
+  }
+
   /** KOLMOGOROV-SMIRNOV two-sample test between the train and test
     * splits' doc-length distributions — the exact-statistic complement
     * of [[driftPsi]]'s binned divergence: D = max |F_train − F_test|
@@ -1793,6 +1961,11 @@ object Profiling {
         "autocovariances as exact DECIMAL sums via the n*y - S " +
         "substitution, closed-form phi with degenerate-series NULL " +
         "guards"),
+    Q("q_pacf", pacf, Some(pacfSql),
+      doc = "partial autocorrelation lags 1..7 via the Durbin-Levinson " +
+        "sequential fold over 1e-6-quantized autocorrelations - " +
+        "identical operation order in Spark aggregate and DuckDB " +
+        "list_reduce"),
     Q("q_gini", gini, Some(giniSql)),
     Q("q_lorenz", lorenz, Some(lorenzSql),
       doc = "Lorenz deciles of customer revenue: exact-cents ntile(10) " +

@@ -90,6 +90,28 @@ class ProfilingSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     spark.catalog.clearCache()
   }
 
+  test("PACF: lag-1 equals ACF, lag-2 equals the Yule-Walker phi2, " +
+    "lags beyond the sample emit NULL") {
+    import spark.implicits._
+    // same alternating fixture as the AR(2) spec: rho1=-0.8333,
+    // phi2=-0.0909; only 6 days, so lags 6..7 have no pairs
+    val ev = (0 until 6).flatMap { d =>
+      Seq.fill(if (d % 2 == 0) 1 else 2)(("a", d.toLong))
+    }.toDF("event_type", "x")
+    val rows = Profiling.pacfOn(ev).collect()
+      .map(r => r.getLong(1) -> r).toMap
+    assert(rows.size == 7)
+    assert(rows(1L).getAs[Double]("acf") == -0.8333)
+    assert(rows(1L).getAs[Double]("pacf") == -0.8333,
+      "pacf(1) must equal acf(1)")
+    assert(rows(2L).getAs[Double]("pacf") == -0.0909,
+      s"pacf(2) must equal Yule-Walker phi2: ${rows(2L)}")
+    assert(rows(6L).isNullAt(rows(6L).fieldIndex("pacf")) &&
+      rows(7L).isNullAt(rows(7L).fieldIndex("pacf")),
+      "lags beyond the sample must be NULL")
+    spark.catalog.clearCache()
+  }
+
   test("kendall tau-b: perfect concordance hits 1, one swap gives 1/3, " +
     "tied fixture matches the hand tau-b") {
     import spark.implicits._
