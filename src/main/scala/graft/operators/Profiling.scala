@@ -682,11 +682,14 @@ object Profiling {
     val pairs = for {
       i <- shortNames.indices; j <- (i + 1) until shortNames.size
     } yield (shortNames(i), shortNames(j))
+    // NOT cached: three consumers (value build, census, final chain)
+    // each re-read a 4-column pruned parquet scan — cheaper than a
+    // fact-sized cache fighting the rest of the fleet for executor
+    // memory (caching measured SLOWER mid-fleet: eviction thrash)
     val base = Tables.lineitem(s, dir).select(
       shortNames.map(c =>
         floor(col(srcCol(c)) * lit(100.0d) + lit(0.5d)).cast("bigint")
           .as(c)): _*)
-      .cache()
     // ALL FOUR columns' distinct-value counts ride ONE long-format
     // build: explode to (cname, v) → one partial-agg shuffle → ONE
     // global prefix sum under the (cname, v) total order. Because every
