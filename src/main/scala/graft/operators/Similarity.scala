@@ -2155,6 +2155,75 @@ object Similarity {
       .orderBy("decile")
   }
 
+  /** Split-conformal prediction over the probe's margin score — the
+    * distribution-free uncertainty wrapper a model-gated filter needs:
+    * instead of one label, emit the SET of labels whose nonconformity
+    * s = −y·margin falls under the calibration quantile, with a finite-
+    * sample ≥1−α coverage guarantee (α = 0.1). Protocol: calibration =
+    * labeled rows with vec_id % 5 = 0, evaluation = % 5 = 1; threshold
+    * q̂ = the ⌈(n+1)(1−α)⌉-th smallest calibration nonconformity; a
+    * label y enters x's set iff −y·margin(x) ≤ q̂. (The probe trains on
+    * the full labeled split, so calibration here is in-sample — the
+    * fixture's limitation; the PROTOCOL — exact order-statistic
+    * threshold, set construction, coverage census — is what this
+    * operator ships, and it is exact end to end.)
+    *
+    * Exactness: margins and nonconformities are exact integers; the
+    * rank k = ((n+1)·9 + 9) div 10 and the k-th order statistic are
+    * integer arithmetic (distinct-value prefix sums via the
+    * fleet-standard [[DistNtile.withPrefixSum]] — no single-task sort,
+    * the [[probeCalibration]] discipline); coverage and set size are
+    * exact counts with one final fix4 division each. */
+  def conformal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (w, _, _) = trainedProbe(s, dir)
+    val wDf = Seq(Tuple1(w.toSeq)).toDF("wv")
+    conformalOn(probeFeatures(s, dir).crossJoin(broadcast(wDf))
+      .select(col("vec_id"), col("y"),
+        expr("aggregate(zip_with(xi, wv, (a, b) -> a * b), 0L, (acc, v) -> acc + v)")
+          .as("margin")))
+  }
+
+  /** [[conformal]] core over an explicit (vec_id, y, margin) scored
+    * frame — the planted-semantics seam. */
+  private[graft] def conformalOn(scored: DataFrame): DataFrame = {
+    val calVals = scored.filter(pmod(col("vec_id"), lit(5L)) === 0)
+      .select((col("y") * col("margin") * lit(-1L)).as("sc"))
+      .groupBy("sc").agg(count(lit(1)).as("cw"))
+    val pre = DistNtile.withPrefixSum(calVals, Seq(col("sc").asc),
+      col("cw"), "cum")
+    val stats = pre.agg(max("cum").as("n_cal"))
+      .select(col("n_cal"),
+        expr("(cast(n_cal + 1 as bigint) * 9 + 9) div 10").as("k"))
+    // the k-th smallest nonconformity: first distinct value whose
+    // inclusive prefix reaches k (k > n_cal => +infinity sentinel:
+    // every set is {−1, +1}, coverage 1 — totality, never hit at any
+    // fixture SF)
+    val qThr = pre.crossJoin(broadcast(stats))
+      .filter(col("cum") >= col("k"))
+      .agg(min("sc").as("q_raw"))
+      .select(coalesce(col("q_raw"), lit(Long.MaxValue / 4)).as("q_thr"))
+      .crossJoin(broadcast(stats))
+    scored.filter(pmod(col("vec_id"), lit(5L)) === 1)
+      .crossJoin(broadcast(qThr))
+      .select(col("n_cal"), col("k"), col("q_thr"),
+        (col("margin") * lit(-1L) <= col("q_thr")).cast("long").as("in_pos"),
+        (col("margin") <= col("q_thr")).cast("long").as("in_neg"),
+        when(col("y") === 1L,
+          (col("margin") * lit(-1L) <= col("q_thr")).cast("long"))
+          .otherwise((col("margin") <= col("q_thr")).cast("long"))
+          .as("covered"))
+      .groupBy("n_cal", "k", "q_thr")
+      .agg(count(lit(1)).as("n_eval"),
+        sum("covered").as("n_covered"),
+        sum(col("in_pos") + col("in_neg")).as("set_total"))
+      .select(col("n_cal"), col("k"), col("q_thr"), col("n_eval"),
+        (floor(col("n_covered").cast("double") / col("n_eval").cast("double")
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("coverage"),
+        (floor(col("set_total").cast("double") / col("n_eval").cast("double")
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("avg_set_size"))
+  }
+
   /** Shared oracle chain: features + unrolled training rounds to
     * m{PROBE_ROUNDS} (margins under the FINAL weights) — used by the
     * training-curve census AND the calibration table. */
@@ -2227,6 +2296,38 @@ object Similarity {
        |FROM (SELECT y, ntile(10) OVER (ORDER BY margin, vec_id) AS decile
        |      FROM m$PROBE_ROUNDS)
        |GROUP BY decile ORDER BY decile""".stripMargin
+  }
+
+  private val conformalSql = {
+    val chain = probeChainParts._1
+    s"""WITH $chain,
+       |cal AS (SELECT -y * margin AS sc FROM m$PROBE_ROUNDS
+       |        WHERE vec_id % 5 = 0),
+       |st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_cal,
+       |         CAST(((count(*) + 1) * 9 + 9) // 10 AS BIGINT) AS k
+       |  FROM cal),
+       |qt AS (
+       |  SELECT coalesce(
+       |           (SELECT sc FROM (
+       |              SELECT sc, row_number() OVER (ORDER BY sc) AS rn
+       |              FROM cal) r, st WHERE r.rn = st.k),
+       |           ${Long.MaxValue / 4}) AS q_thr),
+       |ev AS (
+       |  SELECT y, margin FROM m$PROBE_ROUNDS WHERE vec_id % 5 = 1)
+       |SELECT st.n_cal, st.k, qt.q_thr,
+       |       CAST(count(*) AS BIGINT) AS n_eval,
+       |       floor(CAST(sum(CASE WHEN y = 1
+       |                      THEN CASE WHEN -margin <= q_thr THEN 1 ELSE 0 END
+       |                      ELSE CASE WHEN margin <= q_thr THEN 1 ELSE 0 END
+       |                      END) AS DOUBLE)
+       |             / count(*) * 10000.0 + 0.5) / 10000.0 AS coverage,
+       |       floor(CAST(sum((CASE WHEN -margin <= q_thr THEN 1 ELSE 0 END)
+       |                      + (CASE WHEN margin <= q_thr THEN 1 ELSE 0 END))
+       |                  AS DOUBLE)
+       |             / count(*) * 10000.0 + 0.5) / 10000.0 AS avg_set_size
+       |FROM ev CROSS JOIN st CROSS JOIN qt
+       |GROUP BY st.n_cal, st.k, qt.q_thr""".stripMargin
   }
 
   private val pcaMomentsSql =
@@ -2356,6 +2457,10 @@ object Similarity {
         "power-of-two weighted BIGINT sum, truncated form"),
     Q("q_ann_ndcg", annNdcg, Some(annNdcgSql)),
     Q("q_pca_variance", pcaVariance, None),
+    Q("q_conformal", conformal, Some(conformalSql),
+      doc = "split-conformal prediction sets over the probe margin: " +
+        "exact integer order-statistic threshold via distributed " +
+        "prefix sums, coverage + set-size census on the eval split"),
     Q("q_probe_calibration", probeCalibration, Some(probeCalibrationSql),
       doc = "Score-decile calibration of the trained linear probe: " +
         "positive rate per final-margin decile — the trust sheet before " +

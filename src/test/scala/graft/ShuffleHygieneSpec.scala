@@ -111,6 +111,9 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     "q_dsir_affinity",
     // 1-row trained-weights frame broadcast onto the scoring scan
     "q_probe_calibration",
+    // the same weights broadcast + 1-row calibration-census/threshold
+    // frames crossJoined onto the eval scan
+    "q_conformal",
     // DistNtile.withRank's triangular offsets join over the
     // ≤shuffle-partitions-row per-partition counts frame, once per
     // ranked column (4 columns)

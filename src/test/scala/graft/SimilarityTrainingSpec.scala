@@ -308,4 +308,22 @@ class SimilarityTrainingSpec extends SparkTestBase {
     assert(full.getLong(1) == 10L && full.getDouble(2) == 1.0,
       "the 64-dim ranking must recall itself perfectly")
   }
+
+  test("conformal: planted margins give the hand threshold, coverage " +
+    "and set sizes") {
+    import spark.implicits._
+    // calibration (vec_id % 5 == 0): y=+1, margins 1..9 -> sc = -margin;
+    // n_cal = 9, k = ceil(10 * 0.9) = 9 -> q = 9th smallest sc = -1.
+    // eval (vec_id % 5 == 1): (y=1, margin 5) -> set {+1}, covered;
+    // (y=1, margin 0) -> empty set, not covered.
+    val cal = (1 to 9).map(i => (i * 5L, 1L, i.toLong))
+    val ev = Seq((1L, 1L, 5L), (6L, 1L, 0L))
+    val scored = (cal ++ ev).toDF("vec_id", "y", "margin")
+    val r = operators.Similarity.conformalOn(scored).collect().head
+    assert(r.getAs[Long]("n_cal") == 9L && r.getAs[Long]("k") == 9L)
+    assert(r.getAs[Long]("q_thr") == -1L, s"$r")
+    assert(r.getAs[Long]("n_eval") == 2L)
+    assert(r.getAs[Double]("coverage") == 0.5, s"$r")
+    assert(r.getAs[Double]("avg_set_size") == 0.5, s"$r")
+  }
 }
