@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1277,6 +1277,151 @@ object Breadth {
       |         AS z_stat
       |FROM rates""".stripMargin
 
+  /** CUPED variance reduction for the A/B readout — the technique that
+    * makes most production experiments ship weeks earlier: regress the
+    * post-period metric on each user's PRE-period activity (which the
+    * treatment cannot have caused) and test the residual. θ =
+    * cov(X,Y)/var(X) over the pooled users; adjusted effect =
+    * (Ȳ_B−Ȳ_A) − θ(X̄_B−X̄_A); variance reduction = ρ²(X,Y).
+    *
+    * Pre/post split at the fixture's calendar midpoint (min_day +
+    * (span+1) div 2, exact integers from a 1-row census broadcast);
+    * assignment by the [[abTest]] md5 discipline. Exactness: X and Y
+    * are counts, every sufficient statistic (N, Σx, Σy, Σx², Σxy, Σy²,
+    * per-variant n/Σx/Σy) is one conditional-aggregate row of
+    * DECIMAL(38,0) sums, and θ/effects/ρ² are one fixed IEEE sequence
+    * over that row ([[Inference.welchTtestOn]] discipline). A
+    * zero-variance pre-period yields NULL, not a divide error. */
+  def cuped(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("bigint").as("d"))
+    val cal = ev.agg(min("d").as("d_lo"), max("d").as("d_hi"))
+      .select((col("d_lo")
+        + expr("(d_hi - d_lo + 1) div 2")).as("d_mid"))
+    cupedOn(ev.crossJoin(broadcast(cal))
+      .groupBy("user_id")
+      .agg(sum(when(col("d") < col("d_mid"), 1L).otherwise(0L)).as("x"),
+        sum(when(col("d") >= col("d_mid"), 1L).otherwise(0L)).as("y")))
+  }
+
+  /** [[cuped]] core over an explicit per-user (user_id, x, y) frame —
+    * the planted-semantics seam; assignment happens here so planted
+    * fixtures go through the real md5 rule. */
+  private[graft] def cupedOn(perUser: DataFrame): DataFrame = {
+    val users = perUser
+      .withColumn("variant",
+        when(substring(md5(col("user_id").cast("string")), 32, 1) < "8",
+          "A").otherwise("B"))
+    def ds(c: Column) = sum(c.cast("decimal(38,0)"))
+    val w = users.agg(
+      count(lit(1)).as("n"),
+      ds(col("x")).as("sx"), ds(col("y")).as("sy"),
+      ds(col("x") * col("x")).as("sxx"),
+      ds(col("x") * col("y")).as("sxy"),
+      ds(col("y") * col("y")).as("syy"),
+      sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+      ds(when(col("variant") === "A", col("x")).otherwise(lit(0L)))
+        .as("sx_a"),
+      ds(when(col("variant") === "A", col("y")).otherwise(lit(0L)))
+        .as("sy_a"),
+      sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+      ds(when(col("variant") === "B", col("x")).otherwise(lit(0L)))
+        .as("sx_b"),
+      ds(when(col("variant") === "B", col("y")).otherwise(lit(0L)))
+        .as("sy_b"))
+    def d(c: String) = col(c).cast("double")
+    def fix4(c: Column) =
+      floor(c * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)
+    w
+      .withColumn("vx", d("n") * d("sxx") - d("sx") * d("sx"))
+      .withColumn("vy", d("n") * d("syy") - d("sy") * d("sy"))
+      .withColumn("cxy", d("n") * d("sxy") - d("sx") * d("sy"))
+      .withColumn("theta",
+        when(col("vx") > 0d, col("cxy") / col("vx")))
+      .withColumn("diff_raw",
+        d("sy_b") / d("n_b") - d("sy_a") / d("n_a"))
+      .select(
+        col("n_a").cast("bigint").as("n_a"),
+        col("n_b").cast("bigint").as("n_b"),
+        fix4(col("diff_raw")).as("diff_raw"),
+        fix4(col("theta")).as("theta"),
+        fix4(col("diff_raw") - col("theta")
+          * (d("sx_b") / d("n_b") - d("sx_a") / d("n_a"))).as("diff_cuped"),
+        when(col("vx") > 0d && col("vy") > 0d,
+          fix4(col("cxy") * col("cxy") / (col("vx") * col("vy"))))
+          .as("var_reduction"))
+  }
+
+  private val cupedSql =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+      |  FROM events),
+      |cal AS (
+      |  SELECT min(d) + (max(d) - min(d) + 1) // 2 AS d_mid FROM ev),
+      |users AS (
+      |  SELECT user_id,
+      |         CAST(sum(CASE WHEN d < d_mid THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS x,
+      |         CAST(sum(CASE WHEN d >= d_mid THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS y,
+      |         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 32, 1) < '8'
+      |              THEN 'A' ELSE 'B' END AS variant
+      |  FROM ev CROSS JOIN cal GROUP BY user_id),
+      |w AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+      |         CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+      |         CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))
+      |           AS sxx,
+      |         CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
+      |           AS sxy,
+      |         CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
+      |           AS syy,
+      |         CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS n_a,
+      |         CAST(sum(CASE WHEN variant = 'A'
+      |                  THEN CAST(x AS DECIMAL(38,0)) ELSE 0 END)
+      |              AS DECIMAL(38,0)) AS sx_a,
+      |         CAST(sum(CASE WHEN variant = 'A'
+      |                  THEN CAST(y AS DECIMAL(38,0)) ELSE 0 END)
+      |              AS DECIMAL(38,0)) AS sy_a,
+      |         CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS n_b,
+      |         CAST(sum(CASE WHEN variant = 'B'
+      |                  THEN CAST(x AS DECIMAL(38,0)) ELSE 0 END)
+      |              AS DECIMAL(38,0)) AS sx_b,
+      |         CAST(sum(CASE WHEN variant = 'B'
+      |                  THEN CAST(y AS DECIMAL(38,0)) ELSE 0 END)
+      |              AS DECIMAL(38,0)) AS sy_b
+      |  FROM users),
+      |v AS (
+      |  SELECT *,
+      |         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+      |         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+      |         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cxy,
+      |         CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+      |           - CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS diff_raw
+      |  FROM w)
+      |SELECT n_a, n_b,
+      |       floor(diff_raw * 10000.0 + 0.5) / 10000.0 AS diff_raw,
+      |       CASE WHEN vx > 0 THEN
+      |         floor(cxy / vx * 10000.0 + 0.5) / 10000.0 END AS theta,
+      |       CASE WHEN vx > 0 THEN
+      |         floor((diff_raw - (cxy / vx)
+      |                * (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+      |                   - CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)))
+      |               * 10000.0 + 0.5) / 10000.0 END AS diff_cuped,
+      |       CASE WHEN vx > 0 AND vy > 0 THEN
+      |         floor(cxy * cxy / (vx * vy) * 10000.0 + 0.5) / 10000.0
+      |       END AS var_reduction
+      |FROM v""".stripMargin
+
   /** RFM customer segmentation — recency / frequency / monetary quartile
     * scores per customer, reported as the segment census (the
     * marketing-warehouse classic). Monetary sums are fixed to integer
@@ -1845,6 +1990,10 @@ object Breadth {
         "cumulative revenue, one floor-fixed per-user division"),
     Q("q_window_rank", windowRank, Some(windowRankSql)),
     Q("q_ab_test", abTest, Some(abTestSql)),
+    Q("q_cuped", cuped, Some(cupedSql),
+      doc = "CUPED variance-reduced A/B effect: pre-period covariate " +
+        "adjustment, exact DECIMAL sufficient statistics in one " +
+        "conditional-aggregate row, one fixed IEEE sequence"),
     Q("q_cmh_test", cmhTest, Some(cmhTestSql)),
     Q("q_chi_squared", chiSquared, Some(chiSquaredSql)),
     Q("q_scd2", scd2, Some(scd2Sql)),

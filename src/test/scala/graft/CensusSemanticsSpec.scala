@@ -286,4 +286,26 @@ class CensusSemanticsSpec extends SparkTestBase {
     val total = Tables.lineitem(spark, sfDir).count()
     assert(cntSum.toLong == total, s"cnt cells sum to $total, got $cntSum")
   }
+
+  test("CUPED: x = y per user makes theta 1, variance reduction 1, and " +
+    "a fully-explained adjusted effect of 0") {
+    import spark.implicits._
+    // pre-period activity IS the post-period activity -> the covariate
+    // explains everything: theta = 1, rho^2 = 1, diff_cuped = 0
+    // regardless of which md5 bucket each user lands in
+    val perUser = (1L to 40L).map(u => (u, u % 7L + 1L, u % 7L + 1L))
+      .toDF("user_id", "x", "y")
+    val r = operators.Breadth.cupedOn(perUser).collect().head
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == 40L)
+    assert(r.getAs[Double]("theta") == 1.0, s"$r")
+    assert(r.getAs[Double]("var_reduction") == 1.0, s"$r")
+    assert(r.getAs[Double]("diff_cuped") == 0.0, s"$r")
+    assert(r.getAs[Double]("diff_raw") ==
+      r.getAs[Double]("diff_raw"), "raw effect present")
+    // zero-variance pre-period: theta and var_reduction NULL, no throw
+    val flat = (1L to 10L).map(u => (u, 3L, u)).toDF("user_id", "x", "y")
+    val f = operators.Breadth.cupedOn(flat).collect().head
+    assert(f.isNullAt(f.fieldIndex("theta")) &&
+      f.isNullAt(f.fieldIndex("var_reduction")), s"$f")
+  }
 }

@@ -137,6 +137,8 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     "q_naive_bayes",
     // 1-row basket-census frame broadcast onto the rule table
     "q_assoc_rules",
+    // 1-row calendar-midpoint frame broadcast onto the events scan
+    "q_cuped",
     // 1-row corpus-token-total frame broadcast onto the pair table
     "q_keywords",
     // 1-row query-phrase frame broadcast onto the posting scan (the OR
