@@ -1277,6 +1277,123 @@ object Breadth {
       |         AS z_stat
       |FROM rates""".stripMargin
 
+  /** Sample-ratio-mismatch guardrail for the A/B assignment — the FIRST
+    * check an experimentation platform runs on every experiment: if the
+    * realized split deviates from the designed 50/50 beyond chance, the
+    * assignment pipeline is broken and every downstream readout is
+    * invalid. χ² = (n_a−n_b)²/(n_a+n_b) against 1 df (flag at the
+    * Bonferroni-ish 0.001 ⇒ χ² > 10.828, the platform convention —
+    * SRM checks run on every metric so the gate is strict). Counts are
+    * exact; χ² is one fixed IEEE sequence. */
+  def srmCheck(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(s, dir)
+      .select(col("user_id")).distinct()
+      .select(when(substring(md5(col("user_id").cast("string")), 32, 1)
+        < "8", 1L).otherwise(0L).as("is_a"))
+    users.agg(
+        sum(col("is_a")).as("n_a"),
+        sum(lit(1L) - col("is_a")).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        (floor((col("n_a") - col("n_b")).cast("double")
+          * (col("n_a") - col("n_b")).cast("double")
+          / (col("n_a") + col("n_b")).cast("double")
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("chi2"),
+        ((col("n_a") - col("n_b")).cast("double")
+          * (col("n_a") - col("n_b")).cast("double")
+          / (col("n_a") + col("n_b")).cast("double") > lit(10.828d))
+          .as("srm_flag"))
+  }
+
+  private val srmCheckSql =
+    """WITH u AS (
+      |  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 32, 1) < '8'
+      |              THEN 1 ELSE 0 END AS is_a
+      |  FROM (SELECT DISTINCT user_id FROM events)),
+      |a AS (
+      |  SELECT CAST(sum(is_a) AS BIGINT) AS n_a,
+      |         CAST(sum(1 - is_a) AS BIGINT) AS n_b
+      |  FROM u)
+      |SELECT n_a, n_b,
+      |       floor(CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+      |             / CAST(n_a + n_b AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+      |         AS chi2,
+      |       CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+      |         / CAST(n_a + n_b AS DOUBLE) > 10.828 AS srm_flag
+      |FROM a""".stripMargin
+
+  /** Minimal detectable effect of the CURRENT experiment configuration —
+    * the power-analysis row a platform shows before anyone reads a
+    * p-value: with these sample sizes and this base rate, the smallest
+    * true lift the test would catch at α = 0.05 / power = 0.8 is
+    *   MDE = (z_{0.975} + z_{0.8}) · √(p̄(1−p̄)(1/n_a + 1/n_b)).
+    * z constants are fixed literals (1.959964, 0.841621); the base rate
+    * reuses the [[abTest]] conversion and assignment. Everything is one
+    * fixed IEEE sequence over exact counts. */
+  def powerMde(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg((sum((col("event_type") === "purchase").cast("long")) >= 14L)
+        .cast("long").as("conv"))
+      .withColumn("is_a",
+        when(substring(md5(col("user_id").cast("string")), 32, 1) < "8",
+          1L).otherwise(0L))
+    users.agg(
+        sum(col("is_a")).as("n_a"),
+        sum(lit(1L) - col("is_a")).as("n_b"),
+        sum(col("conv")).as("n_conv"),
+        count(lit(1)).as("n"))
+      .withColumn("p_bar", col("n_conv").cast("double") / col("n").cast("double"))
+      .withColumn("mde",
+        // the one literal 2.801585 (= z_{0.975} + z_{0.8}) spelled
+        // identically in both engines — a Scala-side sum of the two z's
+        // could differ from the parsed SQL literal by an ulp
+        lit(2.801585d)
+          * sqrt(col("p_bar") * (lit(1.0d) - col("p_bar"))
+            * (lit(1.0d) / col("n_a").cast("double")
+              + lit(1.0d) / col("n_b").cast("double"))))
+      .select(col("n_a"), col("n_b"),
+        (floor(col("p_bar") * lit(10000.0d) + lit(0.5d)) / lit(10000.0d))
+          .as("base_rate"),
+        (floor(col("mde") * lit(10000.0d) + lit(0.5d)) / lit(10000.0d))
+          .as("mde_abs"),
+        when(col("p_bar") > 0d,
+          floor(col("mde") / col("p_bar") * lit(10000.0d) + lit(0.5d))
+            / lit(10000.0d)).as("mde_rel"))
+  }
+
+  private val powerMdeSql =
+    """WITH users AS (
+      |  SELECT user_id,
+      |         CASE WHEN sum(CASE WHEN event_type = 'purchase'
+      |                           THEN 1 ELSE 0 END) >= 14
+      |              THEN 1 ELSE 0 END AS conv,
+      |         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 32, 1) < '8'
+      |              THEN 1 ELSE 0 END AS is_a
+      |  FROM events GROUP BY user_id),
+      |a AS (
+      |  SELECT CAST(sum(is_a) AS BIGINT) AS n_a,
+      |         CAST(sum(1 - is_a) AS BIGINT) AS n_b,
+      |         CAST(sum(conv) AS BIGINT) AS n_conv,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM users),
+      |m AS (
+      |  SELECT *,
+      |         CAST(n_conv AS DOUBLE) / CAST(n AS DOUBLE) AS p_bar
+      |  FROM a),
+      |m2 AS (
+      |  SELECT *,
+      |         2.801585 * sqrt(p_bar * (1.0 - p_bar)
+      |                         * (1.0 / CAST(n_a AS DOUBLE)
+      |                            + 1.0 / CAST(n_b AS DOUBLE))) AS mde
+      |  FROM m)
+      |SELECT n_a, n_b,
+      |       floor(p_bar * 10000.0 + 0.5) / 10000.0 AS base_rate,
+      |       floor(mde * 10000.0 + 0.5) / 10000.0 AS mde_abs,
+      |       CASE WHEN p_bar > 0 THEN
+      |         floor(mde / p_bar * 10000.0 + 0.5) / 10000.0
+      |       END AS mde_rel
+      |FROM m2""".stripMargin
+
   /** CUPED variance reduction for the A/B readout — the technique that
     * makes most production experiments ship weeks earlier: regress the
     * post-period metric on each user's PRE-period activity (which the
@@ -1990,6 +2107,13 @@ object Breadth {
         "cumulative revenue, one floor-fixed per-user division"),
     Q("q_window_rank", windowRank, Some(windowRankSql)),
     Q("q_ab_test", abTest, Some(abTestSql)),
+    Q("q_srm", srmCheck, Some(srmCheckSql),
+      doc = "sample-ratio-mismatch guardrail: chi-square of the " +
+        "realized A/B split vs 50/50, strict 0.001 flag"),
+    Q("q_power_mde", powerMde, Some(powerMdeSql),
+      doc = "minimal detectable effect at alpha=0.05/power=0.8 for the " +
+        "current sample sizes and base rate - one IEEE sequence over " +
+        "exact counts"),
     Q("q_cuped", cuped, Some(cupedSql),
       doc = "CUPED variance-reduced A/B effect: pre-period covariate " +
         "adjustment, exact DECIMAL sufficient statistics in one " +
