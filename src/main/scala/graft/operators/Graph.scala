@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -966,7 +967,130 @@ object Graph {
        |ORDER BY r.w * 1000000 // ia.n_item DESC, antecedent, consequent
        |LIMIT $AR_TOP""".stripMargin
 
+  private val AR_EVAL_RULES = 200
+
+  /** Held-out evaluation of the association-rule recommender — the
+    * closure [[assocRules]] needs before anyone ships it: mine rules on
+    * the 80% basket split (l_orderkey % 5 ≠ 0), keep the top
+    * [[AR_EVAL_RULES]] by confidence, then for every TEST basket predict
+    * the single best consequent whose antecedent the basket contains and
+    * score a hit iff the basket also contains it. Leakage-free by
+    * construction (test pairs never enter mining); the rule table is
+    * bounded and broadcast, so evaluation is one explode + broadcast
+    * join over test items — no pair explosion on the test side.
+    *
+    * Output: basket census, prediction coverage, hit precision — every
+    * number an exact count, one fix4 division each. Determinism: rule
+    * rank = (exact integer conf6 desc, ante, cons); per-basket best
+    * rule by the same key. */
+  def assocEval(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+    assocEvalOn(li.filter(pmod(col("l_orderkey"), lit(5L)) =!= 0),
+      li.filter(pmod(col("l_orderkey"), lit(5L)) === 0))
+  }
+
+  /** [[assocEval]] core over explicit train/test lineitem splits. */
+  private[graft] def assocEvalOn(train: DataFrame,
+                                 test: DataFrame): DataFrame = {
+    val und = affinityEdgesOn(train)
+    val itemCnt = train.groupBy("l_orderkey")
+      .agg(collect_set("l_partkey").as("ps"))
+      .filter(size(col("ps")) <= ORDER_CAP)
+      .select(explode(col("ps")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("n_item"))
+    val rules = und.select(col("a").as("ante"), col("b").as("cons"),
+        col("w"))
+      .unionByName(und.select(col("b").as("ante"), col("a").as("cons"),
+        col("w")))
+      .join(itemCnt.select(col("item").as("ante"), col("n_item")), "ante")
+      .withColumn("conf6", expr("w * 1000000L div n_item"))
+      .orderBy(col("conf6").desc, col("ante").asc, col("cons").asc)
+      .limit(AR_EVAL_RULES)
+      .select("ante", "cons", "conf6")
+    val baskets = test.groupBy("l_orderkey")
+      .agg(collect_set("l_partkey").as("ps"))
+      .filter(size(col("ps")) <= ORDER_CAP)
+      .cache()
+    val nBaskets = baskets.agg(count(lit(1)).as("n_baskets"))
+    // per basket: the single best applicable rule (rule table bounded,
+    // broadcast); hit iff its consequent is also in the basket
+    val byBasket = Window.partitionBy("l_orderkey")
+      .orderBy(col("conf6").desc, col("ante").asc, col("cons").asc)
+    val scored = baskets
+      .select(col("l_orderkey"), explode(col("ps")).as("item"), col("ps"))
+      .join(broadcast(rules), col("item") === col("ante"))
+      .withColumn("rn", row_number().over(byBasket))
+      .filter(col("rn") === 1)
+      .select(col("l_orderkey"),
+        array_contains(col("ps"), col("cons")).cast("long").as("hit"))
+    scored.agg(count(lit(1)).as("n_predicted"), sum("hit").as("n_hits"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("n_baskets"), col("n_predicted"), col("n_hits"),
+        (floor(col("n_predicted").cast("double")
+          / col("n_baskets").cast("double")
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("coverage"),
+        (floor(col("n_hits").cast("double")
+          / col("n_predicted").cast("double")
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("precision"))
+  }
+
+  private val assocEvalSql =
+    s"""WITH li0 AS (SELECT l_orderkey, l_partkey FROM lineitem
+       |            WHERE l_orderkey % 5 <> 0),
+       |ok AS (SELECT l_orderkey FROM li0 GROUP BY 1
+       |       HAVING count(DISTINCT l_partkey) <= $ORDER_CAP),
+       |li AS (SELECT li0.* FROM li0 JOIN ok USING (l_orderkey)),
+       |und AS MATERIALIZED (
+       |  SELECT a, b, CAST(count(*) AS BIGINT) AS w FROM (
+       |    SELECT x.l_partkey AS a, y.l_partkey AS b
+       |    FROM li x JOIN li y
+       |      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+       |    GROUP BY x.l_orderkey, a, b)
+       |  GROUP BY a, b HAVING count(*) >= $TRI_MIN_ORDERS),
+       |ic AS (
+       |  SELECT l_partkey AS item,
+       |         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_item
+       |  FROM li GROUP BY 1),
+       |rules AS MATERIALIZED (
+       |  SELECT ante, cons, conf6 FROM (
+       |    SELECT r.ante, r.cons, r.w * 1000000 // ic.n_item AS conf6
+       |    FROM (SELECT a AS ante, b AS cons, w FROM und
+       |          UNION ALL SELECT b, a, w FROM und) r
+       |    JOIN ic ON r.ante = ic.item)
+       |  ORDER BY conf6 DESC, ante, cons
+       |  LIMIT $AR_EVAL_RULES),
+       |tb AS MATERIALIZED (
+       |  SELECT l_orderkey, list_distinct(list(l_partkey)) AS ps
+       |  FROM lineitem WHERE l_orderkey % 5 = 0
+       |  GROUP BY 1
+       |  HAVING count(DISTINCT l_partkey) <= $ORDER_CAP),
+       |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_baskets FROM tb),
+       |scored AS (
+       |  SELECT l_orderkey,
+       |         CASE WHEN list_contains(ps, cons) THEN 1 ELSE 0 END AS hit
+       |  FROM (
+       |    SELECT t.l_orderkey, t.ps, r.cons,
+       |           row_number() OVER (PARTITION BY t.l_orderkey
+       |             ORDER BY r.conf6 DESC, r.ante, r.cons) AS rn
+       |    FROM (SELECT l_orderkey, ps, unnest(ps) AS item FROM tb) t
+       |    JOIN rules r ON t.item = r.ante)
+       |  WHERE rn = 1),
+       |ag AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_predicted,
+       |         CAST(sum(hit) AS BIGINT) AS n_hits
+       |  FROM scored)
+       |SELECT nb.n_baskets, ag.n_predicted, ag.n_hits,
+       |       floor(CAST(n_predicted AS DOUBLE) / CAST(n_baskets AS DOUBLE)
+       |             * 10000.0 + 0.5) / 10000.0 AS coverage,
+       |       floor(CAST(n_hits AS DOUBLE) / CAST(n_predicted AS DOUBLE)
+       |             * 10000.0 + 0.5) / 10000.0 AS precision
+       |FROM ag CROSS JOIN nb""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_assoc_eval", assocEval, Some(assocEvalSql),
+      doc = "held-out association-rule recommender eval: rules mined on " +
+        "the 80% basket split, top-200 broadcast, per-test-basket best " +
+        "applicable rule, coverage + hit precision"),
     Q("q_assoc_rules", assocRules, Some(assocRulesSql),
       doc = "market-basket association rules from the memoized pair " +
         "build: exact integer-division confidence, fixed-IEEE lift, " +
