@@ -137,6 +137,9 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     "q_naive_bayes",
     // 1-row basket-census frame broadcast onto the rule table
     "q_assoc_rules",
+    // 1-row test-basket census crossJoined onto the 1-row hit aggregate
+    // (the top-200 rule table itself joins with an equi-key)
+    "q_assoc_eval",
     // 1-row calendar-midpoint frame broadcast onto the events scan
     "q_cuped",
     // 1-row corpus-token-total frame broadcast onto the pair table
