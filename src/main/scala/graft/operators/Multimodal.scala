@@ -373,8 +373,101 @@ object Multimodal {
        |LEFT JOIN stats s ON m.media_type = s.media_type
        |ORDER BY m.media_type""".stripMargin
 
+  /** Per-clip exact audio statistics from the DECODED PCM plane. */
+  final case class AudioStats(doc_id: Long, n_samples: Long,
+                              sum_amp: Long, crossings: Long)
+
+  def audioStatsRows(rows: Iterator[MediaRow]): Iterator[AudioStats] =
+    rows.map { r =>
+      val c =
+        try MediaCodecs.decode(r.payload).content
+        catch { case scala.util.control.NonFatal(_) => Array.empty[Byte] }
+      val n = c.length
+      var s = 0L
+      var i = 0
+      while (i < n) { s += (c(i) & 0xff); i += 1 }
+      var cr = 0L
+      i = 1
+      while (i < n) {
+        // mean-crossing on the EXACT rational mean: centered sample
+        // c_i = n·a_i − Σ; a crossing is a strict sign change (ASCII PCM
+        // never crosses the 128 midline, so the fixed-threshold census
+        // would be degenerate — the per-clip mean is the honest line)
+        val p = n.toLong * (c(i - 1) & 0xff) - s
+        val q = n.toLong * (c(i) & 0xff) - s
+        if (p * q < 0L) cr += 1
+        i += 1
+      }
+      AudioStats(r.doc_id, n.toLong, s, cr)
+    }
+
+  /** Audio-corpus loudness/dynamics census over the decoded 8-bit PCM
+    * samples (duration at the container's 8 kHz rate, mean amplitude,
+    * mean-crossing rate — the cheap voice-activity/dynamics proxy a
+    * speech pipeline gates on before transcription). Every statistic is
+    * an exact integer until one final fix4 division: amplitudes sum as
+    * BIGINT and crossings count strict sign changes of n·aᵢ − Σ (the
+    * exact-rational-mean centering, no float threshold). Same batched
+    * decode shape as [[decoded]]; the oracle replays the PCM plane from
+    * documents.text via the generation rule. */
+  def audioStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .filter(col("media_type") === "audio")
+      .repartition(pmod(col("doc_id"), lit(decodeSaltModulus(s).toLong)))
+      .as[MediaRow]
+      .mapPartitions(audioStatsRows _)
+      .toDF()
+      .agg(count(lit(1)).as("n_clips"),
+        sum("n_samples").as("total_samples"),
+        sum(expr("n_samples div 8")).as("total_ms"),
+        sum("sum_amp").as("sum_amp"),
+        sum("crossings").as("total_crossings"))
+      .select(col("n_clips"), col("total_samples"), col("total_ms"),
+        (floor(col("sum_amp").cast("double")
+          / col("total_samples").cast("double")
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("mean_amp"),
+        col("total_crossings"),
+        (floor(col("total_crossings").cast("double")
+          / col("n_clips").cast("double")
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d))
+          .as("avg_crossings"))
+  }
+
+  private val audioStatsSql =
+    """WITH a AS (
+      |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+      |         list_transform(generate_series(1, CAST(length(text) AS INTEGER)),
+      |           i -> CAST(ord(substr(text, CAST(i AS INTEGER), 1))
+      |                AS BIGINT)) AS l
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |st AS (
+      |  SELECT doc_id, n, l,
+      |         CAST(list_aggregate(l, 'sum') AS BIGINT) AS s
+      |  FROM a),
+      |cr AS (
+      |  SELECT doc_id, n, s,
+      |         CAST(len(list_filter(generate_series(2, CAST(n AS INTEGER)),
+      |           i -> (n * l[CAST(i AS INTEGER) - 1] - s)
+      |                * (n * l[CAST(i AS INTEGER)] - s) < 0)) AS BIGINT)
+      |           AS crossings
+      |  FROM st)
+      |SELECT CAST(count(*) AS BIGINT) AS n_clips,
+      |       CAST(sum(n) AS BIGINT) AS total_samples,
+      |       CAST(sum(n // 8) AS BIGINT) AS total_ms,
+      |       floor(CAST(sum(s) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+      |             * 10000.0 + 0.5) / 10000.0 AS mean_amp,
+      |       CAST(sum(crossings) AS BIGINT) AS total_crossings,
+      |       floor(CAST(sum(crossings) AS DOUBLE) / count(*)
+      |             * 10000.0 + 0.5) / 10000.0 AS avg_crossings
+      |FROM cr""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_multimodal_meta", metaAgg, Some(metaAggSql)),
     Q("q_multimodal_resize", resizeAgg, Some(resizeAggSql)),
+    Q("q_audio_stats", audioStats, Some(audioStatsSql),
+      doc = "decoded-PCM audio census: duration at 8 kHz, exact mean " +
+        "amplitude, mean-crossing dynamics via exact-rational-mean " +
+        "centering"),
     Q("q_media_phash", phashNearDup, Some(phashNearDupSql)))
 }

@@ -96,4 +96,26 @@ class MultimodalSpec extends SparkTestBase {
     assert(counts.keySet == Set("image", "audio", "video"))
     assert(counts.values.sum == 500)
   }
+
+  test("audio stats: hand PCM gives exact sum and mean-crossing count; " +
+    "corrupt payloads degrade to zero rows") {
+    import graft.operators.{MediaCodecs, MediaRow, Multimodal}
+    // samples [0, 200, 0, 200]: S = 400, centered n*a - S alternates
+    // -400/+400 -> 3 strict sign changes
+    val wav = MediaCodecs.encodeWav(8000,
+      Array[Byte](0, 200.toByte, 0, 200.toByte))
+    val out = Multimodal.audioStatsRows(
+      Iterator(MediaRow(7L, "audio", wav))).toSeq
+    assert(out == Seq(Multimodal.AudioStats(7L, 4L, 400L, 3L)), s"$out")
+    // constant clip: centered values are all exactly 0 -> no STRICT
+    // sign change
+    val flat = MediaCodecs.encodeWav(8000, Array[Byte](9, 9, 9))
+    assert(Multimodal.audioStatsRows(
+      Iterator(MediaRow(8L, "audio", flat))).toSeq ==
+      Seq(Multimodal.AudioStats(8L, 3L, 27L, 0L)))
+    // corrupt container: skip-and-count posture, zero row not a throw
+    assert(Multimodal.audioStatsRows(
+      Iterator(MediaRow(9L, "audio", Array[Byte](1, 2, 3)))).toSeq ==
+      Seq(Multimodal.AudioStats(9L, 0L, 0L, 0L)))
+  }
 }
