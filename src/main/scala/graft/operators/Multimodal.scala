@@ -462,7 +462,116 @@ object Multimodal {
       |             * 10000.0 + 0.5) / 10000.0 AS avg_crossings
       |FROM cr""".stripMargin
 
+  /** Per-video exact motion statistics from the decoded YUV planes. */
+  final case class VideoMotion(doc_id: Long, n_frames: Long,
+                               n_pairs: Long, abs_diff: Long)
+
+  /** Frame-sampling stride shared with [[decodeMedia]]'s every-6th
+    * sampling census. */
+  private val FRAME_STRIDE = 6
+
+  def videoMotionRows(rows: Iterator[MediaRow]): Iterator[VideoMotion] =
+    rows.map { r =>
+      val dec =
+        try Some(MediaCodecs.decode(r.payload))
+        catch { case scala.util.control.NonFatal(_) => None }
+      dec match {
+        case None => VideoMotion(r.doc_id, 0L, 0L, 0L)
+        case Some(d) =>
+          val fs = if (d.nFrames == 0) 0 else d.content.length / d.nFrames
+          var pairs = 0L
+          var s = 0L
+          var f = 0
+          while (fs > 0 && f + FRAME_STRIDE < d.nFrames) {
+            val o1 = f * fs
+            val o2 = (f + FRAME_STRIDE) * fs
+            var i = 0
+            while (i < fs) {
+              s += math.abs((d.content(o1 + i) & 0xff)
+                - (d.content(o2 + i) & 0xff))
+              i += 1
+            }
+            pairs += 1
+            f += FRAME_STRIDE
+          }
+          VideoMotion(r.doc_id, d.nFrames.toLong, pairs, s)
+      }
+    }
+
+  /** Video-corpus motion census over the decoded YUV 4:2:0 planes —
+    * the scene-dynamics proxy a video pipeline gates on (a static slide
+    * deck and an action clip cost the same to store but not to
+    * caption): mean absolute per-byte difference between consecutive
+    * SAMPLED frames (stride 6, the [[decodeMedia]] sampling), exact
+    * BIGINT sums until one final fix4 division. Clips too short for a
+    * sampled pair report zero pairs and are excluded from the mean by
+    * construction. Oracle replays the frame planes from documents.text
+    * via the generation rule (frame f byte i = text byte
+    * (f·fs + i) mod len). */
+  def videoMotion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .filter(col("media_type") === "video")
+      .repartition(pmod(col("doc_id"), lit(decodeSaltModulus(s).toLong)))
+      .as[MediaRow]
+      .mapPartitions(videoMotionRows _)
+      .toDF()
+      .agg(count(lit(1)).as("n_videos"),
+        sum("n_frames").as("total_frames"),
+        sum("n_pairs").as("total_pairs"),
+        sum("abs_diff").as("total_abs_diff"))
+      .select(col("n_videos"), col("total_frames"), col("total_pairs"),
+        col("total_abs_diff"),
+        (floor(col("total_abs_diff").cast("double")
+          / greatest(col("total_pairs"), lit(1L)).cast("double")
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d))
+          .as("mean_pair_energy"))
+  }
+
+  private val videoMotionSql =
+    s"""WITH v AS (
+       |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
+       |         CAST(1 + doc_id % 24 AS BIGINT) AS nf,
+       |         CAST((2 * (2 + length(text) % 7))
+       |              * (2 * (2 + (length(text) * 7) % 5)) * 3 // 2
+       |              AS BIGINT) AS fs
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |pairs AS (
+       |  SELECT * FROM (
+       |    SELECT v.*, unnest(generate_series(0, nf - 1, $FRAME_STRIDE))
+       |             AS f
+       |    FROM v)
+       |  WHERE f + $FRAME_STRIDE < nf),
+       |diffs AS (
+       |  SELECT doc_id, f,
+       |         CAST(list_aggregate(list_transform(
+       |             range(0, CAST(fs AS INTEGER)),
+       |             i -> abs(ord(substr(text,
+       |                      1 + CAST((f * fs + i) % len AS INTEGER), 1))
+       |                  - ord(substr(text,
+       |                      1 + CAST(((f + $FRAME_STRIDE) * fs + i) % len
+       |                               AS INTEGER), 1)))),
+       |           'sum') AS BIGINT) AS d
+       |  FROM pairs),
+       |per AS (
+       |  SELECT v.doc_id, any_value(v.nf) AS nf,
+       |         CAST(count(diffs.f) AS BIGINT) AS n_pairs,
+       |         CAST(coalesce(sum(diffs.d), 0) AS BIGINT) AS abs_diff
+       |  FROM v LEFT JOIN diffs ON v.doc_id = diffs.doc_id
+       |  GROUP BY v.doc_id)
+       |SELECT CAST(count(*) AS BIGINT) AS n_videos,
+       |       CAST(sum(nf) AS BIGINT) AS total_frames,
+       |       CAST(sum(n_pairs) AS BIGINT) AS total_pairs,
+       |       CAST(sum(abs_diff) AS BIGINT) AS total_abs_diff,
+       |       floor(CAST(sum(abs_diff) AS DOUBLE)
+       |             / greatest(CAST(sum(n_pairs) AS DOUBLE), 1.0)
+       |             * 10000.0 + 0.5) / 10000.0 AS mean_pair_energy
+       |FROM per""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_video_motion", videoMotion, Some(videoMotionSql),
+      doc = "decoded-YUV motion census: exact abs-diff energy between " +
+        "stride-6 sampled frame pairs, the scene-dynamics gate"),
     Q("q_multimodal_meta", metaAgg, Some(metaAggSql)),
     Q("q_multimodal_resize", resizeAgg, Some(resizeAggSql)),
     Q("q_audio_stats", audioStats, Some(audioStatsSql),

@@ -118,4 +118,22 @@ class MultimodalSpec extends SparkTestBase {
       Iterator(MediaRow(9L, "audio", Array[Byte](1, 2, 3)))).toSeq ==
       Seq(Multimodal.AudioStats(9L, 0L, 0L, 0L)))
   }
+
+  test("video motion: one stride-6 sampled pair, exact abs-diff energy") {
+    import graft.operators.{MediaCodecs, MediaRow, Multimodal}
+    // 2x2 4:2:0 frames are 6 bytes; 7 frames -> exactly one sampled
+    // pair (0, 6) with |diff| = 1+2+3+4+5+6 = 21
+    val frames = Seq.tabulate(7)(f =>
+      if (f == 6) Array[Byte](1, 2, 3, 4, 5, 6)
+      else Array.fill[Byte](6)(0))
+    val y4m = MediaCodecs.encodeY4m(2, 2, frames)
+    val out = Multimodal.videoMotionRows(
+      Iterator(MediaRow(2L, "video", y4m))).toSeq
+    assert(out == Seq(Multimodal.VideoMotion(2L, 7L, 1L, 21L)), s"$out")
+    // 6 frames: 0 + 6 is out of range -> no pair
+    val short = MediaCodecs.encodeY4m(2, 2, frames.take(6))
+    assert(Multimodal.videoMotionRows(
+      Iterator(MediaRow(5L, "video", short))).toSeq ==
+      Seq(Multimodal.VideoMotion(5L, 6L, 0L, 0L)))
+  }
 }
