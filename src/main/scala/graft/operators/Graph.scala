@@ -1086,7 +1086,99 @@ object Graph {
        |             * 10000.0 + 0.5) / 10000.0 AS precision
        |FROM ag CROSS JOIN nb""".stripMargin
 
+  private val TRIPLE_CAND_CAP = 200
+  private val TRIPLE_TOP = 20
+
+  /** Frequent TRIPLES — the A-Priori level-3 step over the basket
+    * corpus, the step where naive mining explodes (C(|order|,3) per
+    * basket) and candidate pruning is the whole game: a triple can only
+    * be frequent if all three of its pairs are (Apriori monotonicity),
+    * so candidates are exactly the TRIANGLES of the support-thresholded
+    * pair graph — generated by the [[triangles]] wedge-close shape,
+    * capped at the [[TRIPLE_CAND_CAP]] strongest (by min pair support,
+    * deterministic tiebreaks), then support-counted in ONE pass over
+    * baskets with the candidate list broadcast (three array_contains
+    * probes per basket×candidate; candidates are bounded, so the pass
+    * is linear in baskets forever). Exact integer supports; top
+    * [[TRIPLE_TOP]] by (support desc, items). */
+  def freqTriples(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+    freqTriplesOn(li, affinityEdges(s, dir))
+  }
+
+  /** [[freqTriples]] core over explicit lineitem + (a, b, w) pair
+    * frames. */
+  private[graft] def freqTriplesOn(li: DataFrame, und: DataFrame): DataFrame = {
+    // candidate triples = triangles of the pair graph, strongest first
+    val e = und.select("a", "b", "w")
+    val cands = e.as("e1").join(e.as("e2"),
+        col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"),
+        col("e2.b").as("z"),
+        least(col("e1.w"), col("e2.w")).as("w12"))
+      .join(e.as("e3"),
+        col("x") === col("e3.a") && col("z") === col("e3.b"))
+      .select(col("x"), col("y"), col("z"),
+        least(col("w12"), col("e3.w")).as("min_pair_w"))
+      .orderBy(col("min_pair_w").desc, col("x").asc, col("y").asc,
+        col("z").asc)
+      .limit(TRIPLE_CAND_CAP)
+    val baskets = li.groupBy("l_orderkey")
+      .agg(collect_set("l_partkey").as("ps"))
+      .filter(size(col("ps")) <= ORDER_CAP)
+    baskets.crossJoin(broadcast(cands))
+      .filter(array_contains(col("ps"), col("x")) &&
+        array_contains(col("ps"), col("y")) &&
+        array_contains(col("ps"), col("z")))
+      .groupBy("x", "y", "z", "min_pair_w")
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("x").asc, col("y").asc,
+        col("z").asc)
+      .limit(TRIPLE_TOP)
+      .select(col("x").as("item_a"), col("y").as("item_b"),
+        col("z").as("item_c"), col("support"), col("min_pair_w"))
+  }
+
+  private val freqTriplesSql =
+    s"""WITH li0 AS (SELECT l_orderkey, l_partkey FROM lineitem),
+       |ok AS (SELECT l_orderkey FROM li0 GROUP BY 1
+       |       HAVING count(DISTINCT l_partkey) <= $ORDER_CAP),
+       |li AS (SELECT li0.* FROM li0 JOIN ok USING (l_orderkey)),
+       |und AS MATERIALIZED (
+       |  SELECT a, b, CAST(count(*) AS BIGINT) AS w FROM (
+       |    SELECT x.l_partkey AS a, y.l_partkey AS b
+       |    FROM li x JOIN li y
+       |      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+       |    GROUP BY x.l_orderkey, a, b)
+       |  GROUP BY a, b HAVING count(*) >= $TRI_MIN_ORDERS),
+       |cands AS MATERIALIZED (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z,
+       |         least(e1.w, e2.w, e3.w) AS min_pair_w
+       |  FROM und e1
+       |  JOIN und e2 ON e1.b = e2.a
+       |  JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b
+       |  ORDER BY min_pair_w DESC, x, y, z
+       |  LIMIT $TRIPLE_CAND_CAP),
+       |baskets AS MATERIALIZED (
+       |  SELECT l_orderkey, list_distinct(list(l_partkey)) AS ps
+       |  FROM li GROUP BY 1),
+       |sup AS (
+       |  SELECT c.x, c.y, c.z, c.min_pair_w,
+       |         CAST(count(*) AS BIGINT) AS support
+       |  FROM baskets b JOIN cands c
+       |    ON list_contains(b.ps, c.x) AND list_contains(b.ps, c.y)
+       |       AND list_contains(b.ps, c.z)
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT x AS item_a, y AS item_b, z AS item_c, support, min_pair_w
+       |FROM sup
+       |ORDER BY support DESC, x, y, z
+       |LIMIT $TRIPLE_TOP""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_freq_triples", freqTriples, Some(freqTriplesSql),
+      doc = "A-Priori level-3 frequent triples: candidates = triangles " +
+        "of the support-thresholded pair graph (monotonicity pruning), " +
+        "bounded broadcast candidate list, one linear basket pass"),
     Q("q_assoc_eval", assocEval, Some(assocEvalSql),
       doc = "held-out association-rule recommender eval: rules mined on " +
         "the 80% basket split, top-200 broadcast, per-test-basket best " +

@@ -81,6 +81,23 @@ class GraphSpec extends SparkTestBase {
     assert(q2 < q, s"orthogonal partition must score below aligned: $q2 vs $q")
   }
 
+  test("freq triples: a planted triangle of frequent pairs is counted " +
+    "with its exact basket support") {
+    import spark.implicits._
+    // three baskets {1,2,3} plus one {1,2}: every pair is frequent,
+    // the only candidate triangle is (1,2,3) with support 3 and
+    // min pair support 3
+    val li = (10L to 12L).flatMap(o => Seq((o, 1L), (o, 2L), (o, 3L))) ++
+      Seq((13L, 1L), (13L, 2L))
+    val df = li.toDF("l_orderkey", "l_partkey")
+    val got = operators.Graph
+      .freqTriplesOn(df, operators.Graph.affinityEdgesOn(df)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getAs[Long]("support"), r.getAs[Long]("min_pair_w")))
+    assert(got.toSeq == Seq((1L, 2L, 3L, 3L, 3L)), s"got ${got.toSeq}")
+    spark.catalog.clearCache()
+  }
+
   test("assoc rules: hand baskets give exact confidence and lift, " +
     "ordered by confidence with id tiebreaks") {
     import spark.implicits._

@@ -142,6 +142,9 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     "q_assoc_eval",
     // 1-row calendar-midpoint frame broadcast onto the events scan
     "q_cuped",
+    // bounded (<=200-row) candidate-triple list broadcast onto the
+    // basket scan - the Apriori pruned level-3 pass
+    "q_freq_triples",
     // 1-row corpus-token-total frame broadcast onto the pair table
     "q_keywords",
     // 1-row query-phrase frame broadcast onto the posting scan (the OR
