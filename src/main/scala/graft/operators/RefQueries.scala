@@ -229,7 +229,70 @@ object RefQueries {
       |FROM lineitem
       |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin
 
+  /** TPC-H Q5 (local supplier volume) — the canonical 6-way star join:
+    * revenue by nation for orders shipped within a region and year where
+    * the CUSTOMER's and SUPPLIER's nations coincide (the join-graph
+    * cycle that makes Q5 the optimizer-benchmark classic — customer and
+    * supplier both bind to nation). Physical shape: region/nation/
+    * supplier broadcast (bounded dims), customer⋈orders and
+    * lineitem⋈orders shuffle on their keys, the date filter pushes to
+    * the orders scan.
+    *
+    * Exactness: revenue = Σ ext_cents·(100 − disc_cents) as exact
+    * integer 1e-4-dollar units (DECIMAL(38,0) sums), ONE final division
+    * for display, fix4 ([[Profiling.corrMatrix]] discipline — TPC-H's
+    * own sum(l_extendedprice·(1−l_discount)) is FP-order-dependent). */
+  def tpchQ5(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter(to_date(col("o_orderdate")) >= lit("1996-01-01").cast("date")
+        && to_date(col("o_orderdate")) < lit("1997-01-01").cast("date"))
+    val c = Tables.customer(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    li
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey")
+        && c("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum((floor(col("l_extendedprice") * lit(100.0d) + lit(0.5d))
+        .cast("decimal(38,0)")
+        * (lit(100L) - floor(col("l_discount") * lit(100.0d) + lit(0.5d))
+          .cast("bigint"))).as("r4")).as("rev4"))
+      .select(col("n_name"),
+        (floor(col("rev4").cast("double") / lit(10000.0d)
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  private val tpchQ5Sql =
+    """SELECT n_name,
+      |       floor(CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
+      |                          AS DECIMAL(38,0))
+      |                     * (100 - CAST(floor(l_discount * 100.0 + 0.5)
+      |                               AS BIGINT))) AS DOUBLE)
+      |             / 10000.0 * 10000.0 + 0.5) / 10000.0 AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      | AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      | AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      | AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_tpch_q5", tpchQ5, Some(tpchQ5Sql),
+      doc = "TPC-H Q5 local-supplier-volume: the 6-way star join with " +
+        "the customer=supplier nation cycle, exact integer revenue in " +
+        "1e-4-dollar units, broadcast dims + pushed date filter"),
     Q("q_flagship_top_customer", flagship, Some(flagshipSql)),
     Q("q_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     Q("q_bucket_join_agg", bucketJoinAgg, Some(bucketJoinAggSql)),
