@@ -244,9 +244,14 @@ object RefQueries {
     * own sum(l_extendedprice·(1−l_discount)) is FP-order-dependent). */
   def tpchQ5(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
-    val o = Tables.orders(s, dir)
-      .filter(to_date(col("o_orderdate")) >= lit("1996-01-01").cast("date")
-        && to_date(col("o_orderdate")) < lit("1997-01-01").cast("date"))
+    // compare the raw timestamp (cast the LITERAL to the column's own
+    // type): to_date(o_orderdate) >= d is semantically identical but
+    // wraps the column and blocks parquet predicate pushdown
+    val rawOrders = Tables.orders(s, dir)
+    val tsType = rawOrders.schema("o_orderdate").dataType
+    val o = rawOrders
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast(tsType)
+        && col("o_orderdate") < lit("1997-01-01").cast(tsType))
     val c = Tables.customer(s, dir)
     val sup = Tables.supplier(s, dir)
     val n = Tables.nation(s, dir)
@@ -278,8 +283,8 @@ object RefQueries {
       |             / 10000.0 * 10000.0 + 0.5) / 10000.0 AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
-      | AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
-      | AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+      | AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      | AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
       |JOIN customer ON o_custkey = c_custkey
       |JOIN supplier ON l_suppkey = s_suppkey
       | AND c_nationkey = s_nationkey

@@ -53,6 +53,33 @@ class PlanShapeSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("tpch q5: date filter pushes to the orders scan, the three " +
+    "bounded dims broadcast") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val plan = executed(operators.RefQueries.tpchQ5(spark, sfDir))
+    val bhj = collect(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 3,
+      s"supplier/nation/region must broadcast, got ${bhj.size} BHJs")
+    val ordersScans = collect(plan) {
+      case f: FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("orders")) => f
+    }
+    assert(ordersScans.nonEmpty)
+    ordersScans.foreach { f =>
+      // the literal is cast to the column's type, so the date RANGE
+      // itself reaches the parquet reader (a to_date wrapper would
+      // block it)
+      val pushed = f.metadata.getOrElse("PushedFilters", "")
+      assert(pushed.contains("GreaterThanOrEqual(o_orderdate") &&
+        pushed.contains("LessThan(o_orderdate"),
+        s"o_orderdate range not pushed: $pushed")
+      val schema = f.metadata.getOrElse("ReadSchema", "")
+      assert(!schema.contains("o_totalprice") &&
+        !schema.contains("o_orderpriority"),
+        s"orders scan reads unneeded columns: $schema")
+    }
+  }
+
   test("as-of join runs on a single data exchange (plus output sort)") {
     val df = JoinsPlus.asofAttribution(spark, sfDir)
     val ex = exchanges(df)
