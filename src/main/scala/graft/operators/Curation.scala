@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1085,7 +1085,107 @@ object Curation {
       |         / 10000.0 AS pct_tokens
       |FROM st ORDER BY stage_idx""".stripMargin
 
+  /** Quantile normalization of document length across sources — the
+    * batch-effect remover: map each source's length distribution onto
+    * the POOLED distribution (source-v's quantile looks up the pooled
+    * value at the same quantile), so downstream length-sensitive
+    * filters treat a verbose and a terse source identically. The census
+    * reports each source's mean length before and after — after
+    * normalization every source's mean collapses toward the pooled
+    * mean, and the residual gap measures how much of the source skew
+    * was shape (not location) difference.
+    *
+    * Exactness: everything is integer until the final displays — the
+    * lookup rank k = ⌈F_src(v)·N_pool⌉ = (cum_s·N_pool + n_s − 1) div
+    * n_s is exact integer arithmetic, and the normalized value is the
+    * min pooled value whose cumulative count reaches k. Shape: frames
+    * are (source × value)-domain-sized; the pooled CDF's global window
+    * runs over the BOUNDED distinct-length domain (the [[q: Mann-
+    * Whitney]] precedent) and broadcasts into an inequality lookup
+    * (domain²-bounded, never facts). */
+  def quantileNorm(s: SparkSession, dir: String): DataFrame =
+    quantileNormOn(Tables.documents(s, dir).select("source", "n_chars"))
+
+  /** [[quantileNorm]] core over an explicit (source, n_chars) frame. */
+  private[graft] def quantileNormOn(docs: DataFrame): DataFrame = {
+    val perSV = docs.groupBy("source", "n_chars")
+      .agg(count(lit(1)).as("t"))
+    val wSrcCum = Window.partitionBy("source").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSrcAll = Window.partitionBy("source")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val srcCum = perSV
+      .withColumn("cum_s", sum("t").over(wSrcCum))
+      .withColumn("n_s", sum("t").over(wSrcAll))
+    val wCum = Window.orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val pooled = docs.groupBy("n_chars").agg(count(lit(1)).as("tp"))
+      .withColumn("cum_p", sum("tp").over(wCum))
+      .withColumn("n_pool", sum("tp").over(wAll))
+      .select(col("n_chars").as("v_p"), col("cum_p"), col("n_pool"))
+    // normalized(v) = min pooled v_p with F_pool(v_p) ≥ F_src(v),
+    // cross-multiplied to exact integers: cum_p·n_s ≥ cum_s·n_pool
+    val normed = srcCum.join(broadcast(pooled),
+        col("cum_p").cast("decimal(38,0)") * col("n_s")
+          >= col("cum_s").cast("decimal(38,0)") * col("n_pool"))
+      .groupBy("source", "n_chars", "t", "n_s")
+      .agg(min("v_p").as("v_norm"))
+    def fix4(c: Column) =
+      floor(c * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)
+    normed.groupBy("source")
+      .agg(first("n_s").as("n_docs"),
+        sum(col("t").cast("decimal(38,0)") * col("n_chars")).as("sb"),
+        sum(col("t").cast("decimal(38,0)") * col("v_norm")).as("sa"))
+      .select(col("source"), col("n_docs"),
+        fix4(col("sb").cast("double") / col("n_docs").cast("double"))
+          .as("mean_before"),
+        fix4(col("sa").cast("double") / col("n_docs").cast("double"))
+          .as("mean_after"))
+      .orderBy("source")
+  }
+
+  private val quantileNormSql =
+    """WITH sv AS (
+      |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS t
+      |  FROM documents GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT source, n_chars, t,
+      |         sum(t) OVER (PARTITION BY source ORDER BY n_chars
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s,
+      |         sum(t) OVER (PARTITION BY source) AS n_s
+      |  FROM sv),
+      |pooled AS (
+      |  SELECT n_chars AS v_p,
+      |         sum(tp) OVER (ORDER BY n_chars
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_p,
+      |         sum(tp) OVER () AS n_pool
+      |  FROM (SELECT n_chars, CAST(count(*) AS BIGINT) AS tp
+      |        FROM documents GROUP BY 1)),
+      |normed AS (
+      |  SELECT sc.source, sc.n_chars, sc.t, sc.n_s,
+      |         min(p.v_p) AS v_norm
+      |  FROM sc JOIN pooled p
+      |    ON CAST(p.cum_p AS DECIMAL(38,0)) * sc.n_s
+      |       >= CAST(sc.cum_s AS DECIMAL(38,0)) * p.n_pool
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT source, CAST(any_value(n_s) AS BIGINT) AS n_docs,
+      |       floor(CAST(sum(CAST(t AS DECIMAL(38,0)) * n_chars) AS DOUBLE)
+      |             / CAST(any_value(n_s) AS DOUBLE) * 10000.0 + 0.5)
+      |         / 10000.0 AS mean_before,
+      |       floor(CAST(sum(CAST(t AS DECIMAL(38,0)) * v_norm) AS DOUBLE)
+      |             / CAST(any_value(n_s) AS DOUBLE) * 10000.0 + 0.5)
+      |         / 10000.0 AS mean_after
+      |FROM normed
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_quantile_norm", quantileNorm, Some(quantileNormSql),
+      doc = "quantile normalization of doc length across sources: " +
+        "exact cross-multiplied CDF lookup onto the pooled " +
+        "distribution, per-source mean before/after census"),
     Q("q_mixture_weights", mixtureWeights, Some(mixtureWeightsSql),
       doc = "Temperature-scaled source mixing weights (α = 1, 1/2, 1/4 " +
         "via exactly-rounded sqrt, 1e6-fixed bases, exact BIGINT " +
