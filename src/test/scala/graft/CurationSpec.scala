@@ -245,4 +245,19 @@ class CurationSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       .map(_.getLong(2)).sum
     assert(totals == perFlag, s"grand total $totals != sum of flag level $perFlag")
   }
+
+  test("quantile norm: two shifted sources collapse to the same pooled " +
+    "mean after normalization") {
+    import spark.implicits._
+    // a = {1,2,3,4}, b = {11,12,13,14}: same shape, shifted location.
+    // Pooled CDF maps a's and b's k-th value to the same pooled value
+    // (2,4,12,14), so both means land on exactly 8.0
+    val docs = (Seq(1L, 2L, 3L, 4L).map(("a", _)) ++
+      Seq(11L, 12L, 13L, 14L).map(("b", _))).toDF("source", "n_chars")
+    val rows = operators.Curation.quantileNormOn(docs).collect()
+      .map(r => (r.getString(0), r.getAs[Double]("mean_before"),
+        r.getAs[Double]("mean_after")))
+    assert(rows.toSeq == Seq(("a", 2.5, 8.0), ("b", 12.5, 8.0)),
+      s"got ${rows.toSeq}")
+  }
 }
