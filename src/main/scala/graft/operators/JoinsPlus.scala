@@ -199,6 +199,69 @@ object JoinsPlus {
       |       round(avg(b_us - v_us) / 1000000.0, 4) AS avg_delay_sec
       |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Leakage-free training-feature assembly with the FIRST-CLASS as-of
+    * operator ([[graft.plans.AsOf]]) — the point-in-time-correct join
+    * every feature store is built around: each purchase (the label
+    * event) picks up the user's cumulative activity THROUGH THE PRIOR
+    * DAY, never the same day's (features are stamped at the NEXT
+    * midnight, so a day-d label sees cum(≤ d−1) — the classic
+    * target-leakage bug is structurally impossible). Runs on the custom
+    * Catalyst exec (one hash-clustered exchange per side, O(1) merge
+    * state), feature times as exact epoch-µs BIGINTs. Census: match
+    * rate + prior-activity profile at purchase time. */
+  def featureAsof(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val feats = ev
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum("n").over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("day")))
+      .select(col("user_id"),
+        ((datediff(col("day"), lit("1970-01-01").cast("date")) + 1)
+          .cast("long") * lit(86400000000L)).as("f_us"),
+        col("cum"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("b_us"))
+    graft.plans.AsOf.join(buys, feats, "user_id", "b_us", "f_us")
+      .agg(count(lit(1)).as("n_purchases"),
+        count(col("__r_cum")).as("n_matched"),
+        (floor(sum(col("__r_cum")).cast("double")
+          / count(col("__r_cum")).cast("double")
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d))
+          .as("avg_prior_events"),
+        max(col("__r_cum")).as("max_prior_events"))
+  }
+
+  private val featureAsofSql =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |feats AS (
+      |  SELECT user_id,
+      |         (CAST(day - DATE '1970-01-01' AS BIGINT) + 1)
+      |           * 86400000000 AS f_us,
+      |         CAST(sum(n) OVER (PARTITION BY user_id ORDER BY day
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS BIGINT) AS cum
+      |  FROM daily),
+      |b AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS b_us
+      |  FROM events WHERE event_type = 'purchase'),
+      |m AS (
+      |  SELECT b.event_id, max(f.cum) AS cum
+      |  FROM b LEFT JOIN feats f
+      |    ON b.user_id = f.user_id AND f.f_us <= b.b_us
+      |  GROUP BY 1)
+      |SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+      |       CAST(count(cum) AS BIGINT) AS n_matched,
+      |       floor(CAST(sum(cum) AS DOUBLE) / count(cum) * 10000.0 + 0.5)
+      |         / 10000.0 AS avg_prior_events,
+      |       CAST(max(cum) AS BIGINT) AS max_prior_events
+      |FROM m""".stripMargin
+
   /** Range (interval) join: purchases within 24 h after each signup of
     * the same user. Equi-key on user_id keeps it a hash/SMJ join; the
     * range predicate filters within the key group, so the blow-up is
@@ -611,6 +674,11 @@ object JoinsPlus {
   }
 
   val all: Seq[Q] = Seq(
+    Q("q_feature_asof", featureAsof, Some(featureAsofSql),
+      doc = "point-in-time-correct feature assembly on the first-class " +
+        "as-of exec: labels join cumulative features stamped at the " +
+        "NEXT midnight - same-day target leakage structurally " +
+        "impossible"),
     Q("q_asof_custom", asofCustom, Some(asofCustomSql),
       doc = "As-of join as a FIRST-CLASS operator: custom LogicalPlan + " +
         "Strategy + AsOfJoinExec (clustered/sorted children, one-pass " +
