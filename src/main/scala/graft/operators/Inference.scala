@@ -1293,6 +1293,103 @@ object Inference {
        |FROM f ORDER BY event_type, day""".stripMargin
   }
 
+  /** One-step-ahead forecast BACKTEST — the model-selection layer the
+    * smoothing family needs before anyone trusts a forecast: replay
+    * each day's [[holt]] forecast, [[ewma]] level and the seasonal-naive
+    * week-ago value as predictions for the NEXT day, score |error|
+    * against the realized actual, and crown the per-type winner. All
+    * forecasts are already exact multiples of 1e-4 (the dyadic folds),
+    * so errors live as exact BIGINT 1e-4 units — the MAE comparison and
+    * the winner's argmin (alphabetical tiebreak) are engine-identical
+    * integer decisions, not float races.
+    *
+    * Scale shape: the three forecasters all ride the same (type, day)
+    * calendar frame; evaluation is two window offsets and one
+    * per-type aggregate. Only days where every model can forecast (a
+    * full week of history AND a realized next day) score — the honest
+    * backtest protocol. */
+  def forecastBacktest(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val base = daily
+      .withColumn("x_next", lead("x", 1).over(w))
+      .withColumn("snaive", lag("x", 6).over(w))
+    val h = holtOn(daily).select(col("event_type"), col("day"),
+      floor(col("forecast") * lit(10000.0d) + lit(0.5d)).cast("long")
+        .as("h4"))
+    val e = ewmaOn(daily).select(col("event_type"), col("day"),
+      floor(col("ewma") * lit(10000.0d) + lit(0.5d)).cast("long")
+        .as("e4"))
+    def fix4(c: Column) =
+      floor(c * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)
+    base.join(h, Seq("event_type", "day"))
+      .join(e, Seq("event_type", "day"))
+      .filter(col("x_next").isNotNull && col("snaive").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_evals"),
+        sum(abs(col("x_next") * lit(10000L) - col("h4"))).as("se_h"),
+        sum(abs(col("x_next") * lit(10000L) - col("e4"))).as("se_e"),
+        sum(abs((col("x_next") - col("snaive")) * lit(10000L))).as("se_s"))
+      .select(col("event_type"), col("n_evals"),
+        fix4(col("se_h").cast("double") / lit(10000.0d)
+          / col("n_evals").cast("double")).as("mae_holt"),
+        fix4(col("se_e").cast("double") / lit(10000.0d)
+          / col("n_evals").cast("double")).as("mae_ewma"),
+        fix4(col("se_s").cast("double") / lit(10000.0d)
+          / col("n_evals").cast("double")).as("mae_snaive"),
+        when(col("se_e") <= col("se_h") && col("se_e") <= col("se_s"),
+          lit("ewma"))
+          .when(col("se_h") <= col("se_s"), lit("holt"))
+          .otherwise(lit("snaive")).as("best_model"))
+      .orderBy("event_type")
+  }
+
+  private lazy val forecastBacktestSql =
+    s"""WITH h AS (
+       |  SELECT event_type, day,
+       |         CAST(floor(forecast * 10000.0 + 0.5) AS BIGINT) AS h4
+       |  FROM ($holtSql)),
+       |e AS (
+       |  SELECT event_type, day,
+       |         CAST(floor(ewma * 10000.0 + 0.5) AS BIGINT) AS e4
+       |  FROM ($ewmaSql)),
+       |d AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |         CAST(count(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2),
+       |base AS (
+       |  SELECT event_type, day, x,
+       |         lead(x) OVER (PARTITION BY event_type ORDER BY day)
+       |           AS x_next,
+       |         lag(x, 6) OVER (PARTITION BY event_type ORDER BY day)
+       |           AS snaive
+       |  FROM d),
+       |j AS (
+       |  SELECT base.event_type, base.x_next, base.snaive, h.h4, e.e4
+       |  FROM base
+       |  JOIN h ON base.event_type = h.event_type AND base.day = h.day
+       |  JOIN e ON base.event_type = e.event_type AND base.day = e.day
+       |  WHERE base.x_next IS NOT NULL AND base.snaive IS NOT NULL),
+       |a AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_evals,
+       |         CAST(sum(abs(x_next * 10000 - h4)) AS BIGINT) AS se_h,
+       |         CAST(sum(abs(x_next * 10000 - e4)) AS BIGINT) AS se_e,
+       |         CAST(sum(abs((x_next - snaive) * 10000)) AS BIGINT) AS se_s
+       |  FROM j GROUP BY 1)
+       |SELECT event_type, n_evals,
+       |       floor(CAST(se_h AS DOUBLE) / 10000.0 / n_evals
+       |             * 10000.0 + 0.5) / 10000.0 AS mae_holt,
+       |       floor(CAST(se_e AS DOUBLE) / 10000.0 / n_evals
+       |             * 10000.0 + 0.5) / 10000.0 AS mae_ewma,
+       |       floor(CAST(se_s AS DOUBLE) / 10000.0 / n_evals
+       |             * 10000.0 + 0.5) / 10000.0 AS mae_snaive,
+       |       CASE WHEN se_e <= se_h AND se_e <= se_s THEN 'ewma'
+       |            WHEN se_h <= se_s THEN 'holt'
+       |            ELSE 'snaive' END AS best_model
+       |FROM a ORDER BY event_type""".stripMargin
+
   /** STL-style additive decomposition of the daily total-event series:
     * x = trend + seasonal + residual, with trend = centered 7-day moving
     * average (full windows only), seasonal = per-day-of-week mean of the
@@ -1898,6 +1995,9 @@ object Inference {
     Q("q_nelson_aalen", nelsonAalen, Some(nelsonAalenSql),
       doc = "Nelson-Aalen cumulative hazard of time-to-first-purchase: " +
         "1e-6-fixed exact-integer d/n increments, BIGINT running sum"),
+    Q("q_forecast_backtest", forecastBacktest, Some(forecastBacktestSql),
+      doc = "one-step-ahead backtest of holt vs ewma vs seasonal-naive: " +
+        "errors as exact BIGINT 1e-4 units, integer argmin winner"),
     Q("q_holt_winters", holtWinters, Some(holtWintersSql),
       doc = "Holt-Winters additive triple smoothing, period 7, dyadic " +
         "alpha=beta=gamma=1/2: 9-slot rotation-encoded BIGINT state " +
