@@ -1293,6 +1293,84 @@ object Inference {
        |FROM f ORDER BY event_type, day""".stripMargin
   }
 
+  /** Mann-Kendall trend test of the per-type daily volume — the
+    * nonparametric "is there a monotone trend at all" gate run before
+    * fitting any slope ([[Profiling.dailyTrend]] gives the OLS slope,
+    * [[Profiling.theilSen]] the robust one; this says whether to
+    * believe either): S = Σ_{i<j} sign(x_j − x_i) over day pairs, with
+    * the tie-corrected variance
+    *   var = (n(n−1)(2n+5) − Σ t(t−1)(2t+5)) / 18
+    * and the continuity-corrected z = (S ∓ 1)/√var.
+    *
+    * Exactness: the day-pair self-join is CALENDAR²-bounded per type
+    * (the [[Profiling.theilSen]] precedent — never facts), S and the
+    * tie term are exact BIGINTs, and z is one fixed IEEE sequence.
+    * Degenerate all-tied series (var = 0) yields NULL z. */
+  def mannKendall(s: SparkSession, dir: String): DataFrame =
+    mannKendallOn(Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x")))
+
+  /** [[mannKendall]] core over an (event_type, day, x) daily frame. */
+  private[graft] def mannKendallOn(daily: DataFrame): DataFrame = {
+    val d = daily.select(col("event_type"), col("day"), col("x"))
+    val sPairs = d.as("a").join(d.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.day") < col("b.day"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(sum(signum(col("b.x") - col("a.x")).cast("long")).as("s_mk"))
+    val tieTerm = d.groupBy("event_type", "x")
+      .agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_distinct"), sum("t").as("n"),
+        sum(col("t") * (col("t") - lit(1L))
+          * (lit(2L) * col("t") + lit(5L))).as("ties"))
+    def dd(c: String) = col(c).cast("double")
+    sPairs.join(tieTerm, "event_type")
+      .withColumn("varx",
+        (dd("n") * (dd("n") - lit(1.0d)) * (lit(2.0d) * dd("n") + lit(5.0d))
+          - dd("ties")) / lit(18.0d))
+      .select(col("event_type"), col("n").cast("bigint").as("n_days"),
+        col("s_mk"),
+        when(col("varx") > 0d,
+          floor((col("s_mk").cast("double")
+            - signum(col("s_mk").cast("double")))
+            / sqrt(col("varx")) * lit(10000.0d) + lit(0.5d))
+            / lit(10000.0d)).as("z"))
+      .orderBy("event_type")
+  }
+
+  private val mannKendallSql =
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |sp AS (
+      |  SELECT a.event_type,
+      |         CAST(sum(CASE WHEN b.x > a.x THEN 1
+      |                  WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+      |           AS s_mk
+      |  FROM d a JOIN d b
+      |    ON a.event_type = b.event_type AND a.day < b.day
+      |  GROUP BY 1),
+      |tt AS (
+      |  SELECT event_type, CAST(sum(t) AS BIGINT) AS n,
+      |         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS ties
+      |  FROM (SELECT event_type, x, CAST(count(*) AS BIGINT) AS t
+      |        FROM d GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |v AS (
+      |  SELECT sp.event_type, tt.n, sp.s_mk,
+      |         (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+      |            * (2.0 * CAST(n AS DOUBLE) + 5.0)
+      |          - CAST(ties AS DOUBLE)) / 18.0 AS varx
+      |  FROM sp JOIN tt USING (event_type))
+      |SELECT event_type, n AS n_days, s_mk,
+      |       CASE WHEN varx > 0 THEN
+      |         floor((CAST(s_mk AS DOUBLE) - sign(CAST(s_mk AS DOUBLE)))
+      |               / sqrt(varx) * 10000.0 + 0.5) / 10000.0 END AS z
+      |FROM v ORDER BY event_type""".stripMargin
+
   /** One-step-ahead forecast BACKTEST — the model-selection layer the
     * smoothing family needs before anyone trusts a forecast: replay
     * each day's [[holt]] forecast, [[ewma]] level and the seasonal-naive
@@ -1995,6 +2073,10 @@ object Inference {
     Q("q_nelson_aalen", nelsonAalen, Some(nelsonAalenSql),
       doc = "Nelson-Aalen cumulative hazard of time-to-first-purchase: " +
         "1e-6-fixed exact-integer d/n increments, BIGINT running sum"),
+    Q("q_mann_kendall", mannKendall, Some(mannKendallSql),
+      doc = "Mann-Kendall monotone-trend test per event type: exact " +
+        "BIGINT pair-sign sum over the calendar^2-bounded day pairs, " +
+        "tie-corrected variance, continuity-corrected z"),
     Q("q_forecast_backtest", forecastBacktest, Some(forecastBacktestSql),
       doc = "one-step-ahead backtest of holt vs ewma vs seasonal-naive: " +
         "errors as exact BIGINT 1e-4 units, integer argmin winner"),

@@ -387,4 +387,25 @@ class InferenceSpec extends SparkTestBase {
         s"x = trend + seasonal + resid, got $sum vs ${r.getLong(1)}")
     }
   }
+
+  test("Mann-Kendall: strictly rising series gives S = C(n,2) and the " +
+    "textbook z; constant series degenerates to NULL") {
+    import spark.implicits._
+    def daily(t: String, xs: Seq[Long]) = xs.zipWithIndex.map {
+      case (x, i) => (t, java.sql.Date.valueOf(f"2024-02-${i + 1}%02d"), x)
+    }
+    // rising n=5: S = 10, no ties, var = 5*4*15/18 = 50/3,
+    // z = (10-1)/sqrt(50/3) = 2.2045
+    val df = (daily("up", Seq(1L, 2L, 3L, 4L, 5L)) ++
+      daily("flat", Seq(7L, 7L, 7L, 7L))).toDF("event_type", "day", "x")
+    val rows = Inference.mannKendallOn(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val up = rows("up")
+    assert(up.getAs[Long]("s_mk") == 10L)
+    assert(math.abs(up.getAs[Double]("z") - 2.2045) < 1e-9, s"$up")
+    // all-tied: S = 0 and var = 0 (ties term cancels n(n-1)(2n+5))
+    val fl = rows("flat")
+    assert(fl.getAs[Long]("s_mk") == 0L)
+    assert(fl.isNullAt(fl.fieldIndex("z")), s"$fl")
+  }
 }
