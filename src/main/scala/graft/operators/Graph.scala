@@ -983,16 +983,44 @@ object Graph {
     * number an exact count, one fix4 division each. Determinism: rule
     * rank = (exact integer conf6 desc, ante, cons); per-basket best
     * rule by the same key. */
-  def assocEval(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
-    assocEvalOn(li.filter(pmod(col("l_orderkey"), lit(5L)) =!= 0),
-      li.filter(pmod(col("l_orderkey"), lit(5L)) === 0))
+  /** Memoized TRAIN-split pair table for [[assocEval]] — the mining
+    * half is once-per-corpus ingest work; only the broadcast-probe
+    * evaluation is the per-query cost (the [[affinityEdges]] memo
+    * lifecycle: BuildMeter-flagged, stopped sessions swept, fixture
+    * change = miss). */
+  private val trainEdgeMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Long), DataFrame]()
+
+  private def trainEdges(s: SparkSession, dir: String,
+                         train: DataFrame): DataFrame = {
+    val it = trainEdgeMemo.entrySet().iterator()
+    while (it.hasNext) {
+      if (it.next().getValue.sparkSession.sparkContext.isStopped) it.remove()
+    }
+    val key = (System.identityHashCode(s), dir, lineitemFingerprint(dir))
+    val hit = trainEdgeMemo.get(key)
+    if (hit != null && (hit.sparkSession eq s)) hit
+    else {
+      graft.BuildMeter.record()
+      val v = affinityEdgesOn(train).localCheckpoint()
+      trainEdgeMemo.put(key, v)
+      v
+    }
   }
 
-  /** [[assocEval]] core over explicit train/test lineitem splits. */
-  private[graft] def assocEvalOn(train: DataFrame,
-                                 test: DataFrame): DataFrame = {
-    val und = affinityEdgesOn(train)
+  def assocEval(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+    val train = li.filter(pmod(col("l_orderkey"), lit(5L)) =!= 0)
+    assocEvalOn(train,
+      li.filter(pmod(col("l_orderkey"), lit(5L)) === 0),
+      trainEdges(s, dir, train))
+  }
+
+  /** [[assocEval]] core over explicit train/test lineitem splits and a
+    * (possibly memoized) train pair table. */
+  private[graft] def assocEvalOn(train: DataFrame, test: DataFrame,
+                                 und0: DataFrame = null): DataFrame = {
+    val und = if (und0 != null) und0 else affinityEdgesOn(train)
     val itemCnt = train.groupBy("l_orderkey")
       .agg(collect_set("l_partkey").as("ps"))
       .filter(size(col("ps")) <= ORDER_CAP)
