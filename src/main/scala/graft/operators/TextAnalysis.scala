@@ -1677,15 +1677,58 @@ object TextAnalysis {
     * model, never raw text in a shuffle); scoring joins holdout tokens
     * to the model on term and reduces to (doc, lang) sums; the dense
     * doc×lang frame is a 5-row broadcast crossJoin. */
-  def naiveBayes(s: SparkSession, dir: String): DataFrame =
-    naiveBayesOn(Tables.documents(s, dir)
-      .select(col("doc_id"), col("text"), col("lang")))
+  /** Memoized naive-Bayes MODEL (per-term adjustments + per-language
+    * parameters) per (session, dir, fingerprint) — training is
+    * once-per-corpus ingest work (the probe-training precedent); only
+    * holdout scoring is the per-query cost. */
+  private val nbMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, Long), (DataFrame, DataFrame)]()
+
+  private def docsFingerprint(dir: String): Long = {
+    val f = new java.io.File(s"$dir/documents.parquet")
+    val files = if (f.isDirectory) f.listFiles() else Array(f)
+    files.foldLeft(f.getPath.hashCode.toLong) { (acc, x) =>
+      acc * 1000003L + x.getName.hashCode * 31L + x.length * 17L +
+        x.lastModified
+    }
+  }
+
+  def naiveBayes(s: SparkSession, dir: String): DataFrame = {
+    val it = nbMemo.entrySet().iterator()
+    while (it.hasNext) {
+      if (it.next().getValue._1.sparkSession.sparkContext.isStopped)
+        it.remove()
+    }
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val key = (System.identityHashCode(s), dir, docsFingerprint(dir))
+    val hit = nbMemo.get(key)
+    val model =
+      if (hit != null && (hit._1.sparkSession eq s)) hit
+      else {
+        graft.BuildMeter.record()
+        val (adj, params) =
+          trainNaiveBayes(docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0))
+        val v = (adj.localCheckpoint(), params.localCheckpoint())
+        nbMemo.put(key, v)
+        v
+      }
+    scoreNaiveBayes(docs.filter(pmod(col("doc_id"), lit(5L)) === 0),
+      model._1, model._2)
+  }
 
   /** [[naiveBayes]] over an explicit (doc_id, text, lang) frame — the
-    * planted-semantics seam. */
+    * planted-semantics seam (un-memoized). */
   private[graft] def naiveBayesOn(docs: DataFrame): DataFrame = {
-    val train = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
-    val hold = docs.filter(pmod(col("doc_id"), lit(5L)) === 0)
+    val (adj, params) =
+      trainNaiveBayes(docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0))
+    scoreNaiveBayes(docs.filter(pmod(col("doc_id"), lit(5L)) === 0),
+      adj, params)
+  }
+
+  /** Training half: (term, lang, adj6) model + (lang, prior6, oov6)
+    * parameters. */
+  private def trainNaiveBayes(train: DataFrame): (DataFrame, DataFrame) = {
     val clt = train
       .select(col("lang"), explode(split(col("text"), " ")).as("term"))
       .groupBy("lang", "term").agg(count(lit(1)).as("c_lt"))
@@ -1707,11 +1750,16 @@ object TextAnalysis {
           / col("den").cast("double"))
           * lit(1000000.0d) + lit(0.5d)).cast("long") - col("oov6"))
           .as("adj6"))
+    (adj, priors.join(langStats.select("lang", "oov6"), Seq("lang")))
+  }
+
+  /** Scoring half over the holdout split. */
+  private def scoreNaiveBayes(hold: DataFrame, adj: DataFrame,
+                              params: DataFrame): DataFrame = {
     val hTok = hold
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val matched = hTok.join(adj, Seq("term"))
       .groupBy("doc_id", "lang").agg(sum("adj6").as("madj6"))
-    val params = priors.join(langStats.select("lang", "oov6"), Seq("lang"))
     val dense = hold.select(col("doc_id"), col("lang").as("true_lang"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
       .crossJoin(broadcast(params))
