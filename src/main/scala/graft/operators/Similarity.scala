@@ -2224,6 +2224,97 @@ object Similarity {
           * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("avg_set_size"))
   }
 
+  /** Isotonic (monotone) calibration of the probe's score deciles —
+    * what a platform actually DEPLOYS on top of the
+    * [[probeCalibration]] trust sheet: the raw per-decile positive
+    * rates need not be monotone in the score (sampling noise), and the
+    * isotonic fit is the unique monotone curve closest to them in L²,
+    * so "higher score ⇒ higher calibrated confidence" holds by
+    * construction. Computed by the CLOSED-FORM minimax characterization
+    *   iso(i) = max_{j≤i} min_{k≥i} mean(y[j..k])
+    * over the 10 deciles — interval means are exact integer ratios
+    * (Σ n_pos / Σ n over decile runs), identical doubles in both
+    * engines, and the max/min lattice runs over the ≤10² bounded
+    * interval set (no iterative PAVA, nothing data-sized — the whole
+    * fit is a few hundred rows at ANY corpus scale). */
+  def isotonicCalibration(s: SparkSession, dir: String): DataFrame =
+    isotonicOn(probeCalibration(s, dir)
+      .select(col("decile"), col("n"), col("n_pos")))
+
+  /** [[isotonicCalibration]] core over a (decile, n, n_pos) frame. */
+  private[graft] def isotonicOn(dec: DataFrame): DataFrame = {
+    // cumulative sums turn interval means into prefix differences:
+    // mean(j..k) = (P_k − P_{j−1}) / (N_k − N_{j−1})
+    val w = org.apache.spark.sql.expressions.Window.orderBy("decile")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = dec
+      .withColumn("cn", sum("n").over(w))
+      .withColumn("cp", sum("n_pos").over(w))
+      .select(col("decile"), col("n"), col("n_pos"), col("cn"), col("cp"))
+      .cache()
+    val lo = cum.select(col("decile").as("j"),
+      (col("cn") - col("n")).as("n_lo"), (col("cp") - col("n_pos"))
+        .as("p_lo"))
+    val hi = cum.select(col("decile").as("k"), col("cn").as("n_hi"),
+      col("cp").as("p_hi"))
+    // all O(buckets²) interval means, then the minimax over the
+    // bounded lattice: min over k ≥ i, then max over j ≤ i
+    val intervals = lo.join(hi, col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        ((col("p_hi") - col("p_lo")).cast("double")
+          / (col("n_hi") - col("n_lo")).cast("double")).as("m"))
+    val innerMin = cum.select(col("decile").as("i"))
+      .join(intervals, col("k") >= col("i") && col("j") <= col("i"))
+      .groupBy("i", "j").agg(min("m").as("mn"))
+      .groupBy("i").agg(max("mn").as("iso"))
+    cum.join(innerMin, col("decile") === col("i"))
+      .select(col("decile"), col("n"), col("n_pos"),
+        (floor(col("n_pos").cast("double") / col("n").cast("double")
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("pos_rate"),
+        (floor(col("iso") * lit(10000.0d) + lit(0.5d)) / lit(10000.0d))
+          .as("iso_rate"))
+      .orderBy("decile")
+  }
+
+  // lazy: references probeChainParts, defined later in the object
+  private lazy val isotonicSql = {
+    val chain = probeChainParts._1
+    s"""WITH $chain,
+       |dec AS (
+       |  SELECT CAST(decile AS INTEGER) AS decile,
+       |         CAST(count(*) AS BIGINT) AS n,
+       |         CAST(count(*) FILTER (y = 1) AS BIGINT) AS n_pos
+       |  FROM (SELECT y, ntile(10) OVER (ORDER BY margin, vec_id) AS decile
+       |        FROM m$PROBE_ROUNDS)
+       |  GROUP BY decile),
+       |cum AS (
+       |  SELECT decile, n, n_pos,
+       |         CAST(sum(n) OVER (ORDER BY decile
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS BIGINT) AS cn,
+       |         CAST(sum(n_pos) OVER (ORDER BY decile
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS BIGINT) AS cp
+       |  FROM dec),
+       |iv AS (
+       |  SELECT l.decile AS j, h.decile AS k,
+       |         CAST(h.cp - (l.cp - l.n_pos) AS DOUBLE)
+       |           / CAST(h.cn - (l.cn - l.n) AS DOUBLE) AS m
+       |  FROM cum l JOIN cum h ON l.decile <= h.decile),
+       |mm AS (
+       |  SELECT c.decile AS i, iv.j, min(iv.m) AS mn
+       |  FROM cum c JOIN iv ON iv.k >= c.decile AND iv.j <= c.decile
+       |  GROUP BY 1, 2),
+       |iso AS (SELECT i, max(mn) AS iso FROM mm GROUP BY 1)
+       |SELECT c.decile, c.n, c.n_pos,
+       |       floor(CAST(c.n_pos AS DOUBLE) / c.n * 10000.0 + 0.5)
+       |         / 10000.0 AS pos_rate,
+       |       floor(iso.iso * 10000.0 + 0.5) / 10000.0 AS iso_rate
+       |FROM cum c JOIN iso ON c.decile = iso.i
+       |ORDER BY c.decile""".stripMargin
+  }
+
   /** Shared oracle chain: features + unrolled training rounds to
     * m{PROBE_ROUNDS} (margins under the FINAL weights) — used by the
     * training-curve census AND the calibration table. */
@@ -2457,6 +2548,10 @@ object Similarity {
         "power-of-two weighted BIGINT sum, truncated form"),
     Q("q_ann_ndcg", annNdcg, Some(annNdcgSql)),
     Q("q_pca_variance", pcaVariance, None),
+    Q("q_isotonic", isotonicCalibration, Some(isotonicSql),
+      doc = "isotonic calibration of the probe deciles by the exact " +
+        "minimax closed form over the bounded interval lattice - the " +
+        "deployable monotone confidence curve"),
     Q("q_conformal", conformal, Some(conformalSql),
       doc = "split-conformal prediction sets over the probe margin: " +
         "exact integer order-statistic threshold via distributed " +

@@ -114,6 +114,8 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     // the same weights broadcast + 1-row calibration-census/threshold
     // frames crossJoined onto the eval scan
     "q_conformal",
+    // <=10-row decile frames in the bounded interval-lattice joins
+    "q_isotonic",
     // DistNtile.withRank's triangular offsets join over the
     // ≤shuffle-partitions-row per-partition counts frame, once per
     // ranked column (4 columns)
@@ -204,6 +206,7 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     "q_kruskal_wallis" -> "rank-sum over the distinct-value domain",
     "q_mann_whitney" -> "rank-sum over the distinct-value domain",
     "q_quantile_norm" -> "pooled CDF over the distinct-length domain",
+    "q_isotonic" -> "cumulative sums over the 10-row decile table",
     "q_nelson_aalen" -> "cumulative hazard over the ≤horizon-hour table",
     "q_quality_retention" -> "cumulative retention over the 10-row decile table",
     "q_sim_rerank" -> "rank over the 5-row reranked head",

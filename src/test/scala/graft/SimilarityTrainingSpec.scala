@@ -326,4 +326,25 @@ class SimilarityTrainingSpec extends SparkTestBase {
     assert(r.getAs[Double]("coverage") == 0.5, s"$r")
     assert(r.getAs[Double]("avg_set_size") == 0.5, s"$r")
   }
+
+  test("isotonic: a non-monotone bump pools to the PAVA average, " +
+    "monotone ends untouched") {
+    import spark.implicits._
+    // rates [0.2, 0.4, 0.3, 0.8] with n = 10 each: PAVA pools the
+    // middle pair to 0.35; the minimax form must agree
+    val dec = Seq((1, 10L, 2L), (2, 10L, 4L), (3, 10L, 3L), (4, 10L, 8L))
+      .toDF("decile", "n", "n_pos")
+    val got = operators.Similarity.isotonicOn(dec).collect()
+      .map(r => (r.getInt(0), r.getAs[Double]("pos_rate"),
+        r.getAs[Double]("iso_rate")))
+    assert(got.toSeq == Seq((1, 0.2, 0.2), (2, 0.4, 0.35),
+      (3, 0.3, 0.35), (4, 0.8, 0.8)), s"got ${got.toSeq}")
+    // already monotone input is a fixpoint
+    val mono = Seq((1, 10L, 1L), (2, 10L, 5L), (3, 10L, 9L))
+      .toDF("decile", "n", "n_pos")
+    val m = operators.Similarity.isotonicOn(mono).collect()
+      .map(r => (r.getAs[Double]("pos_rate"), r.getAs[Double]("iso_rate")))
+    assert(m.forall(x => x._1 == x._2), s"monotone fixpoint violated: ${m.toSeq}")
+    spark.catalog.clearCache()
+  }
 }
