@@ -98,6 +98,18 @@ object Bench {
     // must never make the headline number smaller
     val total = results.map(_._2).filter(_ > 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$ms,"first_touch":$ft,"sf":"$sfDir"}""")
+    // Compact summary printed LAST: the driver keeps only the tail of the
+    // output, and the detail line above is ~40 KB with the total at its
+    // head — so every BENCH_r*.json through round 8 recorded parsed:null.
+    // This second line is small enough to always survive the tail capture
+    // and carries everything the 2x-of-baseline acceptance gate needs.
+    val good = results.map(_._2).filter(_ > 0)
+    val nFailed = results.size - good.size
+    val meanS = if (good.nonEmpty) total / good.size else 0.0
+    val medS = if (good.nonEmpty) median(good) else 0.0
+    val slowest = results.filter(_._2 > 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => s"""["$k",$v]""" }.mkString("[", ",", "]")
+    println(s"""{"metric":"bench_summary","total_s":$total,"n":${good.size},"n_failed":$nFailed,"mean_s":$meanS,"median_s":$medS,"slowest":$slowest,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1567,8 +1567,9 @@ object Breadth {
     def score(v: String, b: String) =
       expr(s"1 + size(filter($b, x -> $v > x))")
     cust.join(broadcast(bounds))
-      .select(score("rec", "rb").as("r"), score("freq", "fb").as("f"),
-        score("mon", "mb").as("m"), col("mon"))
+      .select(score("rec", "rb").cast("long").as("r"),
+        score("freq", "fb").cast("long").as("f"),
+        score("mon", "mb").cast("long").as("m"), col("mon"))
       .groupBy("r", "f", "m")
       .agg(count(lit(1)).as("n_customers"),
         (floor(sum("mon").cast("double") / count(lit(1)) / lit(100.0d)

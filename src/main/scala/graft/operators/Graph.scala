@@ -800,8 +800,11 @@ object Graph {
     * are NOT yet co-purchased but share the most co-purchase
     * neighbours?", the graph-native recommend-next-edge primitive. For
     * every non-adjacent pair reachable through a (non-hub) common
-    * neighbour: score = |Γa∩Γb| / |Γa∪Γb|, evidence counted over
-    * centers with degree ≤ [[LP_CENTER_CAP]].
+    * neighbour: score = |Γa∩Γb| / |Γa∪Γb| computed over the CAPPED
+    * neighbourhood graph — both the intersection AND the per-endpoint
+    * degrees count only neighbours with degree ≤ [[LP_CENTER_CAP]], so
+    * the ratio is a true Jaccard of the same (hub-excluded) sets rather
+    * than a capped numerator over an uncapped denominator.
     *
     * Shape: the memoized edge build + one wedge self-join (capped
     * fan-out), an anti-join against existing edges, two node-degree
@@ -829,9 +832,15 @@ object Graph {
       .groupBy("y", "z").agg(count(lit(1)).as("inter"))
       .join(und, col("y") === col("a") && col("z") === col("b"),
         "left_anti")
+    // capped degree: |{n ∈ Γv : deg(n) ≤ CAP}| — oriC's centers per
+    // endpoint — so dy/dz measure the SAME hub-excluded sets `inter`
+    // intersects (every cand endpoint has ≥1 capped neighbour, so the
+    // inner join drops nothing)
+    val degC = oriC.groupBy(col("b").as("node"))
+      .agg(count(lit(1)).as("degc"))
     cand
-      .join(deg.select(col("node").as("y"), col("deg").as("dy")), "y")
-      .join(deg.select(col("node").as("z"), col("deg").as("dz")), "z")
+      .join(degC.select(col("node").as("y"), col("degc").as("dy")), "y")
+      .join(degC.select(col("node").as("z"), col("degc").as("dz")), "z")
       .withColumn("union_nb", col("dy") + col("dz") - col("inter"))
       .withColumn("j6",
         expr(s"inter * 1000000L div union_nb"))
@@ -868,15 +877,18 @@ object Graph {
        |    FROM ori e1 JOIN ori e2 ON e1.a = e2.a AND e1.b < e2.b
        |    GROUP BY 1, 2) w
        |  LEFT JOIN und ON w.y = und.a AND w.z = und.b
-       |  WHERE und.a IS NULL)
+       |  WHERE und.a IS NULL),
+       |degc AS MATERIALIZED (
+       |  SELECT b AS node, CAST(count(*) AS BIGINT) AS degc
+       |  FROM ori GROUP BY 1)
        |SELECT c.y AS p_a, c.z AS p_b, c.inter AS common_nb,
-       |       dy.deg + dz.deg - c.inter AS union_nb,
-       |       CAST(c.inter * 1000000 // (dy.deg + dz.deg - c.inter)
+       |       dy.degc + dz.degc - c.inter AS union_nb,
+       |       CAST(c.inter * 1000000 // (dy.degc + dz.degc - c.inter)
        |            AS DOUBLE) / 1000000.0 AS jaccard
        |FROM cand c
-       |JOIN deg dy ON c.y = dy.node
-       |JOIN deg dz ON c.z = dz.node
-       |ORDER BY c.inter * 1000000 // (dy.deg + dz.deg - c.inter) DESC,
+       |JOIN degc dy ON c.y = dy.node
+       |JOIN degc dz ON c.z = dz.node
+       |ORDER BY c.inter * 1000000 // (dy.degc + dz.degc - c.inter) DESC,
        |         p_a, p_b
        |LIMIT $LP_TOP""".stripMargin
 

@@ -60,8 +60,14 @@ object Multimodal {
       .map { case (id, text) =>
         val tb = text.getBytes("UTF-8") // fixture text is ASCII
         val len = tb.length
+        // An empty document must still yield a valid container — image and
+        // video planes have positive size even when len == 0, and a mod-0
+        // here would fail the whole batch (the module's skip-and-count
+        // posture). Zero-filled content is the degenerate plane; the
+        // oracle SQL mirrors it (CASE WHEN len = 0 THEN 0 byte lookups).
         def content(from: Int, n: Int): Array[Byte] =
-          Array.tabulate(n)(i => tb((from + i) % len))
+          if (len == 0) new Array[Byte](n)
+          else Array.tabulate(n)(i => tb((from + i) % len))
         (id % 3) match {
           case 0 =>
             val (w, h) = imageDims(len)
@@ -231,7 +237,8 @@ object Multimodal {
       |              ELSE 2 * (2 + (length(text) * 7) % 5) END AS h,
       |         CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 24
       |              ELSE 1 END AS frames,
-      |         ascii(substr(text, 1, 1)) AS bright
+      |         CASE WHEN length(text) = 0 THEN 0
+      |              ELSE ascii(substr(text, 1, 1)) END AS bright
       |  FROM documents)
       |SELECT media_type, count(*) AS n,
       |       round(avg(w), 4) AS avg_width,
@@ -337,12 +344,15 @@ object Multimodal {
        |         -- content byte i = text byte (i mod len); bit 63 via the
        |         -- two's-complement identity (adding -2^63) because DuckDB
        |         -- rejects 1::BIGINT << 63
+       |         -- len = 0 mirrors the zero-filled degenerate plane the
+       |         -- generator emits for an empty document (byte value 0)
        |         (SELECT CAST(sum(CASE WHEN
-       |              ord(substr(text,
-       |                  1 + CAST(((k * clen) // 64) % len AS INTEGER), 1))
+       |              (CASE WHEN len = 0 THEN 0 ELSE ord(substr(text,
+       |                  1 + CAST(((k * clen) // 64) % len AS INTEGER), 1)) END)
        |                * 64
-       |              >= (SELECT sum(ord(substr(text,
-       |                    1 + CAST(((j * clen) // 64) % len AS INTEGER), 1)))
+       |              >= (SELECT sum(CASE WHEN len = 0 THEN 0
+       |                    ELSE ord(substr(text,
+       |                    1 + CAST(((j * clen) // 64) % len AS INTEGER), 1)) END)
        |                  FROM range(0, 64) r2(j))
        |            THEN CASE WHEN k = 63 THEN -9223372036854775808
        |                 ELSE 1::BIGINT << CAST(k AS INTEGER) END
@@ -546,11 +556,12 @@ object Multimodal {
        |  SELECT doc_id, f,
        |         CAST(list_aggregate(list_transform(
        |             range(0, CAST(fs AS INTEGER)),
-       |             i -> abs(ord(substr(text,
+       |             i -> CASE WHEN len = 0 THEN 0
+       |                  ELSE abs(ord(substr(text,
        |                      1 + CAST((f * fs + i) % len AS INTEGER), 1))
        |                  - ord(substr(text,
        |                      1 + CAST(((f + $FRAME_STRIDE) * fs + i) % len
-       |                               AS INTEGER), 1)))),
+       |                               AS INTEGER), 1))) END),
        |           'sum') AS BIGINT) AS d
        |  FROM pairs),
        |per AS (

@@ -180,12 +180,12 @@ object Profiling {
       .map(b => when(col("x") > lit(b), 1).otherwise(0))
       .reduce(_ + _)
     val bsCol = array(bs.map(lit): _*)
-    li.select(binCol.as("bin"))
+    li.select(binCol.cast("long").as("bin"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n_items"))
       .select(col("bin"),
-        (floor(element_at(bsCol, col("bin") + lit(1)) * lit(10000.0d)
-          + lit(0.5d)) / lit(10000.0d)).as("bin_lo"),
+        (floor(element_at(bsCol, (col("bin") + lit(1)).cast("int"))
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("bin_lo"),
         col("n_items"))
       .orderBy("bin")
   }
@@ -496,10 +496,10 @@ object Profiling {
     val w = (col("hi") - col("lo")) / lit(PSI_BINS.toDouble)
     val counts = docs.join(broadcast(bounds))
       .select(least(floor((col("n_chars") - col("lo")) / w),
-        lit((PSI_BINS - 1).toDouble)).cast("int").as("bin"), col("split"))
+        lit((PSI_BINS - 1).toDouble)).cast("long").as("bin"), col("split"))
       .groupBy("bin", "split").agg(count(lit(1)).as("c"))
     val grid = bounds.select(explode(expr(
-      s"sequence(0, ${PSI_BINS - 1})")).as("bin"))
+      s"sequence(0L, ${PSI_BINS - 1}L)")).as("bin"))
     val tr = counts.filter(col("split") === "train").select("bin", "c")
     val te = counts.filter(col("split") === "test")
       .select(col("bin"), col("c").as("ct"))

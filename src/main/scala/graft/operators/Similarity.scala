@@ -131,20 +131,15 @@ object Similarity {
        |       floor(da.vmax * 100000000.0 + 0.5) / 100000000.0 AS max_dim_var
        |FROM ns CROSS JOIN da""".stripMargin
 
-  /** Brute-force cosine top-10 against the vec_id=0 query vector
-    * (self excluded). */
-  def bruteTopK(s: SparkSession, dir: String): DataFrame = {
-    val e = corpus(s, dir)
-    val q = e.filter(col("vec_id") === 0)
-      .select(col("emb").as("q_emb"), col("nrm").as("q_nrm"))
-    e.filter(col("vec_id") =!= 0)
-      .join(broadcast(q))
-      .select(col("vec_id"), col("label"),
-        round(VectorFns.cosineWithNorms("emb", "q_emb", "nrm", "q_nrm"), 4)
-          .as("cos_sim"))
+  /** Brute-force cosine top-10 against the vec_id=0 query vector (self
+    * excluded) — the q_id=0 slice of the [[bruteTruth]] memo (identical
+    * expressions, rounding and tie-break, so identical values). */
+  def bruteTopK(s: SparkSession, dir: String): DataFrame =
+    bruteTruth(s, dir)
+      .filter(col("q_id") === 0)
+      .select(col("vec_id"), col("label"), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(10)
-  }
 
   private val bruteTopKSql =
     """WITH e AS (
@@ -179,7 +174,12 @@ object Similarity {
     * candidate set never lands on one reducer. Ranking is over the
     * 4-decimal-rounded cosine with a vec_id tiebreak, which is what makes
     * the DuckDB oracle row-exact. */
-  def bruteTopKBatch(s: SparkSession, dir: String): DataFrame = {
+  /** Exact-cosine batch ranking to depth k — the COMPUTE path behind
+    * [[bruteTruth]]'s memo (and the plan PlanShapeSpec pins: queries
+    * broadcast, the corpus is scored in place, only narrow scored
+    * tuples shuffle through the two-level salted top-k). */
+  private[graft] def bruteTruthCompute(s: SparkSession, dir: String,
+                                       k: Int): DataFrame = {
     val e = corpus(s, dir)
     val qs = e.filter(col("vec_id") < QBATCH)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
@@ -197,13 +197,54 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
     scored
       .withColumn("srn", row_number().over(bySalt))
-      .filter(col("srn") <= BATCH_TOPK)
+      .filter(col("srn") <= k)
       .withColumn("rn", row_number().over(byQuery))
-      .filter(col("rn") <= BATCH_TOPK)
-      .select(col("q_id"), col("rn"), col("vec_id"), col("label"),
-        col("cos_sim"))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn").cast("long").as("rn"), col("vec_id"),
+        col("label"), col("cos_sim"))
       .orderBy("q_id", "rn")
   }
+
+  /** Ground-truth depth: deep enough for every consumer (single-query
+    * top-10, recall/NDCG@5, MRR@[[BATCH_TOPK]], matryoshka@[[MRL_K]]). */
+  private val TRUTH_K = 10
+
+  /** Brute-force truth memo per (corpus dir, data fingerprint): the
+    * QBATCH·[[TRUTH_K]] (q_id, rn, vec_id, label, cos_sim) rows are
+    * PLAIN DRIVER DATA — ids and 4dp-rounded scores, model-sized, no
+    * session reference — so they're safe to serve to any session (the
+    * [[trainedProbe]] precedent). */
+  private val truthMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, String),
+      (org.apache.spark.sql.types.StructType,
+        Array[org.apache.spark.sql.Row])]()
+
+  /** The exact cosine top-[[TRUTH_K]] for every batch query, as a local
+    * relation off the memo. `q_sim_topk`, `q_sim_topk_batch`,
+    * `q_ann_recall`, `q_ann_ndcg`, `q_ann_mrr` and
+    * `q_matryoshka_recall` all rank against the SAME deterministic
+    * truth (exact tie-broken integer/4dp values), so the fleet pays ONE
+    * batched corpus scan for ground truth instead of six. At 100 TB the
+    * truth side is exactly this shape: a sampled query batch scored
+    * once, then reused by every evaluation that needs it. */
+  private[graft] def bruteTruth(s: SparkSession, dir: String): DataFrame = {
+    val key = (dir, dataFingerprint(dir, "embeddings"))
+    var hit = truthMemo.get(key)
+    if (hit == null) {
+      graft.BuildMeter.record()
+      val df = bruteTruthCompute(s, dir, TRUTH_K)
+      hit = (df.schema, df.collect())
+      truthMemo.put(key, hit)
+    }
+    s.createDataFrame(java.util.Arrays.asList(hit._2: _*), hit._1)
+  }
+
+  /** Registered batch top-k — served from the [[bruteTruth]] memo. */
+  def bruteTopKBatch(s: SparkSession, dir: String): DataFrame =
+    bruteTruth(s, dir)
+      .filter(col("rn") <= BATCH_TOPK)
+      .orderBy("q_id", "rn")
 
   private val bruteTopKBatchSql =
     s"""WITH e AS (
@@ -363,8 +404,8 @@ object Similarity {
       .filter(col("srn") <= BATCH_TOPK)
       .withColumn("rn", row_number().over(byQuery))
       .filter(col("rn") <= BATCH_TOPK)
-      .select(col("q_id"), col("rn"), col("vec_id"), col("label"),
-        col("hamming"), col("cos_sim"))
+      .select(col("q_id"), col("rn").cast("long").as("rn"), col("vec_id"),
+        col("label"), col("hamming"), col("cos_sim"))
       .orderBy("q_id", "rn")
   }
 
@@ -462,7 +503,8 @@ object Similarity {
       .filter(col("srn") <= KNN_K)
       .withColumn("rn", row_number().over(byVec))
       .filter(col("rn") <= KNN_K)
-      .select(col("vec_id"), col("rn"), col("nb_id"), col("hamming"))
+      .select(col("vec_id"), col("rn").cast("long").as("rn"), col("nb_id"),
+        col("hamming"))
       .orderBy("vec_id", "rn")
   }
 
@@ -1045,7 +1087,7 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"),
         sum(round(col("v"), 6)
           .cast(org.apache.spark.sql.types.DecimalType(20, 6))).as("s"))
-      .select(col("label"), col("j"), col("n_vecs"),
+      .select(col("label"), col("j").cast("long").as("j"), col("n_vecs"),
         round(col("s").cast("double") / col("n_vecs"), 4).as("centroid"))
       .orderBy("label", "j")
   }
@@ -1221,8 +1263,8 @@ object Similarity {
     * sampled query set exactly like this (one query here). */
   def annRecall(s: SparkSession, dir: String): DataFrame = {
     val ann = annLsh(s, dir).select("vec_id")
-    val bf = bruteTopK(s, dir)
-      .orderBy(col("cos_sim").desc, col("vec_id").asc).limit(5)
+    val bf = bruteTruth(s, dir)
+      .filter(col("q_id") === 0 && col("rn") <= 5)
       .select("vec_id")
     ann.join(bf, Seq("vec_id"))
       .agg(count(lit(1)).as("n_overlap"))
@@ -1623,12 +1665,10 @@ object Similarity {
     * Both frames are ≤5 rows, so the ranking windows are constant-size. */
   def annNdcg(s: SparkSession, dir: String): DataFrame = {
     val wAll = org.apache.spark.sql.expressions.Window
-    val truth = bruteTopK(s, dir)
-      .orderBy(col("cos_sim").desc, col("vec_id").asc).limit(5)
-      .withColumn("t_rank", row_number().over(
-        wAll.orderBy(col("cos_sim").desc, col("vec_id").asc)))
-      .select(col("vec_id"), (lit(6) - col("t_rank")).cast("long").as("rel"),
-        col("t_rank"))
+    val truth = bruteTruth(s, dir)
+      .filter(col("q_id") === 0 && col("rn") <= 5)
+      .select(col("vec_id"), (lit(6L) - col("rn")).cast("long").as("rel"),
+        col("rn").as("t_rank"))
     val ann = annLsh(s, dir)
       .withColumn("a_rank", row_number().over(
         wAll.orderBy(col("cos_sim").desc, col("vec_id").asc)))
@@ -1761,7 +1801,7 @@ object Similarity {
     * are floor-fixed to 6 dp and summed as DECIMAL(20,6) (order-free)
     * before the single final division. */
   def annMrr(s: SparkSession, dir: String): DataFrame = {
-    val truth = bruteTopKBatch(s, dir).filter(col("rn") === 1)
+    val truth = bruteTruth(s, dir).filter(col("rn") === 1)
       .select(col("q_id"), col("vec_id"))
     val ann = annLshBatch(s, dir)
       .select(col("q_id"), col("vec_id"), col("rn").as("a_rank"))
@@ -2456,7 +2496,8 @@ object Similarity {
     * index-size saving. The full-dim row (recall 1.0 by construction)
     * anchors the protocol.
     *
-    * Scale shape: ONE corpus scan serves all depths (explode to
+    * Scale shape: ONE corpus scan serves every TRUNCATED depth (the
+    * full-dim depth is the [[bruteTruth]] memo) (explode to
     * (dims, prefix-slice) rows — a narrow map, never shuffled with the
     * vectors), the per-depth query vector broadcasts, and the per-depth
     * top-k uses the same two-level salted ranking as [[bruteTopKBatch]]
@@ -2464,8 +2505,13 @@ object Similarity {
     * (dims, vec_id, rounded score) rows shuffle. */
   def matryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
     val e = corpus(s, dir)
+    // the full-dim (DIM) ranking IS the brute-force truth — slice(emb,
+    // 1, DIM) = emb and the norm/round/tie-break expressions are the
+    // same — so it comes from the [[bruteTruth]] memo; only the
+    // truncated depths are scored from the scan
+    val scanDims = MRL_DIMS.filterNot(_ == DIM)
     val sliced = e.select(col("vec_id"),
-        explode(array(MRL_DIMS.map(d => lit(d)): _*)).as("dims"),
+        explode(array(scanDims.map(d => lit(d)): _*)).as("dims"),
         col("emb"))
       .withColumn("pe", expr("slice(emb, 1, dims)"))
       .withColumn("pn", VectorFns.norm("pe"))
@@ -2483,17 +2529,16 @@ object Similarity {
     val byDims = org.apache.spark.sql.expressions.Window
       .partitionBy("dims")
       .orderBy(col("cs").desc, col("vec_id").asc)
-    // ≤ |MRL_DIMS|·k rows; cached because the full-dim slice of THIS
-    // frame is the ground truth the other depths join against.
+    val truth64 = bruteTruth(s, dir)
+      .filter(col("q_id") === 0 && col("rn") <= MRL_K)
     val top = scored
       .withColumn("srn", row_number().over(bySalt))
       .filter(col("srn") <= MRL_K)
       .withColumn("rn", row_number().over(byDims))
       .filter(col("rn") <= MRL_K)
       .select("dims", "vec_id")
-      .cache()
-    val gt = top.filter(col("dims") === DIM)
-      .select(col("vec_id").as("g"), lit(1L).as("hit"))
+      .unionByName(truth64.select(lit(DIM).as("dims"), col("vec_id")))
+    val gt = truth64.select(col("vec_id").as("g"), lit(1L).as("hit"))
     // Each dims group always has exactly k rows, so no depth can vanish
     // from the census even at zero overlap (r7 empty-aggregate trap).
     top.join(gt, col("vec_id") === col("g"), "left")

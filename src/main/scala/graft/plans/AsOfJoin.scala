@@ -216,6 +216,13 @@ object AsOf {
       s"AsOf.join: time columns '${lt.name}' (${lt.dataType.catalogString}) " +
         s"and '${rt.name}' (${rt.dataType.catalogString}) must both be " +
         "temporal or both integral")
+    // Same category check for the KEY pair: a TIMESTAMP key is epoch-µs
+    // internally, so equating it with a raw integral key would compare
+    // µs against ids — the exact silent-mismatch the time check refuses.
+    require(temporal(lk) == temporal(rk),
+      s"AsOf.join: key columns '${lk.name}' (${lk.dataType.catalogString}) " +
+        s"and '${rk.name}' (${rk.dataType.catalogString}) must both be " +
+        "temporal or both integral")
     org.apache.spark.sql.graft.PlanShim.ofRows(
       s, AsOfJoinPlan(lp, rp, widened(lk), widened(rk),
         widened(lt), widened(rt)))

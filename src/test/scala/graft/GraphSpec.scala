@@ -140,6 +140,21 @@ class GraphSpec extends SparkTestBase {
     assert(operators.Graph.linkPredictionOn(hub).isEmpty,
       "over-cap hub must contribute no wedge evidence")
     spark.catalog.clearCache()
+    // capped-Jaccard consistency: y and z share an over-cap hub h AND a
+    // small center c. The hub is excluded from the intersection, so it
+    // must be excluded from the union too: degc(y) = degc(z) = 1 ({c}),
+    // inter = 1 -> jaccard 1.0 (the old full-degree union said 1/3)
+    val spokes = (1L to 63L).map(i => (500L, 600L + i))
+    val mixed = (spokes ++ Seq((500L, 1L), (500L, 2L), (9L, 1L), (9L, 2L)))
+      .toDF("a", "b")
+    // (a second candidate (9, 500) arises through centers 1 and 2:
+    // inter = 2, degc(9) = 2, degc(500) = 65 -> union 65, j = .030769)
+    val mx = operators.Graph.linkPredictionOn(mixed).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("common_nb"),
+        r.getAs[Long]("union_nb"), r.getAs[Double]("jaccard")))
+    assert(mx.toSet == Set((1L, 2L, 1L, 1L, 1.0),
+      (9L, 500L, 2L, 65L, 0.030769)), s"got ${mx.toSeq}")
+    spark.catalog.clearCache()
   }
 
   test("k-core: chain periphery peels away, K4 survives to k=3, " +

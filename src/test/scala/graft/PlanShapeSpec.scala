@@ -174,7 +174,9 @@ class PlanShapeSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
   }
 
   test("batched top-k: queries broadcast, corpus embeddings never shuffle") {
-    val df = graft.operators.Similarity.bruteTopKBatch(spark, sfDir)
+    // pin the COMPUTE path (the registered query serves the memoized
+    // local relation, which has no joins to inspect)
+    val df = graft.operators.Similarity.bruteTruthCompute(spark, sfDir, 3)
     val plan = executed(df)
     // every shuffle carries only narrow scored tuples — no vector columns
     val ex = collect(plan) { case e: ShuffleExchangeExec => e }
