@@ -54,24 +54,36 @@ import org.apache.spark.sql.types.StructType
 object SnapshotLake {
 
   /** One immutable data file plus its manifest-recorded statistics: row
-    * count and min/max of the table's declared stats column. Stats are
-    * read once from the parquet footer at stage time and live in the
+    * count and min/max of the table's declared stats column(s). Stats
+    * are read once from the parquet footer at stage time and live in the
     * manifest from then on — scan planning prunes files WITHOUT opening
-    * them, the file-skipping half of the Iceberg contract. */
+    * them, the file-skipping half of the Iceberg contract. `min`/`max`
+    * are the PRIMARY stats column's range (the one [[compact]] keeps
+    * range-disjoint); `more` carries one (min, max) pair per ADDITIONAL
+    * declared stats column, in declaration order — Iceberg keeps
+    * per-column stats, and [[readRangeOn]] skips on any of them. */
   final case class FileEntry(path: String, rows: Long,
-                             min: Option[Long], max: Option[Long]) {
-    def serialized: String =
-      s"$path|$rows|${min.fold("")(_.toString)}|${max.fold("")(_.toString)}"
+                             min: Option[Long], max: Option[Long],
+                             more: Seq[(Option[Long], Option[Long])] =
+                               Seq.empty) {
+    def serialized: String = {
+      def f(o: Option[Long]) = o.fold("")(_.toString)
+      (s"$path|$rows|${f(min)}|${f(max)}" +:
+        more.map { case (mn, mx) => s"${f(mn)}|${f(mx)}" }).mkString("|")
+    }
   }
 
-  private def parseEntry(s: String): FileEntry = s.split('|') match {
-    case Array(p, r, mn, mx) =>
-      FileEntry(p, r.toLong,
-        if (mn.isEmpty) None else Some(mn.toLong),
-        if (mx.isEmpty) None else Some(mx.toLong))
-    case Array(p, r) => FileEntry(p, r.toLong, None, None)
-    case _ => FileEntry(s, -1L, None, None) // legacy bare-path line
-  }
+  private def parseEntry(s: String): FileEntry =
+    // limit -1: trailing empty fields (a stats-less extra column) must
+    // survive the split or pair alignment silently shifts
+    s.split("\\|", -1) match {
+      case Array(p, r, mn, mx, rest @ _*) if rest.size % 2 == 0 =>
+        def o(x: String) = if (x.isEmpty) None else Some(x.toLong)
+        FileEntry(p, r.toLong, o(mn), o(mx),
+          rest.grouped(2).map { case Seq(a, b) => (o(a), o(b)) }.toSeq)
+      case Array(p, r) => FileEntry(p, r.toLong, None, None)
+      case _ => FileEntry(s, -1L, None, None) // legacy bare-path line
+    }
 
   /** One logical column of an ID-BASED table: a stable field id (never
     * reused), its CURRENT name, and its type DDL. Ids are written into
@@ -136,13 +148,14 @@ object SnapshotLake {
       case "year"     => date_format(col(colName), "yyyy")
       case "month"    => date_format(col(colName), "yyyy-MM")
       case "day"      => date_format(col(colName), "yyyy-MM-dd")
+      case "hour"     => date_format(col(colName), "yyyy-MM-dd-HH")
       case k          => sys.error(s"unknown partition transform: $k")
     }
     def describe: String = kind match {
       case "identity"         => s"identity($colName)"
       case "mod"              => s"mod($n,$colName)"
       case "truncate"         => s"truncate($n,$colName)"
-      case "year" | "month" | "day" => s"$kind($colName)"
+      case "year" | "month" | "day" | "hour" => s"$kind($colName)"
     }
   }
 
@@ -508,10 +521,10 @@ object SnapshotLake {
         .filter(_._2._1 > 0)
       finally s.close()
     }
-    val named = parts.zipWithIndex.map { case ((p, (rows, mn, mx)), i) =>
+    val named = parts.zipWithIndex.map { case ((p, (rows, pairs)), i) =>
       val rel = s"data/v$v-$nonce-${offset + i}.parquet"
       Files.move(p, Paths.get(root, rel), StandardCopyOption.ATOMIC_MOVE)
-      FileEntry(rel, rows, mn, mx)
+      entryOf(rel, rows, pairs)
     }
     deleteRecursively(scratch)
     named
@@ -543,19 +556,27 @@ object SnapshotLake {
     named
   }
 
-  /** (rowCount, statsMin, statsMax) from the parquet footer — one
-    * metadata read, no data pages touched. Min/max fold across row
-    * groups; integral physical types only (the stats contract here). */
-  private def footerStats(p: Path,
-                          statsCol: Option[String]): (Long, Option[Long], Option[Long]) = {
+  /** The declared stats columns behind a manifest `stats=` value — a
+    * comma-separated list; the FIRST is the primary column ([[compact]]
+    * range-disjointness, legacy [[readRange]]), the rest are additional
+    * per-column skipping indexes ([[readRangeOn]]). */
+  private def statsColsOf(statsCol: Option[String]): Seq[String] =
+    statsCol.toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+
+  /** (rowCount, per-stats-column (min, max)) from the parquet footer —
+    * one metadata read, no data pages touched. Min/max fold across row
+    * groups; integral physical types only (the stats contract here).
+    * The result Seq is positionally aligned with [[statsColsOf]]. */
+  private def footerStats(p: Path, statsCol: Option[String])
+      : (Long, Seq[(Option[Long], Option[Long])]) = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(p.toString),
       new org.apache.hadoop.conf.Configuration())
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
       val rows = r.getRecordCount
-      val ranges = statsCol.toSeq.flatMap { c =>
-        r.getFooter.getBlocks.asScala.flatMap { b =>
+      val pairs = statsColsOf(statsCol).map { c =>
+        val ranges = r.getFooter.getBlocks.asScala.flatMap { b =>
           b.getColumns.asScala
             .find(_.getPath.toDotString == c)
             .map(_.getStatistics)
@@ -568,10 +589,20 @@ object SnapshotLake {
                 }
             }.flatten
         }
+        if (ranges.isEmpty) (None, None)
+        else (Some(ranges.map(_._1).min): Option[Long],
+          Some(ranges.map(_._2).max): Option[Long])
       }
-      if (ranges.isEmpty) (rows, None, None)
-      else (rows, Some(ranges.map(_._1).min), Some(ranges.map(_._2).max))
+      (rows, pairs)
     } finally r.close()
+  }
+
+  /** Build a [[FileEntry]] from a footer read: first stats pair primary,
+    * the rest `more`. */
+  private def entryOf(rel: String, rows: Long,
+                      pairs: Seq[(Option[Long], Option[Long])]): FileEntry = {
+    val (mn, mx) = pairs.headOption.getOrElse((None, None))
+    FileEntry(rel, rows, mn, mx, pairs.drop(1))
   }
 
   // ---- writes --------------------------------------------------------------
@@ -659,7 +690,8 @@ object SnapshotLake {
     * (first n chars), or "year"/"month"/"day" (temporal, n ignored). */
   def evolvePartitionSpec(root: String, kind: String, colName: String,
                           n: Int = 0): Int = {
-    require(Set("identity", "mod", "truncate", "year", "month", "day")(kind),
+    require(
+      Set("identity", "mod", "truncate", "year", "month", "day", "hour")(kind),
       s"unknown partition transform kind: $kind")
     require(kind != "mod" && kind != "truncate" || n >= 1,
       s"$kind transform requires n >= 1, got $n")
@@ -716,11 +748,11 @@ object SnapshotLake {
           .filter(_._2._1 > 0)
         finally s.close()
       }
-      parts.map { case (p, (rows, mn, mx)) =>
+      parts.map { case (p, (rows, pairs)) =>
         val rel = s"data/v$v-$nonce-$i.parquet"
         i += 1
         Files.move(p, Paths.get(root, rel), StandardCopyOption.ATOMIC_MOVE)
-        (FileEntry(rel, rows, mn, mx), rel -> (spec.id, pval))
+        (entryOf(rel, rows, pairs), rel -> (spec.id, pval))
       }
     }
     deleteRecursively(scratch)
@@ -769,7 +801,9 @@ object SnapshotLake {
     require(!snap.cols.exists(_.name == to), s"column '$to' already exists")
     val cols = snap.cols.map(c => if (c.name == from) c.copy(name = to) else c)
     commit(root, prev, s"rename[$from->$to]", snap.nRows, ddlOf(cols),
-      snap.statsCol.map(c => if (c == from) to else c),
+      // the stats declaration may be a LIST — rename the component
+      snap.statsCol.map(sc => statsColsOf(Some(sc))
+        .map(c => if (c == from) to else c).mkString(",")),
       snap.files, snap.deletes, cols, snap.eqDeletes, claim = claim)
   }
 
@@ -783,8 +817,8 @@ object SnapshotLake {
       "(create(..., columnIds = true))")
     require(snap.cols.exists(_.name == name), s"no column '$name'")
     require(snap.cols.size > 1, "cannot drop the last column")
-    require(!snap.statsCol.contains(name),
-      s"'$name' is the stats column — not droppable")
+    require(!statsColsOf(snap.statsCol).contains(name),
+      s"'$name' is a stats column — not droppable")
     val cols = snap.cols.filterNot(_.name == name)
     commit(root, prev, s"drop[$name]", snap.nRows, ddlOf(cols),
       snap.statsCol, snap.files, snap.deletes, cols, snap.eqDeletes,
@@ -1198,10 +1232,21 @@ object SnapshotLake {
     * file is opened. */
   private[graft] def pruneEntries(snap: Snapshot, lo: Long,
                                   hi: Long): Seq[FileEntry] =
-    snap.files.filter(f => (f.min, f.max) match {
-      case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
-      case _ => true
-    })
+    pruneEntriesOn(snap, 0, lo, hi)
+
+  /** [[pruneEntries]] over the idx-th declared stats column (0 = the
+    * primary min/max pair, i > 0 = `more(i-1)`). Files missing that
+    * pair are kept — pruning must never be lossy. */
+  private[graft] def pruneEntriesOn(snap: Snapshot, idx: Int, lo: Long,
+                                    hi: Long): Seq[FileEntry] =
+    snap.files.filter { f =>
+      val pr = if (idx == 0) (f.min, f.max)
+               else f.more.lift(idx - 1).getOrElse((None, None))
+      pr match {
+        case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
+        case _ => true
+      }
+    }
 
   /** Range scan over the stats column with manifest file skipping: only
     * files whose footer-recorded range intersects [lo, hi] are read at
@@ -1211,10 +1256,27 @@ object SnapshotLake {
     * residual predicate still applies inside the surviving files. */
   def readRange(spark: SparkSession, root: String, lo: Long, hi: Long): DataFrame = {
     val snap = snapshot(root, mainVersion(root))
-    val c = snap.statsCol.getOrElse(sys.error(
+    val c = statsColsOf(snap.statsCol).headOption.getOrElse(sys.error(
       s"table at $root has no stats column — create(..., statsCol) first"))
     openFiles(spark, root, snap, pruneEntries(snap, lo, hi))
       .filter(col(c).between(lo, hi))
+  }
+
+  /** [[readRange]] over ANY declared stats column by name — Iceberg
+    * keeps per-column file stats, so a selective predicate on a
+    * SECONDARY clustered column (e.g. user_id on an event log declared
+    * `stats = "event_id,user_id"`) skips files from the manifest alone,
+    * exactly like the primary. Lossy-never: files without that column's
+    * stats are read and the residual filter restores exactness. */
+  def readRangeOn(spark: SparkSession, root: String, colName: String,
+                  lo: Long, hi: Long): DataFrame = {
+    val snap = snapshot(root, mainVersion(root))
+    val cs = statsColsOf(snap.statsCol)
+    val idx = cs.indexOf(colName)
+    require(idx >= 0, s"'$colName' is not a declared stats column of " +
+      s"$root (declared: ${cs.mkString(",")})")
+    openFiles(spark, root, snap, pruneEntriesOn(snap, idx, lo, hi))
+      .filter(col(colName).between(lo, hi))
   }
 
   /** Incremental (CDC-style) read: the rows added strictly AFTER
@@ -1320,7 +1382,17 @@ object SnapshotLake {
       try s.iterator().asScala.toSeq
         .filter(_.getFileName.toString.endsWith(".seg"))
         .foreach { p =>
-          if (!liveSegs(p.getFileName.toString)) Files.deleteIfExists(p)
+          val fn = p.getFileName.toString
+          // A concurrent commit moves its new segment (named
+          // v{next}-{nonce}.seg) into meta/ BEFORE publishing the
+          // manifest that references it; reclaiming in that window
+          // would leave the just-published snapshot unreadable. A
+          // segment named beyond the currently published version is
+          // in-flight, not orphaned — a later expire (after the race
+          // resolves and cur advances past it) reclaims true losers.
+          val segVer = fn.stripPrefix("v").takeWhile(_.isDigit)
+          val inFlight = segVer.nonEmpty && segVer.toLong > cur
+          if (!inFlight && !liveSegs(fn)) Files.deleteIfExists(p)
         } finally s.close()
     }
     (droppedManifests, droppedFiles)
@@ -2125,7 +2197,11 @@ object SnapshotLake {
     * layout an append-only event log evolves to in practice: v1 create
     * (event_id%3=0, unpartitioned), v2 evolve to day(ts), v3 append
     * (%3=1, one file per calendar day), v4 evolve to month(ts), v5
-    * append (%3=2, one file per month). */
+    * append (%6=2, one file per month), v6 evolve to hour(ts), v7
+    * append (%6=5, one file per clock hour). The table declares TWO
+    * stats columns (`event_id,user_id`) so every staged file carries a
+    * per-column min/max pair in the manifest — the multi-predicate
+    * file-skipping surface [[readRangeOn]] serves. */
   private[graft] def ensureDateLab(s: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_").stripPrefix("_")
     val base = Paths.get(
@@ -2133,7 +2209,7 @@ object SnapshotLake {
       "graft_snap_datelab")
     val root = base.resolve(s"ev_${tag}_${docsFingerprint(dir)}")
     this.synchronized {
-      if (currentVersion(root.toString) < 5) {
+      if (currentVersion(root.toString) < 7) {
         graft.BuildMeter.record()
         if (Files.isDirectory(base)) {
           val ls = Files.list(base)
@@ -2146,11 +2222,13 @@ object SnapshotLake {
         val e = graft.Tables.events(s, dir)
           .select("event_id", "ts", "user_id", "event_type")
         create(e.filter(pmod(col("event_id"), lit(3)) === 0), root.toString,
-          statsCol = Some("event_id"))
+          statsCol = Some("event_id,user_id"))
         evolvePartitionSpec(root.toString, "day", "ts")
         append(s, e.filter(pmod(col("event_id"), lit(3)) === 1), root.toString)
         evolvePartitionSpec(root.toString, "month", "ts")
-        append(s, e.filter(pmod(col("event_id"), lit(3)) === 2), root.toString)
+        append(s, e.filter(pmod(col("event_id"), lit(6)) === 2), root.toString)
+        evolvePartitionSpec(root.toString, "hour", "ts")
+        append(s, e.filter(pmod(col("event_id"), lit(6)) === 5), root.toString)
       }
     }
     root.toString
@@ -2211,7 +2289,12 @@ object SnapshotLake {
       |  SELECT 'spec:month(ts)',
       |         CAST(count(DISTINCT strftime(ts, '%Y-%m')) AS BIGINT),
       |         count(*)
-      |  FROM events WHERE event_id % 3 = 2)
+      |  FROM events WHERE event_id % 6 = 2
+      |  UNION ALL
+      |  SELECT 'spec:hour(ts)',
+      |         CAST(count(DISTINCT strftime(ts, '%Y-%m-%d-%H')) AS BIGINT),
+      |         count(*)
+      |  FROM events WHERE event_id % 6 = 5)
       |ORDER BY era""".stripMargin
 
   /** The `table.history` metadata query as an oracle-checked census:

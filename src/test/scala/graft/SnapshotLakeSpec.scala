@@ -199,6 +199,74 @@ class SnapshotLakeSpec extends SparkTestBase {
       s"scan touched skipped files: $readFiles")
   }
 
+  test("multi-column stats: readRangeOn skips on the SECONDARY column, " +
+    "primary pruning and compact disjointness untouched") {
+    import spark.implicits._
+    val root = freshRoot("skipping2")
+    // ids ascend across commits while v DESCENDS — so primary (id) and
+    // secondary (v) stats prune OPPOSITE files and neither can stand in
+    // for the other
+    SnapshotLake.create(
+      (0L until 100L).map(i => (i, s"r$i", 1000L - i)).toDF("id", "kind", "v")
+        .coalesce(1),
+      root, statsCol = Some("id,v"))
+    SnapshotLake.append(spark,
+      (100L until 200L).map(i => (i, s"r$i", 1000L - i))
+        .toDF("id", "kind", "v").coalesce(1),
+      root)
+    val snap = SnapshotLake.snapshot(root, 2)
+    // every file carries BOTH pairs in the manifest
+    assert(snap.files.forall(f => f.min.isDefined && f.max.isDefined))
+    assert(snap.files.forall(f =>
+      f.more.size == 1 && f.more.head._1.isDefined))
+    // v ∈ [801, 900) lives only in v2's file (ids 100..199 → v 801..900)
+    val prunedV = SnapshotLake.pruneEntriesOn(snap, 1, 801, 900)
+    assert(prunedV.nonEmpty && prunedV.forall(_.path.startsWith("data/v2-")),
+      s"secondary pruning kept ${prunedV.map(_.path)}")
+    // primary pruning on the same snapshot still works (ids 0..99 → v1)
+    val prunedId = SnapshotLake.pruneEntries(snap, 0, 99)
+    assert(prunedId.nonEmpty &&
+      prunedId.forall(_.path.startsWith("data/v1-")))
+    // row-exact scan through the named-column API, only v2 files read
+    val got = SnapshotLake.readRangeOn(spark, root, "v", 801, 900)
+    assert(got.count() == 100)
+    val readFiles = got.select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(readFiles.forall(_.contains("v2-")),
+      s"scan touched skipped files: $readFiles")
+    // an undeclared column refuses rather than silently full-scanning
+    intercept[IllegalArgumentException] {
+      SnapshotLake.readRangeOn(spark, root, "kind", 0, 1)
+    }
+    // manifest round-trip: serialized entries re-parse with `more` intact
+    val reparsed = SnapshotLake.snapshot(root, 2)
+    assert(reparsed.files.map(_.more) == snap.files.map(_.more))
+  }
+
+  test("hour partition transform: appended files lay out one per clock " +
+    "hour and prune on the hour value") {
+    import spark.implicits._
+    val root = freshRoot("hourlab")
+    val ts0 = java.sql.Timestamp.valueOf("2024-03-01 10:15:00")
+    val rows = (0L until 40L).map { i =>
+      (i, new java.sql.Timestamp(ts0.getTime + i * 10 * 60 * 1000L)) // 10-min steps → 7 hours
+    }
+    SnapshotLake.create(rows.take(1).toDF("id", "ts"), root)
+    SnapshotLake.evolvePartitionSpec(root, "hour", "ts")
+    SnapshotLake.append(spark, rows.drop(1).toDF("id", "ts"), root)
+    val snap = SnapshotLake.snapshot(root, SnapshotLake.mainVersion(root))
+    val hourVals = snap.partInfo.values.filter(_._1 == snap.defaultSpec)
+      .map(_._2).toSet
+    assert(hourVals.contains("2024-03-01-10") &&
+      hourVals.contains("2024-03-01-16"), s"got $hourVals")
+    // pruning: reading one hour touches exactly that hour's file(s)
+    val one = SnapshotLake.readPartition(spark, root, "2024-03-01-12")
+    assert(one.count() == 6) // 12:05..12:55
+    val pruned = SnapshotLake.prunePartition(snap, "2024-03-01-12")
+    // the pre-evolution v1 file (no spec) is kept; hour files prune
+    assert(pruned.size < snap.files.size)
+  }
+
   test("addedSince reads exactly the appended rows, refuses COW history") {
     val root = freshRoot("incremental")
     SnapshotLake.create(df((1L, "a", 1L)), root)
