@@ -853,6 +853,11 @@ object Breadth {
           .agg(slice(array_sort(collect_list(
             struct(col("df"), col("g"), col("p")))), 1, pref).as("pref"))
       }
+    // NOTE (r9, measured): localCheckpoint-pinning this frame for the
+    // four join branches benches 3.2 → 3.7 s — the blocking
+    // materialization job costs more than the branches' row-local
+    // recomputes (gram transform + prefix sort are cheap per name).
+    // The recompute-per-branch shape is the measured floor.
     val withHot = scored
       .withColumn("is_hot",
         exists(col("pref"), x => x.getField("df") > HOT_GRAM_CAP))

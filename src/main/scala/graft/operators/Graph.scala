@@ -145,11 +145,16 @@ object Graph {
     val pairEstimate = edges0.count()
     val roundParts = math.max(1L,
       math.min(nPart.toLong, pairEstimate / EDGES_PER_ROUND_PART)).toInt
+    // localCheckpoint, not cache: pins the partitioned+degreed edge
+    // blocks (LogicalRDD keeps the hash(src) output partitioning, so
+    // rounds still join exchange-free) AND survives catalog.clearCache —
+    // the [[affinityEdges]] discipline; with cache() every bench pass
+    // silently re-paid the whole edge build inside round 1's DAG.
     val edges = edges0.repartition(roundParts, col("src")).distinct()
       .withColumn("deg", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window.partitionBy("src")))
-      .cache()
-    // one materializing job yields the exact census (driver holds one long)
+      .localCheckpoint()
+    // one job yields the exact census (driver holds one long)
     val n = edges.agg(countDistinct(col("src"))).collect().head.getLong(0)
     (edges, n)
   }

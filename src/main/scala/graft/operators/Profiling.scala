@@ -708,6 +708,11 @@ object Profiling {
     val pre = DistNtile.withPrefixSum(longVals,
       Seq(col("cname").asc, col("v").asc), col("tw"), "s")
       .cache() // consumed once per column below; value-cardinality
+    // NOTE (r9, measured): deriving N from the value table
+    // (pre.agg(max("s"))/4 — algebraically free) benches 4.5 → 6.6 s:
+    // it forces pre's whole offsets+window plan EAGERLY before the
+    // broadcast builds can overlap, while base.count() is a parquet
+    // footer count — effectively free at any scale. Keep the count.
     val nRows = base.count()
     val colIdx = shortNames.sorted.zipWithIndex.toMap
     val boundedDomain = Set("d", "q", "t")
