@@ -144,28 +144,87 @@ object Multimodal {
       .mapPartitions(decodeMedia _)
   }
 
-  /** Resize stage (aspect-fit into a 224×224 box) — the second batch
-    * stage of the pipeline, chained after decode as another typed
-    * mapPartitions pass. Integer-exact arithmetic (scale via integer
-    * division on the long side) so the oracle reproduces it; a real
-    * implementation swaps the arithmetic for the codec call, keeping the
-    * same (Iterator → Iterator) shape. */
+  /** Nearest-neighbor resample of one channel-interleaved plane to
+    * (rw, rh): target pixel (rx, ry) copies source pixel
+    * (rx·w div rw, ry·h div rh) — all integer arithmetic on
+    * non-negative operands, so the resampled plane's statistics replay
+    * in the oracle via the per-source-pixel cell-count closed form
+    * (wx(sx) = ⌈(sx+1)·rw/w⌉ − ⌈sx·rw/w⌉ target columns copy source
+    * column sx, and Σ wx = rw). */
+  private[graft] def resampleNN(plane: Array[Byte], w: Int, h: Int,
+                                ch: Int, rw: Int, rh: Int): Array[Byte] = {
+    val out = new Array[Byte](math.max(rw * rh * ch, 0))
+    var ry = 0
+    while (ry < rh) {
+      val sy = ry * h / rh
+      var rx = 0
+      while (rx < rw) {
+        val sx = rx * w / rw
+        var c = 0
+        while (c < ch) {
+          out((ry * rw + rx) * ch + c) = plane((sy * w + sx) * ch + c)
+          c += 1
+        }
+        rx += 1
+      }
+      ry += 1
+    }
+    out
+  }
+
+  /** Resize stage output: source/target geometry plus the exact byte
+    * sum and cell count of the RESAMPLED plane — the census proves the
+    * resample produced real pixels, not just box arithmetic. */
   final case class ResizedMedia(doc_id: Long, media_type: String,
                                 width: Int, height: Int,
-                                r_width: Int, r_height: Int)
+                                r_width: Int, r_height: Int,
+                                r_sum: Long, r_cells: Long)
 
-  def resizeStub(target: Int)(rows: Iterator[DecodedMedia]): Iterator[ResizedMedia] =
-    rows.map { d =>
-      val (rw, rh) =
-        if (d.width >= d.height) (target, d.height * target / d.width)
-        else (d.width * target / d.height, target)
-      ResizedMedia(d.doc_id, d.media_type, d.width, d.height, rw, rh)
+  /** Pixel-TRUE resize (aspect-fit into a target×target box): decode
+    * the container, select the modality's 2-D plane — image: the
+    * interleaved RGB pixels; audio: the 1×n PCM strip; video: the FIRST
+    * frame's luma (the thumbnail plane a video pipeline resizes) — and
+    * produce the nearest-neighbor-resampled pixels via [[resampleNN]].
+    * A corrupt blob resizes to a zero row (skip-and-count), never fails
+    * the batch. */
+  def resizePixels(target: Int)(rows: Iterator[MediaRow]): Iterator[ResizedMedia] =
+    rows.map { r =>
+      val dec =
+        try Some(MediaCodecs.decode(r.payload))
+        catch { case scala.util.control.NonFatal(_) => None }
+      dec match {
+        case None =>
+          ResizedMedia(r.doc_id, r.media_type, 0, 0, 0, 0, 0L, 0L)
+        case Some(d) =>
+          val (w, h, ch, plane) = d.kind match {
+            case "image" => (d.width, d.height, 3, d.content)
+            case "audio" => (d.width, 1, 1, d.content)
+            case _ => (d.width, d.height, 1, // first-frame luma (Y first in 4:2:0)
+              java.util.Arrays.copyOfRange(d.content, 0,
+                math.min(d.width * d.height, d.content.length)))
+          }
+          val (rw, rh) =
+            if (w >= h) (target, h * target / w)
+            else (w * target / h, target)
+          val rp = resampleNN(plane, w, h, ch, rw, rh)
+          var sum = 0L
+          var i = 0
+          while (i < rp.length) { sum += rp(i) & 0xff; i += 1 }
+          ResizedMedia(r.doc_id, r.media_type, w, h, rw, rh,
+            sum, rp.length.toLong)
+      }
     }
 
-  /** Decode → resize, both as per-partition batch stages. */
+  /** Batch resize over the media table — same repartition-by-modality
+    * batch shape as [[decoded]] (a real resampler reuses per-codec
+    * buffers within a partition). */
   def resized(s: SparkSession, dir: String): Dataset[ResizedMedia] = {
     import s.implicits._
-    decoded(s, dir).mapPartitions(resizeStub(224) _)
+    mediaTable(s, dir)
+      .repartition(col("media_type"),
+        pmod(col("doc_id"), lit(decodeSaltModulus(s).toLong)))
+      .as[MediaRow]
+      .mapPartitions(resizePixels(224) _)
   }
 
   def resizeAgg(s: SparkSession, dir: String): DataFrame =
@@ -175,34 +234,83 @@ object Multimodal {
            round(avg("r_width"), 4).as("avg_r_width"),
            round(avg("r_height"), 4).as("avg_r_height"),
            max("r_width").as("max_r_width"),
-           max("r_height").as("max_r_height"))
+           max("r_height").as("max_r_height"),
+           sum("r_cells").as("r_cells"),
+           // mean byte value of the RESAMPLED planes: exact integer
+           // sums, ONE division, IEEE floor-4dp (audio above 224
+           // samples aspect-fits to a 0-row strip → 0 cells; guard)
+           (floor(sum("r_sum").cast("double")
+             / greatest(sum("r_cells"), lit(1L)).cast("double")
+             * lit(10000.0d) + lit(0.5d)) / lit(10000.0d))
+             .as("avg_r_brightness"))
       .orderBy("media_type")
 
+  /** Oracle for the pixel-true resize census. The nearest-neighbor
+    * resample replays WITHOUT materializing target planes: source pixel
+    * (sx, sy) lands in wx(sx)·wy(sy) target cells, where
+    * wx(sx) = ⌈(sx+1)·rw/w⌉ − ⌈sx·rw/w⌉ (non-negative integer ceils as
+    * (a + b − 1) // b), so the resampled byte sum is a SOURCE-pixel sum
+    * with integer weights — w·h ≤ a few hundred rows per doc instead of
+    * rw·rh ≤ 50k. Byte (sidx, c) = text byte ((sidx·ch + c) mod len)
+    * (the generation rule: image RGB interleaved, audio PCM strip,
+    * video first-frame luma = frame-0 prefix). */
   private val resizeAggSql =
     """WITH dec AS (
-      |  SELECT doc_id,
+      |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
       |         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
       |              WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
       |         CAST(CASE CAST(doc_id % 3 AS INTEGER)
       |              WHEN 0 THEN 4 + length(text) % 13
       |              WHEN 1 THEN length(text)
-      |              ELSE 2 * (2 + length(text) % 7) END AS INTEGER) AS w,
+      |              ELSE 2 * (2 + length(text) % 7) END AS BIGINT) AS w,
       |         CAST(CASE CAST(doc_id % 3 AS INTEGER)
       |              WHEN 0 THEN 4 + (length(text) * 7) % 11
       |              WHEN 1 THEN 1
-      |              ELSE 2 * (2 + (length(text) * 7) % 5) END AS INTEGER) AS h
+      |              ELSE 2 * (2 + (length(text) * 7) % 5) END AS BIGINT) AS h,
+      |         CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END AS BIGINT)
+      |           AS ch
       |  FROM documents),
-      |r AS (
+      |geo AS (
+      |  SELECT *,
+      |         CASE WHEN w >= h THEN 224 ELSE w * 224 // h END AS rw,
+      |         CASE WHEN w >= h THEN h * 224 // w ELSE 224 END AS rh
+      |  FROM dec),
+      |px AS (
+      |  SELECT media_type, w, h, ch, rw, rh, len, text,
+      |         unnest(generate_series(0, CAST(w * h - 1 AS INTEGER)))
+      |           AS sidx
+      |  FROM geo WHERE rw * rh * ch > 0 AND len > 0),
+      |ct AS (
       |  SELECT media_type,
-      |         CASE WHEN w >= h THEN 224 ELSE w * 224 // h END AS r_width,
-      |         CASE WHEN w >= h THEN h * 224 // w ELSE 224 END AS r_height
-      |  FROM dec)
-      |SELECT media_type, count(*) AS n,
-      |       round(avg(r_width), 4) AS avg_r_width,
-      |       round(avg(r_height), 4) AS avg_r_height,
-      |       CAST(max(r_width) AS INTEGER) AS max_r_width,
-      |       CAST(max(r_height) AS INTEGER) AS max_r_height
-      |FROM r GROUP BY media_type ORDER BY media_type""".stripMargin
+      |         ((((sidx % w) + 1) * rw + w - 1) // w
+      |          - ((sidx % w) * rw + w - 1) // w)
+      |         * ((((sidx // w) + 1) * rh + h - 1) // h
+      |            - ((sidx // w) * rh + h - 1) // h)
+      |         * list_aggregate(list_transform(
+      |             generate_series(0, CAST(ch - 1 AS INTEGER)),
+      |             c -> ord(substr(text,
+      |                    1 + CAST((sidx * ch + c) % len AS INTEGER), 1))),
+      |           'sum') AS t
+      |  FROM px),
+      |per AS (
+      |  SELECT media_type, CAST(count(*) AS BIGINT) AS n,
+      |         round(avg(rw), 4) AS aw, round(avg(rh), 4) AS ah,
+      |         CAST(max(rw) AS INTEGER) AS mw,
+      |         CAST(max(rh) AS INTEGER) AS mh,
+      |         CAST(sum(rw * rh * ch) AS BIGINT) AS cells
+      |  FROM geo GROUP BY 1),
+      |sums AS (
+      |  SELECT media_type, CAST(sum(t) AS BIGINT) AS rsum FROM ct
+      |  GROUP BY 1)
+      |SELECT per.media_type AS media_type, per.n AS n,
+      |       per.aw AS avg_r_width, per.ah AS avg_r_height,
+      |       per.mw AS max_r_width, per.mh AS max_r_height,
+      |       per.cells AS r_cells,
+      |       floor(CAST(coalesce(sums.rsum, 0) AS DOUBLE)
+      |             / greatest(CAST(per.cells AS DOUBLE), 1.0)
+      |             * 10000.0 + 0.5) / 10000.0 AS avg_r_brightness
+      |FROM per LEFT JOIN sums ON per.media_type = sums.media_type
+      |ORDER BY media_type""".stripMargin
 
   /** Relational aggregation over decoded metadata — the query a user runs
     * after decode ("how much video, at what resolution, how many sampled

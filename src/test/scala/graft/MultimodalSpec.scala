@@ -89,6 +89,47 @@ class MultimodalSpec extends SparkTestBase {
     assert(byType("video").forall(d => d.width % 2 == 0 && d.height % 2 == 0))
   }
 
+  test("nearest-neighbor resample: hand planes give exact pixels, " +
+    "weight identity holds, corrupt blobs resize to zero rows") {
+    // 1×2 grayscale strip [10, 200] upscaled to 4×2: each source column
+    // owns exactly 2 target columns (sx = rx·2/4)
+    val up = Multimodal.resampleNN(Array[Byte](10, 200.toByte),
+      w = 2, h = 1, ch = 1, rw = 4, rh = 2)
+    assert(up.map(_ & 0xff).toSeq ==
+      Seq(10, 10, 200, 200, 10, 10, 200, 200))
+    // 4×1 downscale to 2×1 picks sources 0 and 2 (rx·4/2)
+    val dn = Multimodal.resampleNN(Array[Byte](1, 2, 3, 4),
+      w = 4, h = 1, ch = 1, rw = 2, rh = 1)
+    assert(dn.map(_ & 0xff).toSeq == Seq(1, 3))
+    // RGB channels travel together with their pixel
+    val rgb = Multimodal.resampleNN(Array[Byte](1, 2, 3, 4, 5, 6),
+      w = 2, h = 1, ch = 3, rw = 1, rh = 1)
+    assert(rgb.toSeq == Seq[Byte](1, 2, 3))
+    // oracle weight identity: sum over the resampled plane equals the
+    // per-source-pixel closed form Σ wx(sx)·wy(sy)·byte — the exact
+    // arithmetic the DuckDB oracle replays
+    val plane = Array.tabulate(5 * 3)(i => ((i * 37 + 11) % 251).toByte)
+    val (w0, h0, rw0, rh0) = (5, 3, 224, 134)
+    val rp = Multimodal.resampleNN(plane, w0, h0, 1, rw0, rh0)
+    def ceilDiv(a: Long, b: Long) = (a + b - 1) / b
+    val closed = (for { sy <- 0 until h0; sx <- 0 until w0 } yield {
+      val wx = ceilDiv((sx + 1).toLong * rw0, w0) - ceilDiv(sx.toLong * rw0, w0)
+      val wy = ceilDiv((sy + 1).toLong * rh0, h0) - ceilDiv(sy.toLong * rh0, h0)
+      wx * wy * (plane(sy * w0 + sx) & 0xff)
+    }).sum
+    assert(rp.map(_ & 0xff).map(_.toLong).sum == closed)
+    // corrupt blob: zero row, never a task failure
+    val out = Multimodal.resizePixels(224)(Iterator(
+      MediaRow(1L, "image", Array[Byte]('n', 'o')),
+      MediaRow(2L, "image",
+        MediaCodecs.encodePpm(1, 1, Array[Byte](100, 100, 100))))).toSeq
+    assert(out.head.r_cells == 0L && out.head.r_sum == 0L)
+    // 1×1 image aspect-fits to 224×224; every resampled byte is 100
+    assert(out(1).r_width == 224 && out(1).r_height == 224 &&
+      out(1).r_cells == 224L * 224 * 3 &&
+      out(1).r_sum == 224L * 224 * 3 * 100)
+  }
+
   test("modalities partition the corpus") {
     val counts = Multimodal.decoded(spark, sfDir)
       .groupBy("media_type").count().collect()
