@@ -2036,7 +2036,293 @@ object Inference {
        |ORDER BY day""".stripMargin
   }
 
+  /** Iterative-scaling rounds for [[bradleyTerry]] — fixed budget, the
+    * BPE/Lloyd/Markov unroll discipline. */
+  private val BT_ROUNDS = 5
+
+  /** Bradley-Terry source ranking — the pairwise-preference model every
+    * LLM eval stack runs (arena-style): source a beats source b once per
+    * cross-source document pair where a's quality bucket is strictly
+    * higher (qb = min(n_chars div 100, 20) — a bounded domain, so the
+    * |A|·|B| document comparisons collapse to a ≤21×21 HISTOGRAM join
+    * and no document pair ever materializes, the Kendall-τ trick). The
+    * MLE π solves by [[BT_ROUNDS]] minorization rounds
+    * π_a ← W_a / Σ_b n_ab/(π_a+π_b) on the DRIVER over the |S|²
+    * win matrix (model-sized, the PQ/Lloyd precedent), in EXACT integer
+    * arithmetic: π in 1e-6 units, each denominator term
+    * ⌊n_ab·10¹²/(π_a+π_b)⌋ a BigInt division, so DuckDB replays
+    * training bit-for-bit as unrolled MATERIALIZED rounds. Ties (equal
+    * buckets) are no-decisions, the standard BT convention. */
+  def bradleyTerry(s: SparkSession, dir: String): DataFrame =
+    bradleyTerryOn(Tables.documents(s, dir).select("source", "n_chars"))
+
+  /** [[bradleyTerry]] over an explicit (source, n_chars) frame — the
+    * planted-semantics seam. */
+  private[graft] def bradleyTerryOn(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val hist = docs
+      .select(col("source"),
+        least(floor(col("n_chars") / lit(100L)), lit(20L)).cast("long")
+          .as("qb"))
+      .groupBy("source", "qb").agg(count(lit(1)).as("cnt"))
+      .cache() // self-joined below; ≤ |sources|·21 rows
+    val winRows = hist.as("a").join(hist.as("b"),
+        col("a.source") =!= col("b.source") && col("a.qb") > col("b.qb"))
+      .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+      .agg(sum(col("a.cnt") * col("b.cnt")).as("w"))
+      .collect()
+    val wins = winRows
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val sources = hist.select("source").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val bigW = sources.map(a => a -> sources.filter(_ != a)
+      .map(b => wins.getOrElse((a, b), 0L)).sum).toMap
+    val comps = for {
+      a <- sources; b <- sources if a != b
+      n = wins.getOrElse((a, b), 0L) + wins.getOrElse((b, a), 0L)
+      if n > 0
+    } yield (a, b, n)
+    val T = BigInt(1000000000000L)
+    var pi = sources.map(_ -> 1000000L).toMap
+    for (_ <- 1 to BT_ROUNDS) {
+      val sm = comps.groupBy(_._1).map { case (a, rows) =>
+        a -> rows.map { case (_, b, n) =>
+          (BigInt(n) * T / BigInt(math.max(pi(a) + pi(b), 1L))).toLong
+        }.sum
+      }
+      pi = sources.map { a =>
+        a -> (BigInt(bigW(a)) * T /
+          BigInt(math.max(sm.getOrElse(a, 0L), 1L))).toLong
+      }.toMap
+    }
+    val piSum = math.max(pi.values.sum, 1L)
+    sources.map { a =>
+      (a, bigW(a), comps.filter(_._1 == a).map(_._3).sum,
+        math.floor(pi(a).toDouble / piSum * 1000000.0d + 0.5d) / 1000000.0d)
+    }.toDF("source", "wins", "n_comparisons", "bt_share")
+      .orderBy(col("bt_share").desc, col("source").asc)
+  }
+
+  private val bradleyTerrySql = {
+    val rounds = (1 to BT_ROUNDS).map { r =>
+      s"""d$r AS MATERIALIZED (
+         |  SELECT g.sa AS s,
+         |         CAST(sum((g.n::HUGEINT * 1000000000000)
+         |                  // greatest(pa.pi + pb.pi, 1)) AS HUGEINT) AS sm
+         |  FROM grid g
+         |  JOIN p${r - 1} pa ON pa.s = g.sa
+         |  JOIN p${r - 1} pb ON pb.s = g.sb
+         |  WHERE g.n > 0 GROUP BY 1),
+         |p$r AS MATERIALIZED (
+         |  SELECT w.s,
+         |         (w.tw::HUGEINT * 1000000000000)
+         |           // greatest(coalesce(d.sm, 0), 1) AS pi
+         |  FROM ww w LEFT JOIN d$r d ON d.s = w.s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH hist AS MATERIALIZED (
+       |  SELECT source, least(n_chars // 100, 20) AS qb,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |  FROM documents GROUP BY 1, 2),
+       |wpos AS MATERIALIZED (
+       |  SELECT a.source AS sa, b.source AS sb,
+       |         CAST(sum(a.cnt * b.cnt) AS BIGINT) AS w
+       |  FROM hist a JOIN hist b
+       |    ON a.source <> b.source AND a.qb > b.qb
+       |  GROUP BY 1, 2),
+       |srcs AS (SELECT DISTINCT source AS s FROM documents),
+       |grid AS MATERIALIZED (
+       |  SELECT x.s AS sa, y.s AS sb, coalesce(w1.w, 0) AS w,
+       |         coalesce(w1.w, 0) + coalesce(w2.w, 0) AS n
+       |  FROM srcs x JOIN srcs y ON x.s <> y.s
+       |  LEFT JOIN wpos w1 ON w1.sa = x.s AND w1.sb = y.s
+       |  LEFT JOIN wpos w2 ON w2.sa = y.s AND w2.sb = x.s),
+       |ww AS MATERIALIZED (
+       |  SELECT sa AS s, CAST(sum(w) AS BIGINT) AS tw,
+       |         CAST(sum(n) AS BIGINT) AS nc
+       |  FROM grid GROUP BY 1),
+       |p0 AS MATERIALIZED (SELECT s, 1000000::HUGEINT AS pi FROM srcs),
+       |$rounds,
+       |tot AS (SELECT CAST(sum(pi) AS DOUBLE) AS tp FROM p$BT_ROUNDS)
+       |SELECT w.s AS source, w.tw AS wins, w.nc AS n_comparisons,
+       |       floor(CAST(p.pi AS DOUBLE) / tot.tp * 1000000.0 + 0.5)
+       |         / 1000000.0 AS bt_share
+       |FROM ww w JOIN p$BT_ROUNDS p ON p.s = w.s CROSS JOIN tot
+       |ORDER BY bt_share DESC, source""".stripMargin
+  }
+
+  /** Propensity-score matching via the FIRST-CLASS as-of join
+    * ([[graft.plans.AsOf]]) — the causal-inference estimator run as a
+    * sorted MERGE instead of a per-row nearest-neighbor search: treated
+    * units (odd/even custkey split, the deterministic stand-in for a
+    * treatment flag) match to the control with the nearest
+    * not-greater propensity score WITHIN their nation, where the score
+    * is order activity (n_orders) packed with the custkey into a UNIQUE
+    * integer (score·2²⁰ + key) so as-of ties are impossible and the
+    * match is deterministic at any partitioning — the same
+    * sorted-merge shape a feature store uses for point-in-time joins,
+    * repurposed for caliper-free PSM. ATT = mean (treated − matched
+    * control) spend over matched pairs; exact cent sums, single final
+    * divisions. */
+  def psmAtt(s: SparkSession, dir: String): DataFrame =
+    psmAttOn(Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(Tables.orders(s, dir)
+        .select(col("o_custkey"),
+          floor(col("o_totalprice") * lit(100.0d) + lit(0.5d)).cast("long")
+            .as("cents")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey", "c_nationkey")
+      .agg(coalesce(sum("cents"), lit(0L)).as("spend"),
+        count(col("o_custkey")).as("n_orders")))
+
+  /** [[psmAtt]] over an explicit (c_custkey, c_nationkey, spend,
+    * n_orders) per-unit frame — the planted-semantics seam. */
+  private[graft] def psmAttOn(cust0: DataFrame): DataFrame = {
+    val cust = cust0
+      .withColumn("cmp",
+        col("n_orders") * lit(1048576L) + col("c_custkey"))
+    val treated = cust.filter(pmod(col("c_custkey"), lit(2L)) === 0)
+      .select(col("c_custkey"), col("c_nationkey").as("nat"),
+        col("spend"), col("cmp"))
+    val control = cust.filter(pmod(col("c_custkey"), lit(2L)) === 1)
+      .select(col("c_nationkey").as("nat"), col("spend").as("c_spend"),
+        col("cmp"))
+    graft.plans.AsOf.join(treated, control, "nat", "cmp", "cmp")
+      .agg(count(lit(1)).as("n_treated"),
+        count(col("__r_c_spend")).as("n_matched"),
+        sum(when(col("__r_c_spend").isNotNull,
+          col("spend") - col("__r_c_spend")).otherwise(lit(0L))).as("sd"))
+      .select(col("n_treated"), col("n_matched"),
+        (floor(col("n_matched").cast("double") / col("n_treated")
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("match_rate"),
+        (floor(col("sd").cast("double") / col("n_matched") / lit(100.0d)
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("att_dollars"))
+  }
+
+  private val psmAttSql =
+    """WITH cust AS MATERIALIZED (
+      |  SELECT c_custkey, c_nationkey,
+      |         CAST(coalesce(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+      |                                AS BIGINT)), 0) AS BIGINT) AS spend,
+      |         CAST(count(o_custkey) AS BIGINT) AS n_orders,
+      |         CAST(count(o_custkey) AS BIGINT) * 1048576 + c_custkey
+      |           AS cmp
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY 1, 2),
+      |t AS (SELECT * FROM cust WHERE c_custkey % 2 = 0),
+      |c AS MATERIALIZED (SELECT * FROM cust WHERE c_custkey % 2 = 1),
+      |m AS (
+      |  SELECT t.c_custkey, t.spend,
+      |         (SELECT max(c.cmp) FROM c
+      |          WHERE c.c_nationkey = t.c_nationkey AND c.cmp <= t.cmp)
+      |           AS mcmp
+      |  FROM t),
+      |mm AS (
+      |  SELECT m.c_custkey, m.spend, c.spend AS c_spend
+      |  FROM m LEFT JOIN c ON c.cmp = m.mcmp)
+      |SELECT CAST(count(*) AS BIGINT) AS n_treated,
+      |       CAST(count(c_spend) AS BIGINT) AS n_matched,
+      |       floor(CAST(count(c_spend) AS DOUBLE) / count(*)
+      |             * 10000.0 + 0.5) / 10000.0 AS match_rate,
+      |       floor(CAST(coalesce(sum(spend - c_spend), 0) AS DOUBLE)
+      |             / count(c_spend) / 100.0 * 10000.0 + 0.5) / 10000.0
+      |         AS att_dollars
+      |FROM mm""".stripMargin
+
+  /** The post-period boundary for [[didEstimate]] — the midpoint of the
+    * fixture's order calendar (1995-01..2001-08). */
+  private val DID_SPLIT = "1998-01-01"
+
+  /** Difference-in-differences — the workhorse quasi-experimental
+    * estimator: outcome = order value, treatment = the deterministic
+    * even-custkey cohort, periods split at [[DID_SPLIT]].
+    * DiD = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre)
+    * cancels both the stable cohort difference and the common time
+    * trend. One fact scan to a 2×2 cell table (exact cent sums); the
+    * four means divide once each and combine in one fixed IEEE
+    * sequence, floor-4dp. */
+  def didEstimate(s: SparkSession, dir: String): DataFrame =
+    didOn(Tables.orders(s, dir))
+
+  /** [[didEstimate]] over an explicit (o_custkey, o_orderdate,
+    * o_totalprice) frame — the planted-semantics seam. */
+  private[graft] def didOn(orders: DataFrame): DataFrame = {
+    // literal cast to the COLUMN's timestamp flavor (TZ vs NTZ follows
+    // the fixture's parquet encoding — the RefQueries.tpchQ5 pattern)
+    val tsType = orders.schema("o_orderdate").dataType
+    val cells = orders
+      .select(
+        when(pmod(col("o_custkey"), lit(2L)) === 0, lit(1L))
+          .otherwise(lit(0L)).as("treated"),
+        when(col("o_orderdate") >= lit(DID_SPLIT).cast(tsType), lit(1L))
+          .otherwise(lit(0L)).as("post"),
+        floor(col("o_totalprice") * lit(100.0d) + lit(0.5d)).cast("long")
+          .as("cents"))
+      .groupBy("treated", "post")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sc"))
+      .withColumn("mean_cents", col("sc").cast("double") / col("n"))
+    def m(t: Int, p: Int) =
+      max(when(col("treated") === t && col("post") === p,
+        col("mean_cents"))).as(s"m_t${t}_p$p")
+    cells
+      .agg(sum("n").as("n_orders"), m(1, 1), m(1, 0), m(0, 1), m(0, 0))
+      .select(col("n_orders"),
+        (floor(col("m_t1_p1") / lit(100.0d) * lit(10000.0d) + lit(0.5d))
+          / lit(10000.0d)).as("treat_post"),
+        (floor(col("m_t1_p0") / lit(100.0d) * lit(10000.0d) + lit(0.5d))
+          / lit(10000.0d)).as("treat_pre"),
+        (floor(col("m_t0_p1") / lit(100.0d) * lit(10000.0d) + lit(0.5d))
+          / lit(10000.0d)).as("ctrl_post"),
+        (floor(col("m_t0_p0") / lit(100.0d) * lit(10000.0d) + lit(0.5d))
+          / lit(10000.0d)).as("ctrl_pre"),
+        (floor(((col("m_t1_p1") - col("m_t1_p0"))
+          - (col("m_t0_p1") - col("m_t0_p0"))) / lit(100.0d)
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("did_dollars"))
+  }
+
+  private val didEstimateSql =
+    s"""WITH cells AS (
+       |  SELECT CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END AS treated,
+       |         CASE WHEN o_orderdate >= TIMESTAMP '$DID_SPLIT'
+       |              THEN 1 ELSE 0 END AS post,
+       |         CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+       |              AS BIGINT) AS sc
+       |  FROM orders GROUP BY 1, 2),
+       |w AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS n_orders,
+       |         max(CASE WHEN treated = 1 AND post = 1
+       |             THEN CAST(sc AS DOUBLE) / n END) AS m11,
+       |         max(CASE WHEN treated = 1 AND post = 0
+       |             THEN CAST(sc AS DOUBLE) / n END) AS m10,
+       |         max(CASE WHEN treated = 0 AND post = 1
+       |             THEN CAST(sc AS DOUBLE) / n END) AS m01,
+       |         max(CASE WHEN treated = 0 AND post = 0
+       |             THEN CAST(sc AS DOUBLE) / n END) AS m00
+       |  FROM cells)
+       |SELECT n_orders,
+       |       floor(m11 / 100.0 * 10000.0 + 0.5) / 10000.0 AS treat_post,
+       |       floor(m10 / 100.0 * 10000.0 + 0.5) / 10000.0 AS treat_pre,
+       |       floor(m01 / 100.0 * 10000.0 + 0.5) / 10000.0 AS ctrl_post,
+       |       floor(m00 / 100.0 * 10000.0 + 0.5) / 10000.0 AS ctrl_pre,
+       |       floor(((m11 - m10) - (m01 - m00)) / 100.0 * 10000.0 + 0.5)
+       |         / 10000.0 AS did_dollars
+       |FROM w""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_bradley_terry", bradleyTerry, Some(bradleyTerrySql),
+      doc = "Bradley-Terry source ranking from bucket-histogram pairwise " +
+        "wins (no document pair materializes), 5 exact-integer " +
+        "minorization rounds DuckDB-replayed as unrolled CTEs"),
+    Q("q_psm_att", psmAtt, Some(psmAttSql),
+      doc = "Propensity-score matching ATT through the first-class as-of " +
+        "join: nearest not-greater activity score within nation, " +
+        "tie-free packed keys, exact cent arithmetic"),
+    Q("q_did", didEstimate, Some(didEstimateSql),
+      doc = "Difference-in-differences over the 2x2 cohort/period cell " +
+        "table: exact cent sums, four one-shot means, one fixed IEEE " +
+        "combine"),
     Q("q_welch_ttest", welchTtest, Some(welchTtestSql),
       doc = "Welch unequal-variance t-test en-vs-other doc length: " +
         "exact integer sufficient stats pivoted wide, one fixed IEEE " +

@@ -205,6 +205,71 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** Negatives mined per query by [[hardNegatives]]. */
+  private val HN_NEG = 3
+
+  /** HARD-NEGATIVE MINING — the contrastive-training feed every
+    * embedding fine-tune runs: per batch query, the single best
+    * SAME-label neighbor (the positive) and the [[HN_NEG]] highest-
+    * scoring CROSS-label neighbors (the hard negatives — wrong label,
+    * dangerously high cosine; random negatives teach nothing). One
+    * corpus scan against the broadcast query batch; ranking is the
+    * two-level salted top-k per (query, kind), so no reducer sorts a
+    * whole query's scored corpus and only narrow scored tuples
+    * shuffle — at 10⁹ vectors this is the mining job's exact shape. */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = corpus(s, dir)
+    val qs = e.filter(col("vec_id") < QBATCH)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val scored = e.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("label"),
+        when(col("label") === col("q_label"), lit("pos"))
+          .otherwise(lit("neg")).as("kind"),
+        round(VectorFns.cosineWithNorms("emb", "q_emb", "nrm", "q_nrm"), 4)
+          .as("cos_sim"),
+        pmod(col("vec_id"), lit(TOPK_SALTS.toLong)).as("salt"))
+    val bySalt = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id", "kind", "salt")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val byKind = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id", "kind")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored
+      .withColumn("srn", row_number().over(bySalt))
+      .filter(col("srn") <= HN_NEG)
+      .withColumn("rn", row_number().over(byKind).cast("long"))
+      .filter((col("kind") === "pos" && col("rn") <= 1) ||
+        (col("kind") === "neg" && col("rn") <= HN_NEG))
+      .select(col("q_id"), col("kind"), col("rn"), col("vec_id"),
+        col("label"), col("cos_sim"))
+      .orderBy("q_id", "kind", "rn")
+  }
+
+  private val hardNegativesSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, label AS q_label, emb AS q_emb,
+       |             nrm AS q_nrm
+       |      FROM e WHERE vec_id < $QBATCH),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id, e.label,
+       |         CASE WHEN e.label = q.q_label THEN 'pos' ELSE 'neg' END
+       |           AS kind,
+       |         round(list_dot_product(e.emb, q.q_emb) / (e.nrm * q.q_nrm), 4)
+       |           AS cos_sim
+       |  FROM e JOIN q ON e.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id, kind
+       |                               ORDER BY cos_sim DESC, vec_id) AS rn
+       |  FROM scored)
+       |SELECT q_id, kind, CAST(rn AS BIGINT) AS rn, vec_id, label, cos_sim
+       |FROM ranked
+       |WHERE (kind = 'pos' AND rn <= 1) OR (kind = 'neg' AND rn <= $HN_NEG)
+       |ORDER BY q_id, kind, rn""".stripMargin
+
   /** Ground-truth depth: deep enough for every consumer (single-query
     * top-10, recall/NDCG@5, MRR@[[BATCH_TOPK]], matryoshka@[[MRL_K]]). */
   private val TRUTH_K = 10
@@ -1332,6 +1397,107 @@ object Similarity {
 
   /** Two-stage shortlist size: stage 1 keeps this many candidates. */
   private val RERANK_C = 50
+  private val MMR_C = 20
+  private val MMR_K = 5
+
+  /** MMR — Maximal Marginal Relevance diverse top-k (Carbonell &
+    * Goldstein, SIGIR'98): greedily pick the candidate maximizing
+    * relevance-to-query MINUS its max similarity to the already-picked
+    * set (λ = 1/2 up to the argmax-invariant affine form rel − maxsim),
+    * the de-dup-at-serving-time ranker every RAG retriever runs so five
+    * near-identical passages don't fill the context window.
+    *
+    * Scale shape: stage 1 cuts a [[MMR_C]]-candidate shortlist by exact
+    * cosine (TakeOrdered, O(C) driver memory); the C×C pairwise cosine
+    * matrix and the [[MMR_K]]-round greedy run on the DRIVER over
+    * model-sized state (≤ C² fixed-point ints — the PQ/Lloyd
+    * precedent). All keys are integer-exact (1e-4 fixed cosines), so
+    * selection order is deterministic and the oracle replays the greedy
+    * as unrolled MATERIALIZED rounds. */
+  def mmrTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = corpus(s, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val short = e.filter(col("vec_id") =!= 0)
+      .join(broadcast(q))
+      .select(col("vec_id"), col("label"), col("emb"), col("nrm"),
+        floor(VectorFns.cosineWithNorms("emb", "q_emb", "nrm", "q_nrm")
+          * lit(10000.0d) + lit(0.5d)).cast("long").as("rel4"))
+      .orderBy(col("rel4").desc, col("vec_id").asc).limit(MMR_C)
+    val pair = short.as("a").join(short.as("b"),
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        floor(VectorFns.cosineWithNorms("a.emb", "b.emb", "a.nrm", "b.nrm")
+          * lit(10000.0d) + lit(0.5d)).cast("long").as("s4"))
+    val cands = short.select("vec_id", "label", "rel4").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val sims = pair.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val picked = scala.collection.mutable.ArrayBuffer[(Long, Long, Int, Long)]()
+    val left = scala.collection.mutable.LinkedHashSet(cands.toIndexedSeq: _*)
+    while (picked.size < MMR_K && left.nonEmpty) {
+      val scoredCands = left.toSeq.map { case c @ (vid, _, rel4) =>
+        val maxSim =
+          if (picked.isEmpty) 0L
+          else picked.map(p => sims((vid, p._2))).max
+        (rel4 - maxSim, c)
+      }
+      val (score4, best) =
+        scoredCands.minBy { case (sc, (vid, _, _)) => (-sc, vid) }
+      picked += ((picked.size + 1L, best._1, best._2, score4))
+      left -= best
+    }
+    picked.toSeq
+      .map { case (rk, vid, lb, sc4) =>
+        val rel4 = cands.find(_._1 == vid).get._3
+        (rk, vid, lb, rel4 / 10000.0d, sc4 / 10000.0d)
+      }
+      .toDF("rank", "vec_id", "label", "rel", "mmr")
+      .orderBy("rank")
+  }
+
+  private val mmrTopKSql = {
+    val rounds = (2 to MMR_K).map { k =>
+      s"""s$k AS MATERIALIZED (
+         |  SELECT c.vec_id, c.label, c.rel4,
+         |         c.rel4 - max(p.s4) AS score4, $k AS rnk
+         |  FROM short c
+         |  JOIN p ON p.va = c.vec_id
+         |  JOIN sel${k - 1} s ON p.vb = s.vec_id
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${k - 1})
+         |  GROUP BY c.vec_id, c.label, c.rel4
+         |  ORDER BY score4 DESC, c.vec_id LIMIT 1),
+         |sel$k AS MATERIALIZED (
+         |  SELECT vec_id, label, rel4, score4, rnk FROM sel${k - 1}
+         |  UNION ALL SELECT vec_id, label, rel4, score4, rnk FROM s$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT emb AS q_emb, nrm AS q_nrm FROM e WHERE vec_id = 0),
+       |short AS MATERIALIZED (
+       |  SELECT vec_id, label, emb, nrm,
+       |         CAST(floor(list_dot_product(emb, q_emb) / (nrm * q_nrm)
+       |                    * 10000.0 + 0.5) AS BIGINT) AS rel4
+       |  FROM e, q WHERE vec_id <> 0
+       |  ORDER BY rel4 DESC, vec_id LIMIT $MMR_C),
+       |p AS MATERIALIZED (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb,
+       |         CAST(floor(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm)
+       |                    * 10000.0 + 0.5) AS BIGINT) AS s4
+       |  FROM short a JOIN short b ON a.vec_id <> b.vec_id),
+       |sel1 AS MATERIALIZED (
+       |  SELECT vec_id, label, rel4, rel4 AS score4, 1 AS rnk
+       |  FROM short ORDER BY rel4 DESC, vec_id LIMIT 1),
+       |$rounds
+       |SELECT CAST(rnk AS BIGINT) AS rank, vec_id, label,
+       |       CAST(rel4 AS DOUBLE) / 10000.0 AS rel,
+       |       CAST(score4 AS DOUBLE) / 10000.0 AS mmr
+       |FROM sel$MMR_K ORDER BY rank""".stripMargin
+  }
 
   /** TWO-STAGE RETRIEVAL — the pattern every production ANN service runs
     * ([[quantizedTopK]] is stage 1 alone, [[topkCosine]] is the exact
@@ -2195,6 +2361,101 @@ object Similarity {
       .orderBy("decile")
   }
 
+  /** Expected Calibration Error as a TRANSFER audit: decile-bin the
+    * probe margin on the CALIBRATION split (vec_id % 5 = 0, the
+    * conformal protocol's split), read each bin's empirical positive
+    * rate as its predicted confidence, then bin the EVALUATION split
+    * (% 5 = 1) by the calibration deciles' VALUE boundaries and measure
+    * per-bin |confidence − accuracy|. ECE = Σ (n_eval_bin / N_eval) ·
+    * gap — the number a deployed score-gated filter reports before its
+    * thresholds are trusted on new data.
+    *
+    * Exactness: margins are exact integers; cal deciles come from the
+    * fleet [[DistNtile.withNtile]] (no single-task window); eval rows
+    * bin by count-of-boundaries-below (the RFM broadcast shape — value
+    * thresholds, so cal-side tie splitting cannot make eval binning
+    * ambiguous); each bin's gap fixes to 1e-6 BIGINT units BEFORE the
+    * cross-bin weighted sum (order-free, the Kruskal-Wallis
+    * discipline); two final one-shot divisions display ece/max_gap. */
+  def probeEce(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (w, _, _) = trainedProbe(s, dir)
+    val wDf = Seq(Tuple1(w.toSeq)).toDF("wv")
+    val scored = probeFeatures(s, dir).crossJoin(broadcast(wDf))
+      .select(col("vec_id"), col("y"),
+        expr("aggregate(zip_with(xi, wv, (a, b) -> a * b), 0L, (acc, v) -> acc + v)")
+          .as("margin"))
+    val cal = scored.filter(pmod(col("vec_id"), lit(5L)) === 0)
+    val ev = scored.filter(pmod(col("vec_id"), lit(5L)) === 1)
+    val calStats = DistNtile.withNtile(cal, 10,
+        Seq(col("margin").asc, col("vec_id").asc), "decile")
+      .groupBy("decile")
+      .agg(count(lit(1)).as("nc"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("npc"),
+        max("margin").as("bmax"))
+    val bounds = calStats.filter(col("decile") <= 9)
+      .agg(sort_array(collect_list("bmax")).as("bs"))
+    val evStats = ev.join(broadcast(bounds))
+      .select(col("y"),
+        (lit(1L) + size(expr("filter(bs, x -> margin > x)")).cast("long"))
+          .as("decile"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("ne"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("npe"))
+    calStats.join(evStats, "decile")
+      .select(col("nc"), col("ne"),
+        (floor(abs(col("npc").cast("double") / col("nc")
+          - col("npe").cast("double") / col("ne"))
+          * lit(1000000.0d) + lit(0.5d)).cast("long") * col("ne")).as("c"),
+        floor(abs(col("npc").cast("double") / col("nc")
+          - col("npe").cast("double") / col("ne"))
+          * lit(1000000.0d) + lit(0.5d)).cast("long").as("gap6"))
+      .agg(sum("nc").as("n_cal"), sum("ne").as("n_eval"),
+        count(lit(1)).as("n_bins"), sum("c").as("sc"),
+        max("gap6").as("mg"))
+      .select(col("n_cal"), col("n_eval"), col("n_bins"),
+        (floor(col("sc").cast("double") / col("n_eval") / lit(100.0d)
+          + lit(0.5d)) / lit(10000.0d)).as("ece"),
+        (col("mg").cast("double") / lit(1000000.0d)).as("max_gap"))
+  }
+
+  private lazy val probeEceSql = {
+    val chain = probeChainParts._1
+    s"""WITH $chain,
+       |cal AS (
+       |  SELECT y, margin,
+       |         ntile(10) OVER (ORDER BY margin, vec_id) AS decile
+       |  FROM m$PROBE_ROUNDS WHERE vec_id % 5 = 0),
+       |cs AS (
+       |  SELECT decile, CAST(count(*) AS BIGINT) AS nc,
+       |         CAST(count(*) FILTER (y = 1) AS BIGINT) AS npc,
+       |         max(margin) AS bmax
+       |  FROM cal GROUP BY 1),
+       |bs AS (SELECT list_sort(list(bmax)) AS b FROM cs WHERE decile <= 9),
+       |ev AS (
+       |  SELECT 1 + CAST(len(list_filter(bs.b, x -> margin > x)) AS BIGINT)
+       |           AS decile,
+       |         y
+       |  FROM m$PROBE_ROUNDS, bs WHERE vec_id % 5 = 1),
+       |es AS (
+       |  SELECT decile, CAST(count(*) AS BIGINT) AS ne,
+       |         CAST(count(*) FILTER (y = 1) AS BIGINT) AS npe
+       |  FROM ev GROUP BY 1),
+       |bins AS (
+       |  SELECT cs.nc, es.ne,
+       |         CAST(floor(abs(CAST(npc AS DOUBLE) / nc
+       |                        - CAST(npe AS DOUBLE) / ne)
+       |                    * 1000000.0 + 0.5) AS BIGINT) AS gap6
+       |  FROM cs JOIN es ON cs.decile = es.decile)
+       |SELECT CAST(sum(nc) AS BIGINT) AS n_cal,
+       |       CAST(sum(ne) AS BIGINT) AS n_eval,
+       |       CAST(count(*) AS BIGINT) AS n_bins,
+       |       floor(CAST(sum(gap6 * ne) AS DOUBLE) / sum(ne) / 100.0 + 0.5)
+       |         / 10000.0 AS ece,
+       |       CAST(max(gap6) AS DOUBLE) / 1000000.0 AS max_gap
+       |FROM bins""".stripMargin
+  }
+
   /** Split-conformal prediction over the probe's margin score — the
     * distribution-free uncertainty wrapper a model-gated filter needs:
     * instead of one label, emit the SET of labels whose nonconformity
@@ -2605,6 +2866,19 @@ object Similarity {
       doc = "Score-decile calibration of the trained linear probe: " +
         "positive rate per final-margin decile — the trust sheet before " +
         "a model-scored filter gates data"),
+    Q("q_mmr", mmrTopK, Some(mmrTopKSql),
+      doc = "MMR diverse top-5: exact-cosine top-20 shortlist, then the " +
+        "greedy rel-minus-maxsim selection on 1e-4 fixed integers, " +
+        "replayed by 5 unrolled MATERIALIZED oracle rounds"),
+    Q("q_hard_negatives", hardNegatives, Some(hardNegativesSql),
+      doc = "Contrastive-training feed: per batch query the best " +
+        "same-label positive + top-3 cross-label hard negatives, " +
+        "two-level salted per-(query, kind) ranking, one corpus scan"),
+    Q("q_ece", probeEce, Some(probeEceSql),
+      doc = "Expected Calibration Error as a transfer audit: cal-split " +
+        "decile confidences vs eval-split accuracies under value-" +
+        "threshold binning, per-bin gaps 1e-6-fixed before the " +
+        "order-free weighted sum"),
     Q("q_linear_probe", linearProbe, Some(linearProbeSql),
       doc = "Distributed linear-probe training on frozen embeddings " +
         "(cluster 0 vs 1): full-batch mean-subgradient perceptron, exact " +

@@ -408,4 +408,72 @@ class InferenceSpec extends SparkTestBase {
     assert(fl.getAs[Long]("s_mk") == 0L)
     assert(fl.isNullAt(fl.fieldIndex("z")), s"$fl")
   }
+
+  test("Bradley-Terry: dominant source takes ~all mass, wins counted " +
+    "from buckets exactly, equal sources split evenly") {
+    import spark.implicits._
+    // X: two docs in bucket 5; Y: two docs in bucket 1 -> X wins all 4
+    // cross pairs, Y none
+    val docs = Seq(("X", 500L), ("X", 510L), ("Y", 100L), ("Y", 110L))
+      .toDF("source", "n_chars")
+    val rows = Inference.bradleyTerryOn(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq(("X", 4L, 4L), ("Y", 0L, 4L)), s"got ${rows.toSeq}")
+    assert(rows.head._4 > 0.99, s"dominant share ${rows.head._4}")
+    // symmetric sources: identical histograms -> equal shares
+    val even = Seq(("A", 100L), ("A", 500L), ("B", 100L), ("B", 500L))
+      .toDF("source", "n_chars")
+    val ev = Inference.bradleyTerryOn(even).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(ev("A") == ev("B"), s"got $ev")
+    // deterministic: full retrain is bit-identical
+    val again = Inference.bradleyTerryOn(docs).collect()
+      .map(r => (r.getString(0), r.getDouble(3)))
+    assert(again.toSeq == rows.map(t => (t._1, t._4)).toSeq)
+  }
+
+  test("PSM: treated match the nearest not-greater score within nation, " +
+    "unmatched treated counted but excluded from ATT") {
+    import spark.implicits._
+    // nation 1: treated k=2 (score 5, spend 1000 cents), controls k=1
+    // (score 3, spend 400) and k=3 (score 7, spend 900) -> match k=1
+    // (7 > 5 is greater; nearest not-greater is 3). treated k=4
+    // (score 2, spend 300) -> no control with score <= 2+pack... k=1
+    // has score 3 > 2 -> unmatched.
+    // nation 2: treated k=6 (score 4, spend 800), control k=5
+    // (score 4, spend 500) -> equal score matches (cmp: 4*2^20+5 <=
+    // 4*2^20+6).
+    val cust = Seq(
+      (2L, 1L, 1000L, 5L), (1L, 1L, 400L, 3L), (3L, 1L, 900L, 7L),
+      (4L, 1L, 300L, 2L),
+      (6L, 2L, 800L, 4L), (5L, 2L, 500L, 4L))
+      .toDF("c_custkey", "c_nationkey", "spend", "n_orders")
+    val r = Inference.psmAttOn(cust).collect().head
+    assert(r.getAs[Long]("n_treated") == 3L)
+    assert(r.getAs[Long]("n_matched") == 2L)
+    // ATT = ((1000-400) + (800-500)) / 2 = 450 cents = 4.5 dollars
+    assert(r.getAs[Double]("att_dollars") == 4.5, s"$r")
+    assert(r.getAs[Double]("match_rate") == 0.6667)
+  }
+
+  test("DiD: planted 2x2 means recover the injected effect exactly") {
+    import spark.implicits._
+    def o(k: Long, d: String, v: Double) =
+      (k, java.sql.Timestamp.valueOf(d + " 00:00:00"), v)
+    // control means: pre 10, post 14 (trend +4);
+    // treated: pre 20, post 29 (trend +4 plus effect +5)
+    val orders = Seq(
+      o(1L, "1996-01-01", 10.0), o(1L, "1999-01-01", 14.0),
+      o(2L, "1996-01-01", 20.0), o(2L, "1999-01-01", 29.0))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val r = Inference.didOn(orders).collect().head
+    assert(r.getAs[Long]("n_orders") == 4L)
+    assert(r.getAs[Double]("treat_pre") == 20.0 &&
+      r.getAs[Double]("treat_post") == 29.0 &&
+      r.getAs[Double]("ctrl_pre") == 10.0 &&
+      r.getAs[Double]("ctrl_post") == 14.0, s"$r")
+    assert(r.getAs[Double]("did_dollars") == 5.0, s"$r")
+  }
 }

@@ -109,6 +109,11 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     "q_corpus_funnel",
     // 1-row (T, R, V) LM-scalar frame broadcast onto the vocab table
     "q_dsir_affinity",
+    // the q_sim_topk_batch broadcast query-batch shape (=!= join) plus
+    // the 1-row decile-boundary frame broadcast onto the eval scan
+    "q_ece",
+    // the q_sim_topk_batch broadcast query-batch shape (=!= join)
+    "q_hard_negatives",
     // 1-row trained-weights frame broadcast onto the scoring scan
     "q_probe_calibration",
     // the same weights broadcast + 1-row calibration-census/threshold

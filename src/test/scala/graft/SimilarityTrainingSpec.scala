@@ -347,4 +347,52 @@ class SimilarityTrainingSpec extends SparkTestBase {
     assert(m.forall(x => x._1 == x._2), s"monotone fixpoint violated: ${m.toSeq}")
     spark.catalog.clearCache()
   }
+
+  test("MMR: rank 1 is the exact top-1, picks are distinct, scores are " +
+    "monotone-dominated by relevance, determinism") {
+    val a = Similarity.mmrTopK(spark, sfDir).collect()
+    assert(a.length == 5)
+    assert(a.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // rank 1 == brute-force top-1 (MMR with empty set = pure relevance)
+    val top1 = Similarity.bruteTopK(spark, sfDir)
+      .collect().head.getLong(0)
+    assert(a.head.getLong(1) == top1)
+    assert(a.map(_.getLong(1)).distinct.length == 5, "picks must be distinct")
+    // construction invariants: rank-1's score IS its relevance (empty
+    // picked set), and every later score = rel − maxsim stays within
+    // the cosine band (|maxsim| ≤ 1)
+    assert(a.head.getDouble(4) == a.head.getDouble(3))
+    assert(a.tail.forall(r => r.getDouble(4) <= r.getDouble(3) + 1.0001))
+    val b = Similarity.mmrTopK(spark, sfDir).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+      "greedy selection must be deterministic")
+    spark.catalog.clearCache()
+  }
+
+  test("hard negatives: one positive + three negatives per query, " +
+    "negatives rank by descending cosine") {
+    val rows = Similarity.hardNegatives(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 8L).toSet)
+    byQ.foreach { case (q, rs) =>
+      val pos = rs.filter(_.getString(1) == "pos")
+      val neg = rs.filter(_.getString(1) == "neg")
+      assert(pos.length == 1 && neg.length == 3, s"q=$q got ${rs.length}")
+      assert(neg.map(_.getLong(2)).sorted.toSeq == Seq(1L, 2L, 3L))
+      // negatives are ordered by descending cosine
+      val cs = neg.sortBy(_.getLong(2)).map(_.getDouble(5))
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y }, s"q=$q $cs")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("ECE: bins bounded, ece between 0 and max_gap, max_gap <= 1") {
+    val r = Similarity.probeEce(spark, sfDir).collect().head
+    val (nBins, ece, mg) = (r.getAs[Long]("n_bins"),
+      r.getAs[Double]("ece"), r.getAs[Double]("max_gap"))
+    assert(nBins >= 1 && nBins <= 10, s"$r")
+    assert(ece >= 0.0 && mg >= ece - 1e-9 && mg <= 1.0, s"$r")
+    assert(r.getAs[Long]("n_cal") > 0 && r.getAs[Long]("n_eval") > 0)
+    spark.catalog.clearCache()
+  }
 }
