@@ -2164,8 +2164,11 @@ object Inference {
     * repurposed for caliper-free PSM. ATT = mean (treated − matched
     * control) spend over matched pairs; exact cent sums, single final
     * divisions. */
-  def psmAtt(s: SparkSession, dir: String): DataFrame =
-    psmAttOn(Tables.customer(s, dir)
+  /** Per-customer activity frame shared by the causal estimators:
+    * (c_custkey, c_nationkey, spend cents, n_orders) — exact cent sums,
+    * customers with no orders kept at zero. */
+  private def customerActivity(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_nationkey"))
       .join(Tables.orders(s, dir)
         .select(col("o_custkey"),
@@ -2174,7 +2177,10 @@ object Inference {
         col("c_custkey") === col("o_custkey"), "left")
       .groupBy("c_custkey", "c_nationkey")
       .agg(coalesce(sum("cents"), lit(0L)).as("spend"),
-        count(col("o_custkey")).as("n_orders")))
+        count(col("o_custkey")).as("n_orders"))
+
+  def psmAtt(s: SparkSession, dir: String): DataFrame =
+    psmAttOn(customerActivity(s, dir))
 
   /** [[psmAtt]] over an explicit (c_custkey, c_nationkey, spend,
     * n_orders) per-unit frame — the planted-semantics seam. */
@@ -2229,6 +2235,107 @@ object Inference {
       |             / count(c_spend) / 100.0 * 10000.0 + 0.5) / 10000.0
       |         AS att_dollars
       |FROM mm""".stripMargin
+
+  /** Activity-bucket cap for [[ipwAte]]'s propensity strata. */
+  private val IPW_BUCKET_CAP = 20L
+
+  /** Inverse-propensity-weighted ATE (Hájek-stabilized) — the weighting
+    * complement of [[psmAtt]]'s matching: propensity within each
+    * bounded activity stratum b (n_orders capped at
+    * [[IPW_BUCKET_CAP]]) is the exact rational e_b = n_treated_b/n_b,
+    * treated units weight 1/e_b = n_b/n_tb, controls 1/(1−e_b) =
+    * n_b/n_cb, and ATE = weighted-mean(treated) − weighted-mean(ctrl).
+    * Strata violating positivity (no treated or no control) are
+    * EXCLUDED and counted — the standard trimming, surfaced rather than
+    * silent.
+    *
+    * Exactness: per-unit weighted terms quantize to 1e-6 BIGINTs via
+    * integer division (⌊cents·n_b·10⁶/n_tb⌋ — order-free sums at any
+    * partitioning, the Kruskal-Wallis discipline); each weighted mean is
+    * ONE division of two exact sums. Scale shape: two aggregates over
+    * the customer frame + a broadcast-sized stratum table joined back —
+    * no fact-sized shuffle beyond the per-customer rollup. */
+  def ipwAte(s: SparkSession, dir: String): DataFrame =
+    ipwAteOn(customerActivity(s, dir))
+
+  /** [[ipwAte]] over an explicit per-unit frame — the seam. */
+  private[graft] def ipwAteOn(cust: DataFrame): DataFrame = {
+    val units = cust.select(col("c_custkey"), col("spend"),
+      least(col("n_orders"), lit(IPW_BUCKET_CAP)).as("b"),
+      when(pmod(col("c_custkey"), lit(2L)) === 0, lit(1L))
+        .otherwise(lit(0L)).as("treated"))
+    val strata = units.groupBy("b")
+      .agg(count(lit(1)).as("nb"),
+        sum("treated").as("ntb"))
+      .withColumn("ncb", col("nb") - col("ntb"))
+    units.join(broadcast(strata), "b")
+      .select(col("treated"), col("nb"), col("ntb"), col("ncb"),
+        col("spend"))
+      .filter(col("ntb") > 0 && col("ncb") > 0) // positivity trim
+      .agg(
+        count(lit(1)).as("n_used"),
+        sum("treated").as("n_treated"),
+        sum(when(col("treated") === 1,
+          expr("CAST(spend AS DECIMAL(38,0)) * nb * 1000000 div ntb"))
+          .otherwise(0L)).as("swt"),
+        sum(when(col("treated") === 1,
+          expr("nb * 1000000L div ntb")).otherwise(0L)).as("swt1"),
+        sum(when(col("treated") === 0,
+          expr("CAST(spend AS DECIMAL(38,0)) * nb * 1000000 div ncb"))
+          .otherwise(0L)).as("swc"),
+        sum(when(col("treated") === 0,
+          expr("nb * 1000000L div ncb")).otherwise(0L)).as("swc1"))
+      .select(col("n_used"), col("n_treated"),
+        (floor((col("swt").cast("double") / col("swt1")
+          - col("swc").cast("double") / col("swc1")) / lit(100.0d)
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("ate_dollars"),
+        (floor(col("swt").cast("double") / col("swt1") / lit(100.0d)
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("mean_treated"),
+        (floor(col("swc").cast("double") / col("swc1") / lit(100.0d)
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("mean_control"))
+  }
+
+  private val ipwAteSql =
+    s"""WITH cust AS (
+       |  SELECT c_custkey,
+       |         CAST(coalesce(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+       |                                AS BIGINT)), 0) AS BIGINT) AS spend,
+       |         least(CAST(count(o_custkey) AS BIGINT), $IPW_BUCKET_CAP)
+       |           AS b,
+       |         CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END AS treated
+       |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       |  GROUP BY c_custkey),
+       |strata AS (
+       |  SELECT b, CAST(count(*) AS BIGINT) AS nb,
+       |         CAST(sum(treated) AS BIGINT) AS ntb,
+       |         CAST(count(*) - sum(treated) AS BIGINT) AS ncb
+       |  FROM cust GROUP BY 1),
+       |u AS (
+       |  SELECT c.treated, c.spend, s.nb, s.ntb, s.ncb
+       |  FROM cust c JOIN strata s ON c.b = s.b
+       |  WHERE s.ntb > 0 AND s.ncb > 0)
+       |SELECT CAST(count(*) AS BIGINT) AS n_used,
+       |       CAST(sum(treated) AS BIGINT) AS n_treated,
+       |       floor((CAST(sum(CASE WHEN treated = 1
+       |                THEN spend::HUGEINT * nb * 1000000 // ntb ELSE 0 END) AS DOUBLE)
+       |              / sum(CASE WHEN treated = 1
+       |                    THEN nb * 1000000 // ntb ELSE 0 END)
+       |              - CAST(sum(CASE WHEN treated = 0
+       |                    THEN spend::HUGEINT * nb * 1000000 // ncb ELSE 0 END) AS DOUBLE)
+       |                / sum(CASE WHEN treated = 0
+       |                      THEN nb * 1000000 // ncb ELSE 0 END))
+       |             / 100.0 * 10000.0 + 0.5) / 10000.0 AS ate_dollars,
+       |       floor(CAST(sum(CASE WHEN treated = 1
+       |                THEN spend::HUGEINT * nb * 1000000 // ntb ELSE 0 END) AS DOUBLE)
+       |             / sum(CASE WHEN treated = 1
+       |                   THEN nb * 1000000 // ntb ELSE 0 END)
+       |             / 100.0 * 10000.0 + 0.5) / 10000.0 AS mean_treated,
+       |       floor(CAST(sum(CASE WHEN treated = 0
+       |                THEN spend::HUGEINT * nb * 1000000 // ncb ELSE 0 END) AS DOUBLE)
+       |             / sum(CASE WHEN treated = 0
+       |                   THEN nb * 1000000 // ncb ELSE 0 END)
+       |             / 100.0 * 10000.0 + 0.5) / 10000.0 AS mean_control
+       |FROM u""".stripMargin
 
   /** The post-period boundary for [[didEstimate]] — the midpoint of the
     * fixture's order calendar (1995-01..2001-08). */
@@ -2319,6 +2426,10 @@ object Inference {
       doc = "Propensity-score matching ATT through the first-class as-of " +
         "join: nearest not-greater activity score within nation, " +
         "tie-free packed keys, exact cent arithmetic"),
+    Q("q_ipw_ate", ipwAte, Some(ipwAteSql),
+      doc = "Hajek-stabilized inverse-propensity ATE over bounded " +
+        "activity strata: exact rational weights, per-unit 1e-6 " +
+        "quantization before order-free sums, positivity trimming"),
     Q("q_did", didEstimate, Some(didEstimateSql),
       doc = "Difference-in-differences over the 2x2 cohort/period cell " +
         "table: exact cent sums, four one-shot means, one fixed IEEE " +

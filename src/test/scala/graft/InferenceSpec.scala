@@ -458,6 +458,23 @@ class InferenceSpec extends SparkTestBase {
     assert(r.getAs[Double]("match_rate") == 0.6667)
   }
 
+  test("IPW: single-stratum Hajek means are plain means, " +
+    "positivity-violating strata are trimmed") {
+    import spark.implicits._
+    // stratum 1: treated (2, 4) spend 100/200, control (1, 3) spend
+    // 50/150 -> mean_t 150c, mean_c 100c, ATE 0.5 dollars.
+    // stratum 2: only treated (6) -> trimmed out of n_used.
+    val cust = Seq(
+      (2L, 100L, 1L), (4L, 200L, 1L), (1L, 50L, 1L), (3L, 150L, 1L),
+      (6L, 999L, 2L))
+      .toDF("c_custkey", "spend", "n_orders")
+    val r = Inference.ipwAteOn(cust).collect().head
+    assert(r.getAs[Long]("n_used") == 4L && r.getAs[Long]("n_treated") == 2L)
+    assert(r.getAs[Double]("mean_treated") == 1.5 &&
+      r.getAs[Double]("mean_control") == 1.0 &&
+      r.getAs[Double]("ate_dollars") == 0.5, s"$r")
+  }
+
   test("DiD: planted 2x2 means recover the injected effect exactly") {
     import spark.implicits._
     def o(k: Long, d: String, v: Double) =
