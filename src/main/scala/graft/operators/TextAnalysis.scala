@@ -1099,6 +1099,144 @@ object TextAnalysis {
        |WHERE p.c12 >= $PMI_MIN_SUPPORT
        |ORDER BY pmi DESC, p.w1, p.w2 LIMIT 20""".stripMargin
 
+  /** Trigram STUPID-BACKOFF language-model scoring (Brants et al.,
+    * EMNLP'07 — the web-scale LM the "stupid" name comes from, scoring
+    * without discounting): each eval-split token scores
+    * c₁₂₃/c₁₂ when its trained trigram exists, backing off to
+    * (1/2)·c₂₃/c₂ then (1/4)·c₃/N — DYADIC backoff weights, so every
+    * score is an exact rational and quantizes to 1e-6 BIGINT units via
+    * one integer division (the EWMA/RBO discipline). Census: token
+    * count + mean score per backoff level, the coverage sheet that says
+    * how far a domain LM actually generalizes to held-out text.
+    *
+    * Scale shape: count tables aggregate in the scan (distinct n-grams,
+    * not positions, shuffle); the eval side joins as DISTINCT trigrams
+    * weighted by occurrence, so the five lookups move vocabulary-sized
+    * rows. 80/20 doc_id split, the naiveBayes convention. */
+  def stupidBackoff(s: SparkSession, dir: String): DataFrame =
+    stupidBackoffOn(Tables.documents(s, dir).select("doc_id", "text"))
+
+  /** [[stupidBackoff]] over an explicit (doc_id, text) frame — the
+    * planted-semantics seam. */
+  private[graft] def stupidBackoffOn(docs0: DataFrame): DataFrame = {
+    val docs = docs0.withColumn("toks", split(col("text"), " "))
+    val train = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+    val ev = docs.filter(pmod(col("doc_id"), lit(5L)) === 0)
+    def tris(df: DataFrame) = df.select(expr(
+      """inline(CASE WHEN size(toks) >= 3
+        |  THEN transform(sequence(1, size(toks) - 2),
+        |    i -> named_struct('w1', element_at(toks, i),
+        |                      'w2', element_at(toks, i + 1),
+        |                      'w3', element_at(toks, i + 2)))
+        |  ELSE cast(array() as
+        |    array<struct<w1:string,w2:string,w3:string>>)
+        |END)""".stripMargin))
+    val tri = tris(train).groupBy("w1", "w2", "w3")
+      .agg(count(lit(1)).as("c123"))
+    val bi = train.select(expr(
+        """inline(CASE WHEN size(toks) >= 2
+          |  THEN transform(sequence(1, size(toks) - 1),
+          |    i -> named_struct('w1', element_at(toks, i),
+          |                      'w2', element_at(toks, i + 1)))
+          |  ELSE cast(array() as array<struct<w1:string,w2:string>>)
+          |END)""".stripMargin))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val uni = train.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+      .cache() // joined twice (w2 and w3 contexts) + the N census
+    val nTok = uni.agg(sum("cu")).collect().head.getLong(0)
+    val ev3 = tris(ev).groupBy("w1", "w2", "w3")
+      .agg(count(lit(1)).as("occ"))
+    ev3
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(bi.select(col("w1"), col("w2"), col("cb").as("c12")),
+        Seq("w1", "w2"), "left")
+      .join(bi.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("cb").as("c23")), Seq("w2", "w3"), "left")
+      .join(uni.select(col("w").as("w2"), col("cu").as("c2")),
+        Seq("w2"), "left")
+      .join(uni.select(col("w").as("w3"), col("cu").as("c3")),
+        Seq("w3"), "left")
+      .select(col("occ"),
+        when(coalesce(col("c123"), lit(0L)) > 0, lit(3L))
+          .when(coalesce(col("c23"), lit(0L)) > 0, lit(2L))
+          .when(coalesce(col("c3"), lit(0L)) > 0, lit(1L))
+          .otherwise(lit(0L)).as("level"),
+        when(coalesce(col("c123"), lit(0L)) > 0,
+          expr("c123 * 1000000L div c12"))
+          .when(coalesce(col("c23"), lit(0L)) > 0,
+            expr("c23 * 1000000L div (2L * c2)"))
+          .when(coalesce(col("c3"), lit(0L)) > 0,
+            expr(s"c3 * 1000000L div (4L * ${nTok}L)"))
+          .otherwise(lit(0L)).as("s6"))
+      .groupBy("level")
+      .agg(sum("occ").as("n_tokens"),
+        sum(col("occ") * col("s6")).as("ss"))
+      .select(col("level"), col("n_tokens"),
+        (floor(col("ss").cast("double") / col("n_tokens") / lit(100.0d)
+          + lit(0.5d)) / lit(10000.0d)).as("mean_score"))
+      .orderBy(col("level").desc)
+  }
+
+  private val stupidBackoffSql =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |tr AS (SELECT t FROM docs WHERE doc_id % 5 <> 0),
+      |evl AS (SELECT t FROM docs WHERE doc_id % 5 = 0),
+      |tri AS MATERIALIZED (
+      |  SELECT g.w1, g.w2, g.w3, CAST(count(*) AS BIGINT) AS c123 FROM (
+      |    SELECT unnest(CASE WHEN len(t) >= 3
+      |      THEN list_transform(range(1, len(t) - 1),
+      |        i -> struct_pack(w1 := t[i], w2 := t[i + 1], w3 := t[i + 2]))
+      |      ELSE [] END) AS g
+      |    FROM tr)
+      |  GROUP BY 1, 2, 3),
+      |bi AS MATERIALIZED (
+      |  SELECT g.w1, g.w2, CAST(count(*) AS BIGINT) AS cb FROM (
+      |    SELECT unnest(CASE WHEN len(t) >= 2
+      |      THEN list_transform(range(1, len(t)),
+      |        i -> struct_pack(w1 := t[i], w2 := t[i + 1]))
+      |      ELSE [] END) AS g
+      |    FROM tr)
+      |  GROUP BY 1, 2),
+      |uni AS MATERIALIZED (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS cu
+      |  FROM (SELECT unnest(t) AS w FROM tr) GROUP BY 1),
+      |nt AS (SELECT CAST(sum(cu) AS BIGINT) AS n FROM uni),
+      |ev3 AS (
+      |  SELECT g.w1, g.w2, g.w3, CAST(count(*) AS BIGINT) AS occ FROM (
+      |    SELECT unnest(CASE WHEN len(t) >= 3
+      |      THEN list_transform(range(1, len(t) - 1),
+      |        i -> struct_pack(w1 := t[i], w2 := t[i + 1], w3 := t[i + 2]))
+      |      ELSE [] END) AS g
+      |    FROM evl)
+      |  GROUP BY 1, 2, 3),
+      |j AS (
+      |  SELECT e.occ,
+      |         CASE WHEN coalesce(t.c123, 0) > 0 THEN 3
+      |              WHEN coalesce(b2.cb, 0) > 0 THEN 2
+      |              WHEN coalesce(u3.cu, 0) > 0 THEN 1
+      |              ELSE 0 END AS level,
+      |         CASE WHEN coalesce(t.c123, 0) > 0
+      |                THEN t.c123 * 1000000 // b1.cb
+      |              WHEN coalesce(b2.cb, 0) > 0
+      |                THEN b2.cb * 1000000 // (2 * u2.cu)
+      |              WHEN coalesce(u3.cu, 0) > 0
+      |                THEN u3.cu * 1000000 // (4 * nt.n)
+      |              ELSE 0 END AS s6
+      |  FROM ev3 e
+      |  LEFT JOIN tri t ON t.w1 = e.w1 AND t.w2 = e.w2 AND t.w3 = e.w3
+      |  LEFT JOIN bi b1 ON b1.w1 = e.w1 AND b1.w2 = e.w2
+      |  LEFT JOIN bi b2 ON b2.w1 = e.w2 AND b2.w2 = e.w3
+      |  LEFT JOIN uni u2 ON u2.w = e.w2
+      |  LEFT JOIN uni u3 ON u3.w = e.w3
+      |  CROSS JOIN nt)
+      |SELECT CAST(level AS BIGINT) AS level,
+      |       CAST(sum(occ) AS BIGINT) AS n_tokens,
+      |       floor(CAST(sum(occ * s6) AS DOUBLE) / sum(occ) / 100.0 + 0.5)
+      |         / 10000.0 AS mean_score
+      |FROM j GROUP BY 1 ORDER BY level DESC""".stripMargin
+
   def bigramLm(s: SparkSession, dir: String): DataFrame = {
     // pairs feeds THREE consumers (c2, c1, the scoring join) — the
     // memoized localCheckpoint-pinned table means the corpus text is
@@ -1884,6 +2022,10 @@ object TextAnalysis {
     Q("q_langid_kappa", langIdKappa, Some(langIdKappaSql)),
     Q("q_lm_score", lmScore, Some(lmScoreSql)),
     Q("q_bigram_lm", bigramLm, Some(bigramLmSql)),
+    Q("q_stupid_backoff", stupidBackoff, Some(stupidBackoffSql),
+      doc = "Trigram stupid-backoff LM coverage census on the held-out " +
+        "split: dyadic 1/2 and 1/4 backoff weights, every token score " +
+        "an exact 1e-6-quantized rational, vocabulary-sized joins"),
     Q("q_pmi_colloc", pmiCollocations, Some(pmiCollocationsSql)),
     Q("q_phrase_search", phraseSearch, Some(phraseSearchSql)),
     Q("q_heavy_hitters", heavyHitters, Some(heavyHittersSql)),

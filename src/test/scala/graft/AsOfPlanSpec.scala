@@ -168,4 +168,14 @@ class AsOfPlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(early.filter(col("__r_user_id").isNotNull).count() == 0,
       "unmatched rows must be all-null on the right side")
   }
+
+  test("q_psm_att executes on the custom AsOfJoinExec (not a window " +
+    "rewrite), matching stays inside one merge pass") {
+    val df = graft.operators.Inference.psmAtt(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val execs = collect(plan) { case e: AsOfJoinExec => e }
+    assert(execs.size == 1,
+      s"PSM must match through the first-class as-of exec:\n$plan")
+  }
 }

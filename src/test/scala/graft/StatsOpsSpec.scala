@@ -147,4 +147,20 @@ class StatsOpsSpec extends SparkTestBase {
         s"${r.getString(0)}: estimate $u too far from exact $exact")
     }
   }
+
+  test("stupid backoff: every level exercised with exact hand scores") {
+    import spark.implicits._
+    // train (doc_id % 5 != 0): "a b c a b c" and "b d e"
+    //   tri (a,b,c)=2; bi (a,b)=2 (b,c)=2 (c,a)=1 (b,d)=1 (d,e)=1;
+    //   uni a=2 b=3 c=2 d=1 e=1, N=9
+    // eval (doc_id 5): "a b c x b d q" exercises all four levels:
+    //   (a,b,c) hit -> 2/2 = 1.0;  (x,b,d) bigram backoff -> 1/(2*3);
+    //   (c,x,b) unigram backoff -> 3/(4*9);  (b,c,x),(b,d,q) -> OOV 0
+    val docs = Seq((1L, "a b c a b c"), (2L, "b d e"),
+      (5L, "a b c x b d q")).toDF("doc_id", "text")
+    val got = operators.TextAnalysis.stupidBackoffOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((3L, 1L, 1.0), (2L, 1L, 0.1667),
+      (1L, 1L, 0.0833), (0L, 2L, 0.0)), s"got ${got.toSeq}")
+  }
 }
