@@ -476,4 +476,37 @@ object StreamOps {
           out.iterator
       }
   }
+
+  /** Streaming CALIBRATION monitor — the deployment twin of the batch
+    * `q_ece` audit: a model-gated filter ships its calibration map
+    * (decile VALUE boundaries + per-bin expected positive rate, both
+    * driver-provided model artifacts from the batch calibration run)
+    * and every scored example arriving on the stream bins by the same
+    * value thresholds. Per event-time hour per bin: observed count,
+    * positive count, observed rate, and the |expected − observed| gap —
+    * the alert column; a bin whose gap grows is a score distribution
+    * that drifted off its calibration. Watermarked windowed aggregate,
+    * O(|bins|) state per open hour, no custom state code; binning is a
+    * row-local literal-array probe in the scan (the RFM/ECE shape). */
+  def calibrationMonitor(scored: DataFrame, bounds: Seq[Long],
+                         expected: Map[Int, Double]): DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
+    val expDf = broadcast(expected.toSeq.toDF("bin", "exp_rate"))
+    val bArr = bounds.map(b => s"${b}L").mkString(", ")
+    scored
+      .withWatermark("ts", "10 minutes")
+      .withColumn("bin",
+        expr(s"1 + size(filter(array($bArr), x -> margin > x))"))
+      .groupBy(window(col("ts"), "1 hour"), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"))
+      .join(expDf, Seq("bin"), "left")
+      .select(col("window.start").as("window_start"), col("bin"),
+        col("n"), col("n_pos"),
+        (floor(col("n_pos").cast("double") / col("n") * lit(1000000.0d)
+          + lit(0.5d)) / lit(1000000.0d)).as("pos_rate"),
+        round(abs(coalesce(col("exp_rate"), lit(0.0d))
+          - col("n_pos").cast("double") / col("n")), 6).as("gap"))
+  }
 }

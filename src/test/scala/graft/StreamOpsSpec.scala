@@ -531,4 +531,37 @@ class StreamOpsSpec extends SparkTestBase {
       .sortBy(_._1)
     assert(got.toSeq == batch.toSeq, "stream and batch folds diverged")
   }
+
+  test("calibration monitor: value-threshold bins, exact per-window " +
+    "rates, gap against the shipped expected map") {
+    implicit val ctx = spark.sqlContext
+    // boundaries [10, 20] -> bins: <=10 -> 1, <=20 -> 2, >20 -> 3;
+    // expected rates: bin1 0.0, bin2 0.5, bin3 1.0
+    val bounds = Seq(10L, 20L)
+    val expected = Map(1 -> 0.0, 2 -> 0.5, 3 -> 1.0)
+    val mem = MemoryStream[(Timestamp, Long, Long)]
+    val q = StreamOps.calibrationMonitor(
+        mem.toDF().toDF("ts", "margin", "y"), bounds, expected)
+      .writeStream.format("memory").queryName("cal_sink")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    try {
+      // hour 0: bin1 {y=-1}, bin2 {y=1, y=-1} (rate .5 -> gap 0),
+      // bin3 {y=-1} (rate 0 vs expected 1 -> gap 1)
+      mem.addData(
+        (ts(0, 5), 5L, -1L), (ts(0, 10), 15L, 1L), (ts(0, 15), 20L, -1L),
+        (ts(0, 20), 25L, -1L))
+      q.processAllAvailable()
+      mem.addData((ts(3, 0), 5L, 1L)) // watermark pusher
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("cal_sink").collect()
+      .filter(_.getTimestamp(0).getHours == 0)
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1, 1L, 0L, 0.0, 0.0),
+      (2, 2L, 1L, 0.5, 0.0),
+      (3, 1L, 0L, 0.0, 1.0)), s"got ${out.toSeq}")
+  }
 }
