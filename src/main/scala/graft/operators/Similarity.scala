@@ -2219,6 +2219,47 @@ object Similarity {
     rows.toDF("i", "j", "s2", "cov")
   }
 
+  /** Hash-green CONTRACT twin of the rows-only [[pcaVariance]] (the
+    * sketch-contract pattern: Spark evaluates the invariant, the oracle
+    * pins the verdict TRUE and replays every exactly-computable field):
+    * the trace comes from the ORACLE-REPLAYABLE moment table (each
+    * 8dp-floored diagonal covariance refixed to a 1e-8 BIGINT and
+    * integer-summed — order-free, so both engines produce the identical
+    * trace), and the Jacobi eigenvalues must satisfy the spectral
+    * facts λ1 > 0, λ1 ≥ λ2 ≥ 0, λ1 ≤ tr, λ1 ≥ tr/d (the max is never
+    * below the mean), λ1+λ2 ≤ tr — each with a 1e-6 slack far above the
+    * solver's ~1e-13 numerical error. A broken eigensolver now
+    * hash-fails the round instead of hiding behind a rows-only row. */
+  def pcaContract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (n, _, l1, l2, _) = pcaEig(s, Tables.embeddings(s, dir))
+    // pcaMoments is a driver-local frame (collected exact sums), so the
+    // diagonal refix + sum below is model-sized arithmetic
+    val t8 = pcaMoments(s, dir).filter(col("i") === col("j"))
+      .select(floor(col("cov") * lit(1.0e8d) + lit(0.5d)).cast("long")
+        .as("c8"))
+      .agg(sum("c8")).collect().head.getLong(0)
+    val tr = t8.toDouble / 1.0e8d
+    val eps = 1.0e-6d
+    Seq((n, tr, l1 > 0.0d, l1 >= l2 - eps && l2 >= -eps,
+      l1 <= tr + eps, l1 >= tr / DIM - eps, l1 + l2 <= tr + eps))
+      .toDF("n_vecs", "trace", "l1_pos", "order_ok", "l1_le_trace",
+        "l1_ge_mean", "sum12_le_trace")
+  }
+
+  private lazy val pcaContractSql =
+    s"""WITH m AS MATERIALIZED ($pcaMomentsSql),
+       |diag AS (
+       |  SELECT CAST(sum(CAST(floor(cov * 100000000.0 + 0.5) AS BIGINT))
+       |              AS BIGINT) AS t8
+       |  FROM m WHERE i = j),
+       |nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+       |SELECT nv.n AS n_vecs,
+       |       CAST(diag.t8 AS DOUBLE) / 100000000.0 AS trace,
+       |       TRUE AS l1_pos, TRUE AS order_ok, TRUE AS l1_le_trace,
+       |       TRUE AS l1_ge_mean, TRUE AS sum12_le_trace
+       |FROM nv CROSS JOIN diag""".stripMargin
+
   /** Linear-probe training rounds. */
   private val PROBE_ROUNDS = 5
 
@@ -2854,6 +2895,10 @@ object Similarity {
         "power-of-two weighted BIGINT sum, truncated form"),
     Q("q_ann_ndcg", annNdcg, Some(annNdcgSql)),
     Q("q_pca_variance", pcaVariance, None),
+    Q("q_pca_contract", pcaContract, Some(pcaContractSql),
+      doc = "hash-green contract twin of the rows-only eigensolve: " +
+        "oracle-replayed trace from refixed diagonal covariances + " +
+        "spectral-fact verdicts pinned TRUE"),
     Q("q_isotonic", isotonicCalibration, Some(isotonicSql),
       doc = "isotonic calibration of the probe deciles by the exact " +
         "minimax closed form over the bounded interval lattice - the " +
