@@ -338,7 +338,207 @@ object Bpe {
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ---- Unigram-LM (SentencePiece-flavored) Viterbi segmenter -------------
+
+  /** Words longer than this are excluded from segmenter training (both
+    * engines): the oracle's DP unroll is one CTE stage per character
+    * position, and real trainers cap candidate length the same way. */
+  private val UNI_MAX_WORD = 12
+  private val UNI_MAX_PIECE = 4
+  private val UNI_TOP = 15
+
+  /** Driver-collect guard: the word-frequency table is
+    * vocabulary-bounded at any corpus size (the premise every
+    * single-node tokenizer trainer — SentencePiece included — rests
+    * on), but an unexpectedly wide vocab must fail loudly, not OOM the
+    * driver (the fuzzy-gram DF_MAP_CAP discipline). */
+  private val UNI_WORD_CAP = 1 << 16
+
+  /** ⌊log₂ x⌋ + 1 for x ≥ 1 — `length(bin(x))` in BOTH engines, the
+    * portable integer surrogate for −log p (libm ln is 1-ulp
+    * unportable; bit length is exact). */
+  private def bits(x: Long): Long =
+    64L - java.lang.Long.numberOfLeadingZeros(x)
+
+  /** Unigram-LM tokenizer: seed the piece inventory with every ≤
+    * [[UNI_MAX_PIECE]]-char substring occurrence (frequency-weighted),
+    * score pieces by the integer bit-cost bits(T) − bits(count) (more
+    * frequent → cheaper, with the per-piece constant acting as the
+    * piece-count prior), Viterbi-segment every word by minimum total
+    * cost (tie → earliest split, i.e. longest piece), then ONE
+    * EM-style refit: recount pieces from the winning segmentations
+    * (+1 smoothing over the seed inventory) and re-segment. Output:
+    * the top pieces by final weighted usage — the learned inventory.
+    *
+    * This is the second tokenizer family next to [[bpeMerges]] (merge-
+    * based vs segmentation-based — the two production vocabularies).
+    * Scale shape: the corpus collapses to the (word, freq) table in one
+    * scan; training runs on the DRIVER over vocabulary-bounded state
+    * (the BPE/PQ/Lloyd precedent, guarded by [[UNI_WORD_CAP]]). Every
+    * quantity is exact integer arithmetic, so DuckDB replays training
+    * as unrolled per-position DP CTE stages — forward min-cost table,
+    * backward traceback, refit, second pass — bit-for-bit. */
+  def unigramLm(s: SparkSession, dir: String): DataFrame =
+    unigramLmOn(Tables.documents(s, dir).select("text"))
+
+  /** [[unigramLm]] over an explicit (text) frame — the seam. */
+  private[graft] def unigramLmOn(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val wordRows = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0 && length(col("w")) <= UNI_MAX_WORD)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .limit(UNI_WORD_CAP + 1)
+      .as[(String, Long)].collect()
+    require(wordRows.length <= UNI_WORD_CAP,
+      s"unigramLm: word vocabulary exceeds $UNI_WORD_CAP — distribute " +
+        "the DP (broadcast cost map + mapPartitions) before raising the cap")
+    val words = wordRows.sortBy(_._1).toSeq
+    // seed counts: every substring occurrence, frequency-weighted
+    val cnt0 = scala.collection.mutable.Map[String, Long]()
+    for {
+      (w, f) <- words
+      st <- 0 until w.length
+      ln <- 1 to UNI_MAX_PIECE if st + ln <= w.length
+    } {
+      val p = w.substring(st, st + ln)
+      cnt0(p) = cnt0.getOrElse(p, 0L) + f
+    }
+    def costsOf(cnt: Map[String, Long]): Map[String, Long] = {
+      val t = cnt.values.sum
+      cnt.map { case (p, c) => p -> (bits(t) - bits(c)) }
+    }
+    // Viterbi: min total cost, tie -> smallest split start (longest piece)
+    def viterbi(w: String, cost: Map[String, Long]): Seq[String] = {
+      val L = w.length
+      val inf = Long.MaxValue / 4
+      val bc = Array.fill(L + 1)(inf)
+      val bj = Array.fill(L + 1)(-1)
+      bc(0) = 0L
+      var i = 1
+      while (i <= L) {
+        var j = math.max(0, i - UNI_MAX_PIECE)
+        while (j < i) {
+          if (bc(j) < inf) {
+            cost.get(w.substring(j, i)).foreach { c =>
+              if (bc(j) + c < bc(i)) { bc(i) = bc(j) + c; bj(i) = j }
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+      var pos = L
+      val rev = scala.collection.mutable.ArrayBuffer[String]()
+      while (pos > 0) { rev += w.substring(bj(pos), pos); pos = bj(pos) }
+      rev.reverse.toSeq
+    }
+    var costs = costsOf(cnt0.toMap)
+    var usage: Map[String, Long] = Map.empty
+    for (r <- 1 to 2) {
+      val u = scala.collection.mutable.Map[String, Long]()
+      for ((w, f) <- words; p <- viterbi(w, costs))
+        u(p) = u.getOrElse(p, 0L) + f
+      usage = u.toMap
+      if (r < 2)
+        costs = costsOf(
+          cnt0.keys.map(p => p -> (usage.getOrElse(p, 0L) + 1L)).toMap)
+    }
+    usage.toSeq.sortBy { case (p, u) => (-u, p) }.take(UNI_TOP)
+      .map { case (p, u) => (p, u, costs(p)) }
+      .toDF("piece", "used", "cost_bits")
+      .orderBy(col("used").desc, col("piece").asc)
+  }
+
+  /** One Viterbi round (forward DP + traceback + usage) as oracle CTEs;
+    * `tag` prefixes the round's CTE names, `vocab` names the cost CTE. */
+  private def uniRoundSql(tag: String, vocab: String): String = {
+    val fwd = (1 to UNI_MAX_WORD).map { i =>
+      val branches = (math.max(0, i - UNI_MAX_PIECE) until i).map { j =>
+        s"""      SELECT p.w, p.cost + v.cost AS cost, CAST($j AS BIGINT) AS j
+           |      FROM ${tag}_b$j p
+           |      JOIN $vocab v ON v.piece = substr(p.w, ${j + 1}, ${i - j})
+           |      WHERE length(p.w) >= $i""".stripMargin
+      }.mkString("\n      UNION ALL\n")
+      s"""${tag}_b$i AS MATERIALIZED (
+         |  SELECT w, cost, j FROM (
+         |    SELECT w, cost, j,
+         |           row_number() OVER (PARTITION BY w ORDER BY cost, j)
+         |             AS rn
+         |    FROM (
+         |$branches
+         |    )) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val ball = (1 to UNI_MAX_WORD).map(i =>
+      s"SELECT w, $i AS i, cost, j FROM ${tag}_b$i").mkString("\n  UNION ALL ")
+    val back = (1 to UNI_MAX_WORD).map { k =>
+      s"""${tag}_t$k AS MATERIALIZED (
+         |  SELECT t.w, t.freq, b.j AS pos,
+         |         substr(t.w, CAST(b.j + 1 AS INTEGER),
+         |                CAST(t.pos - b.j AS INTEGER)) AS piece
+         |  FROM ${tag}_t${k - 1} t
+         |  JOIN ${tag}_ball b ON b.w = t.w AND b.i = t.pos
+         |  WHERE t.pos > 0)""".stripMargin
+    }.mkString(",\n")
+    val pieces = (1 to UNI_MAX_WORD).map(k =>
+      s"SELECT piece, freq FROM ${tag}_t$k").mkString("\n    UNION ALL ")
+    s"""${tag}_b0 AS (
+       |  SELECT w, CAST(0 AS BIGINT) AS cost, CAST(-1 AS BIGINT) AS j
+       |  FROM words),
+       |$fwd,
+       |${tag}_ball AS MATERIALIZED (
+       |  $ball),
+       |${tag}_t0 AS (
+       |  SELECT w, freq, CAST(length(w) AS BIGINT) AS pos FROM words),
+       |$back,
+       |${tag}_u AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS used FROM (
+       |    $pieces)
+       |  WHERE piece IS NOT NULL GROUP BY 1)""".stripMargin
+  }
+
+  private lazy val unigramLmSql =
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) > 0 AND length(w) <= $UNI_MAX_WORD GROUP BY 1),
+       |seed AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT substr(w, st.st, ln.ln) AS piece, freq
+       |    FROM words
+       |    CROSS JOIN (SELECT unnest(generate_series(1, $UNI_MAX_WORD))
+       |                  AS st) st
+       |    CROSS JOIN (SELECT unnest(generate_series(1, $UNI_MAX_PIECE))
+       |                  AS ln) ln
+       |    WHERE st.st + ln.ln - 1 <= length(w))
+       |  GROUP BY 1),
+       |ta AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM seed),
+       |va AS MATERIALIZED (
+       |  SELECT piece,
+       |         CAST(length(bin(t.t)) - length(bin(cnt)) AS BIGINT) AS cost
+       |  FROM seed CROSS JOIN ta t),
+       |${uniRoundSql("a", "va")},
+       |tb AS (
+       |  SELECT CAST(sum(coalesce(u.used, 0) + 1) AS BIGINT) AS t
+       |  FROM seed s LEFT JOIN a_u u ON u.piece = s.piece),
+       |vb AS MATERIALIZED (
+       |  SELECT s.piece,
+       |         CAST(length(bin(t.t))
+       |              - length(bin(coalesce(u.used, 0) + 1)) AS BIGINT)
+       |           AS cost
+       |  FROM seed s LEFT JOIN a_u u ON u.piece = s.piece
+       |  CROSS JOIN tb t),
+       |${uniRoundSql("b", "vb")}
+       |SELECT u.piece, u.used, v.cost AS cost_bits
+       |FROM b_u u JOIN vb v ON v.piece = u.piece
+       |ORDER BY u.used DESC, u.piece LIMIT $UNI_TOP""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_unigram_lm", unigramLm, Some(unigramLmSql),
+      doc = "Unigram-LM (SentencePiece-style) Viterbi segmenter: " +
+        "integer bit-cost pieces, min-cost DP + EM refit on the " +
+        "vocabulary-bounded word table, oracle-replayed as unrolled " +
+        "per-position DP/traceback CTE stages"),
     Q("q_bpe_merges", bpeMerges, Some(bpeMergesSql),
       doc = "BPE tokenizer training: first merges + frequencies, oracle-" +
         "replayed as a bounded unroll of (argmax, merge) CTE rounds"),

@@ -84,5 +84,21 @@ class BpeSpec extends SparkTestBase {
     rows.foreach(r => assert(r.getAs[Long]("pair_count") >= 1L))
   }
 
+  test("unigram LM: frequent whole-word piece beats its char split, " +
+    "hand bit-costs recovered exactly") {
+    // corpus: 10 x "abab ab". Seed counts: a 30, b 30, ab 30, ba 10,
+    // aba 10, bab 10, abab 10 -> T 130, B = bits(130) = 8.
+    // Viterbi("abab"): [abab] costs 8-bits(10) = 4 < [ab,ab] = 2*(8-
+    // bits(30)) = 6 -> the whole word wins. Round-1 usage: abab 10,
+    // ab 10. Refit (+1 smoothing, T2 = 27, B2 = 5): cost(ab) =
+    // 5-bits(11) = 1, cost(abab) = 1; segmentation unchanged.
+    import spark.implicits._
+    val docs = Seq.fill(10)("abab ab").toDF("text")
+    val got = operators.Bpe.unigramLmOn(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("ab", 10L, 1L), ("abab", 10L, 1L)),
+      s"got ${got.toSeq}")
+  }
+
   private val EOW = "·"
 }
