@@ -378,11 +378,30 @@ object Bpe {
     * quantity is exact integer arithmetic, so DuckDB replays training
     * as unrolled per-position DP CTE stages — forward min-cost table,
     * backward traceback, refit, second pass — bit-for-bit. */
-  def unigramLm(s: SparkSession, dir: String): DataFrame =
-    unigramLmOn(Tables.documents(s, dir).select("text"))
+  def unigramLm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, usage, costs) = trainedUnigram(s, dir)
+    usage.toSeq.sortBy { case (p, u) => (-u, p) }.take(UNI_TOP)
+      .map { case (p, u) => (p, u, costs(p)) }
+      .toDF("piece", "used", "cost_bits")
+      .orderBy(col("used").desc, col("piece").asc)
+  }
 
-  /** [[unigramLm]] over an explicit (text) frame — the seam. */
-  private[graft] def unigramLmOn(docs: DataFrame): DataFrame = {
+  /** Trained-segmenter memo per corpus dir (the [[trainedMerges]]
+    * lifecycle): (word → final segmentation, final usage, final costs)
+    * are plain driver data, shared by the inventory query and the
+    * fertility census. */
+  private val uniTrained = new java.util.concurrent.ConcurrentHashMap[
+    String, (Map[String, Seq[String]], Map[String, Long], Map[String, Long])]()
+
+  private def trainedUnigram(s: SparkSession, dir: String)
+      : (Map[String, Seq[String]], Map[String, Long], Map[String, Long]) =
+    uniTrained.computeIfAbsent(dir, { _ =>
+      graft.BuildMeter.record()
+      uniTrainCore(collectWords(Tables.documents(s, dir).select("text")))
+    })
+
+  private def collectWords(docs: DataFrame): Seq[(String, Long)] = {
     val s = docs.sparkSession
     import s.implicits._
     val wordRows = docs.select(explode(split(col("text"), " ")).as("w"))
@@ -393,7 +412,24 @@ object Bpe {
     require(wordRows.length <= UNI_WORD_CAP,
       s"unigramLm: word vocabulary exceeds $UNI_WORD_CAP — distribute " +
         "the DP (broadcast cost map + mapPartitions) before raising the cap")
-    val words = wordRows.sortBy(_._1).toSeq
+    wordRows.sortBy(_._1).toSeq
+  }
+
+  /** [[unigramLm]] over an explicit (text) frame — the seam
+    * (un-memoized). */
+  private[graft] def unigramLmOn(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val (_, usage, costs) = uniTrainCore(collectWords(docs))
+    usage.toSeq.sortBy { case (p, u) => (-u, p) }.take(UNI_TOP)
+      .map { case (p, u) => (p, u, costs(p)) }
+      .toDF("piece", "used", "cost_bits")
+      .orderBy(col("used").desc, col("piece").asc)
+  }
+
+  /** The driver training core: 2 Viterbi rounds over the word table. */
+  private def uniTrainCore(words: Seq[(String, Long)])
+      : (Map[String, Seq[String]], Map[String, Long], Map[String, Long]) = {
     // seed counts: every substring occurrence, frequency-weighted
     val cnt0 = scala.collection.mutable.Map[String, Long]()
     for {
@@ -435,19 +471,20 @@ object Bpe {
     }
     var costs = costsOf(cnt0.toMap)
     var usage: Map[String, Long] = Map.empty
+    var segs: Map[String, Seq[String]] = Map.empty
     for (r <- 1 to 2) {
       val u = scala.collection.mutable.Map[String, Long]()
-      for ((w, f) <- words; p <- viterbi(w, costs))
-        u(p) = u.getOrElse(p, 0L) + f
+      segs = words.map { case (w, f) =>
+        val ps = viterbi(w, costs)
+        ps.foreach(p => u(p) = u.getOrElse(p, 0L) + f)
+        w -> ps
+      }.toMap
       usage = u.toMap
       if (r < 2)
         costs = costsOf(
           cnt0.keys.map(p => p -> (usage.getOrElse(p, 0L) + 1L)).toMap)
     }
-    usage.toSeq.sortBy { case (p, u) => (-u, p) }.take(UNI_TOP)
-      .map { case (p, u) => (p, u, costs(p)) }
-      .toDF("piece", "used", "cost_bits")
-      .orderBy(col("used").desc, col("piece").asc)
+    (segs, usage, costs)
   }
 
   /** One Viterbi round (forward DP + traceback + usage) as oracle CTEs;
@@ -497,8 +534,10 @@ object Bpe {
        |  WHERE piece IS NOT NULL GROUP BY 1)""".stripMargin
   }
 
-  private lazy val unigramLmSql =
-    s"""WITH words AS MATERIALIZED (
+  /** The shared two-round training chain (words → seed → round-a DP →
+    * refit → round-b DP), composed into both unigram oracles. */
+  private lazy val uniChainSql =
+    s"""words AS MATERIALIZED (
        |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  WHERE length(w) > 0 AND length(w) <= $UNI_MAX_WORD GROUP BY 1),
@@ -528,10 +567,70 @@ object Bpe {
        |           AS cost
        |  FROM seed s LEFT JOIN a_u u ON u.piece = s.piece
        |  CROSS JOIN tb t),
-       |${uniRoundSql("b", "vb")}
+       |${uniRoundSql("b", "vb")}""".stripMargin
+
+  private lazy val unigramLmSql =
+    s"""WITH $uniChainSql
        |SELECT u.piece, u.used, v.cost AS cost_bits
        |FROM b_u u JOIN vb v ON v.piece = u.piece
        |ORDER BY u.used DESC, u.piece LIMIT $UNI_TOP""".stripMargin
+
+  /** Per-language fertility under the TRAINED unigram segmentation —
+    * the cross-tokenizer fairness census next to [[bpeFertility]]
+    * (same shape, segmentation-based inventory): pieces/word and
+    * chars/piece per language, words above [[UNI_MAX_WORD]] excluded
+    * exactly as in training (both engines). Shares the memoized
+    * training; the query itself is one lang-word aggregate joined
+    * against the broadcast word→pieces table. */
+  def unigramFertility(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (segs, _, _) = trainedUnigram(s, dir)
+    val ntok = segs.toSeq.map { case (w, ps) => (w, ps.size.toLong) }
+      .toDF("word", "n_tok")
+    val lw = Tables.documents(s, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0 &&
+        length(col("word")) <= UNI_MAX_WORD)
+      .groupBy("lang", "word").agg(count(lit(1)).as("freq"))
+    lw.join(broadcast(ntok), "word")
+      .groupBy("lang")
+      .agg(sum("freq").as("n_words"),
+        sum(col("freq") * col("n_tok")).as("n_pieces"),
+        sum(col("freq") * length(col("word")).cast("long")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_pieces"), col("n_chars"),
+        (floor(col("n_pieces").cast("double") / col("n_words")
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("fertility"),
+        (floor(col("n_chars").cast("double") / col("n_pieces")
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d))
+          .as("chars_per_piece"))
+      .orderBy("lang")
+  }
+
+  private lazy val unigramFertilitySql = {
+    val pieces = (1 to UNI_MAX_WORD).map(k =>
+      s"SELECT w, piece FROM b_t$k").mkString("\n    UNION ALL ")
+    s"""WITH $uniChainSql,
+       |nt AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS n_tok FROM (
+       |    $pieces)
+       |  WHERE piece IS NOT NULL GROUP BY 1),
+       |lw AS (
+       |  SELECT lang, w, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT lang, unnest(string_split(text, ' ')) AS w
+       |    FROM documents)
+       |  WHERE length(w) > 0 AND length(w) <= $UNI_MAX_WORD
+       |  GROUP BY 1, 2)
+       |SELECT lang, CAST(sum(freq) AS BIGINT) AS n_words,
+       |       CAST(sum(freq * n_tok) AS BIGINT) AS n_pieces,
+       |       CAST(sum(freq * length(lw.w)) AS BIGINT) AS n_chars,
+       |       floor(CAST(sum(freq * n_tok) AS DOUBLE) / sum(freq)
+       |             * 10000.0 + 0.5) / 10000.0 AS fertility,
+       |       floor(CAST(sum(freq * length(lw.w)) AS DOUBLE)
+       |             / sum(freq * n_tok) * 10000.0 + 0.5) / 10000.0
+       |         AS chars_per_piece
+       |FROM lw JOIN nt ON nt.w = lw.w
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
 
   val all: Seq[Q] = Seq(
     Q("q_unigram_lm", unigramLm, Some(unigramLmSql),
@@ -539,6 +638,11 @@ object Bpe {
         "integer bit-cost pieces, min-cost DP + EM refit on the " +
         "vocabulary-bounded word table, oracle-replayed as unrolled " +
         "per-position DP/traceback CTE stages"),
+    Q("q_unigram_fertility", unigramFertility, Some(unigramFertilitySql),
+      doc = "Per-language fertility under the trained unigram " +
+        "segmentation (pieces/word, chars/piece) — the cross-tokenizer " +
+        "fairness census next to q_bpe_fertility; shares the memoized " +
+        "training"),
     Q("q_bpe_merges", bpeMerges, Some(bpeMergesSql),
       doc = "BPE tokenizer training: first merges + frequencies, oracle-" +
         "replayed as a bounded unroll of (argmax, merge) CTE rounds"),
