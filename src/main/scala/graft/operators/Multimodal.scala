@@ -53,9 +53,16 @@ object Multimodal {
     * and content plane derive deterministically from each document
     * (content byte i = text byte i mod len) — at 100 TB this is the
     * parquet `binary` column written by ingest. */
-  def mediaTable(s: SparkSession, dir: String): DataFrame = {
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    mediaTableOn(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")))
+
+  /** [[mediaTable]] over an explicit (doc_id, text) frame — the
+    * degenerate-input seam. */
+  private[graft] def mediaTableOn(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    docs
       .as[(Long, String)]
       .map { case (id, text) =>
         val tb = text.getBytes("UTF-8") // fixture text is ASCII

@@ -169,6 +169,17 @@ class AsOfPlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       "unmatched rows must be all-null on the right side")
   }
 
+  test("mixed temporal/integral KEY pair is refused at analysis (the " +
+    "epoch-us-vs-raw-integer silent mismatch)") {
+    val (buys, views) = sides
+    val viewsTsKey = views.select(
+      expr("timestamp_micros(user_id)").as("user_id"), col("v_us"))
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join(buys, viewsTsKey, "user_id", "b_us", "v_us")
+    }
+    assert(e.getMessage.contains("key columns"), e.getMessage)
+  }
+
   test("q_psm_att executes on the custom AsOfJoinExec (not a window " +
     "rewrite), matching stays inside one merge pass") {
     val df = graft.operators.Inference.psmAtt(spark, sfDir)

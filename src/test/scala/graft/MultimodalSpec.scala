@@ -130,6 +130,29 @@ class MultimodalSpec extends SparkTestBase {
       out(1).r_sum == 224L * 224 * 3 * 100)
   }
 
+  test("empty document text yields valid zero-filled containers for all " +
+    "modalities (the mod-0 batch-killer guard)") {
+    import spark.implicits._
+    // doc_id % 3 picks the modality: 0 image, 1 audio, 2 video
+    val docs = Seq((0L, ""), (1L, ""), (2L, "")).toDF("doc_id", "text")
+    val rows = Multimodal.mediaTableOn(docs).as[
+      graft.operators.MediaRow].collect().sortBy(_.doc_id)
+    assert(rows.length == 3)
+    // every payload PARSES (real container headers), planes are zeros
+    val img = MediaCodecs.decode(rows(0).payload)
+    assert(img.kind == "image" && img.width == 4 && img.height == 4)
+    assert(img.content.forall(_ == 0))
+    val aud = MediaCodecs.decode(rows(1).payload)
+    assert(aud.kind == "audio" && aud.width == 0) // zero samples
+    val vid = MediaCodecs.decode(rows(2).payload)
+    assert(vid.kind == "video" && vid.content.forall(_ == 0))
+    // and the downstream stages stay zero-rowed, never failing
+    val dec = Multimodal.decodeMedia(rows.iterator).toSeq
+    assert(dec.forall(_.brightness == 0.0))
+    val rs = Multimodal.resizePixels(224)(rows.iterator).toSeq
+    assert(rs.forall(_.r_sum == 0L))
+  }
+
   test("modalities partition the corpus") {
     val counts = Multimodal.decoded(spark, sfDir)
       .groupBy("media_type").count().collect()

@@ -126,6 +126,28 @@ class SnapshotLakeSpec extends SparkTestBase {
       .sameElements(Array("id", "kind", "v")))
   }
 
+  test("expire leaves an IN-FLIGHT segment (version beyond published) " +
+    "for the concurrent commit that staged it; lost-race orphans at or " +
+    "below the published version still reclaim") {
+    val root = freshRoot("segrace")
+    SnapshotLake.create(df((1L, "a", 1L)), root)
+    SnapshotLake.append(spark, df((2L, "b", 2L)), root)
+    val meta = Paths.get(root, "meta")
+    // a concurrent commit claiming v3 has moved its segment into meta/
+    // but not yet published v3.manifest — expire must NOT delete it
+    val inflight = meta.resolve("v3-deadbeef.seg")
+    Files.writeString(inflight, "file=data/v3-pending.parquet|1||\n")
+    // a LOSER of an earlier race: its v2 segment was never referenced
+    // by any published manifest — reclaimable
+    val orphan = meta.resolve("v2-cafef00d.seg")
+    Files.writeString(orphan, "file=data/v2-lost.parquet|1||\n")
+    SnapshotLake.expire(root, keepFrom = 1)
+    assert(Files.exists(inflight),
+      "in-flight segment (version > published) must survive expire")
+    assert(!Files.exists(orphan),
+      "lost-race orphan at a published version must be reclaimed")
+  }
+
   test("expiry lab: v1/v3 manifests dropped, tag-pinned v2 and its shared " +
     "files survive the reclaim sweep") {
     val root = SnapshotLake.ensureExpireLab(spark, sfDir)
