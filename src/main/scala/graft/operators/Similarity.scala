@@ -2294,10 +2294,11 @@ object Similarity {
     * instead of each paying the R aggregation rounds. */
   private val probeMemo =
     new java.util.concurrent.ConcurrentHashMap[
-      (String, String), (Array[Long], Seq[(Int, Long)], Long)]()
+      (String, String),
+      (Array[Long], Seq[(Int, Long)], Long, Seq[Array[Long]])]()
 
   private def trainedProbe(s: SparkSession, dir: String)
-      : (Array[Long], Seq[(Int, Long)], Long) = {
+      : (Array[Long], Seq[(Int, Long)], Long, Seq[Array[Long]]) = {
     val key = (dir, dataFingerprint(dir, "embeddings"))
     val hit = probeMemo.get(key)
     if (hit != null) hit
@@ -2327,14 +2328,18 @@ object Similarity {
   /** The shared training loop: R exact full-batch rounds over a (cached)
     * feature frame, returning (final weights, per-round miss curve, n). */
   private def trainProbe(s: SparkSession, feats: DataFrame)
-      : (Array[Long], Seq[(Int, Long)], Long) = {
+      : (Array[Long], Seq[(Int, Long)], Long, Seq[Array[Long]]) = {
     import s.implicits._
     val n = feats.count()
     require(n > 0, "linearProbe: no rows with label in {0, 1}")
     val dims = DIM + 1
     var w = Array.fill(dims)(0L)
     val curve = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+    // per-round weight history: the training-dynamics surface dataMaps
+    // reads (w_0 .. w_R, model-sized)
+    val hist = scala.collection.mutable.ArrayBuffer[Array[Long]]()
     for (r <- 0 to PROBE_ROUNDS) {
+      hist += w.clone()
       // w rides in as a broadcast 1-row RELATION, not a literal array:
       // every round's plan is then STRUCTURALLY identical, so whole-stage
       // codegen compiles once and round 2+ reuse the cached class
@@ -2355,12 +2360,12 @@ object Similarity {
         w = Array.tabulate(dims)(j =>
           w(j) + Math.floorDiv(aggd.getLong(1 + j), n * (r + 1)))
     }
-    (w, curve.toSeq, n)
+    (w, curve.toSeq, n, hist.toSeq)
   }
 
   def linearProbe(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (_, curve, n) = trainedProbe(s, dir)
+    val (_, curve, n, _) = trainedProbe(s, dir)
     curve.map { case (r, miss) =>
       (r, miss, math.floor((n - miss).toDouble / n * 10000.0 + 0.5) / 10000.0)
     }.toDF("round", "n_wrong", "accuracy")
@@ -2382,7 +2387,7 @@ object Similarity {
     * task. Identical result to the window form by construction. */
   def probeCalibration(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (w, _, _) = trainedProbe(s, dir)
+    val (w, _, _, _) = trainedProbe(s, dir)
     // scoring is ONE pass over the feature frame — no cache needed; on a
     // memo hit this query never re-runs the training rounds
     val wDf = Seq(Tuple1(w.toSeq)).toDF("wv")
@@ -2420,7 +2425,7 @@ object Similarity {
     * discipline); two final one-shot divisions display ece/max_gap. */
   def probeEce(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (w, _, _) = trainedProbe(s, dir)
+    val (w, _, _, _) = trainedProbe(s, dir)
     val wDf = Seq(Tuple1(w.toSeq)).toDF("wv")
     val scored = probeFeatures(s, dir).crossJoin(broadcast(wDf))
       .select(col("vec_id"), col("y"),
@@ -2497,6 +2502,92 @@ object Similarity {
        |FROM bins""".stripMargin
   }
 
+  /** DATASET CARTOGRAPHY (Swayamdipta et al., EMNLP'20 — public):
+    * training-dynamics census over the probe's per-round margins. Per
+    * labeled example, correctness at every training round (w_0 .. w_R
+    * from the memoized history) gives n_correct ∈ [0, R+1] (the
+    * confidence axis) and the count of correctness FLIPS between
+    * consecutive rounds (the variability axis); the census buckets
+    * examples into easy-to-learn (always right), hard-to-learn (never)
+    * and ambiguous — the map a curation pipeline reads to find
+    * mislabeled (hard) and informative (ambiguous) training data.
+    *
+    * ONE pass over the labeled split: all R+1 weight vectors broadcast
+    * as a single array-of-arrays row and every round's margin evaluates
+    * row-locally (exact integer dot products); flips/counts are exact
+    * integers, so the oracle replays the whole map off its m0..mR
+    * round CTEs. */
+  def dataMaps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, _, _, hist) = trainedProbe(s, dir)
+    val wsDf = Seq(Tuple1(hist.map(_.toSeq))).toDF("ws")
+    val scored = probeFeatures(s, dir).crossJoin(broadcast(wsDf))
+      .select(
+        expr(
+          """transform(ws, wv -> CASE WHEN
+            |  y * aggregate(zip_with(xi, wv, (a, b) -> a * b), 0L,
+            |                (acc, v) -> acc + v) > 0
+            |  THEN 1L ELSE 0L END)""".stripMargin).as("corr"))
+      .select(
+        expr("aggregate(corr, 0L, (a, x) -> a + x)").as("n_correct"),
+        expr(
+          """aggregate(sequence(2, size(corr)), 0L, (a, i) ->
+            |  a + abs(element_at(corr, i) - element_at(corr, i - 1)))"""
+            .stripMargin).as("flips"))
+    val buckets = scored.groupBy("n_correct")
+      .agg(count(lit(1)).as("n_examples"), sum("flips").as("tf"))
+    val total = buckets.agg(sum("n_examples").as("nt"))
+    buckets.join(broadcast(total))
+      .select(col("n_correct"),
+        when(col("n_correct") === PROBE_ROUNDS + 1, "easy")
+          .when(col("n_correct") === 0, "hard")
+          .otherwise("ambiguous").as("bucket"),
+        col("n_examples"),
+        (floor(col("n_examples").cast("double") / col("nt")
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("share"),
+        (floor(col("tf").cast("double") / col("n_examples")
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("avg_flips"))
+      .orderBy("n_correct")
+  }
+
+  private lazy val dataMapsSql = {
+    val chain = probeChainParts._1
+    val joins = (1 to PROBE_ROUNDS).map(r =>
+      s"JOIN m$r ON m$r.vec_id = m0.vec_id").mkString("\n  ")
+    val corr = (0 to PROBE_ROUNDS).map(r =>
+      s"(CASE WHEN m$r.y * m$r.margin > 0 THEN 1 ELSE 0 END) AS c$r")
+      .mkString(",\n         ")
+    val nCorrect = (0 to PROBE_ROUNDS).map(r => s"c$r").mkString(" + ")
+    val flips = (1 to PROBE_ROUNDS).map(r =>
+      s"abs(c$r - c${r - 1})").mkString(" + ")
+    s"""WITH $chain,
+       |corr AS (
+       |  SELECT m0.vec_id,
+       |         $corr
+       |  FROM m0
+       |  $joins),
+       |ex AS (
+       |  SELECT CAST($nCorrect AS BIGINT) AS n_correct,
+       |         CAST($flips AS BIGINT) AS flips
+       |  FROM corr),
+       |bk AS (
+       |  SELECT n_correct, CAST(count(*) AS BIGINT) AS n_examples,
+       |         CAST(sum(flips) AS BIGINT) AS tf
+       |  FROM ex GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_examples) AS BIGINT) AS nt FROM bk)
+       |SELECT n_correct,
+       |       CASE WHEN n_correct = ${PROBE_ROUNDS + 1} THEN 'easy'
+       |            WHEN n_correct = 0 THEN 'hard'
+       |            ELSE 'ambiguous' END AS bucket,
+       |       n_examples,
+       |       floor(CAST(n_examples AS DOUBLE) / nt * 10000.0 + 0.5)
+       |         / 10000.0 AS share,
+       |       floor(CAST(tf AS DOUBLE) / n_examples * 10000.0 + 0.5)
+       |         / 10000.0 AS avg_flips
+       |FROM bk CROSS JOIN tot
+       |ORDER BY n_correct""".stripMargin
+  }
+
   /** Split-conformal prediction over the probe's margin score — the
     * distribution-free uncertainty wrapper a model-gated filter needs:
     * instead of one label, emit the SET of labels whose nonconformity
@@ -2518,7 +2609,7 @@ object Similarity {
     * exact counts with one final fix4 division each. */
   def conformal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (w, _, _) = trainedProbe(s, dir)
+    val (w, _, _, _) = trainedProbe(s, dir)
     val wDf = Seq(Tuple1(w.toSeq)).toDF("wv")
     conformalOn(probeFeatures(s, dir).crossJoin(broadcast(wDf))
       .select(col("vec_id"), col("y"),
@@ -2919,6 +3010,11 @@ object Similarity {
       doc = "Contrastive-training feed: per batch query the best " +
         "same-label positive + top-3 cross-label hard negatives, " +
         "two-level salted per-(query, kind) ranking, one corpus scan"),
+    Q("q_data_maps", dataMaps, Some(dataMapsSql),
+      doc = "Dataset cartography: per-example confidence (rounds " +
+        "correct) x variability (correctness flips) census over the " +
+        "probe's training dynamics — easy/ambiguous/hard buckets, one " +
+        "pass with all round weights broadcast"),
     Q("q_ece", probeEce, Some(probeEceSql),
       doc = "Expected Calibration Error as a transfer audit: cal-split " +
         "decile confidences vs eval-split accuracies under value-" +

@@ -112,6 +112,9 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     // the q_sim_topk_batch broadcast query-batch shape (=!= join) plus
     // the 1-row decile-boundary frame broadcast onto the eval scan
     "q_ece",
+    // 1-row all-round-weights frame broadcast onto the scoring scan +
+    // the 1-row bucket-total census (q_probe_calibration shape)
+    "q_data_maps",
     // the q_sim_topk_batch broadcast query-batch shape (=!= join)
     "q_hard_negatives",
     // 1-row trained-weights frame broadcast onto the scoring scan
