@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout must pass through UNPREFIXED: sbt's default logger
+// adds "[info] " to every forked line, which breaks any line-level JSON
+// parse of Bench/Verify output (BENCH_r*.json recorded parsed:null for
+// nine rounds because of it).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -109,7 +109,17 @@ object Bench {
     val medS = if (good.nonEmpty) median(good) else 0.0
     val slowest = results.filter(_._2 > 0).sortBy(-_._2).take(5)
       .map { case (k, v) => s"""["$k",$v]""" }.mkString("[", ",", "]")
-    println(s"""{"metric":"bench_summary","total_s":$total,"n":${good.size},"n_failed":$nFailed,"mean_s":$meanS,"median_s":$medS,"slowest":$slowest,"unit":"sec","sf":"$sfDir"}""")
+    val summary = s"""{"metric":"bench_summary","total_s":$total,"n":${good.size},"n_failed":$nFailed,"mean_s":$meanS,"median_s":$medS,"slowest":$slowest,"unit":"sec","sf":"$sfDir"}"""
+    // Belt and braces for the driver's parser: (a) the summary also lands
+    // in a bare file no log framework can decorate; (b) stop Spark BEFORE
+    // the final println so no shutdown chatter can print after it; the
+    // summary JSON is the absolute last stdout line of the forked JVM
+    // (build.sbt's StdoutOutput keeps it free of the "[info] " prefix).
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("target/bench_summary.json"),
+      (summary + "\n").getBytes("UTF-8"))
     spark.stop()
+    println(summary)
+    System.out.flush()
   }
 }

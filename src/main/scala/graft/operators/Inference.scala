@@ -2086,14 +2086,20 @@ object Inference {
     val T = BigInt(1000000000000L)
     var pi = sources.map(_ -> 1000000L).toMap
     for (_ <- 1 to BT_ROUNDS) {
+      // Denominator terms and their per-source sum stay BigInt end-to-end
+      // (the oracle computes the same chain in HUGEINT): a large win
+      // count over a small π-sum can exceed Long per-term, and the .sum
+      // across opponents can wrap even when each term fits. Only the
+      // final π is narrowed — it is bounded by W·T/sm which the share
+      // normalization keeps in Long range.
       val sm = comps.groupBy(_._1).map { case (a, rows) =>
         a -> rows.map { case (_, b, n) =>
-          (BigInt(n) * T / BigInt(math.max(pi(a) + pi(b), 1L))).toLong
+          BigInt(n) * T / BigInt(math.max(pi(a) + pi(b), 1L))
         }.sum
       }
       pi = sources.map { a =>
         a -> (BigInt(bigW(a)) * T /
-          BigInt(math.max(sm.getOrElse(a, 0L), 1L))).toLong
+          sm.getOrElse(a, BigInt(0)).max(BigInt(1))).toLong
       }.toMap
     }
     val piSum = math.max(pi.values.sum, 1L)
@@ -2138,12 +2144,13 @@ object Inference {
        |  LEFT JOIN wpos w1 ON w1.sa = x.s AND w1.sb = y.s
        |  LEFT JOIN wpos w2 ON w2.sa = y.s AND w2.sb = x.s),
        |ww AS MATERIALIZED (
-       |  SELECT sa AS s, CAST(sum(w) AS BIGINT) AS tw,
-       |         CAST(sum(n) AS BIGINT) AS nc
-       |  FROM grid GROUP BY 1),
+       |  SELECT x.s, CAST(coalesce(sum(g.w), 0) AS BIGINT) AS tw,
+       |         CAST(coalesce(sum(g.n), 0) AS BIGINT) AS nc
+       |  FROM srcs x LEFT JOIN grid g ON g.sa = x.s GROUP BY 1),
        |p0 AS MATERIALIZED (SELECT s, 1000000::HUGEINT AS pi FROM srcs),
        |$rounds,
-       |tot AS (SELECT CAST(sum(pi) AS DOUBLE) AS tp FROM p$BT_ROUNDS)
+       |tot AS (SELECT greatest(CAST(sum(pi) AS DOUBLE), 1.0) AS tp
+       |        FROM p$BT_ROUNDS)
        |SELECT w.s AS source, w.tw AS wins, w.nc AS n_comparisons,
        |       floor(CAST(p.pi AS DOUBLE) / tot.tp * 1000000.0 + 0.5)
        |         / 1000000.0 AS bt_share
@@ -2185,9 +2192,20 @@ object Inference {
   /** [[psmAtt]] over an explicit (c_custkey, c_nationkey, spend,
     * n_orders) per-unit frame — the planted-semantics seam. */
   private[graft] def psmAttOn(cust0: DataFrame): DataFrame = {
-    val cust = cust0
+    // The packed score must be collision-free at EVERY scale: a fixed
+    // 2^20 shift collides once custkey exceeds 2^20 (TPC-H SF ≳ 7), and
+    // a collision makes the as-of tie nondeterministic while the
+    // oracle's max(cmp) equi-join fans out. Derive the shift from the
+    // key domain itself — 2^bitlen(max key) — with the portable
+    // length(bin(x)) idiom (same trick as the unigram-LM bit-costs).
+    // Packing score·B + key with key < B preserves the lexicographic
+    // (score, key) order for ANY B, so the match is base-independent.
+    val kbase = cust0.agg(
+      expr("shiftleft(cast(1 as bigint), length(bin(max(c_custkey))))")
+        .as("kbase"))
+    val cust = cust0.crossJoin(broadcast(kbase)) // 1-row stats frame
       .withColumn("cmp",
-        col("n_orders") * lit(1048576L) + col("c_custkey"))
+        col("n_orders") * col("kbase") + col("c_custkey"))
     val treated = cust.filter(pmod(col("c_custkey"), lit(2L)) === 0)
       .select(col("c_custkey"), col("c_nationkey").as("nat"),
         col("spend"), col("cmp"))
@@ -2207,13 +2225,15 @@ object Inference {
   }
 
   private val psmAttSql =
-    """WITH cust AS MATERIALIZED (
+    """WITH kb AS (SELECT (1::BIGINT << length(bin(max(c_custkey))))
+      |             AS kbase FROM customer),
+      |cust AS MATERIALIZED (
       |  SELECT c_custkey, c_nationkey,
       |         CAST(coalesce(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
       |                                AS BIGINT)), 0) AS BIGINT) AS spend,
       |         CAST(count(o_custkey) AS BIGINT) AS n_orders,
-      |         CAST(count(o_custkey) AS BIGINT) * 1048576 + c_custkey
-      |           AS cmp
+      |         CAST(count(o_custkey) AS BIGINT) * (SELECT kbase FROM kb)
+      |           + c_custkey AS cmp
       |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       |  GROUP BY 1, 2),
       |t AS (SELECT * FROM cust WHERE c_custkey % 2 = 0),

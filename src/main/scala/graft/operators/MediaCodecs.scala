@@ -1,8 +1,7 @@
 package graft.operators
 
-/** Pure-JVM codecs for three REAL uncompressed media containers — the
-  * formats a zero-dependency environment can decode honestly, replacing
-  * the former arithmetic stub at the codec boundary:
+/** Pure-JVM codecs for REAL media containers — the formats a
+  * zero-dependency environment can decode honestly:
   *
   *   - PPM (P6): `P6 <w> <h> <maxval>` header (ASCII tokens, `#`
   *     comments, arbitrary whitespace) + w·h RGB byte triples.

@@ -141,7 +141,7 @@ object Multimodal {
     * state still reused within a batch). The salt modulus tracks
     * spark.sql.shuffle.partitions (see [[decodeSaltModulus]]) so the
     * decode stage widens with the cluster; results are salt-invariant
-    * (the stub is row-local), which the oracle checks. */
+    * (the decode is row-local), which the oracle checks. */
   def decoded(s: SparkSession, dir: String): Dataset[DecodedMedia] = {
     import s.implicits._
     mediaTable(s, dir)
@@ -210,15 +210,25 @@ object Multimodal {
               java.util.Arrays.copyOfRange(d.content, 0,
                 math.min(d.width * d.height, d.content.length)))
           }
-          val (rw, rh) =
-            if (w >= h) (target, h * target / w)
-            else (w * target / h, target)
-          val rp = resampleNN(plane, w, h, ch, rw, rh)
-          var sum = 0L
-          var i = 0
-          while (i < rp.length) { sum += rp(i) & 0xff; i += 1 }
-          ResizedMedia(r.doc_id, r.media_type, w, h, rw, rh,
-            sum, rp.length.toLong)
+          // A decodable container with a SHORT plane (e.g. a zero-frame
+          // or truncated Y4M) is corrupt for resize purposes: resampleNN
+          // indexes the full w*h*ch geometry, and an out-of-bounds read
+          // here is OUTSIDE the decode try/catch — it would fail the
+          // whole batch, contrary to the skip-and-count posture. Emit
+          // the zero row instead, same as an undecodable blob.
+          if (w <= 0 || h <= 0 || plane.length < w.toLong * h * ch)
+            ResizedMedia(r.doc_id, r.media_type, 0, 0, 0, 0, 0L, 0L)
+          else {
+            val (rw, rh) =
+              if (w >= h) (target, h * target / w)
+              else (w * target / h, target)
+            val rp = resampleNN(plane, w, h, ch, rw, rh)
+            var sum = 0L
+            var i = 0
+            while (i < rp.length) { sum += rp(i) & 0xff; i += 1 }
+            ResizedMedia(r.doc_id, r.media_type, w, h, rw, rh,
+              sum, rp.length.toLong)
+          }
       }
     }
 

@@ -1364,7 +1364,19 @@ object SnapshotLake {
       val s = Files.list(d)
       try s.iterator().asScala.toSeq.foreach { p =>
         val rel = s"data/${p.getFileName}"
-        if (!stillReferenced(rel) && Files.deleteIfExists(p)) droppedFiles += 1
+        // Same in-flight exemption as the segment sweep below: a
+        // concurrent commit ATOMIC_MOVEs its data files (named
+        // data/v{next}-{nonce}-*.parquet) into place BEFORE publishing
+        // the manifest that references them — reclaiming in that window
+        // would leave the just-published snapshot unreadable. A data
+        // file named beyond the currently published version is
+        // in-flight, not orphaned; a later expire (once cur advances
+        // past it) reclaims true losers.
+        val fVer = p.getFileName.toString
+          .stripPrefix("v").takeWhile(_.isDigit)
+        val inFlight = fVer.nonEmpty && fVer.toLong > cur
+        if (!inFlight && !stillReferenced(rel) && Files.deleteIfExists(p))
+          droppedFiles += 1
       } finally s.close()
     }
     // manifest SEGMENTS are shared across snapshots by reference, so one

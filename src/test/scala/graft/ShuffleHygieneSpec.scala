@@ -147,6 +147,9 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     "q_naive_bayes",
     // 1-row basket-census frame broadcast onto the rule table
     "q_assoc_rules",
+    // 1-row key-domain (kbase) frame broadcast onto the activity scan,
+    // visible on both the treated and control branches of the as-of join
+    "q_psm_att",
     // 1-row test-basket census crossJoined onto the 1-row hit aggregate
     // (the top-200 rule table itself joins with an equi-key)
     "q_assoc_eval",
