@@ -106,8 +106,42 @@ object Ddl {
     } finally deleteRecursively(out)
   }
 
+  /** Hash-green CONTRACT twin of the rows-only [[sortWithinSizes]] (the
+    * q_pca_contract pattern: Spark evaluates the layout verdicts, the
+    * oracle pins them TRUE and recomputes the exactly-knowable fields).
+    * Pinned facts — each byte-stable across repeated runs and TRUE at
+    * all three fixture SFs:
+    *   - `n_variants` = 3 (the experiment always writes all variants)
+    *   - `all_nonzero` — every variant produced real bytes
+    *   - `lowcard_lt_unsorted` — README.md:25's core claim: sorting
+    *     within partitions on low-cardinality keys shrinks parquet vs
+    *     the unsorted layout (RLE/dictionary runs)
+    * NOT pinned: lowcard vs highcard — measured to FLIP with scale
+    * (lowcard smallest at sf0.001, highcard smallest at sf0.1, where
+    * delta-packed sorted prices beat flag runs), which is exactly why
+    * the raw byte counts stay a rows-only query. */
+  def sortWithinContract(spark: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_sizes")
+    try {
+      import spark.implicits._
+      val m = writeSizeExperiment(spark, dir, out.toString).toMap
+      Seq((m.size.toLong,
+        m.values.forall(_ > 0L),
+        m("sorted_lowcard") < m("unsorted")))
+        .toDF("n_variants", "all_nonzero", "lowcard_lt_unsorted")
+    } finally deleteRecursively(out)
+  }
+
+  private val sortWithinContractSql =
+    """SELECT CAST(3 AS BIGINT) AS n_variants, TRUE AS all_nonzero,
+      |       TRUE AS lowcard_lt_unsorted""".stripMargin
+
   val all: Seq[graft.Q] = Seq(
-    graft.Q("q_sortwithin_sizes", sortWithinSizes, None))
+    graft.Q("q_sortwithin_sizes", sortWithinSizes, None),
+    graft.Q("q_sortwithin_contract", sortWithinContract,
+      Some(sortWithinContractSql),
+      doc = "layout-experiment contract: low-card sortWithinPartitions " +
+        "beats unsorted on disk; all variants written"))
 
   private def deleteRecursively(p: Path): Unit = {
     val s = Files.walk(p)
