@@ -22,17 +22,17 @@ final case class DecodedMedia(doc_id: Long, media_type: String, width: Int,
   * (an Iterator of rows per partition = one batch; Tungsten encoders
   * handle (de)serialization at the partition boundary only).
   *
-  * The decode is REAL: payloads are spec-conformant PPM / WAV / Y4M
-  * bytes ([[MediaCodecs]] — the uncompressed containers a zero-dependency
-  * JVM can encode AND parse honestly), and every downstream number
-  * (width/height/frames/brightness/phash) is read out of parsed headers
-  * and content planes. The fixture payloads are SYNTHESIZED
-  * deterministically from documents.text (no media ships with the
-  * harness), which is what keeps the whole chain oracle-checkable: the
-  * oracle replays generation+decode arithmetic straight from the text.
-  * Compressed codecs (JPEG/MP3/H.264) stay the documented swap point for
-  * a JNI-backed library at deployment — [[MediaCodecs.decode]] is that
-  * boundary. The Spark-side plumbing is real throughout: binary column
+  * The decode is REAL: payloads are spec-conformant PPM / PNG / WAV /
+  * Y4M bytes ([[MediaCodecs]] — PNG is a genuinely COMPRESSED format,
+  * zlib-inflated and scanline-de-filtered pure-JDK), and every
+  * downstream number (width/height/frames/brightness/phash) is read
+  * out of parsed headers and content planes. The fixture payloads are
+  * SYNTHESIZED deterministically from documents.text (no media ships
+  * with the harness), which is what keeps the whole chain
+  * oracle-checkable: the oracle replays generation+decode arithmetic
+  * straight from the text. Entropy coders beyond DEFLATE (JPEG/MP3/
+  * H.264) stay the documented swap point for a JNI-backed library at
+  * deployment — [[MediaCodecs.decode]] is that boundary. The Spark-side plumbing is real throughout: binary column
   * synthesis, repartition-by-modality (batch homogeneity on a cluster:
   * co-locates same-codec blobs so a real decoder's model/codec state is
   * reused within a partition), typed mapPartitions, downstream relational
@@ -78,8 +78,16 @@ object Multimodal {
         (id % 3) match {
           case 0 =>
             val (w, h) = imageDims(len)
+            val rgb = content(0, w * h * 3)
+            // Mixed image CONTAINERS, one pixel model: even image docs
+            // ship uncompressed PPM, odd ones real zlib-compressed PNG
+            // (what a crawl actually carries) — the decoded RGB plane
+            // is identical either way, so every downstream census is
+            // container-invariant and the per-blob magic sniff in
+            // [[MediaCodecs.decode]] is doing real work on every batch.
             MediaRow(id, "image",
-              MediaCodecs.encodePpm(w, h, content(0, w * h * 3)))
+              if (id % 6 == 0L) MediaCodecs.encodePpm(w, h, rgb)
+              else MediaCodecs.encodePng(w, h, rgb))
           case 1 =>
             MediaRow(id, "audio", MediaCodecs.encodeWav(8000, content(0, len)))
           case _ =>
@@ -508,6 +516,90 @@ object Multimodal {
        |LEFT JOIN stats s ON m.media_type = s.media_type
        |ORDER BY m.media_type""".stripMargin
 
+  /** Per-image decoded census row for [[pngMeta]]: container sniffed
+    * from the payload MAGIC (not metadata), full decoded-plane byte
+    * sum — the value that can only be right if DEFLATE + all five
+    * scanline de-filters reconstructed every pixel. */
+  final case class ImageMeta(doc_id: Long, container: String, width: Int,
+                             height: Int, plane_bytes: Long, plane_sum: Long)
+
+  def pngMetaRows(rows: Iterator[MediaRow]): Iterator[ImageMeta] =
+    rows.map { r =>
+      val p = r.payload
+      val container =
+        if (p.length >= 2 && p(0) == 'P' && p(1) == '6') "ppm"
+        else if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' &&
+          p(2) == 'N' && p(3) == 'G') "png"
+        else "other"
+      val dec =
+        try Some(MediaCodecs.decode(p))
+        catch { case scala.util.control.NonFatal(_) => None }
+      dec match {
+        case None => ImageMeta(r.doc_id, container, 0, 0, 0L, 0L)
+        case Some(d) =>
+          var s = 0L
+          var i = 0
+          while (i < d.content.length) { s += d.content(i) & 0xff; i += 1 }
+          ImageMeta(r.doc_id, container, d.width, d.height,
+            d.content.length.toLong, s)
+      }
+    }
+
+  /** PNG-vs-PPM image census over the mixed-container corpus: per
+    * container format (sniffed from each blob's magic), count, mean
+    * decoded dims, and the EXACT full-plane byte sum + fix4 mean byte.
+    * The plane sum is the honesty check on the compressed path — a PNG
+    * that merely parsed its header but mis-inflated or mis-filtered a
+    * single byte shifts the BIGINT sum and hash-fails the round. The
+    * oracle replays the generation arithmetic (plane byte i = text
+    * byte i mod len) with the container split doc_id%6=0 → ppm. Same
+    * batched decode shape as [[decoded]]. */
+  def pngMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .filter(col("media_type") === "image")
+      .repartition(pmod(col("doc_id"), lit(decodeSaltModulus(s).toLong)))
+      .as[MediaRow]
+      .mapPartitions(pngMetaRows _)
+      .toDF()
+      .groupBy("container")
+      .agg(count(lit(1)).as("n"),
+        round(avg("width"), 4).as("avg_width"),
+        round(avg("height"), 4).as("avg_height"),
+        sum("plane_bytes").as("plane_bytes"),
+        sum("plane_sum").as("plane_sum"),
+        (floor(sum("plane_sum").cast("double")
+          / greatest(sum("plane_bytes"), lit(1L)).cast("double")
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("mean_byte"))
+      .orderBy("container")
+  }
+
+  private val pngMetaSql =
+    """WITH img AS (
+      |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
+      |         CASE WHEN doc_id % 6 = 0 THEN 'ppm' ELSE 'png' END
+      |           AS container,
+      |         CAST(4 + length(text) % 13 AS BIGINT) AS w,
+      |         CAST(4 + (length(text) * 7) % 11 AS BIGINT) AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |ps AS (
+      |  SELECT container, w, h, w * h * 3 AS nb,
+      |         CAST(CASE WHEN len = 0 THEN 0 ELSE
+      |           list_aggregate(list_transform(
+      |             range(0, CAST(w * h * 3 AS INTEGER)),
+      |             i -> ord(substr(text, 1 + CAST(i % len AS INTEGER), 1))),
+      |           'sum') END AS BIGINT) AS psum
+      |  FROM img)
+      |SELECT container, CAST(count(*) AS BIGINT) AS n,
+      |       round(avg(w), 4) AS avg_width,
+      |       round(avg(h), 4) AS avg_height,
+      |       CAST(sum(nb) AS BIGINT) AS plane_bytes,
+      |       CAST(sum(psum) AS BIGINT) AS plane_sum,
+      |       floor(CAST(sum(psum) AS DOUBLE)
+      |             / greatest(CAST(sum(nb) AS DOUBLE), 1.0)
+      |             * 10000.0 + 0.5) / 10000.0 AS mean_byte
+      |FROM ps GROUP BY container ORDER BY container""".stripMargin
+
   /** Per-clip exact audio statistics from the DECODED PCM plane. */
   final case class AudioStats(doc_id: Long, n_samples: Long,
                               sum_amp: Long, crossings: Long)
@@ -714,5 +806,9 @@ object Multimodal {
       doc = "decoded-PCM audio census: duration at 8 kHz, exact mean " +
         "amplitude, mean-crossing dynamics via exact-rational-mean " +
         "centering"),
-    Q("q_media_phash", phashNearDup, Some(phashNearDupSql)))
+    Q("q_media_phash", phashNearDup, Some(phashNearDupSql)),
+    Q("q_png_meta", pngMeta, Some(pngMetaSql),
+      doc = "PNG-vs-PPM mixed-container census: magic-sniffed format, " +
+        "exact decoded-plane byte sums proving DEFLATE + de-filter " +
+        "reconstruction"))
 }
