@@ -768,6 +768,11 @@ object Breadth {
     * on a templated-but-high-entropy fixture AND exact completeness on a
     * dense sequential fixture (a plan-node assertion alone cannot see a
     * degenerate join key — round-2 lesson). */
+  // NOTE (r10, measured): qg=3 was tried per the log_|Σ|(n) comment —
+  // min-of-4 at sf0.1: 2.89 s (median 3.22) vs qg=2's 2.65 s (median
+  // 3.08). The 3-gram entropy gain on the templated names does not pay
+  // for the longer qD+1 prefix (7 vs 5 grams exploded into the join).
+  // qg=2 stays; grow q only when corpus growth actually raises gram df.
   def fuzzyNames(s: SparkSession, dir: String): DataFrame = {
     val D = 2; val qg = 2
     val sup = Tables.supplier(s, dir)
