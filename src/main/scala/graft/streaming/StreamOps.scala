@@ -132,6 +132,30 @@ object StreamOps {
         col("view_id"), col("value"))
   }
 
+  /** FULL OUTER stream-stream join — the last join mode: unmatched rows
+    * from BOTH sides must eventually emit (a view that never converted
+    * is as much a funnel fact as a purchase without attribution). The
+    * timing contract is the left-outer one applied symmetrically: each
+    * side's unmatched rows are parked in state until the GLOBAL
+    * watermark passes the end of their join window, then emitted with
+    * the other side nulled. user_id comes from whichever side is
+    * present (coalesce) — the one output column both sides carry. */
+  def viewPurchaseJoinFull(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+      col("event_id").as("view_id"))
+      .withWatermark("v_ts", "10 minutes")
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+      col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "10 minutes")
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+      "fullOuter")
+      .select(coalesce(col("p_user"), col("v_user")).as("user_id"),
+        col("purchase_id"), col("view_id"), col("value"))
+  }
+
   /** foreachBatch parquet sink: land each micro-batch in a parquet
     * directory (append), reusing the full batch DataFrameWriter — the
     * standard way to attach a streaming pipeline to a batch table when no

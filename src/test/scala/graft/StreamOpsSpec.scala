@@ -263,6 +263,56 @@ class StreamOpsSpec extends SparkTestBase {
     assert(rows.sortBy(_.getLong(1)).toSeq == batch)
   }
 
+  test("full-outer stream-stream join: unmatched rows on BOTH sides " +
+    "held until the watermark closes their windows, then null-emitted") {
+    val views = Seq(
+      IdEvent(1L, ts(1, 0), 100L, 0.0), // matches purchase 200
+      IdEvent(3L, ts(1, 10), 102L, 0.0)) // no purchase for user 3 — outer
+    val buys = Seq(
+      IdEvent(1L, ts(1, 30), 200L, 9.0), // matches user 1's view
+      IdEvent(2L, ts(1, 20), 201L, 5.0)) // no view for user 2 — outer
+
+    implicit val ctx = spark.sqlContext
+    val vMem = MemoryStream[IdEvent]
+    val bMem = MemoryStream[IdEvent]
+    val q = StreamOps.viewPurchaseJoinFull(vMem.toDF(), bMem.toDF())
+      .writeStream.format("memory").queryName("ssfj_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      vMem.addData(views: _*)
+      bMem.addData(buys: _*)
+      q.processAllAvailable()
+      // phase 1: only the matched pair is out — BOTH unmatched rows
+      // could still gain a partner, so both must be parked in state
+      val phase1 = spark.table("ssfj_sink").collect()
+      assert(phase1.length == 1 && phase1.head.getLong(0) == 1L,
+        s"premature outer emission: ${phase1.mkString(",")}")
+      // sentinels at 4:00 on both sides push the GLOBAL watermark to
+      // 3:50, past both unmatched windows' ends
+      vMem.addData(IdEvent(9L, ts(4, 0), 900L, 0.0))
+      bMem.addData(IdEvent(9L, ts(4, 0), 901L, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ssfj_sink")
+      .filter(org.apache.spark.sql.functions.col("user_id") =!= 9L)
+      .collect()
+    assert(rows.length == 3, s"expected 3 rows: ${rows.mkString(",")}")
+    val noView = rows.filter(r => !r.isNullAt(1) && r.getLong(1) == 201L)
+    assert(noView.length == 1 && noView.head.isNullAt(2),
+      "unmatched purchase must emit with null view_id")
+    val noBuy = rows.filter(r => !r.isNullAt(2) && r.getLong(2) == 102L &&
+      r.isNullAt(1))
+    assert(noBuy.length == 1 && noBuy.head.isNullAt(3),
+      "unmatched view must emit with null purchase side")
+    // and the streamed rows match the batch full join on the same input
+    val batch = StreamOps.viewPurchaseJoinFull(views.toDF(), buys.toDF())
+      .collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))
+    assert(rows.map(key).sorted.toSeq == batch.map(key).sorted.toSeq)
+  }
+
   test("dedupEvents: re-delivered events within the watermark are dropped") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[UserEvent]
