@@ -1358,7 +1358,91 @@ object Dedup {
        |ORDER BY est_jac DESC, batch_doc, corpus_doc LIMIT 20""".stripMargin
   }
 
+  /** URL canonicalization + dedup — the FIRST dedup a crawl pipeline
+    * runs, before any content hashing: the same page arrives under
+    * case-varied hosts, default ports, tracking queries, fragments and
+    * trailing slashes, and the canonicalizer must collapse them all.
+    * URLs are synthesized deterministically from document fields (the
+    * mediaTable pattern — no URLs ship with the fixture): sibling docs
+    * (2k, 2k+1) differ only in canonicalization-removable decorations,
+    * so the duplicate census is data-dependent (same source+lang
+    * siblings collide) and exactly oracle-replayable.
+    *
+    * Canonical chain (each step a real rule from crawl practice):
+    * lowercase → strip #fragment → strip all-tracking query → strip
+    * default :443 port → strip www. → strip trailing slash. The chain
+    * is the SAME regexp sequence in both engines (RE2-safe: no
+    * lookbehind, ≤1 match per pattern).
+    *
+    * Scale shape: canonicalization is row-local string work inside the
+    * scan; the dedup shuffles md5(canonical) 32-char digests (the
+    * [[exact]] discipline) — never URLs — and the census is a two-level
+    * aggregate on (source). */
+  def urlDedup(s: SparkSession, dir: String): DataFrame = {
+    // sibling docs (2k, 2k+1) share the path stem doc_id div 2 and
+    // differ only in removable decorations, so they collide after
+    // canonicalization iff they share lang — a data-dependent dup rate
+    val url = concat(
+      lit("HTTPS://WWW.Example.com:443/"),
+      col("lang"), lit("/doc/"), expr("doc_id div 2"),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        lit("?utm_source=rss&utm_medium=feed"))
+        .otherwise(lit("/")),
+      when(pmod(col("doc_id"), lit(5)) === 0, lit("#section-2"))
+        .otherwise(lit("")))
+    val canonical = {
+      var u: org.apache.spark.sql.Column = lower(url)
+      u = regexp_replace(u, "#.*$", "")
+      u = regexp_replace(u, "\\?utm_[^#]*$", "")
+      u = regexp_replace(u, ":443/", "/")
+      u = regexp_replace(u, "//www\\.", "//")
+      regexp_replace(u, "/$", "")
+    }
+    Tables.documents(s, dir)
+      .select(col("lang"), md5(canonical).as("h"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct("h").as("n_unique"),
+        (count(lit(1)) - countDistinct("h")).as("n_dupes"),
+        (floor((count(lit(1)) - countDistinct("h")).cast("double")
+          / count(lit(1)).cast("double") * lit(10000.0d) + lit(0.5d))
+          / lit(10000.0d)).as("dup_rate"))
+      .orderBy("lang")
+  }
+
+  private val urlDedupSql =
+    """WITH u AS (
+      |  SELECT lang,
+      |         'HTTPS://WWW.Example.com:443/' || lang ||
+      |         '/doc/' || (doc_id // 2) ||
+      |         CASE WHEN doc_id % 2 = 0
+      |              THEN '?utm_source=rss&utm_medium=feed'
+      |              ELSE '/' END ||
+      |         CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END
+      |           AS url
+      |  FROM documents),
+      |c AS (
+      |  SELECT lang,
+      |         md5(regexp_replace(regexp_replace(regexp_replace(
+      |             regexp_replace(regexp_replace(lower(url),
+      |               '#.*$', ''),
+      |               '\?utm_[^#]*$', ''),
+      |               ':443/', '/'),
+      |               '//www\.', '//'),
+      |               '/$', '')) AS h
+      |  FROM u)
+      |SELECT lang, count(*) AS n_urls,
+      |       count(DISTINCT h) AS n_unique,
+      |       count(*) - count(DISTINCT h) AS n_dupes,
+      |       floor(CAST(count(*) - count(DISTINCT h) AS DOUBLE)
+      |             / count(*) * 10000.0 + 0.5) / 10000.0 AS dup_rate
+      |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_dedup_url", urlDedup, Some(urlDedupSql),
+      doc = "URL canonicalization dedup: lowercase / fragment / " +
+        "tracking-query / default-port / www / trailing-slash rules, " +
+        "digest-only shuffles — the first crawl dedup"),
     Q("q_dedup_exact", exact, Some(exactSql)),
     Q("q_dedup_minhash", minhashLsh, Some(minhashLshSql)),
     Q("q_minhash_calibration", minhashCalibration, Some(minhashCalibrationSql)),
