@@ -39,13 +39,34 @@ object Bench {
     // the driver sets no env and always benches the full registry
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // dev-only changed-only mode (SPARK_GRAFT_BENCH_CHANGED_ONLY=1): skip
+    // queries whose implementing source file — and the shared core — are
+    // byte-identical to the previous run's manifest, carrying their prior
+    // mins into the output (flagged in "carried"). The driver sets no env
+    // and always runs the full fleet; this bounds DEV iteration wall time
+    // as the registry grows (253 × ~0.8 s × passes is minutes per spin).
+    val changedOnly =
+      sys.env.get("SPARK_GRAFT_BENCH_CHANGED_ONLY").contains("1")
+    val manifest = BenchManifest.load()
+    val carried: Map[String, Double] =
+      if (!changedOnly || manifest.isEmpty) Map.empty
+      else BenchManifest.carriable(manifest.get)
+    val allNames = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    val names = allNames.filterNot { case (name, _) => carried.contains(name) }
+    if (carried.nonEmpty)
+      System.err.println(
+        s"[bench] changed-only: carrying ${carried.size} unchanged-file " +
+          s"queries from manifest, running ${names.size}")
     // first-touch tracking: a query whose run performed a shared
     // memo/index/lab build ([[BuildMeter]]) gets flagged, so
     // round-over-round diffs can separate build cost from plan cost
     val touched = scala.collection.mutable.Set[String]()
-    val samples = (1 to passes).flatMap { _ =>
+    // samples keep their pass index: pass 1 is the COLD pass (first-touch
+    // memo/index builds + per-query codegen land there), later passes are
+    // steady state — min-over-passes is the plan cost, pass-1 is what a
+    // fresh job pays. Both are reported (bench_cold.json vs the summary).
+    val samples = (1 to passes).flatMap { pass =>
       names.map { case (name, fn) =>
         val b0 = BuildMeter.count
         val t0 = System.nanoTime()
@@ -61,14 +82,14 @@ object Bench {
         // isolate queries: drop caches a query created so the next one isn't
         // measured under its memory pressure
         spark.catalog.clearCache()
-        name -> dt
+        (pass, name, dt)
       }
     }
     // Per-query: min over samples, but if ANY pass failed the query is
     // flaky and reports a negative marker — min-over-passes must not let
     // an intermittent failure masquerade as a clean fast success.
     def summarize(stat: Seq[Double] => Double) = names.map { case (name, _) =>
-      val ts = samples.collect { case (`name`, dt) => dt }
+      val ts = samples.collect { case (_, `name`, dt) => dt }
       val good = ts.filter(_ > 0)
       val clean = good.size == ts.size && good.nonEmpty
       name -> (if (clean) stat(good)
@@ -80,7 +101,10 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    val results = summarize(_.min)
+    val ran = summarize(_.min)
+    // carried queries ride along at their manifest min so the headline
+    // total stays full-fleet-comparable; they are flagged, never silent
+    val results = (ran ++ carried.toSeq).sortBy(_._1)
     // Medians ride along for round-over-round attribution: mins answer
     // "how fast is the plan", medians answer "did the code actually
     // change" — host-contention jitter moves mins between rounds on
@@ -94,31 +118,62 @@ object Bench {
     val ft = names.map { case (name, _) =>
       s"\"" + name + "\":" + touched.contains(name)
     }.mkString("{", ",", "}")
+    val carriedJson = carried.keys.toSeq.sorted
+      .map(k => s"\"" + k + "\"").mkString("[", ",", "]")
     // total counts SUCCESSFUL queries only — a failure (negative marker)
     // must never make the headline number smaller
     val total = results.map(_._2).filter(_ > 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$ms,"first_touch":$ft,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$ms,"first_touch":$ft,"carried":$carriedJson,"sf":"$sfDir"}""")
+    def summaryJson(metric: String, kvs: Seq[(String, Double)],
+                    extra: String): String = {
+      val good = kvs.map(_._2).filter(_ > 0)
+      val nFailed = kvs.size - good.size
+      val tot = good.sum
+      val meanS = if (good.nonEmpty) tot / good.size else 0.0
+      val medS = if (good.nonEmpty) median(good) else 0.0
+      val slowest = kvs.filter(_._2 > 0).sortBy(-_._2).take(5)
+        .map { case (k, v) => s"""["$k",$v]""" }.mkString("[", ",", "]")
+      s"""{"metric":"$metric","total_s":$tot,"n":${good.size},"n_failed":$nFailed,"mean_s":$meanS,"median_s":$medS,"slowest":$slowest$extra,"unit":"sec","sf":"$sfDir"}"""
+    }
+    // Cold-run artifact (VERDICT r10 #1): pass-1 timings, i.e. what a
+    // fresh JVM pays INCLUDING first-touch memo/index builds and per-query
+    // codegen — the conservative number that used to live only in
+    // BASELINE.md prose. Steady state is the min-based summary below;
+    // the gap between the two is exactly the amortized build cost.
+    val cold = names.map { case (name, _) =>
+      name -> samples.collectFirst { case (1, `name`, dt) => dt }.getOrElse(0.0)
+    }
+    val coldSummary = summaryJson("bench_cold", cold,
+      s""","first_touch_n":${touched.size},"passes":$passes""")
     // Compact summary printed LAST: the driver keeps only the tail of the
     // output, and the detail line above is ~40 KB with the total at its
     // head — so every BENCH_r*.json through round 8 recorded parsed:null.
     // This second line is small enough to always survive the tail capture
     // and carries everything the 2x-of-baseline acceptance gate needs.
-    val good = results.map(_._2).filter(_ > 0)
-    val nFailed = results.size - good.size
-    val meanS = if (good.nonEmpty) total / good.size else 0.0
-    val medS = if (good.nonEmpty) median(good) else 0.0
-    val slowest = results.filter(_._2 > 0).sortBy(-_._2).take(5)
-      .map { case (k, v) => s"""["$k",$v]""" }.mkString("[", ",", "]")
-    val summary = s"""{"metric":"bench_summary","total_s":$total,"n":${good.size},"n_failed":$nFailed,"mean_s":$meanS,"median_s":$medS,"slowest":$slowest,"unit":"sec","sf":"$sfDir"}"""
+    val summary = summaryJson("bench_summary", results,
+      s""","n_carried":${carried.size}""")
     // Belt and braces for the driver's parser: (a) the summary also lands
     // in a bare file no log framework can decorate; (b) stop Spark BEFORE
     // the final println so no shutdown chatter can print after it; the
     // summary JSON is the absolute last stdout line of the forked JVM
     // (build.sbt's StdoutOutput keeps it free of the "[info] " prefix).
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("target/bench_summary.json"),
-      (summary + "\n").getBytes("UTF-8"))
+    // File writes are best-effort (create target/ if missing, swallow IO
+    // failure): a cwd without ./target must not be able to throw before
+    // spark.stop() and suppress the very stdout line the files back up.
+    def writeQuiet(path: String, text: String): Unit =
+      try {
+        val p = java.nio.file.Paths.get(path)
+        if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p, (text + "\n").getBytes("UTF-8"))
+        ()
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not write $path: ${e.getMessage}")
+      }
+    writeQuiet("target/bench_cold.json", coldSummary)
+    writeQuiet("target/bench_summary.json", summary)
+    BenchManifest.save(results, carried.keySet)
     spark.stop()
+    println(coldSummary)
     println(summary)
     System.out.flush()
   }

@@ -119,6 +119,11 @@ object GraftFunctions {
       new ExpressionInfo(classOf[HilbertD].getName, "hilbert_d"),
       exprs => HilbertD(exprs(0), exprs(1),
         extractIntLiteral(exprs(2), "hilbert_d")))
+    reg.registerFunction(
+      FunctionIdentifier("myers_ed"),
+      new ExpressionInfo(classOf[MyersEdK].getName, "myers_ed"),
+      exprs => MyersEdK(exprs(0), exprs(1),
+        extractIntLiteral(exprs(2), "myers_ed")))
   }
 
   private[functions] def extractIntLiteral(e: Expression, fn: String): Int = e match {

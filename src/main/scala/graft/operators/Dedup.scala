@@ -136,29 +136,21 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[(Int, String, Long), DataFrame]()
 
   /** Fingerprint of the corpus files backing a memo entry: (name, length,
-    * mtime) of every part file. Keying memos on it makes an IN-PLACE
-    * fixture regeneration a cache miss instead of a stale hit (ADVICE r6). */
-  private def corpusFingerprint(dir: String): Long = {
-    val f = new java.io.File(s"$dir/documents.parquet")
-    val files = if (f.isDirectory) f.listFiles() else Array(f)
-    files.foldLeft(f.getPath.hashCode.toLong) { (acc, x) =>
-      acc * 1000003L + x.getName.hashCode * 31L + x.length * 17L + x.lastModified
-    }
-  }
+    * mtime) of every part file, name-sorted ([[graft.CorpusFp]]). Keying
+    * memos on it makes an IN-PLACE fixture regeneration a cache miss
+    * instead of a stale hit (ADVICE r6). */
+  private def corpusFingerprint(dir: String): Long =
+    graft.CorpusFp.of(dir, "documents")
 
   /** Memo lookup with the lifecycle guards ADVICE r6 asked for: entries
-    * whose SparkContext has stopped are swept on every lookup (their RDD
-    * blocks died with the context — holding the map entry leaks nothing
-    * on-heap but would serve a dead frame on an identity-hash collision),
-    * and a hit is only served when the cached frame's session IS the
-    * caller's session (`eq`, not hashCode — collisions rebuild). */
+    * whose SparkContext has stopped — or whose fingerprint is stale for
+    * this (session, dir) — are swept on every lookup ([[graft.CorpusFp
+    * .sweep]]), and a hit is only served when the cached frame's session
+    * IS the caller's session (`eq`, not hashCode — collisions rebuild). */
   private def memoized(memo: java.util.concurrent.ConcurrentHashMap[(Int, String, Long), DataFrame],
                        s: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
-    val it = memo.entrySet().iterator()
-    while (it.hasNext) {
-      if (it.next().getValue.sparkSession.sparkContext.isStopped) it.remove()
-    }
     val key = (System.identityHashCode(s), dir, corpusFingerprint(dir))
+    graft.CorpusFp.sweep(memo, (v: DataFrame) => v.sparkSession, key)
     val hit = memo.get(key)
     if (hit != null && (hit.sparkSession eq s)) hit
     else { graft.BuildMeter.record(); val v = build; memo.put(key, v); v }
@@ -597,7 +589,7 @@ object Dedup {
 
   /** Jaccard threshold above which two documents are duplicate-cluster
     * edges — mirrored into the DuckDB oracle. */
-  private val CLUSTER_JACCARD = 0.5
+  private[graft] val CLUSTER_JACCARD = 0.5
 
   /** Cluster output lists at most this many member ids — the full census
     * is `n_docs`. On a real corpus the largest near-dup cluster
@@ -672,7 +664,15 @@ object Dedup {
     * fixpoint. Shared by the census ([[clustersFromEdges]]) and the
     * canonical-representative selection ([[dedupCanonical]]). */
   private[graft] def clusterLabels(edges: DataFrame,
-                                   maxRounds: Int = 50): DataFrame = {
+                                   maxRounds: Int = 50): DataFrame =
+    clusterLabelsWithRounds(edges, maxRounds)._1
+
+  /** [[clusterLabels]] plus the number of propagation rounds it took —
+    * the observable ScalingCurveSpec pins across a 10× corpus step (the
+    * O(log diameter) claim: more data in same-shaped components must not
+    * mean more rounds). */
+  private[graft] def clusterLabelsWithRounds(
+      edges: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
     val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
     // first propagation round fused into initialization: label(x) =
     // min(x, neighbors(x)) — one aggregation instead of init + round 1
@@ -707,7 +707,7 @@ object Dedup {
       throw new IllegalStateException(
         s"dup-cluster label propagation did not converge in $maxRounds " +
           "rounds — component structure exceeds the round budget")
-    labels
+    (labels, rounds)
   }
 
   private[graft] def clustersFromEdges(edges: DataFrame,

@@ -80,11 +80,9 @@ object Graph {
     (Int, String, Long), (DataFrame, Long)]()
 
   private def copurchasePrep(s: SparkSession, dir: String): (DataFrame, Long) = {
-    val it = prMemo.entrySet().iterator()
-    while (it.hasNext) {
-      if (it.next().getValue._1.sparkSession.sparkContext.isStopped) it.remove()
-    }
     val key = (System.identityHashCode(s), dir, lineitemFingerprint(dir))
+    graft.CorpusFp.sweep(prMemo, (v: (DataFrame, Long)) => v._1.sparkSession,
+      key)
     val hit = prMemo.get(key)
     if (hit != null && (hit._1.sparkSession eq s)) hit
     else {
@@ -265,21 +263,12 @@ object Graph {
   private val edgeMemo =
     new java.util.concurrent.ConcurrentHashMap[(Int, String, Long), DataFrame]()
 
-  private def lineitemFingerprint(dir: String): Long = {
-    val f = new java.io.File(s"$dir/lineitem.parquet")
-    val files = if (f.isDirectory) f.listFiles() else Array(f)
-    files.foldLeft(f.getPath.hashCode.toLong) { (acc, x) =>
-      acc * 1000003L + x.getName.hashCode * 31L + x.length * 17L +
-        x.lastModified
-    }
-  }
+  private def lineitemFingerprint(dir: String): Long =
+    graft.CorpusFp.of(dir, "lineitem")
 
   private[graft] def affinityEdges(s: SparkSession, dir: String): DataFrame = {
-    val it = edgeMemo.entrySet().iterator()
-    while (it.hasNext) {
-      if (it.next().getValue.sparkSession.sparkContext.isStopped) it.remove()
-    }
     val key = (System.identityHashCode(s), dir, lineitemFingerprint(dir))
+    graft.CorpusFp.sweep(edgeMemo, (v: DataFrame) => v.sparkSession, key)
     val hit = edgeMemo.get(key)
     if (hit != null && (hit.sparkSession eq s)) hit
     else {
@@ -1010,11 +999,8 @@ object Graph {
 
   private def trainEdges(s: SparkSession, dir: String,
                          train: DataFrame): DataFrame = {
-    val it = trainEdgeMemo.entrySet().iterator()
-    while (it.hasNext) {
-      if (it.next().getValue.sparkSession.sparkContext.isStopped) it.remove()
-    }
     val key = (System.identityHashCode(s), dir, lineitemFingerprint(dir))
+    graft.CorpusFp.sweep(trainEdgeMemo, (v: DataFrame) => v.sparkSession, key)
     val hit = trainEdgeMemo.get(key)
     if (hit != null && (hit.sparkSession eq s)) hit
     else {

@@ -16,14 +16,21 @@ package graft.operators
   *   - Y4M (YUV4MPEG2): ASCII stream header with `W`/`H` parameters,
   *     then `FRAME`-delimited 4:2:0 planar frames of w·h·3/2 bytes.
   *
+  *   - JPEG (ITU T.81 baseline sequential, 8-bit grayscale): marker
+  *     walk, DQT/DHT parsing, canonical Huffman entropy decode with DC
+  *     prediction, dequantize, inverse zigzag, IDCT — the dominant
+  *     lossy crawl format, decoded pure-JDK from the public spec
+  *     (cross-checked against javax.imageio in MultimodalSpec).
+  *
   * Each decoder PARSES real bytes (magic, header grammar, chunk/frame
   * structure, checksums) — nothing is inferred from out-of-band
   * metadata — and each encoder emits spec-conformant bytes, so
-  * encode→decode round-trips are exact and a foreign tool's output of
-  * the same format parses too. Entropy-coded formats beyond DEFLATE
-  * (JPEG/MP3/H.264) remain out of scope: those coders are library
-  * territory, and the pipeline treats this module as the swap point
-  * for a JNI-backed codec at deployment.
+  * encode→decode round-trips are exact (JPEG: exact for flat-block
+  * fixtures under the all-ones quant table, within IDCT rounding
+  * otherwise) and a foreign tool's output of the same format parses
+  * too. Audio/video entropy coders (MP3/H.264) remain out of scope:
+  * the pipeline treats this module as the swap point for a JNI-backed
+  * codec at deployment.
   */
 object MediaCodecs {
 
@@ -172,7 +179,10 @@ object MediaCodecs {
     val idat = new java.io.ByteArrayOutputStream()
     while (i + 8 <= b.length && !sawIend) {
       val len = be32(b, i)
-      require(len >= 0 && i + 12 + len <= b.length,
+      // long arithmetic: a hostile len near 2^31 would wrap i+12+len
+      // negative and sneak past an Int bound check, turning the intended
+      // "truncated PNG chunk" failure into an arbitrary AIOOBE downstream
+      require(len >= 0 && i.toLong + 12L + len <= b.length,
         s"truncated PNG chunk at offset $i")
       val typ = new String(b, i + 4, 4, "US-ASCII")
       val crc = new java.util.zip.CRC32()
@@ -351,11 +361,408 @@ object MediaCodecs {
     Decoded("video", w, h, n, content.toByteArray)
   }
 
+  // ---- JPEG (baseline sequential DCT, ITU T.81) ----------------------------
+  //
+  // The one dominant crawl format PNG didn't cover. Scope mirrors what a
+  // deployment-realistic minimal decoder needs: baseline sequential
+  // (SOF0), 8-bit, single component (grayscale), no restart intervals —
+  // anything else raises, and callers' skip-and-count catch treats it as
+  // a foreign blob. Everything is pure JDK from the public spec: marker
+  // walk, DQT/DHT parsing, canonical Huffman decode, DC prediction +
+  // EXTEND, dequantize, inverse zigzag, double-precision IDCT.
+  //
+  // The encoder keeps entropy coding trivially correct rather than
+  // maximally compact: canonical DHT with all 12 DC categories at 4 bits
+  // and all 162 AC (run,size) symbols at 8 bits — spec-conformant
+  // (the all-ones code of each length stays unused, as T.81 requires),
+  // decodable by any reader (MultimodalSpec cross-checks against
+  // javax.imageio), and free of a hand-transcribed Annex K table to get
+  // wrong. Quantization is all-ones, so flat 8x8 blocks round-trip
+  // BYTE-EXACTLY (DC = 8·(v−128) exact in doubles, AC analytically zero):
+  // that is what lets q_jpeg_meta keep a hash-green DuckDB oracle on a
+  // lossy format.
+
+  /** Zig-zag order: zigzagOf(i) = raster index of the i-th coefficient
+    * in transmission order (T.81 Figure 5), derived, not transcribed. */
+  private val zigzag: Array[Int] = {
+    val order = Array.ofDim[Int](64)
+    var i = 0
+    // walk anti-diagonals d = x+y, alternating direction
+    for (d <- 0 until 15) {
+      val pts = (0 to d).flatMap { y =>
+        val x = d - y
+        if (x < 8 && y < 8) Some((x, y)) else None
+      }
+      val run = if (d % 2 == 0) pts.reverse else pts // even diagonals go up
+      run.foreach { case (x, y) => order(i) = y * 8 + x; i += 1 }
+    }
+    order
+  }
+
+  /** cos((2x+1)·u·π/16) table shared by the forward and inverse DCT. */
+  private val dctCos: Array[Array[Double]] =
+    Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+  private val invSqrt2 = 1.0 / math.sqrt(2.0)
+
+  /** Canonical Huffman spec: (BITS counts per length 1..16, values).
+    * DC: 12 categories at 4 bits. AC: 162 symbols at 8 bits (EOB, ZRL,
+    * every (run 0-15, size 1-10)). */
+  private val DC_BITS = Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val DC_VALS = Array.tabulate(12)(identity)
+  private val AC_BITS = Array(0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val AC_VALS: Array[Int] =
+    (0x00 +: 0xf0 +: (for (r <- 0 to 15; s <- 1 to 10) yield (r << 4) | s))
+      .toArray
+
+  /** Canonical code assignment (T.81 Annex C): codes of each length in
+    * value order, left-aligned. Returns value -> (code, length). */
+  private def canonicalCodes(bits: Array[Int],
+                             vals: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0
+    var k = 0
+    val out = Map.newBuilder[Int, (Int, Int)]
+    for (len <- 1 to 16) {
+      var n = bits(len - 1)
+      while (n > 0) {
+        out += vals(k) -> (code, len)
+        code += 1; k += 1; n -= 1
+      }
+      code <<= 1
+    }
+    out.result()
+  }
+
+  private lazy val dcEnc = canonicalCodes(DC_BITS, DC_VALS)
+  private lazy val acEnc = canonicalCodes(AC_BITS, AC_VALS)
+
+  /** Magnitude category (T.81 CSIZE): smallest s with |v| < 2^s. */
+  private def category(v: Int): Int = {
+    var s = 0
+    var a = math.abs(v)
+    while (a != 0) { a >>= 1; s += 1 }
+    s
+  }
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0L
+    private var nBits = 0
+    def put(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1))
+      nBits += len
+      while (nBits >= 8) {
+        val b = ((acc >>> (nBits - 8)) & 0xff).toInt
+        out.write(b)
+        if (b == 0xff) out.write(0x00) // byte stuffing
+        nBits -= 8
+      }
+    }
+    def flush(): Unit = if (nBits > 0) {
+      // pad with 1-bits (T.81 F.1.2.3)
+      put(0xff, 8 - nBits)
+    }
+  }
+
+  private def jpegSeg(out: java.io.ByteArrayOutputStream, marker: Int,
+                      payload: Array[Byte]): Unit = {
+    out.write(0xff); out.write(marker)
+    val len = payload.length + 2
+    out.write((len >> 8) & 0xff); out.write(len & 0xff)
+    out.write(payload, 0, payload.length)
+  }
+
+  /** Baseline grayscale JPEG of a w×h 8-bit plane. Quant table all-ones;
+    * edge blocks pad by edge replication (decoder crops). */
+  def encodeJpeg(w: Int, h: Int, gray: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0 && gray.length == w * h,
+      s"JPEG payload ${gray.length} != ${w * h}")
+    val out = new java.io.ByteArrayOutputStream(gray.length + 1024)
+    out.write(0xff); out.write(0xd8) // SOI
+    jpegSeg(out, 0xe0, // APP0 JFIF 1.1, no thumbnail
+      Array[Int]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+        .map(_.toByte))
+    jpegSeg(out, 0xdb, (0 +: Array.fill(64)(1)).map(_.toByte)) // DQT id 0
+    jpegSeg(out, 0xc0, Array[Int](8, // SOF0: precision
+      (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff,
+      1, 1, 0x11, 0).map(_.toByte)) // 1 component, 1x1 sampling, qtable 0
+    jpegSeg(out, 0xc4, ((0 +: DC_BITS.toSeq) ++ DC_VALS.toSeq ++
+      (0x10 +: AC_BITS.toSeq) ++ AC_VALS.toSeq).map(_.toByte).toArray) // DHT
+    jpegSeg(out, 0xda, Array[Int](1, 1, 0x00, 0, 63, 0).map(_.toByte)) // SOS
+    val bw = new BitWriter(out)
+    val bxs = (w + 7) / 8
+    val bys = (h + 7) / 8
+    val coef = new Array[Int](64)
+    var predDc = 0
+    var by = 0
+    while (by < bys) {
+      var bx = 0
+      while (bx < bxs) {
+        // forward DCT of the level-shifted (possibly edge-padded) block
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            var s = 0.0
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                val px = math.min(bx * 8 + x, w - 1)
+                val py = math.min(by * 8 + y, h - 1)
+                val f = (gray(py * w + px) & 0xff) - 128
+                s += f * dctCos(x)(u) * dctCos(y)(v)
+                x += 1
+              }
+              y += 1
+            }
+            val cu = if (u == 0) invSqrt2 else 1.0
+            val cv = if (v == 0) invSqrt2 else 1.0
+            coef(v * 8 + u) = math.round(0.25 * cu * cv * s).toInt
+            v += 1
+          }
+          u += 1
+        }
+        // entropy-code: DC diff, then AC run-lengths in zig-zag order
+        val dc = coef(0)
+        val diff = dc - predDc
+        predDc = dc
+        val s0 = category(diff)
+        val (c0, l0) = dcEnc(s0)
+        bw.put(c0, l0)
+        if (s0 > 0)
+          bw.put(if (diff >= 0) diff else diff + (1 << s0) - 1, s0)
+        var run = 0
+        var i = 1
+        while (i < 64) {
+          val ac = coef(zigzag(i))
+          if (ac == 0) run += 1
+          else {
+            while (run >= 16) { val (c, l) = acEnc(0xf0); bw.put(c, l); run -= 16 }
+            val s = category(ac)
+            val (c, l) = acEnc((run << 4) | s)
+            bw.put(c, l)
+            bw.put(if (ac >= 0) ac else ac + (1 << s) - 1, s)
+            run = 0
+          }
+          i += 1
+        }
+        if (run > 0) { val (c, l) = acEnc(0x00); bw.put(c, l) } // EOB
+        bx += 1
+      }
+      by += 1
+    }
+    bw.flush()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Canonical Huffman decode tables (T.81 F.2.2.3 decoder): per code
+    * length, the smallest code and the index of its first value. */
+  private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17) // -1 = no codes at this length
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      for (len <- 1 to 16) {
+        if (bits(len - 1) == 0) { minCode(len) = 0; maxCode(len) = -1 }
+        else {
+          valPtr(len) = k
+          minCode(len) = code
+          code += bits(len - 1); k += bits(len - 1)
+          maxCode(len) = code - 1
+        }
+        code <<= 1
+      }
+    }
+    def value(len: Int, code: Int): Int =
+      vals(valPtr(len) + code - minCode(len))
+  }
+
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nBits = 0
+    def bit(): Int = {
+      if (nBits == 0) {
+        require(pos < b.length, "truncated JPEG entropy stream")
+        var v = b(pos) & 0xff
+        pos += 1
+        if (v == 0xff) {
+          require(pos < b.length, "truncated JPEG entropy stream")
+          val m = b(pos) & 0xff
+          if (m == 0x00) pos += 1 // stuffed byte
+          else if (m == 0xd9) v = 0xff // EOI reached with bits pending: pad
+          else sys.error(f"unexpected marker FF$m%02X inside entropy data")
+        }
+        acc = v; nBits = 8
+      }
+      nBits -= 1
+      (acc >> nBits) & 1
+    }
+    def bits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    def decode(t: HuffTable): Int = {
+      var code = bit()
+      var len = 1
+      while (len <= 16 && (t.maxCode(len) < 0 || code > t.maxCode(len))) {
+        code = (code << 1) | bit()
+        len += 1
+      }
+      require(len <= 16, "invalid JPEG Huffman code")
+      t.value(len, code)
+    }
+  }
+
+  /** T.81 EXTEND: map s received magnitude bits to a signed value. */
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** Baseline sequential grayscale JPEG parse: marker walk, DQT/DHT/
+    * SOF0/SOS, canonical Huffman entropy decode with DC prediction,
+    * dequantize, inverse zigzag, double-precision IDCT, +128 level
+    * shift, clamp. Multi-component, progressive, 12-bit, and restart
+    * intervals raise (skip-and-count posture upstream). */
+  def decodeJpeg(b: Array[Byte]): Decoded = {
+    require(b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8,
+      "not a JPEG stream")
+    var i = 2
+    var w = 0; var h = 0
+    val qt = new Array[Array[Int]](4)
+    val dcT = new Array[HuffTable](4)
+    val acT = new Array[HuffTable](4)
+    var qSel = 0; var dcSel = 0; var acSel = 0
+    var sos = -1
+    while (sos < 0) {
+      require(i + 4 <= b.length, "truncated JPEG marker stream")
+      require((b(i) & 0xff) == 0xff, f"expected marker, got ${b(i)}%02x")
+      val m = b(i + 1) & 0xff
+      val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+      require(i.toLong + 2 + len <= b.length, "truncated JPEG segment")
+      val p = i + 4 // payload start
+      m match {
+        case 0xdb => // DQT (possibly several tables per segment)
+          var o = p
+          while (o < i + 2 + len) {
+            val pq = (b(o) & 0xff) >> 4
+            val tq = b(o) & 0x0f
+            require(pq == 0, "only 8-bit quant tables supported")
+            qt(tq) = Array.tabulate(64)(j => b(o + 1 + j) & 0xff)
+            o += 65
+          }
+        case 0xc4 => // DHT (possibly several tables per segment)
+          var o = p
+          while (o < i + 2 + len) {
+            val tc = (b(o) & 0xff) >> 4
+            val th = b(o) & 0x0f
+            val bits = Array.tabulate(16)(j => b(o + 1 + j) & 0xff)
+            val n = bits.sum
+            val vals = Array.tabulate(n)(j => b(o + 17 + j) & 0xff)
+            if (tc == 0) dcT(th) = new HuffTable(bits, vals)
+            else acT(th) = new HuffTable(bits, vals)
+            o += 17 + n
+          }
+        case 0xc0 => // SOF0 baseline
+          require((b(p) & 0xff) == 8, "only 8-bit precision supported")
+          h = ((b(p + 1) & 0xff) << 8) | (b(p + 2) & 0xff)
+          w = ((b(p + 3) & 0xff) << 8) | (b(p + 4) & 0xff)
+          require((b(p + 5) & 0xff) == 1,
+            "only single-component (grayscale) JPEG supported")
+          qSel = b(p + 8) & 0x0f
+        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+             0xcb | 0xcd | 0xce | 0xcf =>
+          sys.error(f"unsupported JPEG SOF marker FF$m%02X (not baseline)")
+        case 0xdd => sys.error("JPEG restart intervals not supported")
+        case 0xda => // SOS
+          require((b(p) & 0xff) == 1, "SOS component count != 1")
+          dcSel = (b(p + 2) & 0xff) >> 4
+          acSel = b(p + 2) & 0x0f
+          sos = i + 2 + len
+        case _ => () // APPn / COM / anything else: skip
+      }
+      i += 2 + len
+    }
+    require(w > 0 && h > 0, "JPEG missing SOF0 before SOS")
+    val q = qt(qSel)
+    require(q != null, s"JPEG quant table $qSel undefined")
+    require(dcT(dcSel) != null && acT(acSel) != null,
+      "JPEG Huffman tables undefined")
+    val r = new BitReader(b, sos)
+    val bxs = (w + 7) / 8
+    val bys = (h + 7) / 8
+    val out = new Array[Byte](w * h)
+    val coef = new Array[Int](64)
+    var predDc = 0
+    var by = 0
+    while (by < bys) {
+      var bx = 0
+      while (bx < bxs) {
+        java.util.Arrays.fill(coef, 0)
+        val s0 = r.decode(dcT(dcSel))
+        predDc += extend(r.bits(s0), s0)
+        coef(0) = predDc * q(0)
+        var k = 1
+        while (k < 64) {
+          val rs = r.decode(acT(acSel))
+          val run = rs >> 4
+          val s = rs & 0x0f
+          if (s == 0) {
+            if (run == 15) k += 16 // ZRL
+            else k = 64 // EOB
+          } else {
+            k += run
+            require(k < 64, "JPEG AC run overflows the block")
+            coef(zigzag(k)) = extend(r.bits(s), s) * q(k)
+            k += 1
+          }
+        }
+        // IDCT + level shift + clamp, cropped to the image rectangle
+        var y = 0
+        while (y < 8) {
+          val py = by * 8 + y
+          var x = 0
+          while (x < 8) {
+            val px = bx * 8 + x
+            if (px < w && py < h) {
+              var s = 0.0
+              var u = 0
+              while (u < 8) {
+                var v = 0
+                while (v < 8) {
+                  val c = coef(v * 8 + u)
+                  if (c != 0) {
+                    val cu = if (u == 0) invSqrt2 else 1.0
+                    val cv = if (v == 0) invSqrt2 else 1.0
+                    s += cu * cv * c * dctCos(x)(u) * dctCos(y)(v)
+                  }
+                  v += 1
+                }
+                u += 1
+              }
+              val p = math.round(0.25 * s).toInt + 128
+              out(py * w + px) =
+                (if (p < 0) 0 else if (p > 255) 255 else p).toByte
+            }
+            x += 1
+          }
+          y += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    Decoded("image", w, h, 1, out)
+  }
+
   /** Sniff the container by magic and dispatch — what a real ingest does
     * before handing the blob to a modality-specific decoder. */
   def decode(b: Array[Byte]): Decoded = {
     require(b.length >= 2, "payload too short for any magic")
-    if (b(0) == 'P' && b(1) == '6') decodePpm(b)
+    if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) decodeJpeg(b)
+    else if (b(0) == 'P' && b(1) == '6') decodePpm(b)
     else if (b.length >= 8 && (0 until 8).forall(i => b(i) == PNG_SIG(i)))
       decodePng(b)
     else if (b.length >= 4 && new String(b, 0, 4, "US-ASCII") == "RIFF")

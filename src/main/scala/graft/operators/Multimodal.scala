@@ -564,8 +564,16 @@ object Multimodal {
       .toDF()
       .groupBy("container")
       .agg(count(lit(1)).as("n"),
-        round(avg("width"), 4).as("avg_width"),
-        round(avg("height"), 4).as("avg_height"),
+        // widths/heights sum as exact integers, so one double division +
+        // the fleet fix4 floor is engine-identical; round(avg(x),4) is
+        // HALF_UP-on-BigDecimal in Spark but float-rounding in DuckDB —
+        // a latent hash flake at representation edges (ADVICE r10)
+        (floor(sum("width").cast("double") * lit(10000.0d)
+          / count(lit(1)).cast("double") + lit(0.5d)) / lit(10000.0d))
+          .as("avg_width"),
+        (floor(sum("height").cast("double") * lit(10000.0d)
+          / count(lit(1)).cast("double") + lit(0.5d)) / lit(10000.0d))
+          .as("avg_height"),
         sum("plane_bytes").as("plane_bytes"),
         sum("plane_sum").as("plane_sum"),
         (floor(sum("plane_sum").cast("double")
@@ -591,8 +599,10 @@ object Multimodal {
       |           'sum') END AS BIGINT) AS psum
       |  FROM img)
       |SELECT container, CAST(count(*) AS BIGINT) AS n,
-      |       round(avg(w), 4) AS avg_width,
-      |       round(avg(h), 4) AS avg_height,
+      |       floor(CAST(sum(w) AS DOUBLE) * 10000.0
+      |             / CAST(count(*) AS DOUBLE) + 0.5) / 10000.0 AS avg_width,
+      |       floor(CAST(sum(h) AS DOUBLE) * 10000.0
+      |             / CAST(count(*) AS DOUBLE) + 0.5) / 10000.0 AS avg_height,
       |       CAST(sum(nb) AS BIGINT) AS plane_bytes,
       |       CAST(sum(psum) AS BIGINT) AS plane_sum,
       |       floor(CAST(sum(psum) AS DOUBLE)

@@ -259,22 +259,10 @@ object Profiling {
   private val shPairMemo = new java.util.concurrent.ConcurrentHashMap[
     (Int, String, Long), DataFrame]()
 
-  private def docsFingerprint(dir: String): Long = {
-    val f = new java.io.File(s"$dir/documents.parquet")
-    val files = if (f.isDirectory) f.listFiles() else Array(f)
-    files.foldLeft(f.getPath.hashCode.toLong) { (acc, x) =>
-      acc * 1000003L + x.getName.hashCode * 31L + x.length * 17L +
-        x.lastModified
-    }
-  }
-
   private def sourceShinglePairs(s: SparkSession, dir: String): DataFrame = {
-    val it = shPairMemo.entrySet().iterator()
-    while (it.hasNext) {
-      if (it.next().getValue.sparkSession.sparkContext.isStopped)
-        it.remove()
-    }
-    val key = (System.identityHashCode(s), dir, docsFingerprint(dir))
+    val key =
+      (System.identityHashCode(s), dir, graft.CorpusFp.of(dir, "documents"))
+    graft.CorpusFp.sweep(shPairMemo, (v: DataFrame) => v.sparkSession, key)
     val hit = shPairMemo.get(key)
     if (hit != null && (hit.sparkSession eq s)) hit
     else {
@@ -714,23 +702,12 @@ object Profiling {
   private val spearmanMemo = new java.util.concurrent.ConcurrentHashMap[
     (Int, String, Long), (DataFrame, Long)]()
 
-  private def spearmanLiFingerprint(dir: String): Long = {
-    val f = new java.io.File(s"$dir/lineitem.parquet")
-    val files = if (f.isDirectory) f.listFiles() else Array(f)
-    files.foldLeft(f.getPath.hashCode.toLong) { (acc, x) =>
-      acc * 1000003L + x.getName.hashCode * 31L + x.length * 17L +
-        x.lastModified
-    }
-  }
-
   private def spearmanRankTable(s: SparkSession, dir: String,
                                 base: DataFrame): (DataFrame, Long) = {
-    val it = spearmanMemo.entrySet().iterator()
-    while (it.hasNext) {
-      if (it.next().getValue._1.sparkSession.sparkContext.isStopped)
-        it.remove()
-    }
-    val key = (System.identityHashCode(s), dir, spearmanLiFingerprint(dir))
+    val key =
+      (System.identityHashCode(s), dir, graft.CorpusFp.of(dir, "lineitem"))
+    graft.CorpusFp.sweep(spearmanMemo,
+      (v: (DataFrame, Long)) => v._1.sparkSession, key)
     val hit = spearmanMemo.get(key)
     if (hit != null && (hit._1.sparkSession eq s)) hit
     else {

@@ -1031,11 +1031,8 @@ object TextAnalysis {
     (Int, String, Long), DataFrame]()
 
   private[graft] def docBigrams(s: SparkSession, dir: String): DataFrame = {
-    val it = bigramMemo.entrySet().iterator()
-    while (it.hasNext) {
-      if (it.next().getValue.sparkSession.sparkContext.isStopped) it.remove()
-    }
     val key = (System.identityHashCode(s), dir, docsFingerprint(dir))
+    graft.CorpusFp.sweep(bigramMemo, (v: DataFrame) => v.sparkSession, key)
     val hit = bigramMemo.get(key)
     if (hit != null && (hit.sparkSession eq s)) hit
     else {
@@ -1842,24 +1839,15 @@ object TextAnalysis {
   private val nbMemo = new java.util.concurrent.ConcurrentHashMap[
     (Int, String, Long), (DataFrame, DataFrame)]()
 
-  private def docsFingerprint(dir: String): Long = {
-    val f = new java.io.File(s"$dir/documents.parquet")
-    val files = if (f.isDirectory) f.listFiles() else Array(f)
-    files.foldLeft(f.getPath.hashCode.toLong) { (acc, x) =>
-      acc * 1000003L + x.getName.hashCode * 31L + x.length * 17L +
-        x.lastModified
-    }
-  }
+  private def docsFingerprint(dir: String): Long =
+    graft.CorpusFp.of(dir, "documents")
 
   def naiveBayes(s: SparkSession, dir: String): DataFrame = {
-    val it = nbMemo.entrySet().iterator()
-    while (it.hasNext) {
-      if (it.next().getValue._1.sparkSession.sparkContext.isStopped)
-        it.remove()
-    }
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"), col("lang"))
     val key = (System.identityHashCode(s), dir, docsFingerprint(dir))
+    graft.CorpusFp.sweep(nbMemo,
+      (v: (DataFrame, DataFrame)) => v._1.sparkSession, key)
     val hit = nbMemo.get(key)
     val model =
       if (hit != null && (hit._1.sparkSession eq s)) hit

@@ -167,4 +167,56 @@ class DotProductSpec extends SparkTestBase {
       spark.sql("SELECT hilbert_d('a', 'b', 16)").collect())
     assert(e.getMessage.contains("hilbert_d"))
   }
+
+  test("myers_ed equals built-in levenshtein(a, b, k) on random ASCII, " +
+    "unicode, supplementary, and edge-case strings") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(13)
+    val ascii = "abcdefgh#0123456789 _"
+    val uni = "aé漢x🙂b0"
+    def mk(alpha: String, len: Int): String =
+      // build by code point so supplementary chars stay whole
+      (0 until len).map { _ =>
+        val cps = alpha.codePoints().toArray
+        new String(Character.toChars(cps(rnd.nextInt(cps.length))))
+      }.mkString
+    val cases =
+      Seq.fill(300)((mk(ascii, 1 + rnd.nextInt(30)), mk(ascii, 1 + rnd.nextInt(30)))) ++
+      // near-identical pairs (the fuzzy workload shape): one random edit
+      Seq.fill(200) {
+        val s = mk(ascii, 10 + rnd.nextInt(15))
+        val i = rnd.nextInt(s.length)
+        (s, s.substring(0, i) + "Q" + s.substring(math.min(i + 1, s.length)))
+      } ++
+      Seq.fill(100)((mk(uni, 1 + rnd.nextInt(12)), mk(uni, 1 + rnd.nextInt(12)))) ++
+      // > 64 code points exercises the built-in fallback branch
+      Seq.fill(20)((mk(ascii, 65 + rnd.nextInt(20)), mk(ascii, 65 + rnd.nextInt(20)))) ++
+      Seq(("", ""), ("", "abc"), ("abc", ""), ("same", "same"))
+    import spark.implicits._
+    for (k <- Seq(0, 1, 2, 5)) {
+      val bad = cases.toDF("a", "b")
+        .selectExpr("a", "b", s"myers_ed(a, b, $k) AS fast",
+          s"levenshtein(a, b, $k) AS ref")
+        .filter(col("fast") =!= col("ref"))
+        .collect()
+      assert(bad.isEmpty, s"k=$k mismatches: " + bad.take(3).map(r =>
+        s"('${r.getString(0)}','${r.getString(1)}') fast=${r.getInt(2)} " +
+          s"ref=${r.getInt(3)}").mkString("; "))
+    }
+  }
+
+  test("myers_ed runs inside whole-stage codegen and propagates nulls") {
+    GraftFunctions.register(spark)
+    val df = spark.range(100)
+      .selectExpr("myers_ed(cast(id as string), '50', 2) AS d")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [myers_ed"),
+      s"myers_ed outside whole-stage codegen:\n$plan")
+    assert(df.filter(col("d") >= 0).count() ==
+      spark.range(100).selectExpr("levenshtein(cast(id as string), '50', 2) AS d")
+        .filter(col("d") >= 0).count())
+    val r = spark.sql(
+      "SELECT myers_ed(cast(null as string), 'x', 2) AS n").collect()(0)
+    assert(r.isNullAt(0))
+  }
 }

@@ -151,4 +151,76 @@ class ScalingCurveSpec extends SparkTestBase {
     assert(rowRatio <= SCALE * 1.6,
       s"probe-scanned rows grew x$rowRatio — super-linear probe cost")
   }
+
+  test("fuzzy-name candidates stay O(n) across a 10x step when q grows " +
+    "with corpus size (the documented log_|Sigma|(n) rule)") {
+    import spark.implicits._
+    // High-entropy templated names (the CandidateGuardSpec fixture shape:
+    // shared literal template, multiplicative-hash digit suffix so true
+    // matches are sparse and an O(n) bound is achievable). The operator's
+    // own doc says gram length q must grow ~log_|Sigma|(n) to keep gram
+    // df below HOT_GRAM_CAP as the corpus grows: at n=600 digit 2-grams
+    // (universe 100) sit just under the cap; at n=6000 they'd ALL go hot
+    // (df ~ 8n/100 >> 64, quadratic dense path), while 3-grams (universe
+    // 1000, df ~ 7n/1000 ~ 42) keep the selective path alive. This test
+    // MEASURES that the documented rule works: candidates at 10x the
+    // names, with q grown one step, stay within the same 60n linear
+    // bound the guard asserts at base scale.
+    def names(n: Int) = (1 to n)
+      .map(i => (i.toLong, f"Supplier#${(i.toLong * 48271L) % 999999937L}%09d"))
+      .toDF("k", "nm")
+      .withColumn("len", length(col("nm")))
+    val n1 = 600
+    val n10 = n1 * SCALE
+    val c1 = operators.Breadth.fuzzyCandidates(names(n1), D = 2, qg = 2).count()
+    val c10 = operators.Breadth.fuzzyCandidates(names(n10), D = 2, qg = 3).count()
+    val perName1 = c1.toDouble / n1
+    val perName10 = c10.toDouble / n10
+    info(f"fuzzy candidates: n=$n1 -> $c1 ($perName1%.1f/name, qg=2); " +
+      f"n=$n10 -> $c10 ($perName10%.1f/name, qg=3); " +
+      f"ratio ${c10.toDouble / c1}%.2f (quadratic would be ~${SCALE * SCALE})")
+    assert(c1 > 0 && c10 > 0)
+    // The O(n) structure: per-name candidates are bounded by (qD+1)
+    // prefix grams x a df-capped bucket each, a CONSTANT in n (448 here);
+    // the guard's 60n constant was measured at qg=2's 5-gram prefix, so
+    // the qg=3 bound scales by 7/5 plus slack (measured: 81.6/name).
+    assert(c10 <= 100L * n10,
+      s"fuzzy candidates $c10 exceed 100n=${100L * n10} at the 10x step — " +
+        "the q-growth rule did not keep blocking O(n)")
+    // linearity of the per-name candidate load itself (loose band: the
+    // qg step changes bucket shapes, so only the ORDER matters)
+    assert(perName10 <= perName1 * 4 + 8,
+      f"per-name candidate load grew $perName1%.1f -> $perName10%.1f — " +
+        "super-linear growth across the 10x step")
+  }
+
+  test("dedup-cluster formation across a 10x step: edge volume grows " +
+    "near-linearly and pointer-jumping rounds stay flat") {
+    ensureScaleCorpus()
+    // The scale-10 corpus is 10 shingle-disjoint shards with the base
+    // corpus's pairwise-Jaccard structure, so the >=0.5-Jaccard edge set
+    // grows ~10x (per shard a copy of the base edge set) while component
+    // SHAPES — and therefore diameters — are unchanged. The two claims
+    // that make cluster formation safe at 100 TB: per-round work rides
+    // the EDGE set (linear), and the round count rides the component
+    // diameter (O(log d) via the pointer jump), not the corpus size.
+    def stats(dir: String): (Long, Int) = {
+      val edges = Dedup.similarityEdges(
+        Dedup.ngramDocs(spark, dir), Dedup.CLUSTER_JACCARD).localCheckpoint()
+      val n = edges.count()
+      val (labels, rounds) = Dedup.clusterLabelsWithRounds(edges)
+      labels.count() // force the final frame so rounds is fully real
+      (n, rounds)
+    }
+    val (e1, r1) = stats(baseDir)
+    val (e10, r10) = stats(scaleDir)
+    val er = e10.toDouble / e1
+    info(s"cluster edges: $e1 -> $e10 (x$er); rounds: $r1 -> $r10")
+    assert(e1 > 0, "base corpus produced no cluster edges — fixture drift?")
+    assert(er >= 7.0 && er <= 13.0,
+      s"cluster edge growth x$er is not near-linear ($e1 -> $e10)")
+    assert(r10 <= r1 + 1,
+      s"pointer-jumping rounds grew $r1 -> $r10 across a step that " +
+        "preserves component shapes — rounds must track diameter, not size")
+  }
 }

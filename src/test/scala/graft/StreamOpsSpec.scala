@@ -174,6 +174,46 @@ class StreamOpsSpec extends SparkTestBase {
     assert(flushed(0).getLong(3) == 2L) // both events in one session
   }
 
+  test("sessionFlush under the RocksDB state-store provider emits the " +
+    "same sessions (pins the at-scale state backend)") {
+    // The default HDFS-backed store keeps every key in executor heap —
+    // fine for tests, not for a 100 TB session store. RocksDBStateStore
+    // (bundled with Spark, no extra dep) spills state off-heap/on-disk;
+    // this twin asserts the SAME stateful semantics under it, and that
+    // the provider really loaded (rocksdb* custom metrics in progress —
+    // a typo'd providerClass would silently run the default).
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[UserEvent]
+      val q = StreamOps.sessionFlush(mem.toDS(), gapSeconds = 1800L)
+        .writeStream.format("memory").queryName("rocksdb_flush_sink")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        mem.addData(
+          UserEvent(1L, ts(0, 5), "click", 1.0),
+          UserEvent(1L, ts(0, 10), "click", 2.0),
+          UserEvent(1L, ts(5, 0), "click", 0.0))
+        q.processAllAvailable()
+        val ops = q.lastProgress.stateOperators
+        assert(ops.nonEmpty)
+        val metricKeys = ops.flatMap(_.customMetrics.keySet.toArray).map(_.toString)
+        assert(metricKeys.exists(_.toLowerCase.contains("rocksdb")),
+          s"no rocksdb state metrics in progress (got ${metricKeys.take(5)
+            .mkString(", ")}) — provider did not take effect")
+      } finally q.stop()
+      val rows = spark.table("rocksdb_flush_sink").collect()
+      assert(rows.length == 1) // in-batch gap closes the first session
+      assert(rows(0).getLong(3) == 2L) // holding the two 00:0x events
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("foreachBatch parquet sink lands micro-batches readable as a batch table") {
     implicit val ctx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft_sink").toString
