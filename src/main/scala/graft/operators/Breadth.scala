@@ -773,15 +773,26 @@ object Breadth {
   // 3.08). The 3-gram entropy gain on the templated names does not pay
   // for the longer qD+1 prefix (7 vs 5 grams exploded into the join).
   // qg=2 stays; grow q only when corpus growth actually raises gram df.
+  //
+  // NOTE (r11, measured): the VERIFY stage was the remaining floor — the
+  // full-DP levenshtein() dominated the dense tier. Same-host min-of-4
+  // at sf0.1: full DP 3.29 s; built-in banded levenshtein(na, nb, 2)
+  // 2.62 s; bit-parallel [[graft.functions.MyersEdK]] `myers_ed` 1.71 s
+  // (confirmed 1.69 on a second run) — kept. myers_ed returns the exact
+  // distance when ≤ D else -1 (bit-identity vs the built-in threshold
+  // form asserted in DotProductSpec), so `dist` values are unchanged and
+  // the all-pairs DuckDB oracle still checks completeness at full
+  // strength.
   def fuzzyNames(s: SparkSession, dir: String): DataFrame = {
     val D = 2; val qg = 2
     val sup = Tables.supplier(s, dir)
       .select(col("s_suppkey").as("k"), col("s_name").as("nm"))
       .withColumn("len", length(col("nm")))
+    graft.functions.GraftFunctions.register(s)
     fuzzyCandidates(sup, D, qg)
       .select(col("ka"), col("kb"),
-        levenshtein(col("na"), col("nb")).cast("long").as("dist"))
-      .filter(col("dist") <= D)
+        expr(s"myers_ed(na, nb, $D)").cast("long").as("dist"))
+      .filter(col("dist") >= 0)
       .orderBy(col("dist").asc, col("ka").asc, col("kb").asc)
       .limit(15)
   }

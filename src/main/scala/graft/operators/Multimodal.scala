@@ -806,7 +806,118 @@ object Multimodal {
        |             * 10000.0 + 0.5) / 10000.0 AS mean_pair_energy
        |FROM per""".stripMargin
 
+  /** Per-image decoded census row for [[jpegMeta]]. */
+  final case class JpegMeta(doc_id: Long, width: Int, height: Int,
+                            plane_bytes: Long, plane_sum: Long)
+
+  /** JPEG fixture dims: whole 8×8 blocks only (bw ≤ 6, bh ≤ 5), so every
+    * pixel belongs to a full block and the flat-block exactness argument
+    * covers the entire plane. */
+  private[graft] def jpegDims(len: Int): (Int, Int) =
+    (8 * (1 + len % 6), 8 * (1 + (len * 7) % 5))
+
+  /** Synthesize one REAL baseline JPEG per document: the gray plane is
+    * flat per 8×8 block (block b's value = text byte b mod len), which the
+    * all-ones quant table round-trips byte-exactly ([[MediaCodecs
+    * .encodeJpeg]] — MultimodalSpec proves exactness and javax.imageio
+    * conformance), so the decoded-plane stats are oracle-replayable from
+    * documents.text even though the FORMAT is lossy. */
+  def jpegRow(id: Long, text: String): MediaRow = {
+    val tb = text.getBytes("UTF-8")
+    val len = tb.length
+    val (w, h) = jpegDims(len)
+    val bw = w / 8
+    val gray = Array.tabulate(w * h) { i =>
+      if (len == 0) 0.toByte
+      else tb((((i / w) / 8) * bw + (i % w) / 8) % len)
+    }
+    MediaRow(id, "image", MediaCodecs.encodeJpeg(w, h, gray))
+  }
+
+  /** Parse the entropy-coded container back and reduce it to a 5-long
+    * census row (corrupt blob = zero row, the skip-and-count posture). */
+  def jpegMetaRows(rows: Iterator[MediaRow]): Iterator[JpegMeta] =
+    rows.map { r =>
+      val d =
+        try MediaCodecs.decode(r.payload)
+        catch { case scala.util.control.NonFatal(_) =>
+          MediaCodecs.Decoded("image", 0, 0, 0, Array.empty[Byte])
+        }
+      val c = d.content
+      var s = 0L
+      var j = 0
+      while (j < c.length) { s += (c(j) & 0xff); j += 1 }
+      JpegMeta(r.doc_id, d.width, d.height, c.length.toLong, s)
+    }
+
+  /** JPEG-corpus census over DECODED planes — the compressed-lossy-format
+    * twin of [[pngMeta]]: count, fix4 mean dims, exact decoded byte sums.
+    * The [[mediaTable]] choreography: encode rides the scan (narrow), the
+    * salt shuffle carries only the binary payload (never document text),
+    * decode+reduce run in one mapPartitions pass (per-partition codec
+    * state), and only 5-long census rows reach the aggregate. */
+  def jpegMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter(pmod(col("doc_id"), lit(3L)) === 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => jpegRow(id, text) }
+      .repartition(pmod(col("doc_id"), lit(decodeSaltModulus(s).toLong)))
+      .as[MediaRow]
+      .mapPartitions(jpegMetaRows _)
+      .toDF()
+      .agg(count(lit(1)).as("n"),
+        (floor(sum("width").cast("double") * lit(10000.0d)
+          / count(lit(1)).cast("double") + lit(0.5d)) / lit(10000.0d))
+          .as("avg_width"),
+        (floor(sum("height").cast("double") * lit(10000.0d)
+          / count(lit(1)).cast("double") + lit(0.5d)) / lit(10000.0d))
+          .as("avg_height"),
+        sum("plane_bytes").as("plane_bytes"),
+        sum("plane_sum").as("plane_sum"),
+        (floor(sum("plane_sum").cast("double")
+          / greatest(sum("plane_bytes"), lit(1L)).cast("double")
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("mean_byte"))
+  }
+
+  /** Oracle replays the flat-block plane from documents.text: block b of
+    * doc d has value text byte (b mod len), each contributing 64 pixels —
+    * exact because the all-ones quant table makes flat blocks lossless
+    * (DC = 8·(v−128) exactly representable, AC analytically zero). */
+  private val jpegMetaSql =
+    """WITH img AS (
+      |  SELECT CAST(length(text) AS BIGINT) AS len,
+      |         CAST(8 * (1 + length(text) % 6) AS BIGINT) AS w,
+      |         CAST(8 * (1 + (length(text) * 7) % 5) AS BIGINT) AS h,
+      |         text
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |ps AS (
+      |  SELECT w, h, w * h AS nb,
+      |         CAST(CASE WHEN len = 0 THEN 0 ELSE
+      |           64 * list_aggregate(list_transform(
+      |             range(0, CAST((w // 8) * (h // 8) AS INTEGER)),
+      |             i -> ord(substr(text, 1 + CAST(i % len AS INTEGER), 1))),
+      |           'sum') END AS BIGINT) AS psum
+      |  FROM img)
+      |SELECT CAST(count(*) AS BIGINT) AS n,
+      |       floor(CAST(sum(w) AS DOUBLE) * 10000.0
+      |             / CAST(count(*) AS DOUBLE) + 0.5) / 10000.0 AS avg_width,
+      |       floor(CAST(sum(h) AS DOUBLE) * 10000.0
+      |             / CAST(count(*) AS DOUBLE) + 0.5) / 10000.0 AS avg_height,
+      |       CAST(sum(nb) AS BIGINT) AS plane_bytes,
+      |       CAST(sum(psum) AS BIGINT) AS plane_sum,
+      |       floor(CAST(sum(psum) AS DOUBLE)
+      |             / greatest(CAST(sum(nb) AS DOUBLE), 1.0)
+      |             * 10000.0 + 0.5) / 10000.0 AS mean_byte
+      |FROM ps""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_jpeg_meta", jpegMeta, Some(jpegMetaSql),
+      doc = "baseline-JPEG census over DECODED planes: real T.81 " +
+        "entropy-coded bytes round-tripped per document, exact byte " +
+        "sums via the flat-block losslessness of the all-ones quant " +
+        "table"),
     Q("q_video_motion", videoMotion, Some(videoMotionSql),
       doc = "decoded-YUV motion census: exact abs-diff energy between " +
         "stride-6 sampled frame pairs, the scene-dynamics gate"),
