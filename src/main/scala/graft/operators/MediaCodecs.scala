@@ -470,85 +470,217 @@ object MediaCodecs {
     out.write(payload, 0, payload.length)
   }
 
+  /** Forward DCT of one level-shifted 8×8 block (samples 0..255, quant
+    * all-ones → the rounded coefficient IS the quantized value). */
+  private def fdctBlock(samples: Array[Int], coef: Array[Int]): Unit = {
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            s += (samples(y * 8 + x) - 128) * dctCos(x)(u) * dctCos(y)(v)
+            x += 1
+          }
+          y += 1
+        }
+        val cu = if (u == 0) invSqrt2 else 1.0
+        val cv = if (v == 0) invSqrt2 else 1.0
+        coef(v * 8 + u) = math.round(0.25 * cu * cv * s).toInt
+        v += 1
+      }
+      u += 1
+    }
+  }
+
+  /** Entropy-code one coefficient block: DC diff then AC run-lengths in
+    * zig-zag order. Returns the new DC predictor. */
+  private def writeBlock(bw: BitWriter, coef: Array[Int], predDc: Int): Int = {
+    val dc = coef(0)
+    val diff = dc - predDc
+    val s0 = category(diff)
+    val (c0, l0) = dcEnc(s0)
+    bw.put(c0, l0)
+    if (s0 > 0)
+      bw.put(if (diff >= 0) diff else diff + (1 << s0) - 1, s0)
+    var run = 0
+    var i = 1
+    while (i < 64) {
+      val ac = coef(zigzag(i))
+      if (ac == 0) run += 1
+      else {
+        while (run >= 16) { val (c, l) = acEnc(0xf0); bw.put(c, l); run -= 16 }
+        val s = category(ac)
+        val (c, l) = acEnc((run << 4) | s)
+        bw.put(c, l)
+        bw.put(if (ac >= 0) ac else ac + (1 << s) - 1, s)
+        run = 0
+      }
+      i += 1
+    }
+    if (run > 0) { val (c, l) = acEnc(0x00); bw.put(c, l) } // EOB
+    dc
+  }
+
+  /** Extract an 8×8 block from a plane, edge-replicating past the edge. */
+  private def grabBlock(plane: Array[Int], w: Int, h: Int,
+                        bx: Int, by: Int, out: Array[Int]): Unit = {
+    var y = 0
+    while (y < 8) {
+      val py = math.min(by * 8 + y, h - 1)
+      var x = 0
+      while (x < 8) {
+        out(y * 8 + x) = plane(py * w + math.min(bx * 8 + x, w - 1))
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  private def jpegHeader(out: java.io.ByteArrayOutputStream, w: Int, h: Int,
+                         components: Seq[(Int, Int, Int)]): Unit = {
+    out.write(0xff); out.write(0xd8) // SOI
+    jpegSeg(out, 0xe0, // APP0 JFIF 1.1, no thumbnail
+      Array[Int]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+        .map(_.toByte))
+    jpegSeg(out, 0xdb, (0 +: Array.fill(64)(1)).map(_.toByte)) // DQT id 0
+    jpegSeg(out, 0xc0, (Seq(8, // SOF0: precision
+      (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff,
+      components.size) ++
+      components.flatMap { case (id, sh, sv) => Seq(id, (sh << 4) | sv, 0) })
+      .map(_.toByte).toArray)
+    jpegSeg(out, 0xc4, ((0 +: DC_BITS.toSeq) ++ DC_VALS.toSeq ++
+      (0x10 +: AC_BITS.toSeq) ++ AC_VALS.toSeq).map(_.toByte).toArray) // DHT
+    jpegSeg(out, 0xda, (Seq(components.size) ++
+      components.flatMap { case (id, _, _) => Seq(id, 0x00) } ++
+      Seq(0, 63, 0)).map(_.toByte).toArray) // SOS
+  }
+
   /** Baseline grayscale JPEG of a w×h 8-bit plane. Quant table all-ones;
     * edge blocks pad by edge replication (decoder crops). */
   def encodeJpeg(w: Int, h: Int, gray: Array[Byte]): Array[Byte] = {
     require(w > 0 && h > 0 && gray.length == w * h,
       s"JPEG payload ${gray.length} != ${w * h}")
     val out = new java.io.ByteArrayOutputStream(gray.length + 1024)
-    out.write(0xff); out.write(0xd8) // SOI
-    jpegSeg(out, 0xe0, // APP0 JFIF 1.1, no thumbnail
-      Array[Int]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
-        .map(_.toByte))
-    jpegSeg(out, 0xdb, (0 +: Array.fill(64)(1)).map(_.toByte)) // DQT id 0
-    jpegSeg(out, 0xc0, Array[Int](8, // SOF0: precision
-      (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff,
-      1, 1, 0x11, 0).map(_.toByte)) // 1 component, 1x1 sampling, qtable 0
-    jpegSeg(out, 0xc4, ((0 +: DC_BITS.toSeq) ++ DC_VALS.toSeq ++
-      (0x10 +: AC_BITS.toSeq) ++ AC_VALS.toSeq).map(_.toByte).toArray) // DHT
-    jpegSeg(out, 0xda, Array[Int](1, 1, 0x00, 0, 63, 0).map(_.toByte)) // SOS
+    jpegHeader(out, w, h, Seq((1, 1, 1)))
+    val plane = Array.tabulate(w * h)(i => gray(i) & 0xff)
     val bw = new BitWriter(out)
-    val bxs = (w + 7) / 8
-    val bys = (h + 7) / 8
+    val samples = new Array[Int](64)
     val coef = new Array[Int](64)
     var predDc = 0
+    val bxs = (w + 7) / 8
+    val bys = (h + 7) / 8
     var by = 0
     while (by < bys) {
       var bx = 0
       while (bx < bxs) {
-        // forward DCT of the level-shifted (possibly edge-padded) block
-        var u = 0
-        while (u < 8) {
-          var v = 0
-          while (v < 8) {
-            var s = 0.0
-            var y = 0
-            while (y < 8) {
-              var x = 0
-              while (x < 8) {
-                val px = math.min(bx * 8 + x, w - 1)
-                val py = math.min(by * 8 + y, h - 1)
-                val f = (gray(py * w + px) & 0xff) - 128
-                s += f * dctCos(x)(u) * dctCos(y)(v)
-                x += 1
-              }
-              y += 1
-            }
-            val cu = if (u == 0) invSqrt2 else 1.0
-            val cv = if (v == 0) invSqrt2 else 1.0
-            coef(v * 8 + u) = math.round(0.25 * cu * cv * s).toInt
-            v += 1
-          }
-          u += 1
-        }
-        // entropy-code: DC diff, then AC run-lengths in zig-zag order
-        val dc = coef(0)
-        val diff = dc - predDc
-        predDc = dc
-        val s0 = category(diff)
-        val (c0, l0) = dcEnc(s0)
-        bw.put(c0, l0)
-        if (s0 > 0)
-          bw.put(if (diff >= 0) diff else diff + (1 << s0) - 1, s0)
-        var run = 0
-        var i = 1
-        while (i < 64) {
-          val ac = coef(zigzag(i))
-          if (ac == 0) run += 1
-          else {
-            while (run >= 16) { val (c, l) = acEnc(0xf0); bw.put(c, l); run -= 16 }
-            val s = category(ac)
-            val (c, l) = acEnc((run << 4) | s)
-            bw.put(c, l)
-            bw.put(if (ac >= 0) ac else ac + (1 << s) - 1, s)
-            run = 0
-          }
-          i += 1
-        }
-        if (run > 0) { val (c, l) = acEnc(0x00); bw.put(c, l) } // EOB
+        grabBlock(plane, w, h, bx, by, samples)
+        fdctBlock(samples, coef)
+        predDc = writeBlock(bw, coef, predDc)
         bx += 1
       }
       by += 1
+    }
+    bw.flush()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Fixed-point BT.601 RGB→YCbCr, the encoder's color transform: integer
+    * coefficients summing to 256/0/0 per row. Every shifted numerator is
+    * OFFSET-SHIFTED non-negative first (adding k·256 before `>> 8` adds
+    * exactly k, so Java values are unchanged) — Java `>>` floors but
+    * DuckDB `//` truncates toward zero, and they agree only on
+    * non-negative operands (the fleet's established OFF-shift
+    * discipline), which is what lets the q_jpeg_color oracle replay this
+    * chain exactly. */
+  private[graft] def rgbToYcc(r: Int, g: Int, b: Int): (Int, Int, Int) = {
+    def cl(v: Int) = if (v < 0) 0 else if (v > 255) 255 else v
+    (cl((77 * r + 150 * g + 29 * b + 128) >> 8),
+     cl((-43 * r - 85 * g + 128 * b + 128 + 32768) >> 8),
+     cl((128 * r - 107 * g - 21 * b + 128 + 32768) >> 8))
+  }
+
+  /** Fixed-point YCbCr→RGB, the decoder's inverse transform (same
+    * OFF-shift discipline; not the algebraic inverse of [[rgbToYcc]] —
+    * both are deterministic, which is what the oracle needs). */
+  private[graft] def yccToRgb(y: Int, cb: Int, cr: Int): (Int, Int, Int) = {
+    def cl(v: Int) = if (v < 0) 0 else if (v > 255) 255 else v
+    (cl(y + ((359 * (cr - 128) + 128 + 65536) >> 8) - 256),
+     cl(y - ((88 * (cb - 128) + 183 * (cr - 128) + 128 + 65536) >> 8) + 256),
+     cl(y + ((454 * (cb - 128) + 128 + 65536) >> 8) - 256))
+  }
+
+  /** Baseline COLOR JPEG of a w×h interleaved-RGB plane — the shape the
+    * web actually serves: 3-component YCbCr, either 4:2:0 (2×2-sampled
+    * luma, chroma averaged over each 2×2 with round-half-up) or 4:4:4.
+    * Fixed-point color transform ([[rgbToYcc]]), all-ones quant, shared
+    * canonical Huffman tables; 4:2:0 requires even dims (the fixture
+    * rule), MCUs pad by edge replication. */
+  def encodeJpegColor(w: Int, h: Int, rgb: Array[Byte],
+                      subsample: Boolean = true): Array[Byte] = {
+    require(w > 0 && h > 0 && rgb.length == w * h * 3,
+      s"JPEG payload ${rgb.length} != ${w * h * 3}")
+    require(!subsample || (w % 2 == 0 && h % 2 == 0),
+      "4:2:0 JPEG needs even dimensions")
+    val yP = new Array[Int](w * h)
+    val cbF = new Array[Int](w * h)
+    val crF = new Array[Int](w * h)
+    var i = 0
+    while (i < w * h) {
+      val (y, cb, cr) = rgbToYcc(rgb(3 * i) & 0xff, rgb(3 * i + 1) & 0xff,
+        rgb(3 * i + 2) & 0xff)
+      yP(i) = y; cbF(i) = cb; crF(i) = cr
+      i += 1
+    }
+    val (cw, ch, cbP, crP) =
+      if (!subsample) (w, h, cbF, crF)
+      else {
+        val cw = w / 2; val ch = h / 2
+        def down(p: Array[Int]) = Array.tabulate(cw * ch) { j =>
+          val x = (j % cw) * 2; val y = (j / cw) * 2
+          (p(y * w + x) + p(y * w + x + 1) + p((y + 1) * w + x) +
+            p((y + 1) * w + x + 1) + 2) >> 2
+        }
+        (cw, ch, down(cbF), down(crF))
+      }
+    val sf = if (subsample) 2 else 1
+    val out = new java.io.ByteArrayOutputStream(rgb.length / 2 + 1024)
+    jpegHeader(out, w, h, Seq((1, sf, sf), (2, 1, 1), (3, 1, 1)))
+    val bw = new BitWriter(out)
+    val samples = new Array[Int](64)
+    val coef = new Array[Int](64)
+    val pred = new Array[Int](3)
+    val mxs = (w + 8 * sf - 1) / (8 * sf)
+    val mys = (h + 8 * sf - 1) / (8 * sf)
+    var my = 0
+    while (my < mys) {
+      var mx = 0
+      while (mx < mxs) {
+        // luma blocks of the MCU in raster order, then one Cb, one Cr
+        var v = 0
+        while (v < sf) {
+          var u = 0
+          while (u < sf) {
+            grabBlock(yP, w, h, mx * sf + u, my * sf + v, samples)
+            fdctBlock(samples, coef)
+            pred(0) = writeBlock(bw, coef, pred(0))
+            u += 1
+          }
+          v += 1
+        }
+        grabBlock(cbP, cw, ch, mx, my, samples)
+        fdctBlock(samples, coef)
+        pred(1) = writeBlock(bw, coef, pred(1))
+        grabBlock(crP, cw, ch, mx, my, samples)
+        fdctBlock(samples, coef)
+        pred(2) = writeBlock(bw, coef, pred(2))
+        mx += 1
+      }
+      my += 1
     }
     bw.flush()
     out.write(0xff); out.write(0xd9) // EOI
@@ -621,11 +753,15 @@ object MediaCodecs {
   private def extend(v: Int, s: Int): Int =
     if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
 
-  /** Baseline sequential grayscale JPEG parse: marker walk, DQT/DHT/
-    * SOF0/SOS, canonical Huffman entropy decode with DC prediction,
-    * dequantize, inverse zigzag, double-precision IDCT, +128 level
-    * shift, clamp. Multi-component, progressive, 12-bit, and restart
-    * intervals raise (skip-and-count posture upstream). */
+  /** Baseline sequential JPEG parse — grayscale OR YCbCr color: marker
+    * walk, DQT/DHT/SOF0/SOS, canonical Huffman entropy decode with
+    * per-component DC prediction over interleaved MCUs (sampling factors
+    * 1×1 and 2×2 supported — 4:4:4 and the web-standard 4:2:0),
+    * dequantize, inverse zigzag, double-precision IDCT, chroma upsample
+    * by replication, fixed-point YCbCr→RGB ([[yccToRgb]]). Grayscale
+    * returns a w·h gray plane, color a w·h·3 interleaved RGB plane (the
+    * PPM/PNG content convention). Progressive, 12-bit, >2 sampling, and
+    * restart intervals raise (skip-and-count posture upstream). */
   def decodeJpeg(b: Array[Byte]): Decoded = {
     require(b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8,
       "not a JPEG stream")
@@ -634,7 +770,10 @@ object MediaCodecs {
     val qt = new Array[Array[Int]](4)
     val dcT = new Array[HuffTable](4)
     val acT = new Array[HuffTable](4)
-    var qSel = 0; var dcSel = 0; var acSel = 0
+    // per-component: (id, hSamp, vSamp, quantTable); filled by SOF0
+    var comps: Array[Array[Int]] = null
+    val dcSel = new Array[Int](3)
+    val acSel = new Array[Int](3)
     var sos = -1
     while (sos < 0) {
       require(i + 4 <= b.length, "truncated JPEG marker stream")
@@ -669,93 +808,172 @@ object MediaCodecs {
           require((b(p) & 0xff) == 8, "only 8-bit precision supported")
           h = ((b(p + 1) & 0xff) << 8) | (b(p + 2) & 0xff)
           w = ((b(p + 3) & 0xff) << 8) | (b(p + 4) & 0xff)
-          require((b(p + 5) & 0xff) == 1,
-            "only single-component (grayscale) JPEG supported")
-          qSel = b(p + 8) & 0x0f
+          val nc = b(p + 5) & 0xff
+          require(nc == 1 || nc == 3,
+            s"unsupported JPEG component count $nc")
+          comps = Array.tabulate(nc) { c =>
+            val o = p + 6 + 3 * c
+            Array(b(o) & 0xff, (b(o + 1) & 0xff) >> 4, b(o + 1) & 0x0f,
+              b(o + 2) & 0x0f)
+          }
+          comps.foreach { c =>
+            require(c(1) >= 1 && c(1) <= 2 && c(2) >= 1 && c(2) <= 2,
+              s"unsupported JPEG sampling ${c(1)}x${c(2)}")
+          }
         case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
              0xcb | 0xcd | 0xce | 0xcf =>
           sys.error(f"unsupported JPEG SOF marker FF$m%02X (not baseline)")
         case 0xdd => sys.error("JPEG restart intervals not supported")
         case 0xda => // SOS
-          require((b(p) & 0xff) == 1, "SOS component count != 1")
-          dcSel = (b(p + 2) & 0xff) >> 4
-          acSel = b(p + 2) & 0x0f
+          val ns = b(p) & 0xff
+          require(comps != null && ns == comps.length,
+            "SOS component count mismatch")
+          var c = 0
+          while (c < ns) {
+            dcSel(c) = (b(p + 2 + 2 * c) & 0xff) >> 4
+            acSel(c) = b(p + 2 + 2 * c) & 0x0f
+            c += 1
+          }
           sos = i + 2 + len
         case _ => () // APPn / COM / anything else: skip
       }
       i += 2 + len
     }
-    require(w > 0 && h > 0, "JPEG missing SOF0 before SOS")
-    val q = qt(qSel)
-    require(q != null, s"JPEG quant table $qSel undefined")
-    require(dcT(dcSel) != null && acT(acSel) != null,
-      "JPEG Huffman tables undefined")
-    val r = new BitReader(b, sos)
-    val bxs = (w + 7) / 8
-    val bys = (h + 7) / 8
-    val out = new Array[Byte](w * h)
-    val coef = new Array[Int](64)
-    var predDc = 0
-    var by = 0
-    while (by < bys) {
-      var bx = 0
-      while (bx < bxs) {
-        java.util.Arrays.fill(coef, 0)
-        val s0 = r.decode(dcT(dcSel))
-        predDc += extend(r.bits(s0), s0)
-        coef(0) = predDc * q(0)
-        var k = 1
-        while (k < 64) {
-          val rs = r.decode(acT(acSel))
-          val run = rs >> 4
-          val s = rs & 0x0f
-          if (s == 0) {
-            if (run == 15) k += 16 // ZRL
-            else k = 64 // EOB
-          } else {
-            k += run
-            require(k < 64, "JPEG AC run overflows the block")
-            coef(zigzag(k)) = extend(r.bits(s), s) * q(k)
-            k += 1
-          }
-        }
-        // IDCT + level shift + clamp, cropped to the image rectangle
-        var y = 0
-        while (y < 8) {
-          val py = by * 8 + y
-          var x = 0
-          while (x < 8) {
-            val px = bx * 8 + x
-            if (px < w && py < h) {
-              var s = 0.0
-              var u = 0
-              while (u < 8) {
-                var v = 0
-                while (v < 8) {
-                  val c = coef(v * 8 + u)
-                  if (c != 0) {
-                    val cu = if (u == 0) invSqrt2 else 1.0
-                    val cv = if (v == 0) invSqrt2 else 1.0
-                    s += cu * cv * c * dctCos(x)(u) * dctCos(y)(v)
-                  }
-                  v += 1
-                }
-                u += 1
-              }
-              val p = math.round(0.25 * s).toInt + 128
-              out(py * w + px) =
-                (if (p < 0) 0 else if (p > 255) 255 else p).toByte
-            }
-            x += 1
-          }
-          y += 1
-        }
-        bx += 1
-      }
-      by += 1
+    require(w > 0 && h > 0 && comps != null, "JPEG missing SOF0 before SOS")
+    val nc = comps.length
+    val hmax = comps.map(_(1)).max
+    val vmax = comps.map(_(2)).max
+    // per-component plane dims (ceil of the sampled fraction)
+    val cw = Array.tabulate(nc)(c => (w * comps(c)(1) + hmax - 1) / hmax)
+    val ch = Array.tabulate(nc)(c => (h * comps(c)(2) + vmax - 1) / vmax)
+    val planes = Array.tabulate(nc)(c => new Array[Int](cw(c) * ch(c)))
+    comps.foreach { c =>
+      require(qt(c(3)) != null, s"JPEG quant table ${c(3)} undefined")
     }
-    Decoded("image", w, h, 1, out)
+    (0 until nc).foreach { c =>
+      require(dcT(dcSel(c)) != null && acT(acSel(c)) != null,
+        "JPEG Huffman tables undefined")
+    }
+    val r = new BitReader(b, sos)
+    val coef = new Array[Int](64)
+    val samples = new Array[Int](64)
+    val pred = new Array[Int](nc)
+    // one entropy-decoded, IDCT'd block landed into component c's plane
+    def block(c: Int, bx: Int, by: Int): Unit = {
+      val q = qt(comps(c)(3))
+      java.util.Arrays.fill(coef, 0)
+      val s0 = r.decode(dcT(dcSel(c)))
+      pred(c) += extend(r.bits(s0), s0)
+      coef(0) = pred(c) * q(0)
+      var k = 1
+      while (k < 64) {
+        val rs = r.decode(acT(acSel(c)))
+        val run = rs >> 4
+        val s = rs & 0x0f
+        if (s == 0) {
+          if (run == 15) k += 16 // ZRL
+          else k = 64 // EOB
+        } else {
+          k += run
+          require(k < 64, "JPEG AC run overflows the block")
+          coef(zigzag(k)) = extend(r.bits(s), s) * q(k)
+          k += 1
+        }
+      }
+      idctBlock(coef, samples)
+      val pw = cw(c); val ph = ch(c)
+      var y = 0
+      while (y < 8) {
+        val py = by * 8 + y
+        var x = 0
+        while (x < 8) {
+          val px = bx * 8 + x
+          if (px < pw && py < ph) planes(c)(py * pw + px) = samples(y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+    }
+    val mxs = (w + 8 * hmax - 1) / (8 * hmax)
+    val mys = (h + 8 * vmax - 1) / (8 * vmax)
+    var my = 0
+    while (my < mys) {
+      var mx = 0
+      while (mx < mxs) {
+        var c = 0
+        while (c < nc) {
+          var v = 0
+          while (v < comps(c)(2)) {
+            var u = 0
+            while (u < comps(c)(1)) {
+              block(c, mx * comps(c)(1) + u, my * comps(c)(2) + v)
+              u += 1
+            }
+            v += 1
+          }
+          c += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    if (nc == 1) {
+      val out = new Array[Byte](w * h)
+      var j = 0
+      while (j < w * h) { out(j) = planes(0)(j).toByte; j += 1 }
+      Decoded("image", w, h, 1, out)
+    } else {
+      // upsample chroma by replication, invert the color transform
+      val out = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val yy = planes(0)(y * cw(0) + x)
+          val cb = planes(1)((y * comps(1)(2) / vmax) * cw(1) +
+            x * comps(1)(1) / hmax)
+          val cr = planes(2)((y * comps(2)(2) / vmax) * cw(2) +
+            x * comps(2)(1) / hmax)
+          val (rr, gg, bb) = yccToRgb(yy, cb, cr)
+          val o = (y * w + x) * 3
+          out(o) = rr.toByte; out(o + 1) = gg.toByte; out(o + 2) = bb.toByte
+          x += 1
+        }
+        y += 1
+      }
+      Decoded("image", w, h, 1, out)
+    }
   }
+
+  /** Inverse DCT of one dequantized block → clamped 0..255 samples. */
+  private def idctBlock(coef: Array[Int], samples: Array[Int]): Unit = {
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            val c = coef(v * 8 + u)
+            if (c != 0) {
+              val cu = if (u == 0) invSqrt2 else 1.0
+              val cv = if (v == 0) invSqrt2 else 1.0
+              s += cu * cv * c * dctCos(x)(u) * dctCos(y)(v)
+            }
+            v += 1
+          }
+          u += 1
+        }
+        val p = math.round(0.25 * s).toInt + 128
+        samples(y * 8 + x) = if (p < 0) 0 else if (p > 255) 255 else p
+        x += 1
+      }
+      y += 1
+    }
+  }
+
 
   /** Sniff the container by magic and dispatch — what a real ingest does
     * before handing the blob to a modality-specific decoder. */

@@ -912,7 +912,160 @@ object Multimodal {
       |             * 10000.0 + 0.5) / 10000.0 AS mean_byte
       |FROM ps""".stripMargin
 
+  /** Per-image decoded census row for [[jpegColor]]: exact per-channel
+    * byte sums of the decoded RGB plane. */
+  final case class JpegColorMeta(doc_id: Long, width: Int, height: Int,
+                                 sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Color-JPEG fixture dims: whole 16×16 MCUs only (≤ 4×3 of them), so
+    * every pixel sits in a full MCU and flat-MCU exactness covers the
+    * whole plane. */
+  private[graft] def jpegColorDims(len: Int): (Int, Int) =
+    (16 * (1 + len % 4), 16 * (1 + (len * 7) % 3))
+
+  /** One REAL 4:2:0 color JPEG per document: RGB flat per 16×16 MCU
+    * (MCU m's channels = text bytes 3m, 3m+1, 3m+2 mod len). Flat MCUs
+    * make the whole lossy chain deterministic END TO END: chroma
+    * averaging of equal values is the value, all six blocks per MCU are
+    * flat (exact DCT), replication upsample is exact, so the decoded
+    * pixel is precisely yccToRgb(rgbToYcc(r,g,b)) — a fixed-point
+    * integer chain the DuckDB oracle replays with floor division. */
+  def jpegColorRow(id: Long, text: String): MediaRow = {
+    val tb = text.getBytes("UTF-8")
+    val len = tb.length
+    val (w, h) = jpegColorDims(len)
+    val mw = w / 16
+    val rgb = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < w * h) {
+      val m = ((i / w) / 16) * mw + (i % w) / 16
+      val o = i * 3
+      if (len > 0) {
+        rgb(o) = tb((3 * m) % len)
+        rgb(o + 1) = tb((3 * m + 1) % len)
+        rgb(o + 2) = tb((3 * m + 2) % len)
+      }
+      i += 1
+    }
+    MediaRow(id, "image", MediaCodecs.encodeJpegColor(w, h, rgb))
+  }
+
+  def jpegColorRows(rows: Iterator[MediaRow]): Iterator[JpegColorMeta] =
+    rows.map { r =>
+      val d =
+        try MediaCodecs.decode(r.payload)
+        catch { case scala.util.control.NonFatal(_) =>
+          MediaCodecs.Decoded("image", 0, 0, 0, Array.empty[Byte])
+        }
+      val c = d.content
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var j = 0
+      while (j + 2 < c.length) {
+        sr += c(j) & 0xff; sg += c(j + 1) & 0xff; sb += c(j + 2) & 0xff
+        j += 3
+      }
+      JpegColorMeta(r.doc_id, d.width, d.height, sr, sg, sb)
+    }
+
+  /** 4:2:0 COLOR JPEG census over decoded RGB planes — subsampled-chroma
+    * realism on top of [[jpegMeta]]'s grayscale: exact per-channel byte
+    * sums of what the decoder actually reconstructs. Same choreography:
+    * encode on the scan, salt-shuffle binary payloads only, one
+    * mapPartitions decode pass, census rows to the aggregate. */
+  def jpegColor(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter(pmod(col("doc_id"), lit(3L)) === 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => jpegColorRow(id, text) }
+      .repartition(pmod(col("doc_id"), lit(decodeSaltModulus(s).toLong)))
+      .as[MediaRow]
+      .mapPartitions(jpegColorRows _)
+      .toDF()
+      .agg(count(lit(1)).as("n"),
+        (floor(sum("width").cast("double") * lit(10000.0d)
+          / count(lit(1)).cast("double") + lit(0.5d)) / lit(10000.0d))
+          .as("avg_width"),
+        (floor(sum("height").cast("double") * lit(10000.0d)
+          / count(lit(1)).cast("double") + lit(0.5d)) / lit(10000.0d))
+          .as("avg_height"),
+        sum((col("width") * col("height")).cast("long") * lit(3L))
+          .as("plane_bytes"),
+        sum("sum_r").as("sum_r"),
+        sum("sum_g").as("sum_g"),
+        sum("sum_b").as("sum_b"),
+        (floor((sum("sum_r") + sum("sum_g") + sum("sum_b")).cast("double")
+          / greatest(sum((col("width") * col("height")).cast("long") * lit(3L)),
+            lit(1L)).cast("double")
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("mean_byte"))
+  }
+
+  /** Oracle replays the ENTIRE lossy pipeline per MCU in integer SQL:
+    * forward fixed-point RGB→YCbCr (floor shifts = `//`), the exact
+    * flat-MCU round-trip, inverse fixed-point YCbCr→RGB — each MCU
+    * contributing 256 pixels; mean_byte = channel sum / Σ w·h·3. */
+  private lazy val jpegColorSql = {
+    // shared integer-chain fragments: every numerator is OFF-shifted
+    // non-negative before // — Java >> floors, DuckDB // truncates, and
+    // they agree only on non-negative operands
+    val y = "least(greatest((77*r + 150*g + 29*b + 128) // 256, 0), 255)"
+    val cb = "least(greatest((-43*r - 85*g + 128*b + 128 + 32768) // 256, 0), 255)"
+    val cr = "least(greatest((128*r - 107*g - 21*b + 128 + 32768) // 256, 0), 255)"
+    s"""WITH img AS (
+      |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+      |         CAST(16 * (1 + length(text) % 4) AS BIGINT) AS w,
+      |         CAST(16 * (1 + (length(text) * 7) % 3) AS BIGINT) AS h,
+      |         text
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |mcu AS (
+      |  SELECT doc_id, w, h,
+      |         unnest(range(0, CAST((w // 16) * (h // 16) AS INTEGER))) AS m,
+      |         len, text
+      |  FROM img),
+      |chan AS (
+      |  SELECT doc_id, w, h, m,
+      |         CASE WHEN len = 0 THEN 0
+      |              ELSE ord(substr(text, 1 + CAST((3*m) % len AS INTEGER), 1)) END AS r,
+      |         CASE WHEN len = 0 THEN 0
+      |              ELSE ord(substr(text, 1 + CAST((3*m + 1) % len AS INTEGER), 1)) END AS g,
+      |         CASE WHEN len = 0 THEN 0
+      |              ELSE ord(substr(text, 1 + CAST((3*m + 2) % len AS INTEGER), 1)) END AS b
+      |  FROM mcu),
+      |ycc AS (
+      |  SELECT doc_id, w, h, m, $y AS y, $cb AS cb, $cr AS cr FROM chan),
+      |dec AS (
+      |  SELECT doc_id, w, h, m,
+      |         least(greatest(y + (359*(cr - 128) + 128 + 65536) // 256 - 256, 0), 255) AS er,
+      |         least(greatest(y - (88*(cb - 128) + 183*(cr - 128) + 128 + 65536) // 256 + 256, 0), 255) AS eg,
+      |         least(greatest(y + (454*(cb - 128) + 128 + 65536) // 256 - 256, 0), 255) AS eb
+      |  FROM ycc),
+      |per AS (
+      |  SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+      |         256 * CAST(sum(er) AS BIGINT) AS sr,
+      |         256 * CAST(sum(eg) AS BIGINT) AS sg,
+      |         256 * CAST(sum(eb) AS BIGINT) AS sb
+      |  FROM dec GROUP BY doc_id)
+      |SELECT CAST(count(*) AS BIGINT) AS n,
+      |       floor(CAST(sum(w) AS DOUBLE) * 10000.0
+      |             / CAST(count(*) AS DOUBLE) + 0.5) / 10000.0 AS avg_width,
+      |       floor(CAST(sum(h) AS DOUBLE) * 10000.0
+      |             / CAST(count(*) AS DOUBLE) + 0.5) / 10000.0 AS avg_height,
+      |       CAST(sum(w * h * 3) AS BIGINT) AS plane_bytes,
+      |       CAST(sum(sr) AS BIGINT) AS sum_r,
+      |       CAST(sum(sg) AS BIGINT) AS sum_g,
+      |       CAST(sum(sb) AS BIGINT) AS sum_b,
+      |       floor(CAST(sum(sr) + sum(sg) + sum(sb) AS DOUBLE)
+      |             / greatest(CAST(sum(w * h * 3) AS DOUBLE), 1.0)
+      |             * 10000.0 + 0.5) / 10000.0 AS mean_byte
+      |FROM per""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q_jpeg_color", jpegColor, Some(jpegColorSql),
+      doc = "4:2:0 color-JPEG census over decoded RGB planes: the full " +
+        "lossy chain (fixed-point color transform, chroma subsample, " +
+        "DCT, entropy coding) made oracle-exact by flat-MCU fixtures"),
     Q("q_jpeg_meta", jpegMeta, Some(jpegMetaSql),
       doc = "baseline-JPEG census over DECODED planes: real T.81 " +
         "entropy-coded bytes round-tripped per document, exact byte " +
