@@ -1438,7 +1438,107 @@ object Dedup {
       |             / count(*) * 10000.0 + 0.5) / 10000.0 AS dup_rate
       |FROM c GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Seed width (tokens) for duplicated-passage extraction, and the
+    * minimum reported span. A passage must be a RUN of ≥ 5 consecutive
+    * matching seeds (12 tokens) — single shared 8-grams are the novelty
+    * census's business, not a passage. */
+  private[graft] val PASSAGE_SEED = 8
+  private[graft] val PASSAGE_MIN_TOKENS = 12
+
+  /** Exact duplicated-PASSAGE extraction — the substring-level dedup
+    * (Lee et al. 2022's ExactSubstr, at word granularity) that pair- and
+    * cluster-level dedup cannot express: WHERE inside two documents the
+    * shared text lives, and how long it runs.
+    *
+    * The trick that keeps it scalable: a maximal duplicated span of
+    * t ≥ L tokens manifests as a run of exactly t−L+1 consecutive
+    * matching L-gram seeds at a CONSTANT position delta, so span
+    * extraction is pure integer sequence work over (a, b, pa−pb, pa)
+    * seed coordinates — gaps-and-islands (pa − row_number), never a
+    * character of text after the seed join. Shuffle payloads are md5
+    * digests and positions; postings are capped at [[POSTING_CAP]]
+    * (mirrored in the oracle — checked semantics): an 8-gram shared by
+    * more than 64 docs is boilerplate that belongs to the exact-hash
+    * pass, and a span crossing such a seed deterministically splits.
+    *
+    * Output: top-20 longest passages (span desc, a, b, start_a) with
+    * 0-based token offsets in both documents. */
+  def dupPassages(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val L = PASSAGE_SEED
+    val seeds = Tables.documents(s, dir)
+      .withColumn("toks", TextFns.tokens(col("text")))
+      .select(col("doc_id"),
+        posexplode(expr(s"word_shingles(toks, $L)")).as(Seq("p", "g")))
+      .select(col("doc_id"), col("p"), md5(col("g")).as("h"))
+    val shortPostings = seeds.groupBy("h")
+      .agg(count(lit(1)).as("pn"))
+      .filter(col("pn") <= POSTING_CAP)
+      .select("h")
+    val kept = seeds.join(shortPostings, Seq("h"))
+    val pairs = kept.as("x").join(kept.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.p").as("pa"), col("y.p").as("pb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a"), col("b"), col("pa") - col("pb"))
+      .orderBy(col("pa"))
+    pairs
+      .withColumn("isl", col("pa") - row_number().over(w))
+      .groupBy(col("a"), col("b"), (col("pa") - col("pb")).as("delta"),
+        col("isl"))
+      .agg(min("pa").cast("long").as("start_a"),
+        min("pb").cast("long").as("start_b"),
+        (count(lit(1)) + lit(L - 1)).as("span_tokens"))
+      .filter(col("span_tokens") >= PASSAGE_MIN_TOKENS)
+      .select("a", "b", "start_a", "start_b", "span_tokens")
+      .orderBy(col("span_tokens").desc, col("a").asc, col("b").asc,
+        col("start_a").asc, col("start_b").asc)
+      .limit(20)
+  }
+
+  /** Oracle rebuilds the same seeds (joining on the raw 8-gram text —
+    * the md5 is a shuffle-payload bound, not semantics) and the same
+    * gaps-and-islands run detection. */
+  private val dupPassagesSql =
+    s"""WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |         len(string_split(text, ' ')) AS nt
+      |  FROM documents),
+      |seeds AS (
+      |  SELECT doc_id,
+      |         unnest(generate_series(0, nt - $PASSAGE_SEED)) AS p,
+      |         toks
+      |  FROM d WHERE nt >= $PASSAGE_SEED),
+      |grams AS (
+      |  SELECT doc_id, p,
+      |         array_to_string(toks[p + 1 : p + $PASSAGE_SEED], ' ') AS g
+      |  FROM seeds),
+      |short_postings AS (
+      |  SELECT g FROM grams GROUP BY g HAVING count(*) <= $POSTING_CAP),
+      |kept AS (SELECT gr.doc_id, gr.p, gr.g
+      |         FROM grams gr JOIN short_postings s ON gr.g = s.g),
+      |pairs AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b, x.p AS pa, y.p AS pb
+      |  FROM kept x JOIN kept y ON x.g = y.g AND x.doc_id < y.doc_id),
+      |isl AS (
+      |  SELECT a, b, pa, pb, pa - pb AS delta,
+      |         pa - row_number() OVER (PARTITION BY a, b, pa - pb
+      |                                 ORDER BY pa) AS isl
+      |  FROM pairs)
+      |SELECT a, b, CAST(min(pa) AS BIGINT) AS start_a,
+      |       CAST(min(pb) AS BIGINT) AS start_b,
+      |       CAST(count(*) + ${PASSAGE_SEED - 1} AS BIGINT) AS span_tokens
+      |FROM isl GROUP BY a, b, delta, isl
+      |HAVING count(*) + ${PASSAGE_SEED - 1} >= $PASSAGE_MIN_TOKENS
+      |ORDER BY span_tokens DESC, a, b, start_a, start_b LIMIT 20""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_dup_passages", dupPassages, Some(dupPassagesSql),
+      doc = "Exact duplicated-passage extraction (word-level " +
+        "ExactSubstr): maximal shared token spans located via " +
+        "consecutive-seed runs at constant position delta — " +
+        "digest+position shuffles only, gaps-and-islands span merge"),
     Q("q_dedup_url", urlDedup, Some(urlDedupSql),
       doc = "URL canonicalization dedup: lowercase / fragment / " +
         "tracking-query / default-port / www / trailing-slash rules, " +

@@ -86,6 +86,23 @@ object StreamOps {
       }
   }
 
+  /** [[runningUserTotals]] re-expressed on transformWithState — Spark 4's
+    * arbitrary-stateful successor to mapGroupsWithState (typed named
+    * states, timers, TTL; RocksDB-backed by requirement). Same semantics:
+    * one ValueState[UserAgg] per user, a running (count, sum) emitted per
+    * input batch. StreamOpsSpec asserts output equivalence with the
+    * mapGroupsWithState form on the same rows — pinning that the engine's
+    * stateful layer ports to the modern API before anyone needs timers or
+    * multi-state processors. */
+  def runningUserTotalsTws(events: Dataset[UserEvent]): Dataset[UserAgg] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Stream-stream interval join: purchases matched to views of the same
     * user within the preceding hour. Both sides are watermarked, and the
     * join condition bounds event-time distance, so each side's state store
@@ -532,5 +549,34 @@ object StreamOps {
           + lit(0.5d)) / lit(1000000.0d)).as("pos_rate"),
         round(abs(coalesce(col("exp_rate"), lit(0.0d))
           - col("n_pos").cast("double") / col("n")), 6).as("gap"))
+  }
+}
+
+/** The [[StreamOps.runningUserTotalsTws]] processor: one named
+  * ValueState[UserAgg] per user key — the transformWithState shape of
+  * the mapGroupsWithState accumulator it twins. */
+class RunningTotalProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, UserEvent, UserAgg] {
+  @transient private var total:
+    org.apache.spark.sql.streaming.ValueState[UserAgg] = _
+
+  override def init(outputMode: OutputMode,
+                    timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    total = getHandle.getValueState[UserAgg]("total",
+      org.apache.spark.sql.Encoders.product[UserAgg],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long, rows: Iterator[UserEvent],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserAgg] = {
+    val prev =
+      if (total.exists()) total.get() else UserAgg(key, 0L, 0d)
+    var n = prev.n_events
+    var tot = prev.total_value
+    rows.foreach { e => n += 1; tot += e.value }
+    val next = UserAgg(key, n, tot)
+    total.update(next)
+    Iterator.single(next)
   }
 }

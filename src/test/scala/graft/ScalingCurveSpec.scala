@@ -194,6 +194,36 @@ class ScalingCurveSpec extends SparkTestBase {
         "super-linear growth across the 10x step")
   }
 
+  test("dup-passage seed-pair volume grows near-linearly across a 10x " +
+    "scale step (capped postings keep span extraction O(n))") {
+    ensureScaleCorpus()
+    // The word-suffix bijection preserves each shard's 8-gram structure
+    // while keeping shards disjoint, so matching-seed pairs — the only
+    // thing q_dup_passages ever materializes per document pair — must
+    // grow ~10x. A quadratic path (uncapped hot grams pairing across
+    // shards) would show ~100x.
+    import org.apache.spark.sql.functions._
+    def pairVolume(dir: String): Long = {
+      graft.functions.GraftFunctions.register(spark)
+      val seeds = Tables.documents(spark, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          posexplode(expr("word_shingles(toks, 8)")).as(Seq("p", "g")))
+        .select(col("doc_id"), md5(col("g")).as("h"))
+      seeds.groupBy("h").agg(count(lit(1)).as("pn"))
+        .filter(col("pn") <= Dedup.POSTING_CAP)
+        .agg(coalesce(sum(expr("pn * (pn - 1) div 2")), lit(0L)))
+        .collect().head.getLong(0)
+    }
+    val v1 = pairVolume(baseDir)
+    val v10 = pairVolume(scaleDir)
+    val r = v10.toDouble / v1
+    info(s"dup-passage seed pairs: $v1 -> $v10 (x$r)")
+    assert(v1 > 0, "base corpus produced no matching seeds — fixture drift?")
+    assert(r >= 7.0 && r <= 13.0,
+      s"seed-pair growth x$r is not near-linear ($v1 -> $v10)")
+  }
+
   test("dedup-cluster formation across a 10x step: edge volume grows " +
     "near-linearly and pointer-jumping rounds stay flat") {
     ensureScaleCorpus()

@@ -98,6 +98,40 @@ class StreamOpsSpec extends SparkTestBase {
     assert(finals(2L).n_events == 2 && math.abs(finals(2L).total_value - 2.0) < 1e-9)
   }
 
+  test("transformWithState twin: running totals on the modern stateful " +
+    "API equal the mapGroupsWithState form across triggers") {
+    // transformWithState (Spark 4's arbitrary-stateful successor) is
+    // RocksDB-only — set the provider for the query, restore after
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[UserEvent]
+      val q = StreamOps.runningUserTotalsTws(mem.toDS())
+        .writeStream.format("memory").queryName("tws_totals_sink")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        mem.addData(sample.take(3): _*)
+        q.processAllAvailable()
+        mem.addData(sample.drop(3): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val finals = spark.table("tws_totals_sink").as[UserAgg].collect()
+        .groupBy(_.user_id).map { case (k, v) => k -> v.maxBy(_.n_events) }
+      // identical to the mapGroupsWithState test's expectations — the
+      // two stateful APIs must agree row for row on the same input
+      assert(finals(1L).n_events == 3 &&
+        math.abs(finals(1L).total_value - 7.0) < 1e-9)
+      assert(finals(2L).n_events == 2 &&
+        math.abs(finals(2L).total_value - 2.0) < 1e-9)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("file-source stream: hourlyCounts over readStream(events) equals batch") {
     val batch = StreamOps.hourlyCounts(Tables.events(spark, sfDir))
       .orderBy("hour_start", "event_type").collect().toSeq
