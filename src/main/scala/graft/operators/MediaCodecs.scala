@@ -40,6 +40,13 @@ object MediaCodecs {
   final case class Decoded(kind: String, width: Int, height: Int,
                            nFrames: Int, content: Array[Byte])
 
+  /** Decode allocation cap for header-declared image planes (64 M pixels
+    * ≈ 192 MB RGB): PNG/JPEG size their output buffers from the HEADER,
+    * not the input, so a forged header could otherwise demand gigabytes
+    * and die with a fatal OutOfMemoryError instead of the catchable
+    * exception the skip-and-count posture requires. */
+  private val MAX_PIXELS = 1L << 26
+
   // ---- PPM (P6) ------------------------------------------------------------
 
   def encodePpm(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
@@ -194,6 +201,12 @@ object MediaCodecs {
           require(!sawIhdr && len == 13, "bad IHDR")
           w = be32(b, i + 8); h = be32(b, i + 12)
           require(w > 0 && h > 0, s"bad PNG dims ${w}x$h")
+          // hostile-header allocation guard: the de-filter buffer is
+          // sized from IHDR, not from the input — without a cap a forged
+          // 65535x65535 header demands GBs BEFORE any data check, and an
+          // OutOfMemoryError is fatal, not a skip-and-count exception
+          require(w.toLong * h <= MAX_PIXELS,
+            s"PNG dims ${w}x$h exceed the decode pixel cap")
           require(b(i + 16) == 8, s"unsupported PNG bit depth ${b(i + 16)}")
           require(b(i + 17) == 2, s"unsupported PNG color type ${b(i + 17)}")
           require(b(i + 18) == 0 && b(i + 19) == 0,
@@ -840,6 +853,9 @@ object MediaCodecs {
       i += 2 + len
     }
     require(w > 0 && h > 0 && comps != null, "JPEG missing SOF0 before SOS")
+    // hostile-SOF allocation guard (same rationale as the PNG cap)
+    require(w.toLong * h <= MAX_PIXELS,
+      s"JPEG dims ${w}x$h exceed the decode pixel cap")
     val nc = comps.length
     val hmax = comps.map(_(1)).max
     val vmax = comps.map(_(2)).max
