@@ -1470,7 +1470,16 @@ object Dedup {
     *
     * Output: top-20 longest passages (span desc, a, b, start_a) with
     * 0-based token offsets in both documents. */
-  def dupPassages(s: SparkSession, dir: String): DataFrame = {
+  def dupPassages(s: SparkSession, dir: String): DataFrame =
+    passageSpans(s, dir)
+      .orderBy(col("span_tokens").desc, col("a").asc, col("b").asc,
+        col("start_a").asc, col("start_b").asc)
+      .limit(20)
+
+  /** The full passage table (a, b, start_a, start_b, span_tokens), no
+    * report limit — shared by the top-20 report ([[dupPassages]]) and the
+    * removable-token census ([[dedupSavings]]). */
+  private[graft] def passageSpans(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val L = PASSAGE_SEED
     val seeds = Tables.documents(s, dir)
@@ -1507,16 +1516,50 @@ object Dedup {
         (count(lit(1)) + lit(L - 1)).as("span_tokens"))
       .filter(col("span_tokens") >= PASSAGE_MIN_TOKENS)
       .select("a", "b", "start_a", "start_b", "span_tokens")
-      .orderBy(col("span_tokens").desc, col("a").asc, col("b").asc,
-        col("start_a").asc, col("start_b").asc)
-      .limit(20)
   }
 
-  /** Oracle rebuilds the same seeds (joining on the raw 8-gram text —
-    * the md5 is a shuffle-payload bound, not semantics) and the same
-    * gaps-and-islands run detection. */
-  private val dupPassagesSql =
-    s"""WITH d AS (
+  /** Per-source removable-token census — the planning number substring
+    * dedup is run FOR: if every duplicated passage kept its lower-id
+    * copy, how many tokens disappear from each source? Per higher-id doc
+    * b, the removable region is the interval UNION of its passage spans
+    * [start_b, start_b + span): classic sort + running-max islands, again
+    * pure integer sequence work on a key-partitioned window (never
+    * text). Reported against the source's TOTAL token count, fix4. */
+  def dedupSavings(s: SparkSession, dir: String): DataFrame = {
+    val iv = passageSpans(s, dir)
+      .select(col("b"), col("start_b").as("st"),
+        (col("start_b") + col("span_tokens")).as("en"))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy("b").orderBy(col("st"), col("en"))
+    val prevMax = max("en").over(
+      w1.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    val perDoc = iv
+      .withColumn("new_isl",
+        when(col("st") > coalesce(prevMax, lit(-1L)), 1L).otherwise(0L))
+      .withColumn("isl", sum("new_isl").over(w1))
+      .groupBy(col("b"), col("isl"))
+      .agg((max("en") - min("st")).as("ilen"))
+      .groupBy(col("b"))
+      .agg(sum("ilen").as("dup_tokens"))
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    docs.join(perDoc, docs("doc_id") === perDoc("b"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("dup_tokens")).as("docs_with_dups"),
+        sum("n_tok").as("total_tokens"),
+        coalesce(sum("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (floor(coalesce(sum("dup_tokens"), lit(0L)).cast("double")
+          / greatest(sum("n_tok"), lit(1L)).cast("double")
+          * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("dup_rate"))
+      .orderBy("source")
+  }
+
+  /** Shared oracle CTE chain: seeds → capped postings → matching-seed
+    * pairs → gaps-and-islands passages (no report limit). */
+  private lazy val passagesCoreSql =
+    s"""d AS (
       |  SELECT doc_id, string_split(text, ' ') AS toks,
       |         len(string_split(text, ' ')) AS nt
       |  FROM documents),
@@ -1540,15 +1583,64 @@ object Dedup {
       |  SELECT a, b, pa, pb, pa - pb AS delta,
       |         pa - row_number() OVER (PARTITION BY a, b, pa - pb
       |                                 ORDER BY pa) AS isl
-      |  FROM pairs)
-      |SELECT a, b, CAST(min(pa) AS BIGINT) AS start_a,
-      |       CAST(min(pb) AS BIGINT) AS start_b,
-      |       CAST(count(*) + ${PASSAGE_SEED - 1} AS BIGINT) AS span_tokens
-      |FROM isl GROUP BY a, b, delta, isl
-      |HAVING count(*) + ${PASSAGE_SEED - 1} >= $PASSAGE_MIN_TOKENS
+      |  FROM pairs),
+      |pass AS (
+      |  SELECT a, b, CAST(min(pa) AS BIGINT) AS start_a,
+      |         CAST(min(pb) AS BIGINT) AS start_b,
+      |         CAST(count(*) + ${PASSAGE_SEED - 1} AS BIGINT) AS span_tokens
+      |  FROM isl GROUP BY a, b, delta, isl
+      |  HAVING count(*) + ${PASSAGE_SEED - 1} >= $PASSAGE_MIN_TOKENS)""".stripMargin
+
+  /** Oracle rebuilds the same seeds (joining on the raw 8-gram text —
+    * the md5 is a shuffle-payload bound, not semantics) and the same
+    * gaps-and-islands run detection. */
+  private lazy val dupPassagesSql =
+    s"""WITH $passagesCoreSql
+      |SELECT a, b, start_a, start_b, span_tokens FROM pass
       |ORDER BY span_tokens DESC, a, b, start_a, start_b LIMIT 20""".stripMargin
 
+  /** Oracle replays the interval union with the same running-max island
+    * logic over the shared passage CTEs. */
+  private lazy val dedupSavingsSql =
+    s"""WITH $passagesCoreSql,
+      |iv AS (
+      |  SELECT b, start_b AS st, start_b + span_tokens AS en FROM pass),
+      |fl AS (
+      |  SELECT b, st, en,
+      |         CASE WHEN st > coalesce(max(en) OVER (PARTITION BY b
+      |                  ORDER BY st, en
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |                -1) THEN 1 ELSE 0 END AS new_isl
+      |  FROM iv),
+      |fl2 AS (
+      |  SELECT b, st, en,
+      |         sum(new_isl) OVER (PARTITION BY b ORDER BY st, en
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      |  FROM fl),
+      |per_doc AS (
+      |  SELECT b, CAST(sum(ilen) AS BIGINT) AS dup_tokens FROM (
+      |    SELECT b, isl, max(en) - min(st) AS ilen
+      |    FROM fl2 GROUP BY b, isl)
+      |  GROUP BY b),
+      |docs AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(count(p.dup_tokens) AS BIGINT) AS docs_with_dups,
+      |       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+      |       CAST(coalesce(sum(p.dup_tokens), 0) AS BIGINT) AS dup_tokens,
+      |       floor(CAST(coalesce(sum(p.dup_tokens), 0) AS DOUBLE)
+      |             / greatest(CAST(sum(n_tok) AS DOUBLE), 1.0)
+      |             * 10000.0 + 0.5) / 10000.0 AS dup_rate
+      |FROM docs LEFT JOIN per_doc p ON docs.doc_id = p.b
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_dedup_savings", dedupSavings, Some(dedupSavingsSql),
+      doc = "Per-source removable-token census: interval union of " +
+        "duplicated-passage spans per higher-id doc — the planning " +
+        "number substring dedup is run for"),
     Q("q_dup_passages", dupPassages, Some(dupPassagesSql),
       doc = "Exact duplicated-passage extraction (word-level " +
         "ExactSubstr): maximal shared token spans located via " +
