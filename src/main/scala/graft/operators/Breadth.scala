@@ -31,7 +31,7 @@ object Breadth {
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy("n_name", "c_custkey", "c_name")
-      .agg(round(avg("l_quantity"), 4).as("avg_qty"))
+      .agg(Fmt.fix4(avg("l_quantity")).as("avg_qty"))
     val w = Window.partitionBy("n_name")
       .orderBy(col("avg_qty").desc, col("c_custkey").asc)
     perCust
@@ -42,7 +42,7 @@ object Breadth {
 
   private val windowRankSql =
     """WITH per_cust AS (
-      |  SELECT n_name, c_custkey, c_name, round(avg(l_quantity), 4) AS avg_qty
+      |  SELECT n_name, c_custkey, c_name, floor(avg(l_quantity) * 10000.0 + 0.5) / 10000.0 AS avg_qty
       |  FROM lineitem
       |  JOIN orders ON l_orderkey = o_orderkey
       |  JOIN customer ON o_custkey = c_custkey
@@ -151,7 +151,7 @@ object Breadth {
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
-           round(avg("k"), 4).as("avg_k"),
+           Fmt.fix4(avg("k")).as("avg_k"),
            min("k").as("min_k"),
            max("k").as("max_k"),
            sum("k").cast("long").as("sum_k"))
@@ -159,7 +159,7 @@ object Breadth {
 
   private val jsonPropsSql =
     """SELECT event_type, count(*) AS n,
-      |       round(avg(k), 4) AS avg_k,
+      |       floor(avg(k) * 10000.0 + 0.5) / 10000.0 AS avg_k,
       |       min(k) AS min_k, max(k) AS max_k,
       |       CAST(sum(k) AS BIGINT) AS sum_k
       |FROM (SELECT event_type,
@@ -424,7 +424,7 @@ object Breadth {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"),
            max("n_events").as("max_session_events"),
-           round(avg("dur"), 4).as("avg_session_seconds"))
+           Fmt.fix4(avg("dur")).as("avg_session_seconds"))
       .orderBy("user_id")
   }
 
@@ -447,7 +447,7 @@ object Breadth {
       |  FROM sessions GROUP BY user_id, session_id)
       |SELECT user_id, count(*) AS n_sessions,
       |       max(n_events) AS max_session_events,
-      |       round(avg(dur), 4) AS avg_session_seconds
+      |       floor(avg(dur) * 10000.0 + 0.5) / 10000.0 AS avg_session_seconds
       |FROM per_session
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
@@ -663,7 +663,7 @@ object Breadth {
       .filter(col("gap").isNotNull)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_gaps"),
-           round(avg("gap"), 4).as("avg_gap_sec"),
+           Fmt.fix4(avg("gap")).as("avg_gap_sec"),
            round(max("gap"), 4).as("max_gap_sec"))
       .orderBy("user_id")
   }
@@ -675,7 +675,7 @@ object Breadth {
       |                                          ORDER BY ts, event_id) AS gap
       |  FROM events)
       |SELECT user_id, count(*) AS n_gaps,
-      |       round(avg(gap), 4) AS avg_gap_sec,
+      |       floor(avg(gap) * 10000.0 + 0.5) / 10000.0 AS avg_gap_sec,
       |       round(max(gap), 4) AS max_gap_sec
       |FROM g WHERE gap IS NOT NULL
       |GROUP BY user_id ORDER BY user_id""".stripMargin
@@ -1705,11 +1705,11 @@ object Breadth {
         max("day").as("valid_to"), count(lit(1)).as("n_days"))
       .groupBy("tier")
       .agg(count(lit(1)).as("n_intervals"),
-        round(avg(datediff(col("valid_to"), col("valid_from")) + 1), 4)
+        Fmt.fix4(avg(datediff(col("valid_to"), col("valid_from")) + 1))
           .as("avg_span_days"),
         max(datediff(col("valid_to"), col("valid_from")) + 1).cast("long")
           .as("max_span_days"),
-        round(avg("n_days"), 4).as("avg_active_days"))
+        Fmt.fix4(avg("n_days")).as("avg_active_days"))
       .orderBy("tier")
   }
 
@@ -1738,9 +1738,9 @@ object Breadth {
       |         max(day) AS valid_to, count(*) AS n_days
       |  FROM runs GROUP BY 1, 2)
       |SELECT tier, count(*) AS n_intervals,
-      |       round(avg(valid_to - valid_from + 1), 4) AS avg_span_days,
+      |       floor(avg(valid_to - valid_from + 1) * 10000.0 + 0.5) / 10000.0 AS avg_span_days,
       |       CAST(max(valid_to - valid_from + 1) AS BIGINT) AS max_span_days,
-      |       round(avg(n_days), 4) AS avg_active_days
+      |       floor(avg(n_days) * 10000.0 + 0.5) / 10000.0 AS avg_active_days
       |FROM iv GROUP BY tier ORDER BY tier""".stripMargin
 
   /** Chi-squared independence test of event_type × experiment variant —

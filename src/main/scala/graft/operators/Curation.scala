@@ -229,7 +229,7 @@ object Curation {
       .groupBy("source")
       .agg(count(lit(1)).as("n_chunks"),
         countDistinct("digest").as("n_distinct_chunks"),
-        round(avg(col("clen")), 4).as("avg_chunk_len"))
+        Fmt.fix4(avg(col("clen"))).as("avg_chunk_len"))
       .orderBy("source")
 
   private val chunkDedupSql =
@@ -242,7 +242,7 @@ object Curation {
        |        FROM documents))
        |SELECT source, count(*) AS n_chunks,
        |       count(DISTINCT md5(chunk)) AS n_distinct_chunks,
-       |       round(avg(len(chunk)), 4) AS avg_chunk_len
+       |       floor(avg(len(chunk)) * 10000.0 + 0.5) / 10000.0 AS avg_chunk_len
        |FROM c GROUP BY source ORDER BY source""".stripMargin
 
   // --- Token-budget sequence packing --------------------------------------
@@ -276,7 +276,7 @@ object Curation {
         sum(col("nd")).as("n_docs"),
         sum(col("fill")).as("total_tokens"),
         max(col("fill")).as("max_fill"),
-        round(avg(col("fill")), 4).as("avg_fill"))
+        Fmt.fix4(avg(col("fill"))).as("avg_fill"))
       .orderBy("source")
   }
 
@@ -305,7 +305,7 @@ object Curation {
        |       CAST(sum(nd) AS BIGINT) AS n_docs,
        |       CAST(sum(fill) AS BIGINT) AS total_tokens,
        |       CAST(max(fill) AS BIGINT) AS max_fill,
-       |       round(avg(fill), 4) AS avg_fill
+       |       floor(avg(fill) * 10000.0 + 0.5) / 10000.0 AS avg_fill
        |FROM bins GROUP BY source ORDER BY source""".stripMargin
 
   // --- Deterministic training-order shuffle + sharding --------------------
@@ -1097,12 +1097,17 @@ object Curation {
     *
     * Exactness: everything is integer until the final displays — the
     * lookup rank k = ⌈F_src(v)·N_pool⌉ = (cum_s·N_pool + n_s − 1) div
-    * n_s is exact integer arithmetic, and the normalized value is the
-    * min pooled value whose cumulative count reaches k. Shape: frames
-    * are (source × value)-domain-sized; the pooled CDF's global window
-    * runs over the BOUNDED distinct-length domain (the [[q: Mann-
-    * Whitney]] precedent) and broadcasts into an inequality lookup
-    * (domain²-bounded, never facts). */
+    * n_s is exact integer arithmetic (decimal(38,0) product, integral
+    * div), and the normalized value is the min pooled value whose
+    * cumulative count reaches k. Shape: frames are (source × value)-
+    * domain-sized; the lookup itself is a STEP-FUNCTION ALIGNMENT, not
+    * a join — probe rows (key = k) and pooled-CDF anchor rows (key =
+    * cum_p) union-tag into ONE descending-ordered window where
+    * `last(v_p, ignoreNulls)` picks, for every probe, the smallest
+    * anchor with cum_p ≥ k. O(V log V) over the BOUNDED distinct-length
+    * domain (the [[q: Mann-Whitney]] precedent) — the descending
+    * UNBOUNDED-PRECEDING frame is Spark's incremental running-state
+    * kind, so the pass is linear after the sort. */
   def quantileNorm(s: SparkSession, dir: String): DataFrame =
     quantileNormOn(Tables.documents(s, dir).select("source", "n_chars"))
 
@@ -1114,24 +1119,32 @@ object Curation {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wSrcAll = Window.partitionBy("source")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val srcCum = perSV
+    val wGlobAll = Window
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // probe per (source, value): lookup rank k into the pooled CDF,
+    // exact ceil via (cum_s·n_pool + n_s − 1) div n_s. n_pool rides the
+    // same bounded-domain frame as the CDFs (a window, not a join).
+    val probes = perSV
       .withColumn("cum_s", sum("t").over(wSrcCum))
       .withColumn("n_s", sum("t").over(wSrcAll))
+      .withColumn("n_pool", sum("t").over(wGlobAll))
+      .withColumn("key",
+        expr("(CAST(cum_s AS DECIMAL(38,0)) * n_pool + n_s - 1) div n_s"))
+      .withColumn("tag", lit(0))
+      .drop("cum_s", "n_pool")
     val wCum = Window.orderBy("n_chars")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val pooled = docs.groupBy("n_chars").agg(count(lit(1)).as("tp"))
-      .withColumn("cum_p", sum("tp").over(wCum))
-      .withColumn("n_pool", sum("tp").over(wAll))
-      .select(col("n_chars").as("v_p"), col("cum_p"), col("n_pool"))
-    // normalized(v) = min pooled v_p with F_pool(v_p) ≥ F_src(v),
-    // cross-multiplied to exact integers: cum_p·n_s ≥ cum_s·n_pool
-    val normed = srcCum.join(broadcast(pooled),
-        col("cum_p").cast("decimal(38,0)") * col("n_s")
-          >= col("cum_s").cast("decimal(38,0)") * col("n_pool"))
-      .groupBy("source", "n_chars", "t", "n_s")
-      .agg(min("v_p").as("v_norm"))
+    val anchors = docs.groupBy("n_chars").agg(count(lit(1)).as("tp"))
+      .withColumn("key", sum("tp").over(wCum))
+      .select(col("n_chars").as("v_p"), col("key"), lit(1).as("tag"))
+    // normalized(v) = min pooled v_p with cum_p ≥ k. Descending (key,
+    // tag) order makes that "the last anchor seen" — anchors (tag 1)
+    // sort before probes (tag 0) at equal key so cum_p = k matches.
+    val wAlign = Window.orderBy(col("key").desc, col("tag").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val normed = probes.unionByName(anchors, allowMissingColumns = true)
+      .withColumn("v_norm", last("v_p", ignoreNulls = true).over(wAlign))
+      .where(col("tag") === 0)
     def fix4(c: Column) =
       floor(c * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)
     normed.groupBy("source")

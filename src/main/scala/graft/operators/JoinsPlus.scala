@@ -131,7 +131,7 @@ object JoinsPlus {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_purchases"),
            count(col("last_view_sec")).as("n_attributed"),
-           round(avg("delay"), 4).as("avg_delay_sec"))
+           Fmt.fix4(avg("delay")).as("avg_delay_sec"))
       .orderBy("user_id")
   }
 
@@ -150,7 +150,7 @@ object JoinsPlus {
       |  FROM uni)
       |SELECT user_id, count(*) AS n_purchases,
       |       count(last_view_sec) AS n_attributed,
-      |       round(avg(sec - last_view_sec), 4) AS avg_delay_sec
+      |       floor(avg(sec - last_view_sec) * 10000.0 + 0.5) / 10000.0 AS avg_delay_sec
       |FROM att WHERE tag = 1
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
@@ -178,7 +178,7 @@ object JoinsPlus {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_purchases"),
         count(col("v_us")).as("n_attributed"),
-        round(avg("delay_us") / lit(1000000.0d), 4).as("avg_delay_sec"))
+        Fmt.fix4(avg("delay_us") / lit(1000000.0d)).as("avg_delay_sec"))
       .orderBy("user_id")
   }
 
@@ -196,7 +196,7 @@ object JoinsPlus {
       |  GROUP BY 1, 2, 3)
       |SELECT user_id, count(*) AS n_purchases,
       |       count(v_us) AS n_attributed,
-      |       round(avg(b_us - v_us) / 1000000.0, 4) AS avg_delay_sec
+      |       floor(avg(b_us - v_us) / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS avg_delay_sec
       |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** Leakage-free training-feature assembly with the FIRST-CLASS as-of
@@ -508,7 +508,7 @@ object JoinsPlus {
     * you would hand-write, so the subquery form is scale-free sugar. */
   private val correlatedQuery =
     """SELECT n_name, count(*) AS n_above,
-      |       round(avg(c_acctbal), 4) AS avg_above_bal
+      |       floor(avg(c_acctbal) * 10000.0 + 0.5) / 10000.0 AS avg_above_bal
       |FROM customer c JOIN nation n ON c_nationkey = n_nationkey
       |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
       |                   WHERE c2.c_nationkey = c.c_nationkey)

@@ -256,8 +256,8 @@ object Multimodal {
     resized(s, dir)
       .groupBy("media_type")
       .agg(count(lit(1)).as("n"),
-           round(avg("r_width"), 4).as("avg_r_width"),
-           round(avg("r_height"), 4).as("avg_r_height"),
+           Fmt.fix4(avg("r_width")).as("avg_r_width"),
+           Fmt.fix4(avg("r_height")).as("avg_r_height"),
            max("r_width").as("max_r_width"),
            max("r_height").as("max_r_height"),
            sum("r_cells").as("r_cells"),
@@ -319,7 +319,7 @@ object Multimodal {
       |  FROM px),
       |per AS (
       |  SELECT media_type, CAST(count(*) AS BIGINT) AS n,
-      |         round(avg(rw), 4) AS aw, round(avg(rh), 4) AS ah,
+      |         floor(avg(rw) * 10000.0 + 0.5) / 10000.0 AS aw, floor(avg(rh) * 10000.0 + 0.5) / 10000.0 AS ah,
       |         CAST(max(rw) AS INTEGER) AS mw,
       |         CAST(max(rh) AS INTEGER) AS mh,
       |         CAST(sum(rw * rh * ch) AS BIGINT) AS cells
@@ -344,11 +344,11 @@ object Multimodal {
     decoded(s, dir)
       .groupBy("media_type")
       .agg(count(lit(1)).as("n"),
-           round(avg("width"), 4).as("avg_width"),
-           round(avg("height"), 4).as("avg_height"),
+           Fmt.fix4(avg("width")).as("avg_width"),
+           Fmt.fix4(avg("height")).as("avg_height"),
            sum("n_frames").cast("long").as("total_frames"),
            sum("n_sampled").cast("long").as("total_sampled"),
-           round(avg("brightness"), 4).as("avg_brightness"))
+           Fmt.fix4(avg("brightness")).as("avg_brightness"))
       .orderBy("media_type")
 
   /** Oracle recomputes the generation+decode arithmetic straight from
@@ -374,11 +374,11 @@ object Multimodal {
       |              ELSE ascii(substr(text, 1, 1)) END AS bright
       |  FROM documents)
       |SELECT media_type, count(*) AS n,
-      |       round(avg(w), 4) AS avg_width,
-      |       round(avg(h), 4) AS avg_height,
+      |       floor(avg(w) * 10000.0 + 0.5) / 10000.0 AS avg_width,
+      |       floor(avg(h) * 10000.0 + 0.5) / 10000.0 AS avg_height,
       |       CAST(sum(frames) AS BIGINT) AS total_frames,
       |       CAST(sum((frames + 5) // 6) AS BIGINT) AS total_sampled,
-      |       round(avg(bright), 4) AS avg_brightness
+      |       floor(avg(bright) * 10000.0 + 0.5) / 10000.0 AS avg_brightness
       |FROM dec
       |GROUP BY 1
       |ORDER BY media_type""".stripMargin
@@ -565,7 +565,7 @@ object Multimodal {
       .groupBy("container")
       .agg(count(lit(1)).as("n"),
         // widths/heights sum as exact integers, so one double division +
-        // the fleet fix4 floor is engine-identical; round(avg(x),4) is
+        // the fleet fix4 floor is engine-identical; round-avg-4 is
         // HALF_UP-on-BigDecimal in Spark but float-rounding in DuckDB —
         // a latent hash flake at representation edges (ADVICE r10)
         (floor(sum("width").cast("double") * lit(10000.0d)

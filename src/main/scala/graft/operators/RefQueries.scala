@@ -37,14 +37,14 @@ object RefQueries {
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"))
-      .agg(round(avg("l_quantity"), 4).as("avg_qty"),
+      .agg(Fmt.fix4(avg("l_quantity")).as("avg_qty"),
            count(lit(1)).as("n_lines"))
       .orderBy(col("avg_qty").desc, col("c_custkey").asc)
       .limit(1)
   }
 
   private val flagshipSql =
-    """SELECT c_custkey, c_name, round(avg(l_quantity), 4) AS avg_qty,
+    """SELECT c_custkey, c_name, floor(avg(l_quantity) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
       |       count(*) AS n_lines
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -65,8 +65,8 @@ object RefQueries {
         round(sum("l_extendedprice"), 4).as("sum_base_price"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
           .as("sum_disc_price"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        Fmt.fix4(avg("l_quantity")).as("avg_qty"),
+        Fmt.fix4(avg("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -75,8 +75,8 @@ object RefQueries {
       |       round(sum(l_quantity), 4) AS sum_qty,
       |       round(sum(l_extendedprice), 4) AS sum_base_price,
       |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-      |       round(avg(l_quantity), 4) AS avg_qty,
-      |       round(avg(l_discount), 4) AS avg_disc,
+      |       floor(avg(l_quantity) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+      |       floor(avg(l_discount) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
       |       count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
@@ -166,13 +166,13 @@ object RefQueries {
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy("r_name", "n_name")
       .agg(count(lit(1)).as("n_customers"),
-           round(avg("c_acctbal"), 4).as("avg_bal"))
+           Fmt.fix4(avg("c_acctbal")).as("avg_bal"))
       .orderBy("r_name", "n_name")
   }
 
   private val dimHierarchySql =
     """SELECT r_name, n_name, count(*) AS n_customers,
-      |       round(avg(c_acctbal), 4) AS avg_bal
+      |       floor(avg(c_acctbal) * 10000.0 + 0.5) / 10000.0 AS avg_bal
       |FROM customer
       |JOIN nation ON c_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey

@@ -182,10 +182,10 @@ object TextAnalysis {
           + lit(0.2) * when(col("avg_wlen").between(3d, 8d), 1d).otherwise(0d))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
-           round(avg("n_tok"), 4).as("avg_tokens"),
-           round(avg("avg_wlen"), 4).as("avg_word_len"),
-           round(avg("stop_ratio"), 4).as("avg_stop_ratio"),
-           round(avg("quality"), 4).as("avg_quality"))
+           Fmt.fix4(avg("n_tok")).as("avg_tokens"),
+           Fmt.fix4(avg("avg_wlen")).as("avg_word_len"),
+           Fmt.fix4(avg("stop_ratio")).as("avg_stop_ratio"),
+           Fmt.fix4(avg("quality")).as("avg_quality"))
       .orderBy("lang")
 
   private val qualitySql =
@@ -206,10 +206,10 @@ object TextAnalysis {
       |           AS quality
       |  FROM m)
       |SELECT lang, count(*) AS n_docs,
-      |       round(avg(n_tok), 4) AS avg_tokens,
-      |       round(avg(avg_wlen), 4) AS avg_word_len,
-      |       round(avg(stop_ratio), 4) AS avg_stop_ratio,
-      |       round(avg(quality), 4) AS avg_quality
+      |       floor(avg(n_tok) * 10000.0 + 0.5) / 10000.0 AS avg_tokens,
+      |       floor(avg(avg_wlen) * 10000.0 + 0.5) / 10000.0 AS avg_word_len,
+      |       floor(avg(stop_ratio) * 10000.0 + 0.5) / 10000.0 AS avg_stop_ratio,
+      |       floor(avg(quality) * 10000.0 + 0.5) / 10000.0 AS avg_quality
       |FROM q GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Token counting two ways: whitespace split and a BPE-ish regex
@@ -225,7 +225,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
            sum("ws_tok").cast("long").as("total_ws_tokens"),
            sum("re_tok").cast("long").as("total_re_tokens"),
-           round(avg("ws_tok"), 4).as("avg_ws_tokens"))
+           Fmt.fix4(avg("ws_tok")).as("avg_ws_tokens"))
       .orderBy("lang")
 
   private val tokenCountsSql =
@@ -233,7 +233,8 @@ object TextAnalysis {
       |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
       |       CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
       |         AS total_re_tokens,
-      |       round(avg(len(string_split(text, ' '))), 4) AS avg_ws_tokens
+      |       floor(avg(len(string_split(text, ' '))) * 10000.0 + 0.5)
+      |         / 10000.0 AS avg_ws_tokens
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Term frequency via explode (Spark's Generator / UDTF analog): top-20
@@ -424,7 +425,7 @@ object TextAnalysis {
           .otherwise("train"))
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n_docs"),
-           round(avg(size(split(col("text"), " "))), 4).as("avg_tokens"))
+           Fmt.fix4(avg(size(split(col("text"), " ")))).as("avg_tokens"))
       .orderBy("lang", "split")
 
   private val hashSplitSql =
@@ -432,7 +433,8 @@ object TextAnalysis {
       |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) < '4'
       |            THEN 'test' ELSE 'train' END AS split,
       |       count(*) AS n_docs,
-      |       round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
+      |       floor(avg(len(string_split(text, ' '))) * 10000.0 + 0.5)
+      |         / 10000.0 AS avg_tokens
       |FROM documents
       |GROUP BY 1, 2
       |ORDER BY lang, split""".stripMargin

@@ -69,7 +69,7 @@ object TrainPipeline {
     prepared(s, dir)
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n_docs"),
-           round(avg("quality"), 4).as("avg_quality"))
+           Fmt.fix4(avg("quality")).as("avg_quality"))
       .orderBy("lang", "split")
 
   private val summarySql =
@@ -105,7 +105,7 @@ object TrainPipeline {
       |         quality
       |  FROM kept)
       |SELECT lang, split, count(*) AS n_docs,
-      |       round(avg(quality), 4) AS avg_quality
+      |       floor(avg(quality) * 10000.0 + 0.5) / 10000.0 AS avg_quality
       |FROM assigned
       |GROUP BY lang, split
       |ORDER BY lang, split""".stripMargin

@@ -158,9 +158,6 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     // bounded (<=200-row) candidate-triple list broadcast onto the
     // basket scan - the Apriori pruned level-3 pass
     "q_freq_triples",
-    // pooled-CDF (distinct-length-domain) table broadcast into the
-    // exact cross-multiplied quantile lookup
-    "q_quantile_norm",
     // 1-row corpus-token-total frame broadcast onto the pair table
     "q_keywords",
     // 1-row query-phrase frame broadcast onto the posting scan (the OR
@@ -216,7 +213,8 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       "(the decile CUT itself is DistNtile)"),
     "q_kruskal_wallis" -> "rank-sum over the distinct-value domain",
     "q_mann_whitney" -> "rank-sum over the distinct-value domain",
-    "q_quantile_norm" -> "pooled CDF over the distinct-length domain",
+    "q_quantile_norm" -> ("pooled CDF + union-tag step alignment over " +
+      "the distinct-length domain (no join — the r12 BNLJ kill)"),
     "q_isotonic" -> "cumulative sums over the 10-row decile table",
     "q_nelson_aalen" -> "cumulative hazard over the ≤horizon-hour table",
     "q_quality_retention" -> "cumulative retention over the 10-row decile table",
