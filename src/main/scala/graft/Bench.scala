@@ -11,7 +11,30 @@ import org.apache.spark.sql.SparkSession
   * measurement, same idea as a 100 TB job writing parquet minus the IO).
   */
 object Bench {
+  /** 1-minute system load average — host-noise telemetry for the bench
+    * artifacts (VERDICT r11 #3): a cold pass reading 30% high is
+    * self-explaining when the artifact records the competing load. */
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** Number of OTHER live JVMs on the host (this process excluded) — the
+    * usual competing-load culprit on a shared bench box. Best-effort:
+    * -1 when the process table can't be read. */
+  private def otherJvms(): Long =
+    try {
+      val self = ProcessHandle.current().pid()
+      var n = 0L
+      ProcessHandle.allProcesses().forEach { p =>
+        if (p.pid() != self &&
+          p.info().command().map[Boolean](_.contains("java")).orElse(false))
+          n += 1
+      }
+      n
+    } catch { case scala.util.control.NonFatal(_) => -1L }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -48,9 +71,13 @@ object Bench {
     val changedOnly =
       sys.env.get("SPARK_GRAFT_BENCH_CHANGED_ONLY").contains("1")
     val manifest = BenchManifest.load()
+    // carried must respect the same subset filter as the live runs: with
+    // both env vars set, a carried query outside ONLY would otherwise
+    // sneak into the output JSON and the headline total (ADVICE r11)
     val carried: Map[String, Double] =
-      if (!changedOnly || manifest.isEmpty) Map.empty
-      else BenchManifest.carriable(manifest.get)
+      (if (!changedOnly || manifest.isEmpty) Map.empty[String, Double]
+       else BenchManifest.carriable(manifest.get))
+        .filter { case (name, _) => only.forall(_.contains(name)) }
     val allNames = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val names = allNames.filterNot { case (name, _) => carried.contains(name) }
@@ -143,15 +170,21 @@ object Bench {
     val cold = names.map { case (name, _) =>
       name -> samples.collectFirst { case (1, `name`, dt) => dt }.getOrElse(0.0)
     }
+    // host-noise telemetry (VERDICT r11 #3): both artifacts carry the
+    // loadavg at JVM start and at measurement end plus the competing-JVM
+    // count, so a judge can discount a host-loaded pass without rerunning
+    val host =
+      s""","loadavg_start":$loadStart,"loadavg_end":${loadAvg()}""" +
+        s""","other_jvms":${otherJvms()}"""
     val coldSummary = summaryJson("bench_cold", cold,
-      s""","first_touch_n":${touched.size},"passes":$passes""")
+      s""","first_touch_n":${touched.size},"passes":$passes$host""")
     // Compact summary printed LAST: the driver keeps only the tail of the
     // output, and the detail line above is ~40 KB with the total at its
     // head — so every BENCH_r*.json through round 8 recorded parsed:null.
     // This second line is small enough to always survive the tail capture
     // and carries everything the 2x-of-baseline acceptance gate needs.
     val summary = summaryJson("bench_summary", results,
-      s""","n_carried":${carried.size}""")
+      s""","n_carried":${carried.size}$host""")
     // Belt and braces for the driver's parser: (a) the summary also lands
     // in a bare file no log framework can decorate; (b) stop Spark BEFORE
     // the final println so no shutdown chatter can print after it; the

@@ -80,7 +80,9 @@ object BenchManifest {
       l.split("\t") match {
         case Array("core", h) => core = h
         case Array("group", f, h) => groups += f -> h
-        case Array("q", name, f, t) => mins += name -> (f, t.toDouble)
+        // 5th field (fresh|carried) is provenance only — a carried min is
+        // still carriable as long as its file hashes match
+        case Array("q", name, f, t, _*) => mins += name -> (f, t.toDouble)
         case _ => ()
       }
     }
@@ -101,7 +103,9 @@ object BenchManifest {
     }
 
   /** Write the manifest for the NEXT run: current hashes + per-query
-    * mins (freshly measured ones, plus carried ones re-recorded as-is).
+    * mins. Rows re-recorded from a prior manifest (the `carried` set)
+    * are tagged `carried` so a manifest reader can see how stale a
+    * number is — a fresh measurement always re-tags the row `fresh`.
     * Best-effort — a failure only disables the accelerator. */
   def save(results: Seq[(String, Double)], carried: Set[String]): Unit =
     (coreHash(), groupHashes()) match {
@@ -114,7 +118,8 @@ object BenchManifest {
         gh.toSeq.sorted.foreach { case (f, h) => sb ++= s"group\t$f\t$h\n" }
         results.foreach { case (name, t) =>
           fileOf.get(name).foreach { f =>
-            if (t > 0) sb ++= s"q\t$name\t$f\t$t\n"
+            val tag = if (carried.contains(name)) "carried" else "fresh"
+            if (t > 0) sb ++= s"q\t$name\t$f\t$t\t$tag\n"
           }
         }
         try {
