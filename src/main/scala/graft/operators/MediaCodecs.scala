@@ -77,9 +77,16 @@ object MediaCodecs {
     val maxv = token().toInt
     require(maxv == 255, s"unsupported PPM maxval $maxv")
     i += 1 // exactly ONE whitespace byte separates the header from pixels
-    require(b.length - i >= w * h * 3,
-      s"truncated PPM: ${b.length - i} of ${w * h * 3} pixel bytes")
-    Decoded("image", w, h, 1, java.util.Arrays.copyOfRange(b, i, i + w * h * 3))
+    // long arithmetic + the shared pixel cap: `w * h * 3` in Int overflows
+    // on a forged `P6 65536 65536` header (wraps to 0, "passes" the
+    // truncation check, returns huge dims with empty content — ADVICE r11)
+    require(w > 0 && h > 0 && w.toLong * h <= MAX_PIXELS,
+      s"PPM dims ${w}x$h exceed the decode pixel cap")
+    val need = w.toLong * h * 3
+    require(b.length - i >= need,
+      s"truncated PPM: ${b.length - i} of $need pixel bytes")
+    Decoded("image", w, h, 1,
+      java.util.Arrays.copyOfRange(b, i, i + need.toInt))
   }
 
   // ---- PNG (8-bit RGB, ISO/IEC 15948) --------------------------------------
@@ -360,6 +367,10 @@ object MediaCodecs {
     val h = param('H').getOrElse(sys.error("Y4M missing H")).toInt
     require(param('C').forall(_.startsWith("420")),
       "only 4:2:0 Y4M supported")
+    // same hostile-header posture as the image decoders: cap pixels
+    // BEFORE sizing the frame, in long arithmetic (ADVICE r11)
+    require(w > 0 && h > 0 && w.toLong * h <= MAX_PIXELS,
+      s"Y4M dims ${w}x$h exceed the decode pixel cap")
     val fs = w * h * 3 / 2
     val content = new java.io.ByteArrayOutputStream()
     var n = 0
@@ -703,6 +714,12 @@ object MediaCodecs {
   /** Canonical Huffman decode tables (T.81 F.2.2.3 decoder): per code
     * length, the smallest code and the index of its first value. */
   private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
+    // a hostile DHT whose BITS counts exceed the supplied value bytes
+    // must raise a labeled error here, not a raw index exception deep in
+    // value() during entropy decode (ADVICE r11)
+    require(bits.sum == vals.length,
+      s"malformed DHT: BITS declares ${bits.sum} codes, " +
+        s"${vals.length} values supplied")
     val minCode = new Array[Int](17)
     val maxCode = new Array[Int](17) // -1 = no codes at this length
     val valPtr = new Array[Int](17)
@@ -789,9 +806,19 @@ object MediaCodecs {
     val acSel = new Array[Int](3)
     var sos = -1
     while (sos < 0) {
-      require(i + 4 <= b.length, "truncated JPEG marker stream")
+      require(i + 2 <= b.length, "truncated JPEG marker stream")
       require((b(i) & 0xff) == 0xff, f"expected marker, got ${b(i)}%02x")
+      // T.81 B.1.1.2: any number of 0xFF fill bytes may pad before the
+      // marker code — skip the run so a conformant foreign encoder's
+      // padding isn't misread as a marker with a bogus length (ADVICE r11)
+      while (i + 1 < b.length && (b(i + 1) & 0xff) == 0xff) i += 1
+      require(i + 2 <= b.length, "truncated JPEG marker stream")
       val m = b(i + 1) & 0xff
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+        // TEM / RSTn are length-less standalone markers
+        i += 2
+      } else {
+      require(i + 4 <= b.length, "truncated JPEG marker stream")
       val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
       require(i.toLong + 2 + len <= b.length, "truncated JPEG segment")
       val p = i + 4 // payload start
@@ -812,6 +839,8 @@ object MediaCodecs {
             val th = b(o) & 0x0f
             val bits = Array.tabulate(16)(j => b(o + 1 + j) & 0xff)
             val n = bits.sum
+            require(o + 17 + n <= i + 2 + len,
+              s"malformed DHT: $n declared values overrun the segment")
             val vals = Array.tabulate(n)(j => b(o + 17 + j) & 0xff)
             if (tc == 0) dcT(th) = new HuffTable(bits, vals)
             else acT(th) = new HuffTable(bits, vals)
@@ -851,6 +880,7 @@ object MediaCodecs {
         case _ => () // APPn / COM / anything else: skip
       }
       i += 2 + len
+      }
     }
     require(w > 0 && h > 0 && comps != null, "JPEG missing SOF0 before SOS")
     // hostile-SOF allocation guard (same rationale as the PNG cap)
