@@ -65,25 +65,35 @@ object SnapshotLake {
   final case class FileEntry(path: String, rows: Long,
                              min: Option[Long], max: Option[Long],
                              more: Seq[(Option[Long], Option[Long])] =
-                               Seq.empty) {
+                               Seq.empty,
+                             nulls: Seq[Option[Long]] = Seq.empty) {
     def serialized: String = {
       def f(o: Option[Long]) = o.fold("")(_.toString)
-      (s"$path|$rows|${f(min)}|${f(max)}" +:
+      val head = (s"$path|$rows|${f(min)}|${f(max)}" +:
         more.map { case (mn, mx) => s"${f(mn)}|${f(mx)}" }).mkString("|")
+      // null counts (one per declared stats column, aligned with
+      // [[statsColsOf]]) ride behind an `N` sentinel so pre-null-stats
+      // manifests still parse — a value field is always numeric or empty
+      if (nulls.isEmpty) head
+      else head + "|N|" + nulls.map(f).mkString("|")
     }
   }
 
-  private def parseEntry(s: String): FileEntry =
+  private def parseEntry(s: String): FileEntry = {
+    def o(x: String) = if (x.isEmpty) None else Some(x.toLong)
     // limit -1: trailing empty fields (a stats-less extra column) must
     // survive the split or pair alignment silently shifts
     s.split("\\|", -1) match {
-      case Array(p, r, mn, mx, rest @ _*) if rest.size % 2 == 0 =>
-        def o(x: String) = if (x.isEmpty) None else Some(x.toLong)
-        FileEntry(p, r.toLong, o(mn), o(mx),
-          rest.grouped(2).map { case Seq(a, b) => (o(a), o(b)) }.toSeq)
+      case Array(p, r, mn, mx, rest @ _*) =>
+        val (pairPart, nullPart) = rest.span(_ != "N")
+        if (pairPart.size % 2 != 0) FileEntry(s, -1L, None, None)
+        else FileEntry(p, r.toLong, o(mn), o(mx),
+          pairPart.grouped(2).map { case Seq(a, b) => (o(a), o(b)) }.toSeq,
+          nullPart.drop(1).map(o).toSeq)
       case Array(p, r) => FileEntry(p, r.toLong, None, None)
       case _ => FileEntry(s, -1L, None, None) // legacy bare-path line
     }
+  }
 
   /** One logical column of an ID-BASED table: a stable field id (never
     * reused), its CURRENT name, and its type DDL. Ids are written into
@@ -521,10 +531,10 @@ object SnapshotLake {
         .filter(_._2._1 > 0)
       finally s.close()
     }
-    val named = parts.zipWithIndex.map { case ((p, (rows, pairs)), i) =>
+    val named = parts.zipWithIndex.map { case ((p, (rows, pairs, nulls)), i) =>
       val rel = s"data/v$v-$nonce-${offset + i}.parquet"
       Files.move(p, Paths.get(root, rel), StandardCopyOption.ATOMIC_MOVE)
-      entryOf(rel, rows, pairs)
+      entryOf(rel, rows, pairs, nulls)
     }
     deleteRecursively(scratch)
     named
@@ -563,19 +573,23 @@ object SnapshotLake {
   private def statsColsOf(statsCol: Option[String]): Seq[String] =
     statsCol.toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
 
-  /** (rowCount, per-stats-column (min, max)) from the parquet footer —
-    * one metadata read, no data pages touched. Min/max fold across row
-    * groups; integral physical types only (the stats contract here).
-    * The result Seq is positionally aligned with [[statsColsOf]]. */
+  /** (rowCount, per-stats-column (min, max), per-stats-column null
+    * count) from the parquet footer — one metadata read, no data pages
+    * touched. Min/max fold across row groups; integral physical types
+    * only (the stats contract here). Null counts sum across row groups
+    * and go UNKNOWN (None) if any group left numNulls unset — lossy-
+    * never, like the ranges. Both Seqs are positionally aligned with
+    * [[statsColsOf]]. */
   private def footerStats(p: Path, statsCol: Option[String])
-      : (Long, Seq[(Option[Long], Option[Long])]) = {
+      : (Long, Seq[(Option[Long], Option[Long])], Seq[Option[Long]]) = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(p.toString),
       new org.apache.hadoop.conf.Configuration())
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
       val rows = r.getRecordCount
-      val pairs = statsColsOf(statsCol).map { c =>
+      val cols = statsColsOf(statsCol)
+      val pairs = cols.map { c =>
         val ranges = r.getFooter.getBlocks.asScala.flatMap { b =>
           b.getColumns.asScala
             .find(_.getPath.toDotString == c)
@@ -593,16 +607,30 @@ object SnapshotLake {
         else (Some(ranges.map(_._1).min): Option[Long],
           Some(ranges.map(_._2).max): Option[Long])
       }
-      (rows, pairs)
+      val nulls = cols.map { c =>
+        val perBlock = r.getFooter.getBlocks.asScala.map { b =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString == c)
+            .map(_.getStatistics) match {
+            case Some(st) if st != null && st.isNumNullsSet =>
+              Some(st.getNumNulls)
+            case _ => None
+          }
+        }
+        if (perBlock.exists(_.isEmpty)) None
+        else Some(perBlock.flatten.sum): Option[Long]
+      }
+      (rows, pairs, nulls)
     } finally r.close()
   }
 
   /** Build a [[FileEntry]] from a footer read: first stats pair primary,
-    * the rest `more`. */
+    * the rest `more`; null counts aligned with the declared columns. */
   private def entryOf(rel: String, rows: Long,
-                      pairs: Seq[(Option[Long], Option[Long])]): FileEntry = {
+                      pairs: Seq[(Option[Long], Option[Long])],
+                      nulls: Seq[Option[Long]]): FileEntry = {
     val (mn, mx) = pairs.headOption.getOrElse((None, None))
-    FileEntry(rel, rows, mn, mx, pairs.drop(1))
+    FileEntry(rel, rows, mn, mx, pairs.drop(1), nulls)
   }
 
   // ---- writes --------------------------------------------------------------
@@ -748,11 +776,11 @@ object SnapshotLake {
           .filter(_._2._1 > 0)
         finally s.close()
       }
-      parts.map { case (p, (rows, pairs)) =>
+      parts.map { case (p, (rows, pairs, nulls)) =>
         val rel = s"data/v$v-$nonce-$i.parquet"
         i += 1
         Files.move(p, Paths.get(root, rel), StandardCopyOption.ATOMIC_MOVE)
-        (entryOf(rel, rows, pairs), rel -> (spec.id, pval))
+        (entryOf(rel, rows, pairs, nulls), rel -> (spec.id, pval))
       }
     }
     deleteRecursively(scratch)
@@ -1247,6 +1275,39 @@ object SnapshotLake {
         case _ => true
       }
     }
+
+  /** Manifest-only IS NULL / IS NOT NULL pruning over the idx-th
+    * declared stats column: `wantNull = true` keeps files whose null
+    * count is positive, `false` keeps files with at least one non-null
+    * row (nullCount < rows). Files with UNKNOWN null counts are kept —
+    * pruning must never be lossy. Completes the Iceberg stats model:
+    * min/max answers ranges, null counts answer nullability predicates
+    * from the same one-manifest read. */
+  private[graft] def pruneEntriesNull(snap: Snapshot, idx: Int,
+                                      wantNull: Boolean): Seq[FileEntry] =
+    snap.files.filter { f =>
+      f.nulls.lift(idx).flatten match {
+        case Some(n) => if (wantNull) n > 0 else n < f.rows
+        case None => true
+      }
+    }
+
+  /** `IS NULL` / `IS NOT NULL` scan over any declared stats column,
+    * skipping files from the manifest's null counts alone — at 100 TB a
+    * sparse column's null probes touch only the files that ever wrote a
+    * null. Row-exact: the residual predicate applies inside the
+    * surviving files. */
+  def readIsNull(spark: SparkSession, root: String, colName: String,
+                 wantNull: Boolean): DataFrame = {
+    val snap = snapshot(root, mainVersion(root))
+    val cs = statsColsOf(snap.statsCol)
+    val idx = cs.indexOf(colName)
+    require(idx >= 0, s"'$colName' is not a declared stats column of " +
+      s"$root (declared: ${cs.mkString(",")})")
+    val live = openFiles(spark, root, snap, pruneEntriesNull(snap, idx, wantNull))
+    if (wantNull) live.filter(col(colName).isNull)
+    else live.filter(col(colName).isNotNull)
+  }
 
   /** Range scan over the stats column with manifest file skipping: only
     * files whose footer-recorded range intersects [lo, hi] are read at

@@ -221,6 +221,54 @@ class SnapshotLakeSpec extends SparkTestBase {
       s"scan touched skipped files: $readFiles")
   }
 
+  test("null-count stats: IS NULL / IS NOT NULL predicates skip files " +
+    "by manifest alone, lossy-never, serde round-trips") {
+    import spark.implicits._
+    val root = freshRoot("nullskip")
+    // f1: v fully populated; f2: v ALL null — so the two nullability
+    // predicates prune OPPOSITE files and neither can be answered by
+    // min/max ranges at all
+    SnapshotLake.create(
+      (0L until 100L).map(i => (i, java.lang.Long.valueOf(1000L - i)))
+        .toDF("id", "v").coalesce(1),
+      root, statsCol = Some("id,v"))
+    SnapshotLake.append(spark,
+      (100L until 200L).map(i => (i, null: java.lang.Long))
+        .toDF("id", "v").coalesce(1),
+      root)
+    val snap = SnapshotLake.snapshot(root, 2)
+    // every entry carries a KNOWN null count per declared stats column
+    assert(snap.files.forall(f => f.nulls.size == 2 && f.nulls.forall(_.isDefined)),
+      s"null counts missing: ${snap.files.map(_.nulls)}")
+    // metadata-only pruning on column v (idx 1)
+    val wantNull = SnapshotLake.pruneEntriesNull(snap, 1, wantNull = true)
+    assert(wantNull.nonEmpty && wantNull.forall(_.path.startsWith("data/v2-")),
+      s"IS NULL pruning kept ${wantNull.map(_.path)}")
+    val wantVal = SnapshotLake.pruneEntriesNull(snap, 1, wantNull = false)
+    assert(wantVal.nonEmpty && wantVal.forall(_.path.startsWith("data/v1-")),
+      s"IS NOT NULL pruning kept ${wantVal.map(_.path)}")
+    // row-exact scans that actually open only the surviving files
+    val gotNull = SnapshotLake.readIsNull(spark, root, "v", wantNull = true)
+    assert(gotNull.count() == 100)
+    val nullFiles = gotNull.select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(nullFiles.forall(_.contains("v2-")),
+      s"IS NULL scan touched skipped files: $nullFiles")
+    val gotVal = SnapshotLake.readIsNull(spark, root, "v", wantNull = false)
+    assert(gotVal.count() == 100)
+    val valFiles = gotVal.select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(valFiles.forall(_.contains("v1-")),
+      s"IS NOT NULL scan touched skipped files: $valFiles")
+    // an undeclared column refuses rather than silently full-scanning
+    intercept[IllegalArgumentException] {
+      SnapshotLake.readIsNull(spark, root, "id2", wantNull = true)
+    }
+    // manifest serde round-trip keeps the null counts intact
+    val reparsed = SnapshotLake.snapshot(root, 2)
+    assert(reparsed.files.map(_.nulls) == snap.files.map(_.nulls))
+  }
+
   test("multi-column stats: readRangeOn skips on the SECONDARY column, " +
     "primary pruning and compact disjointness untouched") {
     import spark.implicits._
