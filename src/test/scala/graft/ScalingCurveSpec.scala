@@ -31,40 +31,13 @@ class ScalingCurveSpec extends SparkTestBase {
   private val baseDir = "/root/testdata/sf0.1"
   private val scaleDir = "target/scale10"
 
-  /** Build the derived corpus once per checkout; a marker file keyed on
-    * the base fixture's file stats makes an in-place fixture
-    * regeneration a rebuild instead of a stale read. */
-  private def ensureScaleCorpus(): Unit = {
-    val marker = Paths.get(scaleDir, "_built")
-    val fp = {
-      val f = new java.io.File(s"$baseDir/documents.parquet")
-      val files = if (f.isDirectory) f.listFiles() else Array(f)
-      files.map(x => s"${x.getName}:${x.length}:${x.lastModified}")
-        .sorted.mkString("|") + s"|x$SCALE"
-    }
-    if (Files.exists(marker) && Files.readString(marker) == fp) return
-    val k = explode(sequence(lit(0), lit(SCALE - 1))).as("k")
-    Tables.documents(spark, baseDir)
-      .select(col("doc_id"), col("text"), col("lang"), col("source"), k)
-      .select(
-        (col("doc_id") * SCALE + col("k")).as("doc_id"),
-        concat(regexp_replace(col("text"), lit(" "),
-          concat(lit("_"), col("k"), lit(" "))),
-          lit("_"), col("k")).as("text"),
-        col("lang"), col("source"))
-      .withColumn("n_chars", length(col("text")))
-      .write.mode("overwrite").parquet(s"$scaleDir/documents.parquet")
-    Tables.embeddings(spark, baseDir)
-      .select(col("vec_id"), col("embedding"), col("label"), k)
-      .select(
-        (col("vec_id") * SCALE + col("k")).as("vec_id"),
-        expr("transform(embedding, (v, j) -> CAST(v * (1.0D + " +
-          "((k * 31 + j) % 7 - 3) / 1000.0D) AS FLOAT))").as("embedding"),
-        col("label"))
-      .write.mode("overwrite").parquet(s"$scaleDir/embeddings.parquet")
-    Files.createDirectories(marker.getParent)
-    Files.writeString(marker, fp)
-  }
+  /** Build the derived corpus once per checkout via the shared
+    * [[graft.ScaleFixture]] builder (also used by [[graft.ScaleBench]]'s
+    * fleet-wide pass) — its marker file keys on the base fixture's file
+    * stats, so an in-place fixture regeneration is a rebuild instead of
+    * a stale read. */
+  private def ensureScaleCorpus(): Unit =
+    ScaleFixture.ensure(spark, baseDir, scaleDir, SCALE)
 
   test("minhash-LSH candidate pairs grow near-linearly across a 10x " +
     "scale step (banding is O(n), not all-pairs)") {
