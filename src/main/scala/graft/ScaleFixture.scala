@@ -43,7 +43,7 @@ object ScaleFixture {
         files.map(x => s"${x.getName}:${x.length}:${x.lastModified}")
           .sorted.mkString("|")
       }
-      parts.mkString("||") + s"|x$scale|v2"
+      parts.mkString("||") + s"|x$scale|v3"
     }
     if (Files.exists(marker) && Files.readString(marker) == fp) return
     val k = explode(sequence(lit(0), lit(scale - 1))).as("k")
@@ -55,7 +55,10 @@ object ScaleFixture {
           concat(lit("_"), col("k"), lit(" "))),
           lit("_"), col("k")).as("text"),
         col("lang"), col("source"))
-      .withColumn("n_chars", length(col("text")))
+      // BIGINT like the base fixture: length() returns INT, and a
+      // type-mismatched derived table breaks consumers that pin the
+      // harness schema (the lake's docs table hit exactly this)
+      .withColumn("n_chars", length(col("text")).cast("long"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     Tables.embeddings(spark, baseDir)
       .select(col("vec_id"), col("embedding"), col("label"), k)

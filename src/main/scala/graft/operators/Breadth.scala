@@ -251,8 +251,8 @@ object Breadth {
         sum(col("t2").isNotNull.cast("long")).as("n_clicked"),
         sum(col("t3").isNotNull.cast("long")).as("n_purchased"))
       .select(col("n_viewed"), col("n_clicked"), col("n_purchased"),
-        round(col("n_clicked") / col("n_viewed"), 4).as("click_rate"),
-        round(col("n_purchased") / col("n_viewed"), 4).as("purchase_rate"))
+        Fmt.fix4(col("n_clicked") / col("n_viewed")).as("click_rate"),
+        Fmt.fix4(col("n_purchased") / col("n_viewed")).as("purchase_rate"))
   }
 
   private val funnelStepsSql =
@@ -271,10 +271,10 @@ object Breadth {
       |            AS BIGINT) AS n_clicked,
       |       CAST(sum(CASE WHEN t3.t3 IS NOT NULL THEN 1 ELSE 0 END)
       |            AS BIGINT) AS n_purchased,
-      |       round(sum(CASE WHEN t2.t2 IS NOT NULL THEN 1 ELSE 0 END)
-      |             / count(*), 4) AS click_rate,
-      |       round(sum(CASE WHEN t3.t3 IS NOT NULL THEN 1 ELSE 0 END)
-      |             / count(*), 4) AS purchase_rate
+      |       floor(sum(CASE WHEN t2.t2 IS NOT NULL THEN 1 ELSE 0 END)
+      |             / count(*) * 10000.0 + 0.5) / 10000.0 AS click_rate,
+      |       floor(sum(CASE WHEN t3.t3 IS NOT NULL THEN 1 ELSE 0 END)
+      |             / count(*) * 10000.0 + 0.5) / 10000.0 AS purchase_rate
       |FROM t1
       |LEFT JOIN t2 ON t1.user_id = t2.user_id
       |LEFT JOIN t3 ON t1.user_id = t3.user_id""".stripMargin
@@ -950,7 +950,7 @@ object Breadth {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         sum(when(abs(col("z")) > 3, 1L).otherwise(0L)).as("n_anomalies"),
-        round(max(abs(col("z"))), 4).as("max_abs_z"))
+        Fmt.fix4(max(abs(col("z")))).as("max_abs_z"))
       .orderBy("event_type")
   }
 
@@ -961,7 +961,8 @@ object Breadth {
       |SELECT e.event_type AS event_type, count(*) AS n,
       |       CAST(sum(CASE WHEN abs((e.value - s.mu) / s.sd) > 3
       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
-      |       round(max(abs((e.value - s.mu) / s.sd)), 4) AS max_abs_z
+      |       floor(max(abs((e.value - s.mu) / s.sd)) * 10000.0 + 0.5)
+      |         / 10000.0 AS max_abs_z
       |FROM events e JOIN stats s ON e.event_type = s.event_type
       |GROUP BY e.event_type
       |ORDER BY event_type""".stripMargin
@@ -1072,8 +1073,8 @@ object Breadth {
       .filter(col("next_type").isNotNull)
       .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("p", round(col("n") /
-        sum("n").over(Window.partitionBy("from_type")), 4))
+      .withColumn("p", Fmt.fix4(col("n") /
+        sum("n").over(Window.partitionBy("from_type"))))
       .orderBy("from_type", "to_type")
   }
 
@@ -1087,8 +1088,8 @@ object Breadth {
       |  SELECT from_type, to_type, count(*) AS n
       |  FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2)
       |SELECT from_type, to_type, n,
-      |       round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 4)
-      |         AS p
+      |       floor(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE)
+      |             * 10000.0 + 0.5) / 10000.0 AS p
       |FROM t ORDER BY from_type, to_type""".stripMargin
 
   /** RANGE-frame trailing window: per event, the count and value sum of

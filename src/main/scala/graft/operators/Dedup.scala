@@ -475,8 +475,8 @@ object Dedup {
   private def ngramScored(cands: DataFrame): DataFrame =
     cands
       .select(col("lang"), col("source"), col("a"), col("b"),
-        round(col("c").cast("double") /
-          (col("sza") + col("szb") - col("c")).cast("double"), 4).as("jac"))
+        Fmt.fix4(col("c").cast("double") /
+          (col("sza") + col("szb") - col("c")).cast("double")).as("jac"))
       .orderBy(col("jac").desc, col("a").asc, col("b").asc)
       .limit(10)
 
@@ -524,8 +524,9 @@ object Dedup {
       |   AND x.doc_id < y.doc_id
       |  GROUP BY 1, 2, 3, 4)
       |SELECT i.lang AS lang, i.source AS source, a, b,
-      |       round(CAST(c AS DOUBLE)
-      |             / CAST(sa.len_sh + sb.len_sh - c AS DOUBLE), 4) AS jac
+      |       floor(CAST(c AS DOUBLE)
+      |             / CAST(sa.len_sh + sb.len_sh - c AS DOUBLE)
+      |             * 10000.0 + 0.5) / 10000.0 AS jac
       |FROM inter i
       |JOIN (SELECT doc_id, len(sh2) AS len_sh FROM d) sa ON a = sa.doc_id
       |JOIN (SELECT doc_id, len(sh2) AS len_sh FROM d) sb ON b = sb.doc_id
@@ -541,10 +542,10 @@ object Dedup {
   def ngramContainment(s: SparkSession, dir: String): DataFrame =
     corpusNgramCandidates(s, dir)
       .select(col("lang"), col("source"), col("a"), col("b"),
-        round(col("c").cast("double") /
-          least(col("sza"), col("szb")).cast("double"), 4).as("containment"),
-        round(col("c").cast("double") /
-          (col("sza") + col("szb") - col("c")).cast("double"), 4).as("jac"))
+        Fmt.fix4(col("c").cast("double") /
+          least(col("sza"), col("szb")).cast("double")).as("containment"),
+        Fmt.fix4(col("c").cast("double") /
+          (col("sza") + col("szb") - col("c")).cast("double")).as("jac"))
       .orderBy(col("containment").desc, col("a").asc, col("b").asc)
       .limit(10)
 
@@ -571,10 +572,12 @@ object Dedup {
       |   AND x.doc_id < y.doc_id
       |  GROUP BY 1, 2, 3, 4)
       |SELECT i.lang AS lang, i.source AS source, a, b,
-      |       round(CAST(c AS DOUBLE)
-      |             / least(sa.len_sh, sb.len_sh), 4) AS containment,
-      |       round(CAST(c AS DOUBLE)
-      |             / CAST(sa.len_sh + sb.len_sh - c AS DOUBLE), 4) AS jac
+      |       floor(CAST(c AS DOUBLE)
+      |             / least(sa.len_sh, sb.len_sh)
+      |             * 10000.0 + 0.5) / 10000.0 AS containment,
+      |       floor(CAST(c AS DOUBLE)
+      |             / CAST(sa.len_sh + sb.len_sh - c AS DOUBLE)
+      |             * 10000.0 + 0.5) / 10000.0 AS jac
       |FROM inter i
       |JOIN (SELECT doc_id, len(sh2) AS len_sh FROM d) sa ON a = sa.doc_id
       |JOIN (SELECT doc_id, len(sh2) AS len_sh FROM d) sb ON b = sb.doc_id
@@ -1173,7 +1176,7 @@ object Dedup {
       .join(e.select(col("vec_id"), col("emb").as("eb"), col("nrm").as("nb")),
         col("vb") === col("vec_id")).drop("vec_id")
       .select(col("label"), col("va"), col("vb"),
-        round(VectorFns.cosineWithNorms("ea", "eb", "na", "nb"), 4)
+        Fmt.fix4(VectorFns.cosineWithNorms("ea", "eb", "na", "nb"))
           .as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("va").asc, col("vb").asc)
       .limit(10)
@@ -1210,7 +1213,8 @@ object Dedup {
       |    ON x.label = y.label AND x.band = y.band AND x.nib = y.nib
       |   AND x.vec_id < y.vec_id)
       |SELECT c.label AS label, va, vb,
-      |       round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS cos_sim
+      |       floor(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm)
+      |             * 10000.0 + 0.5) / 10000.0 AS cos_sim
       |FROM cand c
       |JOIN e a ON va = a.vec_id
       |JOIN e b ON vb = b.vec_id
@@ -1275,7 +1279,7 @@ object Dedup {
       .reduce(_ + _)
     idx.join(probes, Seq("band", "nib", "key"))
       .dropDuplicates("b_doc", "doc_id")
-      .withColumn("est_jac", round(nMatch.cast("double") / lit(K), 4))
+      .withColumn("est_jac", Fmt.fix4(nMatch.cast("double") / lit(K)))
       .select("b_doc", "doc_id", "est_jac")
   }
 
@@ -1359,7 +1363,7 @@ object Dedup {
        |  SELECT DISTINCT b.doc_id AS b_doc, c.doc_id AS c_doc
        |  FROM bbands b JOIN ckept c ON b.band = c.band AND b.key = c.key)
        |SELECT b_doc AS batch_doc, c_doc AS corpus_doc,
-       |       round(($matchSum) / ${K}.0, 4) AS est_jac
+       |       floor(($matchSum) / ${K}.0 * 10000.0 + 0.5) / 10000.0 AS est_jac
        |FROM cand JOIN corp cs ON c_doc = cs.doc_id
        |          JOIN bat bs ON b_doc = bs.doc_id
        |ORDER BY est_jac DESC, batch_doc, corpus_doc LIMIT 20""".stripMargin

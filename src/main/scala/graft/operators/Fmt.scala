@@ -19,4 +19,9 @@ private[graft] object Fmt {
   /** Four-decimal fixed-point display value, engine-identical. */
   def fix4(c: Column): Column =
     floor(c * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)
+
+  /** Six-decimal variant (rank-fusion/DCG terms) — SQL twin
+    * `floor(x * 1000000.0 + 0.5) / 1000000.0`. */
+  def fix6(c: Column): Column =
+    floor(c * lit(1000000.0d) + lit(0.5d)) / lit(1000000.0d)
 }

@@ -785,13 +785,15 @@ object MediaCodecs {
 
   /** Baseline sequential JPEG parse — grayscale OR YCbCr color: marker
     * walk, DQT/DHT/SOF0/SOS, canonical Huffman entropy decode with
-    * per-component DC prediction over interleaved MCUs (sampling factors
-    * 1×1 and 2×2 supported — 4:4:4 and the web-standard 4:2:0),
-    * dequantize, inverse zigzag, double-precision IDCT, chroma upsample
-    * by replication, fixed-point YCbCr→RGB ([[yccToRgb]]). Grayscale
-    * returns a w·h gray plane, color a w·h·3 interleaved RGB plane (the
-    * PPM/PNG content convention). Progressive, 12-bit, >2 sampling, and
-    * restart intervals raise (skip-and-count posture upstream). */
+    * per-component DC prediction over interleaved MCUs (the MCU walk and
+    * chroma upsample are sampling-factor-general up to 2×2, so 4:4:4,
+    * 4:2:2, and the web-standard 4:2:0 all decode; the spec suite pins
+    * 4:4:4 and 4:2:0), dequantize, inverse zigzag, double-precision
+    * IDCT, chroma upsample by replication, fixed-point YCbCr→RGB
+    * ([[yccToRgb]]). Grayscale returns a w·h gray plane, color a w·h·3
+    * interleaved RGB plane (the PPM/PNG content convention).
+    * Progressive, 12-bit, >2 sampling, and restart intervals raise
+    * (skip-and-count posture upstream). */
   def decodeJpeg(b: Array[Byte]): Decoded = {
     require(b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8,
       "not a JPEG stream")

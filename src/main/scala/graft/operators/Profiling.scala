@@ -218,8 +218,8 @@ object Profiling {
       sum("cnt").as("total"))
     perKey.join(broadcast(stats))
       .select(col("l_partkey"), col("cnt"),
-        round(col("cnt") / col("total"), 4).as("share"),
-        round(col("cnt") / (col("total") / col("n_keys")), 4).as("skew"))
+        Fmt.fix4(col("cnt") / col("total")).as("share"),
+        Fmt.fix4(col("cnt") / (col("total") / col("n_keys"))).as("skew"))
       .orderBy(col("cnt").desc, col("l_partkey").asc)
       .limit(TOP_KEYS)
   }
@@ -229,8 +229,10 @@ object Profiling {
        |  SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey),
        |st AS (SELECT count(*) AS n_keys, sum(cnt) AS total FROM k)
        |SELECT l_partkey, cnt,
-       |       round(cnt / CAST(total AS DOUBLE), 4) AS share,
-       |       round(cnt / (CAST(total AS DOUBLE) / n_keys), 4) AS skew
+       |       floor(cnt / CAST(total AS DOUBLE) * 10000.0 + 0.5)
+       |         / 10000.0 AS share,
+       |       floor(cnt / (CAST(total AS DOUBLE) / n_keys) * 10000.0 + 0.5)
+       |         / 10000.0 AS skew
        |FROM k, st
        |ORDER BY cnt DESC, l_partkey LIMIT $TOP_KEYS""".stripMargin
 

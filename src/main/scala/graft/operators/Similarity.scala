@@ -148,7 +148,7 @@ object Similarity {
       |  FROM embeddings),
       |q AS (SELECT emb AS q_emb, nrm AS q_nrm FROM e WHERE vec_id = 0)
       |SELECT vec_id, label,
-      |       round(list_dot_product(emb, q_emb) / (nrm * q_nrm), 4) AS cos_sim
+      |       floor(list_dot_product(emb, q_emb) / (nrm * q_nrm) * 10000.0 + 0.5) / 10000.0 AS cos_sim
       |FROM e, q
       |WHERE vec_id <> 0
       |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
@@ -186,7 +186,7 @@ object Similarity {
         col("nrm").as("q_nrm"))
     val scored = e.join(broadcast(qs), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), col("label"),
-        round(VectorFns.cosineWithNorms("emb", "q_emb", "nrm", "q_nrm"), 4)
+        Fmt.fix4(VectorFns.cosineWithNorms("emb", "q_emb", "nrm", "q_nrm"))
           .as("cos_sim"),
         pmod(col("vec_id"), lit(TOPK_SALTS.toLong)).as("salt"))
     val bySalt = org.apache.spark.sql.expressions.Window
@@ -226,7 +226,7 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("label"),
         when(col("label") === col("q_label"), lit("pos"))
           .otherwise(lit("neg")).as("kind"),
-        round(VectorFns.cosineWithNorms("emb", "q_emb", "nrm", "q_nrm"), 4)
+        Fmt.fix4(VectorFns.cosineWithNorms("emb", "q_emb", "nrm", "q_nrm"))
           .as("cos_sim"),
         pmod(col("vec_id"), lit(TOPK_SALTS.toLong)).as("salt"))
     val bySalt = org.apache.spark.sql.expressions.Window
@@ -258,7 +258,7 @@ object Similarity {
        |  SELECT q.q_id, e.vec_id, e.label,
        |         CASE WHEN e.label = q.q_label THEN 'pos' ELSE 'neg' END
        |           AS kind,
-       |         round(list_dot_product(e.emb, q.q_emb) / (e.nrm * q.q_nrm), 4)
+       |         floor(list_dot_product(e.emb, q.q_emb) / (e.nrm * q.q_nrm) * 10000.0 + 0.5) / 10000.0
        |           AS cos_sim
        |  FROM e JOIN q ON e.vec_id <> q.q_id),
        |ranked AS (
@@ -320,7 +320,7 @@ object Similarity {
        |      FROM e WHERE vec_id < $QBATCH),
        |scored AS (
        |  SELECT q.q_id, e.vec_id, e.label,
-       |         round(list_dot_product(e.emb, q.q_emb) / (e.nrm * q.q_nrm), 4)
+       |         floor(list_dot_product(e.emb, q.q_emb) / (e.nrm * q.q_nrm) * 10000.0 + 0.5) / 10000.0
        |           AS cos_sim
        |  FROM e JOIN q ON e.vec_id <> q.q_id),
        |ranked AS (
@@ -383,7 +383,7 @@ object Similarity {
       .withColumn("hamming", expr("bit_count(sig ^ q_sig)").cast("long"))
       .filter(col("hamming") <= 3)
       .select(col("vec_id"), col("label"), col("hamming"),
-        round(VectorFns.cosineWithNorms("emb", "q_emb", "nrm", "q_nrm"), 4)
+        Fmt.fix4(VectorFns.cosineWithNorms("emb", "q_emb", "nrm", "q_nrm"))
           .as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(5)
@@ -420,7 +420,7 @@ object Similarity {
        |q AS (SELECT emb AS q_emb, nrm AS q_nrm, sig AS q_sig FROM es WHERE vec_id = 0)
        |SELECT vec_id, label,
        |       CAST(bit_count(xor(sig, q_sig)) AS BIGINT) AS hamming,
-       |       round(list_dot_product(emb, q_emb) / (nrm * q_nrm), 4) AS cos_sim
+       |       floor(list_dot_product(emb, q_emb) / (nrm * q_nrm) * 10000.0 + 0.5) / 10000.0 AS cos_sim
        |FROM es, q
        |WHERE vec_id <> 0 AND bit_count(xor(sig, q_sig)) <= $radius
        |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin
@@ -455,7 +455,7 @@ object Similarity {
       .withColumn("hamming", expr("bit_count(sig ^ q_sig)").cast("long"))
       .filter(col("hamming") <= 3)
       .select(col("q_id"), col("vec_id"), col("label"), col("hamming"),
-        round(VectorFns.cosineWithNorms("emb", "q_emb", "nrm", "q_nrm"), 4)
+        Fmt.fix4(VectorFns.cosineWithNorms("emb", "q_emb", "nrm", "q_nrm"))
           .as("cos_sim"),
         pmod(col("vec_id"), lit(TOPK_SALTS.toLong)).as("salt"))
     val bySalt = org.apache.spark.sql.expressions.Window
@@ -500,7 +500,7 @@ object Similarity {
        |cand AS (
        |  SELECT q.q_id, es.vec_id, es.label,
        |         CAST(bit_count(xor(es.sig, q.q_sig)) AS BIGINT) AS hamming,
-       |         round(list_dot_product(es.emb, q.q_emb) / (es.nrm * q.q_nrm), 4)
+       |         floor(list_dot_product(es.emb, q.q_emb) / (es.nrm * q.q_nrm) * 10000.0 + 0.5) / 10000.0
        |           AS cos_sim
        |  FROM es, q
        |  WHERE es.vec_id <> q.q_id AND bit_count(xor(es.sig, q.q_sig)) <= 3),
@@ -719,7 +719,7 @@ object Similarity {
       .filter(col("vec_id") =!= queryId)
       .join(broadcast(q))
       .select(col("vec_id"), col("label"), col("cid").cast("long").as("probe_list"),
-        round(VectorFns.cosineWithNorms("emb", "q_emb", "nrm", "q_nrm"), 4)
+        Fmt.fix4(VectorFns.cosineWithNorms("emb", "q_emb", "nrm", "q_nrm"))
           .as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(5)
@@ -789,7 +789,7 @@ object Similarity {
        |                 / (c.c_nrm * q.q_nrm) DESC, c.cid) AS rn
        |    FROM c$LLOYD_ITERS c CROSS JOIN q) WHERE rn <= $NPROBE)
        |SELECT t.vec_id, t.label, CAST(t.cid AS BIGINT) AS probe_list,
-       |       round(list_dot_product(t.emb, q.q_emb) / (t.nrm * q.q_nrm), 4)
+       |       floor(list_dot_product(t.emb, q.q_emb) / (t.nrm * q.q_nrm) * 10000.0 + 0.5) / 10000.0
        |         AS cos_sim
        |FROM t JOIN probes p ON t.cid = p.cid CROSS JOIN q
        |WHERE t.vec_id <> 0
@@ -1126,7 +1126,7 @@ object Similarity {
       |    FROM scored WHERE vec_id = 0) WHERE rn <= 4),
       |q AS (SELECT emb AS q_emb, nrm AS q_nrm FROM e WHERE vec_id = 0)
       |SELECT a.vec_id, a.label, a.cid AS probe_list,
-      |       round(list_dot_product(a.emb, q.q_emb) / (a.nrm * q.q_nrm), 4) AS cos_sim
+      |       floor(list_dot_product(a.emb, q.q_emb) / (a.nrm * q.q_nrm) * 10000.0 + 0.5) / 10000.0 AS cos_sim
       |FROM assign a JOIN probes p ON a.cid = p.cid CROSS JOIN q
       |WHERE a.vec_id <> 0
       |ORDER BY cos_sim DESC, a.vec_id LIMIT 5""".stripMargin
@@ -1153,7 +1153,7 @@ object Similarity {
         sum(round(col("v"), 6)
           .cast(org.apache.spark.sql.types.DecimalType(20, 6))).as("s"))
       .select(col("label"), col("j").cast("long").as("j"), col("n_vecs"),
-        round(col("s").cast("double") / col("n_vecs"), 4).as("centroid"))
+        Fmt.fix4(col("s").cast("double") / col("n_vecs")).as("centroid"))
       .orderBy("label", "j")
   }
 
@@ -1164,7 +1164,7 @@ object Similarity {
        |  FROM embeddings,
        |       (SELECT unnest(generate_series(1, $CENTROID_DIMS)) AS j))
        |SELECT label, j, count(*) AS n_vecs,
-       |       round(CAST(sum(v) AS DOUBLE) / count(*), 4) AS centroid
+       |       floor(CAST(sum(v) AS DOUBLE) / count(*) * 10000.0 + 0.5) / 10000.0 AS centroid
        |FROM comp GROUP BY label, j
        |ORDER BY label, j""".stripMargin
 
@@ -1334,12 +1334,12 @@ object Similarity {
     ann.join(bf, Seq("vec_id"))
       .agg(count(lit(1)).as("n_overlap"))
       .select(lit(5).as("k"), col("n_overlap"),
-        round(col("n_overlap") / 5.0, 4).as("recall"))
+        Fmt.fix4(col("n_overlap") / 5.0).as("recall"))
   }
 
   private val annRecallSql =
     s"""SELECT 5 AS k, count(*) AS n_overlap,
-       |       round(count(*) / 5.0, 4) AS recall
+       |       floor(count(*) / 5.0 * 10000.0 + 0.5) / 10000.0 AS recall
        |FROM ($annLshSql) ann
        |JOIN (SELECT * FROM ($bruteTopKSql)
        |      ORDER BY cos_sim DESC, vec_id LIMIT 5) bf
@@ -1371,7 +1371,7 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         expr(s"cast(${VectorFns.dotSql("qv", "q_qv")} as bigint)")
           .as("q_dot"),
-        round(VectorFns.cosineWithNorms("emb", "q_emb", "nrm", "q_nrm"), 4)
+        Fmt.fix4(VectorFns.cosineWithNorms("emb", "q_emb", "nrm", "q_nrm"))
           .as("cos_sim"))
       .orderBy(col("q_dot").desc, col("vec_id").asc)
       .limit(10)
@@ -1390,7 +1390,7 @@ object Similarity {
       |      WHERE vec_id = 0)
       |SELECT vec_id, label,
       |       CAST(list_dot_product(qv, q_qv) AS BIGINT) AS q_dot,
-      |       round(list_dot_product(emb, q_emb) / (nrm * q_nrm), 4) AS cos_sim
+      |       floor(list_dot_product(emb, q_emb) / (nrm * q_nrm) * 10000.0 + 0.5) / 10000.0 AS cos_sim
       |FROM qz, q
       |WHERE vec_id <> 0
       |ORDER BY q_dot DESC, vec_id LIMIT 10""".stripMargin
@@ -1545,7 +1545,7 @@ object Similarity {
         wAll.orderBy(col("cos").desc, col("vec_id").asc)).cast("long"))
       .crossJoin(broadcast(recall))
       .select(col("rank"), col("vec_id"), col("label"),
-        round(col("cos"), 4).as("cos_sim"), col("shortlist_recall5"))
+        Fmt.fix4(col("cos")).as("cos_sim"), col("shortlist_recall5"))
       .orderBy("rank")
   }
 
@@ -1584,7 +1584,7 @@ object Similarity {
        |rec AS (
        |  SELECT CAST(count(*) AS DOUBLE) / 5.0 AS shortlist_recall5
        |  FROM brute b JOIN short s ON b.vec_id = s.vec_id)
-       |SELECT rank, vec_id, label, round(cos, 4) AS cos_sim,
+       |SELECT rank, vec_id, label, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos_sim,
        |       shortlist_recall5
        |FROM (SELECT vec_id, label, cos,
        |             CAST(row_number() OVER (ORDER BY cos DESC, vec_id)
@@ -1622,7 +1622,7 @@ object Similarity {
     val csTop = e.filter(col("vec_id") =!= 0)
       .join(broadcast(q))
       .select(col("vec_id").as("doc_id"),
-        round(VectorFns.cosineWithNorms("emb", "q_emb", "nrm", "q_nrm"), 4)
+        Fmt.fix4(VectorFns.cosineWithNorms("emb", "q_emb", "nrm", "q_nrm"))
           .as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("doc_id").asc).limit(RRF_DEPTH)
       .withColumn("cos_rank", row_number().over(
@@ -1635,7 +1635,7 @@ object Similarity {
       .orderBy(col("rrf").desc, col("doc_id").asc)
       .limit(10)
       .select(col("doc_id"), col("bm25_rank"), col("cos_rank"),
-        round(col("rrf"), 6).as("rrf"))
+        Fmt.fix6(col("rrf")).as("rrf"))
   }
 
   /** Rank-biased overlap (RBO, Webber et al.) between the engine's two
@@ -1668,7 +1668,7 @@ object Similarity {
     val csTop = e.filter(col("vec_id") =!= 0)
       .join(broadcast(q))
       .select(col("vec_id").as("doc_id"),
-        round(VectorFns.cosineWithNorms("emb", "q_emb", "nrm", "q_nrm"), 4)
+        Fmt.fix4(VectorFns.cosineWithNorms("emb", "q_emb", "nrm", "q_nrm"))
           .as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("doc_id").asc).limit(RRF_DEPTH)
       .withColumn("cr", row_number().over(
@@ -1714,7 +1714,7 @@ object Similarity {
        |q AS (SELECT emb AS q_emb, nrm AS q_nrm FROM e WHERE vec_id = 0),
        |cs AS (
        |  SELECT vec_id AS doc_id,
-       |         round(list_dot_product(emb, q_emb) / (nrm * q_nrm), 4)
+       |         floor(list_dot_product(emb, q_emb) / (nrm * q_nrm) * 10000.0 + 0.5) / 10000.0
        |           AS cos_sim
        |  FROM e, q WHERE vec_id <> 0),
        |csr AS (
@@ -1779,7 +1779,7 @@ object Similarity {
       .withColumn("hamming", expr("bit_count(sig ^ q_sig)").cast("long"))
       .filter(col("hamming") <= 7)
       .select(col("vec_id"), col("label"), col("hamming"),
-        round(VectorFns.cosineWithNorms("emb", "q_emb", "nrm", "q_nrm"), 4)
+        Fmt.fix4(VectorFns.cosineWithNorms("emb", "q_emb", "nrm", "q_nrm"))
           .as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(5)
@@ -1801,7 +1801,7 @@ object Similarity {
        |q AS (SELECT emb AS q_emb, nrm AS q_nrm FROM e WHERE vec_id = 0),
        |cs AS (
        |  SELECT vec_id AS doc_id,
-       |         round(list_dot_product(emb, q_emb) / (nrm * q_nrm), 4)
+       |         floor(list_dot_product(emb, q_emb) / (nrm * q_nrm) * 10000.0 + 0.5) / 10000.0
        |           AS cos_sim
        |  FROM e, q WHERE vec_id <> 0),
        |csr AS (
@@ -1815,7 +1815,7 @@ object Similarity {
        |         coalesce(1.0 / ($RRF_K.0 + b.bm25_rank), 0.0)
        |           + coalesce(1.0 / ($RRF_K.0 + c.cos_rank), 0.0) AS rrf
        |  FROM bmr b FULL OUTER JOIN csr c ON b.doc_id = c.doc_id)
-       |SELECT doc_id, bm25_rank, cos_rank, round(rrf, 6) AS rrf
+       |SELECT doc_id, bm25_rank, cos_rank, floor(rrf * 1000000.0 + 0.5) / 1000000.0 AS rrf
        |FROM fused
        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
 
@@ -1842,12 +1842,12 @@ object Similarity {
     val dcg = ann.join(truth.select("vec_id", "rel"), Seq("vec_id"), "left")
       .withColumn("rel", coalesce(col("rel"), lit(0L)))
       .withColumn("term",
-        round(col("rel") / log2(col("a_rank") + lit(1.0d)), 6)
+        Fmt.fix6(col("rel") / log2(col("a_rank") + lit(1.0d)))
           .cast("decimal(20,6)"))
       .agg(sum("term").as("dcg"))
     val idcg = truth
       .withColumn("term",
-        round(col("rel") / log2(col("t_rank") + lit(1.0d)), 6)
+        Fmt.fix6(col("rel") / log2(col("t_rank") + lit(1.0d)))
           .cast("decimal(20,6)"))
       .agg(sum("term").as("idcg"))
     dcg.crossJoin(idcg)
@@ -1870,11 +1870,11 @@ object Similarity {
        |         row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS a_rank
        |  FROM ($annLshSql)),
        |dcg AS (
-       |  SELECT sum(CAST(round(coalesce(t.rel, 0) / log2(a.a_rank + 1.0), 6)
+       |  SELECT sum(CAST(floor(coalesce(t.rel, 0) / log2(a.a_rank + 1.0) * 1000000.0 + 0.5) / 1000000.0
        |                  AS DECIMAL(20,6))) AS dcg
        |  FROM ann a LEFT JOIN truth t ON a.vec_id = t.vec_id),
        |idcg AS (
-       |  SELECT sum(CAST(round(rel / log2(t_rank + 1.0), 6)
+       |  SELECT sum(CAST(floor(rel / log2(t_rank + 1.0) * 1000000.0 + 0.5) / 1000000.0
        |                  AS DECIMAL(20,6))) AS idcg
        |  FROM truth)
        |SELECT CAST(5 AS BIGINT) AS k,
@@ -2913,7 +2913,7 @@ object Similarity {
     val scored = sliced.filter(col("vec_id") =!= 0)
       .join(broadcast(q), Seq("dims"))
       .select(col("dims"), col("vec_id"),
-        round(VectorFns.cosineWithNorms("pe", "q_pe", "pn", "q_pn"), 4)
+        Fmt.fix4(VectorFns.cosineWithNorms("pe", "q_pe", "pn", "q_pn"))
           .as("cs"),
         pmod(col("vec_id"), lit(TOPK_SALTS.toLong)).as("salt"))
     val bySalt = org.apache.spark.sql.expressions.Window
@@ -2938,7 +2938,7 @@ object Similarity {
       .groupBy("dims")
       .agg(coalesce(sum("hit"), lit(0L)).as("n_overlap"))
       .select(col("dims"), col("n_overlap"),
-        round(col("n_overlap") / lit(MRL_K.toDouble), 4).as("recall"))
+        Fmt.fix4(col("n_overlap") / lit(MRL_K.toDouble)).as("recall"))
       .orderBy("dims")
   }
 
@@ -2954,7 +2954,7 @@ object Similarity {
        |q AS (SELECT dims, pe AS q_pe, pn AS q_pn FROM n WHERE vec_id = 0),
        |scored AS (
        |  SELECT n.dims, n.vec_id,
-       |         round(list_dot_product(n.pe, q.q_pe) / (n.pn * q.q_pn), 4)
+       |         floor(list_dot_product(n.pe, q.q_pe) / (n.pn * q.q_pn) * 10000.0 + 0.5) / 10000.0
        |           AS cs
        |  FROM n JOIN q USING (dims) WHERE n.vec_id <> 0),
        |ranked AS (
@@ -2965,7 +2965,7 @@ object Similarity {
        |top AS (SELECT dims, vec_id FROM ranked WHERE rn <= $MRL_K),
        |gt AS (SELECT vec_id FROM top WHERE dims = $DIM)
        |SELECT t.dims, CAST(count(g.vec_id) AS BIGINT) AS n_overlap,
-       |       round(count(g.vec_id) / $MRL_K.0, 4) AS recall
+       |       floor(count(g.vec_id) / $MRL_K.0 * 10000.0 + 0.5) / 10000.0 AS recall
        |FROM top t LEFT JOIN gt g ON t.vec_id = g.vec_id
        |GROUP BY t.dims ORDER BY t.dims""".stripMargin
 

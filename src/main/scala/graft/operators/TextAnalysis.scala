@@ -664,10 +664,10 @@ object TextAnalysis {
       .withColumn("big", expr("word_shingles(toks, 2)"))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_toks"),
-        round(lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
-          size(col("toks")).cast("double"), 4).as("dup_tok_frac"),
-        round(lit(1.0) - size(array_distinct(col("big"))).cast("double") /
-          size(col("big")).cast("double"), 4).as("dup_big_frac"))
+        Fmt.fix4(lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")).cast("double")).as("dup_tok_frac"),
+        Fmt.fix4(lit(1.0) - size(array_distinct(col("big"))).cast("double") /
+          size(col("big")).cast("double")).as("dup_big_frac"))
       .orderBy(col("dup_big_frac").desc, col("doc_id").asc)
       .limit(10)
   }
@@ -681,10 +681,12 @@ object TextAnalysis {
       |           AS big
       |  FROM documents)
       |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
-      |       round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
-      |             / CAST(len(toks) AS DOUBLE), 4) AS dup_tok_frac,
-      |       round(1.0 - CAST(len(list_distinct(big)) AS DOUBLE)
-      |             / CAST(len(big) AS DOUBLE), 4) AS dup_big_frac
+      |       floor((1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+      |             / CAST(len(toks) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+      |         AS dup_tok_frac,
+      |       floor((1.0 - CAST(len(list_distinct(big)) AS DOUBLE)
+      |             / CAST(len(big) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+      |         AS dup_big_frac
       |FROM t
       |ORDER BY dup_big_frac DESC, doc_id LIMIT 10""".stripMargin
 
@@ -722,8 +724,8 @@ object TextAnalysis {
         .agg(count(lit(1)).as("nc")), Seq("lang"), "left")
       .select(col("lang"), col("n_train"),
         coalesce(col("nc"), lit(0L)).as("n_contaminated"),
-        round(coalesce(col("nc"), lit(0L)).cast("double") /
-          col("n_train").cast("double"), 4).as("contam_frac"))
+        Fmt.fix4(coalesce(col("nc"), lit(0L)).cast("double") /
+          col("n_train").cast("double")).as("contam_frac"))
       .orderBy("lang")
   }
 
@@ -745,8 +747,8 @@ object TextAnalysis {
       |  JOIN bench b ON t.g = b.g)
       |SELECT t.lang AS lang, count(*) AS n_train,
       |       CAST(coalesce(c.nc, 0) AS BIGINT) AS n_contaminated,
-      |       round(CAST(coalesce(c.nc, 0) AS DOUBLE) / count(*), 4)
-      |         AS contam_frac
+      |       floor(CAST(coalesce(c.nc, 0) AS DOUBLE) / count(*)
+      |             * 10000.0 + 0.5) / 10000.0 AS contam_frac
       |FROM train t
       |LEFT JOIN (SELECT lang, count(*) AS nc FROM contaminated GROUP BY lang) c
       |  ON t.lang = c.lang
@@ -777,7 +779,7 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(sum("c").as("n_toks"), sum(col("c") * col("logp")).as("score"))
       .select(col("doc_id"), col("n_toks").cast("long").as("n_toks"),
-        round(-col("score").cast("double") / col("n_toks"), 4).as("avg_nll"))
+        Fmt.fix4(-col("score").cast("double") / col("n_toks")).as("avg_nll"))
       .orderBy(col("avg_nll").desc, col("doc_id").asc)
       .limit(10)
   }
@@ -801,7 +803,8 @@ object TextAnalysis {
       |         sum(c * logp) AS score
       |  FROM contrib GROUP BY doc_id)
       |SELECT doc_id, n_toks,
-      |       round(-CAST(score AS DOUBLE) / n_toks, 4) AS avg_nll
+      |       floor(-CAST(score AS DOUBLE) / n_toks * 10000.0 + 0.5)
+      |         / 10000.0 AS avg_nll
       |FROM docsc
       |ORDER BY avg_nll DESC, doc_id LIMIT 10""".stripMargin
 
@@ -1259,7 +1262,7 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(sum("c").as("n_bigrams"), sum(col("c") * col("logp")).as("score"))
       .select(col("doc_id"), col("n_bigrams").cast("long").as("n_bigrams"),
-        round(-col("score").cast("double") / col("n_bigrams"), 4)
+        Fmt.fix4(-col("score").cast("double") / col("n_bigrams"))
           .as("avg_nll"))
       .orderBy(col("avg_nll").desc, col("doc_id").asc)
       .limit(10)
@@ -1292,7 +1295,8 @@ object TextAnalysis {
       |  FROM pairs JOIN model USING (w1, w2)
       |  GROUP BY doc_id)
       |SELECT doc_id, n_bigrams,
-      |       round(-CAST(score AS DOUBLE) / n_bigrams, 4) AS avg_nll
+      |       floor(-CAST(score AS DOUBLE) / n_bigrams * 10000.0 + 0.5)
+      |         / 10000.0 AS avg_nll
       |FROM docsc
       |ORDER BY avg_nll DESC, doc_id LIMIT 10""".stripMargin
 
@@ -1395,7 +1399,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_terms_hit"),
         sum("tscore").as("score"))
       .select(col("doc_id"), col("n_terms_hit"),
-        round(col("score").cast("double"), 4).as("bm25"))
+        Fmt.fix4(col("score").cast("double")).as("bm25"))
   }
 
   /** The bm25 CTE chain up to the scored frame (no top-k) — reused by the
@@ -1425,7 +1429,8 @@ object TextAnalysis {
        |           6) AS DECIMAL(20,6)) AS tscore
        |  FROM pairs p JOIN dfs d ON p.term = d.term CROSS JOIN stats s)
        |SELECT doc_id, count(*) AS n_terms_hit,
-       |       round(CAST(sum(tscore) AS DOUBLE), 4) AS bm25
+       |       floor(CAST(sum(tscore) AS DOUBLE) * 10000.0 + 0.5)
+       |         / 10000.0 AS bm25
        |FROM scored GROUP BY doc_id""".stripMargin
   }
 
