@@ -99,10 +99,12 @@ object ScaleBench {
       val ratio = if (scaled > 0 && base > 0) scaled / base else -1.0
       (name, base, scaled, ratio, tables)
     }
+    // flag on ratio alone: scan attribution is best-effort (a memoized
+    // localCheckpoint build hides the parquet relation — q_bigram_lm
+    // reads documents but shows scaled_tables=[]), and a dims-only query
+    // growing 15x would be worth a look anyway
     val flagged = rows.collect {
-      case (name, _, _, ratio, tables)
-          if tables.nonEmpty && tables != Seq("unknown") && ratio > FLAG_RATIO =>
-        name
+      case (name, _, _, ratio, _) if ratio > FLAG_RATIO => name
     }
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
