@@ -226,4 +226,30 @@ class ScalingCurveSpec extends SparkTestBase {
       s"pointer-jumping rounds grew $r1 -> $r10 across a step that " +
         "preserves component shapes — rounds must track diameter, not size")
   }
+
+  test("quantile-norm alignment work is DOMAIN-bounded: union rows grow " +
+    "~1x across the 10x corpus step (the r12 BNLJ-kill scale claim)") {
+    ensureScaleCorpus()
+    // the rewritten lookup's unit of work: probe rows (distinct
+    // (source, n_chars)) + anchor rows (distinct n_chars) through ONE
+    // sorted window — the corpus-sized frame never enters the alignment
+    def work(dir: String): (Long, Long, Long) = {
+      val docs = Tables.documents(spark, dir).select("source", "n_chars")
+      (docs.distinct.count(), docs.select("n_chars").distinct.count(),
+        docs.count())
+    }
+    val (p1, a1, n1) = work(baseDir)
+    val (p10, a10, n10) = work(scaleDir)
+    val unionRatio = (p10 + a10).toDouble / (p1 + a1)
+    info(f"docs x${n10.toDouble / n1}%.1f; probes $p1 -> $p10, " +
+      f"anchors $a1 -> $a10, union rows x$unionRatio%.2f")
+    assert(n10 >= 9 * n1, "scale corpus is not ~10x — fixture drift?")
+    // measured 1.10x at the 10x step (probes 3933 -> 4201, anchors
+    // 523 -> 701); band is loose — the point is ~1x, not ~10x
+    assert(unionRatio <= 3.0,
+      s"alignment work grew x$unionRatio across a 10x corpus step — the " +
+        "distinct-length domain argument no longer holds")
+    assert(p10 + a10 < n10 / 5,
+      s"union rows ${p10 + a10} are not small next to $n10 docs")
+  }
 }
