@@ -17,11 +17,20 @@ import org.apache.spark.sql.SparkSession
   * the ~10× a linear operator shows with constant overheads) land in
   * "flagged": the next round's work list.
   *
+  * Beyond wall time, each measured run carries [[StageMetrics]] deltas —
+  * shuffle bytes written/read, disk spill, input bytes — because the
+  * clock can lag the bytes: a shuffle growing ≫ the data growth is the
+  * 100 TB bottleneck even while the 10× wall time still looks linear.
+  * A query is therefore ALSO flagged when its shuffle-write bytes grow
+  * more than FLAG_RATIO× (only when the base shuffle is ≥ 1 MB — ratios
+  * on KB-scale shuffles are metadata noise).
+  *
   * Output contract mirrors [[Bench]]: ONE compact JSON line printed
   * last (metric "scale10"), backed by target/scale10_ratios.json.
   */
 object ScaleBench {
   private val FLAG_RATIO = 15.0
+  private val SHUFFLE_FLOOR_BYTES = 1L << 20 // ignore sub-MB base shuffles
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -36,8 +45,13 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loadStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     ScaleFixture.ensure(spark, baseDir, scaleDir, scale)
+    val agg = StageMetrics.install(spark)
 
+    /** Wall time only — the full-fleet ranking pass, where the listener
+      * settlement wait would add ~30 s of dead time for nothing. */
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
              dir: String): Double = {
       val t0 = System.nanoTime()
@@ -49,6 +63,14 @@ object ScaleBench {
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       if (ok) dt else -dt
+    }
+
+    /** Wall time + settled stage-metric deltas for one run. */
+    def timeM(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+              dir: String): (Double, StageMetrics.Snap) = {
+      val before = agg.settled()
+      val dt = time(fn, dir)
+      (dt, agg.settled() - before)
     }
 
     /** Leaf parquet scan locations of the query's BASE plan that hit one
@@ -86,35 +108,62 @@ object ScaleBench {
     System.err.println(s"[scale] top-$topN slowest: " +
       slowest.take(5).map { case (n, t) => f"$n=$t%.2f" }.mkString(", "))
 
+    final case class Row(name: String, base: Double, scaled: Double,
+                         ratio: Double, tables: Seq[String],
+                         baseM: StageMetrics.Snap, scaledM: StageMetrics.Snap,
+                         shuffleRatio: Double)
+    val zero = StageMetrics.Snap(0, 0, 0, 0, 0)
     val rows = slowest.map { case (name, t1) =>
       val fn = all.find(_._1 == name).get._2
-      val base = math.min(t1, math.abs(time(fn, baseDir)))
-      val s1 = time(fn, scaleDir)
-      val s2 = time(fn, scaleDir)
-      val scaled =
-        if (s1 < 0 && s2 < 0) math.min(s1, s2) // both failed: negative marker
-        else math.min(if (s1 > 0) s1 else Double.MaxValue,
-          if (s2 > 0) s2 else Double.MaxValue)
+      // t1 > 0 (failed base runs were filtered out of `slowest`); a
+      // failed re-measurement keeps its negative marker and is ignored
+      // rather than abs'd into a bogus tiny base time
+      val (t2, m2) = timeM(fn, baseDir)
+      val base = if (t2 > 0) math.min(t1, t2) else t1
+      val baseM = if (t2 > 0) m2 else zero
+      val (s1, ms1) = timeM(fn, scaleDir)
+      val (s2, ms2) = timeM(fn, scaleDir)
+      val (scaled, scaledM) =
+        if (s1 < 0 && s2 < 0) (math.min(s1, s2), zero) // both failed
+        else if (s2 > 0 && (s1 < 0 || s2 < s1)) (s2, ms2)
+        else (s1, ms1)
       val tables = scaledScans(fn)
       val ratio = if (scaled > 0 && base > 0) scaled / base else -1.0
-      (name, base, scaled, ratio, tables)
+      val shuffleRatio =
+        if (scaled > 0 && baseM.shuffleWrite >= SHUFFLE_FLOOR_BYTES)
+          scaledM.shuffleWrite.toDouble / baseM.shuffleWrite
+        else -1.0 // not attributable / sub-floor base
+      Row(name, base, scaled, ratio, tables, baseM, scaledM, shuffleRatio)
     }
-    // flag on ratio alone: scan attribution is best-effort (a memoized
-    // localCheckpoint build hides the parquet relation — q_bigram_lm
-    // reads documents but shows scaled_tables=[]), and a dims-only query
-    // growing 15x would be worth a look anyway
+    // flag on the measured ratios alone: scan attribution is best-effort
+    // (a memoized localCheckpoint build hides the parquet relation —
+    // q_bigram_lm reads documents but shows scaled_tables=[]), and a
+    // dims-only query growing 15x would be worth a look anyway
     val flagged = rows.collect {
-      case (name, _, _, ratio, _) if ratio > FLAG_RATIO => name
+      case r if r.ratio > FLAG_RATIO => r.name -> "time"
+      case r if r.shuffleRatio > FLAG_RATIO => r.name -> "shuffle_bytes"
     }
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    val qjson = rows.map { case (name, b, s, r, tables) =>
-      val ts = tables.map(t => s"\"" + t + "\"").mkString("[", ",", "]")
-      s"\"" + name + s"\":{\"base_s\":$b,\"scaled_s\":$s,\"ratio\":$r,\"scaled_tables\":$ts}"
+    def mb(v: Long): Double = math.floor(v / 1e6 * 100.0 + 0.5) / 100.0
+    val qjson = rows.map { r =>
+      val ts = r.tables.map(t => s"\"" + t + "\"").mkString("[", ",", "]")
+      s"\"" + r.name + s"\":{\"base_s\":${r.base},\"scaled_s\":${r.scaled}," +
+        s"\"ratio\":${r.ratio},\"scaled_tables\":$ts," +
+        s"\"base_shuffle_mb\":${mb(r.baseM.shuffleWrite)}," +
+        s"\"scaled_shuffle_mb\":${mb(r.scaledM.shuffleWrite)}," +
+        s"\"shuffle_ratio\":${r.shuffleRatio}," +
+        s"\"base_spill_mb\":${mb(r.baseM.spill)}," +
+        s"\"scaled_spill_mb\":${mb(r.scaledM.spill)}," +
+        s"\"base_input_mb\":${mb(r.baseM.input)}," +
+        s"\"scaled_input_mb\":${mb(r.scaledM.input)}}"
     }.mkString("{", ",", "}")
-    val fjson = flagged.map(n => s"\"" + n + "\"").mkString("[", ",", "]")
+    val fjson = flagged.map(_._1).distinct.map(n => s"\"" + n + "\"")
+      .mkString("[", ",", "]")
+    val fwhy = flagged.map { case (n, why) => s"\"$n\":\"$why\"" }
+      .mkString("{", ",", "}")
     val out =
-      s"""{"metric":"scale10","scale":$scale,"top_n":${rows.size},"flag_ratio":$FLAG_RATIO,"flagged":$fjson,"loadavg_end":$load,"queries":$qjson,"base_sf":"$baseDir"}"""
+      s"""{"metric":"scale10","scale":$scale,"top_n":${rows.size},"flag_ratio":$FLAG_RATIO,"flagged":$fjson,"flag_reasons":$fwhy,"loadavg_start":$loadStart,"loadavg_end":$load,"queries":$qjson,"base_sf":"$baseDir"}"""
     try {
       val p = java.nio.file.Paths.get("target/scale10_ratios.json")
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)

@@ -43,7 +43,7 @@ object ScaleFixture {
         files.map(x => s"${x.getName}:${x.length}:${x.lastModified}")
           .sorted.mkString("|")
       }
-      parts.mkString("||") + s"|x$scale|v3"
+      baseDir + "||" + parts.mkString("||") + s"|x$scale|v4"
     }
     if (Files.exists(marker) && Files.readString(marker) == fp) return
     val k = explode(sequence(lit(0), lit(scale - 1))).as("k")
@@ -79,9 +79,12 @@ object ScaleFixture {
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     dimTables.foreach { t =>
       val link = Paths.get(dir, s"$t.parquet")
-      if (!Files.exists(link))
-        Files.createSymbolicLink(link,
-          Paths.get(baseDir, s"$t.parquet").toAbsolutePath)
+      // always re-point: a rebuild against a DIFFERENT base must not keep
+      // links to the old one (mixed-scale corpus), and deleteIfExists
+      // removes dangling links Files.exists would miss
+      Files.deleteIfExists(link)
+      Files.createSymbolicLink(link,
+        Paths.get(baseDir, s"$t.parquet").toAbsolutePath)
     }
     Files.createDirectories(marker.getParent)
     Files.writeString(marker, fp)

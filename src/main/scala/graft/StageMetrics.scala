@@ -1,0 +1,84 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Stage-level execution telemetry for the scale artifacts.
+  *
+  * Wall-clock ratios alone can hide a superlinear shuffle: a query whose
+  * time grows 8× at 10× data while its shuffle bytes grow 80× is a scale
+  * problem the clock hasn't caught yet (the extra bytes are still
+  * in-memory at sf0.1 ×10 but become the network bottleneck at 100 TB).
+  * This listener aggregates the task metrics Spark publishes per
+  * completed stage — shuffle bytes written/read, disk spill, input bytes
+  * — so [[ScaleBench]] can record byte-growth ratios next to time ratios.
+  *
+  * Accounting is JVM-global (one listener, monotonic counters): callers
+  * take a [[Snap]] before and after a query and subtract. Deltas are
+  * only attributable when queries run sequentially on the session —
+  * exactly the bench mains' shape. Listener delivery is asynchronous, so
+  * [[Agg.settled]] polls until the counters stop moving before the
+  * "after" snapshot is taken.
+  */
+object StageMetrics {
+
+  /** Monotonic counter snapshot (bytes; `stages` = completed-stage count,
+    * used only for settlement detection). */
+  final case class Snap(shuffleWrite: Long, shuffleRead: Long, spill: Long,
+                        input: Long, stages: Long) {
+    def -(o: Snap): Snap = Snap(shuffleWrite - o.shuffleWrite,
+      shuffleRead - o.shuffleRead, spill - o.spill, input - o.input,
+      stages - o.stages)
+  }
+
+  final class Agg extends SparkListener {
+    private val shuffleWrite = new AtomicLong
+    private val shuffleRead = new AtomicLong
+    private val spill = new AtomicLong
+    private val input = new AtomicLong
+    private val stages = new AtomicLong
+
+    override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+      val m = s.stageInfo.taskMetrics
+      if (m != null) {
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        spill.addAndGet(m.diskBytesSpilled)
+        input.addAndGet(m.inputMetrics.bytesRead)
+        ()
+      }
+      stages.incrementAndGet()
+      ()
+    }
+
+    def snap(): Snap =
+      Snap(shuffleWrite.get, shuffleRead.get, spill.get, input.get,
+        stages.get)
+
+    /** Snapshot after the async listener bus has drained: polls until two
+      * reads `gapMs` apart agree (or `timeoutMs` elapses — the counters
+      * are then as settled as they will get). */
+    def settled(timeoutMs: Long = 2000, gapMs: Long = 100): Snap = {
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      var prev = snap()
+      var cur = prev
+      var settledOnce = false
+      while (!settledOnce && System.nanoTime() < deadline) {
+        Thread.sleep(gapMs)
+        cur = snap()
+        settledOnce = cur == prev
+        prev = cur
+      }
+      cur
+    }
+  }
+
+  /** Install a fresh aggregator on the session's listener bus. */
+  def install(spark: SparkSession): Agg = {
+    val agg = new Agg
+    spark.sparkContext.addSparkListener(agg)
+    agg
+  }
+}

@@ -664,7 +664,7 @@ object Breadth {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_gaps"),
            Fmt.fix4(avg("gap")).as("avg_gap_sec"),
-           round(max("gap"), 4).as("max_gap_sec"))
+           Fmt.fix4(max("gap")).as("max_gap_sec"))
       .orderBy("user_id")
   }
 
@@ -676,7 +676,7 @@ object Breadth {
       |  FROM events)
       |SELECT user_id, count(*) AS n_gaps,
       |       floor(avg(gap) * 10000.0 + 0.5) / 10000.0 AS avg_gap_sec,
-      |       round(max(gap), 4) AS max_gap_sec
+      |       floor(max(gap) * 10000.0 + 0.5) / 10000.0 AS max_gap_sec
       |FROM g WHERE gap IS NOT NULL
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
@@ -1471,8 +1471,7 @@ object Breadth {
       ds(when(col("variant") === "B", col("y")).otherwise(lit(0L)))
         .as("sy_b"))
     def d(c: String) = col(c).cast("double")
-    def fix4(c: Column) =
-      floor(c * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)
+    def fix4(c: Column) = Fmt.fix4(c)
     w
       .withColumn("vx", d("n") * d("sxx") - d("sx") * d("sx"))
       .withColumn("vy", d("n") * d("syy") - d("sy") * d("sy"))

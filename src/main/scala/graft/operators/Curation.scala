@@ -1145,8 +1145,7 @@ object Curation {
     val normed = probes.unionByName(anchors, allowMissingColumns = true)
       .withColumn("v_norm", last("v_p", ignoreNulls = true).over(wAlign))
       .where(col("tag") === 0)
-    def fix4(c: Column) =
-      floor(c * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)
+    def fix4(c: Column) = Fmt.fix4(c)
     normed.groupBy("source")
       .agg(first("n_s").as("n_docs"),
         sum(col("t").cast("decimal(38,0)") * col("n_chars")).as("sb"),

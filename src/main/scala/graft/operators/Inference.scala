@@ -741,8 +741,7 @@ object Inference {
       .withColumn("v2", (d("q2") - d("s2") * d("s2") / d("n2"))
         / (d("n2") - lit(1.0d)))
       .withColumn("se2", col("v1") / d("n1") + col("v2") / d("n2"))
-    def fix4(c: Column) =
-      floor(c * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)
+    def fix4(c: Column) = Fmt.fix4(c)
     withV.select(
       col("n1").cast("bigint").as("n1"), col("n2").cast("bigint").as("n2"),
       fix4(d("s1") / d("n1")).as("mean_en"),
@@ -846,8 +845,7 @@ object Inference {
           * (d("s_g") / d("n_g") - d("s") / d("n"))
           * (d("s_g") / d("n_g") - d("s") / d("n")) * lit(1000.0d)
           + lit(0.5d)).cast("long"))
-    def fix4(c: Column) =
-      floor(c * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)
+    def fix4(c: Column) = Fmt.fix4(c)
     val f = per.agg(sum("ssb3").as("ssb3"), sum("ssw3").as("ssw3"),
         first("n").as("n"), first("k").as("k"))
       .select(
@@ -1400,8 +1398,7 @@ object Inference {
     val e = ewmaOn(daily).select(col("event_type"), col("day"),
       floor(col("ewma") * lit(10000.0d) + lit(0.5d)).cast("long")
         .as("e4"))
-    def fix4(c: Column) =
-      floor(c * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)
+    def fix4(c: Column) = Fmt.fix4(c)
     base.join(h, Seq("event_type", "day"))
       .join(e, Seq("event_type", "day"))
       .filter(col("x_next").isNotNull && col("snaive").isNotNull)

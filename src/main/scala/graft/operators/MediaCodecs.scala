@@ -828,6 +828,8 @@ object MediaCodecs {
         case 0xdb => // DQT (possibly several tables per segment)
           var o = p
           while (o < i + 2 + len) {
+            require(o + 65 <= i + 2 + len,
+              "malformed DQT: table overruns the segment")
             val pq = (b(o) & 0xff) >> 4
             val tq = b(o) & 0x0f
             require(pq == 0, "only 8-bit quant tables supported")
@@ -837,6 +839,8 @@ object MediaCodecs {
         case 0xc4 => // DHT (possibly several tables per segment)
           var o = p
           while (o < i + 2 + len) {
+            require(o + 17 <= i + 2 + len,
+              "malformed DHT: BITS header overruns the segment")
             val tc = (b(o) & 0xff) >> 4
             val th = b(o) & 0x0f
             val bits = Array.tabulate(16)(j => b(o + 1 + j) & 0xff)
@@ -849,12 +853,15 @@ object MediaCodecs {
             o += 17 + n
           }
         case 0xc0 => // SOF0 baseline
+          require(len >= 8, "malformed SOF0: segment too short")
           require((b(p) & 0xff) == 8, "only 8-bit precision supported")
           h = ((b(p + 1) & 0xff) << 8) | (b(p + 2) & 0xff)
           w = ((b(p + 3) & 0xff) << 8) | (b(p + 4) & 0xff)
           val nc = b(p + 5) & 0xff
           require(nc == 1 || nc == 3,
             s"unsupported JPEG component count $nc")
+          require(len >= 8 + 3 * nc,
+            "malformed SOF0: component table overruns the segment")
           comps = Array.tabulate(nc) { c =>
             val o = p + 6 + 3 * c
             Array(b(o) & 0xff, (b(o + 1) & 0xff) >> 4, b(o + 1) & 0x0f,
@@ -869,9 +876,12 @@ object MediaCodecs {
           sys.error(f"unsupported JPEG SOF marker FF$m%02X (not baseline)")
         case 0xdd => sys.error("JPEG restart intervals not supported")
         case 0xda => // SOS
+          require(len >= 3, "malformed SOS: segment too short")
           val ns = b(p) & 0xff
           require(comps != null && ns == comps.length,
             "SOS component count mismatch")
+          require(len >= 3 + 2 * ns + 3,
+            "malformed SOS: component selectors overrun the segment")
           var c = 0
           while (c < ns) {
             dcSel(c) = (b(p + 2 + 2 * c) & 0xff) >> 4

@@ -1226,8 +1226,7 @@ object Profiling {
           .otherwise(lit(0L))).as("c1"),
         sum(when(col("lag") === 2L, col("a1") * col("a2"))
           .otherwise(lit(0L))).as("c2"))
-    def fix4(c: Column) =
-      floor(c * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)
+    def fix4(c: Column) = Fmt.fix4(c)
     tot.join(c0, "event_type").join(ck, "event_type")
       // guard INSIDE the ratio: ANSI mode turns an eager c1/c0 into a
       // divide error on the degenerate constant series (c0 = 0); the
