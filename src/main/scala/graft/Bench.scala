@@ -51,6 +51,13 @@ object Bench {
       .format("noop").mode("overwrite").save()
     spark.read.parquet(s"$sfDir/region.parquet").write
       .format("noop").mode("overwrite").save()
+    // Fleet-total byte movement (shuffle/spill/input) across the whole
+    // measured run — one snapshot pair, zero per-query overhead. Time is
+    // host-sensitive; bytes are not: round-over-round, these numbers move
+    // only when plans change, and a growing shuffle total is the scale
+    // signal wall-clock can hide. Warmup above is excluded.
+    val stageAgg = StageMetrics.install(spark)
+    val bytesStart = stageAgg.snap()
     // Contention-proofing: a shared host can slow this JVM 4-6x for the
     // duration of a competing job, which says nothing about the plans. Run
     // PASSES full passes over the query set and report each query's MINIMUM.
@@ -183,8 +190,14 @@ object Bench {
     // head — so every BENCH_r*.json through round 8 recorded parsed:null.
     // This second line is small enough to always survive the tail capture
     // and carries everything the 2x-of-baseline acceptance gate needs.
+    val bytes = stageAgg.settled() - bytesStart
+    def mbJ(v: Long): Double = math.floor(v / 1e6 * 100.0 + 0.5) / 100.0
+    val byteJson =
+      s""","passes":$passes,"shuffle_write_mb":${mbJ(bytes.shuffleWrite)}""" +
+        s""","shuffle_read_mb":${mbJ(bytes.shuffleRead)}""" +
+        s""","spill_mb":${mbJ(bytes.spill)},"input_mb":${mbJ(bytes.input)}"""
     val summary = summaryJson("bench_summary", results,
-      s""","n_carried":${carried.size}$host""")
+      s""","n_carried":${carried.size}$host$byteJson""")
     // Belt and braces for the driver's parser: (a) the summary also lands
     // in a bare file no log framework can decorate; (b) stop Spark BEFORE
     // the final println so no shutdown chatter can print after it; the

@@ -26,7 +26,8 @@ import org.apache.spark.sql.SparkSession
   * on KB-scale shuffles are metadata noise).
   *
   * Output contract mirrors [[Bench]]: ONE compact JSON line printed
-  * last (metric "scale10"), backed by target/scale10_ratios.json.
+  * last (metric "scale10" — the name is historical; the "scale" field
+  * carries the actual step), backed by target/scale{N}_ratios.json.
   */
 object ScaleBench {
   private val FLAG_RATIO = 15.0
@@ -98,7 +99,12 @@ object ScaleBench {
       } catch { case scala.util.control.NonFatal(_) => Seq("unknown") }
     }
 
+    // dev-only subset filter (comma-separated names), mirroring Verify;
+    // the driver sets no env and always ranks the full registry
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     // warm the session the same way Bench does
     spark.range(1000).selectExpr("sum(id)").write
       .format("noop").mode("overwrite").save()
@@ -165,7 +171,7 @@ object ScaleBench {
     val out =
       s"""{"metric":"scale10","scale":$scale,"top_n":${rows.size},"flag_ratio":$FLAG_RATIO,"flagged":$fjson,"flag_reasons":$fwhy,"loadavg_start":$loadStart,"loadavg_end":$load,"queries":$qjson,"base_sf":"$baseDir"}"""
     try {
-      val p = java.nio.file.Paths.get("target/scale10_ratios.json")
+      val p = java.nio.file.Paths.get(s"target/scale${scale}_ratios.json")
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, (out + "\n").getBytes("UTF-8"))
       ()

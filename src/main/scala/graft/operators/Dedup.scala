@@ -1260,7 +1260,20 @@ object Dedup {
     * (b_doc, doc_id, est_jac) for every (batch, indexed) pair sharing ≥1
     * band bucket, scored by signature-estimated Jaccard. Everything the
     * verify needs rides in the index row — the indexed corpus text is
-    * never touched. */
+    * never touched.
+    *
+    * Plan shape (the 100 TB concern): the index side of the bucket join
+    * must NEVER be exchanged — its rows are wide (K signature columns ×
+    * BANDS rows per doc), and shipping them through a shuffle is
+    * invisible at small scale (AQE broadcasts the probe side, nothing
+    * moves) but past the broadcast threshold it ships the whole index
+    * through a sort-merge exchange (measured at the 10× step: 0.2 →
+    * 134 MB shuffle, 15× wall). The index table is therefore BUCKETED
+    * by the full join key (band, nib, key) at build time
+    * ([[ensureMinhashIndexTable]]) so the join reads it in place
+    * bucket-by-bucket — only the narrow probe side is shuffled, into the
+    * index's bucket layout. PlanShapeSpec pins the no-exchange-over-
+    * index property with broadcast disabled. */
   private[graft] def probeMinhashIndex(idx: DataFrame,
                                        batch: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(batch.sparkSession)
@@ -1277,25 +1290,34 @@ object Dedup {
     val nMatch = (0 until K)
       .map(i => when(col(s"h$i") === col(s"q$i"), 1).otherwise(0))
       .reduce(_ + _)
+    // score BEFORE the pair dedup: est_jac is row-local and identical on
+    // every duplicate of a pair (same two signatures), so deduping the
+    // scored 3-column frame is equivalent — and the dedup exchange then
+    // moves (b_doc, doc_id, est_jac), not the 2K signature columns
     idx.join(probes, Seq("band", "nib", "key"))
-      .dropDuplicates("b_doc", "doc_id")
       .withColumn("est_jac", Fmt.fix4(nMatch.cast("double") / lit(K)))
       .select("b_doc", "doc_id", "est_jac")
+      .dropDuplicates("b_doc", "doc_id")
   }
 
-  /** Ingest-time MinHash band index over the CORPUS documents, partitioned
-    * by (band, nib). Built once per (dir, data fingerprint) via the same
-    * scaffold as the ANN index tables — the corpus is shingled exactly
-    * once, at ingest. Hot buckets (> BUCKET_CAP corpus docs) are dropped
-    * at build time, same semantics as [[minhashCandidates]]. */
+  /** Ingest-time MinHash band index over the CORPUS documents, BUCKETED
+    * by the probe join key (band, nib, key) — the probe's bucket join
+    * then reads the index exchange-free (only the narrow batch side
+    * shuffles, into the index's bucket layout), which is what keeps the
+    * wide signature rows off the wire at any scale. Built once per
+    * (dir, data fingerprint) via the same scaffold as the ANN index
+    * tables — the corpus is shingled exactly once, at ingest. Hot
+    * buckets (> BUCKET_CAP corpus docs) are dropped at build time, same
+    * semantics as [[minhashCandidates]]. */
   private[graft] def ensureMinhashIndexTable(s: SparkSession,
                                              dir: String): String =
-    Similarity.ensureIndexTable(s, dir, "mhidx", srcTable = "documents") {
+    Similarity.ensureIndexTable(s, dir, "mhidx", srcTable = "documents",
+      bucketCols = Seq("band", "nib", "key")) {
       minhashBandRows(
         docsWithShingles(s, dir)
           .filter(pmod(col("doc_id"), lit(BATCH_MOD)) =!= BATCH_REM),
         cap = Some(BUCKET_CAP))
-    }(Seq("band", "nib"))
+    }(Nil)
 
   /** Incremental dedup — the operation an appending lake runs on every
     * load: probe a NEW batch of documents against the ingest-time band

@@ -983,7 +983,7 @@ object Similarity {
     * so persisted tables built by older code rebuild instead of serving
     * results the current oracle can't reproduce. Data drift is covered by
     * the fingerprint; this covers code drift — both invalidate. */
-  private val INDEX_ALGO_VER = 2
+  private val INDEX_ALGO_VER = 3
 
   /** Shared ingest-time index-table scaffold: the table name carries a
     * fingerprint of the source parquet (sizes + mtimes) plus the
@@ -995,7 +995,9 @@ object Similarity {
     * ingest/query split. */
   private[graft] def ensureIndexTable(s: SparkSession, dir: String,
                                       kind: String,
-                                      srcTable: String = "embeddings")
+                                      srcTable: String = "embeddings",
+                                      bucketCols: Seq[String] = Nil,
+                                      nBuckets: Int = 16)
                                      (build: => DataFrame)
                                      (partCols: Seq[String]): String = synchronized {
     val db = "graft_ann"
@@ -1030,8 +1032,19 @@ object Similarity {
         // rebuilding. The index is ingest-owned state; a consumer process
         // must not pay the build again (at 100 TB "again" is a full
         // corpus pass). RECOVER PARTITIONS restores the (band, nib)
-        // partition pruning the probes rely on.
-        s.sql(s"CREATE TABLE $tbl USING parquet LOCATION '$loc'")
+        // partition pruning the probes rely on; a bucketed index needs
+        // its CLUSTERED BY spec re-declared (with an explicit schema —
+        // bucket DDL can't infer columns) or joins silently lose the
+        // exchange-free read.
+        val bucketDdl =
+          if (bucketCols.isEmpty) ""
+          else s" CLUSTERED BY (${bucketCols.mkString(", ")}) " +
+            s"SORTED BY (${bucketCols.mkString(", ")}) INTO $nBuckets BUCKETS"
+        val schemaDdl =
+          if (bucketCols.isEmpty) ""
+          else s" (${s.read.parquet(loc.toString).schema.toDDL})"
+        s.sql(s"CREATE TABLE $tbl$schemaDdl USING parquet$bucketDdl " +
+          s"LOCATION '$loc'")
         if (partCols.nonEmpty)
           s.sql(s"ALTER TABLE $tbl RECOVER PARTITIONS")
       } else {
@@ -1044,8 +1057,12 @@ object Similarity {
             .forEach(java.nio.file.Files.delete(_))
           finally st.close()
         }
-        build.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        val writer = build.write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
           .partitionBy(partCols: _*)
+        (if (bucketCols.isEmpty) writer
+         else writer.bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+           .sortBy(bucketCols.head, bucketCols.tail: _*))
           .saveAsTable(tbl)
       }
     }

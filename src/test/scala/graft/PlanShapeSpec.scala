@@ -292,6 +292,42 @@ class PlanShapeSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
         s"${docScans.size} — the corpus must come from the index")
   }
 
+  test("incremental dedup never exchanges the index side, even without " +
+    "broadcast (the bucketed-table read)") {
+    // at fixture scale AQE broadcasts the probe side, which hides how the
+    // join behaves past the broadcast threshold — the 100 TB question.
+    // With broadcast off, the (band, nib, key)-bucketed index table must
+    // feed the join in place: its wide signature rows (K columns × BANDS
+    // rows per doc) never cross an exchange; only the probe side shuffles
+    // into the bucket layout.
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = executed(Dedup.dedupIncremental(spark, sfDir))
+      // (a) the index scan itself is the bucketed read — the join's index
+      // side needs no exchange of its own
+      val idxScans = collect(plan) {
+        case f: FileSourceScanExec
+          if f.tableIdentifier.exists(_.table.startsWith("mhidx_")) => f
+      }
+      assert(idxScans.nonEmpty, s"no scan of the minhash band index in:\n$plan")
+      assert(idxScans.forall(_.metadata.get("Bucketed").contains("true")),
+        s"index scan is not reading bucket-wise:\n${idxScans.mkString("\n")}")
+      // (b) no exchange anywhere in the plan carries INDEX signature
+      // columns (h*) — the join consumes them in place and the scored
+      // pair dedup moves only (b_doc, doc_id, est_jac). The probe side's
+      // q* columns legitimately ride its one exchange into the bucket
+      // layout: that's the batch-linear probe payload, not corpus data.
+      val sigCols = (0 until 24).map(i => s"h$i").toSet
+      val sigExchanges = collect(plan) {
+        case e: ShuffleExchangeExec
+          if e.output.exists(a => sigCols.contains(a.name)) => e
+      }
+      assert(sigExchanges.isEmpty,
+        s"signature columns crossed a shuffle exchange:\n${sigExchanges.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("fuzzy match joins are key-blocked, never a cross product") {
     val plan = executed(Breadth.fuzzyNames(spark, sfDir))
     val cartesian = collect(plan) {
