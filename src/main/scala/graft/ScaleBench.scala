@@ -13,24 +13,26 @@ import org.apache.spark.sql.SparkSession
   * artifact records per-query (base_s, scaled_s, ratio) plus which
   * scaled tables the query actually scans — a query that reads only
   * unscaled dims legitimately shows ratio ≈ 1 and is excluded from the
-  * superlinear flag. Queries with ratio > FLAG_RATIO (default 15×, vs
-  * the ~10× a linear operator shows with constant overheads) land in
-  * "flagged": the next round's work list.
+  * superlinear flag. Queries growing more than 1.5× the data-growth
+  * factor (15× at the default 10× step — a linear operator shows ~scale×
+  * with constant overheads; a fixed threshold would false-positive every
+  * linear query at larger steps) land in "flagged": the next round's
+  * work list.
   *
   * Beyond wall time, each measured run carries [[StageMetrics]] deltas —
   * shuffle bytes written/read, disk spill, input bytes — because the
   * clock can lag the bytes: a shuffle growing ≫ the data growth is the
   * 100 TB bottleneck even while the 10× wall time still looks linear.
   * A query is therefore ALSO flagged when its shuffle-write bytes grow
-  * more than FLAG_RATIO× (only when the base shuffle is ≥ 1 MB — ratios
-  * on KB-scale shuffles are metadata noise).
+  * more than 1.5× the data-growth factor (only when the base shuffle is
+  * ≥ 1 MB — ratios on KB-scale shuffles are metadata noise).
   *
   * Output contract mirrors [[Bench]]: ONE compact JSON line printed
   * last (metric "scale10" — the name is historical; the "scale" field
   * carries the actual step), backed by target/scale{N}_ratios.json.
   */
 object ScaleBench {
-  private val FLAG_RATIO = 15.0
+  private val FLAG_FACTOR = 1.5 // of the data-growth factor
   private val SHUFFLE_FLOOR_BYTES = 1L << 20 // ignore sub-MB base shuffles
 
   def main(args: Array[String]): Unit = {
@@ -146,8 +148,8 @@ object ScaleBench {
     // q_bigram_lm reads documents but shows scaled_tables=[]), and a
     // dims-only query growing 15x would be worth a look anyway
     val flagged = rows.collect {
-      case r if r.ratio > FLAG_RATIO => r.name -> "time"
-      case r if r.shuffleRatio > FLAG_RATIO => r.name -> "shuffle_bytes"
+      case r if r.ratio > FLAG_FACTOR * scale => r.name -> "time"
+      case r if r.shuffleRatio > FLAG_FACTOR * scale => r.name -> "shuffle_bytes"
     }
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
@@ -169,7 +171,7 @@ object ScaleBench {
     val fwhy = flagged.map { case (n, why) => s"\"$n\":\"$why\"" }
       .mkString("{", ",", "}")
     val out =
-      s"""{"metric":"scale10","scale":$scale,"top_n":${rows.size},"flag_ratio":$FLAG_RATIO,"flagged":$fjson,"flag_reasons":$fwhy,"loadavg_start":$loadStart,"loadavg_end":$load,"queries":$qjson,"base_sf":"$baseDir"}"""
+      s"""{"metric":"scale10","scale":$scale,"top_n":${rows.size},"flag_ratio":${FLAG_FACTOR * scale},"flagged":$fjson,"flag_reasons":$fwhy,"loadavg_start":$loadStart,"loadavg_end":$load,"queries":$qjson,"base_sf":"$baseDir"}"""
     try {
       val p = java.nio.file.Paths.get(s"target/scale${scale}_ratios.json")
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)

@@ -1005,39 +1005,43 @@ object Dedup {
     * together by construction (spec-asserted; the ordering is a property
     * of the data, the NUMBERS are oracle-checked).
     *
-    * Scale shape: one shingle pass per method feeding a distinct over
-    * (split, digest); the leak count is a digest-keyed self-join of the
-    * two split sides — 32-byte keys end to end. */
+    * Scale shape: ONE shingle pass serving both methods. The two split
+    * assignments attach at the DOCUMENT level (the cluster split joins a
+    * doc-keyed frame, the naive split is doc_id arithmetic) BEFORE the
+    * gram explode, so no token-scale row ever joins anything; a stack()
+    * fans each gram to its two (method, split) views and one
+    * groupBy(method, digest) with test/train presence flags replaces the
+    * old per-method distinct + digest self-join (which re-ran the gram
+    * explode per branch and shipped 20× the bytes at the 10× step —
+    * measured before this rewrite). 32-byte keys end to end. */
   def splitContamination(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val grams = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        explode(expr(s"array_distinct(word_shingles(split(text, ' '), $CONTAM_N))"))
-          .as("g"))
-      .select(col("doc_id"), md5(col("g")).as("h"))
-    def audit(asg: DataFrame, method: String): DataFrame = {
-      val sg = grams.join(asg, "doc_id")
-        .select(col("split"), col("h")).distinct()
-      val test = sg.filter(col("split") === "test").select("h")
-      val train = sg.filter(col("split") === "train").select("h")
-      val nTest = test.agg(count(lit(1)).as("n_test_grams"))
-      val nShared = test.join(train, "h")
-        .agg(count(lit(1)).as("n_shared"))
-      nTest.crossJoin(broadcast(nShared))
-        .select(lit(method).as("method"), col("n_test_grams"),
-          col("n_shared"),
-          (floor(col("n_shared").cast("double")
-            / col("n_test_grams").cast("double") * lit(10000.0d)
-            + lit(0.5d)) / lit(10000.0d)).as("contamination_rate"))
-    }
-    val cluster = splitFrame(s, dir).select("doc_id", "split")
-    val naive = Tables.documents(s, dir).select(col("doc_id"))
+    val cluster = splitFrame(s, dir)
+      .select(col("doc_id"), col("split").as("cluster_split"))
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+      .join(cluster, "doc_id")
       .withColumn("h0",
         expr("CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':sp')), 1, 8), 16, 10) AS BIGINT)"))
-      .withColumn("split",
+      .withColumn("naive_split",
         expr("CASE WHEN h0 % 10 < 8 THEN 'train' WHEN h0 % 10 = 8 THEN 'val' ELSE 'test' END"))
-      .select("doc_id", "split")
-    audit(cluster, "cluster").unionByName(audit(naive, "naive"))
+    val grams = docs
+      .select(col("cluster_split"), col("naive_split"),
+        explode(expr(s"array_distinct(word_shingles(split(text, ' '), $CONTAM_N))"))
+          .as("g"))
+      .select(col("cluster_split"), col("naive_split"), md5(col("g")).as("h"))
+      .selectExpr(
+        "stack(2, 'cluster', cluster_split, 'naive', naive_split) AS (method, split)",
+        "h")
+    grams.groupBy("method", "h")
+      .agg(max(when(col("split") === "test", 1L).otherwise(0L)).as("t"),
+        max(when(col("split") === "train", 1L).otherwise(0L)).as("tr"))
+      .groupBy("method")
+      .agg(sum(col("t")).as("n_test_grams"),
+        sum(col("t") * col("tr")).as("n_shared"))
+      .select(col("method"), col("n_test_grams"), col("n_shared"),
+        (floor(col("n_shared").cast("double")
+          / col("n_test_grams").cast("double") * lit(10000.0d)
+          + lit(0.5d)) / lit(10000.0d)).as("contamination_rate"))
       .orderBy("method")
   }
 
