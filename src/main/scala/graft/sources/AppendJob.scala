@@ -33,6 +33,15 @@ import graft.operators.Dedup
   * than sharing [[Dedup.ensureMinhashIndexTable]]'s fingerprinted table:
   * an append MUTATES the index, and the registered q_dedup_incremental
   * query's oracle assumes a pristine one.
+  *
+  * Layout trade-off vs the read-mostly probe index: docs_mhidx stays
+  * `partitionBy(band, nib)` because upsert/delete rewrite ONLY the hit
+  * partitions (dynamic partition overwrite — the O(delta) CRUD
+  * property), which bucket files wouldn't give; the price is that a
+  * probe against it shuffles the index side once the batch outgrows the
+  * broadcast threshold. The fingerprinted ensureMinhashIndexTable is the
+  * opposite trade: `bucketBy(16, band, nib, key)`, exchange-free probes,
+  * rebuild-on-change instead of in-place mutation. Pick by workload.
   */
 object AppendJob {
 
