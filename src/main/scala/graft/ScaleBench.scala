@@ -110,8 +110,43 @@ object ScaleBench {
     // warm the session the same way Bench does
     spark.range(1000).selectExpr("sum(id)").write
       .format("noop").mode("overwrite").save()
-    System.err.println(s"[scale] base pass over ${all.size} queries")
-    val basePass = all.map { case (name, fn) => name -> time(fn, baseDir) }
+    // dev-only census mode (SPARK_GRAFT_SCALE_CENSUS=1): the base pass
+    // also captures per-query byte deltas for the WHOLE registry —
+    // shuffle write/read, spill, input — into target/shuffle_census.json,
+    // ranked by shuffle write. This is how the next superlinear shape is
+    // found without waiting for it to crack the slowest-N: a query whose
+    // shuffle bytes rival its input bytes at base scale is a candidate
+    // regardless of its wall time. Costs one listener settle per query.
+    val census = sys.env.get("SPARK_GRAFT_SCALE_CENSUS").contains("1")
+    System.err.println(s"[scale] base pass over ${all.size} queries" +
+      (if (census) " (census mode)" else ""))
+    val censusRows = scala.collection.mutable.ArrayBuffer[
+      (String, Double, StageMetrics.Snap)]()
+    val basePass = all.map { case (name, fn) =>
+      if (census) {
+        val (dt, m) = timeM(fn, baseDir)
+        censusRows += ((name, dt, m))
+        name -> dt
+      } else name -> time(fn, baseDir)
+    }
+    if (census) {
+      def mbC(v: Long): Double = math.floor(v / 1e6 * 100.0 + 0.5) / 100.0
+      val lines = censusRows.sortBy(-_._3.shuffleWrite).map {
+        case (name, dt, m) =>
+          s"""\"$name\":{"s":$dt,"shuffle_write_mb":${mbC(m.shuffleWrite)},""" +
+            s""""shuffle_read_mb":${mbC(m.shuffleRead)},""" +
+            s""""spill_mb":${mbC(m.spill)},"input_mb":${mbC(m.input)}}"""
+      }.mkString("{", ",", "}")
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("target/shuffle_census.json"),
+          (s"""{"metric":"shuffle_census","sf":"$baseDir","queries":$lines}""" + "\n")
+            .getBytes("UTF-8"))
+        ()
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[scale] could not write census: ${e.getMessage}")
+      }
+    }
     val slowest = basePass.filter(_._2 > 0).sortBy(-_._2).take(topN)
     System.err.println(s"[scale] top-$topN slowest: " +
       slowest.take(5).map { case (n, t) => f"$n=$t%.2f" }.mkString(", "))
