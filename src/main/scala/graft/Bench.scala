@@ -56,8 +56,11 @@ object Bench {
     // host-sensitive; bytes are not: round-over-round, these numbers move
     // only when plans change, and a growing shuffle total is the scale
     // signal wall-clock can hide. Warmup above is excluded.
+    // settled(), not snap(): warmup stage events still queued on the async
+    // bus at install time would otherwise land AFTER the start snapshot
+    // and be billed to the measured delta
     val stageAgg = StageMetrics.install(spark)
-    val bytesStart = stageAgg.snap()
+    val bytesStart = stageAgg.settled()
     // Contention-proofing: a shared host can slow this JVM 4-6x for the
     // duration of a competing job, which says nothing about the plans. Run
     // PASSES full passes over the query set and report each query's MINIMUM.
@@ -191,11 +194,11 @@ object Bench {
     // This second line is small enough to always survive the tail capture
     // and carries everything the 2x-of-baseline acceptance gate needs.
     val bytes = stageAgg.settled() - bytesStart
-    def mbJ(v: Long): Double = math.floor(v / 1e6 * 100.0 + 0.5) / 100.0
+    import StageMetrics.mb
     val byteJson =
-      s""","passes":$passes,"shuffle_write_mb":${mbJ(bytes.shuffleWrite)}""" +
-        s""","shuffle_read_mb":${mbJ(bytes.shuffleRead)}""" +
-        s""","spill_mb":${mbJ(bytes.spill)},"input_mb":${mbJ(bytes.input)}"""
+      s""","passes":$passes,"shuffle_write_mb":${mb(bytes.shuffleWrite)}""" +
+        s""","shuffle_read_mb":${mb(bytes.shuffleRead)}""" +
+        s""","spill_mb":${mb(bytes.spill)},"input_mb":${mb(bytes.input)}"""
     val summary = summaryJson("bench_summary", results,
       s""","n_carried":${carried.size}$host$byteJson""")
     // Belt and braces for the driver's parser: (a) the summary also lands

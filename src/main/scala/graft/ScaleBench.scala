@@ -130,16 +130,17 @@ object ScaleBench {
       } else name -> time(fn, baseDir)
     }
     if (census) {
-      def mbC(v: Long): Double = math.floor(v / 1e6 * 100.0 + 0.5) / 100.0
+      import StageMetrics.mb
       val lines = censusRows.sortBy(-_._3.shuffleWrite).map {
         case (name, dt, m) =>
-          s"""\"$name\":{"s":$dt,"shuffle_write_mb":${mbC(m.shuffleWrite)},""" +
-            s""""shuffle_read_mb":${mbC(m.shuffleRead)},""" +
-            s""""spill_mb":${mbC(m.spill)},"input_mb":${mbC(m.input)}}"""
+          s"""\"$name\":{"s":$dt,"shuffle_write_mb":${mb(m.shuffleWrite)},""" +
+            s""""shuffle_read_mb":${mb(m.shuffleRead)},""" +
+            s""""spill_mb":${mb(m.spill)},"input_mb":${mb(m.input)}}"""
       }.mkString("{", ",", "}")
       try {
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get("target/shuffle_census.json"),
+        val p = java.nio.file.Paths.get("target/shuffle_census.json")
+        if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p,
           (s"""{"metric":"shuffle_census","sf":"$baseDir","queries":$lines}""" + "\n")
             .getBytes("UTF-8"))
         ()
@@ -182,13 +183,16 @@ object ScaleBench {
     // (a memoized localCheckpoint build hides the parquet relation —
     // q_bigram_lm reads documents but shows scaled_tables=[]), and a
     // dims-only query growing 15x would be worth a look anyway
-    val flagged = rows.collect {
-      case r if r.ratio > FLAG_FACTOR * scale => r.name -> "time"
-      case r if r.shuffleRatio > FLAG_FACTOR * scale => r.name -> "shuffle_bytes"
+    val flagged = rows.flatMap { r =>
+      val why = Seq(
+        if (r.ratio > FLAG_FACTOR * scale) Some("time") else None,
+        if (r.shuffleRatio > FLAG_FACTOR * scale) Some("shuffle_bytes")
+        else None).flatten
+      if (why.isEmpty) None else Some(r.name -> why.mkString("+"))
     }
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    def mb(v: Long): Double = math.floor(v / 1e6 * 100.0 + 0.5) / 100.0
+    import StageMetrics.mb
     val qjson = rows.map { r =>
       val ts = r.tables.map(t => s"\"" + t + "\"").mkString("[", ",", "]")
       s"\"" + r.name + s"\":{\"base_s\":${r.base},\"scaled_s\":${r.scaled}," +

@@ -75,6 +75,10 @@ object StageMetrics {
     }
   }
 
+  /** Bytes → MB with 2-decimal floor rounding, shared by every artifact
+    * that renders a [[Snap]]. */
+  def mb(v: Long): Double = math.floor(v / 1e6 * 100.0 + 0.5) / 100.0
+
   /** Install a fresh aggregator on the session's listener bus. */
   def install(spark: SparkSession): Agg = {
     val agg = new Agg

@@ -64,7 +64,7 @@ object Dedup {
     * the 0.3 verify cutoff, so mid-similarity duplicates are caught with
     * high probability (PropertiesSpec plants a 0.35-Jaccard pair and
     * asserts it survives). */
-  private val K = 24
+  private[graft] val K = 24
   private val BANDS = 12
 
   /** Hot-band guard: a band bucket larger than this (boilerplate shingles —

@@ -1002,7 +1002,14 @@ object Similarity {
                                      (partCols: Seq[String]): String = synchronized {
     val db = "graft_ann"
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_").stripPrefix("_")
-    val fp = s"${dataFingerprint(dir, srcTable)}v$INDEX_ALGO_VER"
+    // the bucket spec is PHYSICAL layout: folding it into the name means a
+    // future nBuckets/bucketCols change rebuilds instead of re-registering
+    // old-bucket files under a new CLUSTERED BY spec (which would silently
+    // drop join matches — probe hashes mod new n, rows sit in old buckets)
+    val bucketTok =
+      if (bucketCols.isEmpty) ""
+      else s"b$nBuckets" + bucketCols.map(_.take(1)).mkString
+    val fp = s"${dataFingerprint(dir, srcTable)}v$INDEX_ALGO_VER$bucketTok"
     val name = s"${kind}_${tag}_$fp"
     val tbl = s"$db.$name"
     if (!s.catalog.tableExists(tbl)) {
@@ -1012,7 +1019,7 @@ object Similarity {
       // would let a dir whose tag is a prefix of another's (sf1 vs sf10)
       // drop the other dir's live index (tag is sanitized to
       // [A-Za-z0-9_], regex-safe)
-      val stale = s"${kind}_${tag}_[0-9a-f]{1,8}(v[0-9]+)?"
+      val stale = s"${kind}_${tag}_[0-9a-f]{1,8}(v[0-9]+)?(b[0-9]+[a-z]*)?"
       if (s.catalog.databaseExists(db)) {
         s.catalog.listTables(db).collect()
           .map(_.name)

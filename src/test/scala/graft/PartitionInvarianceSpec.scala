@@ -47,6 +47,12 @@ class PartitionInvarianceSpec extends SparkTestBase {
       "spark.sql.shuffle.partitions" -> "3",
       "spark.sql.files.maxPartitionBytes" -> "131072"))
     assert(a.keySet == b.keySet)
+    // a query that throws under BOTH legs would compare equal on its
+    // error marker — that's a skipped comparison, not invariance
+    val errored = (a ++ b).collect {
+      case (k, rows) if rows.exists(_.startsWith("ERROR:")) => k
+    }
+    assert(errored.isEmpty, s"queries errored instead of comparing: $errored")
     val broken = a.keys.toSeq.sorted.filter(k => a(k) != b(k))
     val detail = broken.take(5).map { k =>
       val diffAt = a(k).zipAll(b(k), "<missing>", "<missing>")

@@ -318,7 +318,7 @@ class PlanShapeSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       // pair dedup moves only (b_doc, doc_id, est_jac). The probe side's
       // q* columns legitimately ride its one exchange into the bucket
       // layout: that's the batch-linear probe payload, not corpus data.
-      val sigCols = (0 until 24).map(i => s"h$i").toSet
+      val sigCols = (0 until Dedup.K).map(i => s"h$i").toSet
       val sigExchanges = collect(plan) {
         case e: ShuffleExchangeExec
           if e.output.exists(a => sigCols.contains(a.name)) => e
