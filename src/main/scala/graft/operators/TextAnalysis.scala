@@ -1031,7 +1031,16 @@ object TextAnalysis {
     * table re-aggregated) — the materialized pair-table step every
     * n-gram pipeline runs once at ingest. Pinned as narrow (id, word,
     * word, count) blocks via localCheckpoint (survives the callers'
-    * per-query clearCache), the [[Graph.affinityEdges]] lifecycle. */
+    * per-query clearCache), the [[Graph.affinityEdges]] lifecycle.
+    *
+    * Pinned PRE-PARTITIONED on (w1, w2) — the key every consumer
+    * aggregates or joins on — and localCheckpoint preserves the
+    * partitioning, so the LM's scoring join and the corpus-level pair
+    * re-aggregations read the token-scale table in place at any scale.
+    * Without this the scoring join broadcasts the model below the
+    * threshold and RE-SHUFFLES the whole pair table above it (measured:
+    * 13 MB shuffle at the 10× step but 387 MB at 40× — the broadcast
+    * cliff); the one build-time exchange amortizes across consumers. */
   private val bigramMemo = new java.util.concurrent.ConcurrentHashMap[
     (Int, String, Long), DataFrame]()
 
@@ -1053,6 +1062,7 @@ object TextAnalysis {
               |  ELSE cast(array() as array<struct<w1:string,w2:string>>)
               |END)""".stripMargin))
         .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))
+        .repartition(col("w1"), col("w2"))
         .localCheckpoint()
       bigramMemo.put(key, v)
       v
