@@ -173,17 +173,29 @@ object StreamOps {
         col("purchase_id"), col("view_id"), col("value"))
   }
 
-  /** foreachBatch parquet sink: land each micro-batch in a parquet
-    * directory (append), reusing the full batch DataFrameWriter — the
-    * standard way to attach a streaming pipeline to a batch table when no
-    * native sink fits (e.g. the bucketed warehouse of graft.sources.Ddl).
+  /** foreachBatch parquet sink, EXACTLY-ONCE across failure/replay: each
+    * micro-batch lands under its own `batch_id=<epoch>` partition via
+    * dynamic partition overwrite, so a batch REPLAYED after a crash in
+    * the window between the sink write and the checkpoint commit
+    * OVERWRITES its own partition instead of appending a second copy — a
+    * bare mode("append") here is only at-least-once, exactly in that
+    * window. This is the standard way to attach a streaming pipeline to
+    * a batch table when no native sink fits (e.g. the bucketed warehouse
+    * of graft.sources.Ddl); readers see `batch_id` as a provenance
+    * partition column and prune on it for free. Replay semantics are
+    * forced and asserted by StreamOpsSpec (delete the newest checkpoint
+    * commit marker, restart, zero duplicates).
     * Returns the started query; caller manages lifecycle/checkpointing. */
   def parquetBatchSink(df: DataFrame, outDir: String,
                        checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.withColumn("batch_id", lit(id))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
       }
       .start()
 

@@ -297,7 +297,86 @@ abstract class StreamOpsSuiteBase extends SparkTestBase
     val landed = spark.read.parquet(s"$tmp/out")
     assert(landed.count() == sample.size)
     assert(landed.columns.sorted.sameElements(
-      Array("event_type", "ts", "user_id", "value")))
+      Array("batch_id", "event_type", "ts", "user_id", "value")))
+    // two processAllAvailable rounds -> the two adds landed as distinct
+    // provenance partitions
+    assert(landed.select("batch_id").distinct().count() == 2)
+  }
+
+  test("restart from checkpoint: source offsets and dedup state survive " +
+      "a stop/start") {
+    // The property a production pipeline actually depends on: kill the
+    // job, start a NEW query on the same checkpoint, and (a) already-
+    // processed input is not re-processed, (b) stateful-operator state is
+    // restored — a re-delivered duplicate of a PRE-restart event is still
+    // dropped. MemoryStream cannot restart (offsets are per-instance), so
+    // this drives the real file source.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_restart").toString
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val phase1 = Seq(IdEvent(1L, ts(0, 5), 100L, 1.0),
+      IdEvent(2L, ts(0, 6), 101L, 2.0))
+    phase1.toDF().coalesce(1).write.mode("append").parquet(in)
+    def start() = StreamOps.parquetBatchSink(
+      StreamOps.dedupEvents(
+        spark.readStream.schema(phase1.toDF().schema).parquet(in)),
+      out, ckpt)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // phase 2: a re-delivery of event 100 (within the watermark of the
+    // phase-1 maximum) plus a genuinely new event — in ONE file, so the
+    // dedup decision can only come from RESTORED state, not in-batch state
+    val phase2 = Seq(IdEvent(1L, ts(0, 7), 100L, 1.0),
+      IdEvent(3L, ts(0, 8), 102L, 3.0))
+    phase2.toDF().coalesce(1).write.mode("append").parquet(in)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val ids = spark.read.parquet(out).select("event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == Seq(100L, 101L, 102L),
+      s"expected pre-restart dedup state to drop the re-delivered 100; got $ids")
+  }
+
+  test("forced batch replay (crash between sink write and checkpoint " +
+      "commit) lands zero duplicates") {
+    // Exactly-once END-TO-END: simulate the crash window by deleting the
+    // newest commits/<n> marker after a clean stop — on restart the engine
+    // re-runs that batch from its recorded offsets, and the batch_id-
+    // partitioned dynamic-overwrite sink must OVERWRITE, not append.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_replay").toString
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val rows1 = Seq(IdEvent(1L, ts(0, 5), 200L, 1.0))
+    val rows2 = Seq(IdEvent(2L, ts(0, 6), 201L, 2.0),
+      IdEvent(3L, ts(0, 7), 202L, 3.0))
+    rows1.toDF().coalesce(1).write.mode("append").parquet(in)
+    def start() = StreamOps.parquetBatchSink(
+      spark.readStream.schema(rows1.toDF().schema).parquet(in), out, ckpt)
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      rows2.toDF().coalesce(1).write.mode("append").parquet(in)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // surgically un-commit the newest batch: offsets/<n> stays, so the
+    // restart reconstructs and re-executes exactly that batch
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(f => f.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.length >= 2, "expected at least two committed batches")
+    // also drop the checksum sidecar the local FS writes next to the
+    // marker — a stale .crc makes the re-commit rename fail
+    val crc = new java.io.File(commits.last.getParentFile,
+      s".${commits.last.getName}.crc")
+    assert(commits.last.delete())
+    if (crc.exists) assert(crc.delete())
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val landed = spark.read.parquet(out)
+    val ids = landed.select("event_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(200L, 201L, 202L),
+      s"replayed batch duplicated rows: $ids")
+    // the replayed batch overwrote its own partition — one batch_id per row
+    import org.apache.spark.sql.functions.col
+    assert(landed.groupBy("event_id").count()
+      .filter(col("count") > 1).isEmpty)
   }
 
   test("stream-stream interval join matches the batch join on the same rows") {
