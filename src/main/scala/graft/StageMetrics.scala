@@ -2,7 +2,7 @@ package graft
 
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Stage-level execution telemetry for the scale artifacts.
@@ -51,6 +51,41 @@ object StageMetrics {
       }
       stages.incrementAndGet()
       ()
+    }
+
+    // per-(stage, attempt) task-duration (max, sum, count) — the
+    // straggler signal byte counters can't see: a skewed key makes ONE
+    // task run 20× its siblings while stage-aggregate bytes look normal
+    private val stageTasks = new java.util.concurrent.ConcurrentHashMap[
+      java.lang.Long, (Long, Long, Long)]()
+
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val d = if (t.taskInfo != null) t.taskInfo.duration else 0L
+      val key = java.lang.Long.valueOf(
+        (t.stageId.toLong << 16) | (t.stageAttemptId & 0xffffL))
+      stageTasks.merge(key, (d, d, 1L),
+        (a, b) => (math.max(a._1, b._1), a._2 + b._2, a._3 + b._3))
+      ()
+    }
+
+    /** Worst per-stage straggler ratio (max task duration / mean task
+      * duration) since the last drain, over stages with at least
+      * `minTasks` tasks and a mean of at least `minMeanMs` (tiny stages
+      * are scheduler noise, not skew). 0.0 = no qualifying stage.
+      * Clears the per-stage table — callers drain once per measured
+      * run, the bench mains' sequential shape. */
+    def drainImbalance(minTasks: Int = 8, minMeanMs: Long = 100): Double = {
+      val it = stageTasks.entrySet().iterator()
+      var worst = 0.0
+      while (it.hasNext) {
+        val e = it.next(); it.remove()
+        val (mx, sum, cnt) = e.getValue
+        if (cnt >= minTasks && sum >= minMeanMs * cnt) {
+          val r = mx.toDouble * cnt / sum
+          if (r > worst) worst = r
+        }
+      }
+      worst
     }
 
     def snap(): Snap =

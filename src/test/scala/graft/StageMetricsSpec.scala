@@ -50,6 +50,36 @@ class StageMetricsSpec extends SparkTestBase {
     assert(d.input > 0, s"parquet scan must report input bytes, got $d")
   }
 
+  test("drainImbalance: a hot partition shows a straggler ratio; a " +
+    "uniform job does not") {
+    import spark.implicits._
+    // spark.range(0,16,1,16): exactly one id per partition, no shuffle —
+    // partition 0 then carries ~60x the CPU work of its siblings (an
+    // iterated FNV hash — real compute, not sleep, so the measured
+    // duration is the task's own)
+    def burn(rounds: Long): Long = {
+      var h = 0xcbf29ce484222325L; var i = 0L
+      while (i < rounds) { h = (h ^ i) * 0x100000001b3L; i += 1 }
+      h
+    }
+    agg.drainImbalance() // clear stages billed to earlier tests
+    spark.range(0, 16, 1, 16).as[Long]
+      .mapPartitions(it => it.map(p => burn(if (p == 0) 600000000L else 10000000L)))
+      .write.format("noop").mode("overwrite").save()
+    agg.settled()
+    val skewed = agg.drainImbalance(minTasks = 8, minMeanMs = 5)
+    assert(skewed > 3.0, s"hot partition should dominate its stage, got $skewed")
+    spark.range(0, 16, 1, 16).as[Long]
+      .mapPartitions(it => it.map(_ => burn(100000000L)))
+      .write.format("noop").mode("overwrite").save()
+    agg.settled()
+    val uniform = agg.drainImbalance(minTasks = 8, minMeanMs = 5)
+    assert(uniform > 0.0 && uniform < 3.0,
+      s"uniform partitions should balance, got $uniform")
+    // the drain cleared the table: an immediate re-drain sees nothing
+    assert(agg.drainImbalance(minTasks = 1, minMeanMs = 0) == 0.0)
+  }
+
   test("consecutive deltas do not double-count") {
     val q = () => spark.range(0, 50000, 1, 8)
       .groupBy((col("id") % 997).as("k")).count()
