@@ -402,26 +402,61 @@ object Breadth {
       |ORDER BY returnflag, linestatus""".stripMargin
 
   /** Sessionization in batch form: a session ends after a 30-minute
-    * inactivity gap. lag + cumulative-sum-of-boundaries — the classic
-    * shuffle-once pattern (one hash exchange on user_id, then two
-    * per-partition window passes). The streaming twin (stateful
-    * flatMapGroupsWithState) lives in graft.streaming.StreamOps. */
+    * inactivity gap. TWO-LEVEL gaps-and-islands — the skew-proof
+    * spelling of the classic lag + cumulative-sum pattern. A single
+    * per-user window puts a hot user's ENTIRE event history in one
+    * task (the bot / load-balancer-IP shape; SKEW10_r12's 20%-hot user
+    * showed the straggler ratio climbing 1.2 → 2.2 while every capped
+    * path stayed flat — at 100 TB that task is the job).
+    *
+    * Level 1 partitions by (user, day-bucket): fragments = within-
+    * bucket islands, so the hot user's events spread across its
+    * calendar buckets. Level 2 stitches fragments per user — and is
+    * PROVABLY bounded: a new fragment needs a >gap silence, so a
+    * bucket holds ≤ 1 + W/gap = 49 fragments per user, making the
+    * per-user frame calendar-sized (49/day) regardless of event
+    * volume. The stitch predicate is the SAME `fs − prev_fe > gap`
+    * test applied to fragment endpoints: a same-bucket predecessor
+    * split on exactly that test (always a new session), a previous-
+    * bucket predecessor merges iff the boundary silence ≤ gap, and a
+    * predecessor ≥2 buckets back is ≥ W > gap away by construction —
+    * one predicate covers all three cases, which is what makes the
+    * decomposition exact (session boundaries identical to the
+    * single-window spelling; oracle unchanged). The streaming twin
+    * (stateful flatMapGroupsWithState) lives in
+    * graft.streaming.StreamOps. */
   def sessionize(s: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy("user_id")
-      .orderBy(col("ts").asc, col("event_id").asc)
-    val ev = Tables.events(s, dir)
+    val GAP = 1800d
+    val W = 86400L // bucket width; any W ≥ gap keeps merges adjacent-only
+    val byUserBucket = Window.partitionBy("user_id", "b")
+      .orderBy(col("sec").asc, col("event_id").asc)
+    val frags = Tables.events(s, dir)
       .withColumn("sec", col("ts").cast("double"))
-      .withColumn("prev_sec", lag("sec", 1).over(byUser))
+      .withColumn("b", floor(col("sec") / lit(W.toDouble)))
+      .withColumn("prev_sec", lag("sec", 1).over(byUserBucket))
       .withColumn("is_new",
-        when(col("prev_sec").isNull || col("sec") - col("prev_sec") > 1800d, 1L)
+        when(col("prev_sec").isNull || col("sec") - col("prev_sec") > GAP, 1L)
+          .otherwise(0L))
+      .withColumn("f",
+        sum("is_new").over(byUserBucket.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "b", "f")
+      .agg(count(lit(1)).as("n_events"),
+           min("sec").as("fs"), max("sec").as("fe"))
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("b").asc, col("f").asc)
+    val sessions = frags
+      .withColumn("prev_fe", lag("fe", 1).over(byUser))
+      .withColumn("is_start",
+        when(col("prev_fe").isNull || col("fs") - col("prev_fe") > GAP, 1L)
           .otherwise(0L))
       .withColumn("session_id",
-        sum("is_new").over(byUser.rowsBetween(Window.unboundedPreceding,
-                                              Window.currentRow)))
-    ev.groupBy("user_id", "session_id")
-      .agg(count(lit(1)).as("n_events"),
-           (max("sec") - min("sec")).as("dur"))
-      .groupBy("user_id")
+        sum("is_start").over(byUser.rowsBetween(Window.unboundedPreceding,
+                                                Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(sum("n_events").as("n_events"),
+           (max("fe") - min("fs")).as("dur"))
+    sessions.groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"),
            max("n_events").as("max_session_events"),
            Fmt.fix4(avg("dur")).as("avg_session_seconds"))
