@@ -58,9 +58,11 @@ object ScaleBench {
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
              dir: String): Double = {
       val t0 = System.nanoTime()
+      // NonFatal only: an OOM mid-fleet must abort the run, not leave
+      // every later measurement timed on a thrashed heap
       val ok =
         try { fn(spark, dir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[scale] FAILED on $dir: ${e.getMessage}"); false
         }
       val dt = (System.nanoTime() - t0) / 1e9

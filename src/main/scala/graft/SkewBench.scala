@@ -70,7 +70,11 @@ object SkewBench {
     SkewFixture.ensure(spark, baseDir, uniformDir, skewDir, scale)
     val agg = StageMetrics.install(spark)
 
-    /** Min-of-2 wall time + metrics/imbalance of the faster run. */
+    /** Min-of-2 wall time + metrics/imbalance of the faster run. Fatal
+      * JVM errors (OOM — the exact failure a skew bench hunts) PROPAGATE:
+      * timing the remaining queries on a thrashed heap would fill the
+      * artifact with garbage nothing marks as invalid. Query-level
+      * failures return a negative time, surfaced as an `error` flag. */
     def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                 dir: String): (Double, StageMetrics.Snap, Double) = {
       def one(): (Double, StageMetrics.Snap, Double) = {
@@ -79,7 +83,7 @@ object SkewBench {
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, dir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
+          catch { case scala.util.control.NonFatal(e) =>
             System.err.println(s"[skew] FAILED on $dir: ${e.getMessage}"); false
           }
         val dt = (System.nanoTime() - t0) / 1e9
@@ -112,26 +116,47 @@ object SkewBench {
                          ratio: Double, uniM: StageMetrics.Snap,
                          skwM: StageMetrics.Snap, uniImb: Double,
                          skwImb: Double, shuffleRatio: Double)
-    val rows = names.map { name =>
+    def measureRow(name: String): Row = {
       val fn = registry(name)
       val (u, um, ui) = measure(fn, uniformDir)
       val (s, sm, si) = measure(fn, skewDir)
       val ratio = if (u > 0 && s > 0) s / u else -1.0
       val shuffleRatio =
-        if (s > 0 && um.shuffleWrite >= SHUFFLE_FLOOR_BYTES)
+        if (u > 0 && s > 0 && um.shuffleWrite >= SHUFFLE_FLOOR_BYTES)
           sm.shuffleWrite.toDouble / um.shuffleWrite
         else -1.0
       System.err.println(f"[skew] $name uniform=$u%.2f skew=$s%.2f " +
         f"ratio=$ratio%.2f imb=$ui%.1f->$si%.1f")
       Row(name, u, s, ratio, um, sm, ui, si, shuffleRatio)
     }
-    val flagged = rows.flatMap { r =>
-      val why = Seq(
+    /** A failed leg is its own `error` flag and SUPPRESSES the
+      * performance flags — a crashed run's partial metrics are not a
+      * measurement (review finding: a skew-only crash must not read as
+      * "zero flags", nor fire a straggler flag off a half-run). */
+    def flagsOf(r: Row): Seq[String] =
+      if (r.uni < 0 || r.skw < 0) Seq("error")
+      else Seq(
         if (r.ratio > FLAG_TIME_RATIO) Some("time") else None,
-        if (r.skw > 0 && r.skwM.spill > 0 && r.uniM.spill == 0)
-          Some("spill") else None,
+        if (r.skwM.spill > 0 && r.uniM.spill == 0) Some("spill") else None,
         if (r.skwImb > FLAG_IMBALANCE && r.skwImb >= 2 * math.max(r.uniImb, 1.0))
           Some("straggler") else None).flatten
+    val firstPass = names.map(measureRow)
+    // performance flags must REPRODUCE on a second measurement: shared
+    // memo first-touch attribution and JVM warmup can inflate one pass
+    // (observed: a 5x time ratio on pass 1 that re-measured at 1.4x).
+    // The re-measured row replaces the first so the artifact records the
+    // numbers the verdict was based on; `error` flags skip the re-run.
+    val rows = firstPass.map { r =>
+      val f1 = flagsOf(r)
+      if (f1.isEmpty || f1 == Seq("error")) r
+      else {
+        System.err.println(s"[skew] ${r.name} flagged (${f1.mkString("+")}) " +
+          "on pass 1 - re-measuring")
+        measureRow(r.name)
+      }
+    }
+    val flagged = rows.flatMap { r =>
+      val why = flagsOf(r)
       if (why.isEmpty) None else Some(r.name -> why.mkString("+"))
     }
     val load = java.lang.management.ManagementFactory

@@ -12,12 +12,12 @@ import org.apache.spark.sql.functions._
   * ScalingCurve specs) measures growth on a UNIFORM corpus, but 100 TB
   * inputs are never uniform: one crawl dominates the source mix, one
   * bot dominates the event stream, one boilerplate header dominates the
-  * shingle table. This fixture derives a corpus with the same row
-  * counts as the uniform ×`scale` fixture and three deliberate hot
-  * keys, so [[SkewBench]] can measure skewed-vs-uniform cost at equal
-  * volume — the ratio that tells whether the engine's documented skew
-  * defenses (salted two-phase aggs, capped LSH buckets and postings,
-  * two-level windows) actually absorb the skew or just haven't met it:
+  * shingle table. This fixture has the same row counts as the uniform
+  * ×`scale` fixture and three deliberate hot keys, so [[SkewBench]] can
+  * measure skewed-vs-uniform cost at equal volume — the ratio that
+  * tells whether the engine's documented skew defenses (salted
+  * two-phase aggs, capped LSH buckets and postings, two-level windows)
+  * actually absorb the skew or just haven't met it:
   *
   *  - `documents.source`: 50% of docs collapse onto `src_hot` (the
   *    CommonCrawl shape) — stresses per-source windows and aggs;
@@ -29,12 +29,14 @@ import org.apache.spark.sql.functions._
   *    load-balancer-IP shape) — stresses per-user sessionization
   *    windows and stateful paths.
   *
-  * Shard derivation (word-suffix bijection, user/event id remap,
-  * calendar window kept) is identical to [[ScaleFixture]] so the two
-  * corpora differ ONLY in key distribution. Embeddings are symlinked
-  * from the uniform fixture (the measured query set reads documents and
-  * events); TPC-H dims are symlinked from the base.
-  */
+  * The shard derivation itself is [[ScaleFixture.derivedDocs]] /
+  * [[ScaleFixture.derivedEvents]] — the hot keys are three withColumn
+  * edits ON TOP of the shared build, and both fixtures' markers carry
+  * [[ScaleFixture.DERIVATION_VER]], so the "differs ONLY in key
+  * distribution" premise survives derivation revisions by
+  * construction. Embeddings are symlinked from `uniformDir` (the
+  * measured query set reads documents and events); TPC-H dims are
+  * symlinked from the base. */
 object SkewFixture {
 
   /** Appended verbatim (no per-shard suffix) to the hot-doc fraction —
@@ -53,25 +55,11 @@ object SkewFixture {
   def ensure(spark: SparkSession, baseDir: String, uniformDir: String,
              dir: String, scale: Int): Unit = {
     val marker = Paths.get(dir, "_built")
-    val fp = {
-      val parts = Seq("documents", "events").map { t =>
-        val f = new java.io.File(s"$baseDir/$t.parquet")
-        val files = if (f.isDirectory) f.listFiles() else Array(f)
-        files.map(x => s"${x.getName}:${x.length}:${x.lastModified}")
-          .sorted.mkString("|")
-      }
-      baseDir + "||" + parts.mkString("||") + s"|x$scale|skew-v1"
-    }
+    val fp = ScaleFixture.fingerprint(baseDir,
+      Seq("documents", "events"), scale,
+      extra = s"|skew-$HOT_SOURCE_MOD-$BOILER_MOD-$HOT_USER_MOD")
     if (!(Files.exists(marker) && Files.readString(marker) == fp)) {
-      val k = explode(sequence(lit(0), lit(scale - 1))).as("k")
-      Tables.documents(spark, baseDir)
-        .select(col("doc_id"), col("text"), col("lang"), col("source"), k)
-        .select(
-          (col("doc_id") * scale + col("k")).as("doc_id"),
-          concat(regexp_replace(col("text"), lit(" "),
-            concat(lit("_"), col("k"), lit(" "))),
-            lit("_"), col("k")).as("text"),
-          col("lang"), col("source"))
+      ScaleFixture.derivedDocs(spark, baseDir, scale)
         .withColumn("source",
           when(pmod(hash(col("doc_id")), lit(HOT_SOURCE_MOD)) === 0,
             lit("src_hot")).otherwise(col("source")))
@@ -81,23 +69,12 @@ object SkewFixture {
             .otherwise(col("text")))
         .withColumn("n_chars", length(col("text")).cast("long"))
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      Tables.events(spark, baseDir)
-        .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"), col("value"), col("props"), k)
-        .select(
-          (col("event_id") * scale + col("k")).as("event_id"),
-          col("ts"),
-          when(pmod(hash((col("event_id") * scale + col("k"))),
-            lit(HOT_USER_MOD)) === 0, lit(0L))
-            .otherwise(col("user_id") * scale + col("k")).as("user_id"),
-          col("event_type"), col("value"), col("props"))
+      ScaleFixture.derivedEvents(spark, baseDir, scale)
+        .withColumn("user_id",
+          when(pmod(hash(col("event_id")), lit(HOT_USER_MOD)) === 0, lit(0L))
+            .otherwise(col("user_id")))
         .write.mode("overwrite").parquet(s"$dir/events.parquet")
-      ScaleFixture.dimTables.foreach { t =>
-        val link = Paths.get(dir, s"$t.parquet")
-        Files.deleteIfExists(link)
-        Files.createSymbolicLink(link,
-          Paths.get(baseDir, s"$t.parquet").toAbsolutePath)
-      }
+      ScaleFixture.linkDims(baseDir, dir)
       val emb = Paths.get(dir, "embeddings.parquet")
       Files.deleteIfExists(emb)
       Files.createSymbolicLink(emb,

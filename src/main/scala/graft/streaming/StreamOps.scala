@@ -187,7 +187,12 @@ object StreamOps {
     * commit marker, restart, zero duplicates).
     * Returns the started query; caller manages lifecycle/checkpointing. */
   def parquetBatchSink(df: DataFrame, outDir: String,
-                       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+                       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    // fail fast at wiring time: withColumn would silently REPLACE a
+    // caller's own batch_id column and partition on epoch ids instead
+    require(!df.columns.contains("batch_id"),
+      "parquetBatchSink reserves the column name batch_id for its " +
+        "replay-idempotence partition; rename the input column")
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -198,6 +203,7 @@ object StreamOps {
           .parquet(outDir)
       }
       .start()
+  }
 
   /** Streaming near-dup ingestion: every micro-batch of documents runs
     * the incremental MinHash probe against the seeded lake

@@ -17,28 +17,9 @@ package graft
   * and requires each skew-sensitive query to return identical rows
   * under a different shuffle fan-out and scan split size.
   */
-class SkewInvarianceSpec extends SparkTestBase {
+class SkewInvarianceSpec extends SparkTestBase with InvarianceHarness {
 
   private val dir = "target/skewtest"
-
-  private def runSet(conf: Map[String, String]): Map[String, Seq[String]] = {
-    val saved = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
-    conf.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
-      SkewBench.skewQueries
-        .filter(SparkEntry.queries.contains)
-        .map { name =>
-          val rows =
-            try SparkEntry.queries(name)(spark, dir).collect().toSeq.map(_.toString)
-            catch { case e: Throwable => Seq(s"ERROR: ${e.getMessage}") }
-          spark.catalog.clearCache()
-          name -> rows
-        }.toMap
-    } finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
 
   test("skew-sensitive queries return identical rows on a cap-exceeding " +
     "skewed corpus under a different shuffle fan-out and scan split size") {
@@ -46,24 +27,11 @@ class SkewInvarianceSpec extends SparkTestBase {
     // and events only); ×4 on sf0.001 ≈ 2.4k docs, ~480 sharing the
     // boilerplate shingles — every 64-cap structure overflows
     SkewFixture.ensure(spark, sfDir, sfDir, dir, scale = 4)
-    val a = runSet(Map("spark.sql.shuffle.partitions" -> "8"))
-    val b = runSet(Map(
+    val names = SkewBench.skewQueries.filter(SparkEntry.queries.contains)
+    val a = runQuerySet(Map("spark.sql.shuffle.partitions" -> "8"), names, dir)
+    val b = runQuerySet(Map(
       "spark.sql.shuffle.partitions" -> "3",
-      "spark.sql.files.maxPartitionBytes" -> "131072"))
-    assert(a.keySet == b.keySet && a.nonEmpty)
-    val errored = (a ++ b).collect {
-      case (k, rows) if rows.exists(_.startsWith("ERROR:")) => k
-    }
-    assert(errored.isEmpty, s"queries errored instead of comparing: $errored")
-    val broken = a.keys.toSeq.sorted.filter(k => a(k) != b(k))
-    val detail = broken.take(5).map { k =>
-      val diffAt = a(k).zipAll(b(k), "<missing>", "<missing>")
-        .indexWhere { case (x, y) => x != y }
-      s"$k (first diff row $diffAt):\n  A: ${a(k).lift(diffAt).getOrElse("")}" +
-        s"\n  B: ${b(k).lift(diffAt).getOrElse("")}"
-    }
-    assert(broken.isEmpty,
-      s"${broken.size} queries drift with partitioning on skewed data: " +
-        s"${broken.mkString(", ")}\n${detail.mkString("\n")}")
+      "spark.sql.files.maxPartitionBytes" -> "131072"), names, dir)
+    assertInvariant(a, b, "on skewed data")
   }
 }
