@@ -32,8 +32,17 @@ object ScaleFixture {
 
   /** Bump on ANY derivation change — keyed into BOTH fixtures' markers
     * so a revision rebuilds the uniform corpus and its skewed twin
-    * together. */
-  val DERIVATION_VER = "v4"
+    * together. v5: derived tables write through repartition(32) — the
+    * k-explode inherits the base fixture's 1-2 input partitions, so a
+    * ×40 corpus landed as ONE 29 MB parquet file and every scan of it
+    * ran as a single task (max/mean task ratio ~8 on BOTH SkewBench
+    * legs, and scan-bound scaled measurements serialized on one core,
+    * overstating scaled cost). */
+  val DERIVATION_VER = "v5"
+
+  /** Output parallelism for every derived-table write (matches the
+    * bench mains' local[32]). */
+  private[graft] val OUT_PARTS = 32
 
   val dimTables: Seq[String] =
     Seq("region", "nation", "customer", "supplier", "part", "orders",
@@ -112,6 +121,7 @@ object ScaleFixture {
     if (Files.exists(marker) && Files.readString(marker) == fp) return
     derivedDocs(spark, baseDir, scale)
       .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(OUT_PARTS)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     Tables.embeddings(spark, baseDir)
       .select(col("vec_id"), col("embedding"), col("label"), shardK(scale))
@@ -120,8 +130,10 @@ object ScaleFixture {
         expr("transform(embedding, (v, j) -> CAST(v * (1.0D + " +
           "((k * 31 + j) % 7 - 3) / 1000.0D) AS FLOAT))").as("embedding"),
         col("label"))
+      .repartition(OUT_PARTS)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     derivedEvents(spark, baseDir, scale)
+      .repartition(OUT_PARTS)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     linkDims(baseDir, dir)
     Files.createDirectories(marker.getParent)

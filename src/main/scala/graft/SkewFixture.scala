@@ -68,11 +68,13 @@ object SkewFixture {
             concat(col("text"), lit(" " + BOILERPLATE)))
             .otherwise(col("text")))
         .withColumn("n_chars", length(col("text")).cast("long"))
+        .repartition(ScaleFixture.OUT_PARTS)
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       ScaleFixture.derivedEvents(spark, baseDir, scale)
         .withColumn("user_id",
           when(pmod(hash(col("event_id")), lit(HOT_USER_MOD)) === 0, lit(0L))
             .otherwise(col("user_id")))
+        .repartition(ScaleFixture.OUT_PARTS)
         .write.mode("overwrite").parquet(s"$dir/events.parquet")
       ScaleFixture.linkDims(baseDir, dir)
       val emb = Paths.get(dir, "embeddings.parquet")
