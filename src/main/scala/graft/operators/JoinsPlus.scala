@@ -505,10 +505,21 @@ object JoinsPlus {
   /** Correlated scalar subquery — customers above their own nation's
     * average balance. Catalyst decorrelates this
     * (RewriteCorrelatedScalarSubquery) into the aggregate-then-join plan
-    * you would hand-write, so the subquery form is scale-free sugar. */
+    * you would hand-write, so the subquery form is scale-free sugar.
+    *
+    * The displayed mean is computed from EXACT BIGINT cents before one
+    * IEEE divide: `c_acctbal` is a 2-decimal value stored as double, so
+    * `fix4(avg(double))` is order-dependent — at sf0.1 group NATION_18
+    * the FP `avg(c_acctbal) * 10000` lands at fractional part
+    * .5000000596, and Spark's 32-way partial/final sum vs DuckDB's
+    * single-stream sum straddle the floor tie (the r12 red row).
+    * `sum(cents)` is an exact integer in any summation order;
+    * `sum_cents * 100.0 / n` is then a single deterministic divide, so
+    * the fix4 floor sees the identical double in both engines. */
   private val correlatedQuery =
     """SELECT n_name, count(*) AS n_above,
-      |       floor(avg(c_acctbal) * 10000.0 + 0.5) / 10000.0 AS avg_above_bal
+      |       floor(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT))
+      |             * 100.0 / count(*) + 0.5) / 10000.0 AS avg_above_bal
       |FROM customer c JOIN nation n ON c_nationkey = n_nationkey
       |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
       |                   WHERE c2.c_nationkey = c.c_nationkey)
