@@ -139,7 +139,14 @@ object SkewBench {
         if (r.ratio > FLAG_TIME_RATIO) Some("time") else None,
         if (r.skwM.spill > 0 && r.uniM.spill == 0) Some("spill") else None,
         if (r.skwImb > FLAG_IMBALANCE && r.skwImb >= 2 * math.max(r.uniImb, 1.0))
-          Some("straggler") else None).flatten
+          Some("straggler") else None,
+        // leg-SYMMETRIC imbalance: the skew-relative straggler condition
+        // above can never fire when BOTH legs are imbalanced (exactly the
+        // r12 single-file fixture-layout artifact, 7.9 on both legs) — a
+        // systematic serialization regression must surface as its own
+        // flag instead of reading as "zero flags" (ADVICE r12).
+        if (r.uniImb > FLAG_IMBALANCE) Some("imbalance-both") else None
+      ).flatten
     val firstPass = names.map(measureRow)
     // performance flags must REPRODUCE on a second measurement: shared
     // memo first-touch attribution and JVM warmup can inflate one pass

@@ -60,7 +60,13 @@ object StageMetrics {
       java.lang.Long, (Long, Long, Long)]()
 
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
-      val d = if (t.taskInfo != null) t.taskInfo.duration else 0L
+      // TaskInfo.duration THROWS on an unfinished TaskInfo (Resubmitted
+      // task-end events), and failed/killed (speculative) tasks would
+      // fold retry noise into the straggler ratio — count successful
+      // finished tasks only (ADVICE r12).
+      if (t.taskInfo == null || !t.taskInfo.finished ||
+          t.reason != org.apache.spark.Success) return
+      val d = t.taskInfo.duration
       val key = java.lang.Long.valueOf(
         (t.stageId.toLong << 16) | (t.stageAttemptId & 0xffffL))
       stageTasks.merge(key, (d, d, 1L),

@@ -426,13 +426,19 @@ object Breadth {
     * (stateful flatMapGroupsWithState) lives in
     * graft.streaming.StreamOps. */
   def sessionize(s: SparkSession, dir: String): DataFrame = {
-    val GAP = 1800d
-    val W = 86400L // bucket width; any W ≥ gap keeps merges adjacent-only
+    // All time arithmetic in EXACT integer microseconds (ts has
+    // sub-second micros): gap compares are then integer-exact in both
+    // engines, and the session-duration mean is a sum of exact BIGINTs
+    // followed by fixed divides — no summation-order dependence (the
+    // r12 q_correlated class). Same-set session boundaries: gap > 1800 s
+    // over integer µs ⟺ gap_µs > 1 800 000 000.
+    val GAP = 1800000000L            // 1800 s in µs
+    val W = 86400000000L             // 1-day bucket in µs; any W ≥ gap ok
     val byUserBucket = Window.partitionBy("user_id", "b")
       .orderBy(col("sec").asc, col("event_id").asc)
     val frags = Tables.events(s, dir)
-      .withColumn("sec", col("ts").cast("double"))
-      .withColumn("b", floor(col("sec") / lit(W.toDouble)))
+      .withColumn("sec", expr("unix_micros(ts)"))
+      .withColumn("b", expr(s"sec div ${W}L"))
       .withColumn("prev_sec", lag("sec", 1).over(byUserBucket))
       .withColumn("is_new",
         when(col("prev_sec").isNull || col("sec") - col("prev_sec") > GAP, 1L)
@@ -459,15 +465,17 @@ object Breadth {
     sessions.groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"),
            max("n_events").as("max_session_events"),
-           Fmt.fix4(avg("dur")).as("avg_session_seconds"))
+           // avg_sec·10⁴ = Σdur_µs/100/n, exact integer sum first
+           (floor(sum("dur").cast("double") / lit(100.0d) / count(lit(1))
+             + lit(0.5d)) / lit(10000.0d)).as("avg_session_seconds"))
       .orderBy("user_id")
   }
 
   private val sessionizeSql =
     """WITH marked AS (
-      |  SELECT user_id, event_id, epoch(ts) AS sec,
-      |         CASE WHEN lag(epoch(ts)) OVER w IS NULL
-      |                   OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+      |  SELECT user_id, event_id, epoch_us(ts) AS sec,
+      |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
       |              THEN 1 ELSE 0 END AS is_new
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -482,7 +490,8 @@ object Breadth {
       |  FROM sessions GROUP BY user_id, session_id)
       |SELECT user_id, count(*) AS n_sessions,
       |       max(n_events) AS max_session_events,
-      |       floor(avg(dur) * 10000.0 + 0.5) / 10000.0 AS avg_session_seconds
+      |       floor(sum(dur) / 100.0 / count(*) + 0.5) / 10000.0
+      |         AS avg_session_seconds
       |FROM per_session
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
@@ -692,26 +701,32 @@ object Breadth {
   def interEventTime(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts").asc, col("event_id").asc)
+    // Gaps in EXACT integer microseconds (events.ts has sub-second
+    // micros, so cast-to-double gaps are fractional and their FP sum is
+    // order-dependent — the r12 q_correlated class). Exact BIGINT sums,
+    // then fixed divides: avg_sec·10⁴ = Σgap_µs/100/n.
     Tables.events(s, dir)
-      .withColumn("gap",
-        col("ts").cast("double") - lag(col("ts").cast("double"), 1).over(w))
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
       .filter(col("gap").isNotNull)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_gaps"),
-           Fmt.fix4(avg("gap")).as("avg_gap_sec"),
-           Fmt.fix4(max("gap")).as("max_gap_sec"))
+           (floor(sum("gap").cast("double") / lit(100.0d) / count(lit(1))
+             + lit(0.5d)) / lit(10000.0d)).as("avg_gap_sec"),
+           (floor(max("gap").cast("double") / lit(100.0d) + lit(0.5d))
+             / lit(10000.0d)).as("max_gap_sec"))
       .orderBy("user_id")
   }
 
   private val interEventTimeSql =
     """WITH g AS (
       |  SELECT user_id,
-      |         epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id
+      |         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
       |                                          ORDER BY ts, event_id) AS gap
       |  FROM events)
       |SELECT user_id, count(*) AS n_gaps,
-      |       floor(avg(gap) * 10000.0 + 0.5) / 10000.0 AS avg_gap_sec,
-      |       floor(max(gap) * 10000.0 + 0.5) / 10000.0 AS max_gap_sec
+      |       floor(sum(gap) / 100.0 / count(*) + 0.5) / 10000.0 AS avg_gap_sec,
+      |       floor(max(gap) / 100.0 + 0.5) / 10000.0 AS max_gap_sec
       |FROM g WHERE gap IS NOT NULL
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
@@ -978,8 +993,22 @@ object Breadth {
     * shuffles events, only re-reads them against broadcast stats. */
   def eventAnomaly(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
+    // Moments from EXACT integer cents (value is 2-decimal): avg/stddev
+    // over raw doubles are summation-order-dependent (the r12
+    // q_correlated class) and the resulting z can straddle the fix4
+    // floor tie. s1/s2 sum exactly in decimal(38,0) in any order; mu and
+    // sd are then fixed sequences of IEEE ops (divide, subtract,
+    // correctly-rounded sqrt) — identical in both engines.
+    val cents = floor(col("value") * lit(100.0d) + lit(0.5d))
     val stats = e.groupBy("event_type")
-      .agg(avg("value").as("mu"), stddev_samp("value").as("sd"))
+      .agg(count(lit(1)).as("sn"),
+           sum(cents.cast("decimal(38,0)")).as("s1"),
+           sum((cents * cents).cast("decimal(38,0)")).as("s2"))
+      .select(col("event_type"),
+        (col("s1").cast("double") / lit(100.0d) / col("sn")).as("mu"),
+        (sqrt((col("sn") * col("s2") - col("s1") * col("s1")).cast("double")
+          / (col("sn") * (col("sn") - lit(1L))).cast("double"))
+          / lit(100.0d)).as("sd"))
     e.join(broadcast(stats), "event_type")
       .withColumn("z", (col("value") - col("mu")) / col("sd"))
       .groupBy("event_type")
@@ -991,14 +1020,23 @@ object Breadth {
 
   private val eventAnomalySql =
     """WITH stats AS (
-      |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
-      |  FROM events GROUP BY event_type)
+      |  SELECT event_type, count(*) AS sn,
+      |         sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS s1,
+      |         sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+      |             * CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS s2
+      |  FROM events GROUP BY event_type),
+      |m AS (
+      |  SELECT event_type,
+      |         CAST(s1 AS DOUBLE) / 100.0 / sn AS mu,
+      |         sqrt(CAST(sn * s2 - s1 * s1 AS DOUBLE)
+      |              / CAST(sn * (sn - 1) AS DOUBLE)) / 100.0 AS sd
+      |  FROM stats)
       |SELECT e.event_type AS event_type, count(*) AS n,
-      |       CAST(sum(CASE WHEN abs((e.value - s.mu) / s.sd) > 3
+      |       CAST(sum(CASE WHEN abs((e.value - m.mu) / m.sd) > 3
       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
-      |       floor(max(abs((e.value - s.mu) / s.sd)) * 10000.0 + 0.5)
+      |       floor(max(abs((e.value - m.mu) / m.sd)) * 10000.0 + 0.5)
       |         / 10000.0 AS max_abs_z
-      |FROM events e JOIN stats s ON e.event_type = s.event_type
+      |FROM events e JOIN m ON e.event_type = m.event_type
       |GROUP BY e.event_type
       |ORDER BY event_type""".stripMargin
 

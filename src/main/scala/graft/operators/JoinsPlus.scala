@@ -115,42 +115,52 @@ object JoinsPlus {
   def asofAttribution(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    // Delays in EXACT integer microseconds (ts has sub-second micros):
+    // fix4(avg(fractional-seconds)) is summation-order-dependent (the
+    // r12 q_correlated class). Exact BIGINT sum over attributed delays,
+    // then fixed divides: avg_sec·10⁴ = Σdelay_µs/100/n_attributed.
     val views = ev.filter(col("event_type") === "view")
       .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("tag"),
-        col("ts").cast("double").as("v_sec"))
+        expr("unix_micros(ts)").as("v_us"))
     val buys = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("tag"),
-        lit(null).cast("double").as("v_sec"))
+        lit(null).cast("long").as("v_us"))
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts").asc, col("tag").asc, col("event_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     views.unionByName(buys)
-      .withColumn("last_view_sec", last("v_sec", ignoreNulls = true).over(w))
+      .withColumn("last_view_us", last("v_us", ignoreNulls = true).over(w))
       .filter(col("tag") === 1)
-      .withColumn("delay", col("ts").cast("double") - col("last_view_sec"))
+      .withColumn("delay", expr("unix_micros(ts)") - col("last_view_us"))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_purchases"),
-           count(col("last_view_sec")).as("n_attributed"),
-           Fmt.fix4(avg("delay")).as("avg_delay_sec"))
+           count(col("last_view_us")).as("n_attributed"),
+           // greatest(n,1): ANSI divide-by-zero guard for users whose
+           // purchases all precede any view (sum is NULL there anyway)
+           (floor(sum("delay").cast("double") / lit(100.0d)
+             / greatest(count(col("delay")), lit(1L)) + lit(0.5d))
+             / lit(10000.0d)).as("avg_delay_sec"))
       .orderBy("user_id")
   }
 
   private val asofAttributionSql =
     """WITH uni AS (
-      |  SELECT user_id, ts, event_id, 0 AS tag, epoch(ts) AS v_sec
+      |  SELECT user_id, ts, event_id, 0 AS tag, epoch_us(ts) AS v_us
       |  FROM events WHERE event_type = 'view'
       |  UNION ALL
       |  SELECT user_id, ts, event_id, 1 AS tag, NULL
       |  FROM events WHERE event_type = 'purchase'),
       |att AS (
-      |  SELECT user_id, tag, epoch(ts) AS sec,
-      |         last_value(v_sec IGNORE NULLS) OVER (
+      |  SELECT user_id, tag, epoch_us(ts) AS us,
+      |         last_value(v_us IGNORE NULLS) OVER (
       |           PARTITION BY user_id ORDER BY ts, tag, event_id
-      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_sec
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_us
       |  FROM uni)
       |SELECT user_id, count(*) AS n_purchases,
-      |       count(last_view_sec) AS n_attributed,
-      |       floor(avg(sec - last_view_sec) * 10000.0 + 0.5) / 10000.0 AS avg_delay_sec
+      |       count(last_view_us) AS n_attributed,
+      |       floor(sum(us - last_view_us) / 100.0
+      |             / greatest(count(us - last_view_us), 1)
+      |             + 0.5) / 10000.0 AS avg_delay_sec
       |FROM att WHERE tag = 1
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
@@ -521,7 +531,9 @@ object JoinsPlus {
       |       floor(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT))
       |             * 100.0 / count(*) + 0.5) / 10000.0 AS avg_above_bal
       |FROM customer c JOIN nation n ON c_nationkey = n_nationkey
-      |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+      |WHERE c_acctbal > (SELECT sum(CAST(floor(c2.c_acctbal * 100.0 + 0.5)
+      |                                   AS BIGINT)) / count(*) / 100.0
+      |                   FROM customer c2
       |                   WHERE c2.c_nationkey = c.c_nationkey)
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin

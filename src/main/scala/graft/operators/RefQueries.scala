@@ -66,7 +66,13 @@ object RefQueries {
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
           .as("sum_disc_price"),
         Fmt.fix4(avg("l_quantity")).as("avg_qty"),
-        Fmt.fix4(avg("l_discount")).as("avg_disc"),
+        // l_discount is 2-decimal but NON-integer-valued in double, so
+        // fix4(avg(double)) is summation-order-dependent (the r12
+        // q_correlated class): sum exact 1e-2 units as BIGINT, then one
+        // deterministic divide. avg*1e4 = sum_units*100/n.
+        (floor(sum(floor(col("l_discount") * lit(100.0d) + lit(0.5d)))
+          .cast("double") * lit(100.0d) / count(lit(1)) + lit(0.5d))
+          / lit(10000.0d)).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -76,7 +82,8 @@ object RefQueries {
       |       round(sum(l_extendedprice), 4) AS sum_base_price,
       |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
       |       floor(avg(l_quantity) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
-      |       floor(avg(l_discount) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
+      |       floor(sum(CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))
+      |             * 100.0 / count(*) + 0.5) / 10000.0 AS avg_disc,
       |       count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
@@ -166,13 +173,18 @@ object RefQueries {
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy("r_name", "n_name")
       .agg(count(lit(1)).as("n_customers"),
-           Fmt.fix4(avg("c_acctbal")).as("avg_bal"))
+           // exact cents before ONE divide — fix4(avg(c_acctbal)) is the
+           // order-dependent r12 q_correlated class (see JoinsPlus)
+           (floor(sum(floor(col("c_acctbal") * lit(100.0d) + lit(0.5d)))
+             .cast("double") * lit(100.0d) / count(lit(1)) + lit(0.5d))
+             / lit(10000.0d)).as("avg_bal"))
       .orderBy("r_name", "n_name")
   }
 
   private val dimHierarchySql =
     """SELECT r_name, n_name, count(*) AS n_customers,
-      |       floor(avg(c_acctbal) * 10000.0 + 0.5) / 10000.0 AS avg_bal
+      |       floor(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT))
+      |             * 100.0 / count(*) + 0.5) / 10000.0 AS avg_bal
       |FROM customer
       |JOIN nation ON c_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey

@@ -182,10 +182,21 @@ object TextAnalysis {
           + lit(0.2) * when(col("avg_wlen").between(3d, 8d), 1d).otherwise(0d))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
+           // n_tok is integer-valued (exact sum in any order) so a plain
+           // fix4(avg) is deterministic; the three RATIO columns are
+           // arbitrary-fraction doubles whose FP sum is order-dependent
+           // (r12 q_correlated class) — quantize each to 1e-6 BIGINT
+           // units per doc, sum exactly, divide once. avg*1e4 = sum/100/n.
            Fmt.fix4(avg("n_tok")).as("avg_tokens"),
-           Fmt.fix4(avg("avg_wlen")).as("avg_word_len"),
-           Fmt.fix4(avg("stop_ratio")).as("avg_stop_ratio"),
-           Fmt.fix4(avg("quality")).as("avg_quality"))
+           (floor(sum(floor(col("avg_wlen") * lit(1000000.0d) + lit(0.5d)))
+             .cast("double") / lit(100.0d) / count(lit(1)) + lit(0.5d))
+             / lit(10000.0d)).as("avg_word_len"),
+           (floor(sum(floor(col("stop_ratio") * lit(1000000.0d) + lit(0.5d)))
+             .cast("double") / lit(100.0d) / count(lit(1)) + lit(0.5d))
+             / lit(10000.0d)).as("avg_stop_ratio"),
+           (floor(sum(floor(col("quality") * lit(1000000.0d) + lit(0.5d)))
+             .cast("double") / lit(100.0d) / count(lit(1)) + lit(0.5d))
+             / lit(10000.0d)).as("avg_quality"))
       .orderBy("lang")
 
   private val qualitySql =
@@ -207,9 +218,12 @@ object TextAnalysis {
       |  FROM m)
       |SELECT lang, count(*) AS n_docs,
       |       floor(avg(n_tok) * 10000.0 + 0.5) / 10000.0 AS avg_tokens,
-      |       floor(avg(avg_wlen) * 10000.0 + 0.5) / 10000.0 AS avg_word_len,
-      |       floor(avg(stop_ratio) * 10000.0 + 0.5) / 10000.0 AS avg_stop_ratio,
-      |       floor(avg(quality) * 10000.0 + 0.5) / 10000.0 AS avg_quality
+      |       floor(sum(CAST(floor(avg_wlen * 1000000.0 + 0.5) AS BIGINT))
+      |             / 100.0 / count(*) + 0.5) / 10000.0 AS avg_word_len,
+      |       floor(sum(CAST(floor(stop_ratio * 1000000.0 + 0.5) AS BIGINT))
+      |             / 100.0 / count(*) + 0.5) / 10000.0 AS avg_stop_ratio,
+      |       floor(sum(CAST(floor(quality * 1000000.0 + 0.5) AS BIGINT))
+      |             / 100.0 / count(*) + 0.5) / 10000.0 AS avg_quality
       |FROM q GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Token counting two ways: whitespace split and a BPE-ish regex
@@ -1125,25 +1139,49 @@ object TextAnalysis {
     * not positions, shuffle); the eval side joins as DISTINCT trigrams
     * weighted by occurrence, so the five lookups move vocabulary-sized
     * rows. 80/20 doc_id split, the naiveBayes convention. */
-  def stupidBackoff(s: SparkSession, dir: String): DataFrame =
-    stupidBackoffOn(Tables.documents(s, dir).select("doc_id", "text"))
+  def stupidBackoff(s: SparkSession, dir: String): DataFrame = {
+    // Persisted BUCKETED model tables (the q_dedup_incremental remedy):
+    // past the broadcast threshold the five model lookups otherwise ship
+    // the whole trigram/bigram tables through sort-merge exchanges — the
+    // 51× shuffle-byte flag in SCALE10_r12. The bucket layout pairs
+    // every model side with the probe's hash(w2) partitioning —
+    // tri(w2), bi-forward(w2), bi-context(w1), uni(w) — so each model
+    // scan reads IN PLACE at any corpus size and only the narrow
+    // eval-trigram frame exchanges (once on w2 for four joins, once on
+    // w3 for the final unigram role). Tables carry the source
+    // fingerprint + algo version; the one-time build is ingest-owned
+    // (Similarity.ensureIndexTable — the ANN-index discipline).
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    lazy val model = sbModel(docs)
+    val triT = Similarity.ensureIndexTable(s, dir, "sb_tri", "documents",
+      Seq("w2"), SB_BUCKETS)(model._1)(Nil)
+    val biFT = Similarity.ensureIndexTable(s, dir, "sb_bif", "documents",
+      Seq("w2"), SB_BUCKETS)(model._2)(Nil)
+    val biCT = Similarity.ensureIndexTable(s, dir, "sb_bic", "documents",
+      Seq("w1"), SB_BUCKETS)(model._2)(Nil)
+    val uniT = Similarity.ensureIndexTable(s, dir, "sb_uni", "documents",
+      Seq("w"), SB_BUCKETS)(model._3)(Nil)
+    sbScore(s.table(triT), s.table(biFT), s.table(biCT), s.table(uniT),
+      sbEval(docs))
+  }
+
+  private val SB_BUCKETS = 16
 
   /** [[stupidBackoff]] over an explicit (doc_id, text) frame — the
-    * planted-semantics seam. */
+    * planted-semantics seam (tests plant corpora here; no persisted
+    * tables, the bigram frame serves both join roles directly). */
   private[graft] def stupidBackoffOn(docs0: DataFrame): DataFrame = {
+    val (tri, bi, uni) = sbModel(docs0)
+    val uniC = uni.cache() // joined twice (w2 and w3 roles) + the N census
+    sbScore(tri, bi, bi, uniC, sbEval(docs0))
+  }
+
+  /** Train-split n-gram count tables: (trigram, bigram, unigram). */
+  private def sbModel(docs0: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val docs = docs0.withColumn("toks", split(col("text"), " "))
     val train = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
-    val ev = docs.filter(pmod(col("doc_id"), lit(5L)) === 0)
-    def tris(df: DataFrame) = df.select(expr(
-      """inline(CASE WHEN size(toks) >= 3
-        |  THEN transform(sequence(1, size(toks) - 2),
-        |    i -> named_struct('w1', element_at(toks, i),
-        |                      'w2', element_at(toks, i + 1),
-        |                      'w3', element_at(toks, i + 2)))
-        |  ELSE cast(array() as
-        |    array<struct<w1:string,w2:string,w3:string>>)
-        |END)""".stripMargin))
-    val tri = tris(train).groupBy("w1", "w2", "w3")
+    val tri = sbTris(train).groupBy("w1", "w2", "w3")
       .agg(count(lit(1)).as("c123"))
     val bi = train.select(expr(
         """inline(CASE WHEN size(toks) >= 2
@@ -1155,15 +1193,42 @@ object TextAnalysis {
       .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     val uni = train.select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cu"))
-      .cache() // joined twice (w2 and w3 contexts) + the N census
-    val nTok = uni.agg(sum("cu")).collect().head.getLong(0)
-    val ev3 = tris(ev).groupBy("w1", "w2", "w3")
+    (tri, bi, uni)
+  }
+
+  private def sbTris(df: DataFrame) = df.select(expr(
+    """inline(CASE WHEN size(toks) >= 3
+      |  THEN transform(sequence(1, size(toks) - 2),
+      |    i -> named_struct('w1', element_at(toks, i),
+      |                      'w2', element_at(toks, i + 1),
+      |                      'w3', element_at(toks, i + 2)))
+      |  ELSE cast(array() as
+      |    array<struct<w1:string,w2:string,w3:string>>)
+      |END)""".stripMargin))
+
+  /** Eval-split distinct trigrams weighted by occurrence, pre-hashed on
+    * w2 (SB_BUCKETS ways) so the distinct-aggregate AND the four
+    * w2-pairable model joins all run on one probe exchange. */
+  private def sbEval(docs0: DataFrame): DataFrame = {
+    val ev = docs0.withColumn("toks", split(col("text"), " "))
+      .filter(pmod(col("doc_id"), lit(5L)) === 0)
+    sbTris(ev).repartition(SB_BUCKETS, col("w2"))
+      .groupBy("w1", "w2", "w3")
       .agg(count(lit(1)).as("occ"))
+  }
+
+  /** The five-lookup backoff scoring join over prepared model frames.
+    * `biF` is keyed in the forward (w1,w2) role, `biC` in the context
+    * (w2,w3) role — the same logical bigram table, persisted twice with
+    * different bucket columns on the table path. */
+  private def sbScore(tri: DataFrame, biF: DataFrame, biC: DataFrame,
+                      uni: DataFrame, ev3: DataFrame): DataFrame = {
+    val nTok = uni.agg(sum("cu")).collect().head.getLong(0)
     ev3
       .join(tri, Seq("w1", "w2", "w3"), "left")
-      .join(bi.select(col("w1"), col("w2"), col("cb").as("c12")),
+      .join(biF.select(col("w1"), col("w2"), col("cb").as("c12")),
         Seq("w1", "w2"), "left")
-      .join(bi.select(col("w1").as("w2"), col("w2").as("w3"),
+      .join(biC.select(col("w1").as("w2"), col("w2").as("w3"),
         col("cb").as("c23")), Seq("w2", "w3"), "left")
       .join(uni.select(col("w").as("w2"), col("cu").as("c2")),
         Seq("w2"), "left")

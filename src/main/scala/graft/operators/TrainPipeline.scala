@@ -69,7 +69,12 @@ object TrainPipeline {
     prepared(s, dir)
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n_docs"),
-           Fmt.fix4(avg("quality")).as("avg_quality"))
+           // quality is an arbitrary-fraction ratio: quantize to 1e-6
+           // BIGINT units pre-sum so the mean is summation-order-free
+           // (r12 q_correlated class). avg*1e4 = sum_units/100/n.
+           (floor(sum(floor(col("quality") * lit(1000000.0d) + lit(0.5d)))
+             .cast("double") / lit(100.0d) / count(lit(1)) + lit(0.5d))
+             / lit(10000.0d)).as("avg_quality"))
       .orderBy("lang", "split")
 
   private val summarySql =
@@ -105,7 +110,8 @@ object TrainPipeline {
       |         quality
       |  FROM kept)
       |SELECT lang, split, count(*) AS n_docs,
-      |       floor(avg(quality) * 10000.0 + 0.5) / 10000.0 AS avg_quality
+      |       floor(sum(CAST(floor(quality * 1000000.0 + 0.5) AS BIGINT))
+      |             / 100.0 / count(*) + 0.5) / 10000.0 AS avg_quality
       |FROM assigned
       |GROUP BY lang, split
       |ORDER BY lang, split""".stripMargin

@@ -193,6 +193,20 @@ object StreamOps {
     require(!df.columns.contains("batch_id"),
       "parquetBatchSink reserves the column name batch_id for its " +
         "replay-idempotence partition; rename the input column")
+    // Layout-upgrade guard (ADVICE r12): data landed by the PRE-partition
+    // append-mode sink sits as flat part files directly under outDir;
+    // restarting onto such a directory would mix flat and
+    // batch_id=<epoch> layouts, so readers lose or mis-infer the
+    // partition column and old rows become indistinguishable. Fail fast:
+    // upgrading to this sink requires a fresh outDir (or a one-time
+    // rewrite of the old files under a batch_id partition).
+    val flatLegacy = Option(new java.io.File(outDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    require(flatLegacy.isEmpty,
+      s"parquetBatchSink: $outDir contains ${flatLegacy.length} flat " +
+        "parquet file(s) from a non-batch_id-partitioned layout; use a " +
+        "fresh outDir (mixing layouts makes old rows unreadable)")
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
