@@ -224,6 +224,99 @@ object RefQueries {
       |GROUP BY r_name
       |ORDER BY r_name""".stripMargin
 
+  /** TPC-H Q3 analog (shipping priority): segment-filtered customers ⋈
+    * unshipped-as-of-date orders ⋈ post-date lineitems → top-10 orders by
+    * revenue. External-comparability classic (VERDICT r12 #8). Revenue
+    * accumulates as EXACT 1e-6-dollar BIGINT units (cents × (10000 −
+    * discount·10⁴) — both factors on their decimal grids), summed in
+    * decimal(38,0), so the DESC sort key is an exact integer in both
+    * engines — a raw-double revenue sort flips at FP-sum ulp ties. No
+    * broadcast hint: customer is a FACT-sized table at 100 TB; AQE
+    * picks broadcast at small SF and sort-merge at scale. */
+  def tpchQ3(s: SparkSession, dir: String): DataFrame = {
+    val cut = to_timestamp(lit("1998-03-15"))
+    val c = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(s, dir).filter(col("o_orderdate") < cut)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > cut)
+      .select(col("l_orderkey"),
+        (floor(col("l_extendedprice") * lit(100.0d) + lit(0.5d))
+          * (lit(10000L) - floor(col("l_discount") * lit(10000.0d)
+            + lit(0.5d)))).as("rev_u6"))
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(col("rev_u6").cast("decimal(38,0)")).as("rev_u6"))
+      .orderBy(col("rev_u6").desc, col("l_orderkey").asc)
+      .limit(10)
+      .select(col("l_orderkey"),
+        (floor(col("rev_u6").cast("double") / lit(100.0d) + lit(0.5d))
+          / lit(10000.0d)).as("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+  }
+
+  private val tpchQ3Sql =
+    """WITH t AS (
+      |  SELECT l_orderkey,
+      |         sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+      |             * (10000 - CAST(floor(l_discount * 10000.0 + 0.5)
+      |                             AS BIGINT))) AS rev_u6,
+      |         o_orderdate, o_orderpriority
+      |  FROM customer
+      |  JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |  WHERE c_mktsegment = 'BUILDING'
+      |    AND o_orderdate < TIMESTAMP '1998-03-15'
+      |    AND l_shipdate > TIMESTAMP '1998-03-15'
+      |  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |  ORDER BY rev_u6 DESC, l_orderkey LIMIT 10)
+      |SELECT l_orderkey,
+      |       floor(rev_u6 / 100.0 + 0.5) / 10000.0 AS revenue,
+      |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |       o_orderpriority
+      |FROM t ORDER BY revenue DESC, l_orderkey""".stripMargin
+
+  /** TPC-H Q18 analog (large-volume customers): orders whose total
+    * quantity exceeds the threshold, with their customer. The HAVING
+    * side aggregates lineitem BY ITS JOIN KEY (l_orderkey), so the agg
+    * and the orders join share one hash partitioning — the
+    * co-partitioned semi-join shape that never rescans the fact. Sums
+    * are exact (l_quantity is integer-valued); the top-100 sort keys
+    * are a raw stored double (bit-identical in both engines, no
+    * arithmetic) plus the unique o_orderkey tiebreak. */
+  def tpchQ18(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > 250)
+    big.join(Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  private val tpchQ18Sql =
+    """SELECT c_name, c_custkey, o_orderkey,
+      |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |       o_totalprice, total_qty
+      |FROM (SELECT l_orderkey,
+      |             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+      |               AS total_qty
+      |      FROM lineitem GROUP BY l_orderkey
+      |      HAVING sum(CAST(l_quantity AS BIGINT)) > 250) t
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
   /** O2: global top-k — Spark plans orderBy+limit as
     * TakeOrderedAndProject (per-partition heap + driver merge of k rows),
     * never a full global sort; this is the argmax shape of README.md:19-23
@@ -306,6 +399,12 @@ object RefQueries {
       |ORDER BY revenue DESC, n_name""".stripMargin
 
   val all: Seq[Q] = Seq(
+    Q("q_tpch_q3", tpchQ3, Some(tpchQ3Sql),
+      doc = "TPC-H Q3 analog: top-10 unshipped orders by revenue " +
+        "(exact integer-unit revenue sort)"),
+    Q("q_tpch_q18", tpchQ18, Some(tpchQ18Sql),
+      doc = "TPC-H Q18 analog: large-volume customers via the " +
+        "co-partitioned HAVING semi-join"),
     Q("q_tpch_q5", tpchQ5, Some(tpchQ5Sql),
       doc = "TPC-H Q5 local-supplier-volume: the 6-way star join with " +
         "the customer=supplier nation cycle, exact integer revenue in " +
