@@ -158,8 +158,13 @@ object ScaleBench {
                          ratio: Double, tables: Seq[String],
                          baseM: StageMetrics.Snap, scaledM: StageMetrics.Snap,
                          shuffleRatio: Double)
-    val zero = StageMetrics.Snap(0, 0, 0, 0, 0)
+    val zero = StageMetrics.Snap(0, 0, 0, 0, 0, 0)
     val rows = slowest.map { case (name, t1) =>
+      // cold-memo isolation PER LEG (see MemoSweep / the SKEW100
+      // UNABLE_TO_ACQUIRE_MEMORY and skew-leg-spill lessons): both legs
+      // measure with the same memory posture — neither inherits the
+      // other dir's pinned checkpoint blocks
+      MemoSweep.sweep(spark)
       val fn = all.find(_._1 == name).get._2
       // t1 > 0 (failed base runs were filtered out of `slowest`); a
       // failed re-measurement keeps its negative marker and is ignored
@@ -167,6 +172,7 @@ object ScaleBench {
       val (t2, m2) = timeM(fn, baseDir)
       val base = if (t2 > 0) math.min(t1, t2) else t1
       val baseM = if (t2 > 0) m2 else zero
+      MemoSweep.sweep(spark)
       val (s1, ms1) = timeM(fn, scaleDir)
       val (s2, ms2) = timeM(fn, scaleDir)
       val (scaled, scaledM) =
@@ -181,6 +187,15 @@ object ScaleBench {
         else -1.0 // not attributable / sub-floor base
       Row(name, base, scaled, ratio, tables, baseM, scaledM, shuffleRatio)
     }
+    /** Shuffle-ROW growth — the disambiguator for a byte flag: rows
+      * growing ≤ the data factor while bytes exceed it means FATTER
+      * rows (fixture string mutation, worse codec entropy), not more of
+      * them — the r13 q_lm_score/q_distinct_ngrams diagnosis, now
+      * carried in-artifact instead of re-derived by hand. */
+    def recordsRatio(r: Row): Double =
+      if (r.scaled > 0 && r.baseM.shuffleRecords > 0)
+        r.scaledM.shuffleRecords.toDouble / r.baseM.shuffleRecords
+      else -1.0
     // flag on the measured ratios alone: scan attribution is best-effort
     // (a memoized localCheckpoint build hides the parquet relation —
     // q_bigram_lm reads documents but shows scaled_tables=[]), and a
@@ -188,8 +203,12 @@ object ScaleBench {
     val flagged = rows.flatMap { r =>
       val why = Seq(
         if (r.ratio > FLAG_FACTOR * scale) Some("time") else None,
-        if (r.shuffleRatio > FLAG_FACTOR * scale) Some("shuffle_bytes")
-        else None).flatten
+        if (r.shuffleRatio > FLAG_FACTOR * scale) {
+          val rr = recordsRatio(r)
+          // rows within the linear band -> byte growth is row-size only
+          Some(if (rr >= 0 && rr <= FLAG_FACTOR * scale)
+            "shuffle_bytes_rowsize" else "shuffle_bytes")
+        } else None).flatten
       if (why.isEmpty) None else Some(r.name -> why.mkString("+"))
     }
     val load = java.lang.management.ManagementFactory
@@ -202,6 +221,9 @@ object ScaleBench {
         s"\"base_shuffle_mb\":${mb(r.baseM.shuffleWrite)}," +
         s"\"scaled_shuffle_mb\":${mb(r.scaledM.shuffleWrite)}," +
         s"\"shuffle_ratio\":${r.shuffleRatio}," +
+        s"\"base_shuffle_rows\":${r.baseM.shuffleRecords}," +
+        s"\"scaled_shuffle_rows\":${r.scaledM.shuffleRecords}," +
+        s"\"records_ratio\":${recordsRatio(r)}," +
         s"\"base_spill_mb\":${mb(r.baseM.spill)}," +
         s"\"scaled_spill_mb\":${mb(r.scaledM.spill)}," +
         s"\"base_input_mb\":${mb(r.baseM.input)}," +

@@ -77,6 +77,16 @@ object SkewBench {
       * failures return a negative time, surfaced as an `error` flag. */
     def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                 dir: String): (Double, StageMetrics.Snap, Double) = {
+      // cold-memo isolation PER LEG (SKEW100 lessons, in order): pinned
+      // localCheckpoint memos accumulated across 23 queries × 2 dirs
+      // starved execution memory until hot tasks died with
+      // UNABLE_TO_ACQUIRE_MEMORY; then a per-QUERY sweep still let the
+      // uniform leg's pins (cluster labels, candidates for its dir)
+      // shrink the skew leg's memory — q_split_contamination spilled
+      // 1.6 GB on the skew leg only, with equal shuffle bytes. Sweeping
+      // per leg gives both legs the same memory posture; run 1 builds,
+      // run 2 is warm, min-of-2 picks the warm run as before.
+      MemoSweep.sweep(spark)
       def one(): (Double, StageMetrics.Snap, Double) = {
         val before = agg.settled()
         agg.drainImbalance() // clear stages billed to earlier work

@@ -24,13 +24,16 @@ import org.apache.spark.sql.SparkSession
   */
 object StageMetrics {
 
-  /** Monotonic counter snapshot (bytes; `stages` = completed-stage count,
-    * used only for settlement detection). */
+  /** Monotonic counter snapshot (bytes; `shuffleRecords` = shuffle rows
+    * written — lets a byte-growth flag distinguish MORE rows (a real
+    * scale problem) from FATTER rows (a fixture/encoding artifact);
+    * `stages` = completed-stage count, used only for settlement
+    * detection). */
   final case class Snap(shuffleWrite: Long, shuffleRead: Long, spill: Long,
-                        input: Long, stages: Long) {
+                        input: Long, shuffleRecords: Long, stages: Long) {
     def -(o: Snap): Snap = Snap(shuffleWrite - o.shuffleWrite,
       shuffleRead - o.shuffleRead, spill - o.spill, input - o.input,
-      stages - o.stages)
+      shuffleRecords - o.shuffleRecords, stages - o.stages)
   }
 
   final class Agg extends SparkListener {
@@ -38,6 +41,7 @@ object StageMetrics {
     private val shuffleRead = new AtomicLong
     private val spill = new AtomicLong
     private val input = new AtomicLong
+    private val shuffleRecords = new AtomicLong
     private val stages = new AtomicLong
 
     override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
@@ -47,6 +51,7 @@ object StageMetrics {
         shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         spill.addAndGet(m.diskBytesSpilled)
         input.addAndGet(m.inputMetrics.bytesRead)
+        shuffleRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
         ()
       }
       stages.incrementAndGet()
@@ -96,7 +101,7 @@ object StageMetrics {
 
     def snap(): Snap =
       Snap(shuffleWrite.get, shuffleRead.get, spill.get, input.get,
-        stages.get)
+        shuffleRecords.get, stages.get)
 
     /** Snapshot after the async listener bus has drained: polls until two
       * reads `gapMs` apart agree (or `timeoutMs` elapses — the counters

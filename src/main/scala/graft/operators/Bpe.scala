@@ -122,7 +122,7 @@ object Bpe {
     * would serve stale merges — the same documented trade as GraftSql's
     * view memo). */
   private val trained =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, String, String, Long)]]()
+    graft.MemoSweep.register(new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, String, String, Long)]]())
 
   private def trainedMerges(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
     trained.computeIfAbsent(dir, { _ =>
@@ -391,8 +391,8 @@ object Bpe {
     * lifecycle): (word → final segmentation, final usage, final costs)
     * are plain driver data, shared by the inventory query and the
     * fertility census. */
-  private val uniTrained = new java.util.concurrent.ConcurrentHashMap[
-    String, (Map[String, Seq[String]], Map[String, Long], Map[String, Long])]()
+  private val uniTrained = graft.MemoSweep.register(new java.util.concurrent.ConcurrentHashMap[
+    String, (Map[String, Seq[String]], Map[String, Long], Map[String, Long])]())
 
   private def trainedUnigram(s: SparkSession, dir: String)
       : (Map[String, Seq[String]], Map[String, Long], Map[String, Long]) =

@@ -133,7 +133,7 @@ object Dedup {
     * docs stay per-query caches (pinning corpus-scale arrays is the
     * memory trade the mhidx INDEX TABLE exists for). */
   private val candMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, Long), DataFrame]()
+    graft.MemoSweep.register(new java.util.concurrent.ConcurrentHashMap[(Int, String, Long), DataFrame]())
 
   /** Fingerprint of the corpus files backing a memo entry: (name, length,
     * mtime) of every part file, name-sorted ([[graft.CorpusFp]]). Keying
@@ -487,7 +487,7 @@ object Dedup {
     * cluster-label edge set. Same lifecycle discipline as candMemo /
     * labelMemo (fingerprint-keyed, localCheckpoint-pinned). */
   private val ngramCandMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, Long), DataFrame]()
+    graft.MemoSweep.register(new java.util.concurrent.ConcurrentHashMap[(Int, String, Long), DataFrame]())
 
   private[graft] def corpusNgramCandidates(s: SparkSession,
                                            dir: String): DataFrame =
@@ -651,7 +651,7 @@ object Dedup {
     * blocks, not catalog cache), so the per-query `clearCache()` between
     * bench/verify queries does not drop it. */
   private val labelMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, Long), DataFrame]()
+    graft.MemoSweep.register(new java.util.concurrent.ConcurrentHashMap[(Int, String, Long), DataFrame]())
 
   private[graft] def corpusClusterLabels(s: SparkSession, dir: String): DataFrame =
     memoized(labelMemo, s, dir) {

@@ -76,8 +76,8 @@ object Graph {
     * query. Same per-(session, dir, fingerprint) lifecycle as
     * [[affinityEdges]]: first consumer pays (BuildMeter-flagged),
     * stopped sessions sweep out, an in-place fixture change is a miss. */
-  private val prMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String, Long), (DataFrame, Long)]()
+  private val prMemo = graft.MemoSweep.register(new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, Long), (DataFrame, Long)]())
 
   private def copurchasePrep(s: SparkSession, dir: String): (DataFrame, Long) = {
     val key = (System.identityHashCode(s), dir, lineitemFingerprint(dir))
@@ -261,7 +261,7 @@ object Graph {
     * regeneration is a cache miss, stopped sessions sweep out, and an
     * identity-hash collision rebuilds instead of serving a dead frame. */
   private val edgeMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, Long), DataFrame]()
+    graft.MemoSweep.register(new java.util.concurrent.ConcurrentHashMap[(Int, String, Long), DataFrame]())
 
   private def lineitemFingerprint(dir: String): Long =
     graft.CorpusFp.of(dir, "lineitem")
@@ -995,7 +995,7 @@ object Graph {
     * lifecycle: BuildMeter-flagged, stopped sessions swept, fixture
     * change = miss). */
   private val trainEdgeMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, Long), DataFrame]()
+    graft.MemoSweep.register(new java.util.concurrent.ConcurrentHashMap[(Int, String, Long), DataFrame]())
 
   private def trainEdges(s: SparkSession, dir: String,
                          train: DataFrame): DataFrame = {

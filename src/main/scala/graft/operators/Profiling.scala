@@ -258,8 +258,8 @@ object Profiling {
     * (source + 32-char md5), first consumer pays (BuildMeter-flagged),
     * stopped sessions sweep out, in-place fixture change is a miss.
     * At 100 TB this is the write-the-pair-table-once step. */
-  private val shPairMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String, Long), DataFrame]()
+  private val shPairMemo = graft.MemoSweep.register(new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, Long), DataFrame]())
 
   private def sourceShinglePairs(s: SparkSession, dir: String): DataFrame = {
     val key =
@@ -701,8 +701,8 @@ object Profiling {
     * fingerprint), pinned via localCheckpoint (the affinityEdges
     * lifecycle — survives callers' clearCache; collisions rebuild,
     * stopped sessions sweep out). */
-  private val spearmanMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String, Long), (DataFrame, Long)]()
+  private val spearmanMemo = graft.MemoSweep.register(new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, Long), (DataFrame, Long)]())
 
   private def spearmanRankTable(s: SparkSession, dir: String,
                                 base: DataFrame): (DataFrame, Long) = {

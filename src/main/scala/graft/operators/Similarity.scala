@@ -280,10 +280,10 @@ object Similarity {
     * session reference — so they're safe to serve to any session (the
     * [[trainedProbe]] precedent). */
   private val truthMemo =
-    new java.util.concurrent.ConcurrentHashMap[
+    graft.MemoSweep.register(new java.util.concurrent.ConcurrentHashMap[
       (String, String),
       (org.apache.spark.sql.types.StructType,
-        Array[org.apache.spark.sql.Row])]()
+        Array[org.apache.spark.sql.Row])]())
 
   /** The exact cosine top-[[TRUTH_K]] for every batch query, as a local
     * relation off the memo. `q_sim_topk`, `q_sim_topk_batch`,
@@ -2317,9 +2317,9 @@ object Similarity {
     * share one training run (the memoized-cluster-label precedent),
     * instead of each paying the R aggregation rounds. */
   private val probeMemo =
-    new java.util.concurrent.ConcurrentHashMap[
+    graft.MemoSweep.register(new java.util.concurrent.ConcurrentHashMap[
       (String, String),
-      (Array[Long], Seq[(Int, Long)], Long, Seq[Array[Long]])]()
+      (Array[Long], Seq[(Int, Long)], Long, Seq[Array[Long]])]())
 
   private def trainedProbe(s: SparkSession, dir: String)
       : (Array[Long], Seq[(Int, Long)], Long, Seq[Array[Long]]) = {

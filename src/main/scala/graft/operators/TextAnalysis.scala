@@ -1055,8 +1055,8 @@ object TextAnalysis {
     * threshold and RE-SHUFFLES the whole pair table above it (measured:
     * 13 MB shuffle at the 10× step but 387 MB at 40× — the broadcast
     * cliff); the one build-time exchange amortizes across consumers. */
-  private val bigramMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String, Long), DataFrame]()
+  private val bigramMemo = graft.MemoSweep.register(new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, Long), DataFrame]())
 
   private[graft] def docBigrams(s: SparkSession, dir: String): DataFrame = {
     val key = (System.identityHashCode(s), dir, docsFingerprint(dir))
@@ -1918,8 +1918,8 @@ object TextAnalysis {
     * parameters) per (session, dir, fingerprint) — training is
     * once-per-corpus ingest work (the probe-training precedent); only
     * holdout scoring is the per-query cost. */
-  private val nbMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String, Long), (DataFrame, DataFrame)]()
+  private val nbMemo = graft.MemoSweep.register(new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, Long), (DataFrame, DataFrame)]())
 
   private def docsFingerprint(dir: String): Long =
     graft.CorpusFp.of(dir, "documents")
