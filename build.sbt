@@ -10,6 +10,10 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Cumulative machine-readable test outcome → target/test_summary.json
+// (graft.TestSummaryReporter), the driver-visible greenness artifact.
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest,
+  "-C", "graft.TestSummaryReporter")
 run / fork := true
 // Forked-run stdout must pass through UNPREFIXED: sbt's default logger
 // adds "[info] " to every forked line, which breaks any line-level JSON

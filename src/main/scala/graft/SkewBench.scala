@@ -155,7 +155,15 @@ object SkewBench {
         // r12 single-file fixture-layout artifact, 7.9 on both legs) — a
         // systematic serialization regression must surface as its own
         // flag instead of reading as "zero flags" (ADVICE r12).
-        if (r.uniImb > FLAG_IMBALANCE) Some("imbalance-both") else None
+        // BOTH legs must exceed the line for the both-legs label to be
+        // true to its name (ADVICE r13: uniform-only imbalance was
+        // mislabeled); a uniform-only imbalance with a balanced skew leg
+        // means the fixture layout, not the operator, and gets its own
+        // honest label.
+        if (r.uniImb > FLAG_IMBALANCE && r.skwImb > FLAG_IMBALANCE)
+          Some("imbalance-both")
+        else if (r.uniImb > FLAG_IMBALANCE) Some("imbalance-uniform")
+        else None
       ).flatten
     val firstPass = names.map(measureRow)
     // performance flags must REPRODUCE on a second measurement: shared

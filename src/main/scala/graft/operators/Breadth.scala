@@ -1006,9 +1006,15 @@ object Breadth {
            sum((cents * cents).cast("decimal(38,0)")).as("s2"))
       .select(col("event_type"),
         (col("s1").cast("double") / lit(100.0d) / col("sn")).as("mu"),
-        (sqrt((col("sn") * col("s2") - col("s1") * col("s1")).cast("double")
-          / (col("sn") * (col("sn") - lit(1L))).cast("double"))
-          / lit(100.0d)).as("sd"))
+        // sn=1 guard (ADVICE r13): the inline moments give sn*(sn-1)=0
+        // and sqrt(0/0)=NaN for a singleton group, where stddev_samp's
+        // NULL excluded the group from z entirely; worse, Spark's
+        // floor(NaN)=0 vs DuckDB's NaN propagation makes the divergence
+        // cross-engine. NULL sd restores the stddev_samp contract.
+        when(col("sn") > 1,
+          sqrt((col("sn") * col("s2") - col("s1") * col("s1")).cast("double")
+            / (col("sn") * (col("sn") - lit(1L))).cast("double"))
+            / lit(100.0d)).otherwise(lit(null).cast("double")).as("sd"))
     e.join(broadcast(stats), "event_type")
       .withColumn("z", (col("value") - col("mu")) / col("sd"))
       .groupBy("event_type")
@@ -1028,8 +1034,10 @@ object Breadth {
       |m AS (
       |  SELECT event_type,
       |         CAST(s1 AS DOUBLE) / 100.0 / sn AS mu,
-      |         sqrt(CAST(sn * s2 - s1 * s1 AS DOUBLE)
-      |              / CAST(sn * (sn - 1) AS DOUBLE)) / 100.0 AS sd
+      |         CASE WHEN sn > 1 THEN
+      |           sqrt(CAST(sn * s2 - s1 * s1 AS DOUBLE)
+      |                / CAST(sn * (sn - 1) AS DOUBLE)) / 100.0
+      |         ELSE NULL END AS sd
       |  FROM stats)
       |SELECT e.event_type AS event_type, count(*) AS n,
       |       CAST(sum(CASE WHEN abs((e.value - m.mu) / m.sd) > 3

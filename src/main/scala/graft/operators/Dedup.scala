@@ -169,10 +169,30 @@ object Dedup {
     import s.implicits._
     val docs = docsWithShingles(s, dir).select("doc_id", "sh").cache()
     val cand = corpusMinhashCandidates(s, dir, docs)
+    // The verify join used to exchange the FULL corpus's shingle-string
+    // arrays (every doc, ~840 B/row at the ×100 step — the recurring
+    // rowsize flag): below the broadcast threshold the arrays never
+    // shuffled, past it they all did. Two cuts keep the exchange
+    // candidate-bounded and narrow:
+    //  1. only docs that appear in ≥1 candidate pair join at all — the
+    //     pair-id set is candidate-bounded (measured sublinear in corpus
+    //     rows) and broadcastable; at index scale the bucketed mhidx
+    //     table (the q_dedup_incremental path) replaces this probe shape
+    //     entirely;
+    //  2. the arrays carried through the exchange are 8-byte md5-prefix
+    //     digests, not shingle strings — the oracle derives the SAME
+    //     60-bit digests, so a prefix collision merges the same two
+    //     shingles in both engines and exact Jaccard stays exact.
+    val ids = cand.select(explode(array(col("a"), col("b"))).as("doc_id"))
+      .distinct()
+    val hdocs = docs.join(broadcast(ids), "doc_id")
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sh, g -> " +
+          "CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)))").as("hsh"))
     val verified = cand
-      .join(docs.as("sa"), col("a") === col("sa.doc_id"))
-      .join(docs.as("sb"), col("b") === col("sb.doc_id"))
-      .withColumn("jac", TextFns.jaccard("sa.sh", "sb.sh"))
+      .join(hdocs.as("sa"), col("a") === col("sa.doc_id"))
+      .join(hdocs.as("sb"), col("b") === col("sb.doc_id"))
+      .withColumn("jac", TextFns.jaccard("sa.hsh", "sb.hsh"))
     // eager counts so every cache this query created can be released
     // HERE (library callers must not depend on a session-wide clearCache)
     val nDocs = docs.count()
@@ -223,11 +243,15 @@ object Dedup {
 
   private val minhashLshSql =
     s"""$minhashCandPrefixSql,
+       |hd AS (
+       |  SELECT doc_id, list_distinct(list_transform(sh, g ->
+       |    ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS hsh
+       |  FROM docs),
        |ver AS (
        |  SELECT a, b,
-       |         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-       |           / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS jac
-       |  FROM cand JOIN docs sa ON a = sa.doc_id JOIN docs sb ON b = sb.doc_id)
+       |         CAST(len(list_intersect(sa.hsh, sb.hsh)) AS DOUBLE)
+       |           / CAST(len(sa.hsh) + len(sb.hsh) - len(list_intersect(sa.hsh, sb.hsh)) AS DOUBLE) AS jac
+       |  FROM cand JOIN hd sa ON a = sa.doc_id JOIN hd sb ON b = sb.doc_id)
        |SELECT (SELECT count(*) FROM docs) AS n_docs,
        |       (SELECT count(*) FROM cand) AS n_candidates,
        |       (SELECT count(*) FROM ver WHERE jac >= 0.3) AS n_verified""".stripMargin
@@ -1008,12 +1032,19 @@ object Dedup {
     * Scale shape: ONE shingle pass serving both methods. The two split
     * assignments attach at the DOCUMENT level (the cluster split joins a
     * doc-keyed frame, the naive split is doc_id arithmetic) BEFORE the
-    * gram explode, so no token-scale row ever joins anything; a stack()
-    * fans each gram to its two (method, split) views and one
-    * groupBy(method, digest) with test/train presence flags replaces the
-    * old per-method distinct + digest self-join (which re-ran the gram
-    * explode per branch and shipped 20× the bytes at the 10× step —
-    * measured before this rewrite). 32-byte keys end to end. */
+    * gram explode, so no token-scale row ever joins anything; each gram
+    * carries FOUR presence flags (cluster-test/train, naive-test/train)
+    * through ONE groupBy(digest), replacing first the per-method
+    * distinct + digest self-join (20× the bytes at the 10× step) and
+    * then the stack()-doubled (method, digest) agg, whose partial
+    * HashAggregate over 2× gram rows keyed by 32-char md5 strings was
+    * the 1.6 GB skew-leg spill at ×100 (probed to the stage: the
+    * explode→partial-agg map stage, not label propagation). The digest
+    * is the md5's leading 60 bits as a BIGINT — grouping keys go from
+    * 32-byte strings to 8-byte longs, and the oracle derives the SAME
+    * prefix digest, so any prefix collision merges the same two grams
+    * in both engines (cross-engine exactness does not rest on
+    * collision-freeness). */
   def splitContamination(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val cluster = splitFrame(s, dir)
@@ -1028,16 +1059,21 @@ object Dedup {
       .select(col("cluster_split"), col("naive_split"),
         explode(expr(s"array_distinct(word_shingles(split(text, ' '), $CONTAM_N))"))
           .as("g"))
-      .select(col("cluster_split"), col("naive_split"), md5(col("g")).as("h"))
-      .selectExpr(
-        "stack(2, 'cluster', cluster_split, 'naive', naive_split) AS (method, split)",
-        "h")
-    grams.groupBy("method", "h")
-      .agg(max(when(col("split") === "test", 1L).otherwise(0L)).as("t"),
-        max(when(col("split") === "train", 1L).otherwise(0L)).as("tr"))
-      .groupBy("method")
-      .agg(sum(col("t")).as("n_test_grams"),
-        sum(col("t") * col("tr")).as("n_shared"))
+      .select(
+        expr("CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)").as("h"),
+        (col("cluster_split") === "test").cast("long").as("ct"),
+        (col("cluster_split") === "train").cast("long").as("ctr"),
+        (col("naive_split") === "test").cast("long").as("nt"),
+        (col("naive_split") === "train").cast("long").as("ntr"))
+    grams.groupBy("h")
+      .agg(max("ct").as("ct"), max("ctr").as("ctr"),
+        max("nt").as("nt"), max("ntr").as("ntr"))
+      .agg(sum(col("ct")).as("c_test"),
+        sum(col("ct") * col("ctr")).as("c_shared"),
+        sum(col("nt")).as("n_test"),
+        sum(col("nt") * col("ntr")).as("n_shared"))
+      .selectExpr("stack(2, 'cluster', c_test, c_shared, " +
+        "'naive', n_test, n_shared) AS (method, n_test_grams, n_shared)")
       .select(col("method"), col("n_test_grams"), col("n_shared"),
         (floor(col("n_shared").cast("double")
           / col("n_test_grams").cast("double") * lit(10000.0d)
@@ -1048,7 +1084,8 @@ object Dedup {
   private val splitContaminationSql = {
     val gramCte =
       s"""gr AS MATERIALIZED (
-        |  SELECT DISTINCT doc_id, md5(g) AS h
+        |  SELECT DISTINCT doc_id,
+        |         ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
         |  FROM (
         |    SELECT doc_id,
         |           unnest(CASE WHEN len(string_split(text, ' ')) >= $CONTAM_N

@@ -525,11 +525,21 @@ object JoinsPlus {
     * single-stream sum straddle the floor tie (the r12 red row).
     * `sum(cents)` is an exact integer in any summation order;
     * `sum_cents * 100.0 / n` is then a single deterministic divide, so
-    * the fix4 floor sees the identical double in both engines. */
+    * the fix4 floor sees the identical double in both engines.
+    *
+    * The outer CAST(... AS DOUBLE) is a result-DTYPE pin, not a value
+    * change: this query's shared SQL text executes on Spark, where the
+    * literals `100.0`/`10000.0` parse as DECIMAL, so the all-BIGINT
+    * floor chain types the column DECIMAL(34,7) while DuckDB types the
+    * identical expression DOUBLE — the driver hashes typed values, so
+    * the r12/r13 red row was a decimal-vs-double mismatch with
+    * bit-identical values. The cast is a no-op in DuckDB and collapses
+    * Spark's decimal to that same double. */
   private val correlatedQuery =
     """SELECT n_name, count(*) AS n_above,
-      |       floor(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT))
-      |             * 100.0 / count(*) + 0.5) / 10000.0 AS avg_above_bal
+      |       CAST(floor(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT))
+      |                  * 100.0 / count(*) + 0.5) / 10000.0
+      |            AS DOUBLE) AS avg_above_bal
       |FROM customer c JOIN nation n ON c_nationkey = n_nationkey
       |WHERE c_acctbal > (SELECT sum(CAST(floor(c2.c_acctbal * 100.0 + 0.5)
       |                                   AS BIGINT)) / count(*) / 100.0

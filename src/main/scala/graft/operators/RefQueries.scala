@@ -398,7 +398,235 @@ object RefQueries {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** TPC-H Q7 analog (volume shipping): revenue flowing between the two
+    * nations of a trading pair, by supplier nation × customer nation ×
+    * ship year — the two-nation semi-cycle (nation binds once through
+    * supplier and once through customer, and the pair predicate accepts
+    * only the two cross terms). With both sides restricted to the pair,
+    * `(n1=A ∧ n2=B) ∨ (n1=B ∧ n2=A)` is exactly `supp_nation ≠
+    * cust_nation` — applied AFTER the broadcast dims attach, so it
+    * never blocks pushdown. Physical shape: nation-filtered supplier
+    * broadcasts (bounded dim); the date filter pushes to the lineitem
+    * scan; lineitem⋈orders shuffles on orderkey and the
+    * customer join on custkey — the two fact exchanges Q7 actually
+    * needs. Revenue is exact 1e-6-dollar units summed in decimal(38,0)
+    * (the [[tpchQ3]] discipline), one display divide at the end. */
+  def tpchQ7(s: SparkSession, dir: String): DataFrame = {
+    val pair = Seq("NATION_11", "NATION_12")
+    val n1 = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val sup = Tables.supplier(s, dir)
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .select("s_suppkey", "supp_nation")
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .select("c_custkey", "cust_nation")
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01"))
+        && col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"),
+        (floor(col("l_extendedprice") * lit(100.0d) + lit(0.5d))
+          * (lit(10000L) - floor(col("l_discount") * lit(10000.0d)
+            + lit(0.5d)))).as("rev_u6"))
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(sum(col("rev_u6").cast("decimal(38,0)")).as("rev_u6"))
+      .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+        (floor(col("rev_u6").cast("double") / lit(100.0d) + lit(0.5d))
+          / lit(10000.0d)).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  private val tpchQ7Sql =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |       floor(CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
+      |                          AS DECIMAL(38,0))
+      |                     * (10000 - CAST(floor(l_discount * 10000.0 + 0.5)
+      |                                AS BIGINT))) AS DOUBLE)
+      |             / 100.0 + 0.5) / 10000.0 AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND ((n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_12') OR
+      |       (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_11'))
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
+
+  /** TPC-H Q10 analog (returned-item reporting): the 20 customers who
+    * returned the most revenue in a half-year order window. Scale shape:
+    * the return-flag filter pushes to the lineitem scan and the date
+    * filter to the orders scan; revenue pre-aggregates per o_custkey
+    * BEFORE any customer attribute attaches, so the customer join and
+    * the nation broadcast see 20 rows, not the fact (aggregate-then-
+    * join, the flagship discipline — TPC-H's canonical group-by-all-
+    * customer-attrs shape drags the dim columns through the fact agg).
+    * Top-20 sorts on the EXACT integer revenue with the unique custkey
+    * tiebreak; display divides once ([[tpchQ3]]). */
+  def tpchQ10(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01"))
+        && col("o_orderdate") < to_timestamp(lit("1996-07-01")))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (floor(col("l_extendedprice") * lit(100.0d) + lit(0.5d))
+          * (lit(10000L) - floor(col("l_discount") * lit(10000.0d)
+            + lit(0.5d)))).as("rev_u6"))
+    val top = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum(col("rev_u6").cast("decimal(38,0)")).as("rev_u6"))
+      .orderBy(col("rev_u6").desc, col("o_custkey").asc)
+      .limit(20)
+    top
+      .join(Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"),
+        (floor(col("rev_u6").cast("double") / lit(100.0d) + lit(0.5d))
+          / lit(10000.0d)).as("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+  }
+
+  private val tpchQ10Sql =
+    """WITH t AS (
+      |  SELECT o_custkey,
+      |         sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+      |             * (10000 - CAST(floor(l_discount * 10000.0 + 0.5)
+      |                             AS BIGINT))) AS rev_u6
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_returnflag = 'R'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      |  GROUP BY o_custkey
+      |  ORDER BY rev_u6 DESC, o_custkey LIMIT 20)
+      |SELECT c_custkey, c_name,
+      |       floor(rev_u6 / 100.0 + 0.5) / 10000.0 AS revenue,
+      |       c_acctbal, n_name
+      |FROM t
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY revenue DESC, c_custkey""".stripMargin
+
+  /** TPC-H Q14 analog (promotion effect): the revenue share of PROMO
+    * parts in a ship-date window — the conditional-aggregate-ratio
+    * shape. Part broadcasts (bounded dim), the date filter pushes to
+    * the lineitem scan, and ONE aggregate computes both branches
+    * (`sum(when(...))`) instead of two scans. Numerator and
+    * denominator each sum exact 1e-6-dollar units in decimal(38,0);
+    * the percentage is then one deterministic double divide, fix4'd —
+    * the ratio-of-exact-sums discipline ([[tpchQ5]]). */
+  def tpchQ14(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01"))
+        && col("l_shipdate") < to_timestamp(lit("1997-07-01")))
+      .select(col("l_partkey"),
+        (floor(col("l_extendedprice") * lit(100.0d) + lit(0.5d))
+          * (lit(10000L) - floor(col("l_discount") * lit(10000.0d)
+            + lit(0.5d)))).as("rev_u6"))
+    val p = Tables.part(s, dir).select("p_partkey", "p_type")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("rev_u6"))
+          .otherwise(lit(0L)).cast("decimal(38,0)")).as("promo_u6"),
+        sum(col("rev_u6").cast("decimal(38,0)")).as("total_u6"),
+        sum(when(col("p_type") === "PROMO", 1L).otherwise(0L))
+          .as("promo_lines"),
+        count(lit(1)).as("n_lines"))
+      .select(
+        (floor(col("promo_u6").cast("double") / col("total_u6").cast("double")
+          * lit(1000000.0d) + lit(0.5d)) / lit(10000.0d)).as("promo_pct"),
+        col("promo_lines"), col("n_lines"))
+  }
+
+  private val tpchQ14Sql =
+    """SELECT floor(CAST(sum(CASE WHEN p_type = 'PROMO' THEN r ELSE 0 END)
+      |                  AS DOUBLE)
+      |             / CAST(sum(r) AS DOUBLE) * 1000000.0 + 0.5) / 10000.0
+      |         AS promo_pct,
+      |       CAST(sum(CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS promo_lines,
+      |       count(*) AS n_lines
+      |FROM (SELECT p_type,
+      |             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+      |             * (10000 - CAST(floor(l_discount * 10000.0 + 0.5)
+      |                             AS BIGINT)) AS r
+      |      FROM lineitem JOIN part ON l_partkey = p_partkey
+      |      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |        AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00')""".stripMargin
+
+  /** TPC-H Q16 analog (parts/supplier relationship): how many distinct
+    * suppliers ship each (brand, type, size) combination, over a size
+    * IN-list, excluding one brand and excluding "complaint" suppliers
+    * (negative account balance stands in for TPC-H's comment-text
+    * predicate). The exclusion subquery plans as a broadcast LEFT ANTI
+    * join — the null-FREE `NOT IN` plan (s_suppkey is non-nullable;
+    * the null-aware BNLJ case is q_null_anti's job). lineitem's
+    * (partkey, suppkey) pairs stand in for partsupp; part broadcasts,
+    * so the only fact exchange is the two-phase distinct aggregate on
+    * (brand, type, size, suppkey). Top-40 with full tiebreak. */
+  def tpchQ16(s: SparkSession, dir: String): DataFrame = {
+    val sizes = Seq(1, 9, 14, 19, 23, 36, 45, 49)
+    val p = Tables.part(s, dir)
+      .filter(col("p_brand") =!= "Brand#3" && col("p_size").isin(sizes: _*))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val complaints = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(complaints),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+        col("p_type").asc, col("p_size").asc)
+      .limit(40)
+  }
+
+  private val tpchQ16Sql =
+    """SELECT p_brand, p_type, p_size,
+      |       count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#3'
+      |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+      |                        WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 40""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_tpch_q14", tpchQ14, Some(tpchQ14Sql),
+      doc = "TPC-H Q14 promotion effect: conditional-aggregate revenue " +
+        "ratio from exact integer sums, broadcast part dim"),
+    Q("q_tpch_q16", tpchQ16, Some(tpchQ16Sql),
+      doc = "TPC-H Q16 supplier-count: distinct-count by part attrs " +
+        "with broadcast anti-join supplier exclusion"),
+    Q("q_tpch_q7", tpchQ7, Some(tpchQ7Sql),
+      doc = "TPC-H Q7 volume-shipping: two-nation semi-cycle (nation " +
+        "binds via supplier AND customer), exact integer revenue by " +
+        "supp/cust nation and ship year"),
+    Q("q_tpch_q10", tpchQ10, Some(tpchQ10Sql),
+      doc = "TPC-H Q10 returned-item revenue: pushed returnflag/date " +
+        "filters, aggregate-then-join top-20 customers on the exact " +
+        "integer revenue key"),
     Q("q_tpch_q3", tpchQ3, Some(tpchQ3Sql),
       doc = "TPC-H Q3 analog: top-10 unshipped orders by revenue " +
         "(exact integer-unit revenue sort)"),

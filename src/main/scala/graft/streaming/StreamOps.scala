@@ -200,9 +200,18 @@ object StreamOps {
     // partition column and old rows become indistinguishable. Fail fast:
     // upgrading to this sink requires a fresh outDir (or a one-time
     // rewrite of the old files under a batch_id partition).
-    val flatLegacy = Option(new java.io.File(outDir).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    // Resolved through the Hadoop FileSystem, not java.io.File: a
+    // URI-style or non-local outDir (file:/, hdfs://, s3a://) makes
+    // File#listFiles return null and the guard would silently no-op
+    // exactly where production data lives (ADVICE r13).
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(
+      df.sparkSession.sessionState.newHadoopConf())
+    val flatLegacy =
+      if (fs.exists(outPath))
+        fs.listStatus(outPath)
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      else Array.empty[org.apache.hadoop.fs.FileStatus]
     require(flatLegacy.isEmpty,
       s"parquetBatchSink: $outDir contains ${flatLegacy.length} flat " +
         "parquet file(s) from a non-batch_id-partitioned layout; use a " +

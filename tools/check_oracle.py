@@ -13,6 +13,64 @@ import math
 import sys
 
 import duckdb
+import pyarrow.parquet as pq
+import pyarrow.types as pat
+
+
+def arrow_class(t):
+    """Collapse an arrow type to the class the driver's typed hash sees.
+
+    The r13 hole: the value compare below reads the Spark parquet back
+    THROUGH DuckDB->pandas, which silently coerces decimal128 to float64
+    -- so a Spark-side DECIMAL result column compared green locally while
+    the driver (which reads the parquet directly) hashed Decimal reprs
+    and stayed red for two rounds. This classifier looks at the parquet
+    FOOTER type, before any coercion can hide it.
+    """
+    if pat.is_decimal(t):
+        return "decimal"
+    if pat.is_float64(t):
+        return "float64"
+    if pat.is_float32(t):
+        return "float32"
+    if pat.is_integer(t):
+        return "int"
+    if pat.is_boolean(t):
+        return "bool"
+    if pat.is_string(t) or pat.is_large_string(t):
+        return "string"
+    if pat.is_date(t):
+        return "date"
+    if pat.is_timestamp(t):
+        return "timestamp"
+    if pat.is_list(t) or pat.is_large_list(t) or pat.is_fixed_size_list(t):
+        return "list<" + arrow_class(t.value_type) + ">"
+    return str(t)
+
+
+def duck_class(t):
+    """Same classes for a DuckDB relation type string."""
+    s = str(t).upper()
+    if s.startswith("DECIMAL"):
+        return "decimal"
+    if s == "DOUBLE":
+        return "float64"
+    if s in ("FLOAT", "REAL"):
+        return "float32"
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if s == "BOOLEAN":
+        return "bool"
+    if s == "VARCHAR":
+        return "string"
+    if s == "DATE":
+        return "date"
+    if s.startswith("TIMESTAMP"):
+        return "timestamp"
+    if s.endswith("[]"):
+        return "list<" + duck_class(s[:-2]) + ">"
+    return s
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -51,6 +109,25 @@ def main(sf_dir, out_dir):
             if huge:
                 print(f"FAIL {name}: oracle columns {huge} type as HUGEINT "
                       f"(cast to BIGINT in the SQL)")
+                n_bad += 1
+                continue
+            # Footer-level schema gate (the r13 fix): compare the Spark
+            # result parquet's PHYSICAL arrow types against the oracle
+            # relation's types BEFORE the value compare, because the
+            # DuckDB->pandas read below coerces decimal to float64 and
+            # would hide exactly the dtype drift the driver fails on.
+            spark_types = {f.name: arrow_class(f.type)
+                           for f in pq.read_schema(files[0])}
+            duck_types = {c: duck_class(t)
+                          for c, t in zip(rel.columns, rel.types)}
+            sbad = []
+            for c in sorted(duck_types):
+                a = spark_types.get(c)
+                if a is not None and a != duck_types[c]:
+                    sbad.append((c, a, duck_types[c]))
+            if sbad:
+                print(f"FAIL {name}: parquet schema class mismatch "
+                      f"(spark vs oracle) {sbad}")
                 n_bad += 1
                 continue
             mine = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
