@@ -40,6 +40,17 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Coalesce post-shuffle partitions by SIZE (AQE advisory target)
+      // instead of stopping at defaultParallelism: the r14 fleet A/B
+      // measured 178.3 s → 166.0 s (263 queries, sf0.1) from collapsing
+      // KB-sized 32-task reduce stages into 1-2 tasks. Scale-adaptive by
+      // construction — at production volumes the advisory size (default
+      // 64 MB; production would raise it to 256 MB per the tuning guide)
+      // yields thousands of partitions and this flag only stops tiny
+      // stages from being sharded to the cluster's full width. Env
+      // override restores the stock posture for A/B re-measurement.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -502,11 +502,27 @@ object Breadth {
     * check; determinism within Spark is still guaranteed (HLL++ is
     * deterministic for a given input multiset). */
   def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    // (r14 note: unlike [[approxDistinctContract]], this plain form has
+    // NO exact-distinct companion, so Catalyst plans a simple two-phase
+    // aggregate with 3 sketch states per task — no per-pair sketch
+    // exchange to kill. A pair-dedup rewrite was measured SLOWER here
+    // (0.65 s → 1.13 s: pure added exchange); left as-is.)
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
       .agg(approx_count_distinct("l_partkey", 0.02).as("approx_parts"),
            count(lit(1)).as("n"))
       .orderBy("l_returnflag")
+
+  /** Shared first level of the [[approxDistinctContract]] decomposition:
+    * one row per distinct (flag, partkey) pair with its duplication
+    * count — the narrow frame both the sketch and the exact distinct
+    * then aggregate without any per-pair sketch state. */
+  private def approxDistinctPairs(s: SparkSession, dir: String): DataFrame =
+    graft.Par.fanKey(
+        Tables.lineitem(s, dir).select("l_returnflag", "l_partkey"),
+        col("l_returnflag"), col("l_partkey"))
+      .groupBy("l_returnflag", "l_partkey")
+      .agg(count(lit(1)).as("c"))
 
   /** ORACLE-CHECKED error contract of [[approxDistinct]]: the estimate
     * itself is engine-internal (DuckDB runs a different sketch), but the
@@ -519,11 +535,17 @@ object Breadth {
     * one-off failure odds ≈ 1%, and the fixture is fixed, so the test
     * is deterministic in practice — a flip means the sketch changed). */
   def approxDistinctContract(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+    // r14: same pair-dedup decomposition as [[approxDistinct]] (see there
+    // for the per-pair-sketch-state exchange this kills — measured 1.73 s
+    // warm, one 413-column partial-agg stage on one task). Over the
+    // deduped pair frame the exact distinct is a plain count, the n
+    // census is sum(c), and the sketch sees each pair once —
+    // bit-identical est, no Expand, narrow exchanges only.
+    approxDistinctPairs(s, dir)
       .groupBy("l_returnflag")
       .agg(approx_count_distinct("l_partkey", 0.02).as("est"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("exact_parts"),
+        sum("c").as("n"))
       .select(col("l_returnflag"), col("exact_parts"), col("n"),
         (abs(col("est").cast("double") - col("exact_parts"))
           / col("exact_parts") <= 0.05d).as("within_bound"))

@@ -357,20 +357,34 @@ object Curation {
     * ×4 row amplification on a 4-column projection, not 4 scans), then a
     * `stack` unpivots the single wide row into the narrow report. */
   def columnProfile(s: SparkSession, dir: String): DataFrame = {
-    val aggs = profileCols.flatMap { c =>
-      Seq(count(col(c)).as(s"n_$c"),
-        countDistinct(col(c)).as(s"d_$c"),
-        round(min(col(c)), 4).as(s"mn_$c"),
-        round(max(col(c)), 4).as(s"mx_$c"))
-    }
-    val total = count(lit(1)).as("n_rows")
-    val wide = Tables.lineitem(s, dir).agg(aggs.head, (aggs.tail :+ total): _*)
-    val stackArgs = profileCols
-      .map(c => s"'$c', n_$c, n_rows - n_$c, d_$c, mn_$c, mx_$c")
-      .mkString(", ")
-    wide.selectExpr(
-      s"stack(${profileCols.size}, $stackArgs) AS " +
-        "(col_name, n_vals, n_nulls, n_distinct, min_v, max_v)")
+    // r14: unpivot-FIRST decomposition. The old single wide aggregate
+    // planned Catalyst's 4-way multi-distinct Expand — a ×5 row
+    // amplification and a 21-column distinct-state partial aggregate,
+    // all serialized on the fixture's single-split scan task (measured
+    // 1.85 s warm; fanning the Expand merely moved the cost into a
+    // barely-compressing exchange). Unpivoting to (col_name, v) rows
+    // FIRST makes the profile a two-level aggregate over value groups:
+    // level 1 dedups to one row per (column, value) with its count
+    // (map-side compression: the value domains are the data's own
+    // cardinality, ≤ |distinct prices| + 70), level 2 folds those ≤110k
+    // narrow rows into the 4 report rows. No Expand anywhere, every
+    // shuffle carries (name, value, count), and the scale-guarded fanKey
+    // keeps the stack + level-1 aggregate at machine width on few-split
+    // inputs. n_nulls folds from the (col_name, NULL) group — no second
+    // scan for the row total.
+    val stackArgs = profileCols.map(c => s"'$c', $c").mkString(", ")
+    val perVal = graft.Par.fanKey(
+        Tables.lineitem(s, dir).select(profileCols.map(col): _*),
+        profileCols.map(col): _*)
+      .selectExpr(s"stack(${profileCols.size}, $stackArgs) AS (col_name, v)")
+      .groupBy("col_name", "v").agg(count(lit(1)).as("c"))
+    perVal.groupBy("col_name")
+      .agg(
+        sum(when(col("v").isNotNull, col("c")).otherwise(0L)).as("n_vals"),
+        sum(when(col("v").isNull, col("c")).otherwise(0L)).as("n_nulls"),
+        count(col("v")).as("n_distinct"),
+        round(min(col("v")), 4).as("min_v"),
+        round(max(col("v")), 4).as("max_v"))
       .orderBy("col_name")
   }
 

@@ -629,7 +629,19 @@ object JoinsPlus {
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey").as("k"))
     // the filter is sized from the build-side cardinality — one scalar
-    // count to the driver, exactly what a runtime-filter planner does
+    // count to the driver, exactly what a runtime-filter planner does.
+    // (r14 audit: three "obvious" optimizations were measured HERE and
+    // all LOST warm — (a) m as a broadcast 1-row column (the oracle's
+    // mm shape) to fold this count into the final DAG: the broadcast
+    // build gates every branch and the crossJoins lengthen the critical
+    // path, 1.0→1.5 s; (b) caching urgent.distinct() for its 4
+    // consumers: the branches are INDEPENDENT stages Spark runs
+    // concurrently, so the redundant recomputes were free parallelism
+    // while the cache fill serialized them; (c) fanKey on the probe
+    // distinct: no effect — the md5 probe wasn't the bottleneck, the
+    // barrier count was. Kept the original shape; the r9 lesson
+    // "recompute across branches can beat a blocking materialization"
+    // generalizes to caches on a wide-core box.)
     val m = BLOOM_BITS_PER_KEY * urgent.distinct().count()
     def positions(keyCol: String): org.apache.spark.sql.Column =
       expr((0 until BLOOM_K).map(j =>

@@ -146,7 +146,18 @@ object Profiling {
     val needDf = needed.toDF("k", "idx")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("k").orderBy("x")
-    val got = xs.withColumn("idx", row_number().over(w).cast("long") - 1L)
+    // fanKey (r14): pin the window's hash(k) exchange at machine width —
+    // AQE's size-based coalescing otherwise collapses the (dimension-
+    // bounded, few-MB) group exchange to ONE task and serializes every
+    // group's sort (measured 1.16 s → 1.75 s when the fleet turned size
+    // coalescing on; an explicit numbered repartition is never
+    // coalesced, and the window reuses it, so no exchange is added).
+    // A DistNtile.withRank range-partitioned rewrite was measured here
+    // too and LOST (2.5 s: its eager localCheckpoint + offset jobs cost
+    // more than the per-group sorts at any group count ≥ 2) — kept the
+    // boring window, documented the loser.
+    val got = graft.Par.fanKey(xs, col("k"))
+      .withColumn("idx", row_number().over(w).cast("long") - 1L)
       .join(broadcast(needDf), Seq("k", "idx"))
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
       .toMap

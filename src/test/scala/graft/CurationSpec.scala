@@ -87,7 +87,7 @@ class CurationSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     }
   }
 
-  test("column profile is a single scan (multi-distinct via Expand, not 4 passes)") {
+  test("column profile is a single scan (r14: unpivot + two-level agg, not 4 passes)") {
     val scans = collect(executed(Curation.columnProfile(spark, sfDir))) {
       case s: FileSourceScanExec => s
     }
