@@ -26,8 +26,12 @@ object Breadth {
     val o  = Tables.orders(s, dir)
     val c  = Tables.customer(s, dir)
     val n  = Tables.nation(s, dir)
-    val perCust = li
-      .join(o, li("l_orderkey") === o("o_orderkey"))
+    // fanKey (r14): the li⋈o shuffle join and the per-customer partial
+    // aggregate pipeline in one stage; AQE size-coalescing folded the
+    // ~20 MB scan-rooted exchange to one task. Width pin, scale-guarded.
+    val perCust = graft.Par.fanKey(li.select(
+        "l_orderkey", "l_quantity"), col("l_orderkey"))
+      .join(o, col("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy("n_name", "c_custkey", "c_name")
@@ -436,9 +440,14 @@ object Breadth {
     val W = 86400000000L             // 1-day bucket in µs; any W ≥ gap ok
     val byUserBucket = Window.partitionBy("user_id", "b")
       .orderBy(col("sec").asc, col("event_id").asc)
-    val frags = Tables.events(s, dir)
-      .withColumn("sec", expr("unix_micros(ts)"))
-      .withColumn("b", expr(s"sec div ${W}L"))
+    // fanKey (r14): pin the scan-rooted (user, bucket) window exchange at
+    // machine width — AQE size-coalescing folded the ~4 MB exchange to
+    // one task and serialized the two window passes. Scale-guarded.
+    val frags = graft.Par.fanKey(Tables.events(s, dir)
+        .select("user_id", "event_id", "ts")
+        .withColumn("sec", expr("unix_micros(ts)"))
+        .withColumn("b", expr(s"sec div ${W}L")),
+        col("user_id"), col("b"))
       .withColumn("prev_sec", lag("sec", 1).over(byUserBucket))
       .withColumn("is_new",
         when(col("prev_sec").isNull || col("sec") - col("prev_sec") > GAP, 1L)
@@ -895,6 +904,10 @@ object Breadth {
     * small fixture. */
   private[graft] def fuzzyCandidates(sup: DataFrame, D: Int, qg: Int,
                                      dfMapCap: Int = DF_MAP_CAP): DataFrame = {
+    // (r14 audit: fanning the 1000-row name dimension and width-pinning
+    // the gram self-join were both measured — 1.47 s → 1.57 s warm; the
+    // extra repartition stages cost more than the single-split per-name
+    // compute they parallelize. Left at the measured floor.)
     val pref = qg * D + 1
     val gramsExpr =
       s"""transform(sequence(1, greatest(len - 1, 1)),

@@ -1563,7 +1563,13 @@ object Dedup {
     // State is bounded: a window count buffers one partition's rows like
     // the join build side would, and postings are capped right after.
     val wh = org.apache.spark.sql.expressions.Window.partitionBy("h")
-    val kept = seeds
+    // fanKey (r14): same bytes as the window's own ENSURE_REQUIREMENTS
+    // exchange on h, but an explicit numbered repartition AQE cannot
+    // size-coalesce — the ~36 MB digest exchange was folding to ONE task
+    // and serializing the posting-cap window + pair self-join
+    // (q_dedup_savings 1.70 s → 1.97 s when the fleet conf landed).
+    // Scale-guarded: only fires on the dev fixture's single-split scan.
+    val kept = graft.Par.fanKey(seeds, col("h"))
       .withColumn("pn", count(lit(1)).over(wh))
       .filter(col("pn") <= POSTING_CAP)
       .drop("pn")

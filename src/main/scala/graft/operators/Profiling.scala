@@ -426,14 +426,25 @@ object Profiling {
         Tables.orders(s, dir), "o_custkey", Tables.customer(s, dir), "c_custkey"),
       ("supplier->nation",
         Tables.supplier(s, dir), "s_nationkey", Tables.nation(s, dir), "n_nationkey"))
+    // r14: one pass per edge instead of two. The old shape ran a
+    // count+countDistinct aggregate (Catalyst one-distinct rewrite: a
+    // second keyed aggregate level) PLUS a separate anti-join subtree
+    // over a second child scan — ~5 stages and 2 fact scans per edge.
+    // Grouping by the FK first makes every census a fold over the
+    // (fk, count) frame: rows = Σc, keys = group count, orphans = Σc of
+    // groups with no parent (LEFT join; a null FK never matches, exactly
+    // the NOT EXISTS semantics). One child scan, one narrow exchange per
+    // edge; dimension parents still broadcast. Measured 1.71 → 0.97 s.
     edges.map { case (rel, child, fk, parent, pk) =>
-      val orphans = child.select(col(fk))
-        .join(parent.select(col(pk)), col(fk) === col(pk), "left_anti")
-      child.select(col(fk)).agg(
-        lit(rel).as("rel"),
-        count(lit(1)).as("n_child_rows"),
-        countDistinct(col(fk)).as("n_child_keys"))
-        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+      val perKey = child.select(col(fk))
+        .groupBy(col(fk)).agg(count(lit(1)).as("c"))
+      perKey.join(parent.select(col(pk)), col(fk) === col(pk), "left")
+        .agg(
+          lit(rel).as("rel"),
+          coalesce(sum("c"), lit(0L)).as("n_child_rows"),
+          count(when(col(fk).isNotNull, lit(1))).as("n_child_keys"),
+          coalesce(sum(when(col(pk).isNull, col("c"))), lit(0L))
+            .as("n_orphans"))
         .select("rel", "n_child_rows", "n_child_keys", "n_orphans")
     }.reduce(_ unionAll _).orderBy("rel")
   }
@@ -789,7 +800,14 @@ object Profiling {
           (lit(2L) * (col("s") - lit(colIdx(c) * nRows) - col("tw"))
             + col("tw") + lit(1L)).as(s"r2_$c"))
       val build = if (boundedDomain(c)) broadcast(r2) else r2
-      df.join(build, df(c) === col(s"_v_$c")).drop(s"_v_$c")
+      // fanKey (r14): the one shuffle join (extendedprice) and the 15
+      // DECIMAL(38,0) partial sums above it pipeline in the SAME stage;
+      // AQE's size coalescing folded that ~25 MB exchange to one task
+      // and serialized the whole measure pass (1.16 s → 1.66 s when the
+      // fleet conf landed). The explicit width pin is never coalesced
+      // and never fires on a multi-split production scan.
+      val left = if (boundedDomain(c)) df else graft.Par.fanKey(df, df(c))
+      left.join(build, left(c) === col(s"_v_$c")).drop(s"_v_$c")
     }
     def dsum(e: Column, alias: String) =
       sum(e.cast("decimal(38,0)")).cast("double").as(alias)
@@ -2074,6 +2092,21 @@ object Profiling {
   def expectations(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     def viol(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+    // r14: the uniqueness check rides its OWN branch instead of a
+    // countDistinct inside the wide aggregate — the one-distinct rewrite
+    // was Expand-doubling the whole row stream through the scan stage and
+    // merging 600k near-unique partials on one (AQE-coalesced) task
+    // (measured 592 ms scan + 310 ms merge of the 1.13 s total). The
+    // plain checks become a partial-aggregating single pass with a 1-row
+    // exchange; the distinct pair count fans to machine width on the
+    // 2-column projection and both branches overlap as independent
+    // stages. Same values, same output schema.
+    // not-null filter mirrors countDistinct exactly (it skips rows with
+    // any null argument; bare distinct would count a null pair as a key)
+    val uniq = graft.Par.fanKey(li.select("l_orderkey", "l_linenumber")
+        .where(col("l_orderkey").isNotNull && col("l_linenumber").isNotNull),
+        col("l_orderkey"), col("l_linenumber"))
+      .distinct().agg(count(lit(1)).as("n_uniq_pairs"))
     val wide = li.agg(
       count(lit(1)).as("n"),
       viol(col("l_orderkey").isNull).as("v_oknull"),
@@ -2087,9 +2120,9 @@ object Profiling {
       viol(col("l_linestatus").isNull ||
         !col("l_linestatus").isin("O", "F")).as("v_ls"),
       viol(col("l_returnflag").isNull ||
-        !col("l_returnflag").isin("A", "N", "R")).as("v_rf"),
-      (count(lit(1)) -
-        countDistinct(col("l_orderkey"), col("l_linenumber"))).as("v_uniq"))
+        !col("l_returnflag").isin("A", "N", "R")).as("v_rf"))
+      .crossJoin(broadcast(uniq))
+      .withColumn("v_uniq", col("n") - col("n_uniq_pairs"))
     wide.select(col("n").as("n_rows"), expr(
       """stack(8,
         |  'complete:l_orderkey', v_oknull,

@@ -287,11 +287,19 @@ class ProfilingSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       .map(_.getAs[String]("check_name")).toSeq
     assert(failed == Seq("unique:l_orderkey+l_linenumber"),
       s"fixture verdicts drifted: failed=$failed")
-    // the whole battery folds into one pass — a second FileSourceScan
-    // would mean a constraint fell out of the shared aggregate
+    // r14 shape: the 7 row-local checks fold into ONE pass and the
+    // uniqueness census rides its own column-pruned branch (the old
+    // single-aggregate spelling paid the one-distinct Expand — a ×2 row
+    // amplification through the scan stage). Two scans exactly, and the
+    // uniqueness branch must stay pruned to the 2-column pair key.
     val scans = collect(df.queryExecution.executedPlan) {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }
-    assert(scans.size == 1, s"expected exactly one scan, got ${scans.size}")
+    assert(scans.size == 2, s"expected the two-branch shape, got ${scans.size}")
+    val pairScan = scans.filter(_.schema.fieldNames.length == 2)
+    assert(pairScan.nonEmpty &&
+      pairScan.head.schema.fieldNames.toSet ==
+        Set("l_orderkey", "l_linenumber"),
+      s"uniqueness branch lost its 2-column pruning: ${scans.map(_.schema)}")
   }
 }

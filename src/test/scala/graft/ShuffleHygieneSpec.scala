@@ -169,7 +169,10 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     "q_lorenz",
     // per segment: 1-row stats + 1-row max frames onto the day table
     // (the q_cusum shape ×3 segments)
-    "q_binary_segmentation")
+    "q_binary_segmentation",
+    // 1-row distinct-pair census crossJoined onto the 1-row checks
+    // aggregate (r14 uniqueness-branch split)
+    "q_expectations")
 
   // ONE sweep over the registry (executing every query once — the
   // dominant cost of this suite), with both plan properties checked off
