@@ -51,6 +51,13 @@ object Bench {
       // override restores the stock posture for A/B re-measurement.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
+      // Let the planner pick shuffled-hash join when its size conditions
+      // hold (guide §3.1/§9): no sort on either shuffled side. A/B knob
+      // for clean re-measurement (r13 flagged the first attempt as
+      // host-load-ambiguous); default set from the measured fleet A/B —
+      // see OPTIMIZATION_r14.md.
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

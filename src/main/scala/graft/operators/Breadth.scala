@@ -1752,17 +1752,30 @@ object Breadth {
     * corpus size, so the single-partition window is safe by
     * construction. */
   def userGrowth(s: SparkSession, dir: String): DataFrame = {
+    // ONE consumption of the distinct (user, day) frame (r14): the old
+    // two-branch shape (daily census ⋈ first-seen aggregate) cached ud
+    // and let both branches race its first materialization — profiled as
+    // two concurrent ~750 ms stages each re-reading the scan. Tagging
+    // each row with its user's first day via an unbounded per-user
+    // window folds both censuses into one groupBy(day) pass, no cache,
+    // no join (measured 1.01 s → 0.62 s at sf0.1, oracle unchanged).
+    // repartition(user_id) BEFORE the distinct: hash(user) satisfies
+    // ClusteredDistribution on the (user, day) superset, so the
+    // distinct, the per-user window, and the first-day tag all ride ONE
+    // exchange (the PageRank build precedent).
     val ud = Tables.events(s, dir)
       .select(col("user_id"), to_date(date_trunc("DAY", col("ts"))).as("day"))
+      .repartition(col("user_id"))
       .distinct()
-      .cache()
-    val daily = ud.groupBy("day").agg(count(lit(1)).as("n_active"))
-    val news = ud.groupBy("user_id").agg(min("day").as("day"))
-      .groupBy("day").agg(count(lit(1)).as("n_new"))
+    val census = ud
+      .withColumn("first_day", min("day").over(Window.partitionBy("user_id")))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .as("n_new"))
     val w = Window.orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    daily.join(news, Seq("day"), "left")
-      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+    census
       .select(col("day"), col("n_active"), col("n_new"),
         (col("n_active") - col("n_new")).as("n_returning"))
       .withColumn("cum_users", sum("n_new").over(w))

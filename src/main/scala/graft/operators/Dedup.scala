@@ -275,8 +275,16 @@ object Dedup {
     graft.functions.GraftFunctions.register(s)
     val docs = docsWithShingles(s, dir).select("doc_id", "sh").cache()
     val cand = corpusMinhashCandidates(s, dir, docs)
+    // sigs joins TWICE (side a, side b) and minhash_slices is the
+    // expensive per-row kernel (K md5 mins over every shingle) — cache
+    // the narrow (doc_id, K-slice array) table so the kernel runs once
+    // per doc, not once per join side (r14, guide §1.2 step 2; measured
+    // 1.28 s → 1.00 s at sf0.1). Unlike the lmScore/dsirAffinity cache
+    // losers, both consumers here sit in ONE job (no overlap to lose)
+    // and the kernel dominates the fill cost.
     val sigs = docs.withColumn("mh", expr("minhash_slices(sh)"))
       .select("doc_id", "mh")
+      .cache()
     val est = (0 until K).map(i =>
         when(col("mha").getItem(i) === col("mhb").getItem(i), 1).otherwise(0))
       .reduce(_ + _) / lit(K.toDouble)
@@ -302,6 +310,7 @@ object Dedup {
           / lit(1000000.0d)).as("mean_bias"))
       .collect()(0)
     docs.unpersist()
+    sigs.unpersist()
     Seq((row.getLong(0), row.getDouble(1), row.getDouble(2), row.getDouble(3)))
       .toDF("n_pairs", "mean_abs_err", "max_abs_err", "mean_bias")
   }

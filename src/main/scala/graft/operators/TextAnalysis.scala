@@ -780,6 +780,12 @@ object TextAnalysis {
     * identical no matter how partitions merge (a double sum here would
     * hash-mismatch any engine with a different reduce order). */
   def lmScore(s: SparkSession, dir: String): DataFrame = {
+    // MEASURED LOSER (r14, do not re-try): .cache() on pairs — the three
+    // consumers (corpus-size collect, tf build, scoring join) re-pay the
+    // scan+tokenize+shuffle, but they run as OVERLAPPING jobs, and the
+    // cache fill serializes them behind a full materialization of the
+    // (doc_id, term, c) table that the pruned collect subtree never
+    // needed (1.18 s → 2.01 s at sf0.1; the q_bloom_prune lesson).
     val pairs = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
@@ -1763,6 +1769,10 @@ object TextAnalysis {
   private[graft] def dsirAffinityOn(docs: DataFrame): DataFrame = {
     val fix4 = (c: org.apache.spark.sql.Column) =>
       floor(c * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)
+    // MEASURED LOSER (r14, do not re-try): .cache() on pairs — the four
+    // consumers (raw, tgt, lam, scoring join) overlap as independent
+    // jobs; the cache fill serialized them (1.43 s → 2.17 s at sf0.1,
+    // same failure mode as lmScore / q_bloom_prune).
     val pairs = docs
       .select(col("doc_id"), col("source"), col("lang"),
         explode(TextFns.tokens(col("text"))).as("w"))
