@@ -19,8 +19,30 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Inferred-schema memo keyed by (path, corpus fingerprint): a bare
+    * `spark.read.parquet(path)` runs a ~25 ms one-task driver JOB per
+    * call to infer the schema from footers, and the fleet pays it at
+    * EVERY Tables.* call during plan building (r15 stage profile: one
+    * q_ref_integrity plan build ran 14 such jobs back to back, ~0.4 s
+    * of serial planning before the first real stage). The schema of a
+    * fixture is immutable for a given fingerprint (mtime+length of
+    * every part file, the MemoSweep discipline), so infer once and pass
+    * the schema explicitly — guide §6's avoid-repeated-listing point
+    * applied to footer reads. Plain StructType values: no session
+    * reference, safe to share across sessions; an in-place fixture
+    * regeneration changes the fingerprint and misses. */
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), org.apache.spark.sql.types.StructType]()
+
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val sch = schemaMemo.computeIfAbsent((path, CorpusFp.of(dir, name)),
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(sch).parquet(path)
+  }
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet").alias(name)
+    read(spark, dir, name).alias(name)
 
   /** events.ts has shipped in two fixture generations, both normalized here
     * to `TimestampType` (µs, session-tz) so every downstream query sees ONE
@@ -40,7 +62,7 @@ object Tables {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val raw = read(spark, dir, "events")
     val df = raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

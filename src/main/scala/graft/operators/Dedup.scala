@@ -1582,6 +1582,13 @@ object Dedup {
       .withColumn("pn", count(lit(1)).over(wh))
       .filter(col("pn") <= POSTING_CAP)
       .drop("pn")
+    // MEASURED NON-WIN (r15, do not re-try): hint("merge") on both sides
+    // to force SMJ — the static plan prints BroadcastHashJoin here at
+    // sf0.1, which LOOKS like the seed pipeline is built twice, but the
+    // runtime stage profile shows the fanKey exchange is written once
+    // (9.6 MB) and read twice (19.2 MB) — AQE stage reuse already feeds
+    // both join sides from one seed build regardless of strategy. The
+    // SMJ pin benched flat (1.80 → 1.69–1.87 s, 4-pass Scratch).
     val pairs = kept.as("x").join(kept.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),

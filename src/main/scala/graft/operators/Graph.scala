@@ -910,10 +910,18 @@ object Graph {
   /** [[assocRules]] core over an explicit (l_orderkey, l_partkey) frame
     * and a matching (a, b, w) pair-support frame — the seam. */
   private[graft] def assocRulesOn(li: DataFrame, und: DataFrame): DataFrame = {
+    // localCheckpoint, not cache (r15): the lazy cache was RACED by its
+    // consumers — the r15 stage profile showed the collect_set reduce
+    // work charged TWICE in two concurrent ~700 ms stages (the
+    // q_user_growth r14 failure mode: each racing branch computes the
+    // blocks it finds missing). Every consumer (basket census, item
+    // supports, rule joins) needs this frame, so one eager
+    // materialization is on the critical path regardless; pinning it
+    // makes the fact table's orderkey shuffle happen exactly once.
     val baskets = li.groupBy("l_orderkey")
       .agg(collect_set("l_partkey").as("ps"))
       .filter(size(col("ps")) <= ORDER_CAP)
-      .cache()
+      .localCheckpoint()
     val nBaskets = baskets.agg(count(lit(1)).as("n_baskets"))
     val itemCnt = baskets.select(explode(col("ps")).as("item"))
       .groupBy("item").agg(count(lit(1)).as("n_item"))

@@ -780,19 +780,31 @@ object TextAnalysis {
     * identical no matter how partitions merge (a double sum here would
     * hash-mismatch any engine with a different reduce order). */
   def lmScore(s: SparkSession, dir: String): DataFrame = {
-    // MEASURED LOSER (r14, do not re-try): .cache() on pairs — the three
-    // consumers (corpus-size collect, tf build, scoring join) re-pay the
-    // scan+tokenize+shuffle, but they run as OVERLAPPING jobs, and the
-    // cache fill serializes them behind a full materialization of the
-    // (doc_id, term, c) table that the pruned collect subtree never
-    // needed (1.18 s → 2.01 s at sf0.1; the q_bloom_prune lesson).
+    // MEASURED LOSER (r14, do not re-try): .cache() on pairs — the
+    // consumers overlap as independent jobs and the cache fill
+    // serializes them (1.18 s → 2.01 s at sf0.1; the q_bloom_prune
+    // lesson). r15 single-pass restructure instead (the deferred
+    // VERDICT r14 item): the main plan used to compute the
+    // scan+tokenize+pair-shuffle subtree TWICE (once as the join's left
+    // side, once under the tf aggregate) and the corpus-size collect
+    // paid it a third time. Now (a) the corpus size needs no explode at
+    // all — Σ_d |split(text)| ≡ Σ_terms tf as exact integers, so the
+    // collect job is a row-local size() sum over one scan; (b) tf
+    // attaches via a window sum over the SAME pair frame instead of a
+    // join back to a second copy (§1.2 step 1 / §2.4: the window's
+    // term-exchange replaces the join's two term-exchanges and the
+    // whole duplicated subtree). Exact BIGINT sums either way — results
+    // and oracle SQL unchanged.
     val pairs = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
-    val tf = pairs.groupBy("term").agg(sum("c").as("tf"))
     // corpus size: driver scalar at plan-build (same footing as tfidf's N)
-    val t = tf.agg(sum("tf")).collect()(0).getLong(0)
-    pairs.join(tf, "term")
+    val t = Tables.documents(s, dir)
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
+    pairs
+      .withColumn("tf", sum("c").over(wTerm))
       .withColumn("logp",
         round(log(col("tf").cast("double") / lit(t.toDouble)), 6)
           .cast("decimal(20,6)"))
@@ -1769,29 +1781,47 @@ object TextAnalysis {
   private[graft] def dsirAffinityOn(docs: DataFrame): DataFrame = {
     val fix4 = (c: org.apache.spark.sql.Column) =>
       floor(c * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)
-    // MEASURED LOSER (r14, do not re-try): .cache() on pairs — the four
-    // consumers (raw, tgt, lam, scoring join) overlap as independent
-    // jobs; the cache fill serialized them (1.43 s → 2.17 s at sf0.1,
-    // same failure mode as lmScore / q_bloom_prune).
+    // MEASURED LOSER (r14, do not re-try): .cache() on pairs — the
+    // consumers overlap as independent jobs; the cache fill serialized
+    // them (1.43 s → 2.17 s at sf0.1, same failure mode as lmScore /
+    // q_bloom_prune). r15 single-pass restructure instead (the deferred
+    // VERDICT r14 item): the old plan computed the scan+tokenize+
+    // pair-shuffle subtree FIVE times (raw and tgt each appear under
+    // both lam and the scalar crossJoin, plus the scoring join's left
+    // side). Now both per-word LMs attach as window sums over the SAME
+    // pair frame (cr = Σc per word, ct = the lang='en' conditional sum —
+    // null when a word never occurs in English, exactly the old left
+    // join's null), and the (bigR, v, bigT) scalars fold through ONE
+    // per-word-stats branch instead of two (§1.2 step 1 / §2.4).
+    // Every sum is an exact BIGINT fold and λ runs the identical double
+    // sequence with the identical inputs — results and oracle SQL
+    // unchanged; hash-green ×3 SFs.
     val pairs = docs
       .select(col("doc_id"), col("source"), col("lang"),
         explode(TextFns.tokens(col("text"))).as("w"))
       .groupBy("doc_id", "source", "lang", "w")
       .agg(count(lit(1)).as("c"))
-    val raw = pairs.groupBy("w").agg(sum("c").as("cr"))
-    val tgt = pairs.filter(col("lang") === "en")
-      .groupBy("w").agg(sum("c").as("ct"))
-    val scal = raw.agg(sum("cr").as("bigR"), count(lit(1)).as("v"))
-      .crossJoin(tgt.agg(sum("ct").as("bigT")))
-    val lam = raw.join(tgt, Seq("w"), "left")
+    // the (bigR, v, bigT) scalars stay IN the plan as a broadcast branch
+    // (a pre-collected driver scalar benched flat: the serial scalar job
+    // gave back exactly what the dedup saved — the branch overlaps with
+    // the window chain's early stages instead). sum(ct2) skips the null
+    // never-in-English words exactly as the old tgt-aggregate never saw
+    // them.
+    val scal = pairs.groupBy("w").agg(sum("c").as("cr2"),
+        sum(when(col("lang") === "en", col("c"))).as("ct2"))
+      .agg(sum("cr2").as("bigR"), count(lit(1)).as("v"),
+        sum("ct2").as("bigT"))
+    val wW = org.apache.spark.sql.expressions.Window.partitionBy("w")
+    pairs
+      .withColumn("cr", sum("c").over(wW))
+      .withColumn("ct", sum(when(col("lang") === "en", col("c"))).over(wW))
       .crossJoin(broadcast(scal))
-      .select(col("w"),
+      .withColumn("lam6",
         floor(log(((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double")
             / (col("bigT") + col("v")).cast("double"))
           / ((col("cr") + lit(1L)).cast("double")
             / (col("bigR") + col("v")).cast("double")))
           * lit(1000000.0d) + lit(0.5d)).cast("long").as("lam6"))
-    pairs.join(lam, "w")
       .groupBy("doc_id", "source")
       .agg(sum(col("c") * col("lam6")).as("s6"))
       .groupBy("source")
