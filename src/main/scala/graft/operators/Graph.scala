@@ -51,7 +51,14 @@ object Graph {
     * [[ORDER_CAP]]) — the filter runs on the collected set's size, so
     * the quadratic fan-out never happens. */
   private[graft] def copurchaseEdges(li: DataFrame): DataFrame =
-    li.groupBy("l_orderkey").agg(collect_set("l_partkey").as("ps"))
+    // fanKey (r15): the basket aggregate's orderkey exchange is byte-small
+    // so AQE size-coalescing folded the reduce side to 1-2 tasks — and the
+    // quadratic pair explode above it inherited that width in the cold
+    // build job (q_pagerank pass-1: 4.9 s). The explicit machine-width pin
+    // is AQE-proof, the groupBy reuses it, and it never fires on a
+    // multi-split production scan (Par guard).
+    graft.Par.fanKey(li, col("l_orderkey"))
+      .groupBy("l_orderkey").agg(collect_set("l_partkey").as("ps"))
       .filter(size(col("ps")) <= ORDER_CAP)
       .select(explode(col("ps")).as("src"), col("ps"))
       .select(col("src"), explode(col("ps")).as("dst"))
@@ -240,7 +247,11 @@ object Graph {
     * [[ORDER_CAP]] guard as [[copurchaseEdges]] — the suffix explode is
     * C(|order|, 2). */
   private[graft] def affinityEdgesOn(li: DataFrame): DataFrame =
-    li.groupBy("l_orderkey").agg(sort_array(collect_set("l_partkey")).as("ps"))
+    // fanKey (r15): same width pin as [[copurchaseEdges]] — the C(n,2)
+    // suffix explode ran on the AQE-coalesced 1-2 task reduce side of
+    // this byte-small exchange in every first-touch build.
+    graft.Par.fanKey(li, col("l_orderkey"))
+      .groupBy("l_orderkey").agg(sort_array(collect_set("l_partkey")).as("ps"))
       .filter(size(col("ps")) <= ORDER_CAP)
       // upper triangle only: each element pairs with the SORTED array's
       // strict suffix, so a < b holds by construction and the generator

@@ -647,26 +647,45 @@ object JoinsPlus {
       expr((0 until BLOOM_K).map(j =>
         s"CAST(conv(substr(md5(concat(CAST($keyCol AS STRING), ':bf$j')), 1, 8), 16, 10) AS BIGINT) % ${m}L")
         .mkString("array(", ", ", ")"))
-    // probe keys and the bit set each feed several census branches —
-    // cache them so the big-side distinct runs ONCE, not per branch
+    // the bit set feeds two census branches — cache it so the build-side
+    // distinct runs ONCE, not per branch
     val bits = urgent.select(explode(positions("k")).as("pos")).distinct()
       .cache()
-    val probe = Tables.lineitem(s, dir).select(col("l_orderkey").as("k"))
+    // r15 restructure (§2.4 / §1.2): the probe-side census used to run as
+    // THREE branches over a cached probe table (n_probe aggregate,
+    // candidate explode+filter, exact semi join), each its own broadcast
+    // crossJoin arm — ~24 stages of mostly barrier latency. One linear
+    // pass computes all three: explode the K positions (always exactly K
+    // rows per key), LEFT-join the broadcast bit set to flag hits, fold
+    // back to per-key hit counts (the groupBy reuses the distinct's
+    // hash(k) exchange — no new shuffle), LEFT-join the broadcast build
+    // keys for exact membership, and aggregate once. hits = K ⇔ the old
+    // inner-join count of K (duplicate positions each count in both
+    // spellings); the t flag replicates the left-semi exactly. Local
+    // wall-clock is FLAT (1.38 s min both shapes, 6-pass Scratch) — the
+    // win is the scale posture: the fact-sized probe cache (§5 memory
+    // pressure at 100 TB) and two of the three full passes over it drop
+    // out, and the stage count roughly halves.
+    // fanKey pins the distinct's byte-small exchange at machine width —
+    // without it AQE size-coalescing folds the reduce to 1-2 tasks and
+    // the md5 position explode above it serializes (the old cached-probe
+    // shape happened to materialize at full width; the cache is gone)
+    val probe = graft.Par
+      .fanKey(Tables.lineitem(s, dir).select(col("l_orderkey").as("k")),
+        col("k"))
       .distinct()
-      .cache()
-    // candidate ⇔ ALL K positions set: explode, broadcast-join the bit
-    // set, and demand K hits back — keys and small ints only
-    val cand = probe.select(col("k"), explode(positions("k")).as("pos"))
-      .join(broadcast(bits), "pos")
-      .groupBy("k").agg(count(lit(1)).as("hits"))
-      .filter(col("hits") === BLOOM_K)
-      .select("k")
-    val truth = probe.join(urgent.distinct(), Seq("k"), "left_semi")
-    val counts = probe.agg(count(lit(1)).as("n_probe"))
+    val perKey = probe.select(col("k"), explode(positions("k")).as("pos"))
+      .join(broadcast(bits.withColumn("hit", lit(1L))), Seq("pos"), "left")
+      .groupBy("k").agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+    val flagged = perKey.join(
+      broadcast(urgent.distinct().withColumn("t", lit(1L))), Seq("k"), "left")
+    val counts = flagged.agg(
+        count(lit(1)).as("n_probe"),
+        sum(when(col("hits") === BLOOM_K, lit(1L)).otherwise(lit(0L)))
+          .as("n_candidates"),
+        sum(coalesce(col("t"), lit(0L))).as("n_true"))
       .crossJoin(broadcast(urgent.distinct().agg(count(lit(1)).as("n_build"))))
       .crossJoin(broadcast(bits.agg(count(lit(1)).as("n_bits_set"))))
-      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
-      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
     val out = counts.select(col("n_build"), col("n_bits_set"), col("n_probe"),
       col("n_candidates"), col("n_true"),
       (col("n_candidates") - col("n_true")).as("n_false_pos"),
@@ -675,7 +694,6 @@ object JoinsPlus {
         * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("fp_rate"))
     val row = out.collect()
     bits.unpersist(blocking = false)
-    probe.unpersist(blocking = false)
     s.createDataFrame(s.sparkContext.parallelize(row.toIndexedSeq, 1),
       out.schema)
   }

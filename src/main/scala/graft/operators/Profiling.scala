@@ -737,7 +737,13 @@ object Profiling {
     else {
       graft.BuildMeter.record()
       val shortNames = Seq("d", "p", "q", "t")
-      val longVals = base
+      // fanKey (r15): the 4-way explode + (cname, v) partial aggregate ran
+      // on the fixture's single scan split in the first-touch build
+      // (q_spearman pass-1: 5.3 s, longVals ~1.2 s of it) — fan the
+      // 4-column integer projection to machine width first; never fires
+      // on a multi-split production scan (Par guard).
+      val longVals = graft.Par
+        .fanKey(base, shortNames.map(col): _*)
         .select(explode(map(shortNames.flatMap(c =>
           Seq(lit(c), col(c))): _*)).as(Seq("cname", "v")))
         .groupBy("cname", "v").agg(count(lit(1)).as("tw"))
