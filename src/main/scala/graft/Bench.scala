@@ -35,7 +35,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val loadStart = loadAvg()
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir0 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -58,10 +58,25 @@ object Bench {
       // see OPTIMIZATION_r14.md.
       .config("spark.sql.join.preferSortMergeJoin",
         sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "true"))
+      // A/B knobs for the r15 quiet-host re-measures (VERDICT r14 #5);
+      // both DEFAULT to stock values — no behavior change unless set.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "64m"))
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dev-only multi-split mode (SPARK_GRAFT_MULTISPLIT=1): bench against
+    // the re-sharded same-data twin of the fixture so the 8-vs-32-core
+    // scaling leg measures plan parallelism instead of the single-row-
+    // group stage-latency floor (VERDICT r14 #5). The driver sets no env
+    // and always benches the base fixture.
+    val sfDir =
+      if (sys.env.get("SPARK_GRAFT_MULTISPLIT").contains("1"))
+        ShardFixture.ensure(spark, sfDir0)
+      else sfDir0
     // Warm the JVM/codegen/parquet-reader paths once so first-query timings
     // measure the query, not classloading (a real cluster amortizes this
     // over hours; a 30-query bench run must not bill it to one query).

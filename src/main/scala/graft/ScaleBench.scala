@@ -44,6 +44,10 @@ object ScaleBench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // io codec A/B knob (VERDICT r14 #5): zstd-vs-lz4 matters only at
+      // the scale legs where shuffles carry real bytes; default stock.
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

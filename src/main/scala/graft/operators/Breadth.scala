@@ -29,13 +29,22 @@ object Breadth {
     // fanKey (r14): the li⋈o shuffle join and the per-customer partial
     // aggregate pipeline in one stage; AQE size-coalescing folded the
     // ~20 MB scan-rooted exchange to one task. Width pin, scale-guarded.
+    // r15: aggregate to one row per customer BEFORE the customer/nation
+    // dimension joins (§2.3 aggregate-before-shuffle / §2.4): the name
+    // columns are functionally determined by c_custkey (primary key), so
+    // grouping by the bare key and attaching (c_name, n_name) to the
+    // customer-sized aggregate is row-identical — and the fact-sized
+    // stage now runs one join instead of three, with the aggregate's
+    // exchange carrying (custkey, sum, count) instead of two strings.
     val perCust = graft.Par.fanKey(li.select(
         "l_orderkey", "l_quantity"), col("l_orderkey"))
-      .join(o, col("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-      .groupBy("n_name", "c_custkey", "c_name")
+      .join(o.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
       .agg(Fmt.fix4(avg("l_quantity")).as("avg_qty"))
+      .join(broadcast(c), col("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(col("n_name"), col("c_custkey"), col("c_name"), col("avg_qty"))
     val w = Window.partitionBy("n_name")
       .orderBy(col("avg_qty").desc, col("c_custkey").asc)
     perCust
@@ -1744,13 +1753,15 @@ object Breadth {
     * (every active user is exactly one of new-or-returning) behind any
     * product dashboard.
     *
-    * Scale shape: the event stream collapses to distinct (user, day)
-    * inside the scan (cached — feeds both the first-seen aggregate and
-    * the daily census); everything downstream is day- or user-keyed
-    * aggregate cardinality. The running total's global window orders the
-    * per-DAY frame — cardinality = calendar days, bounded regardless of
-    * corpus size, so the single-partition window is safe by
-    * construction. */
+    * Scale shape: the event stream collapses to distinct (user, day) on
+    * one user-keyed exchange; a per-user unbounded window tags each row
+    * with its user's first day, and ONE groupBy(day) folds the active
+    * and new censuses together (no cache, no census⋈first-seen join —
+    * see the r14 note in the body). Everything downstream is day- or
+    * user-keyed aggregate cardinality. The running total's global window
+    * orders the per-DAY frame — cardinality = calendar days, bounded
+    * regardless of corpus size, so the single-partition window is safe
+    * by construction. */
   def userGrowth(s: SparkSession, dir: String): DataFrame = {
     // ONE consumption of the distinct (user, day) frame (r14): the old
     // two-branch shape (daily census ⋈ first-seen aggregate) cached ud
@@ -1758,7 +1769,9 @@ object Breadth {
     // two concurrent ~750 ms stages each re-reading the scan. Tagging
     // each row with its user's first day via an unbounded per-user
     // window folds both censuses into one groupBy(day) pass, no cache,
-    // no join (measured 1.01 s → 0.62 s at sf0.1, oracle unchanged).
+    // no join (controlled 8-pass min at sf0.1: 1.01 s → 0.50 s; a later
+    // same-session 5-pass re-check read 0.62 s — host band. Oracle
+    // unchanged).
     // repartition(user_id) BEFORE the distinct: hash(user) satisfies
     // ClusteredDistribution on the (user, day) superset, so the
     // distinct, the per-user window, and the first-day tag all ride ONE
@@ -1949,11 +1962,16 @@ object Breadth {
     * Lift = n·both / (a·b) is one IEEE expression, floor-rounded. */
   def cooccurrence(s: SparkSession, dir: String): DataFrame = {
     // the distinct (user, type) set feeds three consumers plus the user
-    // census — materialize it once (clearCache-per-query lifetime)
+    // census — one EAGER materialization (r15: localCheckpoint, not
+    // cache + a separate blocking count: the lazy cache was raced by the
+    // self-join's two readers, and the user census ran as its own serial
+    // driver job BEFORE the main plan; it now rides in the plan as a
+    // broadcast branch over the pinned blocks — same exact integer, one
+    // job instead of two)
     val ut = Tables.events(s, dir)
       .select("user_id", "event_type").distinct()
-      .cache()
-    val nUsers = ut.select("user_id").distinct().count()
+      .localCheckpoint()
+    val nUsers = ut.agg(countDistinct("user_id").as("n_users"))
     val perType = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
     val pairs = ut.as("x").join(ut.as("y"),
         col("x.user_id") === col("y.user_id") &&
@@ -1966,9 +1984,10 @@ object Breadth {
         col("n").as("n_a")), "type_a")
       .join(perType.select(col("event_type").as("type_b"),
         col("n").as("n_b")), "type_b")
+      .crossJoin(broadcast(nUsers))
       .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
         col("n_both"),
-        (floor(col("n_both") * lit(nUsers.toDouble) /
+        (floor(col("n_both") * col("n_users").cast("double") /
           (col("n_a") * col("n_b")).cast("double")
           * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("lift"))
       .orderBy("type_a", "type_b")

@@ -278,8 +278,9 @@ object Dedup {
     // sigs joins TWICE (side a, side b) and minhash_slices is the
     // expensive per-row kernel (K md5 mins over every shingle) — cache
     // the narrow (doc_id, K-slice array) table so the kernel runs once
-    // per doc, not once per join side (r14, guide §1.2 step 2; measured
-    // 1.28 s → 1.00 s at sf0.1). Unlike the lmScore/dsirAffinity cache
+    // per doc, not once per join side (r14, guide §1.2 step 2; controlled
+    // 8-pass min at sf0.1: 1.28 s → 0.98 s, a same-session re-check read
+    // 1.00 s — host band). Unlike the lmScore/dsirAffinity cache
     // losers, both consumers here sit in ONE job (no overlap to lose)
     // and the kernel dominates the fill cost.
     val sigs = docs.withColumn("mh", expr("minhash_slices(sh)"))
