@@ -929,7 +929,10 @@ object Graph {
     // supports, rule joins) needs this frame, so one eager
     // materialization is on the critical path regardless; pinning it
     // makes the fact table's orderkey shuffle happen exactly once.
-    val baskets = li.groupBy("l_orderkey")
+    // fanKey keeps the collect_set reduce at machine width (the byte-
+    // small exchange otherwise AQE-coalesces to 1-2 tasks).
+    val baskets = graft.Par.fanKey(li, col("l_orderkey"))
+      .groupBy("l_orderkey")
       .agg(collect_set("l_partkey").as("ps"))
       .filter(size(col("ps")) <= ORDER_CAP)
       .localCheckpoint()
@@ -1043,6 +1046,12 @@ object Graph {
   private[graft] def assocEvalOn(train: DataFrame, test: DataFrame,
                                  und0: DataFrame = null): DataFrame = {
     val und = if (und0 != null) und0 else affinityEdgesOn(train)
+    // MEASURED LOSER (r15, do not re-try): fanKey on this basket
+    // aggregate + an eager localCheckpoint of the test baskets below —
+    // the Scratch profile showed 1-task reduce stages, but the full
+    // interleaved bench measured the combination +9%/+20% drift-adjusted
+    // in two independent runs; the branchy original overlaps its
+    // recomputes better than the pinned shape serializes. Reverted.
     val itemCnt = train.groupBy("l_orderkey")
       .agg(collect_set("l_partkey").as("ps"))
       .filter(size(col("ps")) <= ORDER_CAP)

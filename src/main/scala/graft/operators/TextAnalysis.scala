@@ -1813,8 +1813,14 @@ object TextAnalysis {
         sum("ct2").as("bigT"))
     val wW = org.apache.spark.sql.expressions.Window.partitionBy("w")
     pairs
+      // project BEFORE the w-exchange (§2.3): the window ships whole rows,
+      // and the ×100 scale leg flagged the per-row growth — the en-
+      // conditional term is row-local, so computing it here drops the
+      // lang string from every shuffled row (same null-when-absent value)
+      .select(col("doc_id"), col("source"), col("w"), col("c"),
+        when(col("lang") === "en", col("c")).as("ce"))
       .withColumn("cr", sum("c").over(wW))
-      .withColumn("ct", sum(when(col("lang") === "en", col("c"))).over(wW))
+      .withColumn("ct", sum("ce").over(wW))
       .crossJoin(broadcast(scal))
       .withColumn("lam6",
         floor(log(((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double")

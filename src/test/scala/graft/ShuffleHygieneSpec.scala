@@ -54,6 +54,9 @@ class ShuffleHygieneSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     "q_equidepth_hist",
     // crossJoins of three 1-row census aggregates (q_ref_integrity shape)
     "q_triangles",
+    // 1-row user-census aggregate broadcast onto the |types|² lift table
+    // (r15: the census moved from a blocking driver count into the plan)
+    "q_cooccurrence",
     // NOT IN plans the null-aware anti join (BroadcastNestedLoopJoin with
     // the null-check conjunct) — build side is the broadcast-tiny
     // distinct subquery key set; the NAAJ plan IS the operator under test
